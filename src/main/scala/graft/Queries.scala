@@ -1,0 +1,614 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Funcs
+import graft.operators.{Cdc, FactBuilder, Scd1, Scd2}
+
+/** The ELT / warehouse query surface (SURVEY.md §2a).
+  *
+  * Every query has a DuckDB oracle with IDENTICAL column names, and
+  * output columns restricted to representation-safe types: BIGINT,
+  * STRING, BOOLEAN, whole-second TIMESTAMP, and untouched DOUBLE
+  * pass-through. Money goes through exact decimal casts and is emitted
+  * as integer cents (`*_cents`) / 1e-4 units (`*_e4`) / 1e-6 units
+  * (`*_e6`) — exact in both engines regardless of how the comparator
+  * normalizes decimals, and immune to float-summation-order drift.
+  * Dates are emitted as 'yyyy-MM-dd' strings. The events table carries
+  * sub-microsecond timestamps that Spark truncates to µs on read, so
+  * event timestamps are truncated to whole seconds before output.
+  */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- exact-money helpers (mirrored verbatim into the oracle SQL) ----
+  private def dec(c: Column, p: Int, s: Int): Column = c.cast(s"decimal($p,$s)")
+
+  /** double (2-dp source) → exact integer cents. */
+  private def cents(c: Column): Column = (dec(c, 12, 2) * 100).cast("long")
+  private def centsSql(x: String) = s"CAST(CAST($x AS DECIMAL(12,2)) * 100 AS BIGINT)"
+
+  /** l_extendedprice*(1-l_discount) in exact 1e-4 units. */
+  private def discPriceE4: Column =
+    (dec(dec(col("l_extendedprice"), 12, 2) *
+      (lit(1).cast("decimal(3,2)") - dec(col("l_discount"), 4, 2)), 16, 4) * 10000).cast("long")
+  private val discPriceE4Sql =
+    "CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(16,4)) * 10000 AS BIGINT)"
+
+  private def dateStr(c: Column): Column = date_format(c, "yyyy-MM-dd")
+  private def dateStrSql(x: String) = s"strftime($x, '%Y-%m-%d')"
+
+  /** TPC-H nation → ISO-ish code, mirrored into the oracle CASE
+    * (state_code mapping analog, ref 02 Location Entity.sql:145-175).
+    */
+  val nationCodes: Seq[(String, String)] = Seq(
+    "ALGERIA" -> "DZ", "ARGENTINA" -> "AR", "BRAZIL" -> "BR", "CANADA" -> "CA",
+    "EGYPT" -> "EG", "ETHIOPIA" -> "ET", "FRANCE" -> "FR", "GERMANY" -> "DE",
+    "INDIA" -> "IN", "INDONESIA" -> "ID", "IRAN" -> "IR", "IRAQ" -> "IQ",
+    "JAPAN" -> "JP", "JORDAN" -> "JO", "KENYA" -> "KE", "MOROCCO" -> "MA",
+    "MOZAMBIQUE" -> "MZ", "PERU" -> "PE", "CHINA" -> "CN", "ROMANIA" -> "RO",
+    "RUSSIA" -> "RU", "SAUDI ARABIA" -> "SA", "UNITED KINGDOM" -> "GB",
+    "UNITED STATES" -> "US", "VIETNAM" -> "VN")
+
+  private val nationCodeSql = nationCodes
+    .map { case (k, v) => s"WHEN '$k' THEN '$v'" }
+    .mkString("CASE n_name ", " ", " ELSE 'XX' END")
+
+  // =====================================================================
+  // q01 — schema-on-read typed ingest (stage → clean cast layer).
+  // Ref: 09 Order Entity.sql TRY_CAST merge + coupon 'Not Applied'.
+  // =====================================================================
+  val q01: Q = (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey").as("order_id"),
+      col("o_custkey").as("customer_id"),
+      when(col("o_orderstatus") === "O", "OPEN")
+        .when(col("o_orderstatus") === "F", "FULFILLED")
+        .when(col("o_orderstatus") === "P", "PENDING")
+        .otherwise("UNKNOWN").as("status"),
+      cents(col("o_totalprice")).as("total_amount_cents"),
+      dateStr(col("o_orderdate")).as("order_date"),
+      year(col("o_orderdate")).as("order_year"),
+      month(col("o_orderdate")).as("order_month"),
+      coalesce(col("o_orderpriority"), lit("Not Applied")).as("priority"))
+
+  val q01Sql: String =
+    s"""SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+       | CASE o_orderstatus WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FULFILLED'
+       |   WHEN 'P' THEN 'PENDING' ELSE 'UNKNOWN' END AS status,
+       | ${centsSql("o_totalprice")} AS total_amount_cents,
+       | ${dateStrSql("o_orderdate")} AS order_date,
+       | CAST(year(o_orderdate) AS INT) AS order_year,
+       | CAST(month(o_orderdate) AS INT) AS order_month,
+       | COALESCE(o_orderpriority, 'Not Applied') AS priority
+       |FROM orders""".stripMargin
+
+  // =====================================================================
+  // q02 — SCD1 latest-record-wins on the events change feed.
+  // =====================================================================
+  val q02: Q = (s, d) =>
+    Scd1.latestByKey(Tables.events(s, d), Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc))
+      .select(col("user_id"),
+        col("event_id").as("last_event_id"),
+        date_trunc("second", col("ts")).as("last_ts"),
+        col("event_type").as("last_event_type"),
+        col("value").as("last_value"))
+
+  val q02Sql: String =
+    """SELECT user_id, event_id AS last_event_id,
+      | date_trunc('second', ts) AS last_ts,
+      | event_type AS last_event_type, value AS last_value
+      |FROM (SELECT *, row_number() OVER
+      |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events) WHERE rn = 1""".stripMargin
+
+  // =====================================================================
+  // q03 — SCD2 history build (eff_start / eff_end / current_flag).
+  // =====================================================================
+  val q03: Q = (s, d) =>
+    Scd2.buildHistory(Tables.events(s, d), Seq("user_id"), "ts", "event_id")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        date_trunc("second", col("eff_start_ts")).as("eff_start_ts"),
+        date_trunc("second", col("eff_end_ts")).as("eff_end_ts"),
+        col("current_flag"))
+
+  val q03Sql: String =
+    """SELECT user_id, event_id, event_type, value,
+      | date_trunc('second', ts) AS eff_start_ts,
+      | date_trunc('second', lead(ts) OVER w) AS eff_end_ts,
+      | (lead(ts) OVER w IS NULL) AS current_flag
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
+  // =====================================================================
+  // q04 — hash surrogate keys (md5 over natural-key attrs).
+  // =====================================================================
+  val q04: Q = (s, d) =>
+    Tables.customer(s, d).select(
+      col("c_custkey").as("customer_id"),
+      Funcs.surrogateKey(col("c_name"), col("c_nationkey").cast("string"),
+        col("c_mktsegment")).as("customer_hk"),
+      col("c_name").as("name"),
+      col("c_mktsegment").as("segment"))
+
+  val q04Sql: String =
+    """SELECT c_custkey AS customer_id,
+      | md5(concat_ws('|', c_name, CAST(c_nationkey AS VARCHAR), c_mktsegment)) AS customer_hk,
+      | c_name AS name, c_mktsegment AS segment
+      |FROM customer""".stripMargin
+
+  // =====================================================================
+  // q05 — orders fact with dim joins (customer shuffled, geo broadcast).
+  // =====================================================================
+  val q05: Q = (s, d) => {
+    val fact = FactBuilder.star(
+      Tables.orders(s, d),
+      Seq(
+        FactBuilder.Dim(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"), broadcastHint = false),
+        FactBuilder.Dim(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey")),
+        FactBuilder.Dim(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))))
+    fact.select(
+      col("o_orderkey").as("order_id"),
+      col("o_custkey").as("customer_id_fk"),
+      col("n_nationkey").as("nation_id_fk"),
+      col("r_regionkey").as("region_id_fk"),
+      cents(col("o_totalprice")).as("total_amount_cents"),
+      dateStr(col("o_orderdate")).as("order_date"),
+      col("o_orderstatus").as("status"),
+      col("c_mktsegment").as("segment"))
+  }
+
+  val q05Sql: String =
+    s"""SELECT o_orderkey AS order_id, o_custkey AS customer_id_fk,
+       | n_nationkey AS nation_id_fk, r_regionkey AS region_id_fk,
+       | ${centsSql("o_totalprice")} AS total_amount_cents,
+       | ${dateStrSql("o_orderdate")} AS order_date,
+       | o_orderstatus AS status, c_mktsegment AS segment
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey""".stripMargin
+
+  // =====================================================================
+  // q06 — order-item fact (lineitem ⋈ orders ⋈ part ⋈ supplier).
+  // =====================================================================
+  val q06: Q = (s, d) => {
+    val fact = FactBuilder.star(
+      Tables.lineitem(s, d),
+      Seq(
+        FactBuilder.Dim(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"), broadcastHint = false),
+        FactBuilder.Dim(Tables.part(s, d), col("l_partkey") === col("p_partkey")),
+        FactBuilder.Dim(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))))
+    fact.select(
+      col("l_orderkey").as("order_id"),
+      col("l_linenumber").as("line_number"),
+      col("l_partkey").as("item_id"),
+      col("l_suppkey").as("supplier_id"),
+      col("l_quantity").cast("long").as("quantity"),
+      cents(col("l_extendedprice")).as("price_cents"),
+      discPriceE4.as("subtotal_e4"),
+      col("p_name").as("item_name"),
+      col("s_name").as("supplier_name"),
+      dateStr(col("o_orderdate")).as("order_date"))
+  }
+
+  val q06Sql: String =
+    s"""SELECT l_orderkey AS order_id, l_linenumber AS line_number,
+       | l_partkey AS item_id, l_suppkey AS supplier_id,
+       | CAST(l_quantity AS BIGINT) AS quantity,
+       | ${centsSql("l_extendedprice")} AS price_cents,
+       | $discPriceE4Sql AS subtotal_e4,
+       | p_name AS item_name, s_name AS supplier_name,
+       | ${dateStrSql("o_orderdate")} AS order_date
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey""".stripMargin
+
+  // =====================================================================
+  // q07 — top-selling items (final_proc.sql:72-78 analog).
+  // =====================================================================
+  val q07: Q = (s, d) => {
+    val agg = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_name"))
+      .agg(count(lit(1)).as("order_count"),
+        sum(col("l_quantity").cast("long")).as("total_qty"))
+    agg.withColumn("rank",
+        row_number().over(Window.orderBy(col("order_count").desc, col("p_name").asc)))
+      .where(col("rank") <= 20)
+      .select(col("rank"), col("p_name").as("item_name"),
+        col("order_count"), col("total_qty"))
+  }
+
+  val q07Sql: String =
+    """SELECT rank, item_name, order_count, total_qty FROM (
+      | SELECT p_name AS item_name,
+      |   count(*) AS order_count,
+      |   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+      |   row_number() OVER (ORDER BY count(*) DESC, p_name ASC) AS rank
+      | FROM lineitem JOIN part ON l_partkey = p_partkey
+      | GROUP BY p_name
+      |) WHERE rank <= 20""".stripMargin
+
+  // =====================================================================
+  // q08 — category sales rollup (menu-category analog = p_type).
+  // =====================================================================
+  val q08: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type").as("category"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("total_qty"),
+        sum(discPriceE4).as("revenue_e4"))
+
+  val q08Sql: String =
+    s"""SELECT p_type AS category, count(*) AS n_items,
+       | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       | CAST(sum($discPriceE4Sql) AS BIGINT) AS revenue_e4
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_type""".stripMargin
+
+  // =====================================================================
+  // q09 — daily revenue / order / customer KPIs.
+  // =====================================================================
+  val q09: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(dateStr(col("o_orderdate")).as("order_date"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("revenue_cents"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+
+  val q09Sql: String =
+    s"""SELECT ${dateStrSql("o_orderdate")} AS order_date, count(*) AS n_orders,
+       | CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS revenue_cents,
+       | count(DISTINCT o_custkey) AS n_customers
+       |FROM orders GROUP BY ${dateStrSql("o_orderdate")}""".stripMargin
+
+  // =====================================================================
+  // q10 — per-user inter-event gaps (delivery-efficiency KPI analog).
+  // Integer-second math only: exact in both engines.
+  // =====================================================================
+  val q10: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("gap_sec",
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("gap_sec")).as("n_gaps"),
+        coalesce(sum(col("gap_sec")), lit(0L)).as("total_gap_sec"),
+        coalesce(min(col("gap_sec")), lit(-1L)).as("min_gap_sec"),
+        coalesce(max(col("gap_sec")), lit(-1L)).as("max_gap_sec"))
+      .withColumn("avg_gap_sec_floor",
+        when(col("n_gaps") > 0, floor(col("total_gap_sec") / col("n_gaps")))
+          .otherwise(lit(-1L)))
+  }
+
+  val q10Sql: String =
+    """SELECT user_id, count(*) AS n_events, count(gap_sec) AS n_gaps,
+      | CAST(COALESCE(sum(gap_sec), 0) AS BIGINT) AS total_gap_sec,
+      | CAST(COALESCE(min(gap_sec), -1) AS BIGINT) AS min_gap_sec,
+      | CAST(COALESCE(max(gap_sec), -1) AS BIGINT) AS max_gap_sec,
+      | CASE WHEN count(gap_sec) > 0
+      |   THEN CAST(floor(CAST(COALESCE(sum(gap_sec), 0) AS BIGINT) / count(gap_sec)) AS BIGINT)
+      |   ELSE -1 END AS avg_gap_sec_floor
+      |FROM (
+      | SELECT user_id,
+      |   CAST(floor(epoch(ts)) AS BIGINT)
+      |     - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+      |     AS gap_sec
+      | FROM events)
+      |GROUP BY user_id""".stripMargin
+
+  // =====================================================================
+  // q11 — customer spend-tier segmentation (city-tier CASE analog).
+  // =====================================================================
+  val q11: Q = (s, d) => {
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("spend_cents"))
+    Tables.customer(s, d)
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey").as("customer_id"),
+        col("c_mktsegment").as("segment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend_cents"), lit(0L)).as("total_spend_cents"),
+        Funcs.spendTier(coalesce(col("spend_cents"), lit(0L))).as("tier"))
+  }
+
+  val q11Sql: String =
+    s"""SELECT c_custkey AS customer_id, c_mktsegment AS segment,
+       | COALESCE(n_orders, 0) AS n_orders,
+       | COALESCE(spend_cents, 0) AS total_spend_cents,
+       | CASE WHEN COALESCE(spend_cents, 0) >= 30000000 THEN 'PLATINUM'
+       |      WHEN COALESCE(spend_cents, 0) >= 15000000 THEN 'GOLD'
+       |      WHEN COALESCE(spend_cents, 0) >= 5000000 THEN 'SILVER'
+       |      ELSE 'BRONZE' END AS tier
+       |FROM customer LEFT JOIN (
+       | SELECT o_custkey, count(*) AS n_orders,
+       |   CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS spend_cents
+       | FROM orders GROUP BY o_custkey
+       |) ON c_custkey = o_custkey""".stripMargin
+
+  // =====================================================================
+  // q12 — PII masking policies (name / email / balance band).
+  // =====================================================================
+  val q12: Q = (s, d) =>
+    Tables.customer(s, d).select(
+      col("c_custkey").as("customer_id"),
+      Funcs.maskName("c_name").as("masked_name"),
+      Funcs.maskEmail(col("c_name")).as("masked_email"),
+      Funcs.maskBalance(col("c_acctbal")).as("balance_band"),
+      col("c_mktsegment").as("segment"))
+
+  val q12Sql: String =
+    """SELECT c_custkey AS customer_id,
+      | rpad(substring(c_name, 1, 2), CAST(length(c_name) AS INTEGER), '*') AS masked_name,
+      | concat(lower(substring(c_name, 1, 1)), '***@example.com') AS masked_email,
+      | CASE WHEN c_acctbal < 0 THEN 'NEGATIVE'
+      |      WHEN c_acctbal < 5000 THEN 'LOW' ELSE 'HIGH' END AS balance_band,
+      | c_mktsegment AS segment
+      |FROM customer""".stripMargin
+
+  // =====================================================================
+  // q13 — code-mapping enrichment (state_code analog).
+  // =====================================================================
+  val q13: Q = (s, d) =>
+    Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("nation_id"),
+        col("n_name").as("nation"),
+        Funcs.codeMap(col("n_name"), nationCodes, lit("XX")).as("nation_code"),
+        col("r_name").as("region"),
+        (col("r_name") === "AMERICA").as("is_america"))
+
+  val q13Sql: String =
+    s"""SELECT n_nationkey AS nation_id, n_name AS nation,
+       | $nationCodeSql AS nation_code,
+       | r_name AS region, (r_name = 'AMERICA') AS is_america
+       |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin
+
+  // =====================================================================
+  // q14 — login-audit-style event fact with derived time dims.
+  // Spark dayofweek: Sunday=1 … Saturday=7; DuckDB Sunday=0 → +1.
+  // =====================================================================
+  val q14: Q = (s, d) =>
+    Tables.events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      dateStr(col("ts")).as("event_date"),
+      hour(col("ts")).as("event_hour"),
+      dayofweek(col("ts")).as("dow"),
+      dayofweek(col("ts")).isin(1, 7).as("is_weekend"))
+
+  val q14Sql: String =
+    s"""SELECT event_id, user_id, event_type,
+       | ${dateStrSql("ts")} AS event_date,
+       | CAST(hour(ts) AS INT) AS event_hour,
+       | CAST(dayofweek(ts) + 1 AS INT) AS dow,
+       | dayofweek(ts) IN (0, 6) AS is_weekend
+       |FROM events""".stripMargin
+
+  // =====================================================================
+  // q15 — is_first_order flag (per-customer window min).
+  // =====================================================================
+  val q15: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+    Tables.orders(s, d)
+      .withColumn("first_dt", min(col("o_orderdate")).over(w))
+      .select(col("o_orderkey").as("order_id"),
+        col("o_custkey").as("customer_id"),
+        dateStr(col("o_orderdate")).as("order_date"),
+        (col("o_orderdate") === col("first_dt")).as("is_first_order"))
+  }
+
+  val q15Sql: String =
+    s"""SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+       | ${dateStrSql("o_orderdate")} AS order_date,
+       | (o_orderdate = min(o_orderdate) OVER (PARTITION BY o_custkey)) AS is_first_order
+       |FROM orders""".stripMargin
+
+  // =====================================================================
+  // q16 — CDC snapshot diff → I/U/D actions (stream semantics).
+  // Synthetic old/new snapshots carved deterministically from orders.
+  // =====================================================================
+  val q16: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val oldSnap = o.where(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey").as("order_id"),
+        cents(col("o_totalprice")).as("total_amount_cents"))
+    val newSnap = o.where(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey").as("order_id"),
+        (cents(col("o_totalprice")) +
+          when(col("o_orderkey") % 7 === 0, lit(1000L)).otherwise(lit(0L)))
+          .as("total_amount_cents"))
+    Cdc.snapshotDiff(oldSnap, newSnap, Seq("order_id"), Seq("total_amount_cents"))
+  }
+
+  val q16Sql: String =
+    s"""WITH oldsnap AS (
+       |  SELECT o_orderkey AS order_id, ${centsSql("o_totalprice")} AS total_amount_cents
+       |  FROM orders WHERE o_orderkey % 3 <> 0),
+       |newsnap AS (
+       |  SELECT o_orderkey AS order_id,
+       |    ${centsSql("o_totalprice")}
+       |      + CASE WHEN o_orderkey % 7 = 0 THEN 1000 ELSE 0 END AS total_amount_cents
+       |  FROM orders WHERE o_orderkey % 5 <> 0)
+       |SELECT COALESCE(o.order_id, n.order_id) AS order_id,
+       |  CASE WHEN o.order_id IS NULL THEN 'I'
+       |       WHEN n.order_id IS NULL THEN 'D'
+       |       WHEN o.total_amount_cents <> n.total_amount_cents THEN 'U' END AS action,
+       |  o.total_amount_cents AS old_total_amount_cents,
+       |  n.total_amount_cents AS new_total_amount_cents
+       |FROM oldsnap o FULL OUTER JOIN newsnap n ON o.order_id = n.order_id
+       |WHERE o.order_id IS NULL OR n.order_id IS NULL
+       |   OR o.total_amount_cents <> n.total_amount_cents""".stripMargin
+
+  // =====================================================================
+  // q17 — pricing summary (TPC-H q1 shape; headline bench query).
+  // charge = extprice*(1-disc)*(1+tax) in exact 1e-6 units.
+  // =====================================================================
+  val q17: Q = (s, d) => {
+    val chargeE6 =
+      (dec(dec(dec(col("l_extendedprice"), 12, 2) *
+          (lit(1).cast("decimal(3,2)") - dec(col("l_discount"), 4, 2)), 16, 4) *
+        (lit(1).cast("decimal(3,2)") + dec(col("l_tax"), 4, 2)), 20, 6) * 1000000).cast("long")
+    Tables.lineitem(s, d)
+      .where(dateStr(col("l_shipdate")) <= "1998-09-02")
+      .groupBy(col("l_returnflag").as("return_flag"), col("l_linestatus").as("line_status"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_price_cents"),
+        sum(discPriceE4).as("sum_disc_price_e4"),
+        sum(chargeE6).as("sum_charge_e6"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val q17Sql: String = {
+    val chargeE6Sql =
+      "CAST(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(16,4)) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(20,6)) * 1000000 AS BIGINT)"
+    s"""SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+       | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       | CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_base_price_cents,
+       | CAST(sum($discPriceE4Sql) AS BIGINT) AS sum_disc_price_e4,
+       | CAST(sum($chargeE6Sql) AS BIGINT) AS sum_charge_e6,
+       | count(*) AS count_order
+       |FROM lineitem
+       |WHERE strftime(l_shipdate, '%Y-%m-%d') <= '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+  }
+
+  // =====================================================================
+  // q18 — revenue by region/nation through the full star (TPC-H q5 shape).
+  // =====================================================================
+  val q18: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(sum(discPriceE4).as("revenue_e4"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+
+  val q18Sql: String =
+    s"""SELECT r_name AS region, n_name AS nation,
+       | CAST(sum($discPriceE4Sql) AS BIGINT) AS revenue_e4,
+       | count(DISTINCT o_orderkey) AS n_orders
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name""".stripMargin
+
+  // =====================================================================
+  // q19 — date-filtered item-demand ranking (final_proc.sql:64 analog).
+  // =====================================================================
+  val q19: Q = (s, d) => {
+    val agg = Tables.lineitem(s, d)
+      .where(dateStr(col("l_shipdate")) >= "1998-01-01")
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_name"))
+      .agg(count(lit(1)).as("demand"),
+        sum(col("l_quantity").cast("long")).as("total_qty"))
+    agg.withColumn("rank",
+        row_number().over(Window.orderBy(col("demand").desc, col("p_name").asc)))
+      .where(col("rank") <= 15)
+      .select(col("rank"), col("p_name").as("item_name"), col("demand"), col("total_qty"))
+  }
+
+  val q19Sql: String =
+    """SELECT rank, item_name, demand, total_qty FROM (
+      | SELECT p_name AS item_name, count(*) AS demand,
+      |   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+      |   row_number() OVER (ORDER BY count(*) DESC, p_name ASC) AS rank
+      | FROM lineitem JOIN part ON l_partkey = p_partkey
+      | WHERE strftime(l_shipdate, '%Y-%m-%d') >= '1998-01-01'
+      | GROUP BY p_name
+      |) WHERE rank <= 15""".stripMargin
+
+  // =====================================================================
+  // q20 — as-of lookup against the SCD2 history (point-in-time dim read).
+  // =====================================================================
+  val q20: Q = (s, d) => {
+    val hist = Scd2.buildHistory(Tables.events(s, d), Seq("user_id"), "ts", "event_id")
+    Scd2.asOf(hist, lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select(col("user_id"),
+        col("event_id").as("version_event_id"),
+        col("event_type"),
+        date_trunc("second", col("eff_start_ts")).as("eff_start_ts"),
+        date_trunc("second", col("eff_end_ts")).as("eff_end_ts"),
+        col("current_flag"))
+  }
+
+  val q20Sql: String =
+    """SELECT user_id, event_id AS version_event_id, event_type,
+      | date_trunc('second', eff_start_ts) AS eff_start_ts,
+      | date_trunc('second', eff_end_ts) AS eff_end_ts,
+      | current_flag
+      |FROM (
+      | SELECT user_id, event_id, event_type, ts AS eff_start_ts,
+      |   lead(ts) OVER w AS eff_end_ts,
+      |   (lead(ts) OVER w IS NULL) AS current_flag
+      | FROM events
+      | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |WHERE eff_start_ts <= TIMESTAMP '2024-01-15 00:00:00'
+      |  AND (eff_end_ts IS NULL OR eff_end_ts > TIMESTAMP '2024-01-15 00:00:00')""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  val all: Map[String, Q] = Map(
+    "q01_typed_ingest" -> q01,
+    "q02_scd1_latest" -> q02,
+    "q03_scd2_history" -> q03,
+    "q04_surrogate_keys" -> q04,
+    "q05_orders_fact" -> q05,
+    "q06_order_item_fact" -> q06,
+    "q07_top_items" -> q07,
+    "q08_category_sales" -> q08,
+    "q09_daily_revenue_kpi" -> q09,
+    "q10_delivery_efficiency" -> q10,
+    "q11_customer_segmentation" -> q11,
+    "q12_pii_masking" -> q12,
+    "q13_region_mapping" -> q13,
+    "q14_login_audit_fact" -> q14,
+    "q15_first_order" -> q15,
+    "q16_cdc_diff" -> q16,
+    "q17_pricing_summary" -> q17,
+    "q18_region_revenue" -> q18,
+    "q19_item_demand_window" -> q19,
+    "q20_scd2_asof" -> q20)
+
+  val oracles: Map[String, String] = Map(
+    "q01_typed_ingest" -> q01Sql,
+    "q02_scd1_latest" -> q02Sql,
+    "q03_scd2_history" -> q03Sql,
+    "q04_surrogate_keys" -> q04Sql,
+    "q05_orders_fact" -> q05Sql,
+    "q06_order_item_fact" -> q06Sql,
+    "q07_top_items" -> q07Sql,
+    "q08_category_sales" -> q08Sql,
+    "q09_daily_revenue_kpi" -> q09Sql,
+    "q10_delivery_efficiency" -> q10Sql,
+    "q11_customer_segmentation" -> q11Sql,
+    "q12_pii_masking" -> q12Sql,
+    "q13_region_mapping" -> q13Sql,
+    "q14_login_audit_fact" -> q14Sql,
+    "q15_first_order" -> q15Sql,
+    "q16_cdc_diff" -> q16Sql,
+    "q17_pricing_summary" -> q17Sql,
+    "q18_region_revenue" -> q18Sql,
+    "q19_item_demand_window" -> q19Sql,
+    "q20_scd2_asof" -> q20Sql)
+}

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar helpers for the warehouse surface: surrogate keys, PII
+  * masking, and code-mapping enrichment.
+  *
+  * Reference analogs: hash surrogate keys
+  * (`/root/reference/02 Location Entity.sql:331` —
+  * `hash(sha1_hex(concat(...)))`), masking policies
+  * (`/root/reference/01 Create DB+Schema.sql:43-60`), state-code /
+  * city-tier CASE mappings
+  * (`/root/reference/02 Location Entity.sql:145-240`).
+  *
+  * All helpers are pure Column expressions — they stay inside
+  * whole-stage codegen and push no work to the driver.
+  */
+object Funcs {
+
+  /** Deterministic hash surrogate key over the natural-key columns.
+    * md5 (not sha1+hash) keeps the oracle portable; collision odds at
+    * 128 bits are negligible at 100 TB.
+    */
+  def surrogateKey(cols: Column*): Column =
+    md5(concat_ws("|", cols: _*))
+
+  /** Keep the first two chars, star out the rest ("Jo****"). */
+  def maskName(colName: String): Column =
+    expr(s"rpad(substring($colName, 1, 2), length($colName), '*')")
+
+  /** Email masking policy analog: keep the first char + fixed domain. */
+  def maskEmail(nameCol: Column): Column =
+    concat(lower(substring(nameCol, 1, 1)), lit("***@example.com"))
+
+  /** Numeric PII (account balance / price band) → coarse bucket. */
+  def maskBalance(c: Column): Column =
+    when(c < 0, "NEGATIVE").when(c < 5000, "LOW").otherwise("HIGH")
+
+  /** Broadcast-free code mapping: a chained CASE over a small Scala
+    * map (codegen'd; no join, no shuffle). For maps too big to inline,
+    * use a broadcast join instead.
+    */
+  def codeMap(c: Column, mapping: Seq[(String, String)], default: Column): Column =
+    coalesce(mapping.foldLeft(lit(null).cast("string")) { case (acc, (k, v)) =>
+      when(c === k, lit(v)).otherwise(acc)
+    }, default)
+
+  /** Spend-tier classification (city-tier analog) over integer cents —
+    * exact comparison in any engine.
+    */
+  def spendTier(totalCents: Column): Column =
+    when(totalCents >= 30000000L, "PLATINUM")
+      .when(totalCents >= 15000000L, "GOLD")
+      .when(totalCents >= 5000000L, "SILVER")
+      .otherwise("BRONZE")
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SCD2 (full-history) semantics: effective-dated versions with a
+  * current-record flag.
+  *
+  * Reference analog: the consumption-layer dimension MERGEs
+  * (`/root/reference/02 Location Entity.sql:282-368` — eff_start_dt /
+  * eff_end_dt / current_flag).
+  *
+  * Spark-first design: instead of a row-at-a-time MERGE loop, the
+  * whole history is derived declaratively with a lead() window — one
+  * shuffle on the business key, partial-agg free, linear in input.
+  */
+object Scd2 {
+
+  /** Build the SCD2 history from a change feed.
+    *
+    * @param changes change rows (one per version)
+    * @param keys    business-key columns
+    * @param ts      change-timestamp column name (becomes eff_start)
+    * @param tieBreak unique column making the ordering total
+    */
+  def buildHistory(changes: DataFrame, keys: Seq[String], ts: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ts).asc, col(tieBreak).asc)
+    changes
+      .withColumn("eff_start_ts", col(ts))
+      .withColumn("eff_end_ts", lead(col(ts), 1).over(w))
+      .withColumn("current_flag", lead(col(ts), 1).over(w).isNull)
+  }
+
+  /** Point-in-time (as-of) lookup against an SCD2 history. */
+  def asOf(history: DataFrame, at: Column): DataFrame =
+    history.where(col("eff_start_ts") <= at &&
+      (col("eff_end_ts").isNull || col("eff_end_ts") > at))
+
+  /** Incremental SCD2 apply: close changed current rows and append the
+    * new versions (batch equivalent of the reference's stream-driven
+    * dim MERGE). `base` must already carry eff_start_ts / eff_end_ts /
+    * current_flag; `delta` is a new change feed batch.
+    */
+  def applyDelta(base: DataFrame, delta: DataFrame, keys: Seq[String], ts: String, tieBreak: String): DataFrame = {
+    val history = base.drop("eff_start_ts", "eff_end_ts", "current_flag")
+    buildHistory(history.unionByName(delta), keys, ts, tieBreak)
+  }
+}
