@@ -1,0 +1,264 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFuncs
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Similarity}
+
+/** The LLM-training-data pipeline surface (SURVEY.md §2b): dedup,
+  * similarity search, text analysis, multimodal plumbing.
+  *
+  * Oracle-checked where the computation is SQL-expressible in DuckDB;
+  * hash-based operators (minhash / simhash / xxhash fingerprints) are
+  * rows-only here and get exact ScalaTest oracles instead.
+  */
+object QueriesData {
+  import Queries.Q
+
+  // =====================================================================
+  // d01 — exact dedup via content hash (one shuffle on the hash).
+  // =====================================================================
+  val d01: Q = (s, d) =>
+    Dedup.exactDupFlags(Tables.documents(s, d), "text", "doc_id")
+      .select(col("doc_id"), col("content_hash"), col("dup_count"),
+        col("is_dup"), col("is_canonical"))
+
+  val d01Sql: String =
+    """SELECT doc_id, md5(text) AS content_hash,
+      | count(*) OVER (PARTITION BY md5(text)) AS dup_count,
+      | (count(*) OVER (PARTITION BY md5(text)) > 1) AS is_dup,
+      | (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS is_canonical
+      |FROM documents""".stripMargin
+
+  // =====================================================================
+  // d02 — MinHash LSH banding (rows-only: signature hashes are
+  // Spark-side CRC/seeded universal hashes). 64 hashes → 16 bands.
+  // =====================================================================
+  val d02: Q = (s, d) =>
+    Dedup.minhashBands(Tables.documents(s, d), "text", "doc_id")
+
+  // =====================================================================
+  // d03 — SimHash 64-bit fingerprints + 16-bit LSH chunks (rows-only:
+  // xxhash64 is Spark-specific).
+  // =====================================================================
+  val d03: Q = (s, d) =>
+    Dedup.simhash(Tables.documents(s, d), "text", "doc_id")
+      .select(col("doc_id"), col("simhash"),
+        col("chunk0"), col("chunk1"), col("chunk2"), col("chunk3"))
+
+  // =====================================================================
+  // d04 — n-gram Jaccard verify over MinHash candidate pairs
+  // (rows-only: candidates depend on the Spark-side signatures).
+  // =====================================================================
+  val d04: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val cands = Dedup.candidatePairs(
+      Dedup.minhashBands(docs, "text", "doc_id"), "doc_id")
+    Dedup.ngramJaccard(cands, docs, "text", "doc_id")
+      .withColumn("is_near_dup", col("jaccard_e6") >= 500000L)
+  }
+
+  // =====================================================================
+  // d05 — embedding-cosine near-dup pairs on a bounded subset
+  // (exact-decimal cosine → DuckDB oracle agrees).
+  // =====================================================================
+  val d05: Q = (s, d) =>
+    Dedup.embeddingNearDups(
+      Tables.embeddings(s, d).where(col("vec_id") % 7 === 0),
+      "vec_id", "embedding", threshold = 0.30)
+
+  val d05Sql: String =
+    """WITH sub AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 7 = 0),
+      |elems AS (SELECT vec_id, unnest(embedding) AS v,
+      |                 unnest(range(1, len(embedding) + 1)) AS i FROM sub),
+      |norms AS (SELECT vec_id,
+      |            CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(v AS DOUBLE) AS DECIMAL(12,6))) AS DOUBLE) AS nsq
+      |          FROM elems GROUP BY vec_id),
+      |dots AS (SELECT ea.vec_id AS vec_id_a, eb.vec_id AS vec_id_b,
+      |           CAST(sum(CAST(CAST(ea.v AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(eb.v AS DOUBLE) AS DECIMAL(12,6))) AS DOUBLE) AS dot
+      |         FROM elems ea JOIN elems eb ON ea.i = eb.i AND ea.vec_id < eb.vec_id
+      |         GROUP BY 1, 2),
+      |pairs AS (SELECT vec_id_a, vec_id_b, dot / sqrt(na.nsq * nb.nsq) AS cos
+      |          FROM dots JOIN norms na ON na.vec_id = vec_id_a
+      |                    JOIN norms nb ON nb.vec_id = vec_id_b)
+      |SELECT vec_id_a, vec_id_b, (sa.label = sb.label) AS same_label,
+      |  CAST(floor(cos * 1000) AS BIGINT) AS cos_e3
+      |FROM pairs JOIN sub sa ON sa.vec_id = vec_id_a
+      |           JOIN sub sb ON sb.vec_id = vec_id_b
+      |WHERE cos >= 0.30""".stripMargin
+
+  // =====================================================================
+  // s01 — brute-force cosine top-k ANN baseline (queries: vec_id < 10).
+  // =====================================================================
+  val s01: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 10)
+  }
+
+  val s01Sql: String =
+    """WITH elems AS (SELECT vec_id, unnest(embedding) AS v,
+      |                 unnest(range(1, len(embedding) + 1)) AS i FROM embeddings),
+      |norms AS (SELECT vec_id,
+      |            CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(v AS DOUBLE) AS DECIMAL(12,6))) AS DOUBLE) AS nsq
+      |          FROM elems GROUP BY vec_id),
+      |qelems AS (SELECT * FROM elems WHERE vec_id < 10),
+      |dots AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |           CAST(sum(CAST(CAST(q.v AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(e.v AS DOUBLE) AS DECIMAL(12,6))) AS DOUBLE) AS dot
+      |         FROM qelems q JOIN elems e ON q.i = e.i AND e.vec_id <> q.vec_id
+      |         GROUP BY 1, 2),
+      |scored AS (SELECT query_id, neighbor_id, dot / sqrt(nq.nsq * ne.nsq) AS cos
+      |           FROM dots JOIN norms nq ON nq.vec_id = query_id
+      |                     JOIN norms ne ON ne.vec_id = neighbor_id)
+      |SELECT query_id, rank, neighbor_id, CAST(floor(cos * 1000) AS BIGINT) AS cos_e3
+      |FROM (SELECT *, row_number() OVER
+      |        (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      |      FROM scored)
+      |WHERE rank <= 10""".stripMargin
+
+  // =====================================================================
+  // s02 — LSH-bucketed ANN (the 100 TB path; rows-only — buckets
+  // depend on the seeded hyperplanes).
+  // =====================================================================
+  val s02: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.lshTopK(emb, emb.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 10)
+  }
+
+  // =====================================================================
+  // t01 — stopword-marker language ID (deterministic heuristic).
+  // =====================================================================
+  val t01: Q = (s, d) => {
+    val base = TextFuncs.langMarkers.foldLeft(Tables.documents(s, d)) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"${lang}_hits", TextFuncs.stopwordHits(col("text"), words))
+    }
+    val Seq(en, de, es, fr, zh) =
+      Seq("en", "de", "es", "fr", "zh").map(l => col(s"${l}_hits"))
+    base.select(col("doc_id"), en.as("en_hits"), de.as("de_hits"),
+      es.as("es_hits"), fr.as("fr_hits"), zh.as("zh_hits"),
+      when(en >= de && en >= es && en >= fr && en >= zh, "en")
+        .when(de >= es && de >= fr && de >= zh, "de")
+        .when(es >= fr && es >= zh, "es")
+        .when(fr >= zh, "fr")
+        .otherwise("zh").as("pred_lang"))
+  }
+
+  val t01Sql: String = {
+    def hits(words: Seq[String]) = {
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(lower(text), ' '), x -> x IN ($inList)))"
+    }
+    val m = TextFuncs.langMarkers.toMap
+    s"""SELECT doc_id,
+       | ${hits(m("en"))} AS en_hits,
+       | ${hits(m("de"))} AS de_hits,
+       | ${hits(m("es"))} AS es_hits,
+       | ${hits(m("fr"))} AS fr_hits,
+       | ${hits(m("zh"))} AS zh_hits,
+       | CASE
+       |  WHEN ${hits(m("en"))} >= ${hits(m("de"))} AND ${hits(m("en"))} >= ${hits(m("es"))}
+       |   AND ${hits(m("en"))} >= ${hits(m("fr"))} AND ${hits(m("en"))} >= ${hits(m("zh"))} THEN 'en'
+       |  WHEN ${hits(m("de"))} >= ${hits(m("es"))} AND ${hits(m("de"))} >= ${hits(m("fr"))}
+       |   AND ${hits(m("de"))} >= ${hits(m("zh"))} THEN 'de'
+       |  WHEN ${hits(m("es"))} >= ${hits(m("fr"))} AND ${hits(m("es"))} >= ${hits(m("zh"))} THEN 'es'
+       |  WHEN ${hits(m("fr"))} >= ${hits(m("zh"))} THEN 'fr'
+       |  ELSE 'zh' END AS pred_lang
+       |FROM documents""".stripMargin
+  }
+
+  // =====================================================================
+  // t02 — document quality stats (integer-exact ratios).
+  // =====================================================================
+  val t02: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(split(trim(col("text")), " +")))
+      .withColumn("alpha_chars", length(regexp_replace(col("text"), "[^A-Za-z]", "")))
+      .withColumn("alpha_pct_floor",
+        floor(col("alpha_chars").cast("double") * 100d / length(col("text"))))
+      .withColumn("mean_token_len_e2",
+        floor(length(regexp_replace(col("text"), " ", "")).cast("double") * 100d / col("n_tokens")))
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        col("alpha_chars"), col("alpha_pct_floor"), col("mean_token_len_e2"),
+        when(col("n_tokens") >= 20 && col("alpha_pct_floor") >= 70, "good")
+          .when(col("n_tokens") >= 5, "ok")
+          .otherwise("low").as("quality_flag"))
+
+  val t02Sql: String =
+    """SELECT doc_id, n_chars,
+      | len(string_split_regex(trim(text), ' +')) AS n_tokens,
+      | length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+      | CAST(floor(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) * 100 / length(text)) AS BIGINT) AS alpha_pct_floor,
+      | CAST(floor(CAST(length(replace(text, ' ', '')) AS DOUBLE) * 100 / len(string_split_regex(trim(text), ' +'))) AS BIGINT) AS mean_token_len_e2,
+      | CASE WHEN len(string_split_regex(trim(text), ' +')) >= 20
+      |        AND floor(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) * 100 / length(text)) >= 70 THEN 'good'
+      |      WHEN len(string_split_regex(trim(text), ' +')) >= 5 THEN 'ok'
+      |      ELSE 'low' END AS quality_flag
+      |FROM documents""".stripMargin
+
+  // =====================================================================
+  // t03 — token counting: whitespace + BPE-ish regex classes.
+  // =====================================================================
+  val t03: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(split(trim(col("text")), " +")).as("ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+")).as("word_tokens"),
+      regexp_count(col("text"), lit("[0-9]+")).as("num_tokens"),
+      regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).as("punct_tokens"),
+      (regexp_count(col("text"), lit("[A-Za-z]+"))
+        + regexp_count(col("text"), lit("[0-9]+"))
+        + regexp_count(col("text"), lit("[^A-Za-z0-9 ]"))).as("bpe_ish_tokens"))
+
+  val t03Sql: String =
+    """SELECT doc_id,
+      | len(string_split_regex(trim(text), ' +')) AS ws_tokens,
+      | len(regexp_extract_all(text, '[A-Za-z]+')) AS word_tokens,
+      | len(regexp_extract_all(text, '[0-9]+')) AS num_tokens,
+      | len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS punct_tokens,
+      | len(regexp_extract_all(text, '[A-Za-z]+')) + len(regexp_extract_all(text, '[0-9]+'))
+      |   + len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS bpe_ish_tokens
+      |FROM documents""".stripMargin
+
+  // =====================================================================
+  // t04 — rolling-hash fingerprints (rows-only: xxhash64 seeds).
+  // =====================================================================
+  val t04: Q = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextFuncs.rollingFingerprint(col("text")).as("doc_fp"),
+      TextFuncs.winnowFingerprint(col("text"), 3).as("winnow_fp"))
+
+  // =====================================================================
+  // m01 — multimodal binary plumbing with stubbed decode (rows-only).
+  // =====================================================================
+  val m01: Q = (s, d) =>
+    Multimodal.decodeFeatures(
+      Multimodal.attachPayloads(Tables.documents(s, d))).toDF()
+
+  // ---------------------------------------------------------------------
+
+  val all: Map[String, Q] = Map(
+    "d01_dedup_exact" -> d01,
+    "d02_dedup_minhash" -> d02,
+    "d03_dedup_simhash" -> d03,
+    "d04_dedup_ngram" -> d04,
+    "d05_dedup_embedding" -> d05,
+    "s01_ann_bruteforce" -> s01,
+    "s02_ann_lsh" -> s02,
+    "t01_lang_id" -> t01,
+    "t02_quality_score" -> t02,
+    "t03_token_count" -> t03,
+    "t04_fingerprint" -> t04,
+    "m01_multimodal_meta" -> m01)
+
+  val oracles: Map[String, String] = Map(
+    "d01_dedup_exact" -> d01Sql,
+    "d05_dedup_embedding" -> d05Sql,
+    "s01_ann_bruteforce" -> s01Sql,
+    "t01_lang_id" -> t01Sql,
+    "t02_quality_score" -> t02Sql,
+    "t03_token_count" -> t03Sql)
+}

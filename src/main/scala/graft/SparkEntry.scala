@@ -9,9 +9,10 @@ object SparkEntry {
     Queries.q09(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.all ++ QueriesData.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Queries.oracles
+  def oracleSql: Map[String, String] = Queries.oracles ++ QueriesData.oracles
 }

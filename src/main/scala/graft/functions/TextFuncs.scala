@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data pipelines: tokenizing,
+  * shingling, stopword-based language scoring, quality stats, and
+  * rolling-hash fingerprints. All pure Column expressions (codegen'd,
+  * fully distributed).
+  */
+object TextFuncs {
+
+  /** Whitespace tokens of the lowercased text (single-space split —
+    * mirrored by `string_split(lower(text), ' ')` in DuckDB).
+    */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** n-token shingles joined by a space; empty array when the doc has
+    * fewer than n tokens.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Count of tokens present in the stopword list. */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(stopwords.map(x => x: Any): _*)))
+
+  /** Per-language stopword marker sets for the lang-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "los", "y", "es", "una", "que", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Polynomial rolling fingerprint over the token stream, kept in a
+    * bounded modular domain so ANSI mode can never overflow.
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => (acc * 31L + pmod(xxhash64(t), lit(1000000007L))) % 2147483629L)
+
+  /** Min-hash of the shingle set under xxhash64 — a cheap winnowing
+    * fingerprint: equal for documents sharing their minimal shingle.
+    */
+  def winnowFingerprint(text: Column, n: Int): Column =
+    array_min(transform(shingles(text, n), s => xxhash64(s)))
+}

@@ -22,12 +22,16 @@ object Cdc {
     */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
                    keys: Seq[String], compareCols: Seq[String]): DataFrame = {
+    // explicit presence markers: a row whose compare columns are all
+    // null must still count as present on its side
     val o = compareCols.foldLeft(oldSnap)((d, c) => d.withColumnRenamed(c, s"old_$c"))
+      .withColumn("__in_old", lit(true))
     val n = compareCols.foldLeft(newSnap)((d, c) => d.withColumnRenamed(c, s"new_$c"))
+      .withColumn("__in_new", lit(true))
     val joined = o.join(n, keys, "full_outer")
 
-    val inOld = compareCols.map(c => col(s"old_$c").isNotNull).reduce(_ || _)
-    val inNew = compareCols.map(c => col(s"new_$c").isNotNull).reduce(_ || _)
+    val inOld = col("__in_old").isNotNull
+    val inNew = col("__in_new").isNotNull
     val changed = compareCols.map(c => !(col(s"old_$c") <=> col(s"new_$c"))).reduce(_ || _)
 
     joined

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFuncs, VecFuncs}
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine.
+  *
+  * Scale design: every near-dup path is LSH-banded — candidate pairs
+  * come from equi-joins on band/bucket keys (shuffle on the key, never
+  * an all-pairs product). The only quadratic path is
+  * [[embeddingNearDups]] over an explicitly bounded subset, kept as
+  * the verifiable baseline.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------
+  // exact
+  // ------------------------------------------------------------------
+
+  /** Per-row exact-dup annotation: content hash, group size, dup flag,
+    * and canonical-keeper flag (min id per group). One shuffle on the
+    * content hash.
+    */
+  def exactDupFlags(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("content_hash"))
+    df.withColumn("content_hash", md5(col(textCol)))
+      .withColumn("dup_count", count(lit(1)).over(w))
+      .withColumn("is_dup", col("dup_count") > 1)
+      .withColumn("is_canonical", col(idCol) === min(col(idCol)).over(w))
+  }
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH
+  // ------------------------------------------------------------------
+
+  /** Universal-hash parameters (a,b) for the MinHash family, fixed by
+    * seed so signatures are reproducible across runs/executors.
+    */
+  def minhashParams(numHashes: Int, seed: Long = 7L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)((rnd.nextInt(Dedup.MersennePrime.toInt - 1).toLong + 1L,
+      rnd.nextInt(Dedup.MersennePrime.toInt).toLong))
+  }
+
+  val MersennePrime: Long = 2147483647L // 2^31 - 1
+
+  /** MinHash signature column (array<bigint> of length numHashes) over
+    * n-token shingles. h_i(s) = (a_i * (crc32(s) mod p) + b_i) mod p;
+    * empty shingle sets get the sentinel p. Pure expressions — the
+    * signature computation is embarrassingly parallel.
+    */
+  def minhashSignature(text: Column, params: Seq[(Long, Long)], shingleSize: Int = 3): Column = {
+    val sh = TextFuncs.shingles(text, shingleSize)
+    val hashes = transform(sh, s => crc32(s) % MersennePrime)
+    array(params.map { case (a, b) =>
+      coalesce(array_min(transform(hashes, x => (lit(a) * x + lit(b)) % MersennePrime)),
+        lit(MersennePrime))
+    }: _*)
+  }
+
+  /** Band keys for LSH banding: md5 over each band's slice of the
+    * signature (bandIdx prefixed so bands don't collide across index).
+    */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { j =>
+      md5(concat_ws(",", (lit(j) +: (0 until rowsPerBand)
+        .map(r => sig.getItem(j * rowsPerBand + r))): _*))
+    }: _*)
+
+  /** Documents annotated with MinHash signature + exploded band keys:
+    * (id, band_idx, band_key). Joining this to itself on band_key
+    * yields the near-dup candidate pairs.
+    *
+    * Implementation: explode shingles once and take the 64 minima in a
+    * single groupBy pass (map-side partial agg, one shuffle on the doc
+    * id). The pure-expression [[minhashSignature]] form is ~100×
+    * slower at scale because Catalyst's CollapseProject re-inlines the
+    * shingle expression into each of the 64 hash lanes.
+    */
+  def minhashBands(df: DataFrame, textCol: String, idCol: String,
+                   numHashes: Int = 64, bands: Int = 16,
+                   shingleSize: Int = 3): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val params = minhashParams(numHashes)
+    // explode_outer keeps shingle-less docs (null → sentinel below)
+    val exploded = df
+      .select(col(idCol),
+        explode_outer(TextFuncs.shingles(col(textCol), shingleSize)).as("__sh"))
+      .withColumn("__x", crc32(col("__sh")) % MersennePrime)
+    val aggs = params.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("__x") + lit(b)) % MersennePrime).as(s"__h$i")
+    }
+    val sig = exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val sigArr = array((0 until numHashes)
+      .map(i => coalesce(col(s"__h$i"), lit(MersennePrime))): _*)
+    sig.select(col(idCol), bandKeys(sigArr, bands, rowsPerBand).as("bks"))
+      .select(col(idCol), posexplode(col("bks")).as(Seq("band_idx", "band_key")))
+  }
+
+  /** Distinct candidate pairs (a < b) from shared band keys — the
+    * linear-ish LSH path: shuffle on band_key, join within buckets
+    * only.
+    */
+  def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
+    val l = bandsDf.select(col("band_key"), col(idCol).as("id_a"))
+    val r = bandsDf.select(col("band_key"), col(idCol).as("id_b"))
+    l.join(r, Seq("band_key")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact n-gram Jaccard verification for candidate pairs.
+    * Jaccard is emitted as floor(1e6 * |∩| / |∪|) — integer-exact.
+    */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame, textCol: String, idCol: String,
+                   shingleSize: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol),
+      array_distinct(TextFuncs.shingles(col(textCol), shingleSize)).as("sh"))
+    pairs
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_union", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard_e6",
+        when(col("n_union") > 0,
+          floor(col("n_inter").cast("double") * 1000000d / col("n_union")))
+          .otherwise(lit(0L)))
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"), col("jaccard_e6"))
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash
+  // ------------------------------------------------------------------
+
+  /** 64-bit SimHash per document: explode tokens, one groupBy on the
+    * id (single shuffle, map-side partial agg), per-bit signed counts,
+    * then reassemble the fingerprint. `chunks` 16-bit sub-keys support
+    * hamming-≤k LSH banding.
+    */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+        explode(TextFuncs.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$k")
+    }
+    val agged = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map { k =>
+      when(col(s"b$k") > 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val withFp = agged.select(col(idCol), fp.as("simhash"))
+    (0 until 4).foldLeft(withFp) { case (d, c) =>
+      d.withColumn(s"chunk$c",
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL))
+    }
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ------------------------------------------------------------------
+  // embedding cosine
+  // ------------------------------------------------------------------
+
+  /** Near-dup pairs by embedding cosine over a bounded subset
+    * (all-pairs baseline — the scale path is LSH bucketing in
+    * [[Similarity]]). Cosine goes through exact-decimal intermediates
+    * so an external oracle agrees to ~1 ulp.
+    */
+  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("vec_id_a"), col(vecCol).as("va"),
+      col("label").as("label_a"))
+    val b = emb.select(col(idCol).as("vec_id_b"), col(vecCol).as("vb"),
+      col("label").as("label_b"))
+    a.crossJoin(b).where(col("vec_id_a") < col("vec_id_b"))
+      .withColumn("cos", VecFuncs.cosine(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select(col("vec_id_a"), col("vec_id_b"),
+        (col("label_a") === col("label_b")).as("same_label"),
+        floor(col("cos") * 1000d).cast("long").as("cos_e3"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+  private def docs = Seq(
+    (0L, base),
+    (1L, base),                                    // exact dup of 0
+    (2L, base.replace("lazy", "sleepy")),          // near dup of 0
+    (3L, "completely different text about spark sql engines and shuffles at scale"),
+    (4L, "another unrelated document mentioning databases and storage formats")
+  ).toDF("doc_id", "text")
+
+  test("exactDupFlags groups identical texts and picks the min-id canonical") {
+    val out = Dedup.exactDupFlags(docs, "text", "doc_id")
+      .select("doc_id", "is_dup", "is_canonical").as[(Long, Boolean, Boolean)]
+      .collect().sortBy(_._1)
+    assert(out.toSeq == Seq((0L, true, true), (1L, true, false),
+      (2L, false, true), (3L, false, true), (4L, false, true)))
+  }
+
+  test("minhash: exact dups share all bands; near dups share some; unrelated none") {
+    val bands = Dedup.minhashBands(docs, "text", "doc_id")
+    val byDoc = bands.groupBy("doc_id").agg(collect_set("band_key").as("keys"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(byDoc(0L).toSet == byDoc(1L).toSet)                  // identical signature
+    assert(byDoc(0L).toSet.intersect(byDoc(2L).toSet).nonEmpty) // near dup collides somewhere
+    assert(byDoc(0L).toSet.intersect(byDoc(3L).toSet).isEmpty)  // unrelated
+  }
+
+  test("candidatePairs + ngramJaccard: near dups score high, candidates only") {
+    val cands = Dedup.candidatePairs(Dedup.minhashBands(docs, "text", "doc_id"), "doc_id")
+    val verified = Dedup.ngramJaccard(cands, docs, "text", "doc_id")
+      .select("id_a", "id_b", "jaccard_e6").as[(Long, Long, Long)]
+      .collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(verified((0L, 1L)) == 1000000L) // identical → jaccard 1.0
+    assert(verified((0L, 2L)) > 500000L)   // one word changed in 16 tokens
+    assert(!verified.contains((0L, 3L)))   // unrelated never became a candidate
+  }
+
+  test("simhash: identical docs equal; near dups within small hamming; unrelated far") {
+    val fp = Dedup.simhash(docs, "text", "doc_id")
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(fp(0L) == fp(1L))
+    assert(java.lang.Long.bitCount(fp(0L) ^ fp(2L)) <= 16)
+    assert(java.lang.Long.bitCount(fp(0L) ^ fp(3L)) > 16)
+  }
+
+  test("embeddingNearDups finds the planted near-identical vector pair") {
+    val mk = (seed: Int) => {
+      val r = new scala.util.Random(seed)
+      Array.fill(8)(r.nextFloat() * 2 - 1)
+    }
+    val v0 = mk(1)
+    val v0close = v0.map(x => x + 0.01f)
+    val emb = Seq(
+      (0L, v0, 0), (1L, v0close, 0), (2L, mk(2), 1), (3L, mk(3), 1))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingNearDups(emb, "vec_id", "embedding", threshold = 0.95)
+      .select("vec_id_a", "vec_id_b", "same_label").as[(Long, Long, Boolean)]
+      .collect().toSeq
+    assert(pairs == Seq((0L, 1L, true)))
+  }
+}
