@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StreamPipelineSpec extends SparkSpec {
+  import spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedCounts aggregates tumbling windows with a watermark") {
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val q = StreamPipeline.windowedCounts(events, "ts", "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        (ts("2024-01-01 00:05:00"), "click", 1.0),
+        (ts("2024-01-01 00:55:00"), "click", 2.0),
+        (ts("2024-01-01 01:05:00"), "click", 4.0),
+        (ts("2024-01-01 00:30:00"), "view", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select($"window_start".cast("string"), $"event_type", $"n_events", $"total_value")
+        .as[(String, String, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      assert(rows.toSeq == Seq(
+        ("2024-01-01 00:00:00", "click", 2L, 3.0),
+        ("2024-01-01 00:00:00", "view", 1L, 8.0),
+        ("2024-01-01 01:00:00", "click", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("scd1UpsertSink maintains latest-per-key across micro-batches") {
+    val dir = Files.createTempDirectory("graft_upsert").toString
+    val target = s"$dir/target"
+    val ckpt = s"$dir/ckpt"
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val stream = in.toDF().toDF("k", "v", "ts")
+    val q = StreamPipeline.scd1UpsertSink(stream, target, ckpt,
+      Seq("k"), Seq(col("ts").desc))
+    try {
+      in.addData((1L, "a1", ts("2024-01-01 00:00:00")), (2L, "b1", ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      in.addData((1L, "a2", ts("2024-01-02 00:00:00")), (3L, "c1", ts("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+      val out = spark.read.parquet(target)
+        .select("k", "v").as[(Long, String)].collect().sortBy(_._1)
+      assert(out.toSeq == Seq((1L, "a2"), (2L, "b1"), (3L, "c1")))
+    } finally q.stop()
+  }
+
+  test("changeLog emits I on first sight, U on change, nothing when unchanged") {
+    val in = MemoryStream[(Long, String)]
+    val q = StreamPipeline.changeLog(in.toDS())
+      .writeStream.format("memory").queryName("chg").outputMode("append").start()
+    try {
+      in.addData((1L, "x"), (2L, "y"))
+      q.processAllAvailable()
+      in.addData((1L, "x2"), (2L, "y")) // 1 changes, 2 unchanged
+      q.processAllAvailable()
+      val rows = spark.table("chg")
+        .select("key", "action", "new_value")
+        .as[(Long, String, String)].collect().sortBy(r => (r._1, r._3))
+      assert(rows.toSeq == Seq((1L, "I", "x"), (1L, "U", "x2"), (2L, "I", "y")))
+    } finally q.stop()
+  }
+
+  test("auditedCsvStream attaches audit columns to staged files") {
+    val dir = Files.createTempDirectory("graft_stage").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/part1.csv"), "id,name\n1,alpha\n2,beta\n")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id INT, name STRING")
+    val q = StreamPipeline.auditedCsvStream(spark, dir, schema)
+      .writeStream.format("memory").queryName("staged").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("staged")
+        .select($"id", $"name", $"_stg_file_name".contains("part1.csv"),
+          $"_copy_data_ts".isNotNull)
+        .as[(Int, String, Boolean, Boolean)].collect().sortBy(_._1)
+      assert(rows.toSeq == Seq((1, "alpha", true, true), (2, "beta", true, true)))
+    } finally q.stop()
+  }
+}
