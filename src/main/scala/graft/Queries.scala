@@ -25,18 +25,25 @@ object Queries {
   type Q = (SparkSession, String) => DataFrame
 
   // ---- exact-money helpers (mirrored verbatim into the oracle SQL) ----
-  private def dec(c: Column, p: Int, s: Int): Column = c.cast(s"decimal($p,$s)")
+  // The sources carry 2-dp money as doubles, so round(x*100) recovers
+  // the exact integer cents (never a tie: x*100 sits within 1e-8 of an
+  // integer; and on the rare dyadic half, both engines round away from
+  // zero). All downstream arithmetic is pure int64 — codegen-friendly,
+  // exact, and engine-independent. Per-row values stay ≤ ~1e11 and
+  // sums ≤ ~1e17 at bench scale; a full-scale deployment would widen
+  // the accumulator to decimal(38,0), which changes no digits.
 
   /** double (2-dp source) → exact integer cents. */
-  private def cents(c: Column): Column = (dec(c, 12, 2) * 100).cast("long")
-  private def centsSql(x: String) = s"CAST(CAST($x AS DECIMAL(12,2)) * 100 AS BIGINT)"
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+  private def centsSql(x: String) = s"CAST(round($x * 100) AS BIGINT)"
 
-  /** l_extendedprice*(1-l_discount) in exact 1e-4 units. */
+  /** l_extendedprice*(1-l_discount) in exact 1e-4 units:
+    * price_cents * (100 - discount_cents).
+    */
   private def discPriceE4: Column =
-    (dec(dec(col("l_extendedprice"), 12, 2) *
-      (lit(1).cast("decimal(3,2)") - dec(col("l_discount"), 4, 2)), 16, 4) * 10000).cast("long")
+    cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
   private val discPriceE4Sql =
-    "CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(16,4)) * 10000 AS BIGINT)"
+    "(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
 
   private def dateStr(c: Column): Column = date_format(c, "yyyy-MM-dd")
   private def dateStrSql(x: String) = s"strftime($x, '%Y-%m-%d')"
@@ -456,12 +463,12 @@ object Queries {
   // charge = extprice*(1-disc)*(1+tax) in exact 1e-6 units.
   // =====================================================================
   val q17: Q = (s, d) => {
-    val chargeE6 =
-      (dec(dec(dec(col("l_extendedprice"), 12, 2) *
-          (lit(1).cast("decimal(3,2)") - dec(col("l_discount"), 4, 2)), 16, 4) *
-        (lit(1).cast("decimal(3,2)") + dec(col("l_tax"), 4, 2)), 20, 6) * 1000000).cast("long")
+    // price_cents * (100 - disc_cents) * (100 + tax_cents) = exact 1e-6 units
+    val chargeE6 = discPriceE4 * (lit(100L) + cents(col("l_tax")))
     Tables.lineitem(s, d)
-      .where(dateStr(col("l_shipdate")) <= "1998-09-02")
+      // native timestamp predicate (parquet-pushable), equivalent to
+      // cast-to-date <= 1998-09-02
+      .where(col("l_shipdate") < lit("1998-09-03").cast("timestamp"))
       .groupBy(col("l_returnflag").as("return_flag"), col("l_linestatus").as("line_status"))
       .agg(
         sum(col("l_quantity").cast("long")).as("sum_qty"),
@@ -473,7 +480,7 @@ object Queries {
 
   val q17Sql: String = {
     val chargeE6Sql =
-      "CAST(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(16,4)) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(20,6)) * 1000000 AS BIGINT)"
+      s"($discPriceE4Sql * (100 + CAST(round(l_tax * 100) AS BIGINT)))"
     s"""SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        | CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_base_price_cents,
@@ -481,7 +488,7 @@ object Queries {
        | CAST(sum($chargeE6Sql) AS BIGINT) AS sum_charge_e6,
        | count(*) AS count_order
        |FROM lineitem
-       |WHERE strftime(l_shipdate, '%Y-%m-%d') <= '1998-09-02'
+       |WHERE l_shipdate < TIMESTAMP '1998-09-03'
        |GROUP BY l_returnflag, l_linestatus""".stripMargin
   }
 
@@ -517,7 +524,7 @@ object Queries {
   // =====================================================================
   val q19: Q = (s, d) => {
     val agg = Tables.lineitem(s, d)
-      .where(dateStr(col("l_shipdate")) >= "1998-01-01")
+      .where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
       .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_name"))
       .agg(count(lit(1)).as("demand"),
@@ -534,7 +541,7 @@ object Queries {
       |   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
       |   row_number() OVER (ORDER BY count(*) DESC, p_name ASC) AS rank
       | FROM lineitem JOIN part ON l_partkey = p_partkey
-      | WHERE strftime(l_shipdate, '%Y-%m-%d') >= '1998-01-01'
+      | WHERE l_shipdate >= TIMESTAMP '1998-01-01'
       | GROUP BY p_name
       |) WHERE rank <= 15""".stripMargin
 

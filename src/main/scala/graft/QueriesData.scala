@@ -73,10 +73,10 @@ object QueriesData {
       |elems AS (SELECT vec_id, unnest(embedding) AS v,
       |                 unnest(range(1, len(embedding) + 1)) AS i FROM sub),
       |norms AS (SELECT vec_id,
-      |            CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(v AS DOUBLE) AS DECIMAL(12,6))) AS DOUBLE) AS nsq
+      |            CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) * CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) AS nsq
       |          FROM elems GROUP BY vec_id),
       |dots AS (SELECT ea.vec_id AS vec_id_a, eb.vec_id AS vec_id_b,
-      |           CAST(sum(CAST(CAST(ea.v AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(eb.v AS DOUBLE) AS DECIMAL(12,6))) AS DOUBLE) AS dot
+      |           CAST(sum(CAST(round(CAST(ea.v AS DOUBLE) * 1000000) AS BIGINT) * CAST(round(CAST(eb.v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) AS dot
       |         FROM elems ea JOIN elems eb ON ea.i = eb.i AND ea.vec_id < eb.vec_id
       |         GROUP BY 1, 2),
       |pairs AS (SELECT vec_id_a, vec_id_b, dot / sqrt(na.nsq * nb.nsq) AS cos
@@ -101,11 +101,11 @@ object QueriesData {
     """WITH elems AS (SELECT vec_id, unnest(embedding) AS v,
       |                 unnest(range(1, len(embedding) + 1)) AS i FROM embeddings),
       |norms AS (SELECT vec_id,
-      |            CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(v AS DOUBLE) AS DECIMAL(12,6))) AS DOUBLE) AS nsq
+      |            CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) * CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) AS nsq
       |          FROM elems GROUP BY vec_id),
       |qelems AS (SELECT * FROM elems WHERE vec_id < 10),
       |dots AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-      |           CAST(sum(CAST(CAST(q.v AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(e.v AS DOUBLE) AS DECIMAL(12,6))) AS DOUBLE) AS dot
+      |           CAST(sum(CAST(round(CAST(q.v AS DOUBLE) * 1000000) AS BIGINT) * CAST(round(CAST(e.v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) AS dot
       |         FROM qelems q JOIN elems e ON q.i = e.i AND e.vec_id <> q.vec_id
       |         GROUP BY 1, 2),
       |scored AS (SELECT query_id, neighbor_id, dot / sqrt(nq.nsq * ne.nsq) AS cos

@@ -6,33 +6,33 @@ import org.apache.spark.sql.functions._
 /** Vector math over `array<float>` embedding columns, built from
   * codegen'd higher-order functions (zip_with / aggregate) — no UDFs.
   *
-  * Exactness contract: elements are quantized to decimal(12,6) and
-  * accumulated in decimal, which is associative and engine-exact, so
-  * a DuckDB oracle computing the same sum in ANY order gets the same
-  * rational number; only then do we drop to double (IEEE ops on
-  * identical inputs are deterministic). This keeps cosine comparable
-  * across engines to ~1 ulp instead of float-summation-order noise.
+  * Exactness contract: elements are quantized to integer 1e-6 units
+  * (`round(x * 1e6)` — the float is widened to double exactly, the
+  * product is a single IEEE op, and both Spark and DuckDB round
+  * halves away from zero) and accumulated in int64, which is exact
+  * and order-independent: an oracle computing the same sum in ANY
+  * order gets the same integer. Only then do we drop to double (IEEE
+  * ops on identical inputs are deterministic), so cosine is
+  * bit-comparable across engines. Magnitudes: |x|≤~10³ → e6 products
+  * ≤1e18/dim at dim 64 stays far inside int64.
   */
 object VecFuncs {
 
-  private val Acc = "decimal(32,12)"
+  private def e6(x: Column): Column = round(x * 1000000d).cast("long")
 
-  /** Exact decimal dot product of two float-array columns. */
-  def dotDec(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("decimal(12,6)") * y.cast("decimal(12,6)")),
-      lit(0).cast(Acc),
-      (acc, v) => (acc + v).cast(Acc))
+  /** Exact integer dot product in 1e-12 units. */
+  def dotE12(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => e6(x) * e6(y)), lit(0L), (acc, v) => acc + v)
 
-  /** Exact decimal squared L2 norm. */
-  def normSqDec(a: Column): Column = dotDec(a, a)
+  /** Exact integer squared L2 norm in 1e-12 units. */
+  def normSqE12(a: Column): Column = dotE12(a, a)
 
-  /** Cosine similarity as double, via the exact-decimal intermediates. */
+  /** Cosine similarity as double, via the exact-integer intermediates. */
   def cosine(a: Column, b: Column): Column =
-    dotDec(a, b).cast("double") /
-      sqrt(normSqDec(a).cast("double") * normSqDec(b).cast("double"))
+    dotE12(a, b).cast("double") /
+      sqrt(normSqE12(a).cast("double") * normSqE12(b).cast("double"))
 
-  /** Plain double dot product (internal use — fast path, not meant for
+  /** Plain double dot product (internal fast path — not meant for
     * cross-engine comparison).
     */
   def dot(a: Column, b: Column): Column =

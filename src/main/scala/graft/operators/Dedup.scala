@@ -114,11 +114,15 @@ object Dedup {
 
   /** Exact n-gram Jaccard verification for candidate pairs.
     * Jaccard is emitted as floor(1e6 * |∩| / |∪|) — integer-exact.
+    * Shingles are compared as crc32 hashes (long arrays): set
+    * intersection over int64 is far cheaper than over strings and
+    * collisions are negligible for per-document set sizes.
     */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, textCol: String, idCol: String,
                    shingleSize: Int = 3): DataFrame = {
     val sh = docs.select(col(idCol),
-      array_distinct(TextFuncs.shingles(col(textCol), shingleSize)).as("sh"))
+      array_distinct(transform(TextFuncs.shingles(col(textCol), shingleSize),
+        s => crc32(s))).as("sh"))
     pairs
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -172,12 +176,17 @@ object Dedup {
     */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
                         threshold: Double): DataFrame = {
+    // norms precomputed per vector, not per pair
     val a = emb.select(col(idCol).as("vec_id_a"), col(vecCol).as("va"),
-      col("label").as("label_a"))
+      col("label").as("label_a"),
+      VecFuncs.normSqE12(col(vecCol)).cast("double").as("na"))
     val b = emb.select(col(idCol).as("vec_id_b"), col(vecCol).as("vb"),
-      col("label").as("label_b"))
+      col("label").as("label_b"),
+      VecFuncs.normSqE12(col(vecCol)).cast("double").as("nb"))
     a.crossJoin(b).where(col("vec_id_a") < col("vec_id_b"))
-      .withColumn("cos", VecFuncs.cosine(col("va"), col("vb")))
+      .withColumn("cos",
+        VecFuncs.dotE12(col("va"), col("vb")).cast("double") /
+          sqrt(col("na") * col("nb")))
       .where(col("cos") >= threshold)
       .select(col("vec_id_a"), col("vec_id_b"),
         (col("label_a") === col("label_b")).as("same_label"),

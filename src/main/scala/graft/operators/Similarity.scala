@@ -23,13 +23,19 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // norms are precomputed once per vector (not per pair) — same
+    // exact-decimal→double values, 1/3 of the per-pair work
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      VecFuncs.normSqE12(col(vecCol)).cast("double").as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      VecFuncs.normSqE12(col(vecCol)).cast("double").as("cn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     c.crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", VecFuncs.cosine(col("qv"), col("cv")))
+      .withColumn("cos",
+        VecFuncs.dotE12(col("qv"), col("cv")).cast("double") /
+          sqrt(col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -59,14 +65,18 @@ object Similarity {
               numPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+      lshBucket(col(vecCol), planes).as("bucket"),
+      VecFuncs.normSqE12(col(vecCol)).cast("double").as("cn"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+      lshBucket(col(vecCol), planes).as("bucket"),
+      VecFuncs.normSqE12(col(vecCol)).cast("double").as("qn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     c.join(broadcast(q), Seq("bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", VecFuncs.cosine(col("qv"), col("cv")))
+      .withColumn("cos",
+        VecFuncs.dotE12(col("qv"), col("cv")).cast("double") /
+          sqrt(col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
