@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.plans.DotProductE12
+
+/** Session wiring for graft's native expressions.
+  *
+  * Preferred: build the session with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the
+  * standard SparkSessionExtensions injection point. For sessions built
+  * elsewhere (the driver owns ours), [[GraftFunctions.register]]
+  * installs the same functions imperatively and idempotently.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.injections.foreach { case (name, info, builder) =>
+      ext.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+  private[graft] val injections: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot_e12",
+      new ExpressionInfo(classOf[DotProductE12].getName, "graft_dot_e12"),
+      (args: Seq[Expression]) => DotProductE12(args(0), args(1))))
+
+  /** Idempotently register graft functions on an existing session. */
+  def register(spark: SparkSession): Unit =
+    injections.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

@@ -38,4 +38,18 @@ object VecFuncs {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
+
+  // -- native (codegen'd) forms: identical values to the HOF forms --
+  // Require graft.GraftFunctions.register(spark) (idempotent) or the
+  // GraftExtensions session extension.
+
+  def dotE12Native(a: Column, b: Column): Column =
+    call_function("graft_dot_e12", a, b)
+
+  def normSqE12Native(a: Column): Column =
+    call_function("graft_dot_e12", a, a)
+
+  def cosineNative(a: Column, b: Column): Column =
+    dotE12Native(a, b).cast("double") /
+      sqrt(normSqE12Native(a).cast("double") * normSqE12Native(b).cast("double"))
 }

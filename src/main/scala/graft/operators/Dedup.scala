@@ -176,16 +176,17 @@ object Dedup {
     */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
                         threshold: Double): DataFrame = {
+    graft.GraftFunctions.register(emb.sparkSession)
     // norms precomputed per vector, not per pair
     val a = emb.select(col(idCol).as("vec_id_a"), col(vecCol).as("va"),
       col("label").as("label_a"),
-      VecFuncs.normSqE12(col(vecCol)).cast("double").as("na"))
+      VecFuncs.normSqE12Native(col(vecCol)).cast("double").as("na"))
     val b = emb.select(col(idCol).as("vec_id_b"), col(vecCol).as("vb"),
       col("label").as("label_b"),
-      VecFuncs.normSqE12(col(vecCol)).cast("double").as("nb"))
+      VecFuncs.normSqE12Native(col(vecCol)).cast("double").as("nb"))
     a.crossJoin(b).where(col("vec_id_a") < col("vec_id_b"))
       .withColumn("cos",
-        VecFuncs.dotE12(col("va"), col("vb")).cast("double") /
+        VecFuncs.dotE12Native(col("va"), col("vb")).cast("double") /
           sqrt(col("na") * col("nb")))
       .where(col("cos") >= threshold)
       .select(col("vec_id_a"), col("vec_id_b"),

@@ -23,18 +23,19 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.GraftFunctions.register(corpus.sparkSession)
     // norms are precomputed once per vector (not per pair) — same
-    // exact-decimal→double values, 1/3 of the per-pair work
+    // exact-integer→double values, 1/3 of the per-pair work
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      VecFuncs.normSqE12(col(vecCol)).cast("double").as("qn"))
+      VecFuncs.normSqE12Native(col(vecCol)).cast("double").as("qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      VecFuncs.normSqE12(col(vecCol)).cast("double").as("cn"))
+      VecFuncs.normSqE12Native(col(vecCol)).cast("double").as("cn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     c.crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos",
-        VecFuncs.dotE12(col("qv"), col("cv")).cast("double") /
+        VecFuncs.dotE12Native(col("qv"), col("cv")).cast("double") /
           sqrt(col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -63,19 +64,20 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    graft.GraftFunctions.register(corpus.sparkSession)
     val planes = hyperplanes(numPlanes, dim)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       lshBucket(col(vecCol), planes).as("bucket"),
-      VecFuncs.normSqE12(col(vecCol)).cast("double").as("cn"))
+      VecFuncs.normSqE12Native(col(vecCol)).cast("double").as("cn"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       lshBucket(col(vecCol), planes).as("bucket"),
-      VecFuncs.normSqE12(col(vecCol)).cast("double").as("qn"))
+      VecFuncs.normSqE12Native(col(vecCol)).cast("double").as("qn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     c.join(broadcast(q), Seq("bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos",
-        VecFuncs.dotE12(col("qv"), col("cv")).cast("double") /
+        VecFuncs.dotE12Native(col("qv"), col("cv")).cast("double") /
           sqrt(col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
