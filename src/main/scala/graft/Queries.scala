@@ -573,9 +573,40 @@ object Queries {
       |WHERE eff_start_ts <= TIMESTAMP '2024-01-15 00:00:00'
       |  AND (eff_end_ts IS NULL OR eff_end_ts > TIMESTAMP '2024-01-15 00:00:00')""".stripMargin
 
+  // =====================================================================
+  // q21 — market-basket co-occurrence: item pairs ordered together
+  // (restaurant-analytics classic; co-partitioned self-join on the
+  // order key — one shuffle, pairs never leave their reducer).
+  // =====================================================================
+  val q21: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+    val a = li.toDF("ok", "part_a")
+    val b = li.toDF("ok", "part_b")
+    val pairs = a.join(b, "ok").where(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders_together"))
+    pairs.withColumn("rank", row_number().over(
+        Window.orderBy(col("n_orders_together").desc, col("part_a").asc, col("part_b").asc)))
+      .where(col("rank") <= 25)
+      .select(col("rank"), col("part_a"), col("part_b"), col("n_orders_together"))
+  }
+
+  val q21Sql: String =
+    """SELECT rank, part_a, part_b, n_orders_together FROM (
+      | SELECT part_a, part_b, n_orders_together,
+      |   row_number() OVER (ORDER BY n_orders_together DESC, part_a ASC, part_b ASC) AS rank
+      | FROM (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders_together
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2))
+      |WHERE rank <= 25""".stripMargin
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
+    "q21_market_basket" -> q21,
     "q01_typed_ingest" -> q01,
     "q02_scd1_latest" -> q02,
     "q03_scd2_history" -> q03,
@@ -598,6 +629,7 @@ object Queries {
     "q20_scd2_asof" -> q20)
 
   val oracles: Map[String, String] = Map(
+    "q21_market_basket" -> q21Sql,
     "q01_typed_ingest" -> q01Sql,
     "q02_scd1_latest" -> q02Sql,
     "q03_scd2_history" -> q03Sql,

@@ -238,9 +238,23 @@ object QueriesData {
     Multimodal.decodeFeatures(
       Multimodal.attachPayloads(Tables.documents(s, d))).toDF()
 
+  // =====================================================================
+  // g01 — distributed synthetic data generation (menu.py analog;
+  // rows-only: derivation uses Spark's xxhash64). Rolls the generated
+  // menu up so output is small and deterministic.
+  // =====================================================================
+  val g01: Q = (s, _) =>
+    graft.sources.DataGen.menu(s, 20000)
+      .groupBy(col("category"), col("item_type"))
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct(col("item_name")).as("n_distinct_items"),
+        min(col("price_cents")).as("min_price_cents"),
+        max(col("price_cents")).as("max_price_cents"))
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
+    "g01_menu_datagen" -> g01,
     "d01_dedup_exact" -> d01,
     "d02_dedup_minhash" -> d02,
     "d03_dedup_simhash" -> d03,

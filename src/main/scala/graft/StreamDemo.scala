@@ -61,6 +61,14 @@ object StreamDemo {
     println("=== SCD1-merged clean target (latest per id) ===")
     spark.read.parquet(s"$work/clean_target")
       .orderBy("id").show(truncate = false)
+
+    // batch path over the same staged files: stage → typed → clean
+    println("=== batch StageReader clean snapshot (stage → try_cast → SCD1) ===")
+    val batchStage = graft.sources.StageReader.csv(spark, stage, Seq("id", "name", "ts"))
+    graft.sources.StageReader.cleanSnapshot(batchStage,
+        Seq("id" -> "BIGINT", "ts" -> "TIMESTAMP"), Seq("id"), Seq(col("ts").desc))
+      .select("id", "name", "ts", "_stg_file_name")
+      .orderBy("id").show(truncate = false)
     spark.stop()
   }
 }

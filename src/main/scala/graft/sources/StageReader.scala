@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Batch staged ingest — the reference's COPY-into-stage layer.
+  *
+  * Reference analog: every entity's stage table is all-text with four
+  * audit columns filled from file metadata
+  * (`/root/reference/02 Location Entity.sql:70-104`,
+  * `09 Order Entity.sql:40-66`; JSON for delivery_agent —
+  * `with procedures/delivery_agent_proc.sql`).
+  *
+  * Design: schema-on-read — everything lands as STRING (exactly the
+  * reference's stage contract), audit columns come from file metadata
+  * functions (no extra pass), and the typed "clean" layer is produced
+  * by [[typed]] with TRY_CAST semantics (bad values → null, never a
+  * failed job — the 100 TB property you want from ingest).
+  */
+object StageReader {
+
+  /** All-text schema for the given column names (stage contract). */
+  def textSchema(cols: Seq[String]): StructType =
+    StructType(cols.map(c => StructField(c, StringType, nullable = true)))
+
+  private def withAudit(df: DataFrame): DataFrame =
+    df.withColumn("_stg_file_name", input_file_name())
+      .withColumn("_stg_file_load_ts", expr("_metadata.file_modification_time"))
+      .withColumn("_stg_file_size", expr("_metadata.file_size"))
+      .withColumn("_copy_data_ts", current_timestamp())
+
+  /** Staged CSV read: all-text columns + audit columns. */
+  def csv(spark: SparkSession, path: String, cols: Seq[String],
+          header: Boolean = true): DataFrame =
+    withAudit(spark.read.schema(textSchema(cols))
+      .option("header", header.toString).csv(path))
+
+  /** Staged JSON read (delivery_agent.json analog): declared fields
+    * land as text, extras are ignored, bad records become nulls
+    * (PERMISSIVE), matching stage-layer tolerance.
+    */
+  def json(spark: SparkSession, path: String, cols: Seq[String]): DataFrame =
+    withAudit(spark.read.schema(textSchema(cols)).json(path))
+
+  /** Clean-layer typing with TRY_CAST semantics: each (column → DDL
+    * type) cast yields null on garbage instead of failing the job,
+    * exactly like the reference's TRY_CAST / TRY_TO_* merges
+    * (`03 Restaurant Entity.sql:140-165`).
+    */
+  def typed(stage: DataFrame, casts: Seq[(String, String)]): DataFrame =
+    casts.foldLeft(stage) { case (df, (c, t)) =>
+      df.withColumn(c, expr(s"try_cast($c AS $t)"))
+    }
+
+  /** Convenience: stage → typed → SCD1-deduped clean snapshot. */
+  def cleanSnapshot(stage: DataFrame, casts: Seq[(String, String)],
+                    keys: Seq[String], orderBy: Seq[Column]): DataFrame =
+    graft.operators.Scd1.latestByKey(typed(stage, casts), keys, orderBy)
+}

@@ -1,0 +1,74 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("StageReader.csv: all-text stage schema + audit columns") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/orders.csv"),
+      "orderid,amount,orderdate\n1,10.50,2024-01-01\n2,notanumber,2024-01-02\n")
+    val stage = StageReader.csv(spark, dir, Seq("orderid", "amount", "orderdate"))
+    assert(stage.schema.filter(!_.name.startsWith("_")).forall(_.dataType.typeName == "string"))
+    val r = stage.select($"orderid", $"_stg_file_name".contains("orders.csv"),
+        $"_stg_file_load_ts".isNotNull, $"_stg_file_size" > 0)
+      .as[(String, Boolean, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq(("1", true, true, true), ("2", true, true, true)))
+  }
+
+  test("StageReader.typed: TRY_CAST semantics — garbage becomes null, job survives") {
+    val dir = Files.createTempDirectory("graft_csv2").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/o.csv"),
+      "orderid,amount,orderdate\n1,10.50,2024-01-01\n2,notanumber,junkdate\n")
+    val stage = StageReader.csv(spark, dir, Seq("orderid", "amount", "orderdate"))
+    val clean = StageReader.typed(stage,
+      Seq("orderid" -> "BIGINT", "amount" -> "DECIMAL(10,2)", "orderdate" -> "DATE"))
+    val rows = clean.select($"orderid", $"amount".isNull, $"orderdate".isNull)
+      .as[(Long, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, false, false), (2L, true, true)))
+  }
+
+  test("StageReader.json: declared-field extraction from JSON staging") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/agents.json"),
+      """{"agentid": "7", "name": "A", "phone": "123", "extra": "ignored"}
+        |{"agentid": "8", "name": "B", "phone": "456"}
+        |""".stripMargin)
+    val stage = StageReader.json(spark, dir, Seq("agentid", "name", "phone"))
+    val rows = stage.select("agentid", "name").as[(String, String)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq(("7", "A"), ("8", "B")))
+    assert(!stage.columns.contains("extra"))
+  }
+
+  test("StageReader.cleanSnapshot: stage → typed → SCD1 latest per key") {
+    val dir = Files.createTempDirectory("graft_csv3").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/v.csv"),
+      "k,v,ts\n1,old,2024-01-01\n1,new,2024-02-01\n2,only,2024-01-15\n")
+    val stage = StageReader.csv(spark, dir, Seq("k", "v", "ts"))
+    val snap = StageReader.cleanSnapshot(stage,
+      Seq("k" -> "BIGINT", "ts" -> "DATE"), Seq("k"), Seq(col("ts").desc))
+    val rows = snap.select("k", "v").as[(Long, String)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "new"), (2L, "only")))
+  }
+
+  test("DataGen.menu is deterministic, distributed, and shaped like the reference") {
+    val m1 = DataGen.menu(spark, 1000)
+    val m2 = DataGen.menu(spark, 1000)
+    assert(m1.count() == 1000)
+    assert(m1.exceptAll(m2).count() == 0) // deterministic
+    val cats = m1.select("category").distinct().as[String].collect().toSet
+    assert(cats == DataGen.categories.toSet)
+    val bad = m1.where(!col("item_name").isin(
+      DataGen.itemNames.values.flatten.toSeq.map(x => x: Any): _*)).count()
+    assert(bad == 0)
+    assert(m1.where($"price_cents" < 5000 || $"price_cents" > 50000).count() == 0)
+    val nonVegCats = m1.where($"item_type" === "Non-Veg")
+      .select("category").distinct().as[String].collect().toSet
+    assert(nonVegCats.subsetOf(Set("Appetizers", "Main Course")))
+  }
+}
