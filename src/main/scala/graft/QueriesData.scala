@@ -251,9 +251,48 @@ object QueriesData {
         min(col("price_cents")).as("min_price_cents"),
         max(col("price_cents")).as("max_price_cents"))
 
+  // =====================================================================
+  // a01 — as-of join: each event attributed to the user's latest order
+  // at or before the event time (point-in-time attribution; DuckDB's
+  // native ASOF JOIN is the oracle). Orders are pre-deduped to one per
+  // (customer, date) so the match is unambiguous in both engines.
+  // =====================================================================
+  val a01: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val ordersDedup = Tables.orders(s, d)
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+      .select("o_custkey", "o_orderdate", "o_orderkey")
+    graft.operators.AsOfJoin.leftAsOf(
+        Tables.events(s, d), ordersDedup,
+        probeKey = "user_id", buildKey = "o_custkey",
+        probeTs = "ts", buildTs = "o_orderdate",
+        buildCols = Seq("o_orderkey", "o_orderdate"), tiebreak = "o_orderkey")
+      .select(col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("event_ts"),
+        col("asof_o_orderkey").as("last_order_id"),
+        date_format(col("asof_o_orderdate"), "yyyy-MM-dd").as("last_order_date"))
+  }
+
+  val a01Sql: String =
+    """WITH o1 AS (
+      |  SELECT o_custkey, o_orderdate, o_orderkey FROM (
+      |    SELECT o_custkey, o_orderdate, o_orderkey,
+      |      row_number() OVER (PARTITION BY o_custkey, o_orderdate
+      |                         ORDER BY o_orderkey DESC) AS rn
+      |    FROM orders) WHERE rn = 1)
+      |SELECT e.event_id, e.user_id,
+      |  date_trunc('second', e.ts) AS event_ts,
+      |  o.o_orderkey AS last_order_id,
+      |  strftime(o.o_orderdate, '%Y-%m-%d') AS last_order_date
+      |FROM events e ASOF LEFT JOIN o1 o
+      |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts""".stripMargin
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
+    "a01_asof_attribution" -> a01,
     "g01_menu_datagen" -> g01,
     "d01_dedup_exact" -> d01,
     "d02_dedup_minhash" -> d02,
@@ -269,6 +308,7 @@ object QueriesData {
     "m01_multimodal_meta" -> m01)
 
   val oracles: Map[String, String] = Map(
+    "a01_asof_attribution" -> a01Sql,
     "d01_dedup_exact" -> d01Sql,
     "d05_dedup_embedding" -> d05Sql,
     "s01_ann_bruteforce" -> s01Sql,
