@@ -603,10 +603,32 @@ object Queries {
       |  GROUP BY 1, 2))
       |WHERE rank <= 25""".stripMargin
 
+  // =====================================================================
+  // q22 — pivot / cross-tab: yearly order counts by status as columns
+  // (dashboard-shaped output; Spark .pivot ↔ conditional-agg oracle).
+  // =====================================================================
+  val q22: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .select(col("order_year"),
+        coalesce(col("O"), lit(0L)).as("n_open"),
+        coalesce(col("F"), lit(0L)).as("n_fulfilled"),
+        coalesce(col("P"), lit(0L)).as("n_pending"))
+
+  val q22Sql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+      | count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+      | count(*) FILTER (WHERE o_orderstatus = 'F') AS n_fulfilled,
+      | count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+      |FROM orders GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "q21_market_basket" -> q21,
+    "q22_status_pivot" -> q22,
     "q01_typed_ingest" -> q01,
     "q02_scd1_latest" -> q02,
     "q03_scd2_history" -> q03,
@@ -630,6 +652,7 @@ object Queries {
 
   val oracles: Map[String, String] = Map(
     "q21_market_basket" -> q21Sql,
+    "q22_status_pivot" -> q22Sql,
     "q01_typed_ingest" -> q01Sql,
     "q02_scd1_latest" -> q02Sql,
     "q03_scd2_history" -> q03Sql,
