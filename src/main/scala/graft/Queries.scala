@@ -227,9 +227,11 @@ object Queries {
       .groupBy(col("p_name"))
       .agg(count(lit(1)).as("order_count"),
         sum(col("l_quantity").cast("long")).as("total_qty"))
-    agg.withColumn("rank",
+    // distributed top-k (TakeOrderedAndProject), then rank the k
+    // survivors — never a single-partition window over the full table
+    agg.orderBy(col("order_count").desc, col("p_name").asc).limit(20)
+      .withColumn("rank",
         row_number().over(Window.orderBy(col("order_count").desc, col("p_name").asc)))
-      .where(col("rank") <= 20)
       .select(col("rank"), col("p_name").as("item_name"),
         col("order_count"), col("total_qty"))
   }
@@ -529,9 +531,9 @@ object Queries {
       .groupBy(col("p_name"))
       .agg(count(lit(1)).as("demand"),
         sum(col("l_quantity").cast("long")).as("total_qty"))
-    agg.withColumn("rank",
+    agg.orderBy(col("demand").desc, col("p_name").asc).limit(15)
+      .withColumn("rank",
         row_number().over(Window.orderBy(col("demand").desc, col("p_name").asc)))
-      .where(col("rank") <= 15)
       .select(col("rank"), col("p_name").as("item_name"), col("demand"), col("total_qty"))
   }
 
@@ -586,9 +588,10 @@ object Queries {
     val pairs = a.join(b, "ok").where(col("part_a") < col("part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_orders_together"))
-    pairs.withColumn("rank", row_number().over(
+    pairs.orderBy(col("n_orders_together").desc, col("part_a").asc, col("part_b").asc)
+      .limit(25)
+      .withColumn("rank", row_number().over(
         Window.orderBy(col("n_orders_together").desc, col("part_a").asc, col("part_b").asc)))
-      .where(col("rank") <= 25)
       .select(col("rank"), col("part_a"), col("part_b"), col("n_orders_together"))
   }
 
@@ -624,11 +627,97 @@ object Queries {
       | count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
       |FROM orders GROUP BY 1""".stripMargin
 
+  // =====================================================================
+  // q23 — semi-structured (variant/JSON) extraction: the reference's
+  // `Coupons variant` column analog (03 Restaurant Entity.sql:23).
+  // =====================================================================
+  val q23: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("prop_k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("prop_k")).as("n_with_k"),
+        sum(col("prop_k")).as("sum_k"),
+        min(col("prop_k")).as("min_k"),
+        max(col("prop_k")).as("max_k"))
+
+  val q23Sql: String =
+    """SELECT event_type, count(*) AS n_events,
+      | count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+      | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      | CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      | CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // =====================================================================
+  // q24 — hourly event rollup: the batch equivalent of the streaming
+  // windowedCounts (value stats as floor(v*100) ints — IEEE-exact).
+  // =====================================================================
+  val q24: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(floor(col("value") * 100).cast("long")).as("min_value_e2"),
+        max(floor(col("value") * 100).cast("long")).as("max_value_e2"))
+
+  val q24Sql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, count(*) AS n_events,
+      | count(DISTINCT user_id) AS n_users,
+      | CAST(min(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS min_value_e2,
+      | CAST(max(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS max_value_e2
+      |FROM events GROUP BY 1""".stripMargin
+
+  // =====================================================================
+  // q25 — exact distributed percentiles (p50/p90/p99 of inter-event
+  // gaps per event type): explicit k-th element selection so both
+  // engines pick the identical discrete value — no interpolation math.
+  // =====================================================================
+  val q25: Q = (s, d) => {
+    val wLag = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val gaps = Tables.events(s, d)
+      .withColumn("gap_sec",
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(wLag)))
+      .where(col("gap_sec").isNotNull)
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("gap_sec").asc, col("event_id").asc)
+    val ranked = gaps
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    def pick(p: Double) = max(when(col("rn") === ceil(col("n") * p), col("gap_sec")))
+    ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        pick(0.5).as("p50_gap_sec"),
+        pick(0.9).as("p90_gap_sec"),
+        pick(0.99).as("p99_gap_sec"))
+  }
+
+  val q25Sql: String =
+    """SELECT event_type, count(*) AS n_gaps,
+      | CAST(max(CASE WHEN rn = ceiling(n * 0.5) THEN gap_sec END) AS BIGINT) AS p50_gap_sec,
+      | CAST(max(CASE WHEN rn = ceiling(n * 0.9) THEN gap_sec END) AS BIGINT) AS p90_gap_sec,
+      | CAST(max(CASE WHEN rn = ceiling(n * 0.99) THEN gap_sec END) AS BIGINT) AS p99_gap_sec
+      |FROM (
+      | SELECT event_type, event_id, gap_sec,
+      |   row_number() OVER (PARTITION BY event_type ORDER BY gap_sec, event_id) AS rn,
+      |   count(*) OVER (PARTITION BY event_type) AS n
+      | FROM (
+      |  SELECT event_type, event_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT)
+      |      - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+      |      AS gap_sec
+      |  FROM events)
+      | WHERE gap_sec IS NOT NULL)
+      |GROUP BY event_type""".stripMargin
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "q21_market_basket" -> q21,
     "q22_status_pivot" -> q22,
+    "q23_props_json" -> q23,
+    "q24_hourly_events" -> q24,
+    "q25_gap_percentiles" -> q25,
     "q01_typed_ingest" -> q01,
     "q02_scd1_latest" -> q02,
     "q03_scd2_history" -> q03,
@@ -653,6 +742,9 @@ object Queries {
   val oracles: Map[String, String] = Map(
     "q21_market_basket" -> q21Sql,
     "q22_status_pivot" -> q22Sql,
+    "q23_props_json" -> q23Sql,
+    "q24_hourly_events" -> q24Sql,
+    "q25_gap_percentiles" -> q25Sql,
     "q01_typed_ingest" -> q01Sql,
     "q02_scd1_latest" -> q02Sql,
     "q03_scd2_history" -> q03Sql,
