@@ -289,11 +289,32 @@ object QueriesData {
       |FROM events e ASOF LEFT JOIN o1 o
       |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts""".stripMargin
 
+  // =====================================================================
+  // y01 — typed Dataset path: groupByKey + custom Aggregator computing
+  // the same exact integer revenue as the relational surface, so the
+  // SQL oracle validates the typed API too.
+  // =====================================================================
+  val y01: Q = (s, _d) => {
+    import s.implicits._
+    graft.typed.TypedModel.lineitems(s, _d)
+      .groupByKey(_.l_returnflag)
+      .agg(graft.typed.TypedModel.RevenueAgg.toColumn.name("rev"))
+      .map { case (flag, acc) => (flag, acc.n, acc.revenueE4) }
+      .toDF("return_flag", "n_items", "revenue_e4")
+  }
+
+  val y01Sql: String =
+    """SELECT l_returnflag AS return_flag, count(*) AS n_items,
+      | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "a01_asof_attribution" -> a01,
     "g01_menu_datagen" -> g01,
+    "y01_typed_revenue" -> y01,
     "d01_dedup_exact" -> d01,
     "d02_dedup_minhash" -> d02,
     "d03_dedup_simhash" -> d03,
@@ -309,6 +330,7 @@ object QueriesData {
 
   val oracles: Map[String, String] = Map(
     "a01_asof_attribution" -> a01Sql,
+    "y01_typed_revenue" -> y01Sql,
     "d01_dedup_exact" -> d01Sql,
     "d05_dedup_embedding" -> d05Sql,
     "s01_ann_bruteforce" -> s01Sql,
