@@ -710,6 +710,49 @@ object Queries {
       | WHERE gap_sec IS NOT NULL)
       |GROUP BY event_type""".stripMargin
 
+  // =====================================================================
+  // q26 — sessionization: gap-based sessions (new session when the
+  // user pauses > 30 min), session ids via running sum of new-session
+  // flags — two stacked windows over one shuffle on user_id.
+  // =====================================================================
+  val q26: Q = (s, d) => {
+    val wLag = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val wRun = wLag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("gap_sec",
+        unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(wLag)))
+      .withColumn("new_session",
+        when(col("gap_sec").isNull || col("gap_sec") > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        date_trunc("second", min(col("ts"))).as("session_start"),
+        date_trunc("second", max(col("ts"))).as("session_end"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("duration_sec"))
+  }
+
+  val q26Sql: String =
+    """SELECT user_id, session_id, count(*) AS n_events,
+      | date_trunc('second', min(ts)) AS session_start,
+      | date_trunc('second', max(ts)) AS session_end,
+      | CAST(floor(epoch(max(ts))) AS BIGINT)
+      |   - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+      |FROM (
+      | SELECT user_id, ts, event_id,
+      |   CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      | FROM (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN gap_sec IS NULL OR gap_sec > 1800 THEN 1 ELSE 0 END AS new_session
+      |  FROM (
+      |   SELECT user_id, ts, event_id,
+      |     CAST(floor(epoch(ts)) AS BIGINT)
+      |       - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+      |       AS gap_sec
+      |   FROM events)))
+      |GROUP BY user_id, session_id""".stripMargin
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -718,6 +761,7 @@ object Queries {
     "q23_props_json" -> q23,
     "q24_hourly_events" -> q24,
     "q25_gap_percentiles" -> q25,
+    "q26_sessionization" -> q26,
     "q01_typed_ingest" -> q01,
     "q02_scd1_latest" -> q02,
     "q03_scd2_history" -> q03,
@@ -745,6 +789,7 @@ object Queries {
     "q23_props_json" -> q23Sql,
     "q24_hourly_events" -> q24Sql,
     "q25_gap_percentiles" -> q25Sql,
+    "q26_sessionization" -> q26Sql,
     "q01_typed_ingest" -> q01Sql,
     "q02_scd1_latest" -> q02Sql,
     "q03_scd2_history" -> q03Sql,

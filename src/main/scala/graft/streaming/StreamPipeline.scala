@@ -87,6 +87,15 @@ object StreamPipeline {
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
     }
 
+  /** Streaming exact dedup: drop repeated ids inside the watermark
+    * horizon (state is bounded by the watermark — the streaming twin
+    * of [[graft.operators.Dedup.exactDupFlags]]'s keep-first policy).
+    */
+  def dedupWithinWatermark(stream: DataFrame, idCol: String, tsCol: String,
+                           watermark: String): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** A keyed change record emitted by [[changeLog]]. */
   final case class KeyChange(key: Long, action: String, old_value: String, new_value: String)
 

@@ -72,6 +72,25 @@ class StreamPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark drops repeated ids, keeps first occurrence") {
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val stream = in.toDF().toDF("id", "ts", "v")
+    val q = StreamPipeline.dedupWithinWatermark(stream, "id", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts("2024-01-01 00:00:00"), "first"),
+        (1L, ts("2024-01-01 00:01:00"), "dup"),
+        (2L, ts("2024-01-01 00:02:00"), "other"))
+      q.processAllAvailable()
+      in.addData((1L, ts("2024-01-01 00:03:00"), "dup2"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup").select("id", "v")
+        .as[(Long, String)].collect().sortBy(_._1)
+      assert(rows.toSeq == Seq((1L, "first"), (2L, "other")))
+    } finally q.stop()
+  }
+
   test("auditedCsvStream attaches audit columns to staged files") {
     val dir = Files.createTempDirectory("graft_stage").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/part1.csv"), "id,name\n1,alpha\n2,beta\n")
