@@ -14,10 +14,12 @@ import graft.plans.DotProductE12
   * installs the same functions imperatively and idempotently.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injections.foreach { case (name, info, builder) =>
       ext.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.RewriteDotProduct)
+  }
 }
 
 object GraftFunctions {
