@@ -753,6 +753,31 @@ object Queries {
       |   FROM events)))
       |GROUP BY user_id, session_id""".stripMargin
 
+  // =====================================================================
+  // q27 — cohort retention: users grouped by first-seen date, activity
+  // counted per day offset (window min + one aggregation).
+  // =====================================================================
+  val q27: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, d)
+      .withColumn("event_day", to_date(col("ts")))
+      .withColumn("cohort_day", min(to_date(col("ts"))).over(w))
+      .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_date"),
+        datediff(col("event_day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active_users"),
+        count(lit(1)).as("n_events"))
+  }
+
+  val q27Sql: String =
+    """SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_date,
+      | CAST(date_diff('day', cohort_day, event_day) AS INT) AS day_offset,
+      | count(DISTINCT user_id) AS n_active_users, count(*) AS n_events
+      |FROM (
+      | SELECT user_id, CAST(ts AS DATE) AS event_day,
+      |   min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_day
+      | FROM events)
+      |GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -762,6 +787,7 @@ object Queries {
     "q24_hourly_events" -> q24,
     "q25_gap_percentiles" -> q25,
     "q26_sessionization" -> q26,
+    "q27_cohort_retention" -> q27,
     "q01_typed_ingest" -> q01,
     "q02_scd1_latest" -> q02,
     "q03_scd2_history" -> q03,
@@ -790,6 +816,7 @@ object Queries {
     "q24_hourly_events" -> q24Sql,
     "q25_gap_percentiles" -> q25Sql,
     "q26_sessionization" -> q26Sql,
+    "q27_cohort_retention" -> q27Sql,
     "q01_typed_ingest" -> q01Sql,
     "q02_scd1_latest" -> q02Sql,
     "q03_scd2_history" -> q03Sql,

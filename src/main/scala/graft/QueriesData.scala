@@ -309,12 +309,65 @@ object QueriesData {
       |   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // =====================================================================
+  // t05 — corpus vocabulary stats: top-25 token frequencies
+  // (explode → count → distributed top-k).
+  // =====================================================================
+  val t05: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .select(explode(TextFuncs.tokens(col("text"))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    counts.orderBy(col("n_occurrences").desc, col("token").asc).limit(25)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_occurrences").desc, col("token").asc)))
+      .select(col("rank"), col("token"), col("n_occurrences"))
+  }
+
+  val t05Sql: String =
+    """SELECT rank, token, n_occurrences FROM (
+      | SELECT token, n_occurrences,
+      |   row_number() OVER (ORDER BY n_occurrences DESC, token ASC) AS rank
+      | FROM (
+      |  SELECT t.token, count(*) AS n_occurrences
+      |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t
+      |  WHERE length(t.token) > 0
+      |  GROUP BY t.token))
+      |WHERE rank <= 25""".stripMargin
+
+  // =====================================================================
+  // s03 — per-label embedding centroids in exact integer space:
+  // posexplode to (label, dim) long format, sum e6 components — fully
+  // shuffle-parallel, no float accumulation order anywhere.
+  // =====================================================================
+  val s03: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(round(col("v") * 1000000d).cast("long")).as("sum_e6"))
+      .where(col("dim") < 8) // first 8 dims keep the gate output small
+
+  val s03Sql: String =
+    """SELECT label, dim, count(*) AS n_vectors,
+      | CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_e6
+      |FROM (
+      | SELECT label, unnest(embedding) AS v,
+      |   unnest(range(0, len(embedding))) AS dim
+      | FROM embeddings)
+      |WHERE dim < 8
+      |GROUP BY label, dim""".stripMargin
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "a01_asof_attribution" -> a01,
     "g01_menu_datagen" -> g01,
     "y01_typed_revenue" -> y01,
+    "t05_token_freq" -> t05,
+    "s03_label_centroids" -> s03,
     "d01_dedup_exact" -> d01,
     "d02_dedup_minhash" -> d02,
     "d03_dedup_simhash" -> d03,
@@ -331,6 +384,8 @@ object QueriesData {
   val oracles: Map[String, String] = Map(
     "a01_asof_attribution" -> a01Sql,
     "y01_typed_revenue" -> y01Sql,
+    "t05_token_freq" -> t05Sql,
+    "s03_label_centroids" -> s03Sql,
     "d01_dedup_exact" -> d01Sql,
     "d05_dedup_embedding" -> d05Sql,
     "s01_ann_bruteforce" -> s01Sql,
