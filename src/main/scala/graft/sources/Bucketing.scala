@@ -21,4 +21,11 @@ object Bucketing {
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .saveAsTable(table)
+
+  /** Write `df` hive-style partitioned by the given columns — a query
+    * filtering on them prunes whole directories before any IO (the
+    * first-line scan saver for date-partitioned 100 TB facts).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 }
