@@ -778,6 +778,39 @@ object Queries {
       | FROM events)
       |GROUP BY 1, 2""".stripMargin
 
+  // =====================================================================
+  // q28 — built-in session_window (the streaming-native session
+  // operator; q26 is the manual window-composition twin). Same 30-min
+  // gap semantics, oracled by the same gap/running-sum SQL.
+  // =====================================================================
+  val q28: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_trunc("second", col("sw.start")).as("session_start"),
+        col("n_events"))
+
+  // session_window's end = last_ts + gap; its start = first event ts.
+  // The oracle reproduces sessions via the gap/running-sum formulation
+  // and emits the same (user, first-event-second, count) triples.
+  val q28Sql: String =
+    """SELECT user_id, date_trunc('second', min(ts)) AS session_start,
+      | count(*) AS n_events
+      |FROM (
+      | SELECT user_id, ts,
+      |   CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      | FROM (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN gap_sec IS NULL OR gap_sec > 1800 THEN 1 ELSE 0 END AS new_session
+      |  FROM (
+      |   SELECT user_id, ts, event_id,
+      |     epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      |       AS gap_sec
+      |   FROM events)))
+      |GROUP BY user_id, session_id""".stripMargin
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -788,6 +821,7 @@ object Queries {
     "q25_gap_percentiles" -> q25,
     "q26_sessionization" -> q26,
     "q27_cohort_retention" -> q27,
+    "q28_session_window" -> q28,
     "q01_typed_ingest" -> q01,
     "q02_scd1_latest" -> q02,
     "q03_scd2_history" -> q03,
@@ -817,6 +851,7 @@ object Queries {
     "q25_gap_percentiles" -> q25Sql,
     "q26_sessionization" -> q26Sql,
     "q27_cohort_retention" -> q27Sql,
+    "q28_session_window" -> q28Sql,
     "q01_typed_ingest" -> q01Sql,
     "q02_scd1_latest" -> q02Sql,
     "q03_scd2_history" -> q03Sql,
