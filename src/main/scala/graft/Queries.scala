@@ -811,6 +811,60 @@ object Queries {
       |   FROM events)))
       |GROUP BY user_id, session_id""".stripMargin
 
+  // =====================================================================
+  // q29 — anti/semi-join surface: customers who never ordered, and
+  // (for contrast) one row per customer who did (left_anti + left_semi
+  // — both shuffle-free on the probe side when the build broadcasts).
+  // =====================================================================
+  val q29: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select(col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey").as("customer_id"),
+        col("c_mktsegment").as("segment"),
+        lit(false).as("has_orders"))
+      .unionByName(
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey").as("customer_id"),
+            col("c_mktsegment").as("segment"),
+            lit(true).as("has_orders")))
+  }
+
+  val q29Sql: String =
+    """SELECT c_custkey AS customer_id, c_mktsegment AS segment, FALSE AS has_orders
+      |FROM customer WHERE NOT EXISTS
+      |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |UNION ALL
+      |SELECT c_custkey AS customer_id, c_mktsegment AS segment, TRUE AS has_orders
+      |FROM customer WHERE EXISTS
+      |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  // =====================================================================
+  // q30 — incremental aggregate maintenance: merge yesterday's partial
+  // aggregates with today's delta by re-aggregating the partials
+  // (sum/count are algebraic) — never a full-history rescan. The
+  // oracle IS the full recompute, proving incremental == full.
+  // =====================================================================
+  val q30: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    def dailyAgg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(dateStr(col("o_orderdate")).as("order_date"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("revenue_cents"))
+    val existing = dailyAgg(o.where(col("o_orderdate") < lit("1998-01-01").cast("timestamp")))
+    val delta = dailyAgg(o.where(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")))
+    existing.unionByName(delta)
+      .groupBy(col("order_date"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("revenue_cents")).as("revenue_cents"))
+  }
+
+  val q30Sql: String =
+    s"""SELECT ${dateStrSql("o_orderdate")} AS order_date,
+       | count(*) AS n_orders,
+       | CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS revenue_cents
+       |FROM orders GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -822,6 +876,8 @@ object Queries {
     "q26_sessionization" -> q26,
     "q27_cohort_retention" -> q27,
     "q28_session_window" -> q28,
+    "q29_never_ordered" -> q29,
+    "q30_incremental_agg" -> q30,
     "q01_typed_ingest" -> q01,
     "q02_scd1_latest" -> q02,
     "q03_scd2_history" -> q03,
@@ -852,6 +908,8 @@ object Queries {
     "q26_sessionization" -> q26Sql,
     "q27_cohort_retention" -> q27Sql,
     "q28_session_window" -> q28Sql,
+    "q29_never_ordered" -> q29Sql,
+    "q30_incremental_agg" -> q30Sql,
     "q01_typed_ingest" -> q01Sql,
     "q02_scd1_latest" -> q02Sql,
     "q03_scd2_history" -> q03Sql,

@@ -104,6 +104,13 @@ object Dedup {
   /** Distinct candidate pairs (a < b) from shared band keys — the
     * linear-ish LSH path: shuffle on band_key, join within buckets
     * only.
+    *
+    * Self-join note: at data scale both sides plan as identical
+    * shuffle subtrees and Spark's ReuseExchange computes the
+    * signatures once; on tiny inputs AQE may broadcast one side
+    * (recomputing it), which is cheap exactly because the input is
+    * tiny. Callers that materialize signatures anyway should persist
+    * `bandsDf` themselves before calling.
     */
   def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
     val l = bandsDf.select(col("band_key"), col(idCol).as("id_a"))
