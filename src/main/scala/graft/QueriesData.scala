@@ -360,9 +360,23 @@ object QueriesData {
       |WHERE dim < 8
       |GROUP BY label, dim""".stripMargin
 
+  // =====================================================================
+  // k01 — KMV distinct sketch (custom typed Aggregator, O(k) state)
+  // next to the exact count (rows-only: estimate is Spark-side, but
+  // fully deterministic — fixed hash, associative merges).
+  // =====================================================================
+  val k01: Q = (s, d) => {
+    val exact = Tables.events(s, d).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    graft.operators.Sketch.kmvDistinct(
+        Tables.events(s, d), "event_type", "user_id", k = 64)
+      .join(exact, "event_type")
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
+    "k01_kmv_distinct" -> k01,
     "a01_asof_attribution" -> a01,
     "g01_menu_datagen" -> g01,
     "y01_typed_revenue" -> y01,
