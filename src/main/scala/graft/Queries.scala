@@ -232,7 +232,7 @@ object Queries {
     agg.orderBy(col("order_count").desc, col("p_name").asc).limit(20)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("order_count").desc, col("p_name").asc)))
-      .select(col("rank"), col("p_name").as("item_name"),
+      .select(col("rank").cast("long").as("rank"), col("p_name").as("item_name"),
         col("order_count"), col("total_qty"))
   }
 
@@ -534,7 +534,7 @@ object Queries {
     agg.orderBy(col("demand").desc, col("p_name").asc).limit(15)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("demand").desc, col("p_name").asc)))
-      .select(col("rank"), col("p_name").as("item_name"), col("demand"), col("total_qty"))
+      .select(col("rank").cast("long").as("rank"), col("p_name").as("item_name"), col("demand"), col("total_qty"))
   }
 
   val q19Sql: String =
@@ -592,7 +592,7 @@ object Queries {
       .limit(25)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n_orders_together").desc, col("part_a").asc, col("part_b").asc)))
-      .select(col("rank"), col("part_a"), col("part_b"), col("n_orders_together"))
+      .select(col("rank").cast("long").as("rank"), col("part_a"), col("part_b"), col("n_orders_together"))
   }
 
   val q21Sql: String =

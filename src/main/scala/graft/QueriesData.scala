@@ -137,8 +137,8 @@ object QueriesData {
     }
     val Seq(en, de, es, fr, zh) =
       Seq("en", "de", "es", "fr", "zh").map(l => col(s"${l}_hits"))
-    base.select(col("doc_id"), en.as("en_hits"), de.as("de_hits"),
-      es.as("es_hits"), fr.as("fr_hits"), zh.as("zh_hits"),
+    base.select(col("doc_id"), en.cast("long").as("en_hits"), de.cast("long").as("de_hits"),
+      es.cast("long").as("es_hits"), fr.cast("long").as("fr_hits"), zh.cast("long").as("zh_hits"),
       when(en >= de && en >= es && en >= fr && en >= zh, "en")
         .when(de >= es && de >= fr && de >= zh, "de")
         .when(es >= fr && es >= zh, "es")
@@ -174,8 +174,8 @@ object QueriesData {
   // =====================================================================
   val t02: Q = (s, d) =>
     Tables.documents(s, d)
-      .withColumn("n_tokens", size(split(trim(col("text")), " +")))
-      .withColumn("alpha_chars", length(regexp_replace(col("text"), "[^A-Za-z]", "")))
+      .withColumn("n_tokens", size(split(trim(col("text")), " +")).cast("long"))
+      .withColumn("alpha_chars", length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long"))
       .withColumn("alpha_pct_floor",
         floor(col("alpha_chars").cast("double") * 100d / length(col("text"))))
       .withColumn("mean_token_len_e2",
@@ -204,13 +204,13 @@ object QueriesData {
   val t03: Q = (s, d) =>
     Tables.documents(s, d).select(
       col("doc_id"),
-      size(split(trim(col("text")), " +")).as("ws_tokens"),
-      regexp_count(col("text"), lit("[A-Za-z]+")).as("word_tokens"),
-      regexp_count(col("text"), lit("[0-9]+")).as("num_tokens"),
-      regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).as("punct_tokens"),
+      size(split(trim(col("text")), " +")).cast("long").as("ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+")).cast("long").as("word_tokens"),
+      regexp_count(col("text"), lit("[0-9]+")).cast("long").as("num_tokens"),
+      regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("long").as("punct_tokens"),
       (regexp_count(col("text"), lit("[A-Za-z]+"))
         + regexp_count(col("text"), lit("[0-9]+"))
-        + regexp_count(col("text"), lit("[^A-Za-z0-9 ]"))).as("bpe_ish_tokens"))
+        + regexp_count(col("text"), lit("[^A-Za-z0-9 ]"))).cast("long").as("bpe_ish_tokens"))
 
   val t03Sql: String =
     """SELECT doc_id,
@@ -323,7 +323,7 @@ object QueriesData {
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("n_occurrences").desc, col("token").asc)))
-      .select(col("rank"), col("token"), col("n_occurrences"))
+      .select(col("rank").cast("long").as("rank"), col("token"), col("n_occurrences"))
   }
 
   val t05Sql: String =
@@ -345,6 +345,7 @@ object QueriesData {
   val s03: Q = (s, d) =>
     Tables.embeddings(s, d)
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("dim", col("dim").cast("long"))
       .groupBy(col("label"), col("dim"))
       .agg(count(lit(1)).as("n_vectors"),
         sum(round(col("v") * 1000000d).cast("long")).as("sum_e6"))

@@ -39,7 +39,7 @@ object Similarity {
           sqrt(col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
         floor(col("cos") * 1000d).cast("long").as("cos_e3"))
   }
 
@@ -81,7 +81,7 @@ object Similarity {
           sqrt(col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
         floor(col("cos") * 1000d).cast("long").as("cos_e3"))
   }
 }

@@ -17,8 +17,8 @@ class SimilaritySpec extends SparkSpec {
   test("bruteForceTopK ranks by cosine with deterministic ties") {
     val out = Similarity.bruteForceTopK(emb, emb.where($"vec_id" === 0),
         "vec_id", "embedding", k = 4)
-      .select("rank", "neighbor_id").as[(Int, Long)].collect().sortBy(_._1)
-    assert(out.toSeq == Seq((1, 1L), (2, 2L), (3, 3L), (4, 4L)))
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)))
   }
 
   test("lshTopK: identical direction lands in the same bucket and ranks first") {
@@ -29,8 +29,8 @@ class SimilaritySpec extends SparkSpec {
     ).toDF("vec_id", "embedding")
     val out = Similarity.lshTopK(corpus, corpus.where($"vec_id" === 0),
         "vec_id", "embedding", k = 5)
-      .select("rank", "neighbor_id").as[(Int, Long)].collect().sortBy(_._1)
-    assert(out.headOption.contains((1, 1L)))
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.headOption.contains((1L, 1L)))
     // vector 2 differs in roughly half its signs → almost surely another bucket
     assert(!out.map(_._2).contains(2L))
   }
