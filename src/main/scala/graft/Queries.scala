@@ -865,9 +865,39 @@ object Queries {
        | CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS revenue_cents
        |FROM orders GROUP BY 1""".stripMargin
 
+  // =====================================================================
+  // q31 — range join: events → overlapping 2-day windows built from
+  // the event calendar, via the gridded RangeJoin operator (equi-join
+  // on time cells + exact filter — no theta-join explosion).
+  // =====================================================================
+  val q31: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val intervals = ev.select(to_date(col("ts")).as("day")).distinct()
+      .select(date_format(col("day"), "yyyy-MM-dd").as("interval_id"),
+        col("day").cast("timestamp").as("start_ts"),
+        date_add(col("day"), 2).cast("timestamp").as("end_ts"))
+    graft.operators.RangeJoin.pointInInterval(ev, intervals,
+        "ts", "start_ts", "end_ts", bucketWidth = 86400L)
+      .groupBy(col("interval_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val q31Sql: String =
+    """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+      |iv AS (SELECT strftime(day, '%Y-%m-%d') AS interval_id,
+      |         CAST(day AS TIMESTAMP) AS s,
+      |         CAST(day + INTERVAL 2 DAY AS TIMESTAMP) AS e
+      |       FROM days)
+      |SELECT interval_id, count(*) AS n_events,
+      | count(DISTINCT user_id) AS n_users
+      |FROM events JOIN iv ON ts >= s AND ts < e
+      |GROUP BY interval_id""".stripMargin
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
+    "q31_range_join" -> q31,
     "q21_market_basket" -> q21,
     "q22_status_pivot" -> q22,
     "q23_props_json" -> q23,
@@ -910,6 +940,7 @@ object Queries {
     "q28_session_window" -> q28Sql,
     "q29_never_ordered" -> q29Sql,
     "q30_incremental_agg" -> q30Sql,
+    "q31_range_join" -> q31Sql,
     "q01_typed_ingest" -> q01Sql,
     "q02_scd1_latest" -> q02Sql,
     "q03_scd2_history" -> q03Sql,

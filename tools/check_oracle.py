@@ -41,6 +41,15 @@ for name in sorted(oracles):
     a, b = norm(spark_df), norm(duck_df)
     if list(a.columns) != list(b.columns):
         print(f"FAIL {name}: cols spark={list(a.columns)} duck={list(b.columns)}"); fails += 1; continue
+    # strict dtype parity (a strict driver-side schema check would flag these)
+    dt_bad = []
+    for c in a.columns:
+        x = str(spark_df[c].dtype).split("[")[0]
+        y = str(duck_df[c].dtype).split("[")[0]
+        if x != y:
+            dt_bad.append(f"{c}: spark={x} duck={y}")
+    if dt_bad:
+        print(f"FAIL {name}: dtype mismatch {dt_bad}"); fails += 1; continue
     if len(a) != len(b):
         print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}"); fails += 1; continue
     if not a.equals(b):
