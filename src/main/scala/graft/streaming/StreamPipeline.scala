@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.StructType
 
-import graft.operators.Scd1
+import graft.operators.{Scd1, Scd2}
 
 /** Structured-Streaming re-expression of the reference's "real-time"
   * machinery:
@@ -86,6 +86,48 @@ object StreamPipeline {
     if (Files.exists(p)) {
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
     }
+
+  /** Stream–stream interval join: match right-stream rows to left
+    * rows with the same key whose event time falls within
+    * [leftTs − within, leftTs]. Watermarks on both sides bound the
+    * join state (Spark drops buffered rows once they cannot match).
+    */
+  def intervalStreamJoin(left: DataFrame, right: DataFrame,
+                         key: String, leftTs: String, rightTs: String,
+                         watermark: String, withinSeconds: Long): DataFrame = {
+    require(leftTs != rightTs, "left/right event-time columns must have distinct names")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+      .withColumnRenamed(key, s"__r_$key")
+    l.join(r, expr(
+        s"""$key = __r_$key AND
+           |$rightTs >= $leftTs - INTERVAL $withinSeconds SECONDS AND
+           |$rightTs <= $leftTs""".stripMargin))
+      .drop(s"__r_$key")
+  }
+
+  /** Continuous SCD2 maintenance: every micro-batch re-derives the
+    * effective-dated history with the new versions appended (the
+    * reference's stream-driven consumption-layer dim MERGE).
+    */
+  def scd2HistorySink(stream: DataFrame, targetDir: String, checkpointDir: String,
+                      keys: Seq[String], ts: String, tiebreak: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val target = Paths.get(targetDir)
+        val history =
+          if (Files.exists(target))
+            Scd2.applyDelta(spark.read.parquet(targetDir), batch.toDF(), keys, ts, tiebreak)
+          else Scd2.buildHistory(batch.toDF(), keys, ts, tiebreak)
+        val tmp = targetDir + ".tmp"
+        history.write.mode("overwrite").parquet(tmp)
+        deleteRecursively(target)
+        Files.move(Paths.get(tmp), target)
+        ()
+      }
+      .start()
 
   /** Streaming exact dedup: drop repeated ids inside the watermark
     * horizon (state is bounded by the watermark — the streaming twin

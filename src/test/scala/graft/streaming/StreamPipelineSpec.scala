@@ -91,6 +91,47 @@ class StreamPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalStreamJoin matches right rows within the time window, per key") {
+    val orders = MemoryStream[(Long, Timestamp, String)]
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val joined = StreamPipeline.intervalStreamJoin(
+      orders.toDF().toDF("user", "order_ts", "order_id"),
+      clicks.toDF().toDF("user", "click_ts", "click_id"),
+      key = "user", leftTs = "order_ts", rightTs = "click_ts",
+      watermark = "1 hour", withinSeconds = 600)
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        (1L, ts("2024-01-01 10:00:00"), "c-in"),    // 5 min before order → match
+        (1L, ts("2024-01-01 09:00:00"), "c-old"),   // 65 min before → no match
+        (2L, ts("2024-01-01 10:00:00"), "c-otheruser"))
+      orders.addData((1L, ts("2024-01-01 10:05:00"), "o1"))
+      q.processAllAvailable()
+      val rows = spark.table("ssj").select("order_id", "click_id")
+        .as[(String, String)].collect().toSet
+      assert(rows == Set(("o1", "c-in")))
+    } finally q.stop()
+  }
+
+  test("scd2HistorySink maintains effective-dated history across micro-batches") {
+    val dir = Files.createTempDirectory("graft_scd2").toString
+    val in = MemoryStream[(Long, Long, Timestamp, String)]
+    val stream = in.toDF().toDF("k", "id", "ts", "v")
+    val q = StreamPipeline.scd2HistorySink(stream, s"$dir/hist", s"$dir/ckpt",
+      Seq("k"), "ts", "id")
+    try {
+      in.addData((1L, 10L, ts("2024-01-01 00:00:00"), "v1"))
+      q.processAllAvailable()
+      in.addData((1L, 11L, ts("2024-02-01 00:00:00"), "v2"))
+      q.processAllAvailable()
+      val h = spark.read.parquet(s"$dir/hist")
+        .select($"id", $"current_flag", $"eff_end_ts".isNull)
+        .as[(Long, Boolean, Boolean)].collect().sortBy(_._1)
+      assert(h.toSeq == Seq((10L, false, false), (11L, true, true)))
+    } finally q.stop()
+  }
+
   test("auditedCsvStream attaches audit columns to staged files") {
     val dir = Files.createTempDirectory("graft_stage").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/part1.csv"), "id,name\n1,alpha\n2,beta\n")
