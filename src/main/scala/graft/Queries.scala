@@ -672,6 +672,16 @@ object Queries {
   // q25 — exact distributed percentiles (p50/p90/p99 of inter-event
   // gaps per event type): explicit k-th element selection so both
   // engines pick the identical discrete value — no interpolation math.
+  //
+  // Scale design (two-phase selection): phase 1 reduces the gap rows to
+  // a per-(event_type, gap_sec) histogram — a distributed groupBy with
+  // map-side partial agg, the only pass over the full data. Phase 2
+  // finds the k-th value from cumulative counts over the histogram,
+  // whose size is bounded by the VALUE cardinality (distinct gap
+  // seconds), not the row count — at 100 TB the per-event_type window
+  // sees thousands of histogram rows, never billions of raw gaps. The
+  // earlier form (row_number over every gap row of an event_type)
+  // funneled all rows of a ~5-cardinality key into single tasks.
   // =====================================================================
   val q25: Q = (s, d) => {
     val wLag = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
@@ -679,14 +689,21 @@ object Queries {
       .withColumn("gap_sec",
         unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(wLag)))
       .where(col("gap_sec").isNotNull)
-    val wRank = Window.partitionBy(col("event_type"))
-      .orderBy(col("gap_sec").asc, col("event_id").asc)
-    val ranked = gaps
-      .withColumn("rn", row_number().over(wRank))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
-    def pick(p: Double) = max(when(col("rn") === ceil(col("n") * p), col("gap_sec")))
-    ranked.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_gaps"),
+    val hist = gaps.groupBy(col("event_type"), col("gap_sec"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("event_type"))
+      .orderBy(col("gap_sec").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    // k-th smallest value = first histogram value whose cumulative
+    // count reaches k (ties share a value, so the k-th row's value and
+    // the min qualifying histogram value coincide)
+    def pick(p: Double) = min(when(col("cum") >= ceil(col("n") * p), col("gap_sec")))
+    cum.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n_gaps"),
         pick(0.5).as("p50_gap_sec"),
         pick(0.9).as("p90_gap_sec"),
         pick(0.99).as("p99_gap_sec"))

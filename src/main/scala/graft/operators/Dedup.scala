@@ -121,20 +121,42 @@ object Dedup {
 
   /** Exact n-gram Jaccard verification for candidate pairs.
     * Jaccard is emitted as floor(1e6 * |∩| / |∪|) — integer-exact.
-    * Shingles are compared as crc32 hashes (long arrays): set
-    * intersection over int64 is far cheaper than over strings and
-    * collisions are negligible for per-document set sizes.
+    * Shingles are compared as crc32 hashes: set intersection over
+    * int64 is far cheaper than over strings and collisions are
+    * negligible for per-document set sizes.
+    *
+    * Scale design (exploded-intersection form): no array-valued column
+    * ever crosses a shuffle. Shingle sets are exploded once into
+    * (doc_id, shingle_hash) rows; |∩| is a plain equi-join of the pair
+    * fan-out with the exploded form followed by a count, and
+    * |∪| = |A| + |B| − |∩| from per-doc set sizes. The earlier
+    * array-carrying form (join full shingle arrays to every candidate
+    * pair, array_intersect per row) shipped both docs' entire shingle
+    * sets through the pair shuffle — 9.5 s of a 29 s bench at sf0.1;
+    * this form is one narrow fan-out + two hash joins. The three
+    * references to `pairs` below are identical subtrees, so
+    * ReuseExchange computes the candidate shuffle once.
     */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, textCol: String, idCol: String,
                    shingleSize: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol),
+    val sh = docs.select(col(idCol).as("__id"),
       array_distinct(transform(TextFuncs.shingles(col(textCol), shingleSize),
-        s => crc32(s))).as("sh"))
+        s => crc32(s))).as("__sh"))
+    val sizes = sh.select(col("__id"), size(col("__sh")).as("__sz"))
+    val exploded = sh.select(col("__id"), explode(col("__sh")).as("__h"))
+    // fan pairs out by doc A's shingles, then equi-join on (id_b, hash):
+    // surviving rows are exactly the shared shingles of each pair
+    val inter = pairs
+      .join(exploded.select(col("__id").as("id_a"), col("__h")), Seq("id_a"))
+      .join(exploded.select(col("__id").as("id_b"), col("__h")), Seq("id_b", "__h"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("int").as("__n_inter"))
     pairs
-      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("n_union", size(array_union(col("sh_a"), col("sh_b"))))
+      .join(inter, Seq("id_a", "id_b"), "left") // empty-intersection pairs kept
+      .join(sizes.select(col("__id").as("id_a"), col("__sz").as("__sz_a")), Seq("id_a"))
+      .join(sizes.select(col("__id").as("id_b"), col("__sz").as("__sz_b")), Seq("id_b"))
+      .withColumn("n_inter", coalesce(col("__n_inter"), lit(0)))
+      .withColumn("n_union", col("__sz_a") + col("__sz_b") - col("n_inter"))
       .withColumn("jaccard_e6",
         when(col("n_union") > 0,
           floor(col("n_inter").cast("double") * 1000000d / col("n_union")))

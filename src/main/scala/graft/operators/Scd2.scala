@@ -41,9 +41,21 @@ object Scd2 {
     * new versions (batch equivalent of the reference's stream-driven
     * dim MERGE). `base` must already carry eff_start_ts / eff_end_ts /
     * current_flag; `delta` is a new change feed batch.
+    *
+    * Scale design: only keys present in the delta are re-derived. The
+    * base history is split with a semi/anti join on the delta's
+    * business keys — the (tiny) touched slice goes through
+    * [[buildHistory]] together with the delta, the untouched rows pass
+    * through untouched. Work per batch is O(|delta| + |history of
+    * touched keys|), not O(|full history|); at a 100 TB dim the
+    * anti-join side never re-sorts or re-windows.
     */
   def applyDelta(base: DataFrame, delta: DataFrame, keys: Seq[String], ts: String, tieBreak: String): DataFrame = {
-    val history = base.drop("eff_start_ts", "eff_end_ts", "current_flag")
-    buildHistory(history.unionByName(delta), keys, ts, tieBreak)
+    val deltaKeys = delta.select(keys.map(col): _*).distinct()
+    val touched = base.join(deltaKeys, keys, "left_semi")
+      .drop("eff_start_ts", "eff_end_ts", "current_flag")
+    val untouched = base.join(deltaKeys, keys, "left_anti")
+    buildHistory(touched.unionByName(delta), keys, ts, tieBreak)
+      .unionByName(untouched)
   }
 }

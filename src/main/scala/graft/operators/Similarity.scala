@@ -55,27 +55,69 @@ object Similarity {
       when(VecFuncs.dot(vec, typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** ANN top-k via LSH bucketing + exact rerank of candidates only.
-    * With b bucket bits the corpus shuffles once on the bucket key and
-    * each query probes a ~2^-b fraction of the corpus. Recall is
-    * tunable via numPlanes (fewer bits → more candidates → higher
-    * recall).
+  /** ANN top-k via multi-table, multi-probe LSH + exact rerank of
+    * candidates only.
+    *
+    * Recall engineering (single-table sign-LSH recall is poor — a
+    * near neighbor missing ONE bucket bit is lost forever):
+    *  - `numTables` independent hyperplane sets; a neighbor is a
+    *    candidate if it collides in ANY table (union of candidates,
+    *    1−(1−p^n)^L recall).
+    *  - 1-bit multi-probe on the query side (`probeBits = 1`): each
+    *    query also probes every bucket at hamming distance 1, lifting
+    *    per-table collision from p^n to p^n + n·p^(n-1)(1−p). Fan-out
+    *    is on the (tiny, broadcast) query side only.
+    *  - degenerate-bucket cap: corpus buckets larger than
+    *    `maxBucketSize` are skipped — at 100 TB a hot bucket would
+    *    otherwise re-create the brute-force scan for every query that
+    *    hashes into it (those vectors are still reachable through the
+    *    other L−1 tables).
+    *
+    * Plan shape: corpus fans out ×numTables into (table, bucket) rows;
+    * candidates come from an equi-join on (table_idx, bucket) against
+    * the broadcast probe set; ONLY the distinct candidate id-pairs are
+    * then joined back to the vectors for the exact cosine rerank — no
+    * vector ever rides the bucket fan-out shuffle.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+              numTables: Int = 12, planesPerTable: Int = 6, dim: Int = 64,
+              probeBits: Int = 1, maxBucketSize: Long = 1L << 20): DataFrame = {
     graft.GraftFunctions.register(corpus.sparkSession)
-    val planes = hyperplanes(numPlanes, dim)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      lshBucket(col(vecCol), planes).as("bucket"),
+    val tables = (0 until numTables)
+      .map(t => hyperplanes(planesPerTable, dim, seed = 42L + t))
+    def tableBuckets(vec: Column): Column =
+      array(tables.map(p => lshBucket(vec, p)): _*)
+
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        posexplode(tableBuckets(col(vecCol))).as(Seq("table_idx", "bucket")))
+    // query probes: the exact bucket plus every 1-bit flip of it
+    def probeSet(b: Column): Column =
+      if (probeBits < 1) array(b)
+      else array(b +: (0 until planesPerTable).map(i => b.bitwiseXOR(lit(1L << i))): _*)
+    val probes = queries.select(col(idCol).as("query_id"),
+        posexplode(tableBuckets(col(vecCol))).as(Seq("table_idx", "bucket0")))
+      .select(col("query_id"), col("table_idx"),
+        explode(probeSet(col("bucket0"))).as("bucket"))
+
+    val keptBuckets = c.groupBy(col("table_idx"), col("bucket"))
+      .agg(count(lit(1)).as("__bsz"))
+      .where(col("__bsz") <= maxBucketSize)
+      .select("table_idx", "bucket")
+    val cand = c.join(keptBuckets, Seq("table_idx", "bucket"), "left_semi")
+      .join(broadcast(probes), Seq("table_idx", "bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").distinct()
+
+    // exact rerank of the candidate pairs only
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       VecFuncs.normSqE12Native(col(vecCol)).cast("double").as("cn"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), planes).as("bucket"),
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       VecFuncs.normSqE12Native(col(vecCol)).cast("double").as("qn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    c.join(broadcast(q), Seq("bucket"))
-      .where(col("neighbor_id") =!= col("query_id"))
+    cand.join(cv, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
       .withColumn("cos",
         VecFuncs.dotE12Native(col("qv"), col("cv")).cast("double") /
           sqrt(col("qn") * col("cn")))

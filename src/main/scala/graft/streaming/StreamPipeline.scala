@@ -25,13 +25,27 @@ import graft.operators.{Scd1, Scd2}
   *  - consumption-layer rollups → [[windowedCounts]]
   *    (watermarked tumbling windows)
   *
-  * Scale notes: the upsert sink demonstrates the merge loop against a
-  * plain parquet target (read-merge-swap); on a cluster the target
-  * would be a transactional table format (Delta/Iceberg MERGE) — the
-  * stream-side logic is identical. State in [[changeLog]] is one small
-  * value per key, partitioned by the grouping key across executors.
+  * Scale notes: the upsert/history sinks maintain a parquet target
+  * hash-bucketed by business key ([[BucketCol]]). Every micro-batch
+  * reads ONLY the buckets its delta touches (partition-pruned scan),
+  * merges, and dynamic-partition-overwrites only those bucket
+  * directories — work per batch is O(delta buckets), never O(full
+  * target). On a cluster a transactional table format (Delta/Iceberg
+  * MERGE) would add atomicity across buckets; the incremental shape is
+  * the same. State in [[changeLog]] is one small value per key,
+  * partitioned by the grouping key across executors.
   */
 object StreamPipeline {
+
+  /** Partition column on merge targets: a stable hash bucket of the
+    * business key. Deterministic, so any delta row lands in the same
+    * bucket as every prior version of its key.
+    */
+  val BucketCol = "_graft_bucket"
+
+  /** Attach the target bucket to each row. */
+  def withBucket(df: DataFrame, keys: Seq[String], numBuckets: Int): DataFrame =
+    df.withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(numBuckets)))
 
   /** Schema-on-read staged CSV ingest with audit columns. */
   def auditedCsvStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
@@ -54,32 +68,59 @@ object StreamPipeline {
     * stream-driven clean-layer MERGE).
     */
   def scd1UpsertSink(stream: DataFrame, targetDir: String, checkpointDir: String,
-                     keys: Seq[String], orderBy: Seq[Column]): StreamingQuery =
+                     keys: Seq[String], orderBy: Seq[Column],
+                     numBuckets: Int = 16): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        upsertBatch(batch, targetDir, keys, orderBy)
+        upsertBatch(batch, targetDir, keys, orderBy, numBuckets)
       }
       .start()
 
-  /** One merge step (also usable from a batch job): read target, SCD1
-    * merge, write to a temp dir, swap. Swap is what a table format
-    * would make transactional.
+  /** One merge step (also usable from a batch job): read ONLY the
+    * target buckets the batch touches (partition-pruned), SCD1-merge
+    * the delta in, and dynamic-partition-overwrite those buckets.
+    * Buckets the batch does not touch are neither read nor rewritten —
+    * per-batch cost is O(delta + touched buckets), not O(target).
     */
   def upsertBatch(batch: Dataset[Row], targetDir: String,
-                  keys: Seq[String], orderBy: Seq[Column]): Unit = {
+                  keys: Seq[String], orderBy: Seq[Column],
+                  numBuckets: Int = 16): Unit = {
     val spark = batch.sparkSession
-    val target = Paths.get(targetDir)
     // dedup within the batch too — one micro-batch can carry several
     // versions of the same key (e.g. multiple staged files at once)
-    val merged =
-      if (Files.exists(target))
-        Scd1.merge(spark.read.parquet(targetDir), batch.toDF(), keys, orderBy)
-      else Scd1.latestByKey(batch.toDF(), keys, orderBy)
-    val tmp = targetDir + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    deleteRecursively(target)
-    Files.move(Paths.get(tmp), target)
+    val b = withBucket(batch.toDF(), keys, numBuckets)
+    if (!Files.exists(Paths.get(targetDir)))
+      Scd1.latestByKey(b, keys, orderBy)
+        .write.mode("overwrite").partitionBy(BucketCol).parquet(targetDir)
+    else {
+      val pruned = spark.read.parquet(targetDir)
+        .where(col(BucketCol).isin(affectedBuckets(b): _*))
+      writeAffected(Scd1.merge(pruned, b, keys, orderBy), targetDir)
+    }
+  }
+
+  /** The (≤ numBuckets) bucket ids a delta touches — metadata-sized,
+    * the partition-pruning literal list any MERGE engine computes.
+    */
+  private def affectedBuckets(bucketed: DataFrame): Seq[Any] =
+    bucketed.select(BucketCol).distinct().collect().map(_.get(0)).toSeq
+
+  /** Stage to a temp dir (Spark refuses to overwrite a path it is also
+    * reading), then dynamic-partition-overwrite: only bucket
+    * directories present in `df` are replaced; all other bucket
+    * directories (and their files) are left physically untouched.
+    */
+  private def writeAffected(df: DataFrame, targetDir: String): Unit = {
+    val spark = df.sparkSession
+    val tmp = targetDir + ".delta.tmp"
+    df.write.mode("overwrite").partitionBy(BucketCol).parquet(tmp)
+    spark.read.parquet(tmp)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(BucketCol)
+      .parquet(targetDir)
+    deleteRecursively(Paths.get(tmp))
   }
 
   private def deleteRecursively(p: Path): Unit =
@@ -106,28 +147,40 @@ object StreamPipeline {
       .drop(s"__r_$key")
   }
 
-  /** Continuous SCD2 maintenance: every micro-batch re-derives the
-    * effective-dated history with the new versions appended (the
-    * reference's stream-driven consumption-layer dim MERGE).
+  /** Continuous SCD2 maintenance: every micro-batch folds the new
+    * versions into the effective-dated history (the reference's
+    * stream-driven consumption-layer dim MERGE). Incremental twice
+    * over: [[Scd2.applyDelta]] re-windows only the keys present in the
+    * delta, and the parquet target only rewrites the hash buckets
+    * those keys live in.
     */
   def scd2HistorySink(stream: DataFrame, targetDir: String, checkpointDir: String,
-                      keys: Seq[String], ts: String, tiebreak: String): StreamingQuery =
+                      keys: Seq[String], ts: String, tiebreak: String,
+                      numBuckets: Int = 16): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val spark = batch.sparkSession
-        val target = Paths.get(targetDir)
-        val history =
-          if (Files.exists(target))
-            Scd2.applyDelta(spark.read.parquet(targetDir), batch.toDF(), keys, ts, tiebreak)
-          else Scd2.buildHistory(batch.toDF(), keys, ts, tiebreak)
-        val tmp = targetDir + ".tmp"
-        history.write.mode("overwrite").parquet(tmp)
-        deleteRecursively(target)
-        Files.move(Paths.get(tmp), target)
-        ()
+        scd2ApplyBatch(batch.toDF(), targetDir, keys, ts, tiebreak, numBuckets)
       }
       .start()
+
+  /** One SCD2 fold step (also usable from a batch job) — see
+    * [[scd2HistorySink]].
+    */
+  def scd2ApplyBatch(batch: DataFrame, targetDir: String,
+                     keys: Seq[String], ts: String, tiebreak: String,
+                     numBuckets: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    val b = withBucket(batch, keys, numBuckets)
+    if (!Files.exists(Paths.get(targetDir)))
+      Scd2.buildHistory(b, keys, ts, tiebreak)
+        .write.mode("overwrite").partitionBy(BucketCol).parquet(targetDir)
+    else {
+      val pruned = spark.read.parquet(targetDir)
+        .where(col(BucketCol).isin(affectedBuckets(b): _*))
+      writeAffected(Scd2.applyDelta(pruned, b, keys, ts, tiebreak), targetDir)
+    }
+  }
 
   /** Streaming exact dedup: drop repeated ids inside the watermark
     * horizon (state is bounded by the watermark — the streaming twin

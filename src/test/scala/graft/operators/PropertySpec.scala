@@ -78,6 +78,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Scd2.applyDelta ≡ full rebuild on randomized base/delta splits") {
+    samples(Gen.zip(feedGen, Gen.choose(1, 99)), 8).foreach { case (rows, cut) =>
+      val dedup = rows.distinctBy(_._2)
+      val (b, d) = dedup.splitAt(dedup.size * cut / 100)
+      if (b.nonEmpty && d.nonEmpty) {
+        def mk(xs: Seq[(Long, Long, Int, String)]) =
+          xs.toDF("k", "id", "t", "v").withColumn("ts", col("t").cast("timestamp"))
+        def canon(df: org.apache.spark.sql.DataFrame) = df
+          .select($"k", $"id", $"eff_start_ts".cast("long"),
+            $"eff_end_ts".cast("long"), $"current_flag")
+          .as[(Long, Long, Long, Option[Long], Boolean)].collect().sortBy(r => (r._1, r._2))
+        val full = Scd2.buildHistory(mk(dedup), Seq("k"), "ts", "id")
+        val inc = Scd2.applyDelta(
+          Scd2.buildHistory(mk(b), Seq("k"), "ts", "id"), mk(d), Seq("k"), "ts", "id")
+        assert(canon(inc).toSeq == canon(full).toSeq)
+      }
+    }
+  }
+
   test("Dedup.hamming: symmetric, zero iff equal") {
     samples(Gen.listOfN(15, Gen.choose(Long.MinValue, Long.MaxValue)), 4).foreach { xs =>
       val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "h")

@@ -21,7 +21,7 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)))
   }
 
-  test("lshTopK: identical direction lands in the same bucket and ranks first") {
+  test("lshTopK: identical direction always collides and ranks first") {
     val corpus = Seq(
       (0L, Array.fill(64)(0.5f)),
       (1L, Array.fill(64)(0.49f)),          // same direction → same signs
@@ -30,17 +30,38 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.lshTopK(corpus, corpus.where($"vec_id" === 0),
         "vec_id", "embedding", k = 5)
       .select("rank", "neighbor_id").as[(Long, Long)].collect().sortBy(_._1)
+    // same-sign vector shares every table's bucket; exact rerank puts it
+    // first (the orthogonal vector may surface via 1-bit probes, but
+    // can never outrank it)
     assert(out.headOption.contains((1L, 1L)))
-    // vector 2 differs in roughly half its signs → almost surely another bucket
-    assert(!out.map(_._2).contains(2L))
+    // without probing, the orthogonal vector stays out of the candidates
+    val strict = Similarity.lshTopK(corpus, corpus.where($"vec_id" === 0),
+        "vec_id", "embedding", k = 5, probeBits = 0)
+      .select("neighbor_id").as[Long].collect()
+    assert(!strict.contains(2L))
   }
 
   test("lshTopK agrees with bruteForceTopK on its candidate set (rerank is exact)") {
     val q = emb.where($"vec_id" === 0)
     val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 4)
       .select("neighbor_id", "cos_e3").as[(Long, Long)].collect().toMap
-    val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding", 4, numPlanes = 4, dim = 4)
+    val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding", 4,
+      numTables = 2, planesPerTable = 4, dim = 4)
       .select("neighbor_id", "cos_e3").as[(Long, Long)].collect().toMap
     lsh.foreach { case (id, ce3) => assert(brute(id) == ce3) }
+  }
+
+  test("lshTopK recall@10 >= 0.9 vs exact top-k on the test corpus") {
+    val dir = "/root/testdata/sf0.001"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+    val emb = graft.Tables.embeddings(spark, dir)
+    val q = emb.where($"vec_id" < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10))
+    val approx = pairs(Similarity.lshTopK(emb, q, "vec_id", "embedding", 10))
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"recall@10 = $recall%.3f (${exact.size} exact pairs)")
+    assert(recall >= 0.9)
   }
 }

@@ -132,6 +132,55 @@ class StreamPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertBatch / scd2ApplyBatch rewrite only the buckets the delta touches") {
+    import java.nio.file.{Path, Paths}
+    val dir = Files.createTempDirectory("graft_bucket").toString
+    val nb = 4
+    // pick two keys that land in different hash buckets (probe the real fn)
+    val probe = StreamPipeline.withBucket(
+        (1L to 50L).toDF("k"), Seq("k"), nb)
+      .as[(Long, Int)].collect().toMap
+    val kA = probe.keys.head
+    val kB = probe.keys.find(k => probe(k) != probe(kA)).get
+
+    def listing(target: String, bucket: Int): Seq[(String, Long, Long)] = {
+      val p = Paths.get(target, s"${StreamPipeline.BucketCol}=$bucket")
+      import scala.jdk.CollectionConverters._
+      Files.list(p).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(f => (f.toString, Files.getLastModifiedTime(f).toMillis, Files.size(f)))
+        .sortBy(_._1)
+    }
+
+    // --- SCD1 target
+    val t1 = s"$dir/scd1"
+    def batch(rows: (Long, String, Timestamp)*) = rows.toDF("k", "v", "ts")
+    StreamPipeline.upsertBatch(
+      batch((kA, "a1", ts("2024-01-01 00:00:00")), (kB, "b1", ts("2024-01-01 00:00:00"))),
+      t1, Seq("k"), Seq(col("ts").desc), nb)
+    val before1 = listing(t1, probe(kB))
+    StreamPipeline.upsertBatch(
+      batch((kA, "a2", ts("2024-01-02 00:00:00"))), t1, Seq("k"), Seq(col("ts").desc), nb)
+    assert(listing(t1, probe(kB)) == before1) // untouched bucket: identical files
+    val out1 = spark.read.parquet(t1).select("k", "v")
+      .as[(Long, String)].collect().toSet
+    assert(out1 == Set((kA, "a2"), (kB, "b1")))
+
+    // --- SCD2 target
+    val t2 = s"$dir/scd2"
+    def feed(rows: (Long, Long, Timestamp, String)*) = rows.toDF("k", "id", "ts", "v")
+    StreamPipeline.scd2ApplyBatch(
+      feed((kA, 1L, ts("2024-01-01 00:00:00"), "a1"), (kB, 2L, ts("2024-01-01 00:00:00"), "b1")),
+      t2, Seq("k"), "ts", "id", nb)
+    val before2 = listing(t2, probe(kB))
+    StreamPipeline.scd2ApplyBatch(
+      feed((kA, 3L, ts("2024-02-01 00:00:00"), "a2")), t2, Seq("k"), "ts", "id", nb)
+    assert(listing(t2, probe(kB)) == before2) // untouched bucket: identical files
+    val out2 = spark.read.parquet(t2)
+      .select($"k", $"id", $"current_flag").as[(Long, Long, Boolean)].collect().toSet
+    assert(out2 == Set((kA, 1L, false), (kA, 3L, true), (kB, 2L, true)))
+  }
+
   test("auditedCsvStream attaches audit columns to staged files") {
     val dir = Files.createTempDirectory("graft_stage").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/part1.csv"), "id,name\n1,alpha\n2,beta\n")
