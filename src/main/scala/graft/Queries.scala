@@ -348,15 +348,22 @@ object Queries {
        |) ON c_custkey = o_custkey""".stripMargin
 
   // =====================================================================
-  // q12 — PII masking policies (name / email / balance band).
+  // q12 — PII masking policies (name / email / balance band), applied
+  // through the declarative tag layer: the query declares WHICH columns
+  // carry WHICH governance tag; MaskPolicy owns the transforms.
   // =====================================================================
-  val q12: Q = (s, d) =>
-    Tables.customer(s, d).select(
+  val q12: Q = (s, d) => {
+    val tagged = Tables.customer(s, d).select(
       col("c_custkey").as("customer_id"),
-      Funcs.maskName("c_name").as("masked_name"),
-      Funcs.maskEmail(col("c_name")).as("masked_email"),
-      Funcs.maskBalance(col("c_acctbal")).as("balance_band"),
+      col("c_name").as("masked_name"),
+      col("c_name").as("masked_email"),
+      col("c_acctbal").as("balance_band"),
       col("c_mktsegment").as("segment"))
+    graft.functions.MaskPolicy.applyTags(tagged, Map(
+      "masked_name" -> "pii_name",
+      "masked_email" -> "pii_email",
+      "balance_band" -> "pii_balance"))
+  }
 
   val q12Sql: String =
     """SELECT c_custkey AS customer_id,

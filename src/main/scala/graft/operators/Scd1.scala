@@ -31,9 +31,11 @@ object Scd1 {
   }
 
   /** SCD1 merge: apply a delta batch onto a base snapshot; the newest
-    * version (per `orderBy`) survives. Both inputs must share the
-    * schema.
+    * version (per `orderBy`) survives. Schema drift between the sides
+    * (e.g. an audit column only the batch path carries) is tolerated:
+    * a column missing from one side is null there — the same additive
+    * schema-evolution contract a table-format MERGE gives you.
     */
   def merge(base: DataFrame, delta: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame =
-    latestByKey(base.unionByName(delta), keys, orderBy)
+    latestByKey(base.unionByName(delta, allowMissingColumns = true), keys, orderBy)
 }

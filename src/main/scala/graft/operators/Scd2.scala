@@ -49,13 +49,22 @@ object Scd2 {
     * through untouched. Work per batch is O(|delta| + |history of
     * touched keys|), not O(|full history|); at a 100 TB dim the
     * anti-join side never re-sorts or re-windows.
+    *
+    * Idempotent under at-least-once delivery: a version is identified
+    * by (business key, tieBreak); redelivered versions already in the
+    * history are applied once, so replaying a micro-batch (foreachBatch
+    * failure, checkpoint reset over processed input) cannot duplicate
+    * history rows — the MERGE-on-key semantics of the reference.
     */
   def applyDelta(base: DataFrame, delta: DataFrame, keys: Seq[String], ts: String, tieBreak: String): DataFrame = {
     val deltaKeys = delta.select(keys.map(col): _*).distinct()
     val touched = base.join(deltaKeys, keys, "left_semi")
       .drop("eff_start_ts", "eff_end_ts", "current_flag")
     val untouched = base.join(deltaKeys, keys, "left_anti")
-    buildHistory(touched.unionByName(delta), keys, ts, tieBreak)
-      .unionByName(untouched)
+    buildHistory(
+        touched.unionByName(delta, allowMissingColumns = true)
+          .dropDuplicates(keys :+ tieBreak),
+        keys, ts, tieBreak)
+      .unionByName(untouched, allowMissingColumns = true)
   }
 }

@@ -1,0 +1,143 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.{Scd1, Scd2}
+import graft.sources.StageReader
+import graft.streaming.StreamPipeline
+
+/** Declarative multi-entity warehouse runner — one entry point that
+  * runs stage → clean(SCD1) → dim(SCD2) → facts for a whole
+  * configured warehouse, batch or incremental-streaming.
+  *
+  * Reference analog: `FINAL_PROCEDURE` fans out to ten per-entity
+  * `*_MAIN_PROCEDURE`s, each doing stage→clean→consumption for one
+  * file (`/root/reference/with procedures/final_proc.sql:29-40`), and
+  * a cron `TASK` re-runs the whole chain
+  * (`with procedures/task_proc.sql:32-40`). The reference hand-writes
+  * ~300 lines of MERGE per entity; here an entity is ~6 lines of
+  * config over the generic operators, and the fan-out is a fold over
+  * the config.
+  *
+  * Scale notes: each entity's pipeline is the already-audited operator
+  * stack (one shuffle per SCD layer, audit cols from file metadata);
+  * entities are independent until the fact layer, so a scheduler may
+  * submit them as concurrent jobs — the config carries no ordering
+  * constraint except facts-after-entities. Incremental mode reuses the
+  * bucket-partitioned upsert sinks (per-batch cost O(delta buckets)).
+  */
+object Warehouse {
+
+  /** One entity's stage→clean→dim recipe (a `*_MAIN_PROCEDURE` analog,
+    * e.g. `location_proc.sql` / the JSON-staged
+    * `delivery_agent_proc.sql`).
+    *
+    * @param name      entity name; output layers land at
+    *                  `<out>/clean/<name>` and `<out>/dim/<name>`
+    * @param format    "csv" or "json" staged files
+    * @param stagePath directory of staged files
+    * @param columns   declared stage columns (all land as text)
+    * @param casts     clean-layer TRY_CAST typings (col → DDL type)
+    * @param keys      business-key columns
+    * @param changeTs  change-timestamp column (SCD ordering)
+    * @param tieBreak  unique column making the ordering total
+    * @param scd2      also maintain an SCD2 history dim
+    */
+  final case class Entity(
+      name: String,
+      format: String,
+      stagePath: String,
+      columns: Seq[String],
+      casts: Seq[(String, String)],
+      keys: Seq[String],
+      changeTs: String,
+      tieBreak: String,
+      scd2: Boolean = false)
+
+  /** A fact built from the clean layer (and previously-built facts):
+    * `inputs` name the frames handed to `build` — facts run after all
+    * entities, in declared order.
+    */
+  final case class Fact(
+      name: String,
+      inputs: Seq[String],
+      build: Map[String, DataFrame] => DataFrame)
+
+  final case class Config(entities: Seq[Entity], facts: Seq[Fact] = Nil)
+
+  private def stage(spark: SparkSession, e: Entity): DataFrame = e.format match {
+    case "csv"  => StageReader.csv(spark, e.stagePath, e.columns)
+    case "json" => StageReader.json(spark, e.stagePath, e.columns)
+    case other  => throw new IllegalArgumentException(s"unknown stage format: $other")
+  }
+
+  private def scd1Order(e: Entity): Seq[Column] =
+    Seq(col(e.changeTs).desc, col(e.tieBreak).desc)
+
+  /** Batch run: every entity stage→typed→SCD1 clean (+ SCD2 dim),
+    * then every fact; all layers written as parquet under `outDir`.
+    * Clean and dim targets use the same bucket-partitioned layout as
+    * the incremental sinks, so a batch backfill and subsequent
+    * incremental runs compose on one target. Returns the produced
+    * frames keyed `clean/<e>`, `dim/<e>`, `fact/<f>` (re-read from the
+    * written parquet, so downstream consumers see exactly the
+    * persisted bytes; the internal bucket column is dropped).
+    */
+  def runBatch(spark: SparkSession, cfg: Config, outDir: String,
+               numBuckets: Int = 16): Map[String, DataFrame] = {
+    def writeBucketed(df: DataFrame, e: Entity, path: String): DataFrame = {
+      StreamPipeline.withBucket(df, e.keys, numBuckets)
+        .write.mode("overwrite")
+        .partitionBy(StreamPipeline.BucketCol).parquet(path)
+      spark.read.parquet(path).drop(StreamPipeline.BucketCol)
+    }
+    val entityOut = cfg.entities.flatMap { e =>
+      val typed = StageReader.typed(stage(spark, e), e.casts)
+      val clean = Scd1.latestByKey(typed, e.keys, scd1Order(e))
+      val cleanOut = writeBucketed(clean, e, s"$outDir/clean/${e.name}")
+      val dim = if (e.scd2) {
+        val h = Scd2.buildHistory(typed, e.keys, e.changeTs, e.tieBreak)
+        Seq(s"dim/${e.name}" -> writeBucketed(h, e, s"$outDir/dim/${e.name}"))
+      } else Nil
+      Seq(s"clean/${e.name}" -> cleanOut) ++ dim
+    }.toMap
+    cfg.facts.foldLeft(entityOut) { (built, f) =>
+      val missing = f.inputs.filterNot(built.contains)
+      require(missing.isEmpty, s"fact ${f.name}: unknown inputs $missing")
+      f.build(built.view.filterKeys(f.inputs.contains).toMap)
+        .write.mode("overwrite").parquet(s"$outDir/fact/${f.name}")
+      built + (s"fact/${f.name}" -> spark.read.parquet(s"$outDir/fact/${f.name}"))
+    }
+  }
+
+  /** Incremental run (the cron-task analog): each entity's stage
+    * directory becomes a file-source stream, typed on the fly, folded
+    * into the bucket-partitioned clean target ([[StreamPipeline
+    * .upsertBatch]]) — and, for `scd2` entities, into the SCD2 history
+    * target — by an `AvailableNow` trigger: process everything staged
+    * since the last checkpoint, then stop (re-invoke on whatever cron
+    * cadence; state lives in the checkpoint, cost per run is
+    * O(new files + touched buckets)).
+    */
+  def runIncremental(spark: SparkSession, cfg: Config, outDir: String,
+                     checkpointDir: String, numBuckets: Int = 16): Seq[StreamingQuery] =
+    cfg.entities.map { e =>
+      require(e.format == "csv", s"incremental mode streams csv stages; ${e.name} is ${e.format}")
+      val staged = StreamPipeline.auditedCsvStream(
+        spark, e.stagePath, StageReader.textSchema(e.columns))
+      val typed = StageReader.typed(staged, e.casts)
+      typed.writeStream
+        .option("checkpointLocation", s"$checkpointDir/${e.name}")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          StreamPipeline.upsertBatch(batch, s"$outDir/clean/${e.name}",
+            e.keys, scd1Order(e), numBuckets)
+          if (e.scd2)
+            StreamPipeline.scd2ApplyBatch(batch.toDF(), s"$outDir/dim/${e.name}",
+              e.keys, e.changeTs, e.tieBreak, numBuckets)
+        }
+        .start()
+    }
+}

@@ -24,24 +24,43 @@ object StageReader {
   def textSchema(cols: Seq[String]): StructType =
     StructType(cols.map(c => StructField(c, StringType, nullable = true)))
 
-  private def withAudit(df: DataFrame): DataFrame =
+  /** Normalize a file URI for joining: `input_file_name()` and the
+    * binaryFile source render the scheme differently
+    * (`file:///x` vs `file:/x`).
+    */
+  private def normPath(c: Column): Column =
+    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+
+  /** Content MD5 per staged file (the reference's `_stg_file_md5`
+    * audit column). A second, per-file-parallel pass over the staged
+    * bytes — unavoidable for a content hash — joined back broadcast
+    * (one row per FILE, never per data row).
+    */
+  private def fileMd5(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("binaryFile").load(path)
+      .select(normPath(col("path")).as("__md5_path"),
+        md5(col("content")).as("_stg_file_md5"))
+
+  private def withAudit(df: DataFrame, md5s: DataFrame): DataFrame =
     df.withColumn("_stg_file_name", input_file_name())
       .withColumn("_stg_file_load_ts", expr("_metadata.file_modification_time"))
       .withColumn("_stg_file_size", expr("_metadata.file_size"))
+      .join(broadcast(md5s), normPath(col("_stg_file_name")) === col("__md5_path"), "left")
+      .drop("__md5_path")
       .withColumn("_copy_data_ts", current_timestamp())
 
   /** Staged CSV read: all-text columns + audit columns. */
   def csv(spark: SparkSession, path: String, cols: Seq[String],
           header: Boolean = true): DataFrame =
     withAudit(spark.read.schema(textSchema(cols))
-      .option("header", header.toString).csv(path))
+      .option("header", header.toString).csv(path), fileMd5(spark, path))
 
   /** Staged JSON read (delivery_agent.json analog): declared fields
     * land as text, extras are ignored, bad records become nulls
     * (PERMISSIVE), matching stage-layer tolerance.
     */
   def json(spark: SparkSession, path: String, cols: Seq[String]): DataFrame =
-    withAudit(spark.read.schema(textSchema(cols)).json(path))
+    withAudit(spark.read.schema(textSchema(cols)).json(path), fileMd5(spark, path))
 
   /** Clean-layer typing with TRY_CAST semantics: each (column → DDL
     * type) cast yields null on garbage instead of failing the job,

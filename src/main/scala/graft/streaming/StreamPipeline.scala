@@ -47,10 +47,15 @@ object StreamPipeline {
   def withBucket(df: DataFrame, keys: Seq[String], numBuckets: Int): DataFrame =
     df.withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(numBuckets)))
 
-  /** Schema-on-read staged CSV ingest with audit columns. */
+  /** Schema-on-read staged CSV ingest with audit columns (the batch
+    * stage contract minus `_stg_file_md5` — a content hash needs a
+    * second pass over the bytes, which a file stream doesn't get).
+    */
   def auditedCsvStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).option("header", "true").csv(path)
       .withColumn("_stg_file_name", input_file_name())
+      .withColumn("_stg_file_load_ts", expr("_metadata.file_modification_time"))
+      .withColumn("_stg_file_size", expr("_metadata.file_size"))
       .withColumn("_copy_data_ts", current_timestamp())
 
   /** Watermarked tumbling-window event rollup. */

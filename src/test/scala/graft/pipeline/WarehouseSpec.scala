@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** End-to-end multi-entity warehouse run over an actual staged layout:
+  * csv + json staged files → stage → typed → SCD1 clean → SCD2 dim →
+  * fact — the reference's FINAL_PROCEDURE chain
+  * (`with procedures/final_proc.sql:29-40`) as one config.
+  */
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def write(path: String, content: String): Unit = {
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.writeString(Paths.get(path), content)
+  }
+
+  private val locCols = Seq("loc_id", "city", "tier", "updated_at", "rec_id")
+  private val locCasts = Seq("loc_id" -> "bigint", "tier" -> "int",
+    "updated_at" -> "timestamp", "rec_id" -> "bigint")
+
+  test("runBatch builds clean/dim/fact layers for csv+json entities") {
+    val root = Files.createTempDirectory("graft_wh").toString
+    write(s"$root/stage/location/location.csv",
+      """loc_id,city,tier,updated_at,rec_id
+        |1,Pune,2,2024-01-01 00:00:00,101
+        |1,Pune,1,2024-02-01 00:00:00,102
+        |2,Delhi,1,2024-01-01 00:00:00,103
+        |""".stripMargin)
+    write(s"$root/stage/restaurant/restaurant.csv",
+      """rest_id,rest_name,loc_id,updated_at,rec_id
+        |10,Spice Hub,1,2024-01-01 00:00:00,201
+        |11,Dosa House,2,2024-01-01 00:00:00,202
+        |""".stripMargin)
+    write(s"$root/stage/delivery_agent/agents.json",
+      """{"agent_id": "5", "agent_name": "Arjun", "phone": "9876543210", "updated_at": "2024-01-01 00:00:00", "rec_id": "301"}
+        |""".stripMargin)
+
+    val cfg = Warehouse.Config(
+      entities = Seq(
+        Warehouse.Entity("location", "csv", s"$root/stage/location",
+          locCols, locCasts, Seq("loc_id"), "updated_at", "rec_id", scd2 = true),
+        Warehouse.Entity("restaurant", "csv", s"$root/stage/restaurant",
+          Seq("rest_id", "rest_name", "loc_id", "updated_at", "rec_id"),
+          Seq("rest_id" -> "bigint", "loc_id" -> "bigint",
+            "updated_at" -> "timestamp", "rec_id" -> "bigint"),
+          Seq("rest_id"), "updated_at", "rec_id"),
+        Warehouse.Entity("delivery_agent", "json", s"$root/stage/delivery_agent",
+          Seq("agent_id", "agent_name", "phone", "updated_at", "rec_id"),
+          Seq("agent_id" -> "bigint", "updated_at" -> "timestamp", "rec_id" -> "bigint"),
+          Seq("agent_id"), "updated_at", "rec_id")),
+      facts = Seq(
+        Warehouse.Fact("restaurant_by_city",
+          Seq("clean/restaurant", "clean/location"),
+          m => m("clean/restaurant")
+            .join(m("clean/location"), "loc_id")
+            .groupBy("city").agg(count(lit(1)).as("n_restaurants")))))
+
+    val out = Warehouse.runBatch(spark, cfg, s"$root/wh")
+
+    // SCD1 clean: latest version per key wins
+    assert(out("clean/location").where($"loc_id" === 1)
+      .select("tier").as[Int].head() == 1)
+    assert(out("clean/location").count() == 2)
+    // stage audit contract (incl. content md5) survives to the clean layer
+    val audit = Seq("_stg_file_name", "_stg_file_load_ts", "_stg_file_size",
+      "_stg_file_md5", "_copy_data_ts")
+    assert(audit.forall(out("clean/location").columns.contains))
+    // SCD2 dim: both versions, one current, chained dates
+    val dim = out("dim/location").where($"loc_id" === 1)
+    assert(dim.count() == 2)
+    assert(dim.where($"current_flag").select("rec_id").as[Long].head() == 102L)
+    // JSON-staged entity typed like any other
+    assert(out("clean/delivery_agent")
+      .select($"agent_id", $"agent_name").as[(Long, String)].collect().toSeq ==
+      Seq((5L, "Arjun")))
+    // fact over the clean layer
+    assert(out("fact/restaurant_by_city")
+      .as[(String, Long)].collect().toMap == Map("Pune" -> 1L, "Delhi" -> 1L))
+  }
+
+  test("runIncremental folds newly staged files into clean+dim (AvailableNow cron analog)") {
+    val root = Files.createTempDirectory("graft_whi").toString
+    val cfg = Warehouse.Config(entities = Seq(
+      Warehouse.Entity("location", "csv", s"$root/stage/location",
+        locCols, locCasts, Seq("loc_id"), "updated_at", "rec_id", scd2 = true)))
+
+    write(s"$root/stage/location/batch1.csv",
+      """loc_id,city,tier,updated_at,rec_id
+        |1,Pune,2,2024-01-01 00:00:00,101
+        |2,Delhi,1,2024-01-01 00:00:00,103
+        |""".stripMargin)
+    // batch backfill writes the same bucketed layout the sinks maintain
+    Warehouse.runBatch(spark, cfg, s"$root/wh")
+    assert(spark.read.parquet(s"$root/wh/clean/location")
+      .where($"loc_id" === 1).select("tier").as[Int].head() == 2)
+
+    // a later staged file arrives; the next scheduled run picks up ONLY it
+    write(s"$root/stage/location/batch2.csv",
+      """loc_id,city,tier,updated_at,rec_id
+        |1,Pune,1,2024-02-01 00:00:00,102
+        |""".stripMargin)
+    Warehouse.runIncremental(spark, cfg, s"$root/wh", s"$root/ckpt")
+      .foreach(_.awaitTermination())
+    assert(spark.read.parquet(s"$root/wh/clean/location")
+      .where($"loc_id" === 1).select("tier").as[Int].head() == 1)
+    val dim = spark.read.parquet(s"$root/wh/dim/location").where($"loc_id" === 1)
+    assert(dim.count() == 2)
+    assert(dim.where($"current_flag").select("rec_id").as[Long].head() == 102L)
+  }
+}

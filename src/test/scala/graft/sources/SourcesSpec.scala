@@ -21,6 +21,17 @@ class SourcesSpec extends SparkSpec {
     assert(r.toSeq == Seq(("1", true, true, true), ("2", true, true, true)))
   }
 
+  test("StageReader attaches the content MD5 of the staged file (_stg_file_md5)") {
+    val dir = Files.createTempDirectory("graft_md5").toString
+    val content = "orderid,amount\n1,10.50\n2,7.25\n"
+    Files.writeString(java.nio.file.Paths.get(s"$dir/orders.csv"), content)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(content.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val md5s = StageReader.csv(spark, dir, Seq("orderid", "amount"))
+      .select("_stg_file_md5").distinct().as[String].collect().toSeq
+    assert(md5s == Seq(expected))
+  }
+
   test("StageReader.typed: TRY_CAST semantics — garbage becomes null, job survives") {
     val dir = Files.createTempDirectory("graft_csv2").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/o.csv"),
