@@ -133,9 +133,12 @@ object Dedup {
     * array-carrying form (join full shingle arrays to every candidate
     * pair, array_intersect per row) shipped both docs' entire shingle
     * sets through the pair shuffle — 9.5 s of a 29 s bench at sf0.1;
-    * this form is one narrow fan-out + two hash joins. The three
-    * references to `pairs` below are identical subtrees, so
-    * ReuseExchange computes the candidate shuffle once.
+    * this form is one narrow fan-out + two hash joins. `pairs` (for
+    * LSH candidates, itself a whole signature pipeline) is referenced
+    * exactly ONCE — left joins keep empty-intersection pairs alive
+    * through the fan-out, so no second pass over the candidate subtree
+    * is needed (ReuseExchange can't always dedup it: AQE turning one
+    * side into a broadcast breaks subtree identity).
     */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, textCol: String, idCol: String,
                    shingleSize: Int = 3): DataFrame = {
@@ -144,18 +147,18 @@ object Dedup {
         s => crc32(s))).as("__sh"))
     val sizes = sh.select(col("__id"), size(col("__sh")).as("__sz"))
     val exploded = sh.select(col("__id"), explode(col("__sh")).as("__h"))
-    // fan pairs out by doc A's shingles, then equi-join on (id_b, hash):
-    // surviving rows are exactly the shared shingles of each pair
-    val inter = pairs
-      .join(exploded.select(col("__id").as("id_a"), col("__h")), Seq("id_a"))
-      .join(exploded.select(col("__id").as("id_b"), col("__h")), Seq("id_b", "__h"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).cast("int").as("__n_inter"))
+    // fan each pair out by doc A's shingles, then match doc B's
+    // shingles on (id_b, hash): matched rows are the shared shingles.
+    // Left joins keep zero-shingle / zero-overlap pairs (count of a
+    // null match column = 0).
     pairs
-      .join(inter, Seq("id_a", "id_b"), "left") // empty-intersection pairs kept
+      .join(exploded.select(col("__id").as("id_a"), col("__h")), Seq("id_a"), "left")
+      .join(exploded.select(col("__id").as("id_b"), col("__h"), lit(1).as("__m")),
+        Seq("id_b", "__h"), "left")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(col("__m")).cast("int").as("n_inter"))
       .join(sizes.select(col("__id").as("id_a"), col("__sz").as("__sz_a")), Seq("id_a"))
       .join(sizes.select(col("__id").as("id_b"), col("__sz").as("__sz_b")), Seq("id_b"))
-      .withColumn("n_inter", coalesce(col("__n_inter"), lit(0)))
       .withColumn("n_union", col("__sz_a") + col("__sz_b") - col("n_inter"))
       .withColumn("jaccard_e6",
         when(col("n_union") > 0,

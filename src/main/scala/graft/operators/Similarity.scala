@@ -86,8 +86,16 @@ object Similarity {
     graft.GraftFunctions.register(corpus.sparkSession)
     val tables = (0 until numTables)
       .map(t => hyperplanes(planesPerTable, dim, seed = 42L + t))
+    // all tables' buckets in ONE nested-HOF expression (3 codegen'd
+    // loops) — building numTables×planesPerTable separate aggregate
+    // subtrees instead makes planning+codegen the dominant cost
+    val bitValues = typedLit((0 until planesPerTable).map(i => 1L << i))
     def tableBuckets(vec: Column): Column =
-      array(tables.map(p => lshBucket(vec, p)): _*)
+      transform(typedLit(tables), table =>
+        aggregate(
+          zip_with(table, bitValues, (p, bit) =>
+            when(VecFuncs.dot(vec, p) >= 0, bit).otherwise(lit(0L))),
+          lit(0L), (acc, v) => acc + v))
 
     val c = corpus.select(col(idCol).as("neighbor_id"),
         posexplode(tableBuckets(col(vecCol))).as(Seq("table_idx", "bucket")))
