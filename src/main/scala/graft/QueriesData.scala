@@ -374,9 +374,96 @@ object QueriesData {
       .join(exact, "event_type")
   }
 
+  // =====================================================================
+  // t06 — deterministic train/val/test split: a pure function of
+  // (doc_id, salt), bit-identical in any engine (md5-digit bucket) —
+  // the reproducible-split contract of a training-data pipeline.
+  // =====================================================================
+  val t06: Q = (s, d) => {
+    val bucket = graft.functions.Funcs.splitBucket(col("doc_id"), "graft")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      bucket.as("split_bucket"),
+      graft.functions.Funcs.splitLabel(bucket).as("split"))
+  }
+
+  val t06Sql: String =
+    """SELECT doc_id, split_bucket,
+      | CASE WHEN split_bucket < 80 THEN 'train'
+      |      WHEN split_bucket < 90 THEN 'val' ELSE 'test' END AS split
+      |FROM (
+      | SELECT doc_id,
+      |   CAST(CAST(substr(regexp_replace(md5(CAST(doc_id AS VARCHAR) || '|graft'),
+      |     '[a-f]', '', 'g') || '000000', 1, 6) AS BIGINT) % 100 AS BIGINT) AS split_bucket
+      | FROM documents)""".stripMargin
+
+  // =====================================================================
+  // t07 — sequence packing: greedy sequential packing of docs into
+  // ~2048-token context windows, per shard. A pack stream is
+  // inherently sequential (each doc's offset depends on all prior
+  // docs), so the parallelism unit is the SHARD — at cluster scale set
+  // shards ≈ cores and every shard packs independently after one
+  // shuffle; the per-shard window state is one running sum.
+  // =====================================================================
+  val t07: Q = (s, d) => {
+    val budget = 2048
+    val toks = Tables.documents(s, d).select(
+      col("doc_id"),
+      (graft.functions.Funcs.splitBucket(col("doc_id"), "pack") % 8).as("shard"),
+      size(split(trim(col("text")), " +")).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    toks
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin",
+        floor(col("start_offset").cast("double") / budget).cast("long"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("start_offset"), col("bin"))
+  }
+
+  val t07Sql: String =
+    """SELECT doc_id, shard, n_tokens, start_offset,
+      | CAST(floor(CAST(start_offset AS DOUBLE) / 2048) AS BIGINT) AS bin
+      |FROM (
+      | SELECT doc_id, shard, n_tokens,
+      |   CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |     - n_tokens AS start_offset
+      | FROM (
+      |  SELECT doc_id,
+      |    CAST(CAST(substr(regexp_replace(md5(CAST(doc_id AS VARCHAR) || '|pack'),
+      |      '[a-f]', '', 'g') || '000000', 1, 6) AS BIGINT) % 100 % 8 AS BIGINT) AS shard,
+      |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
+      |  FROM documents))""".stripMargin
+
+  // =====================================================================
+  // s04 — IVF ANN (rows-only: centroid sample is Spark-side; the
+  // SimilaritySpec asserts nprobe=nlist ≡ exact brute force).
+  // =====================================================================
+  val s04: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 10, nlist = 16, nprobe = 8)
+  }
+
+  // =====================================================================
+  // d06 — LSH-bucketed embedding near-dup: the 100 TB path for d05
+  // (rows-only: buckets are Spark-side; DedupSpec asserts precision=1
+  // vs the exact form and planted-pair recall).
+  // =====================================================================
+  val d06: Q = (s, d) =>
+    Dedup.embeddingNearDupsLsh(
+      Tables.embeddings(s, d).where(col("vec_id") % 7 === 0),
+      "vec_id", "embedding", threshold = 0.30)
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
+    "t06_split" -> t06,
+    "t07_seq_pack" -> t07,
+    "s04_ann_ivf" -> s04,
+    "d06_dedup_embedding_lsh" -> d06,
     "k01_kmv_distinct" -> k01,
     "a01_asof_attribution" -> a01,
     "g01_menu_datagen" -> g01,
@@ -397,6 +484,8 @@ object QueriesData {
     "m01_multimodal_meta" -> m01)
 
   val oracles: Map[String, String] = Map(
+    "t06_split" -> t06Sql,
+    "t07_seq_pack" -> t07Sql,
     "a01_asof_attribution" -> a01Sql,
     "y01_typed_revenue" -> y01Sql,
     "t05_token_freq" -> t05Sql,

@@ -54,4 +54,22 @@ object Funcs {
       .when(totalCents >= 15000000L, "GOLD")
       .when(totalCents >= 5000000L, "SILVER")
       .otherwise("BRONZE")
+
+  /** Deterministic 0-99 bucket from a stable id + salt — the basis for
+    * reproducible train/val/test splits. Pure md5 arithmetic (strip
+    * the hex letters, first 6 digits mod 100) so ANY engine computes
+    * the identical bucket: the split of a 100 TB corpus is a pure
+    * per-row expression, re-derivable forever, never a stored lookup.
+    */
+  def splitBucket(id: Column, salt: String): Column =
+    substring(
+      concat(regexp_replace(md5(concat(id.cast("string"), lit("|" + salt))),
+        "[a-f]", ""), lit("000000")), 1, 6)
+      .cast("bigint") % 100
+
+  /** Bucket → split label with the conventional 80/10/10 default. */
+  def splitLabel(bucket: Column, trainPct: Int = 80, valPct: Int = 10): Column =
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
 }

@@ -225,4 +225,41 @@ object Dedup {
         (col("label_a") === col("label_b")).as("same_label"),
         floor(col("cos") * 1000d).cast("long").as("cos_e3"))
   }
+
+  /** The 100 TB path for embedding near-dup: candidate pairs from
+    * sign-LSH bucket collisions across `numTables` independent tables
+    * (equi-join on (table, bucket) — shuffle on the key, never an
+    * all-pairs product), then the exact cosine filter on candidates
+    * only. Same output schema as [[embeddingNearDups]]; precision is 1
+    * by construction (every emitted pair passed the exact threshold),
+    * recall is the multi-table collision probability — near-identical
+    * vectors (the dedup regime, cos → 1) agree on almost every plane
+    * sign and collide in essentially every table.
+    */
+  def embeddingNearDupsLsh(emb: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, numTables: Int = 12,
+                           planesPerTable: Int = 6, dim: Int = 64): DataFrame = {
+    graft.GraftFunctions.register(emb.sparkSession)
+    val tables = Similarity.planeTables(numTables, planesPerTable, dim)
+    val buckets = emb.select(col(idCol).as("__id"),
+      posexplode(Similarity.tableBuckets(col(vecCol), tables))
+        .as(Seq("table_idx", "bucket")))
+    val cand = buckets.select(col("table_idx"), col("bucket"), col("__id").as("vec_id_a"))
+      .join(buckets.select(col("table_idx"), col("bucket"), col("__id").as("vec_id_b")),
+        Seq("table_idx", "bucket"))
+      .where(col("vec_id_a") < col("vec_id_b"))
+      .select("vec_id_a", "vec_id_b").distinct()
+    val side = (suffix: String) => emb.select(
+      col(idCol).as(s"vec_id_$suffix"), col(vecCol).as(s"v$suffix"),
+      col("label").as(s"label_$suffix"),
+      VecFuncs.normSqE12Native(col(vecCol)).cast("double").as(s"n$suffix"))
+    cand.join(side("a"), Seq("vec_id_a")).join(side("b"), Seq("vec_id_b"))
+      .withColumn("cos",
+        VecFuncs.dotE12Native(col("va"), col("vb")).cast("double") /
+          sqrt(col("na") * col("nb")))
+      .where(col("cos") >= threshold)
+      .select(col("vec_id_a"), col("vec_id_b"),
+        (col("label_a") === col("label_b")).as("same_label"),
+        floor(col("cos") * 1000d).cast("long").as("cos_e3"))
+  }
 }

@@ -49,6 +49,25 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** `numTables` independent plane sets (table t seeded `seed + t`). */
+  def planeTables(numTables: Int, planesPerTable: Int, dim: Int,
+                  seed: Long = 42L): Seq[Seq[Seq[Double]]] =
+    (0 until numTables).map(t => hyperplanes(planesPerTable, dim, seed + t))
+
+  /** All tables' sign-LSH buckets for one vector, as ONE nested-HOF
+    * expression (3 codegen'd loops). Building
+    * numTables×planesPerTable separate aggregate subtrees instead
+    * makes planning+codegen the dominant cost.
+    */
+  def tableBuckets(vec: Column, tables: Seq[Seq[Seq[Double]]]): Column = {
+    val bitValues = typedLit(tables.head.indices.map(i => 1L << i))
+    transform(typedLit(tables), table =>
+      aggregate(
+        zip_with(table, bitValues, (p, bit) =>
+          when(VecFuncs.dot(vec, p) >= 0, bit).otherwise(lit(0L))),
+        lit(0L), (acc, v) => acc + v))
+  }
+
   /** Sign-random-projection bucket key (one int per `planes` set). */
   def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
@@ -84,27 +103,16 @@ object Similarity {
               numTables: Int = 12, planesPerTable: Int = 6, dim: Int = 64,
               probeBits: Int = 1, maxBucketSize: Long = 1L << 20): DataFrame = {
     graft.GraftFunctions.register(corpus.sparkSession)
-    val tables = (0 until numTables)
-      .map(t => hyperplanes(planesPerTable, dim, seed = 42L + t))
-    // all tables' buckets in ONE nested-HOF expression (3 codegen'd
-    // loops) — building numTables×planesPerTable separate aggregate
-    // subtrees instead makes planning+codegen the dominant cost
-    val bitValues = typedLit((0 until planesPerTable).map(i => 1L << i))
-    def tableBuckets(vec: Column): Column =
-      transform(typedLit(tables), table =>
-        aggregate(
-          zip_with(table, bitValues, (p, bit) =>
-            when(VecFuncs.dot(vec, p) >= 0, bit).otherwise(lit(0L))),
-          lit(0L), (acc, v) => acc + v))
+    val tables = planeTables(numTables, planesPerTable, dim)
 
     val c = corpus.select(col(idCol).as("neighbor_id"),
-        posexplode(tableBuckets(col(vecCol))).as(Seq("table_idx", "bucket")))
+        posexplode(tableBuckets(col(vecCol), tables)).as(Seq("table_idx", "bucket")))
     // query probes: the exact bucket plus every 1-bit flip of it
     def probeSet(b: Column): Column =
       if (probeBits < 1) array(b)
       else array(b +: (0 until planesPerTable).map(i => b.bitwiseXOR(lit(1L << i))): _*)
     val probes = queries.select(col(idCol).as("query_id"),
-        posexplode(tableBuckets(col(vecCol))).as(Seq("table_idx", "bucket0")))
+        posexplode(tableBuckets(col(vecCol), tables)).as(Seq("table_idx", "bucket0")))
       .select(col("query_id"), col("table_idx"),
         explode(probeSet(col("bucket0"))).as("bucket"))
 
@@ -117,7 +125,15 @@ object Similarity {
       .where(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id").distinct()
 
-    // exact rerank of the candidate pairs only
+    exactRerank(cand, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** Exact cosine rerank of candidate (query_id, neighbor_id) pairs —
+    * only candidates ever touch a vector again: one hash join on
+    * neighbor_id against the corpus vectors, queries broadcast.
+    */
+  private def exactRerank(cand: DataFrame, corpus: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, k: Int): DataFrame = {
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       VecFuncs.normSqE12Native(col(vecCol)).cast("double").as("cn"))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
@@ -133,5 +149,63 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
         floor(col("cos") * 1000d).cast("long").as("cos_e3"))
+  }
+
+  /** IVF (inverted-file) ANN: a coarse quantizer of `nlist` centroids
+    * partitions the corpus into inverted lists; each query probes only
+    * its `nprobe` nearest lists and reranks those candidates exactly.
+    *
+    * Quantizer training is a driver-side METADATA step (`nlist`
+    * deterministically-sampled corpus vectors, unit-normalized — the
+    * IVF-flat analog of a trained codebook; every ANN index trains its
+    * quantizer somewhere small). List ASSIGNMENT and probing are pure
+    * distributed expressions: one nested-HOF pass computes all
+    * centroid dots, argmax assigns, and the corpus shuffles once on
+    * the list id. `nprobe = nlist` probes everything — output then
+    * equals the exact brute force (spec-asserted), which is the
+    * correctness oracle for the machinery; smaller `nprobe` trades
+    * recall for a ~nprobe/nlist fraction of the scan.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    graft.GraftFunctions.register(corpus.sparkSession)
+    // --- quantizer training: deterministic sample, unit-normalized
+    val centroids: Seq[Seq[Double]] = corpus
+      .select(col(idCol).cast("string").as("__sid"), col(vecCol).as("__v"))
+      .orderBy(md5(col("__sid"))).limit(nlist)
+      .collect().toSeq
+      .map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble)
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n > 0) v.map(_ / n) else v
+      }
+    val n = centroids.size
+    val centLit = typedLit(centroids)
+    def dots(vec: Column): Column = transform(centLit, c => VecFuncs.dot(vec, c))
+    // argmax over centroid dots; array_position takes the FIRST max —
+    // deterministic tie-break by centroid index
+    def assigned(vec: Column): Column = {
+      val d = dots(vec)
+      array_position(d, array_max(d)).cast("int")
+    }
+    def probeLists(vec: Column): Column = {
+      val structs = zip_with(dots(vec),
+        sequence(lit(1), lit(n)), (d, i) => struct(d.as("d"), i.as("i")))
+      val sorted = array_sort(structs, (l, r) =>
+        when(l.getField("d") > r.getField("d"), -1)
+          .when(l.getField("d") < r.getField("d"), 1)
+          .when(l.getField("i") < r.getField("i"), -1)
+          .otherwise(1).cast("int"))
+      transform(slice(sorted, 1, math.min(nprobe, n)), s => s.getField("i").cast("int"))
+    }
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), assigned(col(vecCol)).as("__list"))
+    val q = queries.select(col(idCol).as("query_id"),
+      explode(probeLists(col(vecCol))).as("__list"))
+    val cand = c.join(broadcast(q), Seq("__list"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").distinct()
+    exactRerank(cand, corpus, queries, idCol, vecCol, k)
   }
 }

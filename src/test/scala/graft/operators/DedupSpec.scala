@@ -66,4 +66,22 @@ class DedupSpec extends SparkSpec {
       .collect().toSeq
     assert(pairs == Seq((0L, 1L, true)))
   }
+
+  test("embeddingNearDupsLsh: precision 1 vs exact form, planted near-dup recalled") {
+    val mk = (seed: Int) => {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextFloat() * 2 - 1)
+    }
+    val v0 = mk(1)
+    val v0close = v0.map(x => x + 0.01f) // cos ≈ 1 → collides in every table
+    val emb = ((0L, v0, 0) +: (1L, v0close, 0) +:
+      (2L to 40L).map(i => (i, mk(i.toInt), 1)))
+      .toDF("vec_id", "embedding", "label")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id_a", "vec_id_b", "cos_e3").as[(Long, Long, Long)].collect().toSet
+    val exact = pairSet(Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.5))
+    val lsh = pairSet(Dedup.embeddingNearDupsLsh(emb, "vec_id", "embedding", 0.5))
+    assert(lsh.subsetOf(exact))           // precision 1: exact filter on candidates
+    assert(lsh.exists(p => p._1 == 0L && p._2 == 1L)) // the near-identical pair
+  }
 }

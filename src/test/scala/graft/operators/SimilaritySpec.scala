@@ -51,6 +51,31 @@ class SimilaritySpec extends SparkSpec {
     lsh.foreach { case (id, ce3) => assert(brute(id) == ce3) }
   }
 
+  test("ivfTopK with nprobe = nlist is EXACTLY the brute force (machinery oracle)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+    val emb = graft.Tables.embeddings(spark, dir)
+    val q = emb.where($"vec_id" < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id", "cos_e3")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val exact = rows(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10))
+    val exhaustive = rows(Similarity.ivfTopK(emb, q, "vec_id", "embedding", 10,
+      nlist = 16, nprobe = 16))
+    assert(exhaustive == exact)
+    // partial probing: a subset scan whose survivors carry exact ranks/cos
+    val partial = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 10,
+      nlist = 16, nprobe = 8)
+      .select("query_id", "neighbor_id", "cos_e3")
+      .as[(Long, Long, Long)].collect()
+    val exactCos = exact.map(r => (r._1, r._3) -> r._4).toMap
+    partial.foreach { case (qid, nid, ce3) => assert(exactCos.get((qid, nid)).forall(_ == ce3)) }
+    val recall = partial.map(r => (r._1, r._2)).toSet
+      .intersect(exact.map(r => (r._1, r._3)).toSet).size.toDouble / exact.size
+    info(f"ivf recall@10 at nprobe=8/16: $recall%.3f")
+    assert(recall >= 0.5)
+  }
+
   test("lshTopK recall@10 >= 0.9 vs exact top-k on the test corpus") {
     val dir = "/root/testdata/sf0.001"
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
