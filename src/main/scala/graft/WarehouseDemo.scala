@@ -82,8 +82,7 @@ object WarehouseDemo {
         """loc_id,city,state,tier,updated_at,rec_id
           |1,Pune,MH,1,2024-02-01 00:00:00,104
           |""".stripMargin)
-      Warehouse.runIncremental(spark,
-          cfg.copy(entities = cfg.entities.filter(_.format == "csv"), facts = Nil),
+      Warehouse.runIncremental(spark, cfg.copy(facts = Nil),
           s"$root/wh", s"$root/ckpt")
         .foreach(_.awaitTermination())
       val loc1 = spark.read.parquet(s"$root/wh/clean/location")

@@ -180,6 +180,7 @@ object Similarity {
         val n = math.sqrt(v.map(x => x * x).sum)
         if (n > 0) v.map(_ / n) else v
       }
+    require(centroids.nonEmpty, "ivfTopK: empty corpus — no centroids to train")
     val n = centroids.size
     val centLit = typedLit(centroids)
     def dots(vec: Column): Column = transform(centLit, c => VecFuncs.dot(vec, c))

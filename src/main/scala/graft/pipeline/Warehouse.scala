@@ -124,9 +124,12 @@ object Warehouse {
   def runIncremental(spark: SparkSession, cfg: Config, outDir: String,
                      checkpointDir: String, numBuckets: Int = 16): Seq[StreamingQuery] =
     cfg.entities.map { e =>
-      require(e.format == "csv", s"incremental mode streams csv stages; ${e.name} is ${e.format}")
-      val staged = StreamPipeline.auditedCsvStream(
-        spark, e.stagePath, StageReader.textSchema(e.columns))
+      val schema = StageReader.textSchema(e.columns)
+      val staged = e.format match {
+        case "csv"  => StreamPipeline.auditedCsvStream(spark, e.stagePath, schema)
+        case "json" => StreamPipeline.auditedJsonStream(spark, e.stagePath, schema)
+        case other  => throw new IllegalArgumentException(s"unknown stage format: $other")
+      }
       val typed = StageReader.typed(staged, e.casts)
       typed.writeStream
         .option("checkpointLocation", s"$checkpointDir/${e.name}")

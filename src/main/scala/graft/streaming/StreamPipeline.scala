@@ -52,8 +52,16 @@ object StreamPipeline {
     * second pass over the bytes, which a file stream doesn't get).
     */
   def auditedCsvStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.readStream.schema(schema).option("header", "true").csv(path)
-      .withColumn("_stg_file_name", input_file_name())
+    withStreamAudit(spark.readStream.schema(schema).option("header", "true").csv(path))
+
+  /** JSON twin of [[auditedCsvStream]] (the reference's delivery_agent
+    * feed is JSON — `with procedures/delivery_agent_proc.sql`).
+    */
+  def auditedJsonStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    withStreamAudit(spark.readStream.schema(schema).json(path))
+
+  private def withStreamAudit(df: DataFrame): DataFrame =
+    df.withColumn("_stg_file_name", input_file_name())
       .withColumn("_stg_file_load_ts", expr("_metadata.file_modification_time"))
       .withColumn("_stg_file_size", expr("_metadata.file_size"))
       .withColumn("_copy_data_ts", current_timestamp())
@@ -91,6 +99,7 @@ object StreamPipeline {
   def upsertBatch(batch: Dataset[Row], targetDir: String,
                   keys: Seq[String], orderBy: Seq[Column],
                   numBuckets: Int = 16): Unit = {
+    if (batch.isEmpty) return // empty micro-batch: nothing to merge
     val spark = batch.sparkSession
     // dedup within the batch too — one micro-batch can carry several
     // versions of the same key (e.g. multiple staged files at once)
@@ -175,6 +184,7 @@ object StreamPipeline {
   def scd2ApplyBatch(batch: DataFrame, targetDir: String,
                      keys: Seq[String], ts: String, tiebreak: String,
                      numBuckets: Int = 16): Unit = {
+    if (batch.isEmpty) return // empty micro-batch: nothing to fold
     val spark = batch.sparkSession
     val b = withBucket(batch, keys, numBuckets)
     if (!Files.exists(Paths.get(targetDir)))

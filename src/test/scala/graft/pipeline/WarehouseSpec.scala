@@ -87,7 +87,14 @@ class WarehouseSpec extends SparkSpec {
     val root = Files.createTempDirectory("graft_whi").toString
     val cfg = Warehouse.Config(entities = Seq(
       Warehouse.Entity("location", "csv", s"$root/stage/location",
-        locCols, locCasts, Seq("loc_id"), "updated_at", "rec_id", scd2 = true)))
+        locCols, locCasts, Seq("loc_id"), "updated_at", "rec_id", scd2 = true),
+      Warehouse.Entity("delivery_agent", "json", s"$root/stage/delivery_agent",
+        Seq("agent_id", "agent_name", "updated_at", "rec_id"),
+        Seq("agent_id" -> "bigint", "updated_at" -> "timestamp", "rec_id" -> "bigint"),
+        Seq("agent_id"), "updated_at", "rec_id")))
+    write(s"$root/stage/delivery_agent/agents.json",
+      """{"agent_id": "5", "agent_name": "Arjun", "updated_at": "2024-01-01 00:00:00", "rec_id": "301"}
+        |""".stripMargin)
 
     write(s"$root/stage/location/batch1.csv",
       """loc_id,city,tier,updated_at,rec_id
@@ -111,5 +118,9 @@ class WarehouseSpec extends SparkSpec {
     val dim = spark.read.parquet(s"$root/wh/dim/location").where($"loc_id" === 1)
     assert(dim.count() == 2)
     assert(dim.where($"current_flag").select("rec_id").as[Long].head() == 102L)
+    // the JSON-staged entity flowed through the same incremental path
+    assert(spark.read.parquet(s"$root/wh/clean/delivery_agent")
+      .select($"agent_id", $"agent_name").as[(Long, String)].collect().toSeq ==
+      Seq((5L, "Arjun")))
   }
 }
