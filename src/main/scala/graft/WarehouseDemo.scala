@@ -82,9 +82,9 @@ object WarehouseDemo {
         """loc_id,city,state,tier,updated_at,rec_id
           |1,Pune,MH,1,2024-02-01 00:00:00,104
           |""".stripMargin)
-      Warehouse.runIncremental(spark, cfg.copy(facts = Nil),
-          s"$root/wh", s"$root/ckpt")
+      Warehouse.runIncremental(spark, cfg, s"$root/wh", s"$root/ckpt")
         .foreach(_.awaitTermination())
+      Warehouse.runFacts(spark, cfg, s"$root/wh") // fact layer catches up
       val loc1 = spark.read.parquet(s"$root/wh/clean/location")
         .where(org.apache.spark.sql.functions.col("loc_id") === 1)
         .select("tier").collect().map(_.getInt(0)).toSeq

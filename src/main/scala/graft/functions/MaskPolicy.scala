@@ -23,20 +23,22 @@ object MaskPolicy {
   type Masker = Column => Column
 
   /** Keep the first two chars, star the rest ("Jo****") — the
-    * reference's name policy.
+    * reference's name policy (Column form of [[Funcs.maskName]],
+    * which q12's oracle pins; MaskPolicySpec asserts their parity).
     */
   val nameMask: Masker = c => call_function("rpad", substring(c, 1, 2), length(c), lit("*"))
 
-  /** Keep the first char, fixed domain — the reference's email policy. */
-  val emailMask: Masker = c => concat(lower(substring(c, 1, 1)), lit("***@example.com"))
+  /** Keep the first char, fixed domain — the reference's email policy
+    * (bound to [[Funcs.maskEmail]]: one source of truth).
+    */
+  val emailMask: Masker = Funcs.maskEmail
 
   /** Keep the last 4 digits — the reference's phone policy. */
   val phoneMask: Masker = c =>
     concat(lit("******"), substring(c, -4, 4))
 
-  /** Numeric PII → coarse band (balance/price analog). */
-  val balanceBandMask: Masker = c =>
-    when(c < 0, "NEGATIVE").when(c < 5000, "LOW").otherwise("HIGH")
+  /** Numeric PII → coarse band (bound to [[Funcs.maskBalance]]). */
+  val balanceBandMask: Masker = Funcs.maskBalance
 
   /** The default policy set, keyed by governance tag. */
   val defaultPolicies: Map[String, Masker] = Map(

@@ -238,12 +238,22 @@ object Dedup {
     */
   def embeddingNearDupsLsh(emb: DataFrame, idCol: String, vecCol: String,
                            threshold: Double, numTables: Int = 12,
-                           planesPerTable: Int = 6, dim: Int = 64): DataFrame = {
+                           planesPerTable: Int = 6, dim: Int = 64,
+                           maxBucketSize: Long = 10000L): DataFrame = {
     graft.GraftFunctions.register(emb.sparkSession)
     val tables = Similarity.planeTables(numTables, planesPerTable, dim)
+    // degenerate-bucket cap (window count over the one fan-out): a hot
+    // bucket — e.g. zero/padding vectors, which share EVERY table's
+    // bucket — would otherwise make the self-join quadratic in its
+    // size. Capped buckets are skipped; their members remain reachable
+    // through any table where they spread normally.
+    val wBucket = Window.partitionBy(col("table_idx"), col("bucket"))
     val buckets = emb.select(col(idCol).as("__id"),
-      posexplode(Similarity.tableBuckets(col(vecCol), tables))
-        .as(Seq("table_idx", "bucket")))
+        posexplode(Similarity.tableBuckets(col(vecCol), tables))
+          .as(Seq("table_idx", "bucket")))
+      .withColumn("__bsz", count(lit(1)).over(wBucket))
+      .where(col("__bsz") <= maxBucketSize)
+      .select("table_idx", "bucket", "__id")
     val cand = buckets.select(col("table_idx"), col("bucket"), col("__id").as("vec_id_a"))
       .join(buckets.select(col("table_idx"), col("bucket"), col("__id").as("vec_id_b")),
         Seq("table_idx", "bucket"))

@@ -19,6 +19,19 @@ import org.apache.spark.sql.functions._
 object Scd1 {
 
   private val RN = "__graft_rn"
+  private[operators] val SRC = "__graft_src"
+
+  /** Schema drift between merge sides is tolerated ONLY for audit
+    * columns (underscore-prefixed, e.g. a batch-only `_stg_file_md5`);
+    * a missing or extra DATA column is upstream breakage and must fail
+    * loudly, not be silently null-filled.
+    */
+  private[operators] def checkDrift(base: Seq[String], delta: Seq[String]): Unit = {
+    val baseOnly = (base.toSet -- delta).filterNot(_.startsWith("_"))
+    val deltaOnly = (delta.toSet -- base).filterNot(_.startsWith("_"))
+    require(baseOnly.isEmpty && deltaOnly.isEmpty,
+      s"SCD merge schema drift beyond audit columns: base-only=$baseOnly delta-only=$deltaOnly")
+  }
 
   /** Latest row per business key, ordered by `orderBy` descending
     * priority (pass e.g. `col("ts").desc, col("id").desc`). The
@@ -31,11 +44,20 @@ object Scd1 {
   }
 
   /** SCD1 merge: apply a delta batch onto a base snapshot; the newest
-    * version (per `orderBy`) survives. Schema drift between the sides
-    * (e.g. an audit column only the batch path carries) is tolerated:
-    * a column missing from one side is null there — the same additive
-    * schema-evolution contract a table-format MERGE gives you.
+    * version (per `orderBy`) survives. Schema drift limited to audit
+    * columns is tolerated (null-filled on the side missing them, the
+    * additive contract a table-format MERGE gives you); data-column
+    * drift fails loudly ([[checkDrift]]). On an exact `orderBy` tie —
+    * the at-least-once redelivery case, where the same version arrives
+    * again — the BASE row wins deterministically, so a replay can
+    * never flip a stored row's audit values.
     */
-  def merge(base: DataFrame, delta: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame =
-    latestByKey(base.unionByName(delta, allowMissingColumns = true), keys, orderBy)
+  def merge(base: DataFrame, delta: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame = {
+    checkDrift(base.columns, delta.columns)
+    latestByKey(
+      base.withColumn(SRC, lit(0))
+        .unionByName(delta.withColumn(SRC, lit(1)), allowMissingColumns = true),
+      keys, orderBy :+ col(SRC).asc)
+      .drop(SRC)
+  }
 }

@@ -51,20 +51,30 @@ object Scd2 {
     * anti-join side never re-sorts or re-windows.
     *
     * Idempotent under at-least-once delivery: a version is identified
-    * by (business key, tieBreak); redelivered versions already in the
-    * history are applied once, so replaying a micro-batch (foreachBatch
-    * failure, checkpoint reset over processed input) cannot duplicate
-    * history rows — the MERGE-on-key semantics of the reference.
+    * by (business key, tieBreak); a redelivered version already in the
+    * history is applied once, and the EXISTING history row wins the
+    * dedup deterministically (the delta copy of an already-applied
+    * version may carry different audit values — e.g. a replay
+    * timestamp — and must not overwrite the stored row). Replaying a
+    * micro-batch (foreachBatch failure, checkpoint reset over
+    * processed input) therefore reproduces the history byte-for-byte —
+    * the MERGE-on-key semantics of the reference.
     */
   def applyDelta(base: DataFrame, delta: DataFrame, keys: Seq[String], ts: String, tieBreak: String): DataFrame = {
+    Scd1.checkDrift(base.columns.filterNot(ScdCols.contains), delta.columns)
     val deltaKeys = delta.select(keys.map(col): _*).distinct()
     val touched = base.join(deltaKeys, keys, "left_semi")
-      .drop("eff_start_ts", "eff_end_ts", "current_flag")
+      .drop(ScdCols: _*)
     val untouched = base.join(deltaKeys, keys, "left_anti")
-    buildHistory(
-        touched.unionByName(delta, allowMissingColumns = true)
-          .dropDuplicates(keys :+ tieBreak),
-        keys, ts, tieBreak)
+    val src = Scd1.SRC
+    val wVer = Window.partitionBy((keys :+ tieBreak).map(col): _*).orderBy(col(src).asc)
+    val versions = touched.withColumn(src, lit(0))
+      .unionByName(delta.withColumn(src, lit(1)), allowMissingColumns = true)
+      .withColumn("__rn", row_number().over(wVer)).where(col("__rn") === 1)
+      .drop("__rn", src)
+    buildHistory(versions, keys, ts, tieBreak)
       .unionByName(untouched, allowMissingColumns = true)
   }
+
+  private val ScdCols = Seq("eff_start_ts", "eff_end_ts", "current_flag")
 }

@@ -68,12 +68,6 @@ object Similarity {
         lit(0L), (acc, v) => acc + v))
   }
 
-  /** Sign-random-projection bucket key (one int per `planes` set). */
-  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(VecFuncs.dot(vec, typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-
   /** ANN top-k via multi-table, multi-probe LSH + exact rerank of
     * candidates only.
     *
@@ -116,11 +110,13 @@ object Similarity {
       .select(col("query_id"), col("table_idx"),
         explode(probeSet(col("bucket0"))).as("bucket"))
 
-    val keptBuckets = c.groupBy(col("table_idx"), col("bucket"))
-      .agg(count(lit(1)).as("__bsz"))
+    // bucket-size cap via a window count over the ONE fan-out — a
+    // groupBy + semi-join back would reference the corpus fan-out (the
+    // dominant cost: all the signature dot products) twice, and AQE
+    // broadcasting the small side defeats ReuseExchange dedup
+    val wBucket = Window.partitionBy(col("table_idx"), col("bucket"))
+    val cand = c.withColumn("__bsz", count(lit(1)).over(wBucket))
       .where(col("__bsz") <= maxBucketSize)
-      .select("table_idx", "bucket")
-    val cand = c.join(keptBuckets, Seq("table_idx", "bucket"), "left_semi")
       .join(broadcast(probes), Seq("table_idx", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id").distinct()
@@ -176,7 +172,8 @@ object Similarity {
       .orderBy(md5(col("__sid"))).limit(nlist)
       .collect().toSeq
       .map { r =>
-        val v = r.getSeq[Float](1).map(_.toDouble)
+        // element type may be float OR double — unbox via Number
+        val v = r.getSeq[Number](1).map(_.doubleValue())
         val n = math.sqrt(v.map(x => x * x).sum)
         if (n > 0) v.map(_ / n) else v
       }

@@ -91,6 +91,7 @@ object Warehouse {
       StreamPipeline.withBucket(df, e.keys, numBuckets)
         .write.mode("overwrite")
         .partitionBy(StreamPipeline.BucketCol).parquet(path)
+      StreamPipeline.writeLayoutMarker(path, numBuckets)
       spark.read.parquet(path).drop(StreamPipeline.BucketCol)
     }
     val entityOut = cfg.entities.flatMap { e =>
@@ -103,13 +104,26 @@ object Warehouse {
       } else Nil
       Seq(s"clean/${e.name}" -> cleanOut) ++ dim
     }.toMap
+    entityOut ++ runFacts(spark, cfg, outDir)
+  }
+
+  /** (Re)build every fact from the PERSISTED clean/dim layers under
+    * `outDir` — callable standalone after an incremental pass so the
+    * fact layer catches up with the entity layers it derives from.
+    */
+  def runFacts(spark: SparkSession, cfg: Config, outDir: String): Map[String, DataFrame] = {
+    val entityOut = cfg.entities.flatMap { e =>
+      val layers = Seq("clean" -> true, "dim" -> e.scd2).collect { case (l, true) => l }
+      layers.map(l => s"$l/${e.name}" ->
+        spark.read.parquet(s"$outDir/$l/${e.name}").drop(StreamPipeline.BucketCol))
+    }.toMap
     cfg.facts.foldLeft(entityOut) { (built, f) =>
       val missing = f.inputs.filterNot(built.contains)
       require(missing.isEmpty, s"fact ${f.name}: unknown inputs $missing")
       f.build(built.view.filterKeys(f.inputs.contains).toMap)
         .write.mode("overwrite").parquet(s"$outDir/fact/${f.name}")
       built + (s"fact/${f.name}" -> spark.read.parquet(s"$outDir/fact/${f.name}"))
-    }
+    }.view.filterKeys(_.startsWith("fact/")).toMap ++ entityOut
   }
 
   /** Incremental run (the cron-task analog): each entity's stage
@@ -120,6 +134,11 @@ object Warehouse {
     * since the last checkpoint, then stop (re-invoke on whatever cron
     * cadence; state lives in the checkpoint, cost per run is
     * O(new files + touched buckets)).
+    *
+    * Facts are batch artifacts over the entity layers — after the
+    * returned queries drain (`awaitTermination`), call [[runFacts]] to
+    * bring the fact layer up to date with the entities it derives
+    * from; the streams themselves never touch `cfg.facts`.
     */
   def runIncremental(spark: SparkSession, cfg: Config, outDir: String,
                      checkpointDir: String, numBuckets: Int = 16): Seq[StreamingQuery] =

@@ -31,6 +31,13 @@ object StageReader {
   private def normPath(c: Column): Column =
     regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
 
+  /** `input_file_name()` additionally percent-encodes (a space becomes
+    * `%20`) while binaryFile's `path` is unescaped — decode before
+    * normalizing so the md5 join key matches for any file name.
+    */
+  private def normInputFileName(c: Column): Column =
+    normPath(url_decode(c))
+
   /** Content MD5 per staged file (the reference's `_stg_file_md5`
     * audit column). A second, per-file-parallel pass over the staged
     * bytes — unavoidable for a content hash — joined back broadcast
@@ -45,7 +52,7 @@ object StageReader {
     df.withColumn("_stg_file_name", input_file_name())
       .withColumn("_stg_file_load_ts", expr("_metadata.file_modification_time"))
       .withColumn("_stg_file_size", expr("_metadata.file_size"))
-      .join(broadcast(md5s), normPath(col("_stg_file_name")) === col("__md5_path"), "left")
+      .join(broadcast(md5s), normInputFileName(col("_stg_file_name")) === col("__md5_path"), "left")
       .drop("__md5_path")
       .withColumn("_copy_data_ts", current_timestamp())
 

@@ -47,6 +47,23 @@ object StreamPipeline {
   def withBucket(df: DataFrame, keys: Seq[String], numBuckets: Int): DataFrame =
     df.withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(numBuckets)))
 
+  /** The bucket count is a property of the TARGET LAYOUT, not of a
+    * call: a marker file written at target creation pins it, and every
+    * later merge uses the marker — a caller passing a different
+    * numBuckets can therefore never route a key away from the bucket
+    * its history lives in (which would silently duplicate keys).
+    * Underscore-prefixed, so parquet readers ignore it (like _SUCCESS).
+    */
+  private val LayoutMarker = "_graft_buckets"
+
+  private[graft] def writeLayoutMarker(targetDir: String, numBuckets: Int): Unit =
+    Files.writeString(Paths.get(targetDir, LayoutMarker), numBuckets.toString)
+
+  private[graft] def layoutBuckets(targetDir: String, fallback: Int): Int = {
+    val f = Paths.get(targetDir, LayoutMarker)
+    if (Files.exists(f)) Files.readString(f).trim.toInt else fallback
+  }
+
   /** Schema-on-read staged CSV ingest with audit columns (the batch
     * stage contract minus `_stg_file_md5` — a content hash needs a
     * second pass over the bytes, which a file stream doesn't get).
@@ -101,13 +118,14 @@ object StreamPipeline {
                   numBuckets: Int = 16): Unit = {
     if (batch.isEmpty) return // empty micro-batch: nothing to merge
     val spark = batch.sparkSession
-    // dedup within the batch too — one micro-batch can carry several
-    // versions of the same key (e.g. multiple staged files at once)
-    val b = withBucket(batch.toDF(), keys, numBuckets)
-    if (!Files.exists(Paths.get(targetDir)))
-      Scd1.latestByKey(b, keys, orderBy)
+    if (!Files.exists(Paths.get(targetDir))) {
+      // dedup within the batch too — one micro-batch can carry several
+      // versions of the same key (e.g. multiple staged files at once)
+      Scd1.latestByKey(withBucket(batch.toDF(), keys, numBuckets), keys, orderBy)
         .write.mode("overwrite").partitionBy(BucketCol).parquet(targetDir)
-    else {
+      writeLayoutMarker(targetDir, numBuckets)
+    } else {
+      val b = withBucket(batch.toDF(), keys, layoutBuckets(targetDir, numBuckets))
       val pruned = spark.read.parquet(targetDir)
         .where(col(BucketCol).isin(affectedBuckets(b): _*))
       writeAffected(Scd1.merge(pruned, b, keys, orderBy), targetDir)
@@ -186,11 +204,12 @@ object StreamPipeline {
                      numBuckets: Int = 16): Unit = {
     if (batch.isEmpty) return // empty micro-batch: nothing to fold
     val spark = batch.sparkSession
-    val b = withBucket(batch, keys, numBuckets)
-    if (!Files.exists(Paths.get(targetDir)))
-      Scd2.buildHistory(b, keys, ts, tiebreak)
+    if (!Files.exists(Paths.get(targetDir))) {
+      Scd2.buildHistory(withBucket(batch, keys, numBuckets), keys, ts, tiebreak)
         .write.mode("overwrite").partitionBy(BucketCol).parquet(targetDir)
-    else {
+      writeLayoutMarker(targetDir, numBuckets)
+    } else {
+      val b = withBucket(batch, keys, layoutBuckets(targetDir, numBuckets))
       val pruned = spark.read.parquet(targetDir)
         .where(col(BucketCol).isin(affectedBuckets(b): _*))
       writeAffected(Scd2.applyDelta(pruned, b, keys, ts, tiebreak), targetDir)

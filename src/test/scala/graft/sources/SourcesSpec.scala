@@ -30,6 +30,13 @@ class SourcesSpec extends SparkSpec {
     val md5s = StageReader.csv(spark, dir, Seq("orderid", "amount"))
       .select("_stg_file_md5").distinct().as[String].collect().toSeq
     assert(md5s == Seq(expected))
+    // names needing URI escaping still join (input_file_name percent-
+    // encodes; the binaryFile path does not)
+    val dir2 = Files.createTempDirectory("graft_md5sp").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir2/ord ers 1.csv"), content)
+    val md5s2 = StageReader.csv(spark, dir2, Seq("orderid", "amount"))
+      .select("_stg_file_md5").distinct().as[String].collect().toSeq
+    assert(md5s2 == Seq(expected))
   }
 
   test("StageReader.typed: TRY_CAST semantics — garbage becomes null, job survives") {

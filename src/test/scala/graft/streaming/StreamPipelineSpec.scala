@@ -165,6 +165,14 @@ class StreamPipelineSpec extends SparkSpec {
     val out1 = spark.read.parquet(t1).select("k", "v")
       .as[(Long, String)].collect().toSet
     assert(out1 == Set((kA, "a2"), (kB, "b1")))
+    // a caller passing a different numBuckets cannot corrupt the target:
+    // the layout marker pins the bucket count at creation
+    StreamPipeline.upsertBatch(
+      batch((kB, "b2", ts("2024-01-03 00:00:00"))), t1, Seq("k"),
+      Seq(col("ts").desc), numBuckets = 3)
+    val out1b = spark.read.parquet(t1).select("k", "v")
+      .as[(Long, String)].collect().toSet
+    assert(out1b == Set((kA, "a2"), (kB, "b2"))) // no duplicate kB row
 
     // --- SCD2 target
     val t2 = s"$dir/scd2"
