@@ -918,9 +918,43 @@ object Queries {
       |FROM events JOIN iv ON ts >= s AND ts < e
       |GROUP BY interval_id""".stripMargin
 
+  // =====================================================================
+  // q32 — ROLLUP subtotals (dashboard total/subtotal shape): one
+  // aggregate with grouping-set expansion — partial aggregation still
+  // applies, so the rollup costs one shuffle like the flat groupBy.
+  // The agg level is re-derived from the rollup NULLs (portable across
+  // engines — no grouping_id() dependency); source cols are never null
+  // in this schema so the derivation is unambiguous.
+  // =====================================================================
+  val q32: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(cents(col("l_extendedprice"))).as("gross_cents"),
+        sum(discPriceE4).as("disc_price_e4"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("return_flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("line_status"),
+        when(col("l_returnflag").isNull, 2L)
+          .when(col("l_linestatus").isNull, 1L)
+          .otherwise(0L).as("agg_level"),
+        col("n_items"), col("gross_cents"), col("disc_price_e4"))
+
+  val q32Sql: String =
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS return_flag,
+       | coalesce(l_linestatus, 'ALL') AS line_status,
+       | CAST(CASE WHEN l_returnflag IS NULL THEN 2
+       |           WHEN l_linestatus IS NULL THEN 1
+       |           ELSE 0 END AS BIGINT) AS agg_level,
+       | count(*) AS n_items,
+       | CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS gross_cents,
+       | CAST(sum($discPriceE4Sql) AS BIGINT) AS disc_price_e4
+       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
+    "q32_rollup" -> q32,
     "q31_range_join" -> q31,
     "q21_market_basket" -> q21,
     "q22_status_pivot" -> q22,
@@ -965,6 +999,7 @@ object Queries {
     "q29_never_ordered" -> q29Sql,
     "q30_incremental_agg" -> q30Sql,
     "q31_range_join" -> q31Sql,
+    "q32_rollup" -> q32Sql,
     "q01_typed_ingest" -> q01Sql,
     "q02_scd1_latest" -> q02Sql,
     "q03_scd2_history" -> q03Sql,

@@ -375,6 +375,34 @@ object QueriesData {
   }
 
   // =====================================================================
+  // k02 — EXACT heavy hitters via Misra-Gries sketch-then-verify:
+  // pass 1 keeps O(k) counters per group (guaranteed superset of
+  // everything above the 1/40 frequency threshold since k=64 ≥ 40),
+  // pass 2 exact-counts only the candidates — the full token-domain
+  // groupBy never happens, which is the point at 100 TB vocabulary
+  // scale. Output is exact, so a plain SQL aggregate is the oracle.
+  // =====================================================================
+  val k02: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("lang"), explode(TextFuncs.tokens(col("text"))).as("token"))
+      .where(length(col("token")) > 0)
+    graft.operators.Sketch.heavyHitters(toks, "lang", "token", phiDenom = 40L, k = 64)
+  }
+
+  val k02Sql: String =
+    """WITH toks AS (
+      |  SELECT lang, t.token FROM (
+      |    SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+      |    FROM documents) t
+      |  WHERE length(t.token) > 0),
+      |tot AS (SELECT lang, count(*) AS group_total FROM toks GROUP BY lang),
+      |cnt AS (SELECT lang, token, count(*) AS n_occurrences
+      |        FROM toks GROUP BY lang, token)
+      |SELECT c.lang, c.token, c.n_occurrences, t.group_total
+      |FROM cnt c JOIN tot t ON c.lang = t.lang
+      |WHERE c.n_occurrences * 40 > t.group_total""".stripMargin
+
+  // =====================================================================
   // t06 — deterministic train/val/test split: a pure function of
   // (doc_id, salt), bit-identical in any engine (md5-digit bucket) —
   // the reproducible-split contract of a training-data pipeline.
@@ -438,6 +466,58 @@ object QueriesData {
       |  FROM documents))""".stripMargin
 
   // =====================================================================
+  // t08 — PII scrubbing: free-text redaction of emails / phone numbers
+  // / long digit runs before a corpus ships to training. Runs over a
+  // synthesized customer "profile" string (name + derived email +
+  // TPC-H phone + comment) so every redaction class actually fires.
+  // Pure per-row regexp expressions — embarrassingly parallel, no
+  // shuffle at all; per-class counts are taken stage-by-stage so
+  // nothing is double-counted (ref analog: masking policies,
+  // 01 Create DB+Schema.sql:43-60, applied to free text).
+  // =====================================================================
+  val t08: Q = (s, d) => {
+    // TPC-H-style NN-NNN-NNN-NNNN phone + account digits, synthesized
+    // deterministically (pure integer arithmetic, identical in any
+    // engine) so every redaction class actually fires on this schema
+    val phone = concat(
+      (lit(10) + col("c_nationkey")).cast("string"), lit("-"),
+      lpad((col("c_custkey") * 7 % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("c_custkey") * 13 % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("c_custkey") * 31 % 10000).cast("string"), 4, "0"))
+    val profile = concat(
+      col("c_name"), lit(" <"),
+      regexp_replace(lower(col("c_name")), "#", "."), lit("@mail.example.com> phone "),
+      phone, lit(" acct "),
+      round(col("c_acctbal") * 100).cast("long").cast("string"),
+      lit(" "), col("c_mktsegment"))
+    val s1 = TextFuncs.scrubEmails(profile)
+    val s2 = TextFuncs.scrubPhones(s1)
+    Tables.customer(s, d).select(
+      col("c_custkey").as("customer_id"),
+      regexp_count(profile, lit(TextFuncs.EmailPat)).cast("long").as("n_emails"),
+      regexp_count(s1, lit(TextFuncs.PhonePat)).cast("long").as("n_phones"),
+      regexp_count(s2, lit(TextFuncs.DigitRunPat)).cast("long").as("n_digit_runs"),
+      TextFuncs.scrubDigitRuns(s2).as("scrubbed"))
+  }
+
+  val t08Sql: String = {
+    val phone = "(CAST(10 + c_nationkey AS VARCHAR) || '-' || " +
+      "lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0') || '-' || " +
+      "lpad(CAST(c_custkey * 13 % 1000 AS VARCHAR), 3, '0') || '-' || " +
+      "lpad(CAST(c_custkey * 31 % 10000 AS VARCHAR), 4, '0'))"
+    val profile =
+      s"(c_name || ' <' || regexp_replace(lower(c_name), '#', '.', 'g') || '@mail.example.com> phone ' || $phone || ' acct ' || CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR) || ' ' || c_mktsegment)"
+    val s1 = s"regexp_replace($profile, '${TextFuncs.EmailPat}', '[EMAIL]', 'g')"
+    val s2 = s"regexp_replace($s1, '${TextFuncs.PhonePat}', '[PHONE]', 'g')"
+    s"""SELECT c_custkey AS customer_id,
+       | CAST(len(regexp_extract_all($profile, '${TextFuncs.EmailPat}')) AS BIGINT) AS n_emails,
+       | CAST(len(regexp_extract_all($s1, '${TextFuncs.PhonePat}')) AS BIGINT) AS n_phones,
+       | CAST(len(regexp_extract_all($s2, '${TextFuncs.DigitRunPat}')) AS BIGINT) AS n_digit_runs,
+       | regexp_replace($s2, '${TextFuncs.DigitRunPat}', '[NUM]', 'g') AS scrubbed
+       |FROM customer""".stripMargin
+  }
+
+  // =====================================================================
   // s04 — IVF ANN (rows-only: centroid sample is Spark-side; the
   // SimilaritySpec asserts nprobe=nlist ≡ exact brute force).
   // =====================================================================
@@ -460,6 +540,8 @@ object QueriesData {
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
+    "t08_pii_scrub" -> t08,
+    "k02_heavy_hitters" -> k02,
     "t06_split" -> t06,
     "t07_seq_pack" -> t07,
     "s04_ann_ivf" -> s04,
@@ -484,6 +566,8 @@ object QueriesData {
     "m01_multimodal_meta" -> m01)
 
   val oracles: Map[String, String] = Map(
+    "t08_pii_scrub" -> t08Sql,
+    "k02_heavy_hitters" -> k02Sql,
     "t06_split" -> t06Sql,
     "t07_seq_pack" -> t07Sql,
     "a01_asof_attribution" -> a01Sql,

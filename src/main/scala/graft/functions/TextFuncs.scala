@@ -50,4 +50,32 @@ object TextFuncs {
     */
   def winnowFingerprint(text: Column, n: Int): Column =
     array_min(transform(shingles(text, n), s => xxhash64(s)))
+
+  // ------------------------------------------------------------------
+  // PII scrubbing (free-text redaction for training corpora)
+  // ------------------------------------------------------------------
+  // Patterns use explicit character classes only — identical semantics
+  // under Java regex (Spark) and RE2 (DuckDB), so the scrub is
+  // engine-reproducible. Scrub order matters: emails first (they
+  // contain digit runs), then structured phone numbers, then bare long
+  // digit runs — each stage counts matches on the PREVIOUS stage's
+  // output so nothing is double-counted.
+
+  /** email-shaped spans (local@domain, dot/digit-tolerant). */
+  val EmailPat = "[A-Za-z0-9.]+@[A-Za-z0-9.]+"
+  /** NN-NNN-NNN-NNNN phone shape (TPC-H phone format). */
+  val PhonePat = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  /** bare digit runs long enough to be ids/accounts. */
+  val DigitRunPat = "[0-9]{4,}"
+
+  def scrubEmails(text: Column): Column =
+    regexp_replace(text, EmailPat, "[EMAIL]")
+  def scrubPhones(text: Column): Column =
+    regexp_replace(text, PhonePat, "[PHONE]")
+  def scrubDigitRuns(text: Column): Column =
+    regexp_replace(text, DigitRunPat, "[NUM]")
+
+  /** Full scrub pipeline: emails → phones → digit runs. */
+  def scrubPii(text: Column): Column =
+    scrubDigitRuns(scrubPhones(scrubEmails(text)))
 }

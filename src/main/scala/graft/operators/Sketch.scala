@@ -69,4 +69,87 @@ object Sketch {
       .agg(new KmvDistinct[(String, Long)](k, _._2).toColumn.name("approx_distinct"))
       .toDF(groupCol, "approx_distinct")
   }
+
+  // ------------------------------------------------------------------
+  // Misra-Gries frequent items
+  // ------------------------------------------------------------------
+
+  /** MG state: at most k counters (wrapped for the product encoder). */
+  final case class MgBuf(k: Int, counts: Map[String, Long])
+  final case class MgOut(items: Map[String, Long])
+
+  /** Misra-Gries heavy-hitter sketch as a typed `Aggregator`: O(k)
+    * counters per group regardless of input size. The mergeable form
+    * (Agarwal et al., "Mergeable Summaries", PODS 2012 — public
+    * algorithm): counters add pointwise, then the (k+1)-th largest
+    * count is subtracted from all and non-positive counters dropped.
+    * Guarantee: true_freq − n/(k+1) ≤ est ≤ true_freq, so every item
+    * with true_freq > n/(k+1) is present in the sketch — which makes a
+    * sketch-then-exact-verify pipeline ([[heavyHitters]]) EXACT.
+    */
+  final class FreqItems[IN](k: Int, item: IN => String) extends Aggregator[IN, MgBuf, MgOut] {
+
+    override def zero: MgBuf = MgBuf(k, Map.empty)
+
+    /** Keep at most k counters: subtract the (k+1)-th largest count. */
+    private def shrink(kk: Int, m: Map[String, Long]): Map[String, Long] =
+      if (m.size <= kk) m
+      else {
+        val thresh = m.valuesIterator.toSeq.sorted(Ordering[Long].reverse)(kk)
+        m.collect { case (key, v) if v > thresh => key -> (v - thresh) }
+      }
+
+    override def reduce(b: MgBuf, in: IN): MgBuf = {
+      val x = item(in)
+      MgBuf(b.k, shrink(b.k, b.counts.updated(x, b.counts.getOrElse(x, 0L) + 1L)))
+    }
+
+    override def merge(x: MgBuf, y: MgBuf): MgBuf = {
+      val summed = y.counts.foldLeft(x.counts) { case (acc, (key, v)) =>
+        acc.updated(key, acc.getOrElse(key, 0L) + v)
+      }
+      MgBuf(x.k max y.k, shrink(x.k max y.k, summed))
+    }
+
+    override def finish(b: MgBuf): MgOut = MgOut(b.counts)
+
+    override def bufferEncoder: Encoder[MgBuf] = Encoders.product[MgBuf]
+    override def outputEncoder: Encoder[MgOut] = Encoders.product[MgOut]
+  }
+
+  /** EXACT per-group heavy hitters (items with freq·phiDenom > total)
+    * via sketch-then-verify — the 100 TB shape for "top items" when
+    * the item domain is too large to groupBy whole:
+    *
+    *  - pass 1: MG sketch per group (O(k) state, map-side partials,
+    *    one shuffle of k-entry maps). With k ≥ phiDenom every item
+    *    above the threshold is guaranteed to be in the candidate set.
+    *  - pass 2: semi-join the (tiny, broadcast) candidate list back
+    *    onto the stream and count ONLY candidate items exactly — the
+    *    full-domain groupBy never happens.
+    *
+    * Output is exact (sketch only prunes), so a plain SQL oracle
+    * verifies it.
+    */
+  def heavyHitters(df: DataFrame, groupCol: String, itemCol: String,
+                   phiDenom: Long, k: Int): DataFrame = {
+    require(k >= phiDenom, s"k=$k must be >= phiDenom=$phiDenom for the exactness guarantee")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stream = df.select(col(groupCol).cast("string").as("__g"),
+      col(itemCol).cast("string").as("__i"))
+    val cands = stream.as[(String, String)]
+      .groupByKey(_._1)
+      .agg(new FreqItems[(String, String)](k, _._2).toColumn.name("sketch"))
+      .toDF("__g", "sketch")
+      .select(col("__g"), explode(map_keys(col("sketch.items"))).as("__i"))
+    val totals = stream.groupBy(col("__g")).agg(count(lit(1)).as("total"))
+    stream.join(broadcast(cands), Seq("__g", "__i"), "left_semi")
+      .groupBy(col("__g"), col("__i"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .join(broadcast(totals), Seq("__g"))
+      .where(col("n_occurrences") * phiDenom > col("total"))
+      .select(col("__g").as(groupCol), col("__i").as(itemCol),
+        col("n_occurrences"), col("total").as("group_total"))
+  }
 }

@@ -52,4 +52,23 @@ class TextFuncsSpec extends SparkSpec {
     assert(rows(1)._3 > rows(1)._2)                            // de doc
     assert(rows(2)._4 > rows(2)._2)                            // fr doc
   }
+
+  test("PII scrub redacts emails, phones, and digit runs in order (no double redaction)") {
+    val df = Seq(
+      (1L, "mail a.user1@mail.example.com or call 25-989-741-2988 ref 123456 ok"),
+      (2L, "no pii here at all"),
+      (3L, "short 123 stays, 9999 goes")).toDF("id", "t")
+    val out = df.select($"id",
+      TextFuncs.scrubPii($"t").as("s"),
+      regexp_count($"t", lit(TextFuncs.EmailPat)).as("ne"),
+      regexp_count(TextFuncs.scrubEmails($"t"), lit(TextFuncs.PhonePat)).as("np"),
+      regexp_count(TextFuncs.scrubPhones(TextFuncs.scrubEmails($"t")),
+        lit(TextFuncs.DigitRunPat)).as("nd"))
+      .as[(Long, String, Int, Int, Int)].collect().sortBy(_._1)
+    assert(out(0)._2 == "mail [EMAIL] or call [PHONE] ref [NUM] ok")
+    assert((out(0)._3, out(0)._4, out(0)._5) == ((1, 1, 1))) // phone/digits inside email+phone not recounted
+    assert(out(1)._2 == "no pii here at all")
+    assert((out(1)._3, out(1)._4, out(1)._5) == ((0, 0, 0)))
+    assert(out(2)._2 == "short 123 stays, [NUM] goes")
+  }
 }

@@ -31,4 +31,41 @@ class SketchSpec extends SparkSpec {
     val e8 = Sketch.kmvDistinct(df8, "grp", "key").as[(String, Long)].head()._2
     assert(e1 == e8)
   }
+
+  // Zipf-ish skewed stream: item i appears ~N/i times → a few heavy
+  // items over a long tail, the regime MG exists for.
+  private def skewed(n: Int): Seq[(String, String)] =
+    (1 to n).flatMap(i => Seq.fill(n / i)(("g", s"item$i")))
+
+  test("Misra-Gries sketch contains every item above the n/(k+1) threshold, under any partitioning") {
+    val rows = skewed(200)
+    val n = rows.size.toLong
+    val k = 20
+    val exact = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val mustHave = exact.collect { case (it, c) if c * (k + 1) > n => it }.toSet
+
+    for (parts <- Seq(1, 3, 8)) {
+      val df = rows.toDF("grp", "item").repartition(parts)
+      val sketch = df.as[(String, String)]
+        .groupByKey(_._1)
+        .agg(new Sketch.FreqItems[(String, String)](k, _._2).toColumn.name("s"))
+        .collect().head._2.items
+      assert(sketch.size <= k)
+      assert(mustHave.subsetOf(sketch.keySet),
+        s"parts=$parts missing ${mustHave.diff(sketch.keySet)}")
+      // estimates never exceed true counts
+      sketch.foreach { case (it, est) => assert(est <= exact(it)) }
+    }
+  }
+
+  test("heavyHitters (sketch-then-verify) is EXACT: equals the full groupBy computation") {
+    val df = skewed(500).toDF("grp", "item").repartition(7)
+    val phi = 40L
+    val got = Sketch.heavyHitters(df, "grp", "item", phiDenom = phi, k = 64)
+      .as[(String, String, Long, Long)].collect().toSet
+    val n = df.count()
+    val expect = skewed(500).groupBy(_._2).view.mapValues(_.size.toLong)
+      .collect { case (it, c) if c * phi > n => ("g", it, c, n) }.toSet
+    assert(got == expect)
+  }
 }
