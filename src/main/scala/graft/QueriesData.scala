@@ -53,8 +53,13 @@ object QueriesData {
   // =====================================================================
   val d04: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val cands = Dedup.candidatePairs(
-      Dedup.minhashBands(docs, "text", "doc_id"), "doc_id")
+    // materialize the banded form once: it is tiny relative to the
+    // corpus (doc_id × 16 band keys) but its LINEAGE is the whole
+    // signature pipeline, which the candidate self-join references
+    // twice (AQE's broadcast of one side defeats ReuseExchange dedup)
+    val bands = Dedup.minhashBands(docs, "text", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = Dedup.candidatePairs(bands, "doc_id")
     Dedup.ngramJaccard(cands, docs, "text", "doc_id")
       .withColumn("is_near_dup", col("jaccard_e6") >= 500000L)
   }
