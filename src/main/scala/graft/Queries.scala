@@ -951,9 +951,75 @@ object Queries {
        | CAST(sum($discPriceE4Sql) AS BIGINT) AS disc_price_e4
        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
 
+  // =====================================================================
+  // q33 — analytic-window suite per customer order stream: sequence
+  // number, running total, 3-order moving sum/avg, quartile bucket.
+  // One shuffle on the partition key serves every window (same spec);
+  // all arithmetic integer-exact, ordering made total by the
+  // (date, orderkey) tiebreak.
+  // =====================================================================
+  val q33: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val w3 = w.rowsBetween(-2, Window.currentRow)
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d).select(
+      col("o_custkey").as("customer_id"),
+      col("o_orderkey").as("order_id"),
+      dateStr(col("o_orderdate")).as("order_date"),
+      row_number().over(w).cast("long").as("order_seq"),
+      sum(cents(col("o_totalprice"))).over(wAll).as("running_cents"),
+      sum(cents(col("o_totalprice"))).over(w3).as("ma3_sum_cents"),
+      count(lit(1)).over(w3).as("ma3_n"),
+      floor(sum(cents(col("o_totalprice"))).over(w3).cast("double") /
+        count(lit(1)).over(w3)).as("ma3_cents"),
+      ntile(4).over(w).cast("long").as("spend_quartile"))
+  }
+
+  val q33Sql: String =
+    s"""SELECT o_custkey AS customer_id, o_orderkey AS order_id,
+       | ${dateStrSql("o_orderdate")} AS order_date,
+       | row_number() OVER w AS order_seq,
+       | CAST(sum(${centsSql("o_totalprice")}) OVER
+       |   (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
+       | CAST(sum(${centsSql("o_totalprice")}) OVER
+       |   (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS ma3_sum_cents,
+       | count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3_n,
+       | CAST(floor(CAST(sum(${centsSql("o_totalprice")}) OVER
+       |     (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) /
+       |   count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS BIGINT) AS ma3_cents,
+       | ntile(4) OVER w AS spend_quartile
+       |FROM orders
+       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin
+
+  // =====================================================================
+  // q34 — salted-join equivalence: the skew fallback (left side salted
+  // into 8 sub-keys, dim replicated ×8) must produce byte-identical
+  // results to the plain join — proven by the oracle, which IS the
+  // plain join. The aggregate keeps the output small.
+  // =====================================================================
+  val q34: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("okey"), cents(col("l_extendedprice")).as("price_cents"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").as("okey"), col("o_orderstatus").as("status"))
+    graft.operators.Skew.saltedJoin(li, o, "okey", buckets = 8)
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("price_cents")).as("total_cents"))
+  }
+
+  val q34Sql: String =
+    s"""SELECT o_orderstatus AS status, count(*) AS n_items,
+       | CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS total_cents
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderstatus""".stripMargin
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
+    "q33_window_suite" -> q33,
+    "q34_salted_join" -> q34,
     "q32_rollup" -> q32,
     "q31_range_join" -> q31,
     "q21_market_basket" -> q21,
@@ -1000,6 +1066,8 @@ object Queries {
     "q30_incremental_agg" -> q30Sql,
     "q31_range_join" -> q31Sql,
     "q32_rollup" -> q32Sql,
+    "q33_window_suite" -> q33Sql,
+    "q34_salted_join" -> q34Sql,
     "q01_typed_ingest" -> q01Sql,
     "q02_scd1_latest" -> q02Sql,
     "q03_scd2_history" -> q03Sql,

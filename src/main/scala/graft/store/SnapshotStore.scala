@@ -11,7 +11,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.operators.Scd1
+import graft.operators.{Scd1, Scd2}
 
 /** A minimal transactional table format: versioned snapshots with
   * bucket-level copy-on-write and an atomic manifest commit — the
@@ -270,6 +270,30 @@ object SnapshotStore {
           } else {
             commitDelta(spark, root, b, keys,
               (cur, delta) => Scd1.merge(cur, delta, keys, orderBy))
+          }
+        }: Unit
+      }
+      .start()
+
+  /** Continuous SCD2 dim maintenance with snapshot isolation: the
+    * incremental [[Scd2.applyDelta]] fold (delta-keys-only
+    * re-derivation, redelivery-idempotent) committing one atomic
+    * version per micro-batch.
+    */
+  def scd2SnapshotSink(stream: DataFrame, root: String, checkpointDir: String,
+                       keys: Seq[String], ts: String, tiebreak: String,
+                       numBuckets: Int = 16): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          val b = batch.toDF()
+          if (latestVersion(spark, root).isEmpty) {
+            init(spark, root, Scd2.buildHistory(b, keys, ts, tiebreak), keys, numBuckets)
+          } else {
+            commitDelta(spark, root, b, keys,
+              (cur, delta) => Scd2.applyDelta(cur, delta, keys, ts, tiebreak))
           }
         }: Unit
       }

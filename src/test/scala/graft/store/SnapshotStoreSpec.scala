@@ -121,4 +121,38 @@ class SnapshotStoreSpec extends SparkSpec {
       assert(SnapshotStore.versions(spark, root) == Seq(0L, 1L))
     } finally q.stop()
   }
+
+  test("scd2SnapshotSink: incremental history fold equals full rebuild, atomically versioned") {
+    val root = tmpDir("scd2")
+    val ckpt = tmpDir("scd2-ckpt")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    val q = SnapshotStore.scd2SnapshotSink(
+      mem.toDF().toDF("k", "v", "ts"), root, ckpt,
+      Seq("k"), ts = "ts", tiebreak = "v", numBuckets = 4)
+    try {
+      val b1 = Seq((1L, "a", 1L), (2L, "b", 1L))
+      val b2 = Seq((1L, "a2", 5L), (3L, "c", 5L))
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+
+      val expected = graft.operators.Scd2.buildHistory(
+        (b1 ++ b2).toDF("k", "v", "ts"), Seq("k"), "ts", "v")
+        .select("k", "v", "ts", "eff_start_ts", "eff_end_ts", "current_flag")
+        .as[(Long, String, Long, Long, Option[Long], Boolean)].collect().toSet
+      val got = SnapshotStore.read(spark, root)
+        .select("k", "v", "ts", "eff_start_ts", "eff_end_ts", "current_flag")
+        .as[(Long, String, Long, Long, Option[Long], Boolean)].collect().toSet
+      assert(got == expected)
+      assert(SnapshotStore.versions(spark, root) == Seq(0L, 1L))
+
+      // redelivery of batch 2 (at-least-once replay) leaves the history unchanged
+      SnapshotStore.commitDelta(spark, root, b2.toDF("k", "v", "ts"), Seq("k"),
+        (cur, delta) => graft.operators.Scd2.applyDelta(cur, delta, Seq("k"), "ts", "v"))
+      val replayed = SnapshotStore.read(spark, root)
+        .select("k", "v", "ts", "eff_start_ts", "eff_end_ts", "current_flag")
+        .as[(Long, String, Long, Long, Option[Long], Boolean)].collect().toSet
+      assert(replayed == expected)
+    } finally q.stop()
+  }
 }
