@@ -138,16 +138,19 @@ object Sketch {
     import spark.implicits._
     val stream = df.select(col(groupCol).cast("string").as("__g"),
       col(itemCol).cast("string").as("__i"))
+    // group totals ride along with the sketch pass (one typed agg, one
+    // shuffle) — not a third scan of the stream
     val cands = stream.as[(String, String)]
       .groupByKey(_._1)
-      .agg(new FreqItems[(String, String)](k, _._2).toColumn.name("sketch"))
-      .toDF("__g", "sketch")
-      .select(col("__g"), explode(map_keys(col("sketch.items"))).as("__i"))
-    val totals = stream.groupBy(col("__g")).agg(count(lit(1)).as("total"))
-    stream.join(broadcast(cands), Seq("__g", "__i"), "left_semi")
+      .agg(new FreqItems[(String, String)](k, _._2).toColumn.name("sketch"),
+        count(lit(1)).as[Long].name("total"))
+      .toDF("__g", "sketch", "total")
+      .select(col("__g"), col("total"),
+        explode(map_keys(col("sketch.items"))).as("__i"))
+    stream.join(broadcast(cands.select("__g", "__i")), Seq("__g", "__i"), "left_semi")
       .groupBy(col("__g"), col("__i"))
       .agg(count(lit(1)).as("n_occurrences"))
-      .join(broadcast(totals), Seq("__g"))
+      .join(broadcast(cands), Seq("__g", "__i"))
       .where(col("n_occurrences") * phiDenom > col("total"))
       .select(col("__g").as(groupCol), col("__i").as(itemCol),
         col("n_occurrences"), col("total").as("group_total"))

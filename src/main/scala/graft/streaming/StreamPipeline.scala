@@ -225,6 +225,31 @@ object StreamPipeline {
     stream.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Streaming heavy hitters: per-group Misra-Gries state folded
+    * across micro-batches — O(k) state per group FOREVER, no matter
+    * how many distinct items stream past (the unbounded-domain case
+    * where exact streaming counts would grow without limit). After
+    * each batch the group re-emits its current top `topN` estimates
+    * (MG lower bounds; items above freq n/(k+1) are guaranteed
+    * present). Batch twin: [[graft.operators.Sketch.heavyHitters]].
+    */
+  def streamingHeavyHitters(items: Dataset[(String, String)], k: Int,
+                            topN: Int): Dataset[(String, String, Long)] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val agg = new graft.operators.Sketch.FreqItems[(String, String)](k, _._2)
+    items.groupByKey(_._1)
+      .flatMapGroupsWithState[graft.operators.Sketch.MgBuf, (String, String, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (g, rows, state: GroupState[graft.operators.Sketch.MgBuf]) =>
+          var buf = state.getOption.getOrElse(agg.zero)
+          rows.foreach(r => buf = agg.reduce(buf, r))
+          state.update(buf)
+          buf.counts.toSeq.sortBy { case (i, c) => (-c, i) }
+            .take(topN).map { case (i, c) => (g, i, c) }.iterator
+      }
+  }
+
   /** A keyed change record emitted by [[changeLog]]. */
   final case class KeyChange(key: Long, action: String, old_value: String, new_value: String)
 

@@ -204,4 +204,25 @@ class StreamPipelineSpec extends SparkSpec {
       assert(rows.toSeq == Seq((1, "alpha", true, true), (2, "beta", true, true)))
     } finally q.stop()
   }
+
+  test("streamingHeavyHitters folds MG state across batches (bounded state, exact below k)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val q = StreamPipeline.streamingHeavyHitters(in.toDS(), k = 16, topN = 3)
+      .toDF("grp", "item", "est")
+      .writeStream.format("memory").queryName("hh").outputMode("update").start()
+    try {
+      in.addData(("g", "a"), ("g", "a"), ("g", "a"), ("g", "b"))
+      q.processAllAvailable()
+      in.addData(("g", "a"), ("g", "a"), ("g", "c"), ("g", "b"))
+      q.processAllAvailable()
+      val all = spark.table("hh").as[(String, String, Long)].collect().toSeq
+      // after batch 1 the top item was (a,3); after batch 2 the folded
+      // state must show the CUMULATIVE counts (below k → exact)
+      assert(all.contains(("g", "a", 3L)))
+      assert(all.contains(("g", "a", 5L)))
+      assert(all.contains(("g", "b", 2L)))
+      assert(all.contains(("g", "c", 1L)))
+    } finally q.stop()
+  }
 }
