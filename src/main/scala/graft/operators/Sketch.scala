@@ -139,7 +139,10 @@ object Sketch {
     val stream = df.select(col(groupCol).cast("string").as("__g"),
       col(itemCol).cast("string").as("__i"))
     // group totals ride along with the sketch pass (one typed agg, one
-    // shuffle) — not a third scan of the stream
+    // shuffle) — not a third scan of the stream. The candidate list is
+    // tiny (≤ k rows per group) but its lineage is the whole sketch
+    // pass, and it is referenced twice below (semi-join + totals join)
+    // with a broadcast on each — persist so the stream is sketched once.
     val cands = stream.as[(String, String)]
       .groupByKey(_._1)
       .agg(new FreqItems[(String, String)](k, _._2).toColumn.name("sketch"),
@@ -147,6 +150,7 @@ object Sketch {
       .toDF("__g", "sketch", "total")
       .select(col("__g"), col("total"),
         explode(map_keys(col("sketch.items"))).as("__i"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     stream.join(broadcast(cands.select("__g", "__i")), Seq("__g", "__i"), "left_semi")
       .groupBy(col("__g"), col("__i"))
       .agg(count(lit(1)).as("n_occurrences"))
