@@ -1015,9 +1015,35 @@ object Queries {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY o_orderstatus""".stripMargin
 
+  // =====================================================================
+  // q35 — bloom-prefiltered semi-join (the runtime-filter pattern as
+  // an explicit operator): a metadata-sized bitset built over the
+  // selective side's keys pre-filters the fact table BEFORE the join
+  // shuffle; the exact semi-join removes false positives, so
+  // bloom + join ≡ join — which is precisely what the oracle asserts.
+  // =====================================================================
+  val q35: Q = (s, d) => {
+    val hv = Tables.orders(s, d)
+      .where(col("o_totalprice") > 400000.0d).select(col("o_orderkey"))
+    graft.operators.Bloom.bloomSemiJoin(
+        Tables.lineitem(s, d), hv, "l_orderkey", "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(cents(col("l_extendedprice"))).as("gross_cents"))
+  }
+
+  val q35Sql: String =
+    s"""SELECT l_returnflag, count(*) AS n_items,
+       | CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS gross_cents
+       |FROM lineitem
+       |WHERE l_orderkey IN
+       |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+       |GROUP BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
+    "q35_bloom_semi_join" -> q35,
     "q33_window_suite" -> q33,
     "q34_salted_join" -> q34,
     "q32_rollup" -> q32,
@@ -1068,6 +1094,7 @@ object Queries {
     "q32_rollup" -> q32Sql,
     "q33_window_suite" -> q33Sql,
     "q34_salted_join" -> q34Sql,
+    "q35_bloom_semi_join" -> q35Sql,
     "q01_typed_ingest" -> q01Sql,
     "q02_scd1_latest" -> q02Sql,
     "q03_scd2_history" -> q03Sql,

@@ -133,6 +133,26 @@ object SnapshotStore {
     readVersion(spark, root, latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no committed version at $root")))
 
+  /** Bucket-pruned point lookup: read ONLY the bucket directories the
+    * requested key tuples hash into — at any table size a key lookup
+    * touches 1/numBuckets of the data (the layout's partition-pruning
+    * dividend; [[commitDelta]] uses the same path for its merges).
+    * `keyValues` are tuples in `keys` order.
+    */
+  def readForKeys(spark: SparkSession, root: String, keys: Seq[String],
+                  keyValues: Seq[Seq[Any]]): DataFrame = {
+    val m = readManifest(spark, root, latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no committed version at $root")))
+    val schema = read(spark, root).schema
+    val probe = spark.createDataFrame(
+      spark.sparkContext.parallelize(keyValues.map(Row.fromSeq), 1),
+      org.apache.spark.sql.types.StructType(keys.map(k => schema(k))))
+    val buckets = withBucket(probe, keys, m.numBuckets)
+      .select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
+    readBuckets(spark, root, m, buckets)
+      .join(broadcast(probe), keys, "left_semi")
+  }
+
   private def readBuckets(spark: SparkSession, root: String, m: Manifest,
                           which: Set[Int]): DataFrame = {
     val dirs = m.buckets.collect { case (b, dir) if which(b) => new Path(root, dir).toString }

@@ -55,6 +55,19 @@ class SnapshotStoreSpec extends SparkSpec {
     }
   }
 
+  test("readForKeys prunes to the key's buckets and returns exactly the requested rows") {
+    val root = tmpDir("lookup")
+    val v0 = (1L to 500L).map(k => (k, s"v$k", 1L)).toDF("k", "v", "ts")
+    SnapshotStore.init(spark, root, v0, Seq("k"), numBuckets = 16)
+    val got = SnapshotStore.readForKeys(spark, root, Seq("k"), Seq(Seq(7L), Seq(400L)))
+    assert(rows(got) == Set((7L, "v7", 1L), (400L, "v400", 1L)))
+    // the scan under the hood touches at most 2 of the 16 bucket dirs
+    val scanned = got.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.flatMap(_.relation.location.rootPaths.map(_.toString)).distinct
+    assert(scanned.size <= 2, s"expected ≤2 bucket dirs, scanned $scanned")
+  }
+
   test("readers never see a torn state: uncommitted data dirs are invisible") {
     val root = tmpDir("crash")
     val v0 = (1L to 50L).map(k => (k, s"v$k", 1L)).toDF("k", "v", "ts")
