@@ -295,6 +295,39 @@ object SnapshotStore {
       }
       .start()
 
+  /** Streaming materialized view: maintain a grouped aggregate
+    * incrementally under snapshot isolation. Each micro-batch is
+    * pre-aggregated to partials, then merged with the CURRENT partials
+    * of only the touched group-key buckets by re-aggregating — valid
+    * for algebraic aggregates (sum/count/min/max), the same
+    * partial-merge law q30 proves against a full recompute. Per batch:
+    * O(delta + touched buckets), one atomic version.
+    *
+    * `aggs` must map partial columns to themselves (e.g. sum("n") as
+    * "n") so merge(partials, partials) == partials of the union.
+    */
+  def aggSnapshotSink(stream: DataFrame, root: String, checkpointDir: String,
+                      groupCols: Seq[String], aggs: Seq[Column],
+                      numBuckets: Int = 16): StreamingQuery = {
+    def reAgg(df: DataFrame): DataFrame =
+      df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty) {
+          val partials = reAgg(batch.toDF())
+          if (latestVersion(spark, root).isEmpty) {
+            init(spark, root, partials, groupCols, numBuckets)
+          } else {
+            commitDelta(spark, root, partials, groupCols,
+              (cur, delta) => reAgg(cur.unionByName(delta)))
+          }
+        }: Unit
+      }
+      .start()
+  }
+
   /** Continuous SCD2 dim maintenance with snapshot isolation: the
     * incremental [[Scd2.applyDelta]] fold (delta-keys-only
     * re-derivation, redelivery-idempotent) committing one atomic

@@ -135,6 +135,32 @@ class SnapshotStoreSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("aggSnapshotSink maintains a materialized aggregate == full recompute") {
+    val root = tmpDir("mv")
+    val ckpt = tmpDir("mv-ckpt")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, Long)]
+    // rows arrive as (day, revenue_cents, n_orders=1): partials and raw
+    // rows share the schema, so one re-aggregation serves both merges
+    val q = SnapshotStore.aggSnapshotSink(
+      mem.toDF().toDF("day", "revenue_cents", "n_orders"), root, ckpt,
+      Seq("day"),
+      Seq(sum(col("revenue_cents")).as("revenue_cents"),
+        sum(col("n_orders")).as("n_orders")),
+      numBuckets = 4)
+    try {
+      val b1 = Seq(("d1", 100L, 1L), ("d1", 250L, 1L), ("d2", 40L, 1L))
+      val b2 = Seq(("d1", 60L, 1L), ("d3", 10L, 1L))
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = SnapshotStore.read(spark, root)
+        .select("day", "revenue_cents", "n_orders")
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == Set(("d1", 410L, 3L), ("d2", 40L, 1L), ("d3", 10L, 1L)))
+      assert(SnapshotStore.versions(spark, root) == Seq(0L, 1L))
+    } finally q.stop()
+  }
+
   test("scd2SnapshotSink: incremental history fold equals full rebuild, atomically versioned") {
     val root = tmpDir("scd2")
     val ckpt = tmpDir("scd2-ckpt")
