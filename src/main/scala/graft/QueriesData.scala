@@ -244,6 +244,22 @@ object QueriesData {
       Multimodal.attachPayloads(Tables.documents(s, d))).toDF()
 
   // =====================================================================
+  // m02 — multimodal transcode chain: resize → frame-sample → rollup,
+  // all narrow until the final aggregate (rows-only: stub codec).
+  // =====================================================================
+  val m02: Q = (s, d) => {
+    val media = Multimodal.attachPayloads(Tables.documents(s, d))
+    val resized = Multimodal.resizePayloads(media, maxBytes = 256)
+    Multimodal.sampleFrames(resized.toDF(), frameBytes = 64, everyMs = 1000L)
+      .toDF()
+      .groupBy(col("mime"))
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_bytes")).as("total_bytes"),
+        max(col("frame_idx")).cast("long").as("max_frame_idx"))
+  }
+
+  // =====================================================================
   // g01 — distributed synthetic data generation (menu.py analog;
   // rows-only: derivation uses Spark's xxhash64). Rolls the generated
   // menu up so output is small and deterministic.
@@ -568,7 +584,8 @@ object QueriesData {
     "t02_quality_score" -> t02,
     "t03_token_count" -> t03,
     "t04_fingerprint" -> t04,
-    "m01_multimodal_meta" -> m01)
+    "m01_multimodal_meta" -> m01,
+    "m02_frame_sample" -> m02)
 
   val oracles: Map[String, String] = Map(
     "t08_pii_scrub" -> t08Sql,

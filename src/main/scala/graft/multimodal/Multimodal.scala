@@ -78,4 +78,89 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions(batch => decoder.decode(batch))
   }
+
+  // ------------------------------------------------------------------
+  // resize (payload → payload transcoding)
+  // ------------------------------------------------------------------
+
+  /** A batched payload→payload transcoder (resize / re-encode /
+    * downsample). Closed over [[MediaRecord]] so transcode stages
+    * compose: resize → frame-sample → decode all chain as narrow
+    * mapPartitions with no shuffle between them.
+    */
+  trait Transcoder extends Serializable {
+    def transcode(batch: Iterator[MediaRecord]): Iterator[MediaRecord]
+  }
+
+  /** Deterministic stub "resize": keeps every k-th payload byte so the
+    * output is ≤ maxBytes (a real implementation decodes, scales, and
+    * re-encodes; the size-contraction contract and the batch shape are
+    * what the pipeline depends on).
+    */
+  final class StubResizer(maxBytes: Int) extends Transcoder {
+    def transcode(batch: Iterator[MediaRecord]): Iterator[MediaRecord] =
+      batch.map { r =>
+        if (r.payload.length <= maxBytes) r
+        else {
+          val stride = (r.payload.length + maxBytes - 1) / maxBytes
+          val out = r.payload.indices.collect {
+            case i if i % stride == 0 => r.payload(i)
+          }.toArray
+          MediaRecord(r.doc_id, r.mime, out.length.toLong, out)
+        }
+      }
+  }
+
+  /** Batched resize pass — same narrow shape as [[decodeFeatures]]. */
+  def resizePayloads(media: DataFrame, maxBytes: Int): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(new StubResizer(maxBytes).transcode(_))
+  }
+
+  // ------------------------------------------------------------------
+  // frame sampling (1 video row → N frame rows)
+  // ------------------------------------------------------------------
+
+  /** One sampled frame of a video payload. */
+  final case class FrameSample(
+      doc_id: Long,
+      mime: String,
+      frame_idx: Int,
+      ts_ms: Long,
+      n_bytes: Long,
+      frame_hash: Long)
+
+  /** Deterministic stub frame sampler: video payloads yield one frame
+    * row per `frameBytes` chunk (timestamped every `everyMs`);
+    * non-video rows pass through as a single frame 0. The 1→N
+    * expansion happens INSIDE the partition iterator — no shuffle, and
+    * output rows (fixed-width features) are far smaller than payloads,
+    * the shape that keeps a 100 TB video corpus scan-bound.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 64,
+                   everyMs: Long = 1000L): Dataset[FrameSample] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.flatMap { r =>
+      def hash(from: Int, until: Int): Long = {
+        var h = -3750763034362895579L
+        var i = from
+        while (i < until && i < r.payload.length) { h = h * 1099511628211L + r.payload(i); i += 1 }
+        h
+      }
+      if (r.mime != "video/mp4" || r.payload.isEmpty) {
+        Iterator.single(FrameSample(r.doc_id, r.mime, 0, 0L,
+          r.payload.length.toLong, hash(0, r.payload.length)))
+      } else {
+        val n = (r.payload.length + frameBytes - 1) / frameBytes
+        (0 until n).iterator.map { f =>
+          val from = f * frameBytes
+          val until = math.min(from + frameBytes, r.payload.length)
+          FrameSample(r.doc_id, r.mime, f, f * everyMs,
+            (until - from).toLong, hash(from, until))
+        }
+      }
+    })
+  }
 }

@@ -30,4 +30,29 @@ class MultimodalSpec extends SparkSpec {
     // features derive from bytes: different payloads → different hashes
     assert(f1.map(_.feature_hash).distinct.length == 3)
   }
+
+  test("resizePayloads contracts payloads to the byte budget and composes with decode") {
+    val media = Multimodal.attachPayloads(docs)
+    val resized = Multimodal.resizePayloads(media, maxBytes = 8)
+    val rows = resized.collect().sortBy(_.doc_id)
+    assert(rows.forall(r => r.payload.length <= 8 && r.payload.nonEmpty))
+    assert(rows.forall(r => r.n_bytes == r.payload.length.toLong))
+    // stages compose: resize → decode runs as one narrow chain
+    val feats = Multimodal.decodeFeatures(resized.toDF()).collect()
+    assert(feats.length == 3 && feats.map(_.feature_hash).distinct.length == 3)
+  }
+
+  test("sampleFrames expands videos into per-chunk frame rows, passes others through") {
+    val media = Multimodal.attachPayloads(docs)
+    val frames = Multimodal.sampleFrames(media, frameBytes = 4, everyMs = 500L)
+      .collect().groupBy(_.doc_id)
+    assert(frames(0L).length == 1 && frames(1L).length == 1) // image/audio: 1 row
+    val video = frames(2L).sortBy(_.frame_idx)
+    val payloadLen = "a video payload".length
+    assert(video.length == (payloadLen + 3) / 4) // one frame per 4-byte chunk
+    assert(video.map(_.ts_ms).toSeq == video.indices.map(_ * 500L))
+    assert(video.init.forall(_.n_bytes == 4L))
+    // deterministic chunk hashes, all distinct here
+    assert(video.map(_.frame_hash).distinct.length == video.length)
+  }
 }
