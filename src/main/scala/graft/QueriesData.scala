@@ -539,6 +539,18 @@ object QueriesData {
   }
 
   // =====================================================================
+  // t09 — deterministic weighted corpus sampling (rows-only: race keys
+  // are seeded Spark hashes; SamplingSpec proves determinism,
+  // partition-invariance, and weight laws). Narrow key pass +
+  // distributed top-k — the corpus never shuffles.
+  // =====================================================================
+  val t09: Q = (s, d) =>
+    graft.operators.Sampling.weightedSample(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 200)
+      .orderBy(col("doc_id"))
+
+  // =====================================================================
   // s04 — IVF ANN (rows-only: centroid sample is Spark-side; the
   // SimilaritySpec asserts nprobe=nlist ≡ exact brute force).
   // =====================================================================
@@ -585,7 +597,8 @@ object QueriesData {
     "t03_token_count" -> t03,
     "t04_fingerprint" -> t04,
     "m01_multimodal_meta" -> m01,
-    "m02_frame_sample" -> m02)
+    "m02_frame_sample" -> m02,
+    "t09_weighted_sample" -> t09)
 
   val oracles: Map[String, String] = Map(
     "t08_pii_scrub" -> t08Sql,

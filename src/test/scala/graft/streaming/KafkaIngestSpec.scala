@@ -83,6 +83,30 @@ class KafkaIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kafka feed -> transactional snapshot table: atomic version per batch") {
+    val dir = Files.createTempDirectory("graft_kafka_snap").toString
+    val in = MemoryStream[KafkaRecord]
+    val staged = KafkaIngest.typedStream(in.toDF(), cols, casts)
+    val q = graft.store.SnapshotStore.scd1SnapshotSink(
+      staged, s"$dir/tbl", s"$dir/ckpt",
+      Seq("loc_id"), Seq(col("_kafka_offset").desc), numBuckets = 4)
+    try {
+      in.addData(rec("7", """{"loc_id": "7", "city": "Pune", "state": "MH"}""", 0L),
+        rec("8", """{"loc_id": "8", "city": "Delhi", "state": "DL"}""", 1L))
+      q.processAllAvailable()
+      in.addData(rec("7", """{"loc_id": "7", "city": "Pune East", "state": "MH"}""", 2L))
+      q.processAllAvailable()
+      val tbl = graft.store.SnapshotStore.read(spark, s"$dir/tbl")
+        .select($"loc_id", $"city").as[(Long, String)].collect().toSet
+      assert(tbl == Set((7L, "Pune East"), (8L, "Delhi")))
+      // v0 = initial load, v1 = the update; v0 still time-travelable
+      assert(graft.store.SnapshotStore.versions(spark, s"$dir/tbl") == Seq(0L, 1L))
+      val v0 = graft.store.SnapshotStore.readVersion(spark, s"$dir/tbl", 0L)
+        .select($"loc_id", $"city").as[(Long, String)].collect().toSet
+      assert(v0 == Set((7L, "Pune"), (8L, "Delhi")))
+    } finally q.stop()
+  }
+
   test("stream() wiring reaches kafka source resolution (connector absent here)") {
     val src = KafkaIngest.KafkaSource("broker-1:9092,broker-2:9092", "locations",
       startingOffsets = "latest", maxOffsetsPerTrigger = Some(10000L))
