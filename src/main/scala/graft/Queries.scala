@@ -1040,9 +1040,37 @@ object Queries {
        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
        |GROUP BY l_returnflag""".stripMargin
 
+  // =====================================================================
+  // q36 — set operations (INTERSECT / EXCEPT): retained vs churned
+  // buyer cohorts across two years. Both set ops hash-shuffle on the
+  // full row — here a single deduped key column, so the exchanges are
+  // key-sized, not fact-sized.
+  // =====================================================================
+  val q36: Q = (s, d) => {
+    def buyers(y: Int) = Tables.orders(s, d)
+      .where(year(col("o_orderdate")) === y)
+      .select(col("o_custkey").as("customer_id")).distinct()
+    buyers(1997).intersect(buyers(1998))
+      .withColumn("cohort", lit("retained"))
+      .unionByName(buyers(1997).except(buyers(1998))
+        .withColumn("cohort", lit("churned")))
+  }
+
+  val q36Sql: String =
+    """SELECT customer_id, 'retained' AS cohort FROM (
+      | SELECT DISTINCT o_custkey AS customer_id FROM orders WHERE year(o_orderdate) = 1997
+      | INTERSECT
+      | SELECT DISTINCT o_custkey AS customer_id FROM orders WHERE year(o_orderdate) = 1998)
+      |UNION ALL
+      |SELECT customer_id, 'churned' AS cohort FROM (
+      | SELECT DISTINCT o_custkey AS customer_id FROM orders WHERE year(o_orderdate) = 1997
+      | EXCEPT
+      | SELECT DISTINCT o_custkey AS customer_id FROM orders WHERE year(o_orderdate) = 1998)""".stripMargin
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
+    "q36_set_ops" -> q36,
     "q35_bloom_semi_join" -> q35,
     "q33_window_suite" -> q33,
     "q34_salted_join" -> q34,
@@ -1095,6 +1123,7 @@ object Queries {
     "q33_window_suite" -> q33Sql,
     "q34_salted_join" -> q34Sql,
     "q35_bloom_semi_join" -> q35Sql,
+    "q36_set_ops" -> q36Sql,
     "q01_typed_ingest" -> q01Sql,
     "q02_scd1_latest" -> q02Sql,
     "q03_scd2_history" -> q03Sql,
