@@ -65,6 +65,28 @@ object QueriesData {
   }
 
   // =====================================================================
+  // d07 — dedup clusters: candidate pairs → Jaccard-verified pairs →
+  // connected components → one canonical doc per cluster (the step
+  // that actually DEDUPES: pairs alone can't pick keepers across
+  // transitive matches). Rows-only: pairs derive from Spark-side
+  // minhash; DedupSpec proves clusters ≡ union-find.
+  // =====================================================================
+  val d07: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val bands = Dedup.minhashBands(docs, "text", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verified = Dedup.ngramJaccard(
+        Dedup.candidatePairs(bands, "doc_id"), docs, "text", "doc_id")
+      .where(col("jaccard_e6") >= 500000L)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    Dedup.clusters(verified)
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col("node") === col("cluster_id"))
+      .select(col("node").as("doc_id"), col("cluster_id"),
+        col("cluster_size"), col("is_canonical"))
+  }
+
+  // =====================================================================
   // d05 — embedding-cosine near-dup pairs on a bounded subset
   // (exact-decimal cosine → DuckDB oracle agrees).
   // =====================================================================
@@ -589,6 +611,7 @@ object QueriesData {
     "d02_dedup_minhash" -> d02,
     "d03_dedup_simhash" -> d03,
     "d04_dedup_ngram" -> d04,
+    "d07_dedup_clusters" -> d07,
     "d05_dedup_embedding" -> d05,
     "s01_ann_bruteforce" -> s01,
     "s02_ann_lsh" -> s02,

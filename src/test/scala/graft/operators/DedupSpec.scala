@@ -84,4 +84,32 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))           // precision 1: exact filter on candidates
     assert(lsh.exists(p => p._1 == 0L && p._2 == 1L)) // the near-identical pair
   }
+
+  test("clusters == local union-find on random pair graphs (chains force multi-round propagation)") {
+    // local union-find oracle
+    def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val rnd = new scala.util.Random(5)
+    // long chains (worst case for propagation) + random extra edges
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val random = Seq.fill(60)((rnd.nextInt(200).toLong + 100L, rnd.nextInt(200).toLong + 100L))
+      .filter(p => p._1 != p._2)
+    val pairs = chain ++ random
+    val got = Dedup.clusters(pairs.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    val expect = unionFind(pairs)
+    assert(got == expect)
+    assert(got.values.toSet.size > 1) // several distinct components
+    assert((0L to 40L).forall(got(_) == 0L)) // whole chain collapsed to min id
+  }
 }
