@@ -211,22 +211,28 @@ object Dedup {
         .groupBy(col("dst").as("node"))
         .agg(min(col("label")).as("__nbr"))
       // checkpoint before the self-join: it is read twice (as x and as
-      // the label lookup), and fresh attributes keep the self-join
-      // unambiguous
+      // the label lookup) — lazy caching would compute it twice inside
+      // the one job. The improvement flag rides along, so the
+      // convergence check below is a scan of this cached frame, not
+      // another join job.
       val stepped = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("__nbr"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("__nbr"), col("label"))).as("label"),
+          coalesce(col("__nbr") < col("label"), lit(false)).as("__imp"))
         .localCheckpoint(true)
-      // (2) pointer jumping: follow the label's own label
-      val next = stepped.as("x")
-        .join(stepped.select(col("node").as("__ln"), col("label").as("__ll")),
-          col("x.label") === col("__ln"), "left")
-        .select(col("x.node").as("node"),
-          coalesce(col("__ll"), col("x.label")).as("label"))
-        .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "__old"), "node")
-        .where(col("label") < col("__old")).isEmpty
-      labels = next
+      // converged = no neighbor improved any label; at that fixpoint
+      // every label is already the component minimum, so the pointer
+      // jump would be the identity — skip it (and its jobs) entirely
+      converged = stepped.where(col("__imp")).isEmpty
+      if (!converged) {
+        // (2) pointer jumping: follow the label's own label
+        labels = stepped.as("x")
+          .join(stepped.select(col("node").as("__ln"), col("label").as("__ll")),
+            col("x.label") === col("__ln"), "left")
+          .select(col("x.node").as("node"),
+            coalesce(col("__ll"), col("x.label")).as("label"))
+          .localCheckpoint(true)
+      }
     }
     labels.select(col("node"), col("label").as("cluster_id"))
   }
