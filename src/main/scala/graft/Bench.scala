@@ -5,16 +5,27 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: times every SparkEntry query at the target
   * scale factor and prints one JSON line.
   *
-  * Each query is first executed once against the smallest test SF so
-  * the timed run measures steady-state engine throughput rather than
-  * one-time codegen/JIT compilation (the generated code is identical
-  * across SFs, so the warm-up populates the same code cache).
+  * Methodology (bench self-defense — r2 verdict item #6):
+  *  - each query is first executed once against the smallest test SF
+  *    so the timed runs measure steady-state engine throughput rather
+  *    than one-time codegen/JIT compilation (the generated code is
+  *    identical across SFs, so the warm-up populates the same cache);
+  *  - each query then runs `reps` (≥3) times in this JVM and the
+  *    per-query number reported is the MEDIAN; `queries_min` carries
+  *    the per-query minima so spread is visible in the artifact
+  *    itself. Medians keep one GC pause / cross-process stall on a
+  *    shared box from being read as a plan regression;
+  *  - the cache is cleared between queries: operators that persist a
+  *    reused narrow subtree (LSH fan-outs, band frames, cohort flags)
+  *    are scoped to their query, and no query is timed against another
+  *    query's warm blocks.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = math.max(3, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,22 +40,27 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try { fn(spark, warmDir).count(); spark.catalog.clearCache() }
+      catch { case _: Throwable => () }
     }
-    // two timed runs per query, report the min — removes cross-process
-    // interference on a shared box without hiding real cost
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> (median(times), times.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(sel: ((Double, Double)) => Double): String = results
+      .map { case (k, v) => "\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
+    val total = results.values.map(_._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+      s""""queries":${fmt(_._1)},"queries_min":${fmt(_._2)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.DotProductE12
+import graft.plans.{DotProductE12, SignBuckets}
 
 /** Session wiring for graft's native expressions.
   *
@@ -26,7 +26,10 @@ object GraftFunctions {
   private[graft] val injections: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_dot_e12",
       new ExpressionInfo(classOf[DotProductE12].getName, "graft_dot_e12"),
-      (args: Seq[Expression]) => DotProductE12(args(0), args(1))))
+      (args: Seq[Expression]) => DotProductE12(args(0), args(1))),
+    ("graft_sign_buckets",
+      new ExpressionInfo(classOf[SignBuckets].getName, "graft_sign_buckets"),
+      (args: Seq[Expression]) => SignBuckets(args(0), args(1))))
 
   /** Idempotently register graft functions on an existing session. */
   def register(spark: SparkSession): Unit =

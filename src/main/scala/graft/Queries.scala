@@ -1044,15 +1044,24 @@ object Queries {
   // q36 — set operations (INTERSECT / EXCEPT): retained vs churned
   // buyer cohorts across two years. Both set ops hash-shuffle on the
   // full row — here a single deduped key column, so the exchanges are
-  // key-sized, not fact-sized.
+  // key-sized, not fact-sized. Orders is scanned ONCE: a single
+  // conditional-aggregation pass (one shuffle) builds the per-customer
+  // year flags; the cohort frames the set ops consume are projections
+  // of that cached key-sized frame — the r2 form planned each cohort
+  // twice (once under INTERSECT, once under EXCEPT) = four fact scans.
   // =====================================================================
   val q36: Q = (s, d) => {
-    def buyers(y: Int) = Tables.orders(s, d)
-      .where(year(col("o_orderdate")) === y)
-      .select(col("o_custkey").as("customer_id")).distinct()
-    buyers(1997).intersect(buyers(1998))
+    val y = year(col("o_orderdate"))
+    val flags = Tables.orders(s, d)
+      .where(y.isin(1997, 1998))
+      .groupBy(col("o_custkey").as("customer_id"))
+      .agg(max(y === 1997).as("__in97"), max(y === 1998).as("__in98"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b97 = flags.where(col("__in97")).select("customer_id")
+    val b98 = flags.where(col("__in98")).select("customer_id")
+    b97.intersect(b98)
       .withColumn("cohort", lit("retained"))
-      .unionByName(buyers(1997).except(buyers(1998))
+      .unionByName(b97.except(b98)
         .withColumn("cohort", lit("churned")))
   }
 

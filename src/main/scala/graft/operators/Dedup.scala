@@ -87,7 +87,7 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val params = minhashParams(numHashes)
     // explode_outer keeps shingle-less docs (null → sentinel below)
-    val exploded = df
+    val exploded = Parallelize.ensure(df)
       .select(col(idCol),
         explode_outer(TextFuncs.shingles(col(textCol), shingleSize)).as("__sh"))
       .withColumn("__x", crc32(col("__sh")) % MersennePrime)
@@ -142,11 +142,20 @@ object Dedup {
     */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, textCol: String, idCol: String,
                    shingleSize: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("__id"),
-      array_distinct(transform(TextFuncs.shingles(col(textCol), shingleSize),
-        s => crc32(s))).as("__sh"))
-    val sizes = sh.select(col("__id"), size(col("__sh")).as("__sz"))
-    val exploded = sh.select(col("__id"), explode(col("__sh")).as("__h"))
+    // ONE shingle expansion, materialized: `exploded` is referenced by
+    // both sides of the intersection join, and `sizes` derives from
+    // the same cached rows (count of non-null __h) instead of
+    // re-shingling — the lazy form evaluated the shingle expression
+    // four times per call. explode_outer keeps shingle-less docs as a
+    // (id, null) row so their sizes resolve to 0 rather than the doc
+    // vanishing from the size join. (Harnesses clearCache() between
+    // queries.)
+    val exploded = Parallelize.ensure(docs).select(col(idCol).as("__id"),
+        explode_outer(array_distinct(transform(
+          TextFuncs.shingles(col(textCol), shingleSize), s => crc32(s)))).as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = exploded.groupBy(col("__id"))
+      .agg(count(col("__h")).cast("int").as("__sz"))
     // fan each pair out by doc A's shingles, then match doc B's
     // shingles on (id_b, hash): matched rows are the shared shingles.
     // Left joins keep zero-shingle / zero-overlap pairs (count of a
@@ -192,48 +201,72 @@ object Dedup {
     * Returns (node, cluster_id) for every node appearing in `pairs`,
     * cluster_id = min node id of the component (deterministic).
     */
+  /** @param reliable when true, rounds checkpoint to the session's
+    *   reliable checkpoint dir (`sc.setCheckpointDir` must be set) —
+    *   the 100 TB option: an executor loss mid-iteration recovers from
+    *   the checkpoint files instead of killing the job. The default
+    *   eager `localCheckpoint` stores blocks on executors (no extra
+    *   I/O) and is the right call when the cluster is assumed stable
+    *   (local mode, short jobs). Both truncate lineage, which is what
+    *   keeps the per-round plan size CONSTANT.
+    */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-               maxIter: Int = 30): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
-    var iter = 0
+               maxIter: Int = 30, reliable: Boolean = false): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    // symmetrize via explode, NOT a union of two selects: a union
+    // references `pairs` twice, and `pairs` is typically the tail of a
+    // whole candidate-generation + verification pipeline — one
+    // reference means one execution of it
+    val edges = ckpt(pairs
+      .select(explode(array(
+        struct(col(idA).as("src"), col(idB).as("dst")),
+        struct(col(idB).as("src"), col(idA).as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+      .distinct())
+    var labels = ckpt(edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")))
+    var round = 0
     var converged = false
-    while (!converged && iter < maxIter) {
-      iter += 1
+    while (!converged && round < maxIter) {
+      round += 1
       // (1) min over self + neighborhood
       val nbrMin = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(min(col("label")).as("__nbr"))
-      // checkpoint before the self-join: it is read twice (as x and as
-      // the label lookup) — lazy caching would compute it twice inside
-      // the one job. The improvement flag rides along, so the
-      // convergence check below is a scan of this cached frame, not
-      // another join job.
       val stepped = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("__nbr"), col("label"))).as("label"),
           coalesce(col("__nbr") < col("label"), lit(false)).as("__imp"))
-        .localCheckpoint(true)
-      // converged = no neighbor improved any label; at that fixpoint
-      // every label is already the component minimum, so the pointer
-      // jump would be the identity — skip it (and its jobs) entirely
-      converged = stepped.where(col("__imp")).isEmpty
-      if (!converged) {
-        // (2) pointer jumping: follow the label's own label
-        labels = stepped.as("x")
-          .join(stepped.select(col("node").as("__ln"), col("label").as("__ll")),
-            col("x.label") === col("__ln"), "left")
-          .select(col("x.node").as("node"),
-            coalesce(col("__ll"), col("x.label")).as("label"))
-          .localCheckpoint(true)
-      }
+      // (2) pointer jumping: follow the label's own label. Step and
+      // jump are fused into ONE checkpointed frame — one
+      // materialization job per round, not two. `stepped` appears on
+      // both sides of the self-join, but its heavy part (the
+      // neighborhood exchange) canonicalizes identically, so
+      // ReuseExchange / AQE stage reuse computes it once; the rest of
+      // each reference is a cheap map over the cached `labels`.
+      labels = ckpt(stepped.as("x")
+        .join(stepped.select(col("node").as("__ln"), col("label").as("__ll")),
+          col("x.label") === col("__ln"), "left")
+        .select(col("x.node").as("node"),
+          coalesce(col("__ll"), col("x.label")).as("label"),
+          col("x.__imp").as("__imp")))
+      // converged = the min-label step found no improvement (at that
+      // fixpoint every label is already the component minimum and the
+      // jump was the identity). A single-stage max-aggregate over the
+      // just-cached frame is ONE scheduler round-trip — `isEmpty`'s
+      // take(1) escalates through up to 4 partial-scan jobs exactly
+      // when it matters (the converged, empty case).
+      converged = !labels.agg(coalesce(max(col("__imp")), lit(false)))
+        .head.getBoolean(0)
     }
+    // partially-converged labels would silently mark several
+    // "canonical" docs inside one true component — fail loudly
+    // instead. With pointer jumping maxIter=30 covers diameter ~2^30;
+    // hitting this is a bug, not a data property.
+    if (!converged) throw new IllegalStateException(
+      s"Dedup.clusters did not converge in $maxIter rounds")
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 
@@ -247,7 +280,7 @@ object Dedup {
     * hamming-≤k LSH banding.
     */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
+    val toks = Parallelize.ensure(df).select(col(idCol),
         explode(TextFuncs.tokens(col(textCol))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map { k =>
@@ -280,7 +313,7 @@ object Dedup {
                         threshold: Double): DataFrame = {
     graft.GraftFunctions.register(emb.sparkSession)
     // norms precomputed per vector, not per pair
-    val a = emb.select(col(idCol).as("vec_id_a"), col(vecCol).as("va"),
+    val a = Parallelize.ensure(emb).select(col(idCol).as("vec_id_a"), col(vecCol).as("va"),
       col("label").as("label_a"),
       VecFuncs.normSqE12Native(col(vecCol)).cast("double").as("na"))
     val b = emb.select(col(idCol).as("vec_id_b"), col(vecCol).as("vb"),
@@ -312,17 +345,27 @@ object Dedup {
                            maxBucketSize: Long = 10000L): DataFrame = {
     graft.GraftFunctions.register(emb.sparkSession)
     val tables = Similarity.planeTables(numTables, planesPerTable, dim)
-    // degenerate-bucket cap (window count over the one fan-out): a hot
-    // bucket — e.g. zero/padding vectors, which share EVERY table's
-    // bucket — would otherwise make the self-join quadratic in its
-    // size. Capped buckets are skipped; their members remain reachable
-    // through any table where they spread normally.
-    val wBucket = Window.partitionBy(col("table_idx"), col("bucket"))
-    val buckets = emb.select(col(idCol).as("__id"),
+    // narrow fan-out, referenced three times below (census + both
+    // self-join sides) — materialize once (harnesses clearCache()
+    // between queries)
+    val fanout = Parallelize.ensure(emb).select(col(idCol).as("__id"),
         posexplode(Similarity.tableBuckets(col(vecCol), tables))
           .as(Seq("table_idx", "bucket")))
-      .withColumn("__bsz", count(lit(1)).over(wBucket))
-      .where(col("__bsz") <= maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // degenerate-bucket cap: a hot bucket — e.g. zero/padding vectors,
+    // which share EVERY table's bucket — would otherwise make the
+    // self-join quadratic in its size. Census via groupBy (map-side
+    // partials, key domain ≤ numTables·2^planesPerTable — metadata),
+    // oversized buckets broadcast-anti-joined away: no single task
+    // ever holds a hot bucket, unlike the previous window-count form.
+    // Capped buckets' members remain reachable through any table
+    // where they spread normally.
+    val oversized = fanout.groupBy(col("table_idx"), col("bucket"))
+      .agg(count(lit(1)).as("__bsz"))
+      .where(col("__bsz") > maxBucketSize)
+      .select("table_idx", "bucket")
+    val buckets = fanout
+      .join(broadcast(oversized), Seq("table_idx", "bucket"), "left_anti")
       .select("table_idx", "bucket", "__id")
     val cand = buckets.select(col("table_idx"), col("bucket"), col("__id").as("vec_id_a"))
       .join(buckets.select(col("table_idx"), col("bucket"), col("__id").as("vec_id_b")),

@@ -28,8 +28,9 @@ object Similarity {
     // exact-integer→double values, 1/3 of the per-pair work
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       VecFuncs.normSqE12Native(col(vecCol)).cast("double").as("qn"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      VecFuncs.normSqE12Native(col(vecCol)).cast("double").as("cn"))
+    val c = Parallelize.ensure(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        VecFuncs.normSqE12Native(col(vecCol)).cast("double").as("cn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     c.crossJoin(broadcast(q))
@@ -54,19 +55,15 @@ object Similarity {
                   seed: Long = 42L): Seq[Seq[Seq[Double]]] =
     (0 until numTables).map(t => hyperplanes(planesPerTable, dim, seed + t))
 
-  /** All tables' sign-LSH buckets for one vector, as ONE nested-HOF
-    * expression (3 codegen'd loops). Building
-    * numTables×planesPerTable separate aggregate subtrees instead
-    * makes planning+codegen the dominant cost.
+  /** All tables' sign-LSH buckets for one vector as ONE native
+    * expression ([[graft.plans.SignBuckets]]): a tight
+    * tables × planes × dim primitive loop per row. The earlier
+    * nested-HOF pyramid (transform → aggregate → zip_with over a
+    * typedLit plane tensor) interpreted a lambda tree per element —
+    * the dominant cost of the whole LSH path at corpus scale.
     */
-  def tableBuckets(vec: Column, tables: Seq[Seq[Seq[Double]]]): Column = {
-    val bitValues = typedLit(tables.head.indices.map(i => 1L << i))
-    transform(typedLit(tables), table =>
-      aggregate(
-        zip_with(table, bitValues, (p, bit) =>
-          when(VecFuncs.dot(vec, p) >= 0, bit).otherwise(lit(0L))),
-        lit(0L), (acc, v) => acc + v))
-  }
+  def tableBuckets(vec: Column, tables: Seq[Seq[Seq[Double]]]): Column =
+    call_function("graft_sign_buckets", vec, typedLit(tables))
 
   /** ANN top-k via multi-table, multi-probe LSH + exact rerank of
     * candidates only.
@@ -99,8 +96,13 @@ object Similarity {
     graft.GraftFunctions.register(corpus.sparkSession)
     val tables = planeTables(numTables, planesPerTable, dim)
 
-    val c = corpus.select(col(idCol).as("neighbor_id"),
+    // the corpus fan-out is NARROW (id, table_idx, bucket) but its
+    // lineage is the whole signature computation; it is referenced
+    // twice below (bucket census + candidate join), so materialize it
+    // once (harnesses clearCache() between queries)
+    val c = Parallelize.ensure(corpus).select(col(idCol).as("neighbor_id"),
         posexplode(tableBuckets(col(vecCol), tables)).as(Seq("table_idx", "bucket")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // query probes: the exact bucket plus every 1-bit flip of it
     def probeSet(b: Column): Column =
       if (probeBits < 1) array(b)
@@ -110,13 +112,18 @@ object Similarity {
       .select(col("query_id"), col("table_idx"),
         explode(probeSet(col("bucket0"))).as("bucket"))
 
-    // bucket-size cap via a window count over the ONE fan-out — a
-    // groupBy + semi-join back would reference the corpus fan-out (the
-    // dominant cost: all the signature dot products) twice, and AQE
-    // broadcasting the small side defeats ReuseExchange dedup
-    val wBucket = Window.partitionBy(col("table_idx"), col("bucket"))
-    val cand = c.withColumn("__bsz", count(lit(1)).over(wBucket))
-      .where(col("__bsz") <= maxBucketSize)
+    // degenerate-bucket cap: a bucket census via groupBy (map-side
+    // partial counts over a key domain of ≤ numTables·2^planesPerTable
+    // — metadata-sized), keep only the oversized buckets, and
+    // broadcast anti-join them away. The earlier window-count form
+    // shuffled the full fan-out AND funneled the pathological hot
+    // bucket — the very thing the cap defuses — into a single task
+    // before dropping it.
+    val oversized = c.groupBy(col("table_idx"), col("bucket"))
+      .agg(count(lit(1)).as("__bsz"))
+      .where(col("__bsz") > maxBucketSize)
+      .select("table_idx", "bucket")
+    val cand = c.join(broadcast(oversized), Seq("table_idx", "bucket"), "left_anti")
       .join(broadcast(probes), Seq("table_idx", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id").distinct()
@@ -130,8 +137,9 @@ object Similarity {
     */
   private def exactRerank(cand: DataFrame, corpus: DataFrame, queries: DataFrame,
                           idCol: String, vecCol: String, k: Int): DataFrame = {
-    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      VecFuncs.normSqE12Native(col(vecCol)).cast("double").as("cn"))
+    val cv = Parallelize.ensure(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        VecFuncs.normSqE12Native(col(vecCol)).cast("double").as("cn"))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       VecFuncs.normSqE12Native(col(vecCol)).cast("double").as("qn"))
     val w = Window.partitionBy(col("query_id"))
@@ -198,7 +206,8 @@ object Similarity {
       transform(slice(sorted, 1, math.min(nprobe, n)), s => s.getField("i").cast("int"))
     }
 
-    val c = corpus.select(col(idCol).as("neighbor_id"), assigned(col(vecCol)).as("__list"))
+    val c = Parallelize.ensure(corpus)
+      .select(col(idCol).as("neighbor_id"), assigned(col(vecCol)).as("__list"))
     val q = queries.select(col(idCol).as("query_id"),
       explode(probeLists(col(vecCol))).as("__list"))
     val cand = c.join(broadcast(q), Seq("__list"))

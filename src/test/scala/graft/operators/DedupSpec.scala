@@ -111,5 +111,24 @@ class DedupSpec extends SparkSpec {
     assert(got == expect)
     assert(got.values.toSet.size > 1) // several distinct components
     assert((0L to 40L).forall(got(_) == 0L)) // whole chain collapsed to min id
+
+    // reliable-checkpoint path (the 100 TB fault-tolerance option):
+    // same result with rounds checkpointed to a real checkpoint dir
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    try {
+      spark.sparkContext.setCheckpointDir(ckptDir)
+      val reliableGot = Dedup.clusters(pairs.toDF("id_a", "id_b"), reliable = true)
+        .as[(Long, Long)].collect().toMap
+      assert(reliableGot == expect)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptDir))
+    }
+  }
+
+  test("clusters fails loudly instead of returning partially-converged labels") {
+    val chain = (0L until 20L).map(i => (i, i + 1))
+    intercept[IllegalStateException] {
+      Dedup.clusters(chain.toDF("id_a", "id_b"), maxIter = 1).collect()
+    }
   }
 }
