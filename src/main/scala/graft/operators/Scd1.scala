@@ -60,4 +60,26 @@ object Scd1 {
       keys, orderBy :+ col(SRC).asc)
       .drop(SRC)
   }
+
+  /** [[merge]] that also consumes DELETE tombstones — the
+    * `WHEN MATCHED AND METADATA$ACTION = 'DELETE' THEN DELETE` branch
+    * of the reference's clean/dim MERGEs (`/root/reference/with
+    * procedures/location_proc.sql:274-286`).
+    *
+    * Tombstones are delta rows flagged true in `deleteCol` (an
+    * audit-namespaced `_`-column, so [[checkDrift]] tolerates the base
+    * not carrying it). They compete in the SAME version ordering as
+    * upserts: a key whose winning version is a tombstone disappears
+    * from the result; a tombstone followed by a newer insert in the
+    * same batch resurrects the key with the new row. Same single
+    * shuffle as [[merge]] — the filter is free.
+    */
+  def mergeWithDeletes(base: DataFrame, delta: DataFrame, keys: Seq[String],
+                       orderBy: Seq[Column], deleteCol: String): DataFrame = {
+    require(deleteCol.startsWith("_"),
+      s"deleteCol must be an audit-namespaced _column, got $deleteCol")
+    merge(base, delta, keys, orderBy)
+      .where(!coalesce(col(deleteCol), lit(false)))
+      .drop(deleteCol)
+  }
 }

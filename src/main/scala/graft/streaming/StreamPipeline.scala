@@ -99,11 +99,12 @@ object StreamPipeline {
     */
   def scd1UpsertSink(stream: DataFrame, targetDir: String, checkpointDir: String,
                      keys: Seq[String], orderBy: Seq[Column],
-                     numBuckets: Int = 16): StreamingQuery =
+                     numBuckets: Int = 16,
+                     deleteCol: Option[String] = None): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        upsertBatch(batch, targetDir, keys, orderBy, numBuckets)
+        upsertBatch(batch, targetDir, keys, orderBy, numBuckets, deleteCol)
       }
       .start()
 
@@ -115,20 +116,26 @@ object StreamPipeline {
     */
   def upsertBatch(batch: Dataset[Row], targetDir: String,
                   keys: Seq[String], orderBy: Seq[Column],
-                  numBuckets: Int = 16): Unit = {
+                  numBuckets: Int = 16,
+                  deleteCol: Option[String] = None): Unit = {
     if (batch.isEmpty) return // empty micro-batch: nothing to merge
     val spark = batch.sparkSession
     if (!Files.exists(Paths.get(targetDir))) {
       // dedup within the batch too — one micro-batch can carry several
-      // versions of the same key (e.g. multiple staged files at once)
-      Scd1.latestByKey(withBucket(batch.toDF(), keys, numBuckets), keys, orderBy)
+      // versions of the same key (e.g. multiple staged files at once);
+      // a key whose winning version is a tombstone never materializes
+      val first = Scd1.latestByKey(withBucket(batch.toDF(), keys, numBuckets), keys, orderBy)
+      deleteCol.fold(first)(c => first.where(!coalesce(col(c), lit(false))).drop(c))
         .write.mode("overwrite").partitionBy(BucketCol).parquet(targetDir)
       writeLayoutMarker(targetDir, numBuckets)
     } else {
       val b = withBucket(batch.toDF(), keys, layoutBuckets(targetDir, numBuckets))
+      val touched = affectedBuckets(b)
       val pruned = spark.read.parquet(targetDir)
-        .where(col(BucketCol).isin(affectedBuckets(b): _*))
-      writeAffected(Scd1.merge(pruned, b, keys, orderBy), targetDir)
+        .where(col(BucketCol).isin(touched: _*))
+      val merged = deleteCol.fold(Scd1.merge(pruned, b, keys, orderBy))(c =>
+        Scd1.mergeWithDeletes(pruned, b, keys, orderBy, c))
+      writeAffected(merged, targetDir, touched)
     }
   }
 
@@ -139,19 +146,24 @@ object StreamPipeline {
     bucketed.select(BucketCol).distinct().collect().map(_.get(0)).toSeq
 
   /** Stage to a temp dir (Spark refuses to overwrite a path it is also
-    * reading), then dynamic-partition-overwrite: only bucket
-    * directories present in `df` are replaced; all other bucket
-    * directories (and their files) are left physically untouched.
+    * reading), then swap in EXACTLY the `touched` bucket directories;
+    * all other bucket directories (and their files) are left
+    * physically untouched. The replacement is explicit rather than
+    * dynamic-partition-overwrite because a DELETE can empty a bucket —
+    * a bucket with zero surviving rows produces no output partition,
+    * which dynamic overwrite would silently leave as-is (the deleted
+    * rows would survive on disk). Swapping staged directories also
+    * writes the data once, not twice.
     */
-  private def writeAffected(df: DataFrame, targetDir: String): Unit = {
-    val spark = df.sparkSession
+  private def writeAffected(df: DataFrame, targetDir: String, touched: Seq[Any]): Unit = {
     val tmp = targetDir + ".delta.tmp"
     df.write.mode("overwrite").partitionBy(BucketCol).parquet(tmp)
-    spark.read.parquet(tmp)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(BucketCol)
-      .parquet(targetDir)
+    touched.foreach { bkt =>
+      val dest = Paths.get(targetDir, s"$BucketCol=$bkt")
+      deleteRecursively(dest)
+      val staged = Paths.get(tmp, s"$BucketCol=$bkt")
+      if (Files.exists(staged)) Files.move(staged, dest)
+    }
     deleteRecursively(Paths.get(tmp))
   }
 
@@ -188,11 +200,12 @@ object StreamPipeline {
     */
   def scd2HistorySink(stream: DataFrame, targetDir: String, checkpointDir: String,
                       keys: Seq[String], ts: String, tiebreak: String,
-                      numBuckets: Int = 16): StreamingQuery =
+                      numBuckets: Int = 16,
+                      deleteCol: Option[String] = None): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        scd2ApplyBatch(batch.toDF(), targetDir, keys, ts, tiebreak, numBuckets)
+        scd2ApplyBatch(batch.toDF(), targetDir, keys, ts, tiebreak, numBuckets, deleteCol)
       }
       .start()
 
@@ -201,18 +214,22 @@ object StreamPipeline {
     */
   def scd2ApplyBatch(batch: DataFrame, targetDir: String,
                      keys: Seq[String], ts: String, tiebreak: String,
-                     numBuckets: Int = 16): Unit = {
+                     numBuckets: Int = 16,
+                     deleteCol: Option[String] = None): Unit = {
     if (batch.isEmpty) return // empty micro-batch: nothing to fold
     val spark = batch.sparkSession
     if (!Files.exists(Paths.get(targetDir))) {
-      Scd2.buildHistory(withBucket(batch, keys, numBuckets), keys, ts, tiebreak)
-        .write.mode("overwrite").partitionBy(BucketCol).parquet(targetDir)
+      val hist = deleteCol.fold(
+          Scd2.buildHistory(withBucket(batch, keys, numBuckets), keys, ts, tiebreak))(c =>
+          Scd2.buildHistoryWithDeletes(withBucket(batch, keys, numBuckets), keys, ts, tiebreak, c))
+      hist.write.mode("overwrite").partitionBy(BucketCol).parquet(targetDir)
       writeLayoutMarker(targetDir, numBuckets)
     } else {
       val b = withBucket(batch, keys, layoutBuckets(targetDir, numBuckets))
+      val touched = affectedBuckets(b)
       val pruned = spark.read.parquet(targetDir)
-        .where(col(BucketCol).isin(affectedBuckets(b): _*))
-      writeAffected(Scd2.applyDelta(pruned, b, keys, ts, tiebreak), targetDir)
+        .where(col(BucketCol).isin(touched: _*))
+      writeAffected(Scd2.applyDelta(pruned, b, keys, ts, tiebreak, deleteCol), targetDir, touched)
     }
   }
 
@@ -257,6 +274,45 @@ object StreamPipeline {
     * ('I', null, v) the first time a key appears and ('U', prev, v) on
     * every subsequent change; unchanged updates emit nothing.
     */
+  /** Full standard-stream analog: per-key I/U/D change tracking (the
+    * reference's standard — not append-only — streams surface all
+    * three actions: `/root/reference/02 Location Entity.sql:81`).
+    * Input rows carry `None` as an explicit delete marker (the CDC
+    * tombstone shape): a marked key with live state emits
+    * ('D', prev, null) and CLEARS its state — so a later re-insert of
+    * the key is a fresh 'I', and state size tracks the live key set,
+    * not everything ever seen. Deletes of unknown keys emit nothing
+    * (nothing to retract), matching snapshot-diff semantics.
+    */
+  def changeLogCdc(updates: Dataset[(Long, Option[String])]): Dataset[KeyChange] = {
+    val spark = updates.sparkSession
+    import spark.implicits._
+    updates.groupByKey(_._1)
+      .flatMapGroupsWithState[String, KeyChange](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[String]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[KeyChange]
+          var cur = state.getOption
+          rows.foreach {
+            case (_, Some(v)) =>
+              cur match {
+                case None => out += KeyChange(key, "I", null, v)
+                case Some(prev) if prev != v => out += KeyChange(key, "U", prev, v)
+                case _ => ()
+              }
+              cur = Some(v)
+            case (_, None) =>
+              cur.foreach(prev => out += KeyChange(key, "D", prev, null))
+              cur = None
+          }
+          cur match {
+            case Some(v) => state.update(v)
+            case None => state.remove()
+          }
+          out.iterator
+      }
+  }
+
   def changeLog(updates: Dataset[(Long, String)]): Dataset[KeyChange] = {
     val spark = updates.sparkSession
     import spark.implicits._

@@ -189,6 +189,102 @@ class StreamPipelineSpec extends SparkSpec {
     assert(out2 == Set((kA, 1L, false), (kA, 3L, true), (kB, 2L, true)))
   }
 
+  test("changeLogCdc emits I/U/D; deleted keys clear state so re-insert is a fresh I") {
+    val in = MemoryStream[(Long, Option[String])]
+    val q = StreamPipeline.changeLogCdc(in.toDS())
+      .writeStream.format("memory").queryName("chg_cdc").outputMode("append").start()
+    try {
+      in.addData((1L, Some("x")), (2L, Some("y")))
+      q.processAllAvailable()
+      in.addData((1L, None), (2L, Some("y2")), (3L, None)) // 3: delete of unknown key
+      q.processAllAvailable()
+      in.addData((1L, Some("x3"))) // re-insert after delete
+      q.processAllAvailable()
+      val rows = spark.table("chg_cdc")
+        .select("key", "action", "old_value", "new_value")
+        .as[(Long, String, String, String)].collect().toSet
+      assert(rows == Set(
+        (1L, "I", null, "x"), (2L, "I", null, "y"),
+        (1L, "D", "x", null), (2L, "U", "y", "y2"),
+        (1L, "I", null, "x3"))) // fresh I, not U — state was cleared
+    } finally q.stop()
+  }
+
+  test("I/U/D delta through the sinks == snapshot-diff applied state; untouched buckets bit-identical") {
+    import java.nio.file.Paths
+    val dir = Files.createTempDirectory("graft_del").toString
+    val nb = 4
+    val del = "_graft_deleted"
+    // four keys across ≥2 distinct buckets; kDel/kIns chosen in a
+    // DIFFERENT bucket than kStable so the delete batch provably
+    // leaves kStable's bucket files untouched
+    val probe = StreamPipeline.withBucket((1L to 50L).toDF("k"), Seq("k"), nb)
+      .as[(Long, Int)].collect().toMap
+    val kStable = probe.keys.head
+    val other = probe.keys.filter(k => probe(k) != probe(kStable))
+    val Seq(kUpd, kDel, kIns) = other.take(3).toSeq
+
+    // old → new snapshot: kStable unchanged, kUpd updated, kDel deleted, kIns inserted
+    val oldSnap = Seq((kStable, "s1"), (kUpd, "u1"), (kDel, "d1")).toDF("k", "v")
+    val newSnap = Seq((kStable, "s1"), (kUpd, "u2"), (kIns, "i1")).toDF("k", "v")
+    val diff = graft.operators.Cdc.snapshotDiff(oldSnap, newSnap, Seq("k"), Seq("v"))
+      .select($"k", $"action", $"new_v").as[(Long, String, String)].collect().toSeq
+    assert(diff.toSet == Set((kUpd, "U", "u2"), (kDel, "D", null), (kIns, "I", "i1")))
+
+    // the diff becomes a tombstone-carrying delta batch
+    val t1 = ts("2024-01-01 00:00:00"); val t2 = ts("2024-01-02 00:00:00")
+    val delta = diff.map { case (k, a, nv) => (k, nv, t2, a == "D") }
+      .toDF("k", "v", "ts", del)
+
+    // --- SCD1 sink path
+    val scd1 = s"$dir/scd1"
+    StreamPipeline.upsertBatch(
+      oldSnap.withColumn("ts", lit(t1)).withColumn(del, lit(false)),
+      scd1, Seq("k"), Seq(col("ts").desc), nb, Some(del))
+    def listing(target: String, bucket: Int) = {
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(target, s"${StreamPipeline.BucketCol}=$bucket"))
+        .iterator().asScala.toSeq.map(_.toString).sorted
+        .map(f => (f, Files.getLastModifiedTime(Paths.get(f)).toMillis,
+          Files.size(Paths.get(f))))
+    }
+    val before = listing(scd1, probe(kStable))
+    StreamPipeline.upsertBatch(delta, scd1, Seq("k"), Seq(col("ts").desc), nb, Some(del))
+    assert(listing(scd1, probe(kStable)) == before) // untouched bucket: identical files
+    val scd1State = spark.read.parquet(scd1).select("k", "v").as[(Long, String)].collect().toSet
+    assert(scd1State == newSnap.as[(Long, String)].collect().toSet) // == diff-applied snapshot
+
+    // --- SCD2 sink path: same delta; live view == new snapshot, and
+    // the deleted key's history closes AT THE DELETE TS durably
+    val scd2 = s"$dir/scd2"
+    def feed(df: org.apache.spark.sql.DataFrame) = df
+    StreamPipeline.scd2ApplyBatch(
+      feed(oldSnap.withColumn("ts", lit(t1)).withColumn(del, lit(false))),
+      scd2, Seq("k"), "ts", "v", nb, Some(del))
+    StreamPipeline.scd2ApplyBatch(feed(delta), scd2, Seq("k"), "ts", "v", nb, Some(del))
+    val hist = spark.read.parquet(scd2)
+    val live = graft.operators.Scd2.currentRows(hist, Some(del))
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(live == newSnap.as[(Long, String)].collect().toSet)
+    // kDel's data version is closed at the delete ts; tombstone row flagged
+    val delRows = hist.where(col("k") === kDel)
+      .select($"v", $"eff_end_ts", col(del)).collect()
+    assert(delRows.exists(r => r.getString(0) == "d1" && r.getTimestamp(1) == t2 && !r.getBoolean(2)))
+    assert(delRows.exists(_.getBoolean(2))) // the tombstone version row
+
+    // re-insert kDel later: the deletion gap survives re-derivation
+    val t3 = ts("2024-03-01 00:00:00")
+    StreamPipeline.scd2ApplyBatch(
+      feed(Seq((kDel, "d2", t3, false)).toDF("k", "v", "ts", del)),
+      scd2, Seq("k"), "ts", "v", nb, Some(del))
+    val after = spark.read.parquet(scd2).where(col("k") === kDel)
+    val d1End = after.where($"v" === "d1").select($"eff_end_ts").head.getTimestamp(0)
+    assert(d1End == t2) // still closed at the DELETE ts, not the re-insert ts
+    val liveAfter = graft.operators.Scd2.currentRows(after, Some(del))
+      .select("v").as[String].collect().toSeq
+    assert(liveAfter == Seq("d2"))
+  }
+
   test("auditedCsvStream attaches audit columns to staged files") {
     val dir = Files.createTempDirectory("graft_stage").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/part1.csv"), "id,name\n1,alpha\n2,beta\n")
