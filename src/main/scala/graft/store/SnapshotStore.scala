@@ -50,7 +50,24 @@ object SnapshotStore {
   /** Same stable hash-bucket column the streaming sinks use. */
   val BucketCol = "_graft_bucket"
 
-  final case class Manifest(version: Long, numBuckets: Int, buckets: Map[Int, String])
+  /** One bucket's current files + per-column data-skipping stats.
+    * `stats(i)` is the (min, max) of the i-th declared stats column
+    * over this bucket's rows, string-encoded per its type tag; None =
+    * all-null column (nothing can be pruned against it).
+    */
+  final case class BucketEntry(dir: String, stats: Seq[Option[(String, String)]])
+
+  /** @param statsCols declared data-skipping columns as (name, tag);
+    *   tag is `num` (any numeric), `ts` (timestamp, stored as epoch
+    *   micros) or `str` (lexicographic)
+    * @param txns last applied batch id per writer id — the
+    *   Delta-txn-appId pattern making at-least-once `foreachBatch`
+    *   redelivery a no-op instead of a double-apply
+    */
+  final case class Manifest(version: Long, numBuckets: Int,
+                            statsCols: Seq[(String, String)],
+                            txns: Map[String, Long],
+                            buckets: Map[Int, BucketEntry])
 
   private def fileSystem(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -58,7 +75,18 @@ object SnapshotStore {
   private def commitsDir(root: String) = new Path(root, "_commits")
   private def manifestPath(root: String, v: Long) =
     new Path(commitsDir(root), f"$v%020d")
-  private def versionDir(root: String, v: Long) = new Path(root, s"v=$v")
+
+  /** Data directory for ONE commit attempt: `v=<n>-<token>` with a
+    * writer-unique token. Two racers for version n therefore write to
+    * DIFFERENT directories — the loser's files can neither clobber the
+    * winner's (both used mode Overwrite on "their" dir) nor be
+    * confused with them at cleanup: a losing attempt deletes exactly
+    * its own directory, never data a just-committed manifest
+    * references.
+    */
+  private def attemptDir(v: Long, token: String) = s"v=$v-$token"
+
+  private def newToken(): String = UUID.randomUUID().toString.take(8)
 
   private def withBucket(df: DataFrame, keys: Seq[String], numBuckets: Int): DataFrame =
     df.withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(numBuckets)))
@@ -79,6 +107,19 @@ object SnapshotStore {
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
     versions(spark, root).lastOption
 
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+
+  /** Manifest format (line-oriented, tab-separated, values URL-encoded):
+    * {{{
+    *   buckets:<n>
+    *   stats:<name>:<tag>,...      (absent when no stats cols declared)
+    *   txn:<writerId>\t<batchId>   (0..many)
+    *   <bucket>\t<dir>[\t<min>,<max>,<min>,<max>,...]
+    * }}}
+    */
   def readManifest(spark: SparkSession, root: String, v: Long): Manifest = {
     val fs = fileSystem(spark, root)
     val in = new BufferedReader(new InputStreamReader(
@@ -86,13 +127,31 @@ object SnapshotStore {
     try {
       val header = in.readLine() // "buckets:<n>"
       val numBuckets = header.stripPrefix("buckets:").trim.toInt
-      val entries = Iterator.continually(in.readLine()).takeWhile(_ != null)
+      var statsCols = Seq.empty[(String, String)]
+      val txns = mutable.Map.empty[String, Long]
+      val entries = mutable.Map.empty[Int, BucketEntry]
+      Iterator.continually(in.readLine()).takeWhile(_ != null)
         .filter(_.nonEmpty)
-        .map { line =>
-          val Array(b, dir) = line.split("\t", 2)
-          b.toInt -> dir
-        }.toMap
-      Manifest(v, numBuckets, entries)
+        .foreach {
+          case l if l.startsWith("stats:") =>
+            statsCols = l.stripPrefix("stats:").split(",").toSeq
+              .filter(_.nonEmpty).map { part =>
+                val Array(n, t) = part.split(":", 2)
+                (dec(n), t)
+              }
+          case l if l.startsWith("txn:") =>
+            val Array(id, b) = l.stripPrefix("txn:").split("\t", 2)
+            txns(dec(id)) = b.toLong
+          case l =>
+            val parts = l.split("\t", 3)
+            val stats = if (parts.length < 3 || parts(2).isEmpty) Seq.empty
+              else parts(2).split(",", -1).grouped(2).map {
+                case Array("", "") => None
+                case Array(mn, mx) => Some((dec(mn), dec(mx)))
+              }.toSeq
+            entries(parts(0).toInt) = BucketEntry(parts(1), stats)
+        }
+      Manifest(v, numBuckets, statsCols, txns.toMap, entries.toMap)
     } finally in.close()
   }
 
@@ -100,14 +159,28 @@ object SnapshotStore {
     * Returns false when another writer already committed `v`.
     */
   private def writeManifestAtomic(fs: FileSystem, root: String, v: Long,
-                                  numBuckets: Int, buckets: Map[Int, String]): Boolean = {
+                                  numBuckets: Int,
+                                  statsCols: Seq[(String, String)],
+                                  txns: Map[String, Long],
+                                  buckets: Map[Int, BucketEntry]): Boolean = {
     val target = manifestPath(root, v)
     if (fs.exists(target)) return false
     val tmp = new Path(commitsDir(root), s".tmp-${UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try {
-      val body = (s"buckets:$numBuckets" +:
-        buckets.toSeq.sortBy(_._1).map { case (b, dir) => s"$b\t$dir" })
+      val statsLine =
+        if (statsCols.isEmpty) Seq.empty
+        else Seq("stats:" + statsCols.map { case (n, t) => s"${enc(n)}:$t" }.mkString(","))
+      val txnLines = txns.toSeq.sortBy(_._1)
+        .map { case (id, b) => s"txn:${enc(id)}\t$b" }
+      val bucketLines = buckets.toSeq.sortBy(_._1).map { case (b, e) =>
+        val st = e.stats.map {
+          case Some((mn, mx)) => s"${enc(mn)},${enc(mx)}"
+          case None => ","
+        }.mkString(",")
+        if (statsCols.isEmpty) s"$b\t${e.dir}" else s"$b\t${e.dir}\t$st"
+      }
+      val body = (s"buckets:$numBuckets" +: (statsLine ++ txnLines ++ bucketLines))
         .mkString("", "\n", "\n")
       out.write(body.getBytes(StandardCharsets.UTF_8))
     } finally out.close()
@@ -155,40 +228,170 @@ object SnapshotStore {
 
   private def readBuckets(spark: SparkSession, root: String, m: Manifest,
                           which: Set[Int]): DataFrame = {
-    val dirs = m.buckets.collect { case (b, dir) if which(b) => new Path(root, dir).toString }
+    val dirs = m.buckets.collect { case (b, e) if which(b) => new Path(root, e.dir).toString }
     if (dirs.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(dirs.toSeq: _*)
+  }
+
+  // ------------------------------------------------------------------
+  // data skipping
+  // ------------------------------------------------------------------
+
+  /** Buckets whose [min, max] for `statsCol` can overlap [lower, upper]
+    * — the micro-partition-pruning decision, made entirely on manifest
+    * metadata (no file I/O). Buckets with no stats recorded (all-null
+    * column, stats added after their last rewrite, or no declared
+    * stats) are conservatively kept. Bounds may be null for open
+    * ranges.
+    */
+  def pruneBuckets(m: Manifest, statsCol: String, lower: Any, upper: Any): Set[Int] = {
+    val idx = m.statsCols.indexWhere(_._1 == statsCol)
+    if (idx < 0) m.buckets.keySet
+    else {
+      val tag = m.statsCols(idx)._2
+      def toCmp(s: String): BigDecimal = tag match {
+        case "ts" => BigDecimal(s.toLong)
+        case _    => BigDecimal(s)
+      }
+      def boundCmp(b: Any): Option[BigDecimal] = Option(b).map {
+        case t: java.sql.Timestamp =>
+          BigDecimal(t.getTime * 1000L + (t.getNanos / 1000) % 1000)
+        case n: Number => BigDecimal(n.toString)
+        case s: String => BigDecimal(s)
+        case other => BigDecimal(other.toString)
+      }
+      if (tag == "str") {
+        val lo = Option(lower).map(_.toString)
+        val hi = Option(upper).map(_.toString)
+        m.buckets.collect { case (b, e)
+          if e.stats.lift(idx).flatten.forall { case (mn, mx) =>
+            lo.forall(_ <= mx) && hi.forall(_ >= mn)
+          } => b
+        }.toSet
+      } else {
+        val lo = boundCmp(lower)
+        val hi = boundCmp(upper)
+        m.buckets.collect { case (b, e)
+          if e.stats.lift(idx).flatten.forall { case (mn, mx) =>
+            lo.forall(_ <= toCmp(mx)) && hi.forall(_ >= toCmp(mn))
+          } => b
+        }.toSet
+      }
+    }
+  }
+
+  /** Range scan with manifest-stats pruning: read only the buckets
+    * whose recorded [min, max] for `statsCol` overlaps
+    * [lower, upper] (null bound = open side), then apply the exact
+    * predicate to the survivors. The reference leans on exactly this
+    * implicitly — Snowflake micro-partition min/max pruning under
+    * every MERGE; here it is explicit table metadata.
+    */
+  def readRange(spark: SparkSession, root: String, statsCol: String,
+                lower: Any, upper: Any): DataFrame = {
+    val m = readManifest(spark, root, latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no committed version at $root")))
+    val df = readBuckets(spark, root, m, pruneBuckets(m, statsCol, lower, upper))
+    if (df.schema.isEmpty) df
+    else {
+      val loF = Option(lower).map(l => col(statsCol) >= lit(l))
+      val hiF = Option(upper).map(u => col(statsCol) <= lit(u))
+      (loF.toSeq ++ hiF.toSeq).foldLeft(df)(_ where _)
+    }
+  }
+
+  /** Per-bucket (min, max) of the declared stats columns over freshly
+    * written data — one O(delta) aggregate per commit, grouped by
+    * bucket (metadata-sized result).
+    */
+  private def collectStats(written: DataFrame,
+                           statsCols: Seq[(String, String)]): Map[Int, Seq[Option[(String, String)]]] = {
+    if (statsCols.isEmpty) return Map.empty
+    // min/max are computed in the column's NATIVE type (string-cast
+    // first would give lexicographic extremes — "9" > "10"), then
+    // string-encoded for the manifest
+    val aggs = statsCols.flatMap { case (c, _) =>
+      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"))
+    }
+    def encVal(v: Any): String = v match {
+      case t: java.sql.Timestamp => (t.getTime * 1000L + (t.getNanos / 1000) % 1000).toString
+      case other => other.toString
+    }
+    written.groupBy(col(BucketCol)).agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val b = r.getInt(0)
+        val stats = statsCols.indices.map { i =>
+          val mn = r.get(1 + 2 * i)
+          val mx = r.get(2 + 2 * i)
+          if (mn == null || mx == null) None else Some((encVal(mn), encVal(mx)))
+        }
+        b -> stats
+      }.toMap
   }
 
   // ------------------------------------------------------------------
   // writes
   // ------------------------------------------------------------------
 
-  /** Create the table: full write of `df` as version 0. */
+  /** Create the table: full write of `df` as version 0.
+    *
+    * @param statsCols columns to record per-bucket min/max for in
+    *   every manifest (data skipping); numeric, string, and timestamp
+    *   columns supported. Fixed at table creation like the bucket
+    *   layout.
+    * @param txn writer id + batch id recorded in the manifest so a
+    *   redelivered first micro-batch skips instead of double-applying
+    */
   def init(spark: SparkSession, root: String, df: DataFrame,
-           keys: Seq[String], numBuckets: Int = 16): Long = {
+           keys: Seq[String], numBuckets: Int = 16,
+           statsCols: Seq[String] = Nil,
+           txn: Option[(String, Long)] = None): Long = {
     val fs = fileSystem(spark, root)
     require(latestVersion(spark, root).isEmpty, s"table already exists at $root")
-    val written = writeVersionData(df, root, 0L, keys, numBuckets, fs)
-    require(writeManifestAtomic(fs, root, 0L, numBuckets, written),
+    val tagged = tagStatsCols(df, statsCols)
+    val written = writeVersionData(df, root, 0L, newToken(), keys, numBuckets, tagged, fs)
+    require(writeManifestAtomic(fs, root, 0L, numBuckets, tagged,
+        txn.map { case (id, b) => id -> b }.toMap, written),
       s"concurrent init at $root")
     0L
   }
 
-  /** Write `df`'s rows under v=<n>/ partitioned by bucket; returns the
-    * bucket → directory map for the buckets that actually got files.
+  /** Type tags for declared stats columns, from the frame's schema. */
+  private def tagStatsCols(df: DataFrame, statsCols: Seq[String]): Seq[(String, String)] =
+    statsCols.map { c =>
+      c -> (df.schema(c).dataType match {
+        case org.apache.spark.sql.types.TimestampType => "ts"
+        case org.apache.spark.sql.types.StringType => "str"
+        case _: org.apache.spark.sql.types.NumericType => "num"
+        case other => throw new IllegalArgumentException(
+          s"stats column $c: unsupported type $other (numeric, string, timestamp)")
+      })
+    }
+
+  /** Write `df`'s rows under this attempt's `v=<n>-<token>/` dir
+    * partitioned by bucket; returns bucket → (dir, stats) for the
+    * buckets that actually got files.
     */
-  private def writeVersionData(df: DataFrame, root: String, v: Long,
+  private def writeVersionData(df: DataFrame, root: String, v: Long, token: String,
                                keys: Seq[String], numBuckets: Int,
-                               fs: FileSystem): Map[Int, String] = {
-    val vdir = versionDir(root, v)
+                               statsCols: Seq[(String, String)],
+                               fs: FileSystem): Map[Int, BucketEntry] = {
+    val rel = attemptDir(v, token)
+    val vdir = new Path(root, rel)
     withBucket(df, keys, numBuckets)
       .write.mode("overwrite").partitionBy(BucketCol).parquet(vdir.toString)
     if (!fs.exists(vdir)) Map.empty
-    else fs.listStatus(vdir).toSeq
-      .map(_.getPath.getName).filter(_.startsWith(s"$BucketCol="))
-      .map(name => name.stripPrefix(s"$BucketCol=").toInt -> s"v=$v/$name")
-      .toMap
+    else {
+      val bucketNames = fs.listStatus(vdir).toSeq
+        .map(_.getPath.getName).filter(_.startsWith(s"$BucketCol="))
+      val stats =
+        if (statsCols.isEmpty || bucketNames.isEmpty) Map.empty[Int, Seq[Option[(String, String)]]]
+        else collectStats(df.sparkSession.read.parquet(vdir.toString), statsCols)
+      bucketNames.map { name =>
+        val b = name.stripPrefix(s"$BucketCol=").toInt
+        b -> BucketEntry(s"$rel/$name", stats.getOrElse(b, statsCols.map(_ => None)))
+      }.toMap
+    }
   }
 
   /** Merge a delta in and commit a new version. `merge(current, delta)`
@@ -198,11 +401,25 @@ object SnapshotStore {
     * [[graft.operators.Scd2.applyDelta]]). Untouched buckets are
     * re-pointed, not rewritten — O(delta) data written per commit.
     * On a lost commit race the merge re-runs against the new snapshot.
+    *
+    * Concurrency safety: every attempt writes its data under its OWN
+    * `v=<n>-<token>` directory, so a lost race can neither overwrite
+    * the winner's files nor delete them during cleanup — the loser
+    * removes exactly its own attempt directory and retries against the
+    * winner's snapshot.
+    *
+    * @param txn (writerId, batchId): when the latest manifest already
+    *   records a batchId ≥ this one for the writer, the commit is a
+    *   redelivery and is SKIPPED (returns the current version) — the
+    *   exactly-once hinge for non-idempotent merges like the
+    *   aggregating sink, where re-summing a replayed batch would
+    *   corrupt the table permanently.
     */
   def commitDelta(spark: SparkSession, root: String, delta: DataFrame,
                   keys: Seq[String],
                   merge: (DataFrame, DataFrame) => DataFrame,
-                  maxAttempts: Int = 5): Long = {
+                  maxAttempts: Int = 5,
+                  txn: Option[(String, Long)] = None): Long = {
     val fs = fileSystem(spark, root)
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -210,7 +427,11 @@ object SnapshotStore {
       val base = latestVersion(spark, root)
         .getOrElse(throw new IllegalStateException(s"no table at $root — call init first"))
       val m = readManifest(spark, root, base)
+      txn.foreach { case (id, batchId) =>
+        if (m.txns.get(id).exists(_ >= batchId)) return base // already applied
+      }
       val v = base + 1
+      val token = newToken()
 
       val bucketed = withBucket(delta, keys, m.numBuckets)
       val touched = bucketed.select(BucketCol).distinct()
@@ -220,13 +441,14 @@ object SnapshotStore {
         if (current.schema.isEmpty) delta.limit(0) else current
       val merged = merge(currentAligned, delta)
 
-      val written = writeVersionData(merged, root, v, keys, m.numBuckets, fs)
+      val written = writeVersionData(merged, root, v, token, keys, m.numBuckets, m.statsCols, fs)
       // touched buckets now live at v; emptied buckets drop out; the
-      // rest keep pointing at their existing files
+      // rest keep pointing at their existing files (and stats)
       val next = (m.buckets -- touched) ++ written
-      if (writeManifestAtomic(fs, root, v, m.numBuckets, next)) return v
-      // lost the race: discard our data dir and re-merge on the new base
-      fs.delete(versionDir(root, v), true)
+      val txns = m.txns ++ txn.map { case (id, b) => id -> b }
+      if (writeManifestAtomic(fs, root, v, m.numBuckets, m.statsCols, txns, next)) return v
+      // lost the race: discard OUR OWN attempt dir and re-merge on the new base
+      fs.delete(new Path(root, attemptDir(v, token)), true)
     }
     throw new IllegalStateException(
       s"commitDelta lost $maxAttempts consecutive commit races at $root")
@@ -245,18 +467,19 @@ object SnapshotStore {
     val keep = vs.takeRight(keepLast)
     val latest = vs.last
     val referenced: Set[String] =
-      keep.flatMap(v => readManifest(spark, root, v).buckets.values).toSet
+      keep.flatMap(v => readManifest(spark, root, v).buckets.values.map(_.dir)).toSet
     val deleted = mutable.ArrayBuffer.empty[Path]
 
     vs.dropRight(keepLast).foreach { v => deleted += manifestPath(root, v) }
     fs.listStatus(new Path(root)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
       .foreach { st =>
-        val vNum = st.getPath.getName.stripPrefix("v=").toLong
+        val dirName = st.getPath.getName // v=<n>-<token>
+        val vNum = dirName.stripPrefix("v=").takeWhile(_.isDigit).toLong
         val bucketDirs = fs.listStatus(st.getPath).toSeq
           .filter(_.getPath.getName.startsWith(s"$BucketCol="))
         val dead = bucketDirs.filterNot(b =>
-          referenced(s"v=$vNum/${b.getPath.getName}"))
+          referenced(s"$dirName/${b.getPath.getName}"))
         // an in-flight writer's dir (version above latest) is not ours to touch
         if (vNum <= latest) {
           if (dead.size == bucketDirs.size) deleted += st.getPath
@@ -278,18 +501,21 @@ object SnapshotStore {
     */
   def scd1SnapshotSink(stream: DataFrame, root: String, checkpointDir: String,
                        keys: Seq[String], orderBy: Seq[Column],
-                       numBuckets: Int = 16): StreamingQuery =
+                       numBuckets: Int = 16,
+                       statsCols: Seq[String] = Nil): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
+        val txn = Some(checkpointDir -> batchId)
         if (!batch.isEmpty) {
           val b = batch.toDF()
           if (latestVersion(spark, root).isEmpty) {
-            init(spark, root, Scd1.latestByKey(b, keys, orderBy), keys, numBuckets)
+            init(spark, root, Scd1.latestByKey(b, keys, orderBy), keys, numBuckets,
+              statsCols, txn)
           } else {
             commitDelta(spark, root, b, keys,
-              (cur, delta) => Scd1.merge(cur, delta, keys, orderBy))
+              (cur, delta) => Scd1.merge(cur, delta, keys, orderBy), txn = txn)
           }
         }: Unit
       }
@@ -313,15 +539,20 @@ object SnapshotStore {
       df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
+        // foreachBatch is at-least-once: a replayed batch re-SUMMED
+        // into the partials would corrupt the aggregate permanently
+        // (unlike the idempotent SCD merges) — the manifest txn makes
+        // the redelivery a no-op
+        val txn = Some(checkpointDir -> batchId)
         if (!batch.isEmpty) {
           val partials = reAgg(batch.toDF())
           if (latestVersion(spark, root).isEmpty) {
-            init(spark, root, partials, groupCols, numBuckets)
+            init(spark, root, partials, groupCols, numBuckets, txn = txn)
           } else {
             commitDelta(spark, root, partials, groupCols,
-              (cur, delta) => reAgg(cur.unionByName(delta)))
+              (cur, delta) => reAgg(cur.unionByName(delta)), txn = txn)
           }
         }: Unit
       }
@@ -335,18 +566,21 @@ object SnapshotStore {
     */
   def scd2SnapshotSink(stream: DataFrame, root: String, checkpointDir: String,
                        keys: Seq[String], ts: String, tiebreak: String,
-                       numBuckets: Int = 16): StreamingQuery =
+                       numBuckets: Int = 16,
+                       statsCols: Seq[String] = Nil): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
+        val txn = Some(checkpointDir -> batchId)
         if (!batch.isEmpty) {
           val b = batch.toDF()
           if (latestVersion(spark, root).isEmpty) {
-            init(spark, root, Scd2.buildHistory(b, keys, ts, tiebreak), keys, numBuckets)
+            init(spark, root, Scd2.buildHistory(b, keys, ts, tiebreak), keys,
+              numBuckets, statsCols, txn)
           } else {
             commitDelta(spark, root, b, keys,
-              (cur, delta) => Scd2.applyDelta(cur, delta, keys, ts, tiebreak))
+              (cur, delta) => Scd2.applyDelta(cur, delta, keys, ts, tiebreak), txn = txn)
           }
         }: Unit
       }

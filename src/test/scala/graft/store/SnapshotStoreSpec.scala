@@ -47,11 +47,11 @@ class SnapshotStoreSpec extends SparkSpec {
     SnapshotStore.commitDelta(spark, root, delta, Seq("k"), merge)
     val m1 = SnapshotStore.readManifest(spark, root, 1L)
 
-    val touched = m1.buckets.filter { case (_, dir) => dir.startsWith("v=1/") }
+    val touched = m1.buckets.filter { case (_, e) => e.dir.startsWith("v=1-") }
     assert(touched.size == 1) // exactly the one bucket key 1 hashes to
     // every other bucket still points at its ORIGINAL v=0 directory
-    (m1.buckets -- touched.keySet).foreach { case (b, dir) =>
-      assert(dir == m0.buckets(b))
+    (m1.buckets -- touched.keySet).foreach { case (b, e) =>
+      assert(e.dir == m0.buckets(b).dir)
     }
   }
 
@@ -111,7 +111,110 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(root, "v=1", s"${SnapshotStore.BucketCol}=99")))
     // v=0 bucket dirs still referenced by v1's manifest must survive
     val m1 = SnapshotStore.readManifest(spark, root, 1L)
-    m1.buckets.values.foreach(dir => assert(Files.exists(Paths.get(root, dir))))
+    m1.buckets.values.foreach(e => assert(Files.exists(Paths.get(root, e.dir))))
+  }
+
+  test("data skipping: range reads prune to the buckets whose min/max overlap") {
+    val root = tmpDir("skip")
+    // keys and ts correlated so different buckets carry different ranges
+    val v0 = (1L to 400L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts")
+    SnapshotStore.init(spark, root, v0, Seq("k"), numBuckets = 8,
+      statsCols = Seq("ts", "v"))
+    val m = SnapshotStore.readManifest(spark, root, 0L)
+    assert(m.statsCols == Seq(("ts", "num"), ("v", "str")))
+    m.buckets.values.foreach(e => assert(e.stats.size == 2))
+
+    // ts ∈ [1, 3]: only buckets whose recorded min ≤ 3 qualify — with
+    // 400 keys over 8 buckets every bucket has min >> 3 except those
+    // holding k ∈ {1,2,3}
+    val pruned = SnapshotStore.pruneBuckets(m, "ts", 1L, 3L)
+    assert(pruned.size < m.buckets.size, s"pruned=$pruned")
+    // the pruned read returns exactly what a full scan + filter would
+    val got = rows(SnapshotStore.readRange(spark, root, "ts", 1L, 3L))
+    assert(got == Set((1L, "v1", 1L), (2L, "v2", 2L), (3L, "v3", 3L)))
+    // and it provably read fewer bucket directories
+    val scanned = SnapshotStore.readRange(spark, root, "ts", 1L, 3L)
+      .queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.flatMap(_.relation.location.rootPaths.map(_.toString)).distinct
+    assert(scanned.size == pruned.size && pruned.size < 8,
+      s"expected a pruned scan, got $scanned")
+
+    // commits refresh stats for touched buckets and keep the rest
+    SnapshotStore.commitDelta(spark, root,
+      Seq((1L, "v1b", 900L)).toDF("k", "v", "ts"), Seq("k"), merge)
+    val m1 = SnapshotStore.readManifest(spark, root, 1L)
+    val touchedBucket = m1.buckets.collect {
+      case (b, e) if e.dir.startsWith("v=1-") => b
+    }.head
+    // that bucket's ts max now reflects the update
+    val Some((_, mx)) = m1.buckets(touchedBucket).stats.head
+    assert(BigDecimal(mx) == BigDecimal(900))
+    // a range query beyond every original ts finds only the update
+    assert(rows(SnapshotStore.readRange(spark, root, "ts", 500L, null)) ==
+      Set((1L, "v1b", 900L)))
+    assert(SnapshotStore.pruneBuckets(m1, "ts", 500L, null) == Set(touchedBucket))
+  }
+
+  test("txn idempotence: a redelivered (writerId, batchId) commit is a no-op") {
+    val root = tmpDir("txn")
+    val v0 = Seq(("d1", 100L)).toDF("day", "cents")
+    val sum2 = (cur: org.apache.spark.sql.DataFrame, delta: org.apache.spark.sql.DataFrame) =>
+      cur.unionByName(delta).groupBy("day").agg(sum(col("cents")).as("cents"))
+    SnapshotStore.init(spark, root, v0, Seq("day"), numBuckets = 4,
+      txn = Some(("w1", 0L)))
+    val delta = Seq(("d1", 50L)).toDF("day", "cents")
+    val v1 = SnapshotStore.commitDelta(spark, root, delta, Seq("day"), sum2,
+      txn = Some(("w1", 1L)))
+    assert(v1 == 1L)
+    def state = SnapshotStore.read(spark, root)
+      .as[(String, Long)].collect().toSet
+    assert(state == Set(("d1", 150L)))
+    // replay of batch 1: summed a second time this would give 200
+    val vReplay = SnapshotStore.commitDelta(spark, root, delta, Seq("day"), sum2,
+      txn = Some(("w1", 1L)))
+    assert(vReplay == 1L)        // no new version
+    assert(state == Set(("d1", 150L))) // aggregate not corrupted
+    // replay of the INIT batch (0) is also skipped
+    val vReplay0 = SnapshotStore.commitDelta(spark, root, v0, Seq("day"), sum2,
+      txn = Some(("w1", 0L)))
+    assert(vReplay0 == 1L)
+    assert(state == Set(("d1", 150L)))
+    // a different writer's batch 1 is NOT confused with w1's
+    SnapshotStore.commitDelta(spark, root, Seq(("d1", 7L)).toDF("day", "cents"),
+      Seq("day"), sum2, txn = Some(("w2", 1L)))
+    assert(state == Set(("d1", 157L)))
+  }
+
+  test("lost commit race: loser keeps its hands off the winner's data and re-merges") {
+    val root = tmpDir("race")
+    val v0 = (1L to 40L).map(k => (k, s"v$k", 1L)).toDF("k", "v", "ts")
+    SnapshotStore.init(spark, root, v0, Seq("k"), numBuckets = 4)
+    // interleave a competing writer INSIDE the loser's merge callback:
+    // the inner commit wins version 1; the outer writer must lose the
+    // manifest race, delete only its own attempt dir, and re-merge
+    // against the winner's snapshot
+    var innerDone = false
+    val outerDelta = Seq((1L, "outer", 3L)).toDF("k", "v", "ts")
+    val v = SnapshotStore.commitDelta(spark, root, outerDelta, Seq("k"),
+      (cur, delta) => {
+        if (!innerDone) {
+          innerDone = true
+          SnapshotStore.commitDelta(spark, root,
+            Seq((2L, "inner", 2L)).toDF("k", "v", "ts"), Seq("k"), merge)
+        }
+        merge(cur, delta)
+      })
+    assert(v == 2L) // outer lost v1, retried, committed v2
+    val got = rows(SnapshotStore.read(spark, root))
+    assert(got((1L, "outer", 3L)) && got((2L, "inner", 2L))) // BOTH commits survive
+    // the winner's v1 snapshot is intact (its data was never clobbered
+    // or deleted by the loser's cleanup)
+    val atV1 = rows(SnapshotStore.readVersion(spark, root, 1L))
+    assert(atV1((2L, "inner", 2L)) && atV1((1L, "v1", 1L)))
+    // and no stray attempt dirs beyond the referenced ones survive a vacuum
+    SnapshotStore.vacuum(spark, root, keepLast = 3)
+    assert(rows(SnapshotStore.read(spark, root)) == got)
   }
 
   test("streaming scd1SnapshotSink commits one atomic version per micro-batch") {
