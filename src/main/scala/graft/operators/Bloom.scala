@@ -83,7 +83,11 @@ object Bloom {
             seed: Long = 97L): Seq[Long] = {
     val spark = small.sparkSession
     import spark.implicits._
-    small.select(col(keyCol).cast("long")).as[Long]
+    // null keys can never match an (equi-)semi-join, so they don't
+    // belong in the filter — and a null would fail the non-nullable
+    // Long decode below at runtime
+    small.where(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("long")).as[Long]
       .select(new BloomAgg[Long](numBits, numHashes, seed, identity).toColumn)
       .head()
   }

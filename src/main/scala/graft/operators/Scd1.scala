@@ -21,16 +21,27 @@ object Scd1 {
   private val RN = "__graft_rn"
   private[operators] val SRC = "__graft_src"
 
-  /** Schema drift between merge sides is tolerated ONLY for audit
-    * columns (underscore-prefixed, e.g. a batch-only `_stg_file_md5`);
-    * a missing or extra DATA column is upstream breakage and must fail
-    * loudly, not be silently null-filled.
+  /** Schema-drift contract between merge sides (the reference's ELT
+    * survives additive entity changes by re-running DDL —
+    * `01 Create DB+Schema.sql` is idempotent `CREATE ... IF NOT
+    * EXISTS` + per-entity column lists):
+    *
+    *  - DELTA-ONLY data columns are ADDITIVE EVOLUTION: a new upstream
+    *    attribute flows through the merge and existing history
+    *    null-fills it (the `unionByName(allowMissingColumns)` path all
+    *    merges already take).
+    *  - BASE-ONLY data columns mean the upstream DROPPED a column the
+    *    target carries — that is breakage and fails loudly; silently
+    *    null-filling the newest versions would corrupt latest-wins
+    *    semantics. (Replays of pre-evolution batches must read with
+    *    the evolved schema, as any table format requires.)
+    *  - `_`-prefixed audit columns are free to differ either way.
     */
   private[operators] def checkDrift(base: Seq[String], delta: Seq[String]): Unit = {
     val baseOnly = (base.toSet -- delta).filterNot(_.startsWith("_"))
-    val deltaOnly = (delta.toSet -- base).filterNot(_.startsWith("_"))
-    require(baseOnly.isEmpty && deltaOnly.isEmpty,
-      s"SCD merge schema drift beyond audit columns: base-only=$baseOnly delta-only=$deltaOnly")
+    require(baseOnly.isEmpty,
+      s"SCD merge: delta is missing data columns the target carries " +
+        s"(dropped upstream column = breakage, not evolution): $baseOnly")
   }
 
   /** Latest row per business key, ordered by `orderBy` descending

@@ -230,7 +230,10 @@ object SnapshotStore {
                           which: Set[Int]): DataFrame = {
     val dirs = m.buckets.collect { case (b, e) if which(b) => new Path(root, e.dir).toString }
     if (dirs.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(dirs.toSeq: _*)
+    // mergeSchema: after additive evolution a snapshot legitimately
+    // spans pre- and post-evolution version dirs until every bucket
+    // has been rewritten once; old rows null-fill the new columns
+    else spark.read.option("mergeSchema", "true").parquet(dirs.toSeq: _*)
   }
 
   // ------------------------------------------------------------------

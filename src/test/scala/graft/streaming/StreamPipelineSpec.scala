@@ -285,6 +285,110 @@ class StreamPipelineSpec extends SparkSpec {
     assert(liveAfter == Seq("d2"))
   }
 
+  test("sessionizedCounts: streaming session windows == batch session_window on the same events") {
+    val events = Seq(
+      (7L, ts("2024-01-01 10:00:00")), // u7 session 1: 3 events
+      (7L, ts("2024-01-01 10:10:00")),
+      (7L, ts("2024-01-01 10:25:00")),
+      (7L, ts("2024-01-01 11:30:00")), // u7 session 2 (65-min gap)
+      (9L, ts("2024-01-01 10:05:00"))) // u9 session 1
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = StreamPipeline.sessionizedCounts(
+        in.toDF().toDF("user_id", "ts"), "ts", "user_id",
+        watermark = "10 minutes", gap = "30 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      in.addData(events.take(3): _*)
+      q.processAllAvailable()
+      in.addData(events.drop(3): _*)
+      q.processAllAvailable()
+      // advance the watermark far past every session end so ALL
+      // sessions close and emit
+      in.addData((99L, ts("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions")
+        .where($"user_id" =!= 99L)
+        .select($"user_id", $"session_start".cast("string"),
+          $"session_end".cast("string"), $"n_events")
+        .as[(Long, String, String, Long)].collect().toSet
+      // batch twin: the exact q28 shape over the same rows
+      val batch = events.toDF("user_id", "ts")
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", date_trunc("second", $"sw.start").cast("string"),
+          date_trunc("second", $"sw.end").cast("string"), $"n_events")
+        .as[(Long, String, String, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.size == 3) // u7 × 2 sessions + u9 × 1
+      assert(streamed((7L, "2024-01-01 10:00:00", "2024-01-01 10:55:00", 3L)))
+    } finally q.stop()
+  }
+
+  test("additive schema evolution: new columns flow mid-stream, old history null-fills, drops still fail") {
+    import graft.operators.Scd1
+    import graft.store.SnapshotStore
+    // --- operator level: delta-only column = evolution; base-only = breakage
+    val base = Seq((1L, "a", 1L)).toDF("k", "v", "ts")
+    val delta = Seq((2L, "b", 2L, "x")).toDF("k", "v", "ts", "extra")
+    val merged = Scd1.merge(base, delta, Seq("k"), Seq(col("ts").desc))
+      .select("k", "v", "extra").as[(Long, String, Option[String])].collect().toSet
+    assert(merged == Set((1L, "a", None), (2L, "b", Some("x"))))
+    intercept[IllegalArgumentException] { // upstream DROPPED a data column
+      Scd1.merge(delta.drop("extra").withColumn("extra", lit("e")), base,
+        Seq("k"), Seq(col("ts").desc)).collect()
+    }
+
+    // --- sink level: evolve an entity MID-STREAM through both targets
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    val nb = 4
+    val probe = StreamPipeline.withBucket((1L to 50L).toDF("k"), Seq("k"), nb)
+      .as[(Long, Int)].collect().toMap
+    val kOld = probe.keys.head
+    val kNew = probe.keys.find(k => probe(k) != probe(kOld)).get
+
+    val scd1 = s"$dir/scd1"
+    StreamPipeline.upsertBatch(
+      Seq((kOld, "a", ts("2024-01-01 00:00:00"))).toDF("k", "v", "ts"),
+      scd1, Seq("k"), Seq(col("ts").desc), nb)
+    def stableFiles() = {
+      import scala.jdk.CollectionConverters._
+      Files.list(java.nio.file.Paths.get(scd1, s"${StreamPipeline.BucketCol}=${probe(kOld)}"))
+        .iterator().asScala.map(p => (p.toString, Files.getLastModifiedTime(p).toMillis)).toSeq.sorted
+    }
+    val before = stableFiles()
+    StreamPipeline.upsertBatch( // evolved batch: +loyalty column
+      Seq((kNew, "b", ts("2024-01-02 00:00:00"), "gold")).toDF("k", "v", "ts", "loyalty"),
+      scd1, Seq("k"), Seq(col("ts").desc), nb)
+    assert(stableFiles() == before) // evolution rewrites only touched buckets
+    val scd1Rows = spark.read.option("mergeSchema", "true").parquet(scd1)
+      .select("k", "v", "loyalty").as[(Long, String, Option[String])].collect().toSet
+    assert(scd1Rows == Set((kOld, "a", None), (kNew, "b", Some("gold"))))
+
+    val scd2 = s"$dir/scd2"
+    StreamPipeline.scd2ApplyBatch(
+      Seq((kOld, "a", ts("2024-01-01 00:00:00"))).toDF("k", "v", "ts"),
+      scd2, Seq("k"), "ts", "v", nb)
+    StreamPipeline.scd2ApplyBatch( // evolved batch touches the SAME key
+      Seq((kOld, "a2", ts("2024-02-01 00:00:00"), "gold")).toDF("k", "v", "ts", "loyalty"),
+      scd2, Seq("k"), "ts", "v", nb)
+    val hist = spark.read.option("mergeSchema", "true").parquet(scd2)
+      .select($"v", $"loyalty", $"current_flag")
+      .as[(String, Option[String], Boolean)].collect().toSet
+    // history preserved: the pre-evolution version survives with null loyalty
+    assert(hist == Set(("a", None, false), ("a2", Some("gold"), true)))
+
+    // --- SnapshotStore: evolved commit; snapshot spans old+new version dirs
+    val snap = s"$dir/snap"
+    SnapshotStore.init(spark, snap,
+      Seq((kOld, "a", 1L)).toDF("k", "v", "ts"), Seq("k"), numBuckets = 4)
+    SnapshotStore.commitDelta(spark, snap,
+      Seq((kNew, "b", 2L, "gold")).toDF("k", "v", "ts", "loyalty"), Seq("k"),
+      (cur, d) => Scd1.merge(cur, d, Seq("k"), Seq(col("ts").desc)))
+    val snapRows = SnapshotStore.read(spark, snap)
+      .select("k", "v", "loyalty").as[(Long, String, Option[String])].collect().toSet
+    assert(snapRows == Set((kOld, "a", None), (kNew, "b", Some("gold"))))
+  }
+
   test("auditedCsvStream attaches audit columns to staged files") {
     val dir = Files.createTempDirectory("graft_stage").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/part1.csv"), "id,name\n1,alpha\n2,beta\n")
