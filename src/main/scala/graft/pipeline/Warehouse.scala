@@ -44,6 +44,12 @@ object Warehouse {
     * @param changeTs  change-timestamp column (SCD ordering)
     * @param tieBreak  unique column making the ordering total
     * @param scd2      also maintain an SCD2 history dim
+    * @param deleteCol boolean typed-stage column marking DELETE
+    *                  tombstones (the `METADATA$ACTION = 'DELETE'`
+    *                  branch of every reference entity MERGE, e.g.
+    *                  `with procedures/location_proc.sql:274-286`):
+    *                  flagged rows remove their key from the clean
+    *                  layer and close out the dim history
     */
   final case class Entity(
       name: String,
@@ -54,7 +60,20 @@ object Warehouse {
       keys: Seq[String],
       changeTs: String,
       tieBreak: String,
-      scd2: Boolean = false)
+      scd2: Boolean = false,
+      deleteCol: Option[String] = None)
+
+  /** The audit-namespaced tombstone column the sinks consume; the
+    * entity's `deleteCol` is renamed to this so the persisted targets
+    * never carry the marker as a data column.
+    */
+  private val DeletedCol = "_graft_deleted"
+
+  private def withTombstones(df: DataFrame, e: Entity): DataFrame =
+    e.deleteCol.fold(df)(c => df.withColumnRenamed(c, DeletedCol))
+
+  private def sinkDeleteCol(e: Entity): Option[String] =
+    e.deleteCol.map(_ => DeletedCol)
 
   /** A fact built from the clean layer (and previously-built facts):
     * `inputs` name the frames handed to `build` — facts run after all
@@ -95,11 +114,15 @@ object Warehouse {
       spark.read.parquet(path).drop(StreamPipeline.BucketCol)
     }
     val entityOut = cfg.entities.flatMap { e =>
-      val typed = StageReader.typed(stage(spark, e), e.casts)
-      val clean = Scd1.latestByKey(typed, e.keys, scd1Order(e))
+      val typed = withTombstones(StageReader.typed(stage(spark, e), e.casts), e)
+      val latest = Scd1.latestByKey(typed, e.keys, scd1Order(e))
+      val clean = sinkDeleteCol(e).fold(latest)(c =>
+        latest.where(!coalesce(col(c), lit(false))).drop(c))
       val cleanOut = writeBucketed(clean, e, s"$outDir/clean/${e.name}")
       val dim = if (e.scd2) {
-        val h = Scd2.buildHistory(typed, e.keys, e.changeTs, e.tieBreak)
+        val h = sinkDeleteCol(e).fold(
+            Scd2.buildHistory(typed, e.keys, e.changeTs, e.tieBreak))(c =>
+            Scd2.buildHistoryWithDeletes(typed, e.keys, e.changeTs, e.tieBreak, c))
         Seq(s"dim/${e.name}" -> writeBucketed(h, e, s"$outDir/dim/${e.name}"))
       } else Nil
       Seq(s"clean/${e.name}" -> cleanOut) ++ dim
@@ -149,16 +172,16 @@ object Warehouse {
         case "json" => StreamPipeline.auditedJsonStream(spark, e.stagePath, schema)
         case other  => throw new IllegalArgumentException(s"unknown stage format: $other")
       }
-      val typed = StageReader.typed(staged, e.casts)
+      val typed = withTombstones(StageReader.typed(staged, e.casts), e)
       typed.writeStream
         .option("checkpointLocation", s"$checkpointDir/${e.name}")
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           StreamPipeline.upsertBatch(batch, s"$outDir/clean/${e.name}",
-            e.keys, scd1Order(e), numBuckets)
+            e.keys, scd1Order(e), numBuckets, sinkDeleteCol(e))
           if (e.scd2)
             StreamPipeline.scd2ApplyBatch(batch.toDF(), s"$outDir/dim/${e.name}",
-              e.keys, e.changeTs, e.tieBreak, numBuckets)
+              e.keys, e.changeTs, e.tieBreak, numBuckets, sinkDeleteCol(e))
         }
         .start()
     }

@@ -505,7 +505,8 @@ object SnapshotStore {
   def scd1SnapshotSink(stream: DataFrame, root: String, checkpointDir: String,
                        keys: Seq[String], orderBy: Seq[Column],
                        numBuckets: Int = 16,
-                       statsCols: Seq[String] = Nil): StreamingQuery =
+                       statsCols: Seq[String] = Nil,
+                       deleteCol: Option[String] = None): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -513,12 +514,17 @@ object SnapshotStore {
         val txn = Some(checkpointDir -> batchId)
         if (!batch.isEmpty) {
           val b = batch.toDF()
+          def firstState = {
+            val latest = Scd1.latestByKey(b, keys, orderBy)
+            deleteCol.fold(latest)(c =>
+              latest.where(!coalesce(col(c), lit(false))).drop(c))
+          }
           if (latestVersion(spark, root).isEmpty) {
-            init(spark, root, Scd1.latestByKey(b, keys, orderBy), keys, numBuckets,
-              statsCols, txn)
+            init(spark, root, firstState, keys, numBuckets, statsCols, txn)
           } else {
             commitDelta(spark, root, b, keys,
-              (cur, delta) => Scd1.merge(cur, delta, keys, orderBy), txn = txn)
+              (cur, delta) => deleteCol.fold(Scd1.merge(cur, delta, keys, orderBy))(c =>
+                Scd1.mergeWithDeletes(cur, delta, keys, orderBy, c)), txn = txn)
           }
         }: Unit
       }
@@ -570,7 +576,8 @@ object SnapshotStore {
   def scd2SnapshotSink(stream: DataFrame, root: String, checkpointDir: String,
                        keys: Seq[String], ts: String, tiebreak: String,
                        numBuckets: Int = 16,
-                       statsCols: Seq[String] = Nil): StreamingQuery =
+                       statsCols: Seq[String] = Nil,
+                       deleteCol: Option[String] = None): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -579,11 +586,13 @@ object SnapshotStore {
         if (!batch.isEmpty) {
           val b = batch.toDF()
           if (latestVersion(spark, root).isEmpty) {
-            init(spark, root, Scd2.buildHistory(b, keys, ts, tiebreak), keys,
-              numBuckets, statsCols, txn)
+            val hist = deleteCol.fold(Scd2.buildHistory(b, keys, ts, tiebreak))(c =>
+              Scd2.buildHistoryWithDeletes(b, keys, ts, tiebreak, c))
+            init(spark, root, hist, keys, numBuckets, statsCols, txn)
           } else {
             commitDelta(spark, root, b, keys,
-              (cur, delta) => Scd2.applyDelta(cur, delta, keys, ts, tiebreak), txn = txn)
+              (cur, delta) => Scd2.applyDelta(cur, delta, keys, ts, tiebreak, deleteCol),
+              txn = txn)
           }
         }: Unit
       }

@@ -123,4 +123,40 @@ class WarehouseSpec extends SparkSpec {
       .select($"agent_id", $"agent_name").as[(Long, String)].collect().toSeq ==
       Seq((5L, "Arjun")))
   }
+
+  test("entity deleteCol: staged tombstones remove keys from clean and close out the dim") {
+    val root = Files.createTempDirectory("graft_whd").toString
+    val cols = locCols :+ "is_deleted"
+    val casts = locCasts :+ ("is_deleted" -> "boolean")
+    val cfg = Warehouse.Config(entities = Seq(
+      Warehouse.Entity("location", "csv", s"$root/stage/location",
+        cols, casts, Seq("loc_id"), "updated_at", "rec_id",
+        scd2 = true, deleteCol = Some("is_deleted"))))
+
+    write(s"$root/stage/location/batch1.csv",
+      """loc_id,city,tier,updated_at,rec_id,is_deleted
+        |1,Pune,2,2024-01-01 00:00:00,101,false
+        |2,Delhi,1,2024-01-01 00:00:00,103,false
+        |""".stripMargin)
+    Warehouse.runBatch(spark, cfg, s"$root/wh")
+    assert(spark.read.parquet(s"$root/wh/clean/location").count() == 2)
+
+    // a staged DELETE for loc 1 arrives in the next incremental run
+    write(s"$root/stage/location/batch2.csv",
+      """loc_id,city,tier,updated_at,rec_id,is_deleted
+        |1,,,2024-02-01 00:00:00,104,true
+        |""".stripMargin)
+    Warehouse.runIncremental(spark, cfg, s"$root/wh", s"$root/ckpt")
+      .foreach(_.awaitTermination())
+    // clean layer: the key is gone
+    assert(spark.read.parquet(s"$root/wh/clean/location")
+      .select("loc_id").as[Long].collect().toSeq == Seq(2L))
+    // dim: loc 1's version is closed at the delete ts, no live current row
+    val dim = spark.read.option("mergeSchema", "true")
+      .parquet(s"$root/wh/dim/location").where($"loc_id" === 1)
+    val closed = dim.where($"rec_id" === 101L)
+      .select($"eff_end_ts".cast("string")).as[String].head()
+    assert(closed == "2024-02-01 00:00:00")
+    assert(graft.operators.Scd2.currentRows(dim, Some("_graft_deleted")).count() == 0)
+  }
 }

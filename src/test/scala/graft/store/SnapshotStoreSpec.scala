@@ -238,6 +238,28 @@ class SnapshotStoreSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scd1SnapshotSink consumes DELETE tombstones (key removed, atomically versioned)") {
+    val root = tmpDir("snap-del")
+    val ckpt = tmpDir("snap-del-ckpt")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long, Boolean)]
+    val q = SnapshotStore.scd1SnapshotSink(
+      mem.toDF().toDF("k", "v", "ts", "_deleted"), root, ckpt,
+      Seq("k"), Seq(col("ts").desc), numBuckets = 4,
+      deleteCol = Some("_deleted"))
+    try {
+      mem.addData((1L, "a", 1L, false), (2L, "b", 1L, false))
+      q.processAllAvailable()
+      mem.addData((1L, null, 2L, true), (3L, "c", 2L, false)) // delete 1, insert 3
+      q.processAllAvailable()
+      val got = SnapshotStore.read(spark, root)
+        .select("k", "v").as[(Long, String)].collect().toSet
+      assert(got == Set((2L, "b"), (3L, "c")))
+      assert(SnapshotStore.versions(spark, root) == Seq(0L, 1L))
+    } finally q.stop()
+  }
+
   test("aggSnapshotSink maintains a materialized aggregate == full recompute") {
     val root = tmpDir("mv")
     val ckpt = tmpDir("mv-ckpt")
