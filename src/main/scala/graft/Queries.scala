@@ -1076,9 +1076,73 @@ object Queries {
       | EXCEPT
       | SELECT DISTINCT o_custkey AS customer_id FROM orders WHERE year(o_orderdate) = 1998)""".stripMargin
 
+  // =====================================================================
+  // q37 — CUBE grouping sets (the full dashboard cross-tab shape: every
+  // (year, status) margin in ONE aggregate). Like q32's ROLLUP, the
+  // grouping-set expansion still does partial aggregation — one
+  // shuffle, 4× the group cardinality (still tiny), no extra scans.
+  // Agg level re-derived from the cube NULLs (engine-portable; source
+  // cols never null here).
+  // =====================================================================
+  val q37: Q = (s, d) => {
+    val base = Tables.orders(s, d).select(
+      year(col("o_orderdate")).cast("long").as("order_year"),
+      col("o_orderstatus").as("status"),
+      cents(col("o_totalprice")).as("cents"))
+    base.cube(col("order_year"), col("status"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"))
+      .select(
+        coalesce(col("order_year"), lit(-1L)).as("order_year"),
+        coalesce(col("status"), lit("ALL")).as("status"),
+        when(col("order_year").isNull && col("status").isNull, 3L)
+          .when(col("order_year").isNull, 2L)
+          .when(col("status").isNull, 1L)
+          .otherwise(0L).as("agg_level"),
+        col("n_orders"), col("total_cents"))
+  }
+
+  val q37Sql: String =
+    s"""WITH base AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       |  o_orderstatus AS status, ${centsSql("o_totalprice")} AS cents FROM orders)
+       |SELECT coalesce(order_year, -1) AS order_year,
+       | coalesce(status, 'ALL') AS status,
+       | CAST(CASE WHEN order_year IS NULL AND status IS NULL THEN 3
+       |           WHEN order_year IS NULL THEN 2
+       |           WHEN status IS NULL THEN 1
+       |           ELSE 0 END AS BIGINT) AS agg_level,
+       | count(*) AS n_orders,
+       | CAST(sum(cents) AS BIGINT) AS total_cents
+       |FROM base GROUP BY CUBE(order_year, status)""".stripMargin
+
+  // =====================================================================
+  // q38 — UNPIVOT (wide metrics → long (metric, value) rows, the
+  // dashboard-feed normalization). Spark's native melt: ids stay, each
+  // value column becomes a row — a narrow map over the aggregated
+  // frame, no extra shuffle beyond the one daily aggregation. Oracle
+  // is the engine-portable UNION ALL formulation of the same melt.
+  // =====================================================================
+  val q38: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(dateStr(col("o_orderdate")).as("order_date"))
+      .agg(sum(cents(col("o_totalprice"))).as("revenue_cents"),
+        count(lit(1)).as("n_orders"))
+      .unpivot(Array(col("order_date")),
+        Array(col("revenue_cents"), col("n_orders")), "metric", "value")
+
+  val q38Sql: String =
+    s"""WITH daily AS (SELECT ${dateStrSql("o_orderdate")} AS order_date,
+       |  CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS revenue_cents,
+       |  count(*) AS n_orders
+       |FROM orders GROUP BY 1)
+       |SELECT order_date, 'revenue_cents' AS metric, revenue_cents AS value FROM daily
+       |UNION ALL
+       |SELECT order_date, 'n_orders' AS metric, n_orders AS value FROM daily""".stripMargin
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
+    "q37_cube" -> q37,
+    "q38_unpivot" -> q38,
     "q36_set_ops" -> q36,
     "q35_bloom_semi_join" -> q35,
     "q33_window_suite" -> q33,
@@ -1117,6 +1181,8 @@ object Queries {
     "q20_scd2_asof" -> q20)
 
   val oracles: Map[String, String] = Map(
+    "q37_cube" -> q37Sql,
+    "q38_unpivot" -> q38Sql,
     "q21_market_basket" -> q21Sql,
     "q22_status_pivot" -> q22Sql,
     "q23_props_json" -> q23Sql,

@@ -87,9 +87,67 @@ object QueriesData {
   }
 
   // =====================================================================
-  // d05 — embedding-cosine near-dup pairs on a bounded subset
-  // (exact-decimal cosine → DuckDB oracle agrees).
+  // d08 — passage-level dedup (the CCNet / line-dedup shape adapted to
+  // unstructured docs): the corpus is segmented into fixed 8-token
+  // passages; a passage that already occurred anywhere earlier in the
+  // corpus (first occurrence = lowest (doc_id, position)) is dropped,
+  // and each doc is reassembled from its surviving passages. At 100 TB
+  // this is one narrow segmentation pass, one shuffle on the passage
+  // text (the dedup exchange — exactly the cost of the problem), and
+  // one groupBy back on doc_id; no array crosses a shuffle.
   // =====================================================================
+  val d08: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val chunkLen = 8
+    val toks = graft.operators.Parallelize.ensure(Tables.documents(s, d))
+      .select(col("doc_id"), TextFuncs.tokens(col("text")).as("__t"))
+    val chunks = toks.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), ceil(size(col("__t")) / lit(chunkLen.toDouble)).cast("long") - 1),
+        i => concat_ws(" ", slice(col("__t"), (i * chunkLen + 1).cast("int"), lit(chunkLen)))))
+        .as(Seq("chunk_idx", "chunk")))
+    val w = Window.partitionBy(col("chunk"))
+      .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+    chunks.withColumn("__rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        concat_ws(" ", transform(array_sort(collect_list(
+            when(col("__rn") === 1, struct(col("chunk_idx"), col("chunk"))))),
+          c => c.getField("chunk"))).as("kept_text"))
+  }
+
+  val d08Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |chunks AS (SELECT doc_id, i AS chunk_idx,
+      |             array_to_string(t[(i*8+1):(i*8+8)], ' ') AS chunk
+      |           FROM toks, UNNEST(range(CAST(ceil(len(t) / 8.0) AS BIGINT))) AS u(i)),
+      |ranked AS (SELECT *, row_number() OVER
+      |             (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+      |           FROM chunks)
+      |SELECT doc_id, count(*) AS n_chunks,
+      | CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+      | coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx), '') AS kept_text
+      |FROM ranked GROUP BY doc_id""".stripMargin
+
+  // =====================================================================
+  // k03 — approximate quantiles: the O(1)-state scale path for q25's
+  // exact percentiles. Spark's native approx_percentile is a
+  // Greenwald-Khanna summary — mergeable partial state bounded by the
+  // accuracy parameter, never by row count (q25's two-phase histogram
+  // is exact but its state is value-cardinality-bound). Rows-only:
+  // GK internals are engine-specific; QuantileSpec bounds the rank
+  // error against the exact distribution instead.
+  // =====================================================================
+  val k03: Q = (s, d) => {
+    val pcts = Seq(0.01, 0.10, 0.25, 0.50, 0.75, 0.90, 0.99)
+    Tables.lineitem(s, d)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .agg(percentile_approx(col("cents"), typedLit(pcts), lit(10000)).as("qs"))
+      .select(posexplode(arrays_zip(
+        typedLit(pcts.map(p => (p * 100).toLong)).as("pct"), col("qs").as("est"))))
+      .select(col("col.pct").as("quantile_pct"), col("col.est").as("est_cents"))
+  }
   val d05: Q = (s, d) =>
     Dedup.embeddingNearDups(
       Tables.embeddings(s, d).where(col("vec_id") % 7 === 0),
@@ -595,6 +653,8 @@ object QueriesData {
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
+    "d08_passage_dedup" -> d08,
+    "k03_quantile_approx" -> k03,
     "t08_pii_scrub" -> t08,
     "k02_heavy_hitters" -> k02,
     "t06_split" -> t06,
@@ -624,6 +684,7 @@ object QueriesData {
     "t09_weighted_sample" -> t09)
 
   val oracles: Map[String, String] = Map(
+    "d08_passage_dedup" -> d08Sql,
     "t08_pii_scrub" -> t08Sql,
     "k02_heavy_hitters" -> k02Sql,
     "t06_split" -> t06Sql,
