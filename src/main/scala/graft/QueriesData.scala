@@ -53,14 +53,17 @@ object QueriesData {
   // =====================================================================
   val d04: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    // materialize the banded form once: it is tiny relative to the
-    // corpus (doc_id × 16 band keys) but its LINEAGE is the whole
-    // signature pipeline, which the candidate self-join references
+    // ONE shingle expansion serves both the signature pass and the
+    // exact verify pass (min over distinct hashes == min over all);
+    // the banded form is materialized too — tiny, but its LINEAGE is
+    // the signature pipeline, which the candidate self-join references
     // twice (AQE's broadcast of one side defeats ReuseExchange dedup)
-    val bands = Dedup.minhashBands(docs, "text", "doc_id")
+    val hashes = Dedup.shingleHashes(docs, "text", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = Dedup.minhashBandsFromHashes(hashes, "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = Dedup.candidatePairs(bands, "doc_id")
-    Dedup.ngramJaccard(cands, docs, "text", "doc_id")
+    Dedup.ngramJaccardFromHashes(cands, hashes, "doc_id")
       .withColumn("is_near_dup", col("jaccard_e6") >= 500000L)
   }
 
@@ -73,10 +76,12 @@ object QueriesData {
   // =====================================================================
   val d07: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val bands = Dedup.minhashBands(docs, "text", "doc_id")
+    val hashes = Dedup.shingleHashes(docs, "text", "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val verified = Dedup.ngramJaccard(
-        Dedup.candidatePairs(bands, "doc_id"), docs, "text", "doc_id")
+    val bands = Dedup.minhashBandsFromHashes(hashes, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verified = Dedup.ngramJaccardFromHashes(
+        Dedup.candidatePairs(bands, "doc_id"), hashes, "doc_id")
       .where(col("jaccard_e6") >= 500000L)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     Dedup.clusters(verified)

@@ -81,16 +81,33 @@ object Dedup {
     * slower at scale because Catalyst's CollapseProject re-inlines the
     * shingle expression into each of the 64 hash lanes.
     */
+  /** The corpus's DISTINCT shingle hashes, exploded to (id, __h) rows
+    * — the shared narrow form both the MinHash signature pass and the
+    * exact-Jaccard verify pass consume (min over distinct hashes
+    * equals min over all, and Jaccard is defined on the distinct
+    * sets). Callers running both passes should build this ONCE and
+    * persist it: the shingle expression is the dominant CPU cost of
+    * the whole dedup pipeline. explode_outer keeps shingle-less docs
+    * as an (id, null) row (minhash → sentinel signature, sizes → 0).
+    */
+  def shingleHashes(docs: DataFrame, textCol: String, idCol: String,
+                    shingleSize: Int = 3): DataFrame =
+    Parallelize.ensure(docs).select(col(idCol),
+      explode_outer(array_distinct(transform(
+        TextFuncs.shingles(col(textCol), shingleSize), s => crc32(s)))).as("__h"))
+
   def minhashBands(df: DataFrame, textCol: String, idCol: String,
                    numHashes: Int = 64, bands: Int = 16,
-                   shingleSize: Int = 3): DataFrame = {
+                   shingleSize: Int = 3): DataFrame =
+    minhashBandsFromHashes(shingleHashes(df, textCol, idCol, shingleSize),
+      idCol, numHashes, bands)
+
+  /** [[minhashBands]] over a pre-built [[shingleHashes]] frame. */
+  def minhashBandsFromHashes(hashes: DataFrame, idCol: String,
+                             numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val rowsPerBand = numHashes / bands
     val params = minhashParams(numHashes)
-    // explode_outer keeps shingle-less docs (null → sentinel below)
-    val exploded = Parallelize.ensure(df)
-      .select(col(idCol),
-        explode_outer(TextFuncs.shingles(col(textCol), shingleSize)).as("__sh"))
-      .withColumn("__x", crc32(col("__sh")) % MersennePrime)
+    val exploded = hashes.withColumn("__x", col("__h") % MersennePrime)
     val aggs = params.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("__x") + lit(b)) % MersennePrime).as(s"__h$i")
     }
@@ -141,19 +158,22 @@ object Dedup {
     * side into a broadcast breaks subtree identity).
     */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, textCol: String, idCol: String,
-                   shingleSize: Int = 3): DataFrame = {
-    // ONE shingle expansion, materialized: `exploded` is referenced by
-    // both sides of the intersection join, and `sizes` derives from
-    // the same cached rows (count of non-null __h) instead of
-    // re-shingling — the lazy form evaluated the shingle expression
-    // four times per call. explode_outer keeps shingle-less docs as a
-    // (id, null) row so their sizes resolve to 0 rather than the doc
-    // vanishing from the size join. (Harnesses clearCache() between
-    // queries.)
-    val exploded = Parallelize.ensure(docs).select(col(idCol).as("__id"),
-        explode_outer(array_distinct(transform(
-          TextFuncs.shingles(col(textCol), shingleSize), s => crc32(s)))).as("__h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                   shingleSize: Int = 3): DataFrame =
+    // ONE shingle expansion, materialized: it is referenced by both
+    // sides of the intersection join AND the size derivation — the
+    // lazy form evaluated the shingle expression four times per call.
+    // (Harnesses clearCache() between queries.)
+    ngramJaccardFromHashes(pairs,
+      shingleHashes(docs, textCol, idCol, shingleSize)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      idCol)
+
+  /** [[ngramJaccard]] over a pre-built (ideally persisted)
+    * [[shingleHashes]] frame — the form d04/d07 use so the MinHash
+    * candidate pass and this verify pass share one shingle expansion.
+    */
+  def ngramJaccardFromHashes(pairs: DataFrame, hashes: DataFrame, idCol: String): DataFrame = {
+    val exploded = hashes.select(col(idCol).as("__id"), col("__h"))
     val sizes = exploded.groupBy(col("__id"))
       .agg(count(col("__h")).cast("int").as("__sz"))
     // fan each pair out by doc A's shingles, then match doc B's
