@@ -181,7 +181,8 @@ object StreamPipeline {
     */
   def intervalStreamJoin(left: DataFrame, right: DataFrame,
                          key: String, leftTs: String, rightTs: String,
-                         watermark: String, withinSeconds: Long): DataFrame = {
+                         watermark: String, withinSeconds: Long,
+                         joinType: String = "inner"): DataFrame = {
     require(leftTs != rightTs, "left/right event-time columns must have distinct names")
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
@@ -189,9 +190,21 @@ object StreamPipeline {
     l.join(r, expr(
         s"""$key = __r_$key AND
            |$rightTs >= $leftTs - INTERVAL $withinSeconds SECONDS AND
-           |$rightTs <= $leftTs""".stripMargin))
+           |$rightTs <= $leftTs""".stripMargin), joinType)
       .drop(s"__r_$key")
   }
+
+  /** LEFT OUTER variant of [[intervalStreamJoin]]: unmatched left rows
+    * are emitted with null right columns once the watermark proves no
+    * in-interval match can still arrive (Spark holds them in state
+    * exactly that long — the time-bound condition is what makes outer
+    * streaming joins legal at all).
+    */
+  def intervalStreamJoinLeftOuter(left: DataFrame, right: DataFrame,
+                                  key: String, leftTs: String, rightTs: String,
+                                  watermark: String, withinSeconds: Long): DataFrame =
+    intervalStreamJoin(left, right, key, leftTs, rightTs, watermark,
+      withinSeconds, joinType = "left_outer")
 
   /** Continuous SCD2 maintenance: every micro-batch folds the new
     * versions into the effective-dated history (the reference's

@@ -114,6 +114,34 @@ class StreamPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalStreamJoinLeftOuter emits unmatched left rows once the watermark closes them") {
+    val orders = MemoryStream[(Long, Timestamp, String)]
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val joined = StreamPipeline.intervalStreamJoinLeftOuter(
+      orders.toDF().toDF("user", "order_ts", "order_id"),
+      clicks.toDF().toDF("user", "click_ts", "click_id"),
+      key = "user", leftTs = "order_ts", rightTs = "click_ts",
+      watermark = "10 minutes", withinSeconds = 600)
+    val q = joined.writeStream.format("memory").queryName("ssjlo")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts("2024-01-01 10:00:00"), "c-in"))
+      orders.addData(
+        (1L, ts("2024-01-01 10:05:00"), "o-matched"),
+        (2L, ts("2024-01-01 10:05:00"), "o-unmatched"))
+      q.processAllAvailable()
+      // push both watermarks far past the interval so the unmatched
+      // left row can be finalized and emitted with nulls
+      clicks.addData((99L, ts("2024-01-01 12:00:00"), "wm"))
+      orders.addData((99L, ts("2024-01-01 12:00:00"), "wm"))
+      q.processAllAvailable()
+      val rows = spark.table("ssjlo").where($"user" < 99L)
+        .select("order_id", "click_id")
+        .as[(String, Option[String])].collect().toSet
+      assert(rows == Set(("o-matched", Some("c-in")), ("o-unmatched", None)))
+    } finally q.stop()
+  }
+
   test("scd2HistorySink maintains effective-dated history across micro-batches") {
     val dir = Files.createTempDirectory("graft_scd2").toString
     val in = MemoryStream[(Long, Long, Timestamp, String)]
