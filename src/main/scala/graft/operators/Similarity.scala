@@ -172,10 +172,16 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              nlist: Int = 16, nprobe: Int = 4, trainIters: Int = 1): DataFrame = {
     graft.GraftFunctions.register(corpus.sparkSession)
-    // --- quantizer training: deterministic sample, unit-normalized
-    val centroids: Seq[Seq[Double]] = corpus
+    // --- quantizer training: deterministic sample init, then
+    // `trainIters` distributed Lloyd refinements. Assignment is a pure
+    // expression pass over the corpus; the centroid update is one
+    // groupBy over (list, dim) with INTEGER-exact e6 sums (the s03
+    // trick) so the refined codebook is bit-deterministic — double
+    // summation order could flip near-tie assignments run to run.
+    // Only nlist×dim aggregated values ever reach the driver.
+    var centroids: Seq[Seq[Double]] = corpus
       .select(col(idCol).cast("string").as("__sid"), col(vecCol).as("__v"))
       .orderBy(md5(col("__sid"))).limit(nlist)
       .collect().toSeq
@@ -186,9 +192,40 @@ object Similarity {
         if (n > 0) v.map(_ / n) else v
       }
     require(centroids.nonEmpty, "ivfTopK: empty corpus — no centroids to train")
+    val corpusPar = Parallelize.ensure(corpus)
+    // centroid scoring: one NATIVE codegen'd e12 dot per centroid (the
+    // DotProductE12 hot path — the interpreted HOF form was ~100×
+    // slower and made Lloyd passes the dominant cost). e12 integer
+    // dots order identically to exact dots up to e6 quantization, with
+    // index tie-breaks deterministic either way.
+    def dotsOf(cents: Seq[Seq[Double]])(vec: Column): Column =
+      array(cents.map(c =>
+        VecFuncs.dotE12Native(vec, typedLit(c.map(_.toFloat))).cast("double")): _*)
+    (1 to trainIters).foreach { _ =>
+      val dots0 = dotsOf(centroids) _
+      val assigned0 = corpusPar.select(
+        array_position(dots0(col(vecCol)), array_max(dots0(col(vecCol))))
+          .cast("int").as("__list"),
+        posexplode(col(vecCol)).as(Seq("__i", "__x")))
+      val updated = assigned0
+        .groupBy(col("__list"), col("__i"))
+        .agg(sum(round(col("__x") * 1e6).cast("long")).as("__se6"),
+          count(lit(1)).as("__n"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (list, rows) =>
+          val dims = rows.sortBy(_.getInt(1))
+            .map(r => r.getLong(2).toDouble / 1e6 / r.getLong(3))
+          val nrm = math.sqrt(dims.map(x => x * x).sum)
+          list -> (if (nrm > 0) dims.map(_ / nrm).toSeq else dims.toSeq)
+        }
+      // lists that captured no vectors keep their previous centroid
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        updated.getOrElse(i + 1, old)
+      }
+    }
     val n = centroids.size
-    val centLit = typedLit(centroids)
-    def dots(vec: Column): Column = transform(centLit, c => VecFuncs.dot(vec, c))
+    val dots = dotsOf(centroids) _
     // argmax over centroid dots; array_position takes the FIRST max —
     // deterministic tie-break by centroid index
     def assigned(vec: Column): Column = {
@@ -206,7 +243,7 @@ object Similarity {
       transform(slice(sorted, 1, math.min(nprobe, n)), s => s.getField("i").cast("int"))
     }
 
-    val c = Parallelize.ensure(corpus)
+    val c = corpusPar
       .select(col(idCol).as("neighbor_id"), assigned(col(vecCol)).as("__list"))
     val q = queries.select(col(idCol).as("query_id"),
       explode(probeLists(col(vecCol))).as("__list"))

@@ -24,16 +24,47 @@ object Sketch {
 
     override def zero: KmvBuf = KmvBuf(k, Vector.empty)
 
-    private def insert(buf: KmvBuf, h: Long): KmvBuf =
-      if (buf.mins.length >= buf.k && h >= buf.mins.last) buf
-      else if (buf.mins.contains(h)) buf
-      else KmvBuf(buf.k, (buf.mins :+ h).sorted.take(buf.k))
+    /** First index whose value is ≥ h in the (sorted) buffer. */
+    private def lowerBound(m: Seq[Long], h: Long): Int = {
+      var lo = 0
+      var hi = m.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (m(mid) < h) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+
+    /** O(1) reject once saturated (the overwhelmingly common case);
+      * accepted values use a binary-search positional insert instead
+      * of the earlier contains + full re-sort (O(k log k) per accept).
+      */
+    private def insert(buf: KmvBuf, h: Long): KmvBuf = {
+      val m = buf.mins
+      if (m.length >= buf.k && h >= m.last) buf
+      else {
+        val i = lowerBound(m, h)
+        if (i < m.length && m(i) == h) buf // already present
+        else KmvBuf(buf.k, ((m.take(i) :+ h) ++ m.drop(i)).take(buf.k))
+      }
+    }
 
     override def reduce(b: KmvBuf, in: IN): KmvBuf =
       insert(b, scrambled(key(in)))
 
-    override def merge(x: KmvBuf, y: KmvBuf): KmvBuf =
-      KmvBuf(x.k, (x.mins ++ y.mins).distinct.sorted.take(x.k))
+    /** Linear merge of two sorted buffers (both already deduped). */
+    override def merge(x: KmvBuf, y: KmvBuf): KmvBuf = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var (i, j) = (0, 0)
+      while (out.length < x.k && (i < x.mins.length || j < y.mins.length)) {
+        val takeX = j >= y.mins.length ||
+          (i < x.mins.length && x.mins(i) <= y.mins(j))
+        val v = if (takeX) { val r = x.mins(i); i += 1; r }
+                else { val r = y.mins(j); j += 1; r }
+        if (out.isEmpty || out.last != v) out += v
+      }
+      KmvBuf(x.k, out.toVector)
+    }
 
     override def finish(b: KmvBuf): Long =
       if (b.mins.length < b.k) b.mins.length.toLong

@@ -76,6 +76,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5)
   }
 
+  test("ivfTopK Lloyd training is bit-deterministic (integer-exact centroid sums)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+    val emb = graft.Tables.embeddings(spark, dir)
+    val q = emb.where($"vec_id" < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id", "cos_e3")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val a = rows(Similarity.ivfTopK(emb, q, "vec_id", "embedding", 10,
+      nlist = 16, nprobe = 8, trainIters = 2))
+    val b = rows(Similarity.ivfTopK(emb, q.repartition(7), "vec_id", "embedding", 10,
+      nlist = 16, nprobe = 8, trainIters = 2))
+    assert(a == b) // refined codebook identical run to run / under repartitioning
+  }
+
   test("lshTopK recall@10 >= 0.9 vs exact top-k on the test corpus") {
     val dir = "/root/testdata/sf0.001"
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
