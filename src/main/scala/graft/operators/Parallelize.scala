@@ -19,9 +19,25 @@ object Parallelize {
   /** `df` repartitioned to the session's default parallelism iff its
     * current plan yields fewer partitions than that — otherwise the
     * frame is returned untouched (no shuffle at scale).
+    *
+    * The probe (`df.rdd.getNumPartitions`) is only taken on
+    * SHUFFLE-FREE plans: a frame downstream of a join/aggregate/
+    * repartition already has ≥ `spark.sql.shuffle.partitions`-worth of
+    * parallelism (the rescue is only ever needed for raw narrow
+    * scans), and materializing an AQE plan's RDD would eagerly execute
+    * its upstream stages just to read a partition count.
     */
   def ensure(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val shuffled = df.queryExecution.optimizedPlan.exists {
+      case _: Join | _: Aggregate | _: Window | _: Sort | _: GlobalLimit |
+           _: RepartitionOperation | _: Deduplicate => true
+      case _ => false
+    }
+    if (shuffled) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
   }
 }

@@ -89,8 +89,20 @@ object Scd1 {
                        orderBy: Seq[Column], deleteCol: String): DataFrame = {
     require(deleteCol.startsWith("_"),
       s"deleteCol must be an audit-namespaced _column, got $deleteCol")
-    merge(base, delta, keys, orderBy)
-      .where(!coalesce(col(deleteCol), lit(false)))
-      .drop(deleteCol)
+    checkDrift(base.columns, delta.columns)
+    // tie-break order: at an EXACT orderBy tie, a tombstone beats the
+    // live row (a delete event that reuses the deleted version's
+    // change metadata must still delete — the reference MERGE's DELETE
+    // branch fires on any key match), then base-before-delta keeps
+    // replays from flipping stored audit values, as in [[merge]].
+    // Replay-idempotent either way: the same delta re-applied picks
+    // the same winner.
+    val deleted = coalesce(col(deleteCol), lit(false))
+    latestByKey(
+      base.withColumn(SRC, lit(0))
+        .unionByName(delta.withColumn(SRC, lit(1)), allowMissingColumns = true),
+      keys, orderBy ++ Seq(deleted.desc, col(SRC).asc))
+      .where(!deleted)
+      .drop(deleteCol, SRC)
   }
 }

@@ -247,28 +247,49 @@ object SnapshotStore {
     * stats) are conservatively kept. Bounds may be null for open
     * ranges.
     */
+  /** UTF-8 binary (code-point) comparison — Spark's string ordering.
+    * Scala's String.compareTo is UTF-16 code-UNIT order, which
+    * disagrees for non-BMP characters (surrogates sort below U+E000+).
+    */
+  private def utf8Lte(a: String, b: String): Boolean = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length <= y.length
+  }
+
   def pruneBuckets(m: Manifest, statsCol: String, lower: Any, upper: Any): Set[Int] = {
     val idx = m.statsCols.indexWhere(_._1 == statsCol)
     if (idx < 0) m.buckets.keySet
     else {
       val tag = m.statsCols(idx)._2
-      def toCmp(s: String): BigDecimal = tag match {
-        case "ts" => BigDecimal(s.toLong)
-        case _    => BigDecimal(s)
-      }
-      def boundCmp(b: Any): Option[BigDecimal] = Option(b).map {
-        case t: java.sql.Timestamp =>
-          BigDecimal(t.getTime * 1000L + (t.getNanos / 1000) % 1000)
-        case n: Number => BigDecimal(n.toString)
-        case s: String => BigDecimal(s)
-        case other => BigDecimal(other.toString)
+      // non-finite stats (NaN/Infinity from double columns) and any
+      // unparseable value disable pruning for that bucket — pruning
+      // must only ever be an optimization, never a correctness risk
+      def toCmp(s: String): Option[BigDecimal] =
+        scala.util.Try(tag match {
+          case "ts" => BigDecimal(s.toLong)
+          case _    => BigDecimal(s)
+        }).toOption
+      def boundCmp(b: Any): Option[BigDecimal] = Option(b).flatMap { v =>
+        scala.util.Try(v match {
+          case t: java.sql.Timestamp =>
+            BigDecimal(t.getTime * 1000L + (t.getNanos / 1000) % 1000)
+          case n: Number => BigDecimal(n.toString)
+          case other => BigDecimal(other.toString)
+        }).toOption
       }
       if (tag == "str") {
         val lo = Option(lower).map(_.toString)
         val hi = Option(upper).map(_.toString)
         m.buckets.collect { case (b, e)
           if e.stats.lift(idx).flatten.forall { case (mn, mx) =>
-            lo.forall(_ <= mx) && hi.forall(_ >= mn)
+            lo.forall(utf8Lte(_, mx)) && hi.forall(utf8Lte(mn, _))
           } => b
         }.toSet
       } else {
@@ -276,7 +297,8 @@ object SnapshotStore {
         val hi = boundCmp(upper)
         m.buckets.collect { case (b, e)
           if e.stats.lift(idx).flatten.forall { case (mn, mx) =>
-            lo.forall(_ <= toCmp(mx)) && hi.forall(_ >= toCmp(mn))
+            lo.forall(l => toCmp(mx).forall(l <= _)) &&
+              hi.forall(h => toCmp(mn).forall(h >= _))
           } => b
         }.toSet
       }
@@ -294,7 +316,12 @@ object SnapshotStore {
                 lower: Any, upper: Any): DataFrame = {
     val m = readManifest(spark, root, latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no committed version at $root")))
-    val df = readBuckets(spark, root, m, pruneBuckets(m, statsCol, lower, upper))
+    val surviving = pruneBuckets(m, statsCol, lower, upper)
+    // an everything-pruned read still returns the TABLE's schema (a
+    // 0-row frame), exactly like the equivalent full scan + filter —
+    // limit(0) over the manifest's dirs reads footers only
+    val df = if (surviving.isEmpty) readBuckets(spark, root, m, m.buckets.keySet).limit(0)
+      else readBuckets(spark, root, m, surviving)
     if (df.schema.isEmpty) df
     else {
       val loF = Option(lower).map(l => col(statsCol) >= lit(l))
@@ -352,10 +379,15 @@ object SnapshotStore {
     val fs = fileSystem(spark, root)
     require(latestVersion(spark, root).isEmpty, s"table already exists at $root")
     val tagged = tagStatsCols(df, statsCols)
-    val written = writeVersionData(df, root, 0L, newToken(), keys, numBuckets, tagged, fs)
-    require(writeManifestAtomic(fs, root, 0L, numBuckets, tagged,
-        txn.map { case (id, b) => id -> b }.toMap, written),
-      s"concurrent init at $root")
+    val token = newToken()
+    val written = writeVersionData(df, root, 0L, token, keys, numBuckets, tagged, fs)
+    if (!writeManifestAtomic(fs, root, 0L, numBuckets, tagged,
+        txn.map { case (id, b) => id -> b }.toMap, written)) {
+      // lost a concurrent create: clean up our own attempt dir (the
+      // winner's data lives under its own token) before failing
+      fs.delete(new Path(root, attemptDir(0L, token)), true)
+      throw new IllegalStateException(s"concurrent init at $root")
+    }
     0L
   }
 

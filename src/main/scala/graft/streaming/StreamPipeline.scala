@@ -156,17 +156,30 @@ object StreamPipeline {
     * which dynamic overwrite would silently leave as-is (the deleted
     * rows would survive on disk). Swapping staged directories also
     * writes the data once, not twice.
+    *
+    * Crash behavior: each bucket's old files are MOVED ASIDE (to a
+    * `.replaced.tmp` sibling) before the staged copy moves in, never
+    * deleted first — a crash mid-swap can leave a bucket stale or
+    * momentarily absent, but no committed row is ever destroyed (both
+    * copies exist on disk until the swap completes, and the replay of
+    * the micro-batch re-merges against whichever survived). True
+    * multi-bucket atomicity is [[graft.store.SnapshotStore]]'s job —
+    * this sink is the plain-directory sibling.
     */
   private def writeAffected(df: DataFrame, targetDir: String, touched: Seq[Any]): Unit = {
     val tmp = targetDir + ".delta.tmp"
+    val trash = targetDir + ".replaced.tmp"
     df.write.mode("overwrite").partitionBy(BucketCol).parquet(tmp)
+    deleteRecursively(Paths.get(trash))
+    Files.createDirectories(Paths.get(trash))
     touched.foreach { bkt =>
       val dest = Paths.get(targetDir, s"$BucketCol=$bkt")
-      deleteRecursively(dest)
       val staged = Paths.get(tmp, s"$BucketCol=$bkt")
+      if (Files.exists(dest)) Files.move(dest, Paths.get(trash, s"$BucketCol=$bkt"))
       if (Files.exists(staged)) Files.move(staged, dest)
     }
     deleteRecursively(Paths.get(tmp))
+    deleteRecursively(Paths.get(trash))
   }
 
   private def deleteRecursively(p: Path): Unit =
@@ -310,6 +323,44 @@ object StreamPipeline {
     * ('I', null, v) the first time a key appears and ('U', prev, v) on
     * every subsequent change; unchanged updates emit nothing.
     */
+  /** [[changeLogCdc]] for feeds that carry an explicit per-event
+    * sequence number — events for one key are applied in SEQUENCE
+    * order regardless of how the shuffle interleaves them inside a
+    * micro-batch. Use this form whenever one batch can carry several
+    * events for a key: `flatMapGroupsWithState` makes no ordering
+    * promise about the group iterator, so the unsequenced form is only
+    * deterministic when a key changes at most once per batch. (CDC
+    * transports all carry such a sequence — offset, LSN, version.)
+    */
+  def changeLogCdcOrdered(updates: Dataset[(Long, Long, Option[String])]): Dataset[KeyChange] = {
+    val spark = updates.sparkSession
+    import spark.implicits._
+    updates.groupByKey(_._1)
+      .flatMapGroupsWithState[String, KeyChange](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[String]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[KeyChange]
+          var cur = state.getOption
+          rows.toSeq.sortBy(_._2).foreach {
+            case (_, _, Some(v)) =>
+              cur match {
+                case None => out += KeyChange(key, "I", null, v)
+                case Some(prev) if prev != v => out += KeyChange(key, "U", prev, v)
+                case _ => ()
+              }
+              cur = Some(v)
+            case (_, _, None) =>
+              cur.foreach(prev => out += KeyChange(key, "D", prev, null))
+              cur = None
+          }
+          cur match {
+            case Some(v) => state.update(v)
+            case None => state.remove()
+          }
+          out.iterator
+      }
+  }
+
   /** Full standard-stream analog: per-key I/U/D change tracking (the
     * reference's standard — not append-only — streams surface all
     * three actions: `/root/reference/02 Location Entity.sql:81`).
@@ -319,6 +370,11 @@ object StreamPipeline {
     * the key is a fresh 'I', and state size tracks the live key set,
     * not everything ever seen. Deletes of unknown keys emit nothing
     * (nothing to retract), matching snapshot-diff semantics.
+    *
+    * Within-batch ordering: the group iterator carries no order
+    * guarantee, so this form is deterministic only when a key changes
+    * at most once per micro-batch; feeds that can deliver several
+    * events per key per batch must use [[changeLogCdcOrdered]].
     */
   def changeLogCdc(updates: Dataset[(Long, Option[String])]): Dataset[KeyChange] = {
     val spark = updates.sparkSession

@@ -238,6 +238,28 @@ class StreamPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("changeLogCdcOrdered applies same-batch events for one key in sequence order") {
+    val in = MemoryStream[(Long, Long, Option[String])]
+    val q = StreamPipeline.changeLogCdcOrdered(in.toDS())
+      .writeStream.format("memory").queryName("chg_seq").outputMode("append").start()
+    try {
+      // insert, update, AND delete of key 1 inside ONE micro-batch —
+      // listed out of sequence order to prove the sort, not luck
+      in.addData((1L, 30L, None), (1L, 10L, Some("x")), (1L, 20L, Some("x2")),
+        (2L, 11L, Some("y")))
+      q.processAllAvailable()
+      in.addData((1L, 40L, Some("back")))
+      q.processAllAvailable()
+      val rows = spark.table("chg_seq")
+        .select("key", "action", "old_value", "new_value")
+        .as[(Long, String, String, String)].collect().toSet
+      assert(rows == Set(
+        (1L, "I", null, "x"), (1L, "U", "x", "x2"), (1L, "D", "x2", null),
+        (2L, "I", null, "y"),
+        (1L, "I", null, "back"))) // deleted in-batch, so re-insert is I
+    } finally q.stop()
+  }
+
   test("I/U/D delta through the sinks == snapshot-diff applied state; untouched buckets bit-identical") {
     import java.nio.file.Paths
     val dir = Files.createTempDirectory("graft_del").toString
