@@ -260,6 +260,46 @@ object QueriesData {
   }
 
   // =====================================================================
+  // t10 — within-document repetition (the Gopher-rules quality signal,
+  // Rae et al. 2021 "Scaling Language Models", §A1.1.2 — public
+  // paper): fraction of duplicate 2-grams inside each doc. Highly
+  // repetitive docs are the classic low-quality pattern n-gram LMs
+  // overfit to. Integer-exact fraction (e6, integer division) so the
+  // oracle agrees bit-for-bit. One narrow explode + one groupBy on the
+  // doc id — embarrassingly parallel at any corpus size.
+  // =====================================================================
+  val t10: Q = (s, d) =>
+    graft.operators.Parallelize.ensure(Tables.documents(s, d))
+      .select(col("doc_id"),
+        explode_outer(TextFuncs.shingles(col("text"), 2)).as("__bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(col("__bg")).as("n_bigrams"),
+        count_distinct(col("__bg")).as("n_distinct_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
+        when(col("n_bigrams") > 0,
+          expr("((n_bigrams - n_distinct_bigrams) * 1000000) div n_bigrams"))
+          .otherwise(0L).as("dup_frac_e6"))
+      .withColumn("is_repetitive", col("dup_frac_e6") >= 200000L)
+
+  val t10Sql: String =
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |bi AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bg
+      |       FROM toks, UNNEST(range(1, len(t))) AS u(i)
+      |       WHERE len(t) >= 2),
+      |agg AS (SELECT d.doc_id, count(bg) AS n_bigrams,
+      |          count(DISTINCT bg) AS n_distinct_bigrams
+      |        FROM documents d LEFT JOIN bi ON d.doc_id = bi.doc_id
+      |        GROUP BY d.doc_id)
+      |SELECT doc_id, n_bigrams, n_distinct_bigrams,
+      | CASE WHEN n_bigrams > 0
+      |   THEN (n_bigrams - n_distinct_bigrams) * 1000000 // n_bigrams
+      |   ELSE 0 END AS dup_frac_e6,
+      | (CASE WHEN n_bigrams > 0
+      |   THEN (n_bigrams - n_distinct_bigrams) * 1000000 // n_bigrams
+      |   ELSE 0 END) >= 200000 AS is_repetitive
+      |FROM agg""".stripMargin
+
+  // =====================================================================
   // t02 — document quality stats (integer-exact ratios).
   // =====================================================================
   val t02: Q = (s, d) =>
@@ -660,6 +700,7 @@ object QueriesData {
   val all: Map[String, Q] = Map(
     "d08_passage_dedup" -> d08,
     "k03_quantile_approx" -> k03,
+    "t10_repetition" -> t10,
     "t08_pii_scrub" -> t08,
     "k02_heavy_hitters" -> k02,
     "t06_split" -> t06,
@@ -690,6 +731,7 @@ object QueriesData {
 
   val oracles: Map[String, String] = Map(
     "d08_passage_dedup" -> d08Sql,
+    "t10_repetition" -> t10Sql,
     "t08_pii_scrub" -> t08Sql,
     "k02_heavy_hitters" -> k02Sql,
     "t06_split" -> t06Sql,
