@@ -87,9 +87,11 @@ object Warehouse {
   final case class Config(entities: Seq[Entity], facts: Seq[Fact] = Nil)
 
   private def stage(spark: SparkSession, e: Entity): DataFrame = e.format match {
-    case "csv"  => StageReader.csv(spark, e.stagePath, e.columns)
-    case "json" => StageReader.json(spark, e.stagePath, e.columns)
-    case other  => throw new IllegalArgumentException(s"unknown stage format: $other")
+    case "csv"     => StageReader.csv(spark, e.stagePath, e.columns)
+    case "json"    => StageReader.json(spark, e.stagePath, e.columns)
+    case "orc"     => StageReader.orc(spark, e.stagePath, e.columns)
+    case "parquet" => StageReader.parquet(spark, e.stagePath, e.columns)
+    case other     => throw new IllegalArgumentException(s"unknown stage format: $other")
   }
 
   private def scd1Order(e: Entity): Seq[Column] =
@@ -170,7 +172,9 @@ object Warehouse {
       val staged = e.format match {
         case "csv"  => StreamPipeline.auditedCsvStream(spark, e.stagePath, schema)
         case "json" => StreamPipeline.auditedJsonStream(spark, e.stagePath, schema)
-        case other  => throw new IllegalArgumentException(s"unknown stage format: $other")
+        case other  => throw new IllegalArgumentException(
+          s"stage format $other is batch-only (runBatch); file streams need a " +
+            "text schema-on-read source (csv/json)")
       }
       val typed = withTombstones(StageReader.typed(staged, e.casts), e)
       typed.writeStream

@@ -69,6 +69,28 @@ object StageReader {
   def json(spark: SparkSession, path: String, cols: Seq[String]): DataFrame =
     withAudit(spark.read.schema(textSchema(cols)).json(path), fileMd5(spark, path))
 
+  /** Coerce a self-describing (typed) source to the all-text stage
+    * contract: declared columns cast to string, missing declared
+    * columns null-filled, extras dropped — the same tolerance the
+    * text sources get from their schema-on-read.
+    */
+  private def toText(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val have = df.columns.toSet
+    df.select(cols.map(c =>
+      (if (have(c)) col(c).cast(StringType) else lit(null).cast(StringType)).as(c)): _*)
+  }
+
+  /** Staged ORC read: columnar drops from upstream warehouses carry
+    * their own schema; it is coerced to the stage contract ([[toText]])
+    * so the downstream typed/SCD layers are format-agnostic.
+    */
+  def orc(spark: SparkSession, path: String, cols: Seq[String]): DataFrame =
+    withAudit(toText(spark.read.orc(path), cols), fileMd5(spark, path))
+
+  /** Staged Parquet read — see [[orc]]. */
+  def parquet(spark: SparkSession, path: String, cols: Seq[String]): DataFrame =
+    withAudit(toText(spark.read.parquet(path), cols), fileMd5(spark, path))
+
   /** Clean-layer typing with TRY_CAST semantics: each (column → DDL
     * type) cast yields null on garbage instead of failing the job,
     * exactly like the reference's TRY_CAST / TRY_TO_* merges

@@ -63,6 +63,28 @@ class SourcesSpec extends SparkSpec {
     assert(!stage.columns.contains("extra"))
   }
 
+  test("StageReader.orc/parquet: typed columnar drops coerce to the text stage contract") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    // a typed upstream drop: long id, double amount, extra column
+    val src = Seq((1L, 10.5d, "x"), (2L, 99.0d, "y"))
+      .toDF("orderid", "amount", "ignored_extra")
+    src.write.orc(s"$dir/orc")
+    src.write.parquet(s"$dir/parquet")
+    Seq("orc" -> StageReader.orc(spark, s"$dir/orc", Seq("orderid", "amount", "missing_col")),
+        "parquet" -> StageReader.parquet(spark, s"$dir/parquet", Seq("orderid", "amount", "missing_col")))
+      .foreach { case (fmt, stage) =>
+        // all-text contract: declared cols string, missing declared col null
+        assert(stage.schema.filter(!_.name.startsWith("_")).forall(_.dataType.typeName == "string"), fmt)
+        val rows = stage.select("orderid", "amount", "missing_col")
+          .as[(String, String, Option[String])].collect().sortBy(_._1)
+        assert(rows.toSeq == Seq(("1", "10.5", None), ("2", "99.0", None)), fmt)
+        assert(stage.select($"_stg_file_md5").head.getString(0) != null, fmt)
+        // downstream typing works exactly like the text formats
+        val typed = StageReader.typed(stage, Seq("orderid" -> "bigint", "amount" -> "double"))
+        assert(typed.select(sum($"amount")).head.getDouble(0) == 109.5, fmt)
+      }
+  }
+
   test("StageReader.cleanSnapshot: stage → typed → SCD1 latest per key") {
     val dir = Files.createTempDirectory("graft_csv3").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/v.csv"),
