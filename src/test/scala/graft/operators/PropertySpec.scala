@@ -37,6 +37,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("mergeWithDeletes over random batched event streams == naive ordered fold") {
+    // events: (key, version-id, ts, value, isDelete); applied in
+    // (ts, tombstone-beats-live, later-batch-beats-earlier) order —
+    // the operator's documented total order
+    val eventsGen: Gen[List[(Long, Long, Int, String, Boolean)]] =
+      Gen.listOfN(50, for {
+        k <- Gen.choose(1L, 6L)
+        id <- Gen.choose(1L, 1000000L)
+        t <- Gen.choose(0, 20) // coarse ts → exact ties exercised
+        v <- Gen.alphaStr.map(_.take(4))
+        del <- Gen.prob(0.3)
+      } yield (k, id, t, v, del))
+    samples(eventsGen, 6).foreach { raw =>
+      val events = raw.distinctBy(_._2)
+      // split into 3 ordered batches by version id (arbitrary but fixed)
+      val batches = events.sortBy(_._2).grouped((events.size + 2) / 3).toList
+      // Spark side: fold batches through mergeWithDeletes
+      val del = "_del"
+      def frame(b: Seq[(Long, Long, Int, String, Boolean)]) =
+        b.toDF("k", "id", "t", "v", del)
+      val empty = frame(Nil)
+      val sparkState = batches.foldLeft(empty) { (base, b) =>
+        Scd1.mergeWithDeletes(base.withColumn(del, lit(false)), frame(b),
+          Seq("k"), Seq(col("t").desc, col("id").desc), del)
+      }.select("k", "id").as[(Long, Long)].collect().toMap
+      // naive oracle: per key, replay batches in order; within a batch
+      // the winner is max by (t, id) with tombstones beating live rows
+      // on exact (t, id) ties; base-beats-delta on full ties is
+      // unreachable (ids are unique)
+      val expect = scala.collection.mutable.Map.empty[Long, (Long, Int, String, Boolean)]
+      batches.foreach { b =>
+        b.groupBy(_._1).foreach { case (k, g) =>
+          val cands = expect.get(k).map(s => (k, s._1, s._2, s._3, s._4)).toSeq ++ g
+          val w = cands.maxBy(r => (r._3, r._2, r._5)) // ts, id, tombstone wins tie
+          if (w._5) expect.remove(k) else expect(k) = (w._2, w._3, w._4, w._5)
+        }
+      }
+      assert(sparkState == expect.map { case (k, s) => k -> s._1 }.toMap)
+    }
+  }
+
   test("Cdc.snapshotDiff round-trip: old + diff == new") {
     val snapGen = Gen.listOfN(40, for {
       id <- Gen.choose(1L, 25L)
