@@ -29,8 +29,11 @@ object Parallelize {
     */
   def ensure(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
+    // note GlobalLimit is NOT here: a limit collapses to one partition
+    // — precisely the case that needs the rescue (and its plan carries
+    // no exchange for the probe to execute)
     val shuffled = df.queryExecution.optimizedPlan.exists {
-      case _: Join | _: Aggregate | _: Window | _: Sort | _: GlobalLimit |
+      case _: Join | _: Aggregate | _: Window | _: Sort |
            _: RepartitionOperation | _: Deduplicate => true
       case _ => false
     }

@@ -85,6 +85,22 @@ object Scd1 {
     * same batch resurrects the key with the new row. Same single
     * shuffle as [[merge]] — the filter is free.
     */
+  /** [[latestByKey]] + tombstone consumption for a SINGLE batch (the
+    * target-creation path): same total order as [[mergeWithDeletes]]
+    * — at an exact orderBy tie a tombstone beats the live row — so the
+    * first batch of a new target resolves tied delete events exactly
+    * like every later merge does.
+    */
+  def latestWithDeletes(df: DataFrame, keys: Seq[String],
+                        orderBy: Seq[Column], deleteCol: String): DataFrame = {
+    require(deleteCol.startsWith("_"),
+      s"deleteCol must be an audit-namespaced _column, got $deleteCol")
+    val deleted = coalesce(col(deleteCol), lit(false))
+    latestByKey(df, keys, orderBy :+ deleted.desc)
+      .where(!deleted)
+      .drop(deleteCol)
+  }
+
   def mergeWithDeletes(base: DataFrame, delta: DataFrame, keys: Seq[String],
                        orderBy: Seq[Column], deleteCol: String): DataFrame = {
     require(deleteCol.startsWith("_"),

@@ -117,9 +117,9 @@ object Warehouse {
     }
     val entityOut = cfg.entities.flatMap { e =>
       val typed = withTombstones(StageReader.typed(stage(spark, e), e.casts), e)
-      val latest = Scd1.latestByKey(typed, e.keys, scd1Order(e))
-      val clean = sinkDeleteCol(e).fold(latest)(c =>
-        latest.where(!coalesce(col(c), lit(false))).drop(c))
+      val clean = sinkDeleteCol(e).fold(
+        Scd1.latestByKey(typed, e.keys, scd1Order(e)))(c =>
+        Scd1.latestWithDeletes(typed, e.keys, scd1Order(e), c))
       val cleanOut = writeBucketed(clean, e, s"$outDir/clean/${e.name}")
       val dim = if (e.scd2) {
         val h = sinkDeleteCol(e).fold(

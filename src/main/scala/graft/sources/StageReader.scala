@@ -75,9 +75,12 @@ object StageReader {
     * text sources get from their schema-on-read.
     */
   private def toText(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val have = df.columns.toSet
-    df.select(cols.map(c =>
-      (if (have(c)) col(c).cast(StringType) else lit(null).cast(StringType)).as(c)): _*)
+    // case-insensitive resolution, matching Spark's default analyzer
+    // behavior — an upstream 'OrderID' satisfies a declared 'orderid'
+    val have = df.columns.map(c => c.toLowerCase -> c).toMap
+    df.select(cols.map(c => have.get(c.toLowerCase)
+      .map(actual => col(s"`$actual`").cast(StringType))
+      .getOrElse(lit(null).cast(StringType)).as(c)): _*)
   }
 
   /** Staged ORC read: columnar drops from upstream warehouses carry

@@ -546,11 +546,8 @@ object SnapshotStore {
         val txn = Some(checkpointDir -> batchId)
         if (!batch.isEmpty) {
           val b = batch.toDF()
-          def firstState = {
-            val latest = Scd1.latestByKey(b, keys, orderBy)
-            deleteCol.fold(latest)(c =>
-              latest.where(!coalesce(col(c), lit(false))).drop(c))
-          }
+          def firstState = deleteCol.fold(Scd1.latestByKey(b, keys, orderBy))(c =>
+            Scd1.latestWithDeletes(b, keys, orderBy, c))
           if (latestVersion(spark, root).isEmpty) {
             init(spark, root, firstState, keys, numBuckets, statsCols, txn)
           } else {

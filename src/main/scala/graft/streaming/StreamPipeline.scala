@@ -124,11 +124,14 @@ object StreamPipeline {
       // dedup within the batch too — one micro-batch can carry several
       // versions of the same key (e.g. multiple staged files at once);
       // a key whose winning version is a tombstone never materializes
-      val first = Scd1.latestByKey(withBucket(batch.toDF(), keys, numBuckets), keys, orderBy)
-      deleteCol.fold(first)(c => first.where(!coalesce(col(c), lit(false))).drop(c))
+      // (same tie order as every later merge: Scd1.latestWithDeletes)
+      val b0 = withBucket(batch.toDF(), keys, numBuckets)
+      deleteCol.fold(Scd1.latestByKey(b0, keys, orderBy))(c =>
+          Scd1.latestWithDeletes(b0, keys, orderBy, c))
         .write.mode("overwrite").partitionBy(BucketCol).parquet(targetDir)
       writeLayoutMarker(targetDir, numBuckets)
     } else {
+      recoverSwaps(targetDir)
       val b = withBucket(batch.toDF(), keys, layoutBuckets(targetDir, numBuckets))
       val touched = affectedBuckets(b)
       // mergeSchema: after additive evolution, touched buckets may mix
@@ -159,12 +162,13 @@ object StreamPipeline {
     *
     * Crash behavior: each bucket's old files are MOVED ASIDE (to a
     * `.replaced.tmp` sibling) before the staged copy moves in, never
-    * deleted first — a crash mid-swap can leave a bucket stale or
-    * momentarily absent, but no committed row is ever destroyed (both
-    * copies exist on disk until the swap completes, and the replay of
-    * the micro-batch re-merges against whichever survived). True
-    * multi-bucket atomicity is [[graft.store.SnapshotStore]]'s job —
-    * this sink is the plain-directory sibling.
+    * deleted first, and [[recoverSwaps]] — run before every merge
+    * reads the target — moves any bucket stranded mid-swap back into
+    * place. A crash can therefore leave a bucket stale (the replayed
+    * micro-batch re-merges it), but no committed row is ever
+    * destroyed. True multi-bucket atomicity is
+    * [[graft.store.SnapshotStore]]'s job — this sink is the
+    * plain-directory sibling.
     */
   private def writeAffected(df: DataFrame, targetDir: String, touched: Seq[Any]): Unit = {
     val tmp = targetDir + ".delta.tmp"
@@ -180,6 +184,23 @@ object StreamPipeline {
     }
     deleteRecursively(Paths.get(tmp))
     deleteRecursively(Paths.get(trash))
+  }
+
+  /** Crash recovery for [[writeAffected]]'s swap: a bucket found in
+    * the `.replaced.tmp` dir whose target dir is ABSENT was stranded
+    * between move-aside and move-in — restore it (the replayed batch
+    * will re-merge it); one whose target dir exists was superseded by
+    * a completed move-in — drop it. Runs before every merge reads the
+    * target, so a replay never merges against a hole.
+    */
+  private def recoverSwaps(targetDir: String): Unit = {
+    val trash = Paths.get(targetDir + ".replaced.tmp")
+    if (!Files.exists(trash)) return
+    Files.list(trash).forEach { p =>
+      val dest = Paths.get(targetDir, p.getFileName.toString)
+      if (!Files.exists(dest)) Files.move(p, dest)
+    }
+    deleteRecursively(trash)
   }
 
   private def deleteRecursively(p: Path): Unit =
@@ -253,6 +274,7 @@ object StreamPipeline {
       hist.write.mode("overwrite").partitionBy(BucketCol).parquet(targetDir)
       writeLayoutMarker(targetDir, numBuckets)
     } else {
+      recoverSwaps(targetDir)
       val b = withBucket(batch, keys, layoutBuckets(targetDir, numBuckets))
       val touched = affectedBuckets(b)
       val pruned = spark.read.option("mergeSchema", "true").parquet(targetDir)
@@ -323,40 +345,48 @@ object StreamPipeline {
     * ('I', null, v) the first time a key appears and ('U', prev, v) on
     * every subsequent change; unchanged updates emit nothing.
     */
+  /** The I/U/D emission rule both change trackers share: what (if
+    * anything) a transition from `cur` to `next` emits. `None` is the
+    * deleted/absent state.
+    */
+  private def changeEvent(key: Long, cur: Option[String],
+                          next: Option[String]): Option[KeyChange] = next match {
+    case Some(v) => cur match {
+      case None => Some(KeyChange(key, "I", null, v))
+      case Some(prev) if prev != v => Some(KeyChange(key, "U", prev, v))
+      case _ => None
+    }
+    case None => cur.map(prev => KeyChange(key, "D", prev, null))
+  }
+
   /** [[changeLogCdc]] for feeds that carry an explicit per-event
-    * sequence number — events for one key are applied in SEQUENCE
-    * order regardless of how the shuffle interleaves them inside a
-    * micro-batch. Use this form whenever one batch can carry several
-    * events for a key: `flatMapGroupsWithState` makes no ordering
-    * promise about the group iterator, so the unsequenced form is only
-    * deterministic when a key changes at most once per batch. (CDC
-    * transports all carry such a sequence — offset, LSN, version.)
+    * sequence number (offset / LSN / version — every CDC transport has
+    * one): events for one key are applied in SEQUENCE order within a
+    * batch, and a straggler whose sequence is at or below the key's
+    * high-water mark is DROPPED even when it arrives in a later batch
+    * — a reordered or redelivered old event can never regress the
+    * state. The price of that guarantee is that state keeps a
+    * (lastSeq, value) pair per key ever seen, including deleted keys
+    * (the mark must outlive the delete to fence stragglers); bound it
+    * with a state timeout when the transport has a reordering horizon.
     */
   def changeLogCdcOrdered(updates: Dataset[(Long, Long, Option[String])]): Dataset[KeyChange] = {
     val spark = updates.sparkSession
     import spark.implicits._
     updates.groupByKey(_._1)
-      .flatMapGroupsWithState[String, KeyChange](
+      .flatMapGroupsWithState[(Long, Option[String]), KeyChange](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (key, rows, state: GroupState[String]) =>
+        case (key, rows, state: GroupState[(Long, Option[String])]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[KeyChange]
-          var cur = state.getOption
-          rows.toSeq.sortBy(_._2).foreach {
-            case (_, _, Some(v)) =>
-              cur match {
-                case None => out += KeyChange(key, "I", null, v)
-                case Some(prev) if prev != v => out += KeyChange(key, "U", prev, v)
-                case _ => ()
-              }
-              cur = Some(v)
-            case (_, _, None) =>
-              cur.foreach(prev => out += KeyChange(key, "D", prev, null))
-              cur = None
+          var (mark, cur) = state.getOption.getOrElse((Long.MinValue, Option.empty[String]))
+          rows.toSeq.sortBy(_._2).foreach { case (_, seq, next) =>
+            if (seq > mark) {
+              out ++= changeEvent(key, cur, next)
+              cur = next
+              mark = seq
+            }
           }
-          cur match {
-            case Some(v) => state.update(v)
-            case None => state.remove()
-          }
+          state.update((mark, cur))
           out.iterator
       }
   }
@@ -385,17 +415,9 @@ object StreamPipeline {
         case (key, rows, state: GroupState[String]) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[KeyChange]
           var cur = state.getOption
-          rows.foreach {
-            case (_, Some(v)) =>
-              cur match {
-                case None => out += KeyChange(key, "I", null, v)
-                case Some(prev) if prev != v => out += KeyChange(key, "U", prev, v)
-                case _ => ()
-              }
-              cur = Some(v)
-            case (_, None) =>
-              cur.foreach(prev => out += KeyChange(key, "D", prev, null))
-              cur = None
+          rows.foreach { case (_, next) =>
+            out ++= changeEvent(key, cur, next)
+            cur = next
           }
           cur match {
             case Some(v) => state.update(v)

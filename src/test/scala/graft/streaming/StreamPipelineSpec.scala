@@ -250,13 +250,20 @@ class StreamPipelineSpec extends SparkSpec {
       q.processAllAvailable()
       in.addData((1L, 40L, Some("back")))
       q.processAllAvailable()
+      // cross-batch stragglers at or below the high-water mark are
+      // fenced: neither may regress state nor emit anything
+      in.addData((1L, 25L, Some("stale")), (2L, 11L, Some("dup")))
+      q.processAllAvailable()
+      in.addData((1L, 50L, Some("fresh"))) // proves state is still "back"
+      q.processAllAvailable()
       val rows = spark.table("chg_seq")
         .select("key", "action", "old_value", "new_value")
         .as[(Long, String, String, String)].collect().toSet
       assert(rows == Set(
         (1L, "I", null, "x"), (1L, "U", "x", "x2"), (1L, "D", "x2", null),
         (2L, "I", null, "y"),
-        (1L, "I", null, "back"))) // deleted in-batch, so re-insert is I
+        (1L, "I", null, "back"), // deleted in-batch, so re-insert is I
+        (1L, "U", "back", "fresh"))) // "stale"/"dup" fenced, no emission
     } finally q.stop()
   }
 
