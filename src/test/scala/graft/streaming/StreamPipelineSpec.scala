@@ -238,6 +238,38 @@ class StreamPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful streams run on the RocksDB state store (off-heap state — the 100 TB option)") {
+    // the provider is a per-query conf: state larger than executor
+    // heap (billions of CDC keys) spills to local RocksDB instances
+    // instead of OOMing the HDFSBackedStateStore's in-memory maps
+    val in = MemoryStream[(Long, Option[String])]
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q2 = StreamPipeline.changeLogCdc(in.toDS())
+      .writeStream.format("memory").queryName("chg_rocks2").outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_rocks_ckpt2").toString)
+      .start()
+    try {
+      in.addData((1L, Some("x")), (2L, Some("y")))
+      q2.processAllAvailable()
+      in.addData((1L, None), (2L, Some("y2")))
+      q2.processAllAvailable()
+      val rows = spark.table("chg_rocks2")
+        .select("key", "action", "new_value")
+        .as[(Long, String, String)].collect().toSet
+      assert(rows == Set((1L, "I", "x"), (2L, "I", "y"),
+        (1L, "D", null), (2L, "U", "y2")))
+    } finally {
+      q2.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("changeLogCdcOrdered applies same-batch events for one key in sequence order") {
     val in = MemoryStream[(Long, Long, Option[String])]
     val q = StreamPipeline.changeLogCdcOrdered(in.toDS())
