@@ -40,7 +40,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, warmDir).count(); spark.catalog.clearCache() }
+      try { fn(spark, warmDir).count(); spark.catalog.clearCache(); graft.Caching.unpersistAll() }
       catch { case _: Throwable => () }
     }
     def median(xs: Seq[Double]): Double = {
@@ -49,7 +49,7 @@ object Bench {
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
-        spark.catalog.clearCache()
+        spark.catalog.clearCache(); graft.Caching.unpersistAll()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9

@@ -1056,7 +1056,7 @@ object Queries {
       .where(y.isin(1997, 1998))
       .groupBy(col("o_custkey").as("customer_id"))
       .agg(max(y === 1997).as("__in97"), max(y === 1998).as("__in98"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caching.persistTracked(_))
     val b97 = flags.where(col("__in97")).select("customer_id")
     val b98 = flags.where(col("__in98")).select("customer_id")
     b97.intersect(b98)

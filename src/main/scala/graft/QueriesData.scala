@@ -59,9 +59,9 @@ object QueriesData {
     // the signature pipeline, which the candidate self-join references
     // twice (AQE's broadcast of one side defeats ReuseExchange dedup)
     val hashes = Dedup.shingleHashes(docs, "text", "doc_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caching.persistTracked(_))
     val bands = Dedup.minhashBandsFromHashes(hashes, "doc_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caching.persistTracked(_))
     val cands = Dedup.candidatePairs(bands, "doc_id")
     Dedup.ngramJaccardFromHashes(cands, hashes, "doc_id")
       .withColumn("is_near_dup", col("jaccard_e6") >= 500000L)
@@ -77,9 +77,9 @@ object QueriesData {
   val d07: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val hashes = Dedup.shingleHashes(docs, "text", "doc_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caching.persistTracked(_))
     val bands = Dedup.minhashBandsFromHashes(hashes, "doc_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caching.persistTracked(_))
     val verified = Dedup.ngramJaccardFromHashes(
         Dedup.candidatePairs(bands, "doc_id"), hashes, "doc_id")
       .where(col("jaccard_e6") >= 500000L)
@@ -106,6 +106,12 @@ object QueriesData {
     val chunkLen = 8
     val toks = graft.operators.Parallelize.ensure(Tables.documents(s, d))
       .select(col("doc_id"), TextFuncs.tokens(col("text")).as("__t"))
+      // an empty token array must yield NO chunks (the oracle's
+      // range(0) is empty); without this guard the sequence upper
+      // bound ceil(0/8)-1 = -1 yields two phantom chunk indexes
+      // [0, -1]. Unreachable while tokens("") = [""], but the
+      // query's correctness must not hang on that tokenizer invariant.
+      .where(size(col("__t")) > 0)
     val chunks = toks.select(col("doc_id"),
       posexplode(transform(
         sequence(lit(0), ceil(size(col("__t")) / lit(chunkLen.toDouble)).cast("long") - 1),

@@ -25,7 +25,7 @@ object Verify {
       // operator-level persists (LSH fan-outs, band frames, cohort
       // flags) are scoped to their query — don't let blocks accumulate
       // across the 60+-query session
-      spark.catalog.clearCache()
+      spark.catalog.clearCache(); graft.Caching.unpersistAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -162,10 +162,9 @@ object Dedup {
     // ONE shingle expansion, materialized: it is referenced by both
     // sides of the intersection join AND the size derivation — the
     // lazy form evaluated the shingle expression four times per call.
-    // (Harnesses clearCache() between queries.)
+    // (Registered in graft.Caching — callers release via Caching.unpersistAll().)
     ngramJaccardFromHashes(pairs,
-      shingleHashes(docs, textCol, idCol, shingleSize)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      graft.Caching.persistTracked(shingleHashes(docs, textCol, idCol, shingleSize)),
       idCol)
 
   /** [[ngramJaccard]] over a pre-built (ideally persisted)
@@ -368,10 +367,10 @@ object Dedup {
     // narrow fan-out, referenced three times below (census + both
     // self-join sides) — materialize once (harnesses clearCache()
     // between queries)
-    val fanout = Parallelize.ensure(emb).select(col(idCol).as("__id"),
+    val fanout = graft.Caching.persistTracked(
+      Parallelize.ensure(emb).select(col(idCol).as("__id"),
         posexplode(Similarity.tableBuckets(col(vecCol), tables))
-          .as(Seq("table_idx", "bucket")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .as(Seq("table_idx", "bucket"))))
     // degenerate-bucket cap: a hot bucket — e.g. zero/padding vectors,
     // which share EVERY table's bucket — would otherwise make the
     // self-join quadratic in its size. Census via groupBy (map-side

@@ -99,10 +99,10 @@ object Similarity {
     // the corpus fan-out is NARROW (id, table_idx, bucket) but its
     // lineage is the whole signature computation; it is referenced
     // twice below (bucket census + candidate join), so materialize it
-    // once (harnesses clearCache() between queries)
-    val c = Parallelize.ensure(corpus).select(col(idCol).as("neighbor_id"),
-        posexplode(tableBuckets(col(vecCol), tables)).as(Seq("table_idx", "bucket")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // once (registered in graft.Caching)
+    val c = graft.Caching.persistTracked(
+      Parallelize.ensure(corpus).select(col(idCol).as("neighbor_id"),
+        posexplode(tableBuckets(col(vecCol), tables)).as(Seq("table_idx", "bucket"))))
     // query probes: the exact bucket plus every 1-bit flip of it
     def probeSet(b: Column): Column =
       if (probeBits < 1) array(b)

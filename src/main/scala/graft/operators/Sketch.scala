@@ -181,7 +181,7 @@ object Sketch {
       .toDF("__g", "sketch", "total")
       .select(col("__g"), col("total"),
         explode(map_keys(col("sketch.items"))).as("__i"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caching.persistTracked(_))
     stream.join(broadcast(cands.select("__g", "__i")), Seq("__g", "__i"), "left_semi")
       .groupBy(col("__g"), col("__i"))
       .agg(count(lit(1)).as("n_occurrences"))

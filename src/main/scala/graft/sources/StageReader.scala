@@ -76,7 +76,19 @@ object StageReader {
     */
   private def toText(df: DataFrame, cols: Seq[String]): DataFrame = {
     // case-insensitive resolution, matching Spark's default analyzer
-    // behavior — an upstream 'OrderID' satisfies a declared 'orderid'
+    // behavior — an upstream 'OrderID' satisfies a declared 'orderid'.
+    // Source columns differing ONLY in case (OrderID + orderid) that
+    // both match a declared column are ambiguous: fail loudly like
+    // Spark's ambiguous-reference analyzer error, never last-wins.
+    val declared = cols.map(_.toLowerCase).toSet
+    val byLower = df.columns.groupBy(_.toLowerCase)
+    val ambiguous = byLower.collect {
+      case (lc, actuals) if actuals.length > 1 && declared(lc) => actuals.mkString("[", ", ", "]")
+    }
+    if (ambiguous.nonEmpty)
+      throw new IllegalArgumentException(
+        "ambiguous case-insensitive stage columns: " + ambiguous.mkString("; ") +
+          " — multiple source columns resolve to the same declared column")
     val have = df.columns.map(c => c.toLowerCase -> c).toMap
     df.select(cols.map(c => have.get(c.toLowerCase)
       .map(actual => col(s"`$actual`").cast(StringType))

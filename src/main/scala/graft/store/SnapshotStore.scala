@@ -31,19 +31,26 @@ import graft.operators.{Scd1, Scd2}
   * touches and re-points the rest at their existing files
   * (copy-on-write at bucket granularity, O(delta) data written per
   * commit at any table size). The manifest itself is published by an
-  * atomic rename: readers either see the previous complete snapshot or
-  * the new complete snapshot, never a torn mix — which plain
-  * dynamic-partition-overwrite cannot guarantee across buckets.
+  * EXCLUSIVE CREATE + terminator-line protocol (see
+  * [[writeManifestAtomic]]): readers either see the previous complete
+  * snapshot or the new complete snapshot, never a torn mix — which
+  * plain dynamic-partition-overwrite cannot guarantee across buckets.
   *
-  * Concurrency: optimistic. A writer that loses the rename race
+  * Concurrency: optimistic. A writer that loses the create race
   * re-reads the new latest snapshot and re-merges (bounded retries).
   * Crash safety: a writer that dies after writing data but before the
-  * manifest rename leaves an unreferenced `v=<n>` directory that
-  * readers never see and [[vacuum]] removes.
+  * manifest commit leaves an unreferenced `v=<n>` directory that
+  * readers never see and [[vacuum]] removes; one that dies mid-
+  * manifest leaves a terminator-less file that readers ignore and the
+  * next committer of that version reclaims.
   *
-  * Rename atomicity holds on HDFS and local filesystems; object
-  * stores need a conditional-put log store instead (the same caveat
-  * and the same abstraction seam as Delta's LogStore).
+  * Exclusive-create atomicity holds on HDFS; object stores need a
+  * conditional-put log store instead (the same caveat and the same
+  * abstraction seam as Delta's LogStore). On a LOCAL filesystem
+  * Hadoop's create(overwrite=false) is itself check-then-create, so
+  * the post-write terminator-token ownership check closes the residual
+  * window: a committer only reports success after re-reading its own
+  * token back from the target.
   */
 object SnapshotStore {
 
@@ -95,13 +102,19 @@ object SnapshotStore {
   // manifest IO
   // ------------------------------------------------------------------
 
-  /** Committed versions, ascending (empty if the table doesn't exist). */
+  /** Committed versions, ascending (empty if the table doesn't exist).
+    * Only COMPLETE manifests (terminator line present) count as
+    * committed: a manifest file stranded mid-write by a crashed writer
+    * is invisible to readers and reclaimed by the next committer of
+    * that version.
+    */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val fs = fileSystem(spark, root)
     val dir = commitsDir(root)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq
       .map(_.getPath.getName).filter(_.forall(_.isDigit)).map(_.toLong).sorted
+      .filter(v => readTerminator(fs, manifestPath(root, v)).isDefined)
   }
 
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
@@ -128,6 +141,7 @@ object SnapshotStore {
       val header = in.readLine() // "buckets:<n>"
       val numBuckets = header.stripPrefix("buckets:").trim.toInt
       var statsCols = Seq.empty[(String, String)]
+      var complete = false
       val txns = mutable.Map.empty[String, Long]
       val entries = mutable.Map.empty[Int, BucketEntry]
       Iterator.continually(in.readLine()).takeWhile(_ != null)
@@ -142,6 +156,8 @@ object SnapshotStore {
           case l if l.startsWith("txn:") =>
             val Array(id, b) = l.stripPrefix("txn:").split("\t", 2)
             txns(dec(id)) = b.toLong
+          case l if l.startsWith("end:") =>
+            complete = true
           case l =>
             val parts = l.split("\t", 3)
             val stats = if (parts.length < 3 || parts(2).isEmpty) Seq.empty
@@ -151,12 +167,52 @@ object SnapshotStore {
               }.toSeq
             entries(parts(0).toInt) = BucketEntry(parts(1), stats)
         }
+      if (!complete)
+        throw new IllegalStateException(
+          s"manifest for version $v at $root has no terminator — " +
+            "written by a crashed committer; it is not a committed version")
       Manifest(v, numBuckets, statsCols, txns.toMap, entries.toMap)
     } finally in.close()
   }
 
-  /** Atomically publish version `v`: write to a temp name, then rename.
-    * Returns false when another writer already committed `v`.
+  /** The terminator token of a manifest file, or None when the file is
+    * absent or incomplete (crashed writer). The terminator is the LAST
+    * thing a committer writes, so its presence certifies every
+    * preceding line arrived; its token identifies WHICH committer's
+    * bytes are on disk (the post-write ownership check below).
+    */
+  private def readTerminator(fs: FileSystem, p: Path): Option[String] = {
+    if (!fs.exists(p)) return None
+    val in = new BufferedReader(new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
+    try {
+      var last: String = null
+      Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .filter(_.nonEmpty).foreach(last = _)
+      Option(last).filter(_.startsWith("end:")).map(_.stripPrefix("end:"))
+    } catch { case _: java.io.IOException => None } finally in.close()
+  }
+
+  /** Atomically publish version `v`. Returns false when another writer
+    * already committed `v`.
+    *
+    * The commit arbiter is EXCLUSIVE CREATE of the manifest file
+    * (`fs.create(target, overwrite = false)` — the loser of a race
+    * fails to create), not check-then-rename: POSIX/RawLocalFileSystem
+    * rename OVERWRITES an existing destination, so two concurrent
+    * committers of the same version could both pass an exists check
+    * and both "succeed", silently replacing one manifest (and its txn
+    * high-water marks — a double-apply). With exclusive create only
+    * one stream for `target` can be opened.
+    *
+    * Torn writes are handled by a terminator line (`end:<token>`,
+    * written last): readers treat a terminator-less manifest as
+    * uncommitted, and a committer that finds one (a crashed writer's
+    * leftover) deletes it and takes the version over. Because that
+    * takeover introduces a delete/re-create window, every committer
+    * re-reads the terminator AFTER closing its stream and claims
+    * success only if the token on disk is its own — a writer whose
+    * bytes went to an unlinked inode reports failure and retries via
+    * the normal OCC path.
     */
   private def writeManifestAtomic(fs: FileSystem, root: String, v: Long,
                                   numBuckets: Int,
@@ -164,29 +220,39 @@ object SnapshotStore {
                                   txns: Map[String, Long],
                                   buckets: Map[Int, BucketEntry]): Boolean = {
     val target = manifestPath(root, v)
-    if (fs.exists(target)) return false
-    val tmp = new Path(commitsDir(root), s".tmp-${UUID.randomUUID()}")
-    val out = fs.create(tmp, false)
-    try {
-      val statsLine =
-        if (statsCols.isEmpty) Seq.empty
-        else Seq("stats:" + statsCols.map { case (n, t) => s"${enc(n)}:$t" }.mkString(","))
-      val txnLines = txns.toSeq.sortBy(_._1)
-        .map { case (id, b) => s"txn:${enc(id)}\t$b" }
-      val bucketLines = buckets.toSeq.sortBy(_._1).map { case (b, e) =>
-        val st = e.stats.map {
-          case Some((mn, mx)) => s"${enc(mn)},${enc(mx)}"
-          case None => ","
-        }.mkString(",")
-        if (statsCols.isEmpty) s"$b\t${e.dir}" else s"$b\t${e.dir}\t$st"
-      }
-      val body = (s"buckets:$numBuckets" +: (statsLine ++ txnLines ++ bucketLines))
-        .mkString("", "\n", "\n")
-      out.write(body.getBytes(StandardCharsets.UTF_8))
-    } finally out.close()
-    val ok = !fs.exists(target) && fs.rename(tmp, target)
-    if (!ok) fs.delete(tmp, false)
-    ok
+    val token = UUID.randomUUID().toString
+    val statsLine =
+      if (statsCols.isEmpty) Seq.empty
+      else Seq("stats:" + statsCols.map { case (n, t) => s"${enc(n)}:$t" }.mkString(","))
+    val txnLines = txns.toSeq.sortBy(_._1)
+      .map { case (id, b) => s"txn:${enc(id)}\t$b" }
+    val bucketLines = buckets.toSeq.sortBy(_._1).map { case (b, e) =>
+      val st = e.stats.map {
+        case Some((mn, mx)) => s"${enc(mn)},${enc(mx)}"
+        case None => ","
+      }.mkString(",")
+      if (statsCols.isEmpty) s"$b\t${e.dir}" else s"$b\t${e.dir}\t$st"
+    }
+    val body = (s"buckets:$numBuckets" +: (statsLine ++ txnLines ++ bucketLines))
+      .mkString("", "\n", "\n") + s"end:$token\n"
+
+    def tryCreate(): Option[org.apache.hadoop.fs.FSDataOutputStream] =
+      try Some(fs.create(target, false))
+      catch { case _: java.io.IOException if fs.exists(target) => None }
+
+    var out = tryCreate()
+    if (out.isEmpty) {
+      // target exists: a complete manifest means a genuine loss; an
+      // incomplete one is a crashed committer's leftover — reclaim it
+      if (readTerminator(fs, target).isDefined) return false
+      fs.delete(target, false)
+      out = tryCreate()
+      if (out.isEmpty) return false
+    }
+    try out.get.write(body.getBytes(StandardCharsets.UTF_8)) finally out.get.close()
+    // post-write ownership check (see scaladoc): success only if OUR
+    // terminator survived any concurrent reclaim of the same version
+    readTerminator(fs, target).contains(token)
   }
 
   // ------------------------------------------------------------------

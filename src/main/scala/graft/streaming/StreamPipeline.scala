@@ -196,16 +196,19 @@ object StreamPipeline {
   private def recoverSwaps(targetDir: String): Unit = {
     val trash = Paths.get(targetDir + ".replaced.tmp")
     if (!Files.exists(trash)) return
-    Files.list(trash).forEach { p =>
+    val ls = Files.list(trash)
+    try ls.forEach { p =>
       val dest = Paths.get(targetDir, p.getFileName.toString)
       if (!Files.exists(dest)) Files.move(p, dest)
-    }
+    } finally ls.close()
     deleteRecursively(trash)
   }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally walk.close()
     }
 
   /** Stream–stream interval join: match right-stream rows to left

@@ -25,7 +25,7 @@ object Profile {
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       (1 to reps).foreach { r =>
-        spark.catalog.clearCache()
+        spark.catalog.clearCache(); graft.Caching.unpersistAll()
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         println(f"[profile] $name rep$r ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$n")

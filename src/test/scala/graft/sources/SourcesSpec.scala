@@ -85,6 +85,26 @@ class SourcesSpec extends SparkSpec {
       }
   }
 
+  test("StageReader.parquet fails loudly on case-colliding source columns") {
+    val dir = Files.createTempDirectory("graft_case").toString
+    // an upstream drop carrying BOTH 'OrderID' and 'orderid' — under
+    // case-insensitive resolution either could satisfy the declared
+    // column; last-wins would silently pick one
+    val prev = spark.conf.get("spark.sql.caseSensitive", "false")
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try {
+      Seq((1L, 2L, "x")).toDF("OrderID", "orderid", "other")
+        .write.parquet(s"$dir/p")
+      val ex = intercept[IllegalArgumentException] {
+        StageReader.parquet(spark, s"$dir/p", Seq("orderid", "other"))
+      }
+      assert(ex.getMessage.contains("ambiguous"))
+      // columns NOT matching any declared column may collide freely
+      val ok = StageReader.parquet(spark, s"$dir/p", Seq("other"))
+      assert(ok.select("other").as[String].collect().toSeq == Seq("x"))
+    } finally spark.conf.set("spark.sql.caseSensitive", prev)
+  }
+
   test("StageReader.cleanSnapshot: stage → typed → SCD1 latest per key") {
     val dir = Files.createTempDirectory("graft_csv3").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/v.csv"),
