@@ -1138,11 +1138,56 @@ object Queries {
        |UNION ALL
        |SELECT order_date, 'n_orders' AS metric, n_orders AS value FROM daily""".stripMargin
 
+  // =====================================================================
+  // q39 — arbitrary GROUPING SETS: two different dimension pairs plus
+  // the grand total in ONE aggregate — the grouping-set shape that is
+  // NOT expressible as ROLLUP (q32) or CUBE (q37) of the same columns.
+  // Still one scan + one shuffle with partial aggregation; the
+  // expansion multiplies group cardinality (tiny), never input rows.
+  // Agg level re-derived from the set's NULL pattern (engine-portable).
+  // =====================================================================
+  val q39: Q = (s, d) => {
+    val base = Tables.orders(s, d).select(
+      year(col("o_orderdate")).cast("long").as("order_year"),
+      col("o_orderstatus").as("status"),
+      col("o_orderpriority").as("priority"),
+      cents(col("o_totalprice")).as("cents"))
+    base.groupingSets(
+        Seq(Seq(col("order_year"), col("status")),
+            Seq(col("order_year"), col("priority")),
+            Seq.empty),
+        col("order_year"), col("status"), col("priority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"))
+      .select(
+        coalesce(col("order_year"), lit(-1L)).as("order_year"),
+        coalesce(col("status"), lit("ALL")).as("status"),
+        coalesce(col("priority"), lit("ALL")).as("priority"),
+        when(col("order_year").isNull, 2L)
+          .when(col("priority").isNull, 0L)
+          .otherwise(1L).as("agg_level"),
+        col("n_orders"), col("total_cents"))
+  }
+
+  val q39Sql: String =
+    s"""WITH base AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       |  o_orderstatus AS status, o_orderpriority AS priority,
+       |  ${centsSql("o_totalprice")} AS cents FROM orders)
+       |SELECT coalesce(order_year, -1) AS order_year,
+       | coalesce(status, 'ALL') AS status,
+       | coalesce(priority, 'ALL') AS priority,
+       | CAST(CASE WHEN order_year IS NULL THEN 2
+       |           WHEN priority IS NULL THEN 0
+       |           ELSE 1 END AS BIGINT) AS agg_level,
+       | count(*) AS n_orders,
+       | CAST(sum(cents) AS BIGINT) AS total_cents
+       |FROM base GROUP BY GROUPING SETS ((order_year, status), (order_year, priority), ())""".stripMargin
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "q37_cube" -> q37,
     "q38_unpivot" -> q38,
+    "q39_grouping_sets" -> q39,
     "q36_set_ops" -> q36,
     "q35_bloom_semi_join" -> q35,
     "q33_window_suite" -> q33,
@@ -1183,6 +1228,7 @@ object Queries {
   val oracles: Map[String, String] = Map(
     "q37_cube" -> q37Sql,
     "q38_unpivot" -> q38Sql,
+    "q39_grouping_sets" -> q39Sql,
     "q21_market_basket" -> q21Sql,
     "q22_status_pivot" -> q22Sql,
     "q23_props_json" -> q23Sql,

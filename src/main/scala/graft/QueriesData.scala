@@ -701,9 +701,165 @@ object QueriesData {
       Tables.embeddings(s, d).where(col("vec_id") % 7 === 0),
       "vec_id", "embedding", threshold = 0.30)
 
+  // =====================================================================
+  // t11 — deterministic stratified sampling: a fixed-size sample per
+  // stratum (language), ranked by a seeded content-independent hash so
+  // the SAME sample comes out on any engine, any partitioning, any run
+  // — the class-balancing primitive of training-data curation. Spark
+  // plans the rank<=n filter as WindowGroupLimit: each task keeps only
+  // its local top-n per stratum BEFORE the shuffle, so the exchange
+  // carries O(strata · n) rows, not the corpus.
+  // =====================================================================
+  val t11: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val n = 20
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    graft.operators.Parallelize.ensure(Tables.documents(s, d))
+      .select(col("lang"), col("doc_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= n)
+  }
+
+  val t11Sql: String =
+    """SELECT lang, doc_id, rank FROM (
+      | SELECT lang, doc_id,
+      |   CAST(row_number() OVER (PARTITION BY lang
+      |     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank
+      | FROM documents)
+      |WHERE rank <= 20""".stripMargin
+
+  // =====================================================================
+  // t12 — document-frequency quality score: per doc, the mean corpus
+  // document-frequency of its distinct tokens (integer-exact e6 via
+  // BIGINT division) — high = boilerplate/common-token text, low =
+  // rare-vocabulary text. Two shuffles, both on narrow (id, token)
+  // rows: token→df census (map-side partials), then the fan-out joins
+  // the metadata-small df table back and re-groups by doc. No array
+  // crosses a shuffle.
+  // =====================================================================
+  val t12: Q = (s, d) => {
+    val toks = graft.operators.Parallelize.ensure(Tables.documents(s, d))
+      .select(col("doc_id"),
+        explode(array_distinct(TextFuncs.tokens(col("text")))).as("tok"))
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+    toks.join(dfreq, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_toks"), sum(col("__df")).as("sum_df"))
+      .withColumn("mean_df_e6", expr("(1000000 * sum_df) div n_distinct_toks"))
+  }
+
+  val t12Sql: String =
+    """WITH raw AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |             FROM documents),
+      |toks AS (SELECT DISTINCT doc_id, tok FROM raw),
+      |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY tok)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_toks,
+      | CAST(sum(df) AS BIGINT) AS sum_df,
+      | (1000000 * CAST(sum(df) AS BIGINT)) // CAST(count(*) AS BIGINT) AS mean_df_e6
+      |FROM toks JOIN df USING (tok) GROUP BY doc_id""".stripMargin
+
+  // =====================================================================
+  // s05 — int8 scalar quantization of embeddings (the 4× storage path
+  // for vector corpora): per-vector min/max range, 0..255 codes, and
+  // the reconstruction-error profile — ALL in exact e6 integer space
+  // (codes and recon from BIGINT division), so the result is
+  // bit-identical on any engine. One shuffle (per-vector window);
+  // the groupBy reuses the window's hash partitioning.
+  // =====================================================================
+  val s05: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vec_id"))
+    graft.operators.Parallelize.ensure(Tables.embeddings(s, d))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("v_e6", round(col("v") * 1000000d).cast("long"))
+      .withColumn("mn", min(col("v_e6")).over(w))
+      .withColumn("mx", max(col("v_e6")).over(w))
+      .withColumn("rng", col("mx") - col("mn"))
+      .withColumn("code", when(col("rng") === 0L, lit(0L))
+        .otherwise(expr("((v_e6 - mn) * 255) div rng")))
+      .withColumn("recon", when(col("rng") === 0L, col("mn"))
+        .otherwise(col("mn") + expr("(code * rng) div 255")))
+      .withColumn("err", abs(col("v_e6") - col("recon")))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dims"), min(col("mn")).as("mn_e6"),
+        max(col("mx")).as("mx_e6"), sum(col("err")).as("sum_abs_err_e6"),
+        max(col("err")).as("max_err_e6"))
+  }
+
+  val s05Sql: String =
+    """WITH e AS (SELECT vec_id,
+      |    CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS v_e6
+      |  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings)),
+      |st AS (SELECT vec_id, min(v_e6) AS mn, max(v_e6) AS mx FROM e GROUP BY vec_id),
+      |q AS (SELECT e.vec_id, v_e6, mn, mx, mx - mn AS rng,
+      |        CASE WHEN mx - mn = 0 THEN 0
+      |             ELSE ((v_e6 - mn) * 255) // (mx - mn) END AS code
+      |      FROM e JOIN st USING (vec_id)),
+      |r AS (SELECT vec_id, v_e6, mn, mx,
+      |        abs(v_e6 - CASE WHEN rng = 0 THEN mn
+      |                        ELSE mn + (code * rng) // 255 END) AS err
+      |      FROM q)
+      |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+      | min(mn) AS mn_e6, max(mx) AS mx_e6,
+      | CAST(sum(err) AS BIGINT) AS sum_abs_err_e6, max(err) AS max_err_e6
+      |FROM r GROUP BY vec_id""".stripMargin
+
+  // =====================================================================
+  // d09 — cross-source contamination (benchmark-decontamination shape,
+  // GPT-3/PaLM style n-gram overlap): count the 8-token passages each
+  // PAIR of sources shares. Passages present in more than maxDf
+  // sources are boilerplate, not leakage — dropped BEFORE the
+  // self-join, which also caps the join fan-out at maxDf² per passage
+  // (a passage shared by all S sources would otherwise emit S² pairs).
+  // One distinct-shuffle on (chunk, source), one census groupBy, one
+  // equi-join on chunk.
+  // =====================================================================
+  val d09: Q = (s, d) => {
+    val chunkLen = 8
+    val maxDf = 10
+    val toks = graft.operators.Parallelize.ensure(Tables.documents(s, d))
+      .select(col("source"), TextFuncs.tokens(col("text")).as("__t"))
+      .where(size(col("__t")) > 0)
+    val chunks = toks.select(col("source"),
+      explode(transform(
+        sequence(lit(0), ceil(size(col("__t")) / lit(chunkLen.toDouble)).cast("long") - 1),
+        i => concat_ws(" ", slice(col("__t"), (i * chunkLen + 1).cast("int"), lit(chunkLen)))))
+        .as("chunk"))
+      .distinct()
+    val rare = chunks.groupBy(col("chunk"))
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf)
+      .select("chunk")
+    val filtered = chunks.join(rare, Seq("chunk"), "left_semi")
+    filtered.select(col("chunk"), col("source").as("source_a"))
+      .join(filtered.select(col("chunk"), col("source").as("source_b")), Seq("chunk"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_passages"))
+  }
+
+  val d09Sql: String =
+    """WITH toks AS (SELECT source, string_split(lower(text), ' ') AS t FROM documents),
+      |chunks AS (SELECT DISTINCT source,
+      |             array_to_string(t[(i*8+1):(i*8+8)], ' ') AS chunk
+      |           FROM toks, UNNEST(range(CAST(ceil(len(t) / 8.0) AS BIGINT))) AS u(i)
+      |           WHERE len(t) > 0),
+      |rare AS (SELECT chunk FROM chunks GROUP BY chunk HAVING count(*) <= 10),
+      |f AS (SELECT c.source, c.chunk FROM chunks c JOIN rare USING (chunk))
+      |SELECT a.source AS source_a, b.source AS source_b,
+      | count(*) AS n_shared_passages
+      |FROM f a JOIN f b USING (chunk)
+      |WHERE a.source < b.source
+      |GROUP BY a.source, b.source""".stripMargin
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
+    "t11_stratified_sample" -> t11,
+    "t12_doc_freq_score" -> t12,
+    "s05_vector_quantize" -> s05,
+    "d09_cross_source_leakage" -> d09,
     "d08_passage_dedup" -> d08,
     "k03_quantile_approx" -> k03,
     "t10_repetition" -> t10,
@@ -736,6 +892,10 @@ object QueriesData {
     "t09_weighted_sample" -> t09)
 
   val oracles: Map[String, String] = Map(
+    "t11_stratified_sample" -> t11Sql,
+    "t12_doc_freq_score" -> t12Sql,
+    "s05_vector_quantize" -> s05Sql,
+    "d09_cross_source_leakage" -> d09Sql,
     "d08_passage_dedup" -> d08Sql,
     "t10_repetition" -> t10Sql,
     "t08_pii_scrub" -> t08Sql,
