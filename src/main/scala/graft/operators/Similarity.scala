@@ -173,14 +173,52 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nlist: Int = 16, nprobe: Int = 4, trainIters: Int = 1): DataFrame = {
+    val centroids = ivfTrain(corpus, idCol, vecCol, nlist, trainIters)
+    val n = centroids.size
+    val dots = centroidDots(centroids) _
+    def probeLists(vec: Column): Column = {
+      val structs = zip_with(dots(vec),
+        sequence(lit(1), lit(n)), (d, i) => struct(d.as("d"), i.as("i")))
+      val sorted = array_sort(structs, (l, r) =>
+        when(l.getField("d") > r.getField("d"), -1)
+          .when(l.getField("d") < r.getField("d"), 1)
+          .when(l.getField("i") < r.getField("i"), -1)
+          .otherwise(1).cast("int"))
+      transform(slice(sorted, 1, math.min(nprobe, n)), s => s.getField("i").cast("int"))
+    }
+
+    val c = ivfAssign(corpus, idCol, vecCol, centroids)
+      .select(col(idCol).as("neighbor_id"), col("list_id").as("__list"))
+    val q = queries.select(col(idCol).as("query_id"),
+      explode(probeLists(col(vecCol))).as("__list"))
+    val cand = c.join(broadcast(q), Seq("__list"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").distinct()
+    exactRerank(cand, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** One `nlist`-wide array of codegen'd e12 centroid dots for a vector
+    * (the DotProductE12 hot path — the interpreted HOF form was ~100×
+    * slower and made Lloyd passes the dominant cost). e12 integer dots
+    * order identically to exact dots up to e6 quantization, with index
+    * tie-breaks deterministic either way.
+    */
+  private def centroidDots(cents: Seq[Seq[Double]])(vec: Column): Column =
+    array(cents.map(c =>
+      VecFuncs.dotE12Native(vec, typedLit(c.map(_.toFloat))).cast("double")): _*)
+
+  /** IVF quantizer training: deterministic sample init, then
+    * `trainIters` distributed Lloyd refinements. Assignment is a pure
+    * expression pass over the corpus; the centroid update is one
+    * groupBy over (list, dim) with INTEGER-exact e6 sums (the s03
+    * trick) so the refined codebook is bit-deterministic — double
+    * summation order could flip near-tie assignments run to run.
+    * Only nlist×dim aggregated values ever reach the driver
+    * (metadata-sized, the codebook).
+    */
+  def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
+               nlist: Int = 16, trainIters: Int = 1): Seq[Seq[Double]] = {
     graft.GraftFunctions.register(corpus.sparkSession)
-    // --- quantizer training: deterministic sample init, then
-    // `trainIters` distributed Lloyd refinements. Assignment is a pure
-    // expression pass over the corpus; the centroid update is one
-    // groupBy over (list, dim) with INTEGER-exact e6 sums (the s03
-    // trick) so the refined codebook is bit-deterministic — double
-    // summation order could flip near-tie assignments run to run.
-    // Only nlist×dim aggregated values ever reach the driver.
     var centroids: Seq[Seq[Double]] = corpus
       .select(col(idCol).cast("string").as("__sid"), col(vecCol).as("__v"))
       .orderBy(md5(col("__sid"))).limit(nlist)
@@ -191,18 +229,10 @@ object Similarity {
         val n = math.sqrt(v.map(x => x * x).sum)
         if (n > 0) v.map(_ / n) else v
       }
-    require(centroids.nonEmpty, "ivfTopK: empty corpus — no centroids to train")
+    require(centroids.nonEmpty, "ivfTrain: empty corpus — no centroids to train")
     val corpusPar = Parallelize.ensure(corpus)
-    // centroid scoring: one NATIVE codegen'd e12 dot per centroid (the
-    // DotProductE12 hot path — the interpreted HOF form was ~100×
-    // slower and made Lloyd passes the dominant cost). e12 integer
-    // dots order identically to exact dots up to e6 quantization, with
-    // index tie-breaks deterministic either way.
-    def dotsOf(cents: Seq[Seq[Double]])(vec: Column): Column =
-      array(cents.map(c =>
-        VecFuncs.dotE12Native(vec, typedLit(c.map(_.toFloat))).cast("double")): _*)
     (1 to trainIters).foreach { _ =>
-      val dots0 = dotsOf(centroids) _
+      val dots0 = centroidDots(centroids) _
       val assigned0 = corpusPar.select(
         array_position(dots0(col(vecCol)), array_max(dots0(col(vecCol))))
           .cast("int").as("__list"),
@@ -224,32 +254,51 @@ object Similarity {
         updated.getOrElse(i + 1, old)
       }
     }
-    val n = centroids.size
-    val dots = dotsOf(centroids) _
-    // argmax over centroid dots; array_position takes the FIRST max —
-    // deterministic tie-break by centroid index
+    centroids
+  }
+
+  /** Distributed list assignment against a trained codebook: one pure
+    * expression pass (argmax over the centroid dots; array_position
+    * takes the FIRST max — deterministic tie-break by centroid index).
+    * Returns (idCol, list_id) — the narrow frame the index build
+    * shuffles on, and the input to [[ivfListStats]].
+    */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                centroids: Seq[Seq[Double]]): DataFrame = {
+    graft.GraftFunctions.register(corpus.sparkSession)
+    val dots = centroidDots(centroids) _
     def assigned(vec: Column): Column = {
       val d = dots(vec)
       array_position(d, array_max(d)).cast("int")
     }
-    def probeLists(vec: Column): Column = {
-      val structs = zip_with(dots(vec),
-        sequence(lit(1), lit(n)), (d, i) => struct(d.as("d"), i.as("i")))
-      val sorted = array_sort(structs, (l, r) =>
-        when(l.getField("d") > r.getField("d"), -1)
-          .when(l.getField("d") < r.getField("d"), 1)
-          .when(l.getField("i") < r.getField("i"), -1)
-          .otherwise(1).cast("int"))
-      transform(slice(sorted, 1, math.min(nprobe, n)), s => s.getField("i").cast("int"))
-    }
+    Parallelize.ensure(corpus)
+      .select(col(idCol), assigned(col(vecCol)).as("list_id"))
+  }
 
-    val c = corpusPar
-      .select(col(idCol).as("neighbor_id"), assigned(col(vecCol)).as("__list"))
-    val q = queries.select(col(idCol).as("query_id"),
-      explode(probeLists(col(vecCol))).as("__list"))
-    val cand = c.join(broadcast(q), Seq("__list"))
-      .where(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id").distinct()
-    exactRerank(cand, corpus, queries, idCol, vecCol, k)
+  /** IVF list-balance diagnostics: per-list occupancy plus its share
+    * and balance ratio (n_vectors · nlist / total, e6 — 1e6 = perfectly
+    * balanced). The operational pre-flight for choosing `nlist`: a
+    * ratio ≫ 1e6 means a hot list that degrades probe cost back toward
+    * brute force; many empty lists mean wasted probes. One groupBy on
+    * the (metadata-sized key domain) list id; the corpus total rides
+    * the same pass via a window over the nlist-row aggregate — no
+    * second scan. Lists that captured no vectors are emitted with
+    * n_vectors = 0.
+    */
+  def ivfListStats(assignments: DataFrame, nlist: Int): DataFrame = {
+    val spark = assignments.sparkSession
+    import spark.implicits._
+    val counts = assignments.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val allLists = (1 to nlist).toDF("list_id")
+    val w = Window.partitionBy()
+    allLists.join(counts, Seq("list_id"), "left")
+      .select(col("list_id").cast("long").as("list_id"),
+        coalesce(col("n_vectors"), lit(0L)).as("n_vectors"))
+      .withColumn("__total", sum(col("n_vectors")).over(w))
+      .withColumn("share_e6", expr("(1000000 * n_vectors) div __total"))
+      .withColumn("balance_ratio_e6",
+        expr(s"(1000000 * n_vectors * $nlist) div __total"))
+      .drop("__total")
   }
 }

@@ -560,6 +560,68 @@ object SnapshotStore {
     * orphans from crashed writers alike. Returns #paths deleted.
     * Time travel reaches only kept versions afterwards.
     */
+  /** Compact fragmented buckets — the OPTIMIZE analog for the
+    * small-file pathology every streaming sink accrues: a bucket
+    * written by an N-task shuffle holds up to N files, and scan cost
+    * at 100 TB is dominated by file count, not bytes. Buckets whose
+    * current dir holds ≥ `minFiles` data files are rewritten into a
+    * new version with ONE file per bucket (`repartition` pins each
+    * bucket to a single task); everything else is re-pointed
+    * unchanged. Data is bit-identical, so per-bucket data-skipping
+    * stats are CARRIED OVER, not recomputed — the commit costs
+    * O(fragmented buckets) read+write and zero stats passes. Published
+    * through the same exclusive-create arbiter as every commit; a
+    * concurrent delta commit winning the race simply re-runs the
+    * census on the new base ([[vacuum]] later reclaims the replaced
+    * files).
+    *
+    * Returns the new version, or the current one when nothing is
+    * fragmented.
+    */
+  def compact(spark: SparkSession, root: String, minFiles: Int = 2,
+              maxAttempts: Int = 5): Long = {
+    require(minFiles >= 2, "minFiles < 2 would rewrite already-compact buckets")
+    val fs = fileSystem(spark, root)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val base = latestVersion(spark, root)
+        .getOrElse(throw new IllegalStateException(s"no table at $root — call init first"))
+      val m = readManifest(spark, root, base)
+      val frag = m.buckets.filter { case (_, e) =>
+        fs.listStatus(new Path(root, e.dir))
+          .count(st => st.isFile && !st.getPath.getName.startsWith("_")) >= minFiles
+      }.keys.toSeq.sorted
+      if (frag.isEmpty) return base
+      val v = base + 1
+      val token = newToken()
+      val rel = attemptDir(v, token)
+      // read each fragmented bucket FROM ITS OWN DIR and tag it with
+      // its bucket id — no re-hash of the keys, so compaction is
+      // correct even for tables whose key list the caller no longer
+      // knows; unionByName(allowMissing) spans additive schema
+      // evolution (old buckets null-fill newer columns)
+      val parts = frag.map { b =>
+        spark.read.option("mergeSchema", "true")
+          .parquet(new Path(root, m.buckets(b).dir).toString)
+          .withColumn(BucketCol, lit(b))
+      }
+      val df = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+      df.repartition(frag.size, col(BucketCol))
+        .write.mode("overwrite").partitionBy(BucketCol)
+        .parquet(new Path(root, rel).toString)
+      val next = m.buckets ++ frag.map { b =>
+        b -> BucketEntry(s"$rel/$BucketCol=$b", m.buckets(b).stats)
+      }
+      if (writeManifestAtomic(fs, root, v, m.numBuckets, m.statsCols, m.txns, next))
+        return v
+      // lost to a concurrent committer: drop our attempt, re-census
+      fs.delete(new Path(root, rel), true)
+    }
+    throw new IllegalStateException(
+      s"compact lost $maxAttempts consecutive commit races at $root")
+  }
+
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 1): Int = {
     require(keepLast >= 1, "must keep at least the latest version")
     val fs = fileSystem(spark, root)

@@ -380,17 +380,132 @@ object StreamPipeline {
       .flatMapGroupsWithState[(Long, Option[String]), KeyChange](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (key, rows, state: GroupState[(Long, Option[String])]) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[KeyChange]
-          var (mark, cur) = state.getOption.getOrElse((Long.MinValue, Option.empty[String]))
-          rows.toSeq.sortBy(_._2).foreach { case (_, seq, next) =>
-            if (seq > mark) {
-              out ++= changeEvent(key, cur, next)
-              cur = next
-              mark = seq
-            }
-          }
-          state.update((mark, cur))
+          val (out, next) = orderedFold(key,
+            state.getOption, rows.map { case (_, seq, v) => (seq, v) })
+          state.update(next)
           out.iterator
+      }
+  }
+
+  /** [[changeLogCdcOrdered]] with BOUNDED state: a key that has seen no
+    * event for `ttl` of EVENT time (measured against the stream's
+    * watermark) has its (lastSeq, value) state evicted — total state
+    * tracks the ACTIVE key set, not every key ever seen (the
+    * unbounded-domain fix for feeds where keys retire: sessions,
+    * short-lived entities, exploratory tables).
+    *
+    * Event-time, not processing-time, deliberately: the high-water
+    * mark is the straggler fence, and a reordering horizon is an
+    * event-time property of the transport — so `ttl` composes with the
+    * watermark delay exactly like `dropDuplicatesWithinWatermark`'s
+    * retention (and the reference's stream retention window: a
+    * Snowflake stream also forgets offsets past its retention). A
+    * processing-time timeout would also make the query run no-data
+    * batches forever (`shouldRunAnotherBatch` is unconditionally true
+    * for it).
+    *
+    * The trade is explicit: `ttl` MUST exceed the transport's
+    * reordering horizon — an old event redelivered after eviction is
+    * indistinguishable from a fresh insert and re-emits ('I').
+    *
+    * Input adds the event timestamp: (key, seq, value, eventTs).
+    */
+  def changeLogCdcOrderedTtl(updates: Dataset[(Long, Long, Option[String], java.sql.Timestamp)],
+                             watermarkDelay: String, ttlMillis: Long): Dataset[KeyChange] = {
+    val spark = updates.sparkSession
+    import spark.implicits._
+    updates.toDF("key", "seq", "value", "ts")
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Long, Option[String], java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Option[String]), KeyChange](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state: GroupState[(Long, Option[String])]) =>
+          if (state.hasTimedOut) {
+            // idle past the TTL: evict the mark+value (rows is empty here)
+            state.remove()
+            Iterator.empty
+          } else {
+            val rs = rows.toSeq
+            val (out, next) = orderedFold(key,
+              state.getOption, rs.iterator.map { case (_, seq, v, _) => (seq, v) })
+            state.update(next)
+            // evict once the watermark passes this key's newest event
+            // plus the TTL (never at-or-below the current watermark —
+            // the API rejects that)
+            val maxTs = rs.map(_._4.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(maxTs + ttlMillis, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
+  /** The shared sequence-fenced fold: applies `events` (seq, value) in
+    * sequence order on top of `prior` (lastSeq, value) state, dropping
+    * anything at or below the high-water mark; returns (emissions,
+    * new state).
+    */
+  private def orderedFold(key: Long, prior: Option[(Long, Option[String])],
+                          events: Iterator[(Long, Option[String])])
+      : (Seq[KeyChange], (Long, Option[String])) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[KeyChange]
+    var (mark, cur) = prior.getOrElse((Long.MinValue, Option.empty[String]))
+    events.toSeq.sortBy(_._1).foreach { case (seq, next) =>
+      if (seq > mark) {
+        out ++= changeEvent(key, cur, next)
+        cur = next
+        mark = seq
+      }
+    }
+    (out.toSeq, (mark, cur))
+  }
+
+  /** One surviving passage of a streamed corpus — see
+    * [[passageDedupStream]].
+    */
+  final case class Passage(doc_id: Long, chunk_idx: Long, chunk: String)
+
+  /** Streaming passage-level dedup — the incremental twin of the batch
+    * d08 query (CCNet line-dedup shape): documents arrive on a stream,
+    * are segmented into fixed `chunkLen`-token passages inside the
+    * partition (narrow), and a passage that has occurred ANYWHERE
+    * earlier in the stream is dropped; the first occurrence (earliest
+    * micro-batch; lowest (doc_id, chunk_idx) within a batch) survives
+    * and is emitted exactly once. Downstream reassembly is the same
+    * groupBy(doc_id) as d08's.
+    *
+    * State = one boolean per DISTINCT passage ever seen — the honest
+    * cost of global streaming dedup (exactly what the batch form's
+    * shuffle carries). At scale this is RocksDB-state-store territory
+    * (spec-verified for the CDC trackers; same knob applies here), and
+    * the key is the passage TEXT, so state is content-addressed and
+    * redelivery-idempotent: replaying a batch re-emits nothing.
+    */
+  def passageDedupStream(docs: DataFrame, textCol: String, idCol: String,
+                         chunkLen: Int = 8): Dataset[Passage] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val chunks = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.functions.TextFuncs.tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), ceil(size(col("__t")) / lit(chunkLen.toDouble)).cast("long") - 1),
+          i => concat_ws(" ", slice(col("__t"), (i * chunkLen + 1).cast("int"), lit(chunkLen)))))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"), col("chunk"))
+      .as[Passage]
+    chunks.groupByKey(_.chunk)
+      .flatMapGroupsWithState[Boolean, Passage](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty // passage already claimed
+          else {
+            state.update(true)
+            Iterator.single(rows.minBy(p => (p.doc_id, p.chunk_idx)))
+          }
       }
   }
 

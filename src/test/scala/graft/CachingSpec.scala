@@ -7,8 +7,15 @@ import graft.operators.Dedup
 class CachingSpec extends SparkSpec {
   import spark.implicits._
 
+  // suites share one JVM-wide session and earlier suites may leave
+  // their own persisted frames behind — all assertions are on the
+  // DELTA of persistent RDDs, never on the absolute set
+  private def persisted: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
   test("operator-internal persists are tracked and released by unpersistAll") {
-    Caching.unpersistAll(blocking = true) // clean slate
+    Caching.unpersistAll(blocking = true) // release any tracked leftovers
+    val before = persisted
     val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "the quick brown fox jumps over the lazy dog"),
       (3L, "an entirely different document about spark")).toDF("doc_id", "text")
@@ -16,12 +23,12 @@ class CachingSpec extends SparkSpec {
 
     val out = Dedup.ngramJaccard(pairs, docs, "text", "doc_id")
     assert(out.count() == 1) // the consuming action populates the cache
-    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+    assert((persisted -- before).nonEmpty,
       "ngramJaccard's internal shingle expansion should be persisted")
 
     val released = Caching.unpersistAll(blocking = true)
     assert(released >= 1)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+    assert(persisted == before,
       "unpersistAll must release every operator-internal cache")
     // idempotent: a second call has nothing left to release
     assert(Caching.unpersistAll() == 0)
@@ -29,14 +36,17 @@ class CachingSpec extends SparkSpec {
 
   test("unpersistAll leaves caller-owned caches alone") {
     Caching.unpersistAll(blocking = true)
+    val before = persisted
     val mine = (1L to 10L).toDF("x").persist()
     mine.count()
+    val withMine = persisted
+    assert((withMine -- before).nonEmpty)
     val docs = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
     Dedup.ngramJaccard(Seq((1L, 2L)).toDF("id_a", "id_b"), docs, "text", "doc_id").count()
     Caching.unpersistAll(blocking = true)
-    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+    assert(persisted == withMine,
       "the caller's own persisted frame must survive unpersistAll")
     mine.unpersist(blocking = true)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert(persisted == before)
   }
 }

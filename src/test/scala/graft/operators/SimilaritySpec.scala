@@ -104,4 +104,36 @@ class SimilaritySpec extends SparkSpec {
     info(f"recall@10 = $recall%.3f (${exact.size} exact pairs)")
     assert(recall >= 0.9)
   }
+
+  test("ivfListStats: full coverage, exact shares, empty lists surfaced") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, dir)
+    val total = emb.count()
+    val nlist = 8
+    val cents = Similarity.ivfTrain(emb, "vec_id", "embedding", nlist = nlist)
+    val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+    val stats = Similarity.ivfListStats(assign, nlist)
+      .select("list_id", "n_vectors", "share_e6", "balance_ratio_e6")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+
+    // every list is present exactly once, including any empty ones
+    assert(stats.map(_._1).toSeq == (1L to nlist.toLong))
+    // occupancy partitions the corpus
+    assert(stats.map(_._2).sum == total)
+    // shares and balance ratios are the exact integer formulas
+    stats.foreach { case (_, n, share, bal) =>
+      assert(share == 1000000L * n / total)
+      assert(bal == 1000000L * n * nlist / total)
+    }
+    // a perfectly balanced index would put every ratio at 1e6; the
+    // mean across lists always is (sum of n_vectors = total)
+    assert(stats.map(_._4).sum / nlist <= 1000000L)
+
+    // deterministic: same corpus, different partitioning, same stats
+    val assign2 = Similarity.ivfAssign(emb.repartition(7), "vec_id", "embedding", cents)
+    val stats2 = Similarity.ivfListStats(assign2, nlist)
+      .select("list_id", "n_vectors", "share_e6", "balance_ratio_e6")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(stats2.toSeq == stats.toSeq)
+  }
 }

@@ -363,4 +363,38 @@ class SnapshotStoreSpec extends SparkSpec {
       SnapshotStore.init(spark, root, v0, Seq("k"), numBuckets = 2)
     }
   }
+
+  test("compact collapses fragmented buckets to one file each; data and stats unchanged") {
+    val root = tmpDir("compact")
+    // 4 input partitions x 4 buckets: every bucket dir gets several files
+    val v0 = (1L to 400L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts").repartition(4)
+    SnapshotStore.init(spark, root, v0, Seq("k"), numBuckets = 4, statsCols = Seq("ts"))
+    val m0 = SnapshotStore.readManifest(spark, root, 0L)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    def files(dir: String): Int = fs
+      .listStatus(new org.apache.hadoop.fs.Path(root, dir))
+      .count(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    assert(m0.buckets.values.exists(e => files(e.dir) >= 2), "fixture must be fragmented")
+
+    val before = rows(SnapshotStore.read(spark, root))
+    val v1 = SnapshotStore.compact(spark, root)
+    assert(v1 == 1L)
+    val m1 = SnapshotStore.readManifest(spark, root, 1L)
+    // every compacted bucket: exactly one data file, stats carried over verbatim
+    m1.buckets.foreach { case (b, e) =>
+      assert(files(e.dir) == 1, s"bucket $b not compacted")
+      assert(e.stats == m0.buckets(b).stats, s"bucket $b stats must carry over")
+    }
+    assert(rows(SnapshotStore.read(spark, root)) == before)
+
+    // already compact: a second call is a no-op (no version bump)
+    assert(SnapshotStore.compact(spark, root) == 1L)
+
+    // normal life continues after compaction: merge + vacuum
+    val delta = Seq((1L, "v1b", 999L)).toDF("k", "v", "ts")
+    assert(SnapshotStore.commitDelta(spark, root, delta, Seq("k"), merge) == 2L)
+    assert(rows(SnapshotStore.read(spark, root))((1L, "v1b", 999L)))
+    SnapshotStore.vacuum(spark, root)
+    assert(rows(SnapshotStore.read(spark, root)).size == 400)
+  }
 }

@@ -514,4 +514,85 @@ class StreamPipelineSpec extends SparkSpec {
       assert(all.contains(("g", "c", 1L)))
     } finally q.stop()
   }
+
+  test("changeLogCdcOrderedTtl evicts idle keys: state tracks the active set") {
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val in = MemoryStream[(Long, Long, Option[String], Timestamp)]
+    // 0-second watermark delay + 60 s TTL: eviction is driven purely by
+    // event time, so the test is deterministic — no sleeps
+    val q = StreamPipeline.changeLogCdcOrderedTtl(in.toDS(), "0 seconds", ttlMillis = 60000L)
+      .writeStream.format("memory").queryName("chg_ttl").outputMode("append").start()
+    try {
+      in.addData((1L, 10L, Some("a"), ts(0)))
+      q.processAllAvailable()
+      // an unrelated key 5 minutes later pushes the watermark past key
+      // 1's (last event + TTL) = 10:01 — key 1's state is evicted
+      in.addData((2L, 1L, Some("x"), ts(5)))
+      q.processAllAvailable()
+      // key 1's (mark=10, value=a) state is gone: a straggler BELOW the
+      // old high-water mark is no longer fenced and re-emits as a fresh
+      // insert — the documented trade (TTL must exceed the transport's
+      // reordering horizon)
+      in.addData((1L, 5L, Some("old"), ts(6)))
+      q.processAllAvailable()
+      val rows = spark.table("chg_ttl")
+        .select("key", "action", "old_value", "new_value")
+        .as[(Long, String, String, String)].collect().toSet
+      assert(rows == Set(
+        (1L, "I", null, "a"),
+        (2L, "I", null, "x"),
+        (1L, "I", null, "old")))
+    } finally q.stop()
+  }
+
+  test("changeLogCdcOrderedTtl keeps fencing inside the TTL window") {
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val in = MemoryStream[(Long, Long, Option[String], Timestamp)]
+    // TTL of one hour: the same straggler arrives well inside it and
+    // must stay fenced (state not yet evicted)
+    val q = StreamPipeline.changeLogCdcOrderedTtl(in.toDS(), "0 seconds", ttlMillis = 3600000L)
+      .writeStream.format("memory").queryName("chg_ttl2").outputMode("append").start()
+    try {
+      in.addData((1L, 10L, Some("a"), ts(0)))
+      q.processAllAvailable()
+      in.addData((2L, 1L, Some("x"), ts(5)))
+      q.processAllAvailable()
+      in.addData((1L, 5L, Some("old"), ts(6)))
+      q.processAllAvailable()
+      val rows = spark.table("chg_ttl2")
+        .select("key", "action").as[(Long, String)].collect().toSeq
+      assert(rows.count(_ == (1L, "I")) == 1) // the straggler stayed fenced
+    } finally q.stop()
+  }
+
+  test("passageDedupStream == batch d08 first-occurrence semantics across micro-batches") {
+    val in = MemoryStream[(Long, String)]
+    val q = StreamPipeline.passageDedupStream(
+        in.toDF().toDF("doc_id", "text"), "text", "doc_id", chunkLen = 2)
+      .writeStream.format("memory").queryName("pdedup").outputMode("append").start()
+    try {
+      // chunkLen=2: doc 1 -> ["a b", "c d"]; doc 2 repeats "a b" and
+      // adds "e f"
+      in.addData((1L, "a b c d"), (2L, "a b e f"))
+      q.processAllAvailable()
+      // a later batch re-delivers a seen passage ("c d") and brings a
+      // new one ("g h")
+      in.addData((3L, "c d g h"))
+      q.processAllAvailable()
+      val got = spark.table("pdedup")
+        .as[StreamPipeline.Passage].collect()
+        .map(p => (p.doc_id, p.chunk_idx, p.chunk)).toSet
+      // batch-d08 semantics on the same corpus: first occurrence =
+      // lowest (doc_id, chunk_idx); doc 2's "a b" and doc 3's "c d" drop
+      assert(got == Set(
+        (1L, 0L, "a b"), (1L, 1L, "c d"),
+        (2L, 1L, "e f"),
+        (3L, 1L, "g h")))
+
+      // redelivery idempotence: replaying batch 2 emits nothing new
+      in.addData((3L, "c d g h"))
+      q.processAllAvailable()
+      assert(spark.table("pdedup").count() == 4)
+    } finally q.stop()
+  }
 }
