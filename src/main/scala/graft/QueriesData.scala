@@ -739,9 +739,13 @@ object QueriesData {
   // crosses a shuffle.
   // =====================================================================
   val t12: Q = (s, d) => {
-    val toks = graft.operators.Parallelize.ensure(Tables.documents(s, d))
-      .select(col("doc_id"),
-        explode(array_distinct(TextFuncs.tokens(col("text")))).as("tok"))
+    // the exploded (doc_id, token) frame feeds BOTH the df census and
+    // the join probe side — materialize so the tokenizer (the dominant
+    // CPU cost) runs once
+    val toks = graft.Caching.persistTracked(
+      graft.operators.Parallelize.ensure(Tables.documents(s, d))
+        .select(col("doc_id"),
+          explode(array_distinct(TextFuncs.tokens(col("text")))).as("tok")))
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
     toks.join(dfreq, Seq("tok"))
       .groupBy(col("doc_id"))
@@ -831,7 +835,11 @@ object QueriesData {
       .agg(count(lit(1)).as("__df"))
       .where(col("__df") <= maxDf)
       .select("chunk")
-    val filtered = chunks.join(rare, Seq("chunk"), "left_semi")
+    // narrow (chunk, source) frame, referenced by BOTH self-join sides
+    // — materialize once or AQE's broadcast of one side re-runs the
+    // whole segmentation+census pipeline per side (the d04 lesson)
+    val filtered = graft.Caching.persistTracked(
+      chunks.join(rare, Seq("chunk"), "left_semi"))
     filtered.select(col("chunk"), col("source").as("source_a"))
       .join(filtered.select(col("chunk"), col("source").as("source_b")), Seq("chunk"))
       .where(col("source_a") < col("source_b"))
