@@ -1182,12 +1182,53 @@ object Queries {
        | CAST(sum(cents) AS BIGINT) AS total_cents
        |FROM base GROUP BY GROUPING SETS ((order_year, status), (order_year, priority), ())""".stripMargin
 
+  // =====================================================================
+  // q40 — ordered funnel analysis (view → click → purchase per user,
+  // each stage strictly after the previous one's FIRST completion) —
+  // the product-analytics shape behind every conversion dashboard.
+  // Three conditional min-aggregations, all keyed on user_id: after
+  // the first groupBy the data is hash-partitioned on the key, so the
+  // later joins and aggs reuse that partitioning instead of
+  // re-shuffling; nothing ever carries more than (user_id, ts).
+  // =====================================================================
+  val q40: Q = (s, d) => {
+    val e = Tables.events(s, d).select(col("user_id"), col("ts"), col("event_type"))
+    val v = e.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+    val c = e.where(col("event_type") === "click")
+      .join(v, Seq("user_id")).where(col("ts") > col("view_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("click_ts"))
+    val p = e.where(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).where(col("ts") > col("click_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("purch_ts"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("purch_ts").isNotNull, 3L)
+          .when(col("click_ts").isNotNull, 2L)
+          .otherwise(1L).as("funnel_stage"))
+  }
+
+  val q40Sql: String =
+    """WITH e AS (SELECT user_id, ts, event_type FROM events),
+      |v AS (SELECT user_id, min(ts) AS view_ts FROM e
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(ts) AS click_ts FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND ts > view_ts GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(ts) AS purch_ts FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND ts > click_ts GROUP BY e.user_id)
+      |SELECT v.user_id,
+      | CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+      |           WHEN c.user_id IS NOT NULL THEN 2
+      |           ELSE 1 END AS BIGINT) AS funnel_stage
+      |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "q37_cube" -> q37,
     "q38_unpivot" -> q38,
     "q39_grouping_sets" -> q39,
+    "q40_funnel" -> q40,
     "q36_set_ops" -> q36,
     "q35_bloom_semi_join" -> q35,
     "q33_window_suite" -> q33,
@@ -1229,6 +1270,7 @@ object Queries {
     "q37_cube" -> q37Sql,
     "q38_unpivot" -> q38Sql,
     "q39_grouping_sets" -> q39Sql,
+    "q40_funnel" -> q40Sql,
     "q21_market_basket" -> q21Sql,
     "q22_status_pivot" -> q22Sql,
     "q23_props_json" -> q23Sql,

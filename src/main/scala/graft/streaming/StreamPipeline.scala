@@ -466,6 +466,47 @@ object StreamPipeline {
     */
   final case class Passage(doc_id: Long, chunk_idx: Long, chunk: String)
 
+  /** Streaming decontamination guard — the incremental twin of the
+    * batch d09 contamination query: every incoming document is checked
+    * against a FIXED benchmark corpus (the held-out eval suites a
+    * training pipeline must never ingest) by 8-token-passage overlap,
+    * and annotated with its hit count. `benchmark` is a static frame;
+    * Spark plans the stream↔static equi-join with the benchmark side
+    * broadcast per micro-batch — no stream state at all, so this
+    * scales to any stream volume, with the benchmark set (the small
+    * side, millions of passages at most) the only memory cost.
+    *
+    * Emits (doc_id, n_passages, n_benchmark_hits); the caller routes
+    * `n_benchmark_hits > 0` to quarantine.
+    */
+  def contaminationGuard(docs: DataFrame, benchmark: DataFrame,
+                         textCol: String, idCol: String,
+                         benchTextCol: String, chunkLen: Int = 8): DataFrame = {
+    val benchPassages = passagesOf(benchmark, benchTextCol, lit(0L), chunkLen)
+      .select(col("chunk")).distinct()
+    val streamPassages = passagesOf(docs, textCol, col(idCol).cast("long"), chunkLen)
+    streamPassages
+      .join(broadcast(benchPassages.withColumn("__hit", lit(1))), Seq("chunk"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_benchmark_hits"))
+  }
+
+  /** The shared fixed-length passage segmentation (d08/d09 shape):
+    * narrow, in-partition, no shuffle.
+    */
+  private def passagesOf(df: DataFrame, textCol: String, docId: Column,
+                         chunkLen: Int): DataFrame =
+    df.select(docId.as("doc_id"),
+        graft.functions.TextFuncs.tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), ceil(size(col("__t")) / lit(chunkLen.toDouble)).cast("long") - 1),
+          i => concat_ws(" ", slice(col("__t"), (i * chunkLen + 1).cast("int"), lit(chunkLen)))))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"), col("chunk"))
+
   /** Streaming passage-level dedup — the incremental twin of the batch
     * d08 query (CCNet line-dedup shape): documents arrive on a stream,
     * are segmented into fixed `chunkLen`-token passages inside the
@@ -486,17 +527,7 @@ object StreamPipeline {
                          chunkLen: Int = 8): Dataset[Passage] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val chunks = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        graft.functions.TextFuncs.tokens(col(textCol)).as("__t"))
-      .where(size(col("__t")) > 0)
-      .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), ceil(size(col("__t")) / lit(chunkLen.toDouble)).cast("long") - 1),
-          i => concat_ws(" ", slice(col("__t"), (i * chunkLen + 1).cast("int"), lit(chunkLen)))))
-          .as(Seq("chunk_idx", "chunk")))
-      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"), col("chunk"))
-      .as[Passage]
+    val chunks = passagesOf(docs, textCol, col(idCol).cast("long"), chunkLen).as[Passage]
     chunks.groupByKey(_.chunk)
       .flatMapGroupsWithState[Boolean, Passage](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
