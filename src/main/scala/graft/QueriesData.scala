@@ -71,8 +71,12 @@ object QueriesData {
   // d07 — dedup clusters: candidate pairs → Jaccard-verified pairs →
   // connected components → one canonical doc per cluster (the step
   // that actually DEDUPES: pairs alone can't pick keepers across
-  // transitive matches). Rows-only: pairs derive from Spark-side
-  // minhash; DedupSpec proves clusters ≡ union-find.
+  // transitive matches). The closure is ADAPTIVE on the materialized
+  // pair count: metadata-sized graphs take a driver union-find (this
+  // corpus: 256 edges — ~20 scheduler round-trips saved), larger ones
+  // the O(log d) distributed pointer-jumping loop; DedupSpec proves
+  // the two paths produce identical labelings and each ≡ union-find.
+  // Rows-only: pairs derive from Spark-side minhash.
   // =====================================================================
   val d07: Q = (s, d) => {
     val docs = Tables.documents(s, d)

@@ -230,7 +230,8 @@ object Dedup {
     *   keeps the per-round plan size CONSTANT.
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-               maxIter: Int = 30, reliable: Boolean = false): DataFrame = {
+               maxIter: Int = 30, reliable: Boolean = false,
+               localThreshold: Long = 1000000L): DataFrame = {
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     // symmetrize via explode, NOT a union of two selects: a union
@@ -243,6 +244,16 @@ object Dedup {
         struct(col(idB).as("src"), col(idA).as("dst")))).as("__e"))
       .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct())
+    // ADAPTIVE path selection on the materialized edge count (free —
+    // `edges` is already checkpointed): the verified near-dup PAIR set
+    // is orders of magnitude smaller than the corpus, and when it is
+    // metadata-sized the O(log d) pointer-jumping loop pays ~20
+    // scheduler round-trips to label a graph a single core unions in
+    // microseconds. Same adaptivity argument as AQE's
+    // runtime-cardinality re-planning; at 100 TB a billions-of-pairs
+    // graph exceeds the threshold and takes the distributed loop.
+    // ClustersSpec proves both paths produce identical labelings.
+    if (edges.count() <= localThreshold) return clustersLocal(edges)
     var labels = ckpt(edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")))
     var round = 0
@@ -287,6 +298,33 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"Dedup.clusters did not converge in $maxIter rounds")
     labels.select(col("node"), col("label").as("cluster_id"))
+  }
+
+  /** Driver-side union-find over a METADATA-SIZED edge set (the
+    * adaptive small-graph path of [[clusters]] — bounded by
+    * `localThreshold`, never offered raw corpus data). Path-halving +
+    * union-by-min gives the same min-label-per-component output as the
+    * distributed loop; the result re-enters the cluster as a
+    * parallelized frame.
+    */
+  private def clustersLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val labeled = parent.keys.toSeq.sorted.map(n => (n, find(n)))
+    spark.createDataset(labeled).toDF("node", "cluster_id")
   }
 
   // ------------------------------------------------------------------

@@ -105,9 +105,16 @@ class DedupSpec extends SparkSpec {
     val random = Seq.fill(60)((rnd.nextInt(200).toLong + 100L, rnd.nextInt(200).toLong + 100L))
       .filter(p => p._1 != p._2)
     val pairs = chain ++ random
-    val got = Dedup.clusters(pairs.toDF("id_a", "id_b"))
-      .as[(Long, Long)].collect().toMap
     val expect = unionFind(pairs)
+    // adaptive small-graph path (default threshold: this graph is
+    // metadata-sized, so the driver union-find runs)
+    val gotLocal = Dedup.clusters(pairs.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(gotLocal == expect)
+    // distributed pointer-jumping path (forced: threshold 0) — the
+    // 100 TB shape must produce the IDENTICAL labeling
+    val got = Dedup.clusters(pairs.toDF("id_a", "id_b"), localThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
     assert(got == expect)
     assert(got.values.toSet.size > 1) // several distinct components
     assert((0L to 40L).forall(got(_) == 0L)) // whole chain collapsed to min id
@@ -117,7 +124,8 @@ class DedupSpec extends SparkSpec {
     val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     try {
       spark.sparkContext.setCheckpointDir(ckptDir)
-      val reliableGot = Dedup.clusters(pairs.toDF("id_a", "id_b"), reliable = true)
+      val reliableGot = Dedup.clusters(pairs.toDF("id_a", "id_b"),
+          reliable = true, localThreshold = 0L)
         .as[(Long, Long)].collect().toMap
       assert(reliableGot == expect)
     } finally {
@@ -128,7 +136,7 @@ class DedupSpec extends SparkSpec {
   test("clusters fails loudly instead of returning partially-converged labels") {
     val chain = (0L until 20L).map(i => (i, i + 1))
     intercept[IllegalStateException] {
-      Dedup.clusters(chain.toDF("id_a", "id_b"), maxIter = 1).collect()
+      Dedup.clusters(chain.toDF("id_a", "id_b"), maxIter = 1, localThreshold = 0L).collect()
     }
   }
 }
