@@ -865,9 +865,26 @@ object QueriesData {
       |WHERE a.source < b.source
       |GROUP BY a.source, b.source""".stripMargin
 
+  // =====================================================================
+  // k04 — approximate distinct counts via Spark's native HLL++
+  // (`approx_count_distinct`): the O(1/rsd²)-state scale path for
+  // per-group cardinality where k01's KMV is the custom-Aggregator
+  // teaching form. Mergeable sketch partials — state never scales with
+  // the domain; rows-only (sketch estimates are engine-specific);
+  // SketchSpec bounds the error vs exact and proves partition
+  // invariance (the merge is commutative, so layout can't change the
+  // estimate).
+  // =====================================================================
+  val k04: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
+    "k04_approx_distinct" -> k04,
     "t11_stratified_sample" -> t11,
     "t12_doc_freq_score" -> t12,
     "s05_vector_quantize" -> s05,

@@ -577,9 +577,18 @@ object SnapshotStore {
     *
     * Returns the new version, or the current one when nothing is
     * fragmented.
+    *
+    * @param clusterBy columns to sort by WITHIN each rewritten bucket
+    *   file: parquet writes row groups in encounter order, so sorted
+    *   data gives every row group a tight min/max — the filter
+    *   pushdown then skips row groups INSIDE the files the bucket- and
+    *   manifest-level pruning kept (Z-order's cheaper cousin, and the
+    *   right granularity below our per-bucket stats). Sorting permutes
+    *   rows only — bucket membership, data, and carried-over stats are
+    *   unchanged.
     */
   def compact(spark: SparkSession, root: String, minFiles: Int = 2,
-              maxAttempts: Int = 5): Long = {
+              maxAttempts: Int = 5, clusterBy: Seq[String] = Nil): Long = {
     require(minFiles >= 2, "minFiles < 2 would rewrite already-compact buckets")
     val fs = fileSystem(spark, root)
     var attempt = 0
@@ -607,7 +616,11 @@ object SnapshotStore {
           .withColumn(BucketCol, lit(b))
       }
       val df = parts.reduce(_.unionByName(_, allowMissingColumns = true))
-      df.repartition(frag.size, col(BucketCol))
+      val placed = df.repartition(frag.size, col(BucketCol))
+      val clustered =
+        if (clusterBy.isEmpty) placed
+        else placed.sortWithinPartitions((BucketCol +: clusterBy).map(col): _*)
+      clustered
         .write.mode("overwrite").partitionBy(BucketCol)
         .parquet(new Path(root, rel).toString)
       val next = m.buckets ++ frag.map { b =>

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.{approx_count_distinct, countDistinct}
+
 import graft.SparkSpec
 
 class SketchSpec extends SparkSpec {
@@ -67,5 +69,27 @@ class SketchSpec extends SparkSpec {
     val expect = skewed(500).groupBy(_._2).view.mapValues(_.size.toLong)
       .collect { case (it, c) if c * phi > n => ("g", it, c, n) }.toSet
     assert(got == expect)
+  }
+
+  test("k04 approx_count_distinct: bounded error vs exact, partition-invariant") {
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.Tables.events(spark, dir)
+    val exact = events.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    val approx = graft.QueriesData.k04(spark, dir)
+      .select($"event_type", $"approx_users")
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (g, a) =>
+      val e = exact(g).toDouble
+      assert(math.abs(a - e) / e <= 0.10, s"group $g: approx $a vs exact $e")
+    }
+    // the sketch merge is commutative — partition layout cannot change
+    // the estimate
+    val repart = events.repartition(13).groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", rsd = 0.02).as("approx_users"))
+      .as[(String, Long)].collect().toMap
+    assert(repart == approx)
   }
 }

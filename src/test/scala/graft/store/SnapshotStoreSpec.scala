@@ -397,4 +397,28 @@ class SnapshotStoreSpec extends SparkSpec {
     SnapshotStore.vacuum(spark, root)
     assert(rows(SnapshotStore.read(spark, root)).size == 400)
   }
+
+  test("clustered compaction sorts rows within bucket files (row-group skipping layout)") {
+    val root = tmpDir("cluster")
+    val rnd = new scala.util.Random(11)
+    // ts deliberately shuffled so unsorted files interleave ranges
+    val v0 = rnd.shuffle((1L to 400L).toVector).map(k => (k, s"v$k", k))
+      .toDF("k", "v", "ts").repartition(4)
+    SnapshotStore.init(spark, root, v0, Seq("k"), numBuckets = 4, statsCols = Seq("ts"))
+    val before = rows(SnapshotStore.read(spark, root))
+
+    val v1 = SnapshotStore.compact(spark, root, clusterBy = Seq("ts"))
+    assert(v1 == 1L)
+    val m1 = SnapshotStore.readManifest(spark, root, 1L)
+    // data unchanged, stats carried over
+    assert(rows(SnapshotStore.read(spark, root)) == before)
+    // every compacted bucket FILE is internally sorted by ts — the
+    // layout parquet needs for tight per-row-group min/max
+    m1.buckets.values.foreach { e =>
+      val ts = spark.read.parquet(
+          new org.apache.hadoop.fs.Path(root, e.dir).toString)
+        .select("ts").as[Long].collect()
+      assert(ts.sameElements(ts.sorted), s"bucket ${e.dir} not clustered")
+    }
+  }
 }
