@@ -26,6 +26,15 @@ import org.apache.spark.storage.StorageLevel
   * Unlike `spark.catalog.clearCache()` (what the Verify/Bench
   * harnesses use between queries), this releases ONLY graft-created
   * caches and leaves the caller's own persisted frames alone.
+  *
+  * Scope caveat: the registry is PROCESS-GLOBAL, like the session
+  * cache it manages. `unpersistAll()` releases every tracked frame,
+  * including ones another thread's in-flight query still references
+  * (that query recomputes from lineage — correct, just slower), so
+  * call it at quiescent points: between queries, or at the end of a
+  * job. Callers that never call it keep every tracked frame cached
+  * for the session's lifetime — the documented trade for operators
+  * whose returned LAZY plans cannot release their own intermediates.
   */
 object Caching {
 

@@ -1147,11 +1147,16 @@ object Queries {
   // Agg level re-derived from the set's NULL pattern (engine-portable).
   // =====================================================================
   val q39: Q = (s, d) => {
-    val base = Tables.orders(s, d).select(
-      year(col("o_orderdate")).cast("long").as("order_year"),
-      col("o_orderstatus").as("status"),
-      col("o_orderpriority").as("priority"),
-      cents(col("o_totalprice")).as("cents"))
+    // agg_level is re-derived from grouping-set NULLs, so a genuinely
+    // NULL source year would masquerade as the grand total — excluded
+    // explicitly (both sides) rather than relying on data convention
+    val base = Tables.orders(s, d)
+      .where(col("o_orderdate").isNotNull)
+      .select(
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"),
+        cents(col("o_totalprice")).as("cents"))
     base.groupingSets(
         Seq(Seq(col("order_year"), col("status")),
             Seq(col("order_year"), col("priority")),
@@ -1171,7 +1176,8 @@ object Queries {
   val q39Sql: String =
     s"""WITH base AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
        |  o_orderstatus AS status, o_orderpriority AS priority,
-       |  ${centsSql("o_totalprice")} AS cents FROM orders)
+       |  ${centsSql("o_totalprice")} AS cents FROM orders
+       |  WHERE o_orderdate IS NOT NULL)
        |SELECT coalesce(order_year, -1) AS order_year,
        | coalesce(status, 'ALL') AS status,
        | coalesce(priority, 'ALL') AS priority,

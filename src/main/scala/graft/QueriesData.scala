@@ -117,9 +117,7 @@ object QueriesData {
       // query's correctness must not hang on that tokenizer invariant.
       .where(size(col("__t")) > 0)
     val chunks = toks.select(col("doc_id"),
-      posexplode(transform(
-        sequence(lit(0), ceil(size(col("__t")) / lit(chunkLen.toDouble)).cast("long") - 1),
-        i => concat_ws(" ", slice(col("__t"), (i * chunkLen + 1).cast("int"), lit(chunkLen)))))
+      posexplode(TextFuncs.passageChunks(col("__t"), chunkLen))
         .as(Seq("chunk_idx", "chunk")))
     val w = Window.partitionBy(col("chunk"))
       .orderBy(col("doc_id").asc, col("chunk_idx").asc)
@@ -830,10 +828,7 @@ object QueriesData {
       .select(col("source"), TextFuncs.tokens(col("text")).as("__t"))
       .where(size(col("__t")) > 0)
     val chunks = toks.select(col("source"),
-      explode(transform(
-        sequence(lit(0), ceil(size(col("__t")) / lit(chunkLen.toDouble)).cast("long") - 1),
-        i => concat_ws(" ", slice(col("__t"), (i * chunkLen + 1).cast("int"), lit(chunkLen)))))
-        .as("chunk"))
+      explode(TextFuncs.passageChunks(col("__t"), chunkLen)).as("chunk"))
       .distinct()
     val rare = chunks.groupBy(col("chunk"))
       .agg(count(lit(1)).as("__df"))

@@ -15,6 +15,18 @@ object TextFuncs {
     */
   def tokens(text: Column): Column = split(lower(text), " ")
 
+  /** Fixed-length passage segmentation: the token array cut into
+    * consecutive `chunkLen`-token chunks, each re-joined with single
+    * spaces (the d08/d09/streaming passage-dedup shape — ONE shared
+    * definition so the batch queries and their streaming twins can
+    * never drift). The caller must filter out empty token arrays
+    * first: ceil(0/n)-1 = -1 makes `sequence` yield phantom indexes.
+    */
+  def passageChunks(tokens: Column, chunkLen: Int): Column =
+    transform(
+      sequence(lit(0), ceil(size(tokens) / lit(chunkLen.toDouble)).cast("long") - 1),
+      i => concat_ws(" ", slice(tokens, (i * chunkLen + 1).cast("int"), lit(chunkLen))))
+
   /** n-token shingles joined by a space; empty array when the doc has
     * fewer than n tokens.
     */

@@ -252,8 +252,13 @@ object Dedup {
     // microseconds. Same adaptivity argument as AQE's
     // runtime-cardinality re-planning; at 100 TB a billions-of-pairs
     // graph exceeds the threshold and takes the distributed loop.
-    // ClustersSpec proves both paths produce identical labelings.
-    if (edges.count() <= localThreshold) return clustersLocal(edges)
+    // DedupSpec proves both paths produce identical labelings.
+    // Guarded to LongType ids so the local path can never change the
+    // output schema or choke on string/UUID ids — those fall through
+    // to the type-generic distributed loop.
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && edges.count() <= localThreshold) return clustersLocal(edges)
     var labels = ckpt(edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")))
     var round = 0
@@ -300,18 +305,17 @@ object Dedup {
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 
-  /** Driver-side union-find over a METADATA-SIZED edge set (the
-    * adaptive small-graph path of [[clusters]] — bounded by
-    * `localThreshold`, never offered raw corpus data). Path-halving +
-    * union-by-min gives the same min-label-per-component output as the
-    * distributed loop; the result re-enters the cluster as a
-    * parallelized frame.
+  /** Driver-side union-find over a METADATA-SIZED edge set of LongType
+    * ids (the adaptive small-graph path of [[clusters]] — bounded by
+    * `localThreshold`, never offered raw corpus data; non-long ids
+    * take the distributed loop). Path-halving + union-by-min gives the
+    * same min-label-per-component output as the distributed loop; the
+    * result re-enters the cluster as a parallelized frame.
     */
   private def clustersLocal(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .as[(Long, Long)].collect()
+    val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x

@@ -57,6 +57,16 @@ object SnapshotStore {
   /** Same stable hash-bucket column the streaming sinks use. */
   val BucketCol = "_graft_bucket"
 
+  /** How old a terminator-less manifest must be before a competing
+    * committer may reclaim (delete + re-create) its version — the
+    * lease protecting a LIVE writer mid-manifest from having its file
+    * deleted under it (and a writer that just reported success from a
+    * stale racer's delete). Manifest writes are metadata-sized
+    * (milliseconds); 10 minutes covers any real GC pause or FS stall.
+    */
+  private val ReclaimGraceMs: Long =
+    sys.props.get("graft.snapshot.reclaimGraceMs").map(_.toLong).getOrElse(600000L)
+
   /** One bucket's current files + per-column data-skipping stats.
     * `stats(i)` is the (min, max) of the i-th declared stats column
     * over this bucket's rows, string-encoded per its type tag; None =
@@ -107,14 +117,24 @@ object SnapshotStore {
     * committed: a manifest file stranded mid-write by a crashed writer
     * is invisible to readers and reclaimed by the next committer of
     * that version.
+    *
+    * Completeness is verified from the TAIL only: version numbers are
+    * allocated sequentially (a committer's base is the latest COMPLETE
+    * version, so a crashed writer's leftover is reclaimed at the SAME
+    * number, never skipped) — no complete manifest can ever sit above
+    * an incomplete one. Dropping trailing incomplete entries therefore
+    * suffices, and a listing stays O(1) manifest reads amortized
+    * instead of O(total commits) per call.
     */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val fs = fileSystem(spark, root)
     val dir = commitsDir(root)
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq
+    if (!fs.exists(dir)) return Seq.empty
+    val all = fs.listStatus(dir).toSeq
       .map(_.getPath.getName).filter(_.forall(_.isDigit)).map(_.toLong).sorted
-      .filter(v => readTerminator(fs, manifestPath(root, v)).isDefined)
+    val lastComplete = all.lastIndexWhere(v =>
+      readTerminator(fs, manifestPath(root, v)).isDefined)
+    all.take(lastComplete + 1)
   }
 
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
@@ -177,18 +197,27 @@ object SnapshotStore {
 
   /** The terminator token of a manifest file, or None when the file is
     * absent or incomplete (crashed writer). The terminator is the LAST
-    * thing a committer writes, so its presence certifies every
-    * preceding line arrived; its token identifies WHICH committer's
-    * bytes are on disk (the post-write ownership check below).
+    * thing a committer writes and carries the count of preceding
+    * lines (`end:<token>:<n>`), so its presence certifies every line
+    * arrived AND that no interleaved writer's bytes are mixed in (two
+    * local-FS writers that both slipped through a non-atomic create
+    * produce a hybrid whose line count cannot match); its token
+    * identifies WHICH committer's bytes are on disk (the post-write
+    * ownership check below).
     */
   private def readTerminator(fs: FileSystem, p: Path): Option[String] = {
     if (!fs.exists(p)) return None
     val in = new BufferedReader(new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
     try {
       var last: String = null
+      var lines = 0
       Iterator.continually(in.readLine()).takeWhile(_ != null)
-        .filter(_.nonEmpty).foreach(last = _)
-      Option(last).filter(_.startsWith("end:")).map(_.stripPrefix("end:"))
+        .filter(_.nonEmpty).foreach { l => last = l; lines += 1 }
+      Option(last).filter(_.startsWith("end:"))
+        .map(_.stripPrefix("end:").split(":", 2))
+        .collect { case Array(token, n) if n.forall(_.isDigit) && n.toInt == lines - 1 =>
+          token
+        }
     } catch { case _: java.io.IOException => None } finally in.close()
   }
 
@@ -233,8 +262,8 @@ object SnapshotStore {
       }.mkString(",")
       if (statsCols.isEmpty) s"$b\t${e.dir}" else s"$b\t${e.dir}\t$st"
     }
-    val body = (s"buckets:$numBuckets" +: (statsLine ++ txnLines ++ bucketLines))
-      .mkString("", "\n", "\n") + s"end:$token\n"
+    val bodyLines = s"buckets:$numBuckets" +: (statsLine ++ txnLines ++ bucketLines)
+    val body = bodyLines.mkString("", "\n", "\n") + s"end:$token:${bodyLines.size}\n"
 
     def tryCreate(): Option[org.apache.hadoop.fs.FSDataOutputStream] =
       try Some(fs.create(target, false))
@@ -243,8 +272,17 @@ object SnapshotStore {
     var out = tryCreate()
     if (out.isEmpty) {
       // target exists: a complete manifest means a genuine loss; an
-      // incomplete one is a crashed committer's leftover — reclaim it
+      // incomplete one is a crashed committer's leftover — reclaim it,
+      // but ONLY once it is demonstrably stale (a live committer's
+      // file has a fresh mtime while it is being written): deleting a
+      // file another writer is actively writing — or just finished —
+      // is the one way a reported-successful commit could be lost.
+      // A genuinely crashed writer's leftover ages past the grace
+      // period and is reclaimed then; until that, this committer
+      // simply loses and retries through the normal OCC path.
       if (readTerminator(fs, target).isDefined) return false
+      val age = System.currentTimeMillis() - fs.getFileStatus(target).getModificationTime
+      if (age < ReclaimGraceMs) return false
       fs.delete(target, false)
       out = tryCreate()
       if (out.isEmpty) return false

@@ -418,22 +418,28 @@ object StreamPipeline {
       .withWatermark("ts", watermarkDelay)
       .as[(Long, Long, Option[String], java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Option[String]), KeyChange](
+      .flatMapGroupsWithState[(Long, Option[String], Long), KeyChange](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (key, rows, state: GroupState[(Long, Option[String])]) =>
+        case (key, rows, state: GroupState[(Long, Option[String], Long)]) =>
           if (state.hasTimedOut) {
             // idle past the TTL: evict the mark+value (rows is empty here)
             state.remove()
             Iterator.empty
           } else {
             val rs = rows.toSeq
+            val prior = state.getOption
             val (out, next) = orderedFold(key,
-              state.getOption, rs.iterator.map { case (_, seq, v, _) => (seq, v) })
-            state.update(next)
+              prior.map { case (m, v, _) => (m, v) },
+              rs.iterator.map { case (_, seq, v, _) => (seq, v) })
             // evict once the watermark passes this key's newest event
-            // plus the TTL (never at-or-below the current watermark —
-            // the API rejects that)
-            val maxTs = rs.map(_._4.getTime).max
+            // EVER SEEN plus the TTL. The newest event ts is carried in
+            // state — computing it from the current batch alone would
+            // let a fenced straggler (old event ts) SHORTEN the lease
+            // and evict live state early. Never at-or-below the current
+            // watermark — the API rejects that.
+            val maxTs = math.max(rs.map(_._4.getTime).max,
+              prior.map(_._3).getOrElse(Long.MinValue))
+            state.update((next._1, next._2, maxTs))
             state.setTimeoutTimestamp(
               math.max(maxTs + ttlMillis, state.getCurrentWatermarkMs() + 1))
             out.iterator
@@ -469,28 +475,40 @@ object StreamPipeline {
   /** Streaming decontamination guard — the incremental twin of the
     * batch d09 contamination query: every incoming document is checked
     * against a FIXED benchmark corpus (the held-out eval suites a
-    * training pipeline must never ingest) by 8-token-passage overlap,
-    * and annotated with its hit count. `benchmark` is a static frame;
-    * Spark plans the stream↔static equi-join with the benchmark side
-    * broadcast per micro-batch — no stream state at all, so this
-    * scales to any stream volume, with the benchmark set (the small
-    * side, millions of passages at most) the only memory cost.
+    * training pipeline must never ingest) by 8-token-passage overlap.
+    * `benchmark` is a static frame; Spark plans the stream↔static
+    * equi-join with the benchmark side broadcast per micro-batch — a
+    * STATELESS per-passage annotation (append-mode-safe, no state
+    * store), so this scales to any stream volume with the benchmark
+    * set (the small side, millions of passages at most) the only
+    * memory cost. A streaming groupBy here would instead accumulate
+    * one aggregation-state row per doc_id forever.
     *
-    * Emits (doc_id, n_passages, n_benchmark_hits); the caller routes
-    * `n_benchmark_hits > 0` to quarantine.
+    * Emits (doc_id, chunk_idx, chunk, is_benchmark_hit) per passage;
+    * roll up per document with [[contaminationSummary]] — per
+    * micro-batch inside `foreachBatch`, or on any batch frame.
     */
   def contaminationGuard(docs: DataFrame, benchmark: DataFrame,
                          textCol: String, idCol: String,
                          benchTextCol: String, chunkLen: Int = 8): DataFrame = {
     val benchPassages = passagesOf(benchmark, benchTextCol, lit(0L), chunkLen)
       .select(col("chunk")).distinct()
-    val streamPassages = passagesOf(docs, textCol, col(idCol).cast("long"), chunkLen)
-    streamPassages
+    passagesOf(docs, textCol, col(idCol).cast("long"), chunkLen)
       .join(broadcast(benchPassages.withColumn("__hit", lit(1))), Seq("chunk"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_passages"),
-        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_benchmark_hits"))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"),
+        col("__hit").isNotNull.as("is_benchmark_hit"))
   }
+
+  /** Per-document rollup of [[contaminationGuard]]'s passage frame:
+    * (doc_id, n_passages, n_benchmark_hits). Batch-side by design —
+    * run it inside `foreachBatch` (per-batch docs are complete there,
+    * and the guard's annotation is stateless so a doc's passages never
+    * span batches) or over any collected passage frame.
+    */
+  def contaminationSummary(passages: DataFrame): DataFrame =
+    passages.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("is_benchmark_hit"), 1L).otherwise(0L)).as("n_benchmark_hits"))
 
   /** The shared fixed-length passage segmentation (d08/d09 shape):
     * narrow, in-partition, no shuffle.
@@ -501,9 +519,7 @@ object StreamPipeline {
         graft.functions.TextFuncs.tokens(col(textCol)).as("__t"))
       .where(size(col("__t")) > 0)
       .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), ceil(size(col("__t")) / lit(chunkLen.toDouble)).cast("long") - 1),
-          i => concat_ws(" ", slice(col("__t"), (i * chunkLen + 1).cast("int"), lit(chunkLen)))))
+        posexplode(graft.functions.TextFuncs.passageChunks(col("__t"), chunkLen))
           .as(Seq("chunk_idx", "chunk")))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"), col("chunk"))
 

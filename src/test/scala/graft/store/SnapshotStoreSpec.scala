@@ -338,8 +338,18 @@ class SnapshotStoreSpec extends SparkSpec {
       SnapshotStore.readManifest(spark, root, 1L)
     }
 
-    // the next committer of version 1 reclaims the leftover and wins
+    // while the leftover is FRESH it might be a live writer mid-write:
+    // the reclaim lease blocks competing committers (they lose their
+    // OCC attempts instead of deleting a file someone may be writing)
     val delta = Seq((1L, "v1b", 2L)).toDF("k", "v", "ts")
+    intercept[IllegalStateException] {
+      SnapshotStore.commitDelta(spark, root, delta, Seq("k"), merge, maxAttempts = 2)
+    }
+
+    // once it ages past the grace period it is a demonstrable crash
+    // leftover — the next committer of version 1 reclaims it and wins
+    Files.setLastModifiedTime(torn,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 3600000L))
     assert(SnapshotStore.commitDelta(spark, root, delta, Seq("k"), merge) == 1L)
     assert(SnapshotStore.versions(spark, root) == Seq(0L, 1L))
     assert(rows(SnapshotStore.read(spark, root))((1L, "v1b", 2L)))

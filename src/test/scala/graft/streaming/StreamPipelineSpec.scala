@@ -599,9 +599,11 @@ class StreamPipelineSpec extends SparkSpec {
   test("contaminationGuard flags streamed docs overlapping the benchmark set; no stream state") {
     val bench = Seq("alpha beta gamma delta").toDF("text") // one 4-token passage (chunkLen=4)
     val in = MemoryStream[(Long, String)]
+    // APPEND mode runs — proof the guard is stateless (a streaming
+    // aggregation would refuse to start without a watermark)
     val q = StreamPipeline.contaminationGuard(
         in.toDF().toDF("doc_id", "text"), bench, "text", "doc_id", "text", chunkLen = 4)
-      .writeStream.format("memory").queryName("contam").outputMode("update").start()
+      .writeStream.format("memory").queryName("contam").outputMode("append").start()
     try {
       in.addData(
         (1L, "alpha beta gamma delta unrelated tail words here"), // hit in passage 0
@@ -609,7 +611,7 @@ class StreamPipelineSpec extends SparkSpec {
       q.processAllAvailable()
       in.addData((3L, "alpha beta gamma delta")) // later batch still checked
       q.processAllAvailable()
-      val got = spark.table("contam")
+      val got = StreamPipeline.contaminationSummary(spark.table("contam"))
         .select("doc_id", "n_passages", "n_benchmark_hits")
         .as[(Long, Long, Long)].collect().toSet
       assert(got == Set((1L, 2L, 1L), (2L, 2L, 0L), (3L, 1L, 1L)))
