@@ -189,4 +189,23 @@ object Warehouse {
         }
         .start()
     }
+
+  /** Periodic maintenance — the cron-TASK analog for the transactional
+    * snapshot tables the streaming sinks maintain (reference:
+    * `task_proc.sql:32-40` schedules exactly this kind of recurring
+    * housekeeping): compact fragmented buckets (optionally clustering
+    * rows for row-group skipping) then vacuum unreferenced versions,
+    * per table root. Returns root → (version after compaction, paths
+    * vacuum deleted). Each table's maintenance is independent — a
+    * concurrent committer racing the compaction simply wins the OCC
+    * arbiter and the compaction re-runs its census on the new base.
+    */
+  def maintain(spark: SparkSession, roots: Seq[String], minFiles: Int = 2,
+               clusterBy: Seq[String] = Nil,
+               keepVersions: Int = 2): Map[String, (Long, Int)] =
+    roots.map { r =>
+      val v = graft.store.SnapshotStore.compact(spark, r, minFiles, clusterBy = clusterBy)
+      val deleted = graft.store.SnapshotStore.vacuum(spark, r, keepLast = keepVersions)
+      r -> (v, deleted)
+    }.toMap
 }

@@ -159,4 +159,30 @@ class WarehouseSpec extends SparkSpec {
     assert(closed == "2024-02-01 00:00:00")
     assert(graft.operators.Scd2.currentRows(dim, Some("_graft_deleted")).count() == 0)
   }
+
+  test("maintain compacts and vacuums snapshot tables (the cron-TASK housekeeping analog)") {
+    import graft.store.SnapshotStore
+    val root = Files.createTempDirectory("graft-maint").toString + "/t"
+    // several commits leave multiple versions + multi-file buckets
+    val v0 = (1L to 200L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts").repartition(4)
+    SnapshotStore.init(spark, root, v0, Seq("k"), numBuckets = 4)
+    val merge = (cur: org.apache.spark.sql.DataFrame, delta: org.apache.spark.sql.DataFrame) =>
+      graft.operators.Scd1.merge(cur, delta, Seq("k"), Seq(col("ts").desc))
+    SnapshotStore.commitDelta(spark, root,
+      Seq((1L, "v1b", 999L)).toDF("k", "v", "ts"), Seq("k"), merge)
+    val before = SnapshotStore.read(spark, root)
+      .select("k", "v", "ts").as[(Long, String, Long)].collect().toSet
+
+    val result = Warehouse.maintain(spark, Seq(root), clusterBy = Seq("ts"), keepVersions = 1)
+    val (vAfter, deleted) = result(root)
+    assert(vAfter == 2L)      // compaction committed a new version
+    assert(deleted > 0)       // old versions vacuumed away
+    assert(SnapshotStore.versions(spark, root) == Seq(2L))
+    assert(SnapshotStore.read(spark, root)
+      .select("k", "v", "ts").as[(Long, String, Long)].collect().toSet == before)
+
+    // idempotent: nothing left to compact, nothing left to vacuum
+    val again = Warehouse.maintain(spark, Seq(root), keepVersions = 1)(root)
+    assert(again._1 == 2L)
+  }
 }
