@@ -71,8 +71,15 @@ object SnapshotStore {
     * `stats(i)` is the (min, max) of the i-th declared stats column
     * over this bucket's rows, string-encoded per its type tag; None =
     * all-null column (nothing can be pruned against it).
+    * `fileStats` refines that to each data FILE in the bucket dir
+    * (keyed by file name) — the micro-partition granularity: a range
+    * read prunes buckets on `stats`, then files inside kept buckets on
+    * `fileStats`. Empty for manifests written before per-file stats
+    * existed (readers fall back to whole-bucket reads — pruning is
+    * only ever an optimization).
     */
-  final case class BucketEntry(dir: String, stats: Seq[Option[(String, String)]])
+  final case class BucketEntry(dir: String, stats: Seq[Option[(String, String)]],
+                               fileStats: Map[String, Seq[Option[(String, String)]]] = Map.empty)
 
   /** @param statsCols declared data-skipping columns as (name, tag);
     *   tag is `num` (any numeric), `ts` (timestamp, stored as epoch
@@ -151,6 +158,8 @@ object SnapshotStore {
     *   stats:<name>:<tag>,...      (absent when no stats cols declared)
     *   txn:<writerId>\t<batchId>   (0..many)
     *   <bucket>\t<dir>[\t<min>,<max>,<min>,<max>,...]
+    *   fstats:<bucket>\t<fileName>\t<min>,<max>,...   (0..many, after their bucket line)
+    *   end:<token>:<lineCount>
     * }}}
     */
   def readManifest(spark: SparkSession, root: String, v: Long): Manifest = {
@@ -164,6 +173,13 @@ object SnapshotStore {
       var complete = false
       val txns = mutable.Map.empty[String, Long]
       val entries = mutable.Map.empty[Int, BucketEntry]
+      val fstats = mutable.Map.empty[Int, mutable.Map[String, Seq[Option[(String, String)]]]]
+      def parseStats(s: String): Seq[Option[(String, String)]] =
+        if (s.isEmpty) Seq.empty
+        else s.split(",", -1).grouped(2).map {
+          case Array("", "") => None
+          case Array(mn, mx) => Some((dec(mn), dec(mx)))
+        }.toSeq
       Iterator.continually(in.readLine()).takeWhile(_ != null)
         .filter(_.nonEmpty)
         .foreach {
@@ -178,20 +194,24 @@ object SnapshotStore {
             txns(dec(id)) = b.toLong
           case l if l.startsWith("end:") =>
             complete = true
+          case l if l.startsWith("fstats:") =>
+            val Array(b, name, st) = l.stripPrefix("fstats:").split("\t", 3)
+            fstats.getOrElseUpdate(b.toInt, mutable.Map.empty)(dec(name)) =
+              parseStats(st)
           case l =>
             val parts = l.split("\t", 3)
             val stats = if (parts.length < 3 || parts(2).isEmpty) Seq.empty
-              else parts(2).split(",", -1).grouped(2).map {
-                case Array("", "") => None
-                case Array(mn, mx) => Some((dec(mn), dec(mx)))
-              }.toSeq
+              else parseStats(parts(2))
             entries(parts(0).toInt) = BucketEntry(parts(1), stats)
         }
       if (!complete)
         throw new IllegalStateException(
           s"manifest for version $v at $root has no terminator — " +
             "written by a crashed committer; it is not a committed version")
-      Manifest(v, numBuckets, statsCols, txns.toMap, entries.toMap)
+      val withF = entries.map { case (b, e) =>
+        b -> e.copy(fileStats = fstats.get(b).map(_.toMap).getOrElse(Map.empty))
+      }
+      Manifest(v, numBuckets, statsCols, txns.toMap, withF.toMap)
     } finally in.close()
   }
 
@@ -255,12 +275,17 @@ object SnapshotStore {
       else Seq("stats:" + statsCols.map { case (n, t) => s"${enc(n)}:$t" }.mkString(","))
     val txnLines = txns.toSeq.sortBy(_._1)
       .map { case (id, b) => s"txn:${enc(id)}\t$b" }
-    val bucketLines = buckets.toSeq.sortBy(_._1).map { case (b, e) =>
-      val st = e.stats.map {
-        case Some((mn, mx)) => s"${enc(mn)},${enc(mx)}"
-        case None => ","
-      }.mkString(",")
-      if (statsCols.isEmpty) s"$b\t${e.dir}" else s"$b\t${e.dir}\t$st"
+    def encStats(stats: Seq[Option[(String, String)]]): String = stats.map {
+      case Some((mn, mx)) => s"${enc(mn)},${enc(mx)}"
+      case None => ","
+    }.mkString(",")
+    val bucketLines = buckets.toSeq.sortBy(_._1).flatMap { case (b, e) =>
+      val main = if (statsCols.isEmpty) s"$b\t${e.dir}"
+        else s"$b\t${e.dir}\t${encStats(e.stats)}"
+      val files = e.fileStats.toSeq.sortBy(_._1).map { case (name, st) =>
+        s"fstats:$b\t${enc(name)}\t${encStats(st)}"
+      }
+      main +: files
     }
     val bodyLines = s"buckets:$numBuckets" +: (statsLine ++ txnLines ++ bucketLines)
     val body = bodyLines.mkString("", "\n", "\n") + s"end:$token:${bodyLines.size}\n"
@@ -367,45 +392,69 @@ object SnapshotStore {
     x.length <= y.length
   }
 
+  /** Overlap predicate for ONE stats entry against [lower, upper]
+    * (null bound = open side). Non-finite stats (NaN/Infinity from
+    * double columns) and any unparseable value disable pruning for
+    * that entry — pruning must only ever be an optimization, never a
+    * correctness risk. `None` (all-null column) always overlaps.
+    */
+  private def mkOverlap(tag: String, lower: Any, upper: Any)
+      : Option[(String, String)] => Boolean = {
+    def toCmp(s: String): Option[BigDecimal] =
+      scala.util.Try(tag match {
+        case "ts" => BigDecimal(s.toLong)
+        case _    => BigDecimal(s)
+      }).toOption
+    def boundCmp(b: Any): Option[BigDecimal] = Option(b).flatMap { v =>
+      scala.util.Try(v match {
+        case t: java.sql.Timestamp =>
+          BigDecimal(t.getTime * 1000L + (t.getNanos / 1000) % 1000)
+        case n: Number => BigDecimal(n.toString)
+        case other => BigDecimal(other.toString)
+      }).toOption
+    }
+    if (tag == "str") {
+      val lo = Option(lower).map(_.toString)
+      val hi = Option(upper).map(_.toString)
+      entry => entry.forall { case (mn, mx) =>
+        lo.forall(utf8Lte(_, mx)) && hi.forall(utf8Lte(mn, _))
+      }
+    } else {
+      val lo = boundCmp(lower)
+      val hi = boundCmp(upper)
+      entry => entry.forall { case (mn, mx) =>
+        lo.forall(l => toCmp(mx).forall(l <= _)) &&
+          hi.forall(h => toCmp(mn).forall(h >= _))
+      }
+    }
+  }
+
   def pruneBuckets(m: Manifest, statsCol: String, lower: Any, upper: Any): Set[Int] = {
     val idx = m.statsCols.indexWhere(_._1 == statsCol)
     if (idx < 0) m.buckets.keySet
     else {
-      val tag = m.statsCols(idx)._2
-      // non-finite stats (NaN/Infinity from double columns) and any
-      // unparseable value disable pruning for that bucket — pruning
-      // must only ever be an optimization, never a correctness risk
-      def toCmp(s: String): Option[BigDecimal] =
-        scala.util.Try(tag match {
-          case "ts" => BigDecimal(s.toLong)
-          case _    => BigDecimal(s)
-        }).toOption
-      def boundCmp(b: Any): Option[BigDecimal] = Option(b).flatMap { v =>
-        scala.util.Try(v match {
-          case t: java.sql.Timestamp =>
-            BigDecimal(t.getTime * 1000L + (t.getNanos / 1000) % 1000)
-          case n: Number => BigDecimal(n.toString)
-          case other => BigDecimal(other.toString)
-        }).toOption
-      }
-      if (tag == "str") {
-        val lo = Option(lower).map(_.toString)
-        val hi = Option(upper).map(_.toString)
-        m.buckets.collect { case (b, e)
-          if e.stats.lift(idx).flatten.forall { case (mn, mx) =>
-            lo.forall(utf8Lte(_, mx)) && hi.forall(utf8Lte(mn, _))
-          } => b
-        }.toSet
-      } else {
-        val lo = boundCmp(lower)
-        val hi = boundCmp(upper)
-        m.buckets.collect { case (b, e)
-          if e.stats.lift(idx).flatten.forall { case (mn, mx) =>
-            lo.forall(l => toCmp(mx).forall(l <= _)) &&
-              hi.forall(h => toCmp(mn).forall(h >= _))
-          } => b
-        }.toSet
-      }
+      val overlaps = mkOverlap(m.statsCols(idx)._2, lower, upper)
+      m.buckets.collect {
+        case (b, e) if overlaps(e.stats.lift(idx).flatten) => b
+      }.toSet
+    }
+  }
+
+  /** File-level pruning within one kept bucket: the file NAMES whose
+    * recorded [min, max] can overlap [lower, upper]. Buckets without
+    * per-file stats (older manifests, stats-less tables) return None —
+    * caller reads the whole bucket dir (conservative).
+    */
+  def pruneFiles(m: Manifest, bucket: Int, statsCol: String,
+                 lower: Any, upper: Any): Option[Seq[String]] = {
+    val idx = m.statsCols.indexWhere(_._1 == statsCol)
+    val e = m.buckets(bucket)
+    if (idx < 0 || e.fileStats.isEmpty) None
+    else {
+      val overlaps = mkOverlap(m.statsCols(idx)._2, lower, upper)
+      Some(e.fileStats.collect {
+        case (name, st) if overlaps(st.lift(idx).flatten) => name
+      }.toSeq.sorted)
     }
   }
 
