@@ -56,11 +56,29 @@ object Bench {
       }
       name -> (median(times), times.min)
     }
+    // ms-rounded so the full per-query map stays small enough for a
+    // tail capture, and the compact total-only line goes FIRST so a
+    // truncated capture still yields a parseable headline number
+    // (r4 verdict item #3: four rounds of bench-artifact disputes).
+    def ms(v: Double): Double = math.round(v * 1000) / 1000.0
     def fmt(sel: ((Double, Double)) => Double): String = results
-      .map { case (k, v) => "\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
-    val total = results.values.map(_._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
-      s""""queries":${fmt(_._1)},"queries_min":${fmt(_._2)},"sf":"$sfDir"}""")
+      .map { case (k, v) => "\"" + k + "\":" + ms(sel(v)) }.mkString("{", ",", "}")
+    val total = ms(results.values.map(_._1).sum)
+    val headline =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"nqueries":${results.size},"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+      s""""queries":${fmt(_._1)},"queries_min":${fmt(_._2)},"sf":"$sfDir"}"""
+    println(headline)
+    println(detail)
+    // repeated last: a fixed-size TAIL capture of stdout ends with a
+    // complete parseable line even if the detail line overflows it
+    println(headline)
+    try {
+      val dir = java.nio.file.Paths.get("target")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("bench.json"),
+        (headline + "\n" + detail + "\n").getBytes("UTF-8"))
+    } catch { case _: java.io.IOException => () }
     spark.stop()
   }
 }

@@ -155,13 +155,23 @@ object SnapshotStore {
   /** Manifest format (line-oriented, tab-separated, values URL-encoded):
     * {{{
     *   buckets:<n>
+    *   format:<v>                  (format marker; absent = format 2)
     *   stats:<name>:<tag>,...      (absent when no stats cols declared)
     *   txn:<writerId>\t<batchId>   (0..many)
     *   <bucket>\t<dir>[\t<min>,<max>,<min>,<max>,...]
     *   fstats:<bucket>\t<fileName>\t<min>,<max>,...   (0..many, after their bucket line)
     *   end:<token>:<lineCount>
     * }}}
+    *
+    * The `format:` marker exists so any future backward-incompatible
+    * change (like the terminator line would have been, had tables
+    * predated it) is detectable instead of silently misread: readers
+    * reject manifests with a format ABOVE what they understand rather
+    * than misinterpret them. Absent marker = format 2 (every manifest
+    * this code ever wrote has the terminator protocol; no format-1
+    * on-disk tables exist).
     */
+  private val ManifestFormat = 2
   def readManifest(spark: SparkSession, root: String, v: Long): Manifest = {
     val fs = fileSystem(spark, root)
     val in = new BufferedReader(new InputStreamReader(
@@ -183,6 +193,11 @@ object SnapshotStore {
       Iterator.continually(in.readLine()).takeWhile(_ != null)
         .filter(_.nonEmpty)
         .foreach {
+          case l if l.startsWith("format:") =>
+            val f = l.stripPrefix("format:").trim.toInt
+            if (f > ManifestFormat) throw new IllegalStateException(
+              s"manifest for version $v at $root is format $f; this " +
+                s"reader understands up to $ManifestFormat — refusing to misread it")
           case l if l.startsWith("stats:") =>
             statsCols = l.stripPrefix("stats:").split(",").toSeq
               .filter(_.nonEmpty).map { part =>
@@ -225,21 +240,41 @@ object SnapshotStore {
     * identifies WHICH committer's bytes are on disk (the post-write
     * ownership check below).
     */
-  private def readTerminator(fs: FileSystem, p: Path): Option[String] = {
-    if (!fs.exists(p)) return None
-    val in = new BufferedReader(new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
+  private def readTerminator(fs: FileSystem, p: Path): Option[String] =
+    readTerminatorEither(fs, p).getOrElse(None)
+
+  /** Strict variant for callers that must DISTINGUISH "no terminator on
+    * disk" from "could not read": Right(token?) is a definitive
+    * observation (a vanished file — concurrent reclaim or vacuum —
+    * reads as Right(None), a benign race, not a failure); Left is a
+    * transient read error carrying NO information about what is on
+    * disk. [[readTerminator]] flattens Left to None, which is correct
+    * for listing/reclaim decisions but NOT for the post-write
+    * ownership check (see [[writeManifestAtomic]]).
+    */
+  private def readTerminatorEither(fs: FileSystem, p: Path)
+      : Either[java.io.IOException, Option[String]] =
     try {
-      var last: String = null
-      var lines = 0
-      Iterator.continually(in.readLine()).takeWhile(_ != null)
-        .filter(_.nonEmpty).foreach { l => last = l; lines += 1 }
-      Option(last).filter(_.startsWith("end:"))
-        .map(_.stripPrefix("end:").split(":", 2))
-        .collect { case Array(token, n) if n.forall(_.isDigit) && n.toInt == lines - 1 =>
-          token
-        }
-    } catch { case _: java.io.IOException => None } finally in.close()
-  }
+      // fs.exists/open both inside the try: a concurrent reclaimer or
+      // vacuum deleting the file between check and open must read as
+      // "no terminator", not throw out of versions()
+      if (!fs.exists(p)) return Right(None)
+      val in = new BufferedReader(new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
+      try {
+        var last: String = null
+        var lines = 0
+        Iterator.continually(in.readLine()).takeWhile(_ != null)
+          .filter(_.nonEmpty).foreach { l => last = l; lines += 1 }
+        Right(Option(last).filter(_.startsWith("end:"))
+          .map(_.stripPrefix("end:").split(":", 2))
+          .collect { case Array(token, n) if n.forall(_.isDigit) && n.toInt == lines - 1 =>
+            token
+          })
+      } finally in.close()
+    } catch {
+      case _: java.io.FileNotFoundException => Right(None) // vanished = definitively gone
+      case e: java.io.IOException => Left(e)
+    }
 
   /** Atomically publish version `v`. Returns false when another writer
     * already committed `v`.
@@ -287,7 +322,8 @@ object SnapshotStore {
       }
       main +: files
     }
-    val bodyLines = s"buckets:$numBuckets" +: (statsLine ++ txnLines ++ bucketLines)
+    val bodyLines = Seq(s"buckets:$numBuckets", s"format:$ManifestFormat") ++
+      statsLine ++ txnLines ++ bucketLines
     val body = bodyLines.mkString("", "\n", "\n") + s"end:$token:${bodyLines.size}\n"
 
     def tryCreate(): Option[org.apache.hadoop.fs.FSDataOutputStream] =
@@ -313,9 +349,30 @@ object SnapshotStore {
       if (out.isEmpty) return false
     }
     try out.get.write(body.getBytes(StandardCharsets.UTF_8)) finally out.get.close()
-    // post-write ownership check (see scaladoc): success only if OUR
-    // terminator survived any concurrent reclaim of the same version
-    readTerminator(fs, target).contains(token)
+    // Post-write ownership check (see scaladoc): success only if OUR
+    // terminator survived any concurrent reclaim of the same version.
+    // A definitive readback of a DIFFERENT token (or a vanished file)
+    // is a genuine loss — the caller may safely delete its attempt
+    // dir. A transient READ error is not: the manifest may well be
+    // committed, and returning false would make the caller delete data
+    // files a committed manifest references. Retry the read; if it
+    // keeps failing, fail the commit as INDETERMINATE (exception, not
+    // false) so no caller treats it as a clean loss — the attempt dir
+    // is left for [[vacuum]], which only removes UNreferenced dirs.
+    var verdict = readTerminatorEither(fs, target)
+    var retries = 0
+    while (verdict.isLeft && retries < 3) {
+      retries += 1
+      Thread.sleep(20L * retries)
+      verdict = readTerminatorEither(fs, target)
+    }
+    verdict match {
+      case Right(t) => t.contains(token)
+      case Left(e) => throw new IllegalStateException(
+        s"commit of version $v at $root is INDETERMINATE: the manifest " +
+          "was written but its readback keeps failing — do NOT treat as " +
+          "a lost race; attempt data is vacuum-safe either way", e)
+    }
   }
 
   // ------------------------------------------------------------------
@@ -470,11 +527,22 @@ object SnapshotStore {
     val m = readManifest(spark, root, latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no committed version at $root")))
     val surviving = pruneBuckets(m, statsCol, lower, upper)
+    // file-level pruning inside kept buckets (the micro-partition
+    // granularity): buckets without per-file stats fall back to their
+    // whole dir — pruning is only ever an optimization
+    val paths = surviving.toSeq.sorted.flatMap { b =>
+      val e = m.buckets(b)
+      pruneFiles(m, b, statsCol, lower, upper) match {
+        case Some(names) =>
+          names.map(n => new Path(new Path(root, e.dir), n).toString)
+        case None => Seq(new Path(root, e.dir).toString)
+      }
+    }
     // an everything-pruned read still returns the TABLE's schema (a
     // 0-row frame), exactly like the equivalent full scan + filter —
     // limit(0) over the manifest's dirs reads footers only
-    val df = if (surviving.isEmpty) readBuckets(spark, root, m, m.buckets.keySet).limit(0)
-      else readBuckets(spark, root, m, surviving)
+    val df = if (paths.isEmpty) readBuckets(spark, root, m, m.buckets.keySet).limit(0)
+      else spark.read.option("mergeSchema", "true").parquet(paths: _*)
     if (df.schema.isEmpty) df
     else {
       val loF = Option(lower).map(l => col(statsCol) >= lit(l))
@@ -483,13 +551,18 @@ object SnapshotStore {
     }
   }
 
-  /** Per-bucket (min, max) of the declared stats columns over freshly
-    * written data — one O(delta) aggregate per commit, grouped by
-    * bucket (metadata-sized result).
+  /** Per-bucket AND per-file (min, max) of the declared stats columns
+    * over freshly written data — ONE O(delta) rollup aggregate per
+    * commit, grouped by (bucket, file) with the bucket subtotal rows
+    * giving the bucket-level stats (metadata-sized result: ≤ files+
+    * buckets rows). The per-file granularity is the micro-partition
+    * analog: [[readRange]] prunes buckets on the bucket stats, then
+    * FILES inside kept buckets on the file stats.
     */
-  private def collectStats(written: DataFrame,
-                           statsCols: Seq[(String, String)]): Map[Int, Seq[Option[(String, String)]]] = {
-    if (statsCols.isEmpty) return Map.empty
+  private def collectStats(written: DataFrame, statsCols: Seq[(String, String)])
+      : (Map[Int, Seq[Option[(String, String)]]],
+         Map[Int, Map[String, Seq[Option[(String, String)]]]]) = {
+    if (statsCols.isEmpty) return (Map.empty, Map.empty)
     // min/max are computed in the column's NATIVE type (string-cast
     // first would give lexicographic extremes — "9" > "10"), then
     // string-encoded for the manifest
@@ -500,16 +573,26 @@ object SnapshotStore {
       case t: java.sql.Timestamp => (t.getTime * 1000L + (t.getNanos / 1000) % 1000).toString
       case other => other.toString
     }
-    written.groupBy(col(BucketCol)).agg(aggs.head, aggs.tail: _*)
-      .collect().map { r =>
-        val b = r.getInt(0)
-        val stats = statsCols.indices.map { i =>
-          val mn = r.get(1 + 2 * i)
-          val mx = r.get(2 + 2 * i)
-          if (mn == null || mx == null) None else Some((encVal(mn), encVal(mx)))
-        }
-        b -> stats
-      }.toMap
+    val rows = written
+      .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
+      .rollup(col(BucketCol), col("__file"))
+      .agg(grouping(col(BucketCol)).as("__gb"),
+        (grouping(col("__file")).as("__gf") +: aggs): _*)
+      .where(col("__gb") === 0) // drop the grand-total row
+      .collect()
+    // schema: bucket, __file, __gb, __gf, then (mn, mx) pairs
+    def statsOf(r: Row): Seq[Option[(String, String)]] = statsCols.indices.map { i =>
+      val mn = r.get(4 + 2 * i)
+      val mx = r.get(5 + 2 * i)
+      if (mn == null || mx == null) None else Some((encVal(mn), encVal(mx)))
+    }
+    val bucketStats = rows.filter(_.getByte(3) == 1).map { r =>
+      r.getInt(0) -> statsOf(r)
+    }.toMap
+    val fileStats = rows.filter(_.getByte(3) == 0).groupBy(_.getInt(0)).map {
+      case (b, rs) => b -> rs.map(r => r.getString(1) -> statsOf(r)).toMap
+    }
+    (bucketStats, fileStats)
   }
 
   // ------------------------------------------------------------------
@@ -572,12 +655,15 @@ object SnapshotStore {
     else {
       val bucketNames = fs.listStatus(vdir).toSeq
         .map(_.getPath.getName).filter(_.startsWith(s"$BucketCol="))
-      val stats =
-        if (statsCols.isEmpty || bucketNames.isEmpty) Map.empty[Int, Seq[Option[(String, String)]]]
+      val (stats, fstats) =
+        if (statsCols.isEmpty || bucketNames.isEmpty)
+          (Map.empty[Int, Seq[Option[(String, String)]]],
+           Map.empty[Int, Map[String, Seq[Option[(String, String)]]]])
         else collectStats(df.sparkSession.read.parquet(vdir.toString), statsCols)
       bucketNames.map { name =>
         val b = name.stripPrefix(s"$BucketCol=").toInt
-        b -> BucketEntry(s"$rel/$name", stats.getOrElse(b, statsCols.map(_ => None)))
+        b -> BucketEntry(s"$rel/$name", stats.getOrElse(b, statsCols.map(_ => None)),
+          fstats.getOrElse(b, Map.empty))
       }.toMap
     }
   }
@@ -711,7 +797,17 @@ object SnapshotStore {
         .write.mode("overwrite").partitionBy(BucketCol)
         .parquet(new Path(root, rel).toString)
       val next = m.buckets ++ frag.map { b =>
-        b -> BucketEntry(s"$rel/$BucketCol=$b", m.buckets(b).stats)
+        val dir = s"$rel/$BucketCol=$b"
+        // a compacted bucket is one file spanning the whole bucket, so
+        // the carried-over bucket stats ARE its file stats (were the
+        // write ever to split, bucket-range stats per file would still
+        // be conservative — supersets never cause a wrong prune)
+        val fst =
+          if (m.statsCols.isEmpty) Map.empty[String, Seq[Option[(String, String)]]]
+          else fs.listStatus(new Path(root, dir)).toSeq
+            .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+            .map(_.getPath.getName -> m.buckets(b).stats).toMap
+        b -> BucketEntry(dir, m.buckets(b).stats, fst)
       }
       if (writeManifestAtomic(fs, root, v, m.numBuckets, m.statsCols, m.txns, next))
         return v

@@ -415,6 +415,11 @@ object StreamPipeline {
     val spark = updates.sparkSession
     import spark.implicits._
     updates.toDF("key", "seq", "value", "ts")
+      // the Dataset type admits null event timestamps, and
+      // flatMapGroupsWithState sees pre-watermark-filter semantics on
+      // some plans — a null ts reaching the maxTs fold below would NPE
+      // the whole query. Same null-hardening as the other CDC paths.
+      .where(col("ts").isNotNull)
       .withWatermark("ts", watermarkDelay)
       .as[(Long, Long, Option[String], java.sql.Timestamp)]
       .groupByKey(_._1)

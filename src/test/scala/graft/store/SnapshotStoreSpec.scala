@@ -431,4 +431,107 @@ class SnapshotStoreSpec extends SparkSpec {
       assert(ts.sameElements(ts.sorted), s"bucket ${e.dir} not clustered")
     }
   }
+
+  private def dataFiles(root: String, dir: String): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(root, dir)).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .map(_.getPath.getName)
+  }
+
+  test("per-file stats: manifest round-trips them and range reads prune FILES inside kept buckets") {
+    val root = tmpDir("fstats")
+    // range-partitioned input: each of the 4 tasks holds a tight ts
+    // range, so every bucket dir gets ~4 files each covering a
+    // DISTINCT slice — the layout file-level pruning pays off on
+    val v0 = (1L to 400L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts")
+      .repartitionByRange(4, $"ts")
+    SnapshotStore.init(spark, root, v0, Seq("k"), numBuckets = 2, statsCols = Seq("ts"))
+    val m = SnapshotStore.readManifest(spark, root, 0L)
+
+    // producer + round-trip: every data file on disk has a stats entry
+    m.buckets.foreach { case (b, e) =>
+      val onDisk = dataFiles(root, e.dir).toSet
+      assert(e.fileStats.keySet == onDisk, s"bucket $b fileStats must cover $onDisk")
+      assert(onDisk.size >= 2, s"fixture bucket $b must be multi-file")
+      e.fileStats.values.foreach(st => assert(st.size == 1))
+      // file ranges nest inside the bucket range
+      val Some((bmn, bmx)) = e.stats.head
+      e.fileStats.values.foreach { st =>
+        val Some((mn, mx)) = st.head
+        assert(BigDecimal(mn) >= BigDecimal(bmn) && BigDecimal(mx) <= BigDecimal(bmx))
+      }
+    }
+
+    // pruneFiles keeps a strict subset for a narrow range
+    m.buckets.keys.foreach { b =>
+      val kept = SnapshotStore.pruneFiles(m, b, "ts", 1L, 3L).get
+      assert(kept.size < m.buckets(b).fileStats.size, s"bucket $b: no file pruned")
+    }
+
+    // the pruned read ≡ full scan + filter, and provably reads fewer FILES
+    val ranged = SnapshotStore.readRange(spark, root, "ts", 1L, 3L)
+    assert(rows(ranged) == Set((1L, "v1", 1L), (2L, "v2", 2L), (3L, "v3", 3L)))
+    val executed = SnapshotStore.readRange(spark, root, "ts", 1L, 3L)
+    assert(executed.collect().length == 3) // executes this exact plan → metrics below
+    val scan = executed.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val totalFiles = m.buckets.values.map(_.fileStats.size).sum
+    assert(scan.metrics("numFiles").value < totalFiles,
+      s"expected a file-pruned scan, read ${scan.metrics("numFiles").value} of $totalFiles")
+
+    // commits refresh per-file stats for rewritten buckets
+    SnapshotStore.commitDelta(spark, root,
+      Seq((1L, "v1b", 900L)).toDF("k", "v", "ts"), Seq("k"), merge)
+    val m1 = SnapshotStore.readManifest(spark, root, 1L)
+    val touched = m1.buckets.collect { case (b, e) if e.dir.startsWith("v=1-") => b }.head
+    assert(m1.buckets(touched).fileStats.keySet == dataFiles(root, m1.buckets(touched).dir).toSet)
+    assert(rows(SnapshotStore.readRange(spark, root, "ts", 500L, null)) ==
+      Set((1L, "v1b", 900L)))
+  }
+
+  test("compaction carries per-file stats onto the compacted file; file pruning still works") {
+    val root = tmpDir("fstats-compact")
+    val v0 = (1L to 400L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts")
+      .repartitionByRange(4, $"ts")
+    SnapshotStore.init(spark, root, v0, Seq("k"), numBuckets = 4, statsCols = Seq("ts"))
+    val before = rows(SnapshotStore.read(spark, root))
+    SnapshotStore.compact(spark, root, clusterBy = Seq("ts"))
+    val m1 = SnapshotStore.readManifest(spark, root, 1L)
+    m1.buckets.foreach { case (b, e) =>
+      val onDisk = dataFiles(root, e.dir)
+      assert(onDisk.size == 1)
+      assert(e.fileStats == Map(onDisk.head -> e.stats),
+        s"bucket $b: compacted file must inherit the bucket stats")
+    }
+    assert(rows(SnapshotStore.read(spark, root)) == before)
+    assert(rows(SnapshotStore.readRange(spark, root, "ts", 1L, 3L)) ==
+      Set((1L, "v1", 1L), (2L, "v2", 2L), (3L, "v3", 3L)))
+  }
+
+  test("manifest format marker: a future format is rejected, a legacy marker-less one parses") {
+    val root = tmpDir("format")
+    val v0 = (1L to 40L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts")
+    SnapshotStore.init(spark, root, v0, Seq("k"), numBuckets = 2, statsCols = Seq("ts"))
+    val p0 = Paths.get(root, "_commits", f"${0L}%020d")
+    val lines = Files.readAllLines(p0).toArray.map(_.toString).toSeq
+
+    // legacy manifest (r4 format: no format: line): strip the marker,
+    // fix the terminator's line count — must parse identically
+    val legacyBody = lines.filterNot(_.startsWith("format:")).dropRight(1)
+    val endParts = lines.last.split(":")
+    val legacy = legacyBody :+ s"end:${endParts(1)}:${legacyBody.size}"
+    val p1 = Paths.get(root, "_commits", f"${1L}%020d")
+    Files.write(p1, String.join("\n", legacy: _*).concat("\n").getBytes)
+    val m1 = SnapshotStore.readManifest(spark, root, 1L)
+    assert(m1.buckets.mapValues(_.dir).toMap ==
+      SnapshotStore.readManifest(spark, root, 0L).buckets.mapValues(_.dir).toMap)
+
+    // future format: refuse to misread
+    val p2 = Paths.get(root, "_commits", f"${2L}%020d")
+    Files.write(p2, "buckets:2\nformat:99\nend:tok:2\n".getBytes)
+    val e = intercept[IllegalStateException](SnapshotStore.readManifest(spark, root, 2L))
+    assert(e.getMessage.contains("format 99"))
+  }
 }
