@@ -77,9 +77,18 @@ object SnapshotStore {
     * `fileStats`. Empty for manifests written before per-file stats
     * existed (readers fall back to whole-bucket reads — pruning is
     * only ever an optimization).
+    * `tombstones` are merge-on-read delete sidecars (the
+    * deletion-vector analog): directories of parquet files holding the
+    * KEY TUPLES deleted from this bucket since its last rewrite.
+    * Readers anti-join them out; [[commitDelta]] and [[compact]] fold
+    * them in whenever they rewrite the bucket (list cleared); [[vacuum]]
+    * reclaims folded sidecar files. A key's tombstone lives in the
+    * bucket the key hashes to, so the read-side anti-join on the key
+    * columns alone is exact.
     */
   final case class BucketEntry(dir: String, stats: Seq[Option[(String, String)]],
-                               fileStats: Map[String, Seq[Option[(String, String)]]] = Map.empty)
+                               fileStats: Map[String, Seq[Option[(String, String)]]] = Map.empty,
+                               tombstones: Seq[String] = Nil)
 
   /** @param statsCols declared data-skipping columns as (name, tag);
     *   tag is `num` (any numeric), `ts` (timestamp, stored as epoch
@@ -160,6 +169,7 @@ object SnapshotStore {
     *   txn:<writerId>\t<batchId>   (0..many)
     *   <bucket>\t<dir>[\t<min>,<max>,<min>,<max>,...]
     *   fstats:<bucket>\t<fileName>\t<min>,<max>,...   (0..many, after their bucket line)
+    *   tomb:<bucket>\t<dir>         (0..many, one per unfolded delete sidecar)
     *   end:<token>:<lineCount>
     * }}}
     *
@@ -184,6 +194,7 @@ object SnapshotStore {
       val txns = mutable.Map.empty[String, Long]
       val entries = mutable.Map.empty[Int, BucketEntry]
       val fstats = mutable.Map.empty[Int, mutable.Map[String, Seq[Option[(String, String)]]]]
+      val tombs = mutable.Map.empty[Int, mutable.ArrayBuffer[String]]
       def parseStats(s: String): Seq[Option[(String, String)]] =
         if (s.isEmpty) Seq.empty
         else s.split(",", -1).grouped(2).map {
@@ -213,6 +224,9 @@ object SnapshotStore {
             val Array(b, name, st) = l.stripPrefix("fstats:").split("\t", 3)
             fstats.getOrElseUpdate(b.toInt, mutable.Map.empty)(dec(name)) =
               parseStats(st)
+          case l if l.startsWith("tomb:") =>
+            val Array(b, dir) = l.stripPrefix("tomb:").split("\t", 2)
+            tombs.getOrElseUpdate(b.toInt, mutable.ArrayBuffer.empty) += dir
           case l =>
             val parts = l.split("\t", 3)
             val stats = if (parts.length < 3 || parts(2).isEmpty) Seq.empty
@@ -224,7 +238,8 @@ object SnapshotStore {
           s"manifest for version $v at $root has no terminator — " +
             "written by a crashed committer; it is not a committed version")
       val withF = entries.map { case (b, e) =>
-        b -> e.copy(fileStats = fstats.get(b).map(_.toMap).getOrElse(Map.empty))
+        b -> e.copy(fileStats = fstats.get(b).map(_.toMap).getOrElse(Map.empty),
+          tombstones = tombs.get(b).map(_.toSeq).getOrElse(Nil))
       }
       Manifest(v, numBuckets, statsCols, txns.toMap, withF.toMap)
     } finally in.close()
@@ -320,7 +335,8 @@ object SnapshotStore {
       val files = e.fileStats.toSeq.sortBy(_._1).map { case (name, st) =>
         s"fstats:$b\t${enc(name)}\t${encStats(st)}"
       }
-      main +: files
+      val tombs = e.tombstones.map(d => s"tomb:$b\t$d")
+      (main +: files) ++ tombs
     }
     val bodyLines = Seq(s"buckets:$numBuckets", s"format:$ManifestFormat") ++
       statsLine ++ txnLines ++ bucketLines
@@ -419,7 +435,27 @@ object SnapshotStore {
     // mergeSchema: after additive evolution a snapshot legitimately
     // spans pre- and post-evolution version dirs until every bucket
     // has been rewritten once; old rows null-fill the new columns
-    else spark.read.option("mergeSchema", "true").parquet(dirs.toSeq: _*)
+    else antiJoinTombstones(spark, root, m, which,
+      spark.read.option("mergeSchema", "true").parquet(dirs.toSeq: _*))
+  }
+
+  /** Merge-on-read: subtract the unfolded delete sidecars of the
+    * selected buckets. The sidecar holds key TUPLES (not hashes — no
+    * collision risk), and a key lives in exactly the bucket it hashes
+    * to, so the anti-join on the key columns alone is exact. The
+    * sidecar side is the keys deleted since those buckets' last
+    * rewrite — deltas, not table-sized — so this plans as a broadcast
+    * anti-join at any table size; no tombstones = unchanged plan.
+    */
+  private def antiJoinTombstones(spark: SparkSession, root: String, m: Manifest,
+                                 which: Set[Int], df: DataFrame): DataFrame = {
+    val tombDirs = m.buckets.collect { case (b, e) if which(b) => e.tombstones }
+      .flatten.map(d => new Path(root, d).toString).toSeq
+    if (tombDirs.isEmpty) df
+    else {
+      val tomb = spark.read.option("mergeSchema", "true").parquet(tombDirs: _*)
+      df.join(broadcast(tomb), tomb.columns.toSeq, "left_anti")
+    }
   }
 
   // ------------------------------------------------------------------
@@ -542,7 +578,8 @@ object SnapshotStore {
     // 0-row frame), exactly like the equivalent full scan + filter —
     // limit(0) over the manifest's dirs reads footers only
     val df = if (paths.isEmpty) readBuckets(spark, root, m, m.buckets.keySet).limit(0)
-      else spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      else antiJoinTombstones(spark, root, m, surviving,
+        spark.read.option("mergeSchema", "true").parquet(paths: _*))
     if (df.schema.isEmpty) df
     else {
       val loF = Option(lower).map(l => col(statsCol) >= lit(l))
@@ -728,6 +765,71 @@ object SnapshotStore {
       s"commitDelta lost $maxAttempts consecutive commit races at $root")
   }
 
+  /** Merge-on-read DELETE: commit the removal of `deleteKeys` (frame
+    * of key tuples) by writing a tombstone sidecar per touched bucket
+    * — O(deleted keys) bytes written, NO data bucket read or rewritten
+    * (the deletion-vector analog; reference: the `METADATA$ACTION =
+    * 'DELETE'` branches in `/root/reference/02 Location Entity.sql`,
+    * which lean on Snowflake's internal merge-on-read). Readers
+    * subtract sidecars at scan time ([[antiJoinTombstones]]); the next
+    * rewrite of a bucket — a [[commitDelta]] merge or [[compact]] —
+    * folds them in and clears the list; [[vacuum]] then reclaims the
+    * folded sidecar files.
+    *
+    * Use the eager path ([[commitDelta]] with a delete-aware merge)
+    * for batchy deltas where the bucket rewrite is amortized; use this
+    * for point-delete trickles, where bucket copy-on-write would
+    * rewrite O(bucket bytes) per commit across many buckets at 100 TB.
+    *
+    * Deleting a key then re-upserting it works: the upsert's merge
+    * rewrites the bucket (reading it tombstone-subtracted), folding
+    * the tombstone away in the same commit. Time travel is preserved:
+    * versions before the delete carry no `tomb:` lines, so they still
+    * show the rows.
+    */
+  def commitDeletes(spark: SparkSession, root: String, deleteKeys: DataFrame,
+                    keys: Seq[String], maxAttempts: Int = 5,
+                    txn: Option[(String, Long)] = None): Long = {
+    val fs = fileSystem(spark, root)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val base = latestVersion(spark, root)
+        .getOrElse(throw new IllegalStateException(s"no table at $root — call init first"))
+      val m = readManifest(spark, root, base)
+      txn.foreach { case (id, batchId) =>
+        if (m.txns.get(id).exists(_ >= batchId)) return base // already applied
+      }
+      val v = base + 1
+      val token = newToken()
+      val rel = attemptDir(v, token)
+      val vdir = new Path(root, rel)
+      withBucket(deleteKeys.select(keys.map(col): _*).distinct(), keys, m.numBuckets)
+        .write.mode("overwrite").partitionBy(BucketCol).parquet(vdir.toString)
+      val written = if (!fs.exists(vdir)) Seq.empty else
+        fs.listStatus(vdir).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith(s"$BucketCol="))
+          .map(n => n.stripPrefix(s"$BucketCol=").toInt -> s"$rel/$n")
+      // a tombstone for a bucket holding no data is a no-op — never
+      // reference it (the unreferenced attempt dir is vacuum food)
+      val effective = written.filter { case (b, _) => m.buckets.contains(b) }
+      if (effective.isEmpty) {
+        fs.delete(vdir, true)
+        if (txn.isEmpty) return base
+        // still commit an (unchanged) manifest so the txn high-water
+        // mark records this batch — a redelivery must stay a no-op
+      }
+      val next = m.buckets ++ effective.map { case (b, d) =>
+        b -> m.buckets(b).copy(tombstones = m.buckets(b).tombstones :+ d)
+      }
+      val txns = m.txns ++ txn.map { case (id, b) => id -> b }
+      if (writeManifestAtomic(fs, root, v, m.numBuckets, m.statsCols, txns, next)) return v
+      fs.delete(vdir, true)
+    }
+    throw new IllegalStateException(
+      s"commitDeletes lost $maxAttempts consecutive commit races at $root")
+  }
+
   /** Drop all but the newest `keepLast` manifests, then delete every
     * data directory no kept manifest references — old version data and
     * orphans from crashed writers alike. Returns #paths deleted.
@@ -770,9 +872,13 @@ object SnapshotStore {
       val base = latestVersion(spark, root)
         .getOrElse(throw new IllegalStateException(s"no table at $root — call init first"))
       val m = readManifest(spark, root, base)
+      // a bucket is rewritten when fragmented OR carrying unfolded
+      // delete sidecars — compaction is where merge-on-read deletes
+      // get folded back into the data files
       val frag = m.buckets.filter { case (_, e) =>
-        fs.listStatus(new Path(root, e.dir))
-          .count(st => st.isFile && !st.getPath.getName.startsWith("_")) >= minFiles
+        e.tombstones.nonEmpty ||
+          fs.listStatus(new Path(root, e.dir))
+            .count(st => st.isFile && !st.getPath.getName.startsWith("_")) >= minFiles
       }.keys.toSeq.sorted
       if (frag.isEmpty) return base
       val v = base + 1
@@ -784,8 +890,9 @@ object SnapshotStore {
       // knows; unionByName(allowMissing) spans additive schema
       // evolution (old buckets null-fill newer columns)
       val parts = frag.map { b =>
-        spark.read.option("mergeSchema", "true")
-          .parquet(new Path(root, m.buckets(b).dir).toString)
+        antiJoinTombstones(spark, root, m, Set(b),
+          spark.read.option("mergeSchema", "true")
+            .parquet(new Path(root, m.buckets(b).dir).toString))
           .withColumn(BucketCol, lit(b))
       }
       val df = parts.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -796,19 +903,27 @@ object SnapshotStore {
       clustered
         .write.mode("overwrite").partitionBy(BucketCol)
         .parquet(new Path(root, rel).toString)
-      val next = m.buckets ++ frag.map { b =>
+      val rewritten = frag.flatMap { b =>
         val dir = s"$rel/$BucketCol=$b"
-        // a compacted bucket is one file spanning the whole bucket, so
-        // the carried-over bucket stats ARE its file stats (were the
-        // write ever to split, bucket-range stats per file would still
-        // be conservative — supersets never cause a wrong prune)
-        val fst =
-          if (m.statsCols.isEmpty) Map.empty[String, Seq[Option[(String, String)]]]
-          else fs.listStatus(new Path(root, dir)).toSeq
-            .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
-            .map(_.getPath.getName -> m.buckets(b).stats).toMap
-        b -> BucketEntry(dir, m.buckets(b).stats, fst)
+        // folded deletes can empty a bucket entirely — no dir written,
+        // and the bucket drops out of the manifest
+        if (!fs.exists(new Path(root, dir))) None
+        else {
+          // a compacted bucket is one file spanning the whole bucket,
+          // so the carried-over bucket stats ARE its file stats (were
+          // the write ever to split, bucket-range stats per file would
+          // still be conservative — supersets never cause a wrong
+          // prune; likewise folded deletes only ever SHRINK the true
+          // range, so carried stats stay conservative)
+          val fst =
+            if (m.statsCols.isEmpty) Map.empty[String, Seq[Option[(String, String)]]]
+            else fs.listStatus(new Path(root, dir)).toSeq
+              .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+              .map(_.getPath.getName -> m.buckets(b).stats).toMap
+          Some(b -> BucketEntry(dir, m.buckets(b).stats, fst))
+        }
       }
+      val next = (m.buckets -- frag) ++ rewritten
       if (writeManifestAtomic(fs, root, v, m.numBuckets, m.statsCols, m.txns, next))
         return v
       // lost to a concurrent committer: drop our attempt, re-census
@@ -826,7 +941,8 @@ object SnapshotStore {
     val keep = vs.takeRight(keepLast)
     val latest = vs.last
     val referenced: Set[String] =
-      keep.flatMap(v => readManifest(spark, root, v).buckets.values.map(_.dir)).toSet
+      keep.flatMap(v => readManifest(spark, root, v).buckets.values
+        .flatMap(e => e.dir +: e.tombstones)).toSet
     val deleted = mutable.ArrayBuffer.empty[Path]
 
     vs.dropRight(keepLast).foreach { v => deleted += manifestPath(root, v) }

@@ -510,6 +510,113 @@ class SnapshotStoreSpec extends SparkSpec {
       Set((1L, "v1", 1L), (2L, "v2", 2L), (3L, "v3", 3L)))
   }
 
+  test("merge-on-read deletes: a point-delete commit writes tombstones, not buckets") {
+    val root = tmpDir("mor")
+    val v0 = (1L to 400L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts")
+    SnapshotStore.init(spark, root, v0, Seq("k"), numBuckets = 8, statsCols = Seq("ts"))
+    val m0 = SnapshotStore.readManifest(spark, root, 0L)
+
+    val v1 = SnapshotStore.commitDeletes(spark, root,
+      Seq(7L, 123L, 999L).toDF("k"), Seq("k")) // 999 doesn't exist
+    assert(v1 == 1L)
+    val m1 = SnapshotStore.readManifest(spark, root, 1L)
+    // NO data bucket was rewritten — every entry still points at v=0 dirs
+    m1.buckets.foreach { case (b, e) => assert(e.dir == m0.buckets(b).dir) }
+    // only the buckets of the deleted keys carry a sidecar
+    val tombed = m1.buckets.filter(_._2.tombstones.nonEmpty).keys.toSet
+    assert(tombed.nonEmpty && tombed.size <= 3, s"tombed=$tombed")
+    // the commit wrote O(deleted keys), far below the table's data size
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    def dirBytes(rel: String): Long = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(root, rel.split("/").head)).getLength
+    val tombBytes = dirBytes(m1.buckets(tombed.head).tombstones.head)
+    val dataBytes = dirBytes(m0.buckets.values.head.dir)
+    assert(tombBytes < dataBytes / 2, s"tombstones $tombBytes vs data $dataBytes")
+
+    // read ≡ the eager-rewrite result
+    val got = rows(SnapshotStore.read(spark, root))
+    assert(got.size == 398 && !got.exists(r => r._1 == 7L || r._1 == 123L))
+    // pruned paths subtract tombstones too
+    assert(rows(SnapshotStore.readRange(spark, root, "ts", 1L, 10L)) ==
+      (1L to 10L).filterNot(_ == 7L).map(k => (k, s"v$k", k)).toSet)
+    assert(rows(SnapshotStore.readForKeys(spark, root, Seq("k"), Seq(Seq(7L), Seq(8L)))) ==
+      Set((8L, "v8", 8L)))
+    // time travel: the pre-delete version still shows the rows
+    assert(rows(SnapshotStore.readVersion(spark, root, 0L)).size == 400)
+
+    // a second delete on the same bucket accumulates sidecars
+    SnapshotStore.commitDeletes(spark, root, Seq(8L).toDF("k"), Seq("k"))
+    assert(rows(SnapshotStore.read(spark, root)).size == 397)
+
+    // re-upsert after delete: the merge folds the tombstone away
+    SnapshotStore.commitDelta(spark, root,
+      Seq((7L, "v7b", 500L)).toDF("k", "v", "ts"), Seq("k"), merge)
+    val got3 = rows(SnapshotStore.read(spark, root))
+    assert(got3((7L, "v7b", 500L)) && got3.size == 398)
+    val m3 = SnapshotStore.readManifest(spark, root,
+      SnapshotStore.latestVersion(spark, root).get)
+    m3.buckets.values.filter(_.dir.startsWith("v=3-"))
+      .foreach(e => assert(e.tombstones.isEmpty, "rewrite must clear tombstones"))
+  }
+
+  test("compaction folds tombstones into the data files and vacuum reclaims the sidecars") {
+    val root = tmpDir("mor-fold")
+    val v0 = (1L to 200L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts")
+    SnapshotStore.init(spark, root, v0, Seq("k"), numBuckets = 4, statsCols = Seq("ts"))
+    SnapshotStore.commitDeletes(spark, root, Seq(1L, 2L, 3L).toDF("k"), Seq("k"))
+    val m1 = SnapshotStore.readManifest(spark, root, 1L)
+    val sidecars = m1.buckets.values.flatMap(_.tombstones).toSeq
+    assert(sidecars.nonEmpty)
+    val expected = rows(SnapshotStore.read(spark, root))
+
+    val v2 = SnapshotStore.compact(spark, root)
+    val m2 = SnapshotStore.readManifest(spark, root, v2)
+    m2.buckets.values.foreach(e => assert(e.tombstones.isEmpty, "compact must fold"))
+    assert(rows(SnapshotStore.read(spark, root)) == expected)
+    // the folded files genuinely no longer contain the deleted keys
+    val raw = spark.read.parquet(m2.buckets.values.map(e =>
+      new org.apache.hadoop.fs.Path(root, e.dir).toString).toSeq: _*)
+    assert(!raw.select("k").as[Long].collect().exists(Set(1L, 2L, 3L)))
+
+    // vacuum reclaims the now-unreferenced sidecar files
+    assert(SnapshotStore.vacuum(spark, root, keepLast = 1) > 0)
+    sidecars.foreach(d =>
+      assert(!Files.exists(Paths.get(root, d)), s"sidecar $d must be reclaimed"))
+    assert(rows(SnapshotStore.read(spark, root)) == expected)
+  }
+
+  test("merge-on-read deletes can empty a bucket; compaction then drops it") {
+    val root = tmpDir("mor-empty")
+    val v0 = (1L to 100L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts")
+    SnapshotStore.init(spark, root, v0, Seq("k"), numBuckets = 4)
+    // delete EVERY key of one bucket
+    val m0 = SnapshotStore.readManifest(spark, root, 0L)
+    val byBucket = v0.withColumn("b",
+        pmod(hash(col("k")), lit(4))).select("k", "b").as[(Long, Int)].collect()
+    val victim = byBucket.head._2
+    val victimKeys = byBucket.filter(_._2 == victim).map(_._1)
+    SnapshotStore.commitDeletes(spark, root, victimKeys.toSeq.toDF("k"), Seq("k"))
+    assert(rows(SnapshotStore.read(spark, root)).size == 100 - victimKeys.length)
+    val v2 = SnapshotStore.compact(spark, root)
+    val m2 = SnapshotStore.readManifest(spark, root, v2)
+    assert(!m2.buckets.contains(victim), "emptied bucket must drop out")
+    assert(rows(SnapshotStore.read(spark, root)).size == 100 - victimKeys.length)
+  }
+
+  test("commitDeletes txn idempotence: a redelivered delete batch is a no-op") {
+    val root = tmpDir("mor-txn")
+    val v0 = (1L to 50L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts")
+    SnapshotStore.init(spark, root, v0, Seq("k"), numBuckets = 4)
+    val del = Seq(5L).toDF("k")
+    val v1 = SnapshotStore.commitDeletes(spark, root, del, Seq("k"), txn = Some("w1" -> 1L))
+    assert(v1 == 1L)
+    // redelivery of the same batch: same version back, no new sidecar
+    assert(SnapshotStore.commitDeletes(spark, root, del, Seq("k"), txn = Some("w1" -> 1L)) == 1L)
+    val m = SnapshotStore.readManifest(spark, root, 1L)
+    assert(m.buckets.values.map(_.tombstones.size).sum == 1)
+    assert(rows(SnapshotStore.read(spark, root)).size == 49)
+  }
+
   test("manifest format marker: a future format is rejected, a legacy marker-less one parses") {
     val root = tmpDir("format")
     val v0 = (1L to 40L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts")
