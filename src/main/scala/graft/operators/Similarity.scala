@@ -1,10 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.functions.VecFuncs
+import graft.store.SnapshotStore
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -285,6 +287,67 @@ object Similarity {
     * second scan. Lists that captured no vectors are emitted with
     * n_vectors = 0.
     */
+  /** Streaming IVF index maintenance: keep the ANN list assignment
+    * fresh as a corpus streams in. Each micro-batch runs the pure-
+    * expression [[ivfAssign]] pass against the FROZEN trained codebook
+    * and upserts the (id, list_id) rows into a [[SnapshotStore]] table
+    * — one atomic version per batch, O(batch + touched buckets) like
+    * every snapshot sink, and redelivery-idempotent via the manifest
+    * txn (an at-least-once replay re-derives the identical assignment
+    * and is skipped by batch id anyway).
+    *
+    * Retrain trigger: assignment against a stale codebook degrades as
+    * the corpus distribution drifts — hot lists push probe cost back
+    * toward brute force. Every `balanceCheckEvery` batches the sink
+    * computes [[ivfListStats]] over the index (one map-side-combined
+    * groupBy on the narrow 2-column table, collapsing to nlist rows
+    * per partition before the shuffle) and, when the worst list's
+    * balance ratio exceeds `maxBalanceRatioE6`, calls `onImbalance`
+    * with it — the operator's cue to [[ivfTrain]] a fresh codebook and
+    * rebuild (the sink itself keeps assigning against the frozen one:
+    * swapping codebooks mid-stream would make the index a mix of two
+    * quantizers, unsearchable by either).
+    *
+    * @param onImbalance called with the max balance ratio (e6;
+    *   1e6 = perfectly balanced) whenever it exceeds the threshold
+    */
+  def ivfIndexSink(stream: DataFrame, root: String, checkpointDir: String,
+                   idCol: String, vecCol: String,
+                   centroids: Seq[Seq[Double]],
+                   numBuckets: Int = 16,
+                   maxBalanceRatioE6: Long = 4000000L,
+                   balanceCheckEvery: Int = 1,
+                   onImbalance: Long => Unit = _ => ()): StreamingQuery = {
+    require(balanceCheckEvery >= 1, "balanceCheckEvery must be ≥ 1")
+    val nlist = centroids.size
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val txn = Some(checkpointDir -> batchId)
+        if (!batch.isEmpty) {
+          val assigned = ivfAssign(batch.toDF(), idCol, vecCol, centroids)
+          if (SnapshotStore.latestVersion(spark, root).isEmpty) {
+            SnapshotStore.init(spark, root, assigned, Seq(idCol), numBuckets, txn = txn)
+          } else {
+            // upsert: a re-streamed id keeps ONE row (the assignment is
+            // deterministic under a frozen codebook, so old == new)
+            SnapshotStore.commitDelta(spark, root, assigned, Seq(idCol),
+              (cur, delta) => cur
+                .join(delta.select(col(idCol)), Seq(idCol), "left_anti")
+                .unionByName(delta),
+              txn = txn)
+          }
+          if (batchId % balanceCheckEvery == 0) {
+            val worst = ivfListStats(SnapshotStore.read(spark, root), nlist)
+              .agg(max(col("balance_ratio_e6"))).collect()(0).getLong(0)
+            if (worst > maxBalanceRatioE6) onImbalance(worst)
+          }
+        }: Unit
+      }
+      .start()
+  }
+
   def ivfListStats(assignments: DataFrame, nlist: Int): DataFrame = {
     val spark = assignments.sparkSession
     import spark.implicits._

@@ -136,4 +136,54 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
     assert(stats2.toSeq == stats.toSeq)
   }
+
+  test("ivfIndexSink: stream-assigned index == batch ivfAssign on the union corpus") {
+    val dir = "/root/testdata/sf0.001"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+    import graft.store.SnapshotStore
+    val emb = graft.Tables.embeddings(spark, dir)
+    val nlist = 8
+    // train on the first half, stream the rest in two micro-batches
+    val train = emb.where($"vec_id" % 2 === 0)
+    val cents = Similarity.ivfTrain(train, "vec_id", "embedding", nlist = nlist)
+    val all = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val (b1, b2) = all.splitAt(all.length / 2)
+
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivf-ckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    var imbalances = List.empty[Long]
+    val q = Similarity.ivfIndexSink(mem.toDF().toDF("vec_id", "embedding"),
+      root, ckpt, "vec_id", "embedding", cents, numBuckets = 4,
+      maxBalanceRatioE6 = 1L, // every check fires — proves the trigger wiring
+      onImbalance = r => imbalances ::= r)
+    try {
+      mem.addData(b1.toSeq)
+      q.processAllAvailable()
+      // overlap: the tail of b1 re-streams in batch 2 — upsert must dedup
+      mem.addData((b1.takeRight(5) ++ b2).toSeq)
+      q.processAllAvailable()
+
+      // one atomic version per micro-batch
+      assert(SnapshotStore.versions(spark, root) == Seq(0L, 1L))
+      // stream-built index ≡ batch assignment over the whole corpus
+      val streamed = SnapshotStore.read(spark, root)
+        .select("vec_id", "list_id").as[(Long, Int)].collect().sorted
+      val batch = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+        .select("vec_id", "list_id").as[(Long, Int)].collect().sorted
+      assert(streamed.sameElements(batch))
+      // the balance check ran and reported a ratio each batch
+      assert(imbalances.size == 2 && imbalances.forall(_ > 1L))
+    } finally q.stop()
+
+    // redelivery idempotence: re-applying batch 1's commit is a no-op
+    // (same txn id the sink's foreachBatch used)
+    val before = SnapshotStore.latestVersion(spark, root)
+    SnapshotStore.commitDelta(spark, root,
+      Seq((b1.head._1, 99)).toDF("vec_id", "list_id"), Seq("vec_id"),
+      (cur, delta) => cur.unionByName(delta), txn = Some(ckpt -> 1L))
+    assert(SnapshotStore.latestVersion(spark, root) == before)
+  }
 }
