@@ -42,6 +42,36 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.length == 3 && feats.map(_.feature_hash).distinct.length == 3)
   }
 
+  test("a codec registered via config drops in with zero plumbing change") {
+    try {
+      // swap the stub for the fake "real" codec — config only, same
+      // queries, same schemas
+      spark.conf.set(Multimodal.CodecConfKey, classOf[FakeRealCodec].getName)
+      val feats = Multimodal.decodeFeatures(Multimodal.attachPayloads(docs))
+        .collect().sortBy(_.doc_id)
+      assert(feats.forall(f => f.width == 42 && f.height == 24 && f.feature_hash == 7L))
+      assert(feats.map(_.doc_id).toSeq == Seq(0L, 1L, 2L)) // alignment intact
+      val frames = Multimodal.sampleFrames(Multimodal.attachPayloads(docs)).collect()
+      assert(frames.length == 3 && frames.forall(_.frame_hash == 7L))
+    } finally spark.conf.unset(Multimodal.CodecConfKey)
+    // back on the default stub after unset
+    val stub = Multimodal.decodeFeatures(Multimodal.attachPayloads(docs)).collect()
+    assert(stub.exists(_.feature_hash != 7L))
+  }
+
+  test("codec batching honors the configured batch size and keeps columns aligned") {
+    val many = (0L until 100L).map(i => (i, s"payload number $i"))
+      .toDF("doc_id", "text")
+    val expected = Multimodal.decodeFeatures(Multimodal.attachPayloads(many))
+      .collect().sortBy(_.doc_id).toSeq
+    try {
+      spark.conf.set(Multimodal.BatchSizeConfKey, "7") // forces ragged final batches
+      val batched = Multimodal.decodeFeatures(Multimodal.attachPayloads(many))
+        .collect().sortBy(_.doc_id).toSeq
+      assert(batched == expected)
+    } finally spark.conf.unset(Multimodal.BatchSizeConfKey)
+  }
+
   test("sampleFrames expands videos into per-chunk frame rows, passes others through") {
     val media = Multimodal.attachPayloads(docs)
     val frames = Multimodal.sampleFrames(media, frameBytes = 4, everyMs = 500L)
@@ -55,4 +85,20 @@ class MultimodalSpec extends SparkSpec {
     // deterministic chunk hashes, all distinct here
     assert(video.map(_.frame_hash).distinct.length == video.length)
   }
+}
+
+/** Stand-in for a real cluster codec: constant features prove the
+  * config-registered class (not the stub) handled the batch. No-arg
+  * constructible, like any codec the contract admits.
+  */
+final class FakeRealCodec extends Multimodal.MediaCodec {
+  import Multimodal._
+  def decodeBatch(in: MediaBatch): FeatureBatch =
+    FeatureBatch(in.docIds, in.mimes, in.nBytes,
+      Array.fill(in.size)(42), Array.fill(in.size)(24),
+      Array.fill(in.size)(0L), Array.fill(in.size)(7L))
+  def transcodeBatch(in: MediaBatch, maxBytes: Int): MediaBatch = in
+  def sampleFramesBatch(in: MediaBatch, frameBytes: Int, everyMs: Long): FrameBatch =
+    FrameBatch(in.docIds, in.mimes, Array.fill(in.size)(0),
+      Array.fill(in.size)(0L), in.nBytes, Array.fill(in.size)(7L))
 }
