@@ -587,11 +587,22 @@ object QueriesData {
   // shards ≈ cores and every shard packs independently after one
   // shuffle; the per-shard window state is one running sum.
   // =====================================================================
-  val t07: Q = (s, d) => {
-    val budget = 2048
-    val toks = Tables.documents(s, d).select(
+  /** The t07 operator with the shard count EXPLICIT: packing
+    * parallelism = shards, so the constant is a capacity decision, not
+    * a hardcode. `shards <= 0` derives it from the session's
+    * `defaultParallelism` — the cluster-sized choice for real runs.
+    * The registered oracle pair below pins one explicit constant on
+    * BOTH sides ([[t07SqlFor]] bakes the same number into the DuckDB
+    * SQL) because determinism of the compare requires an
+    * engine-independent shard function of the data alone.
+    */
+  def seqPack(docs: org.apache.spark.sql.DataFrame, shards: Int = 0,
+              budget: Long = 2048L): org.apache.spark.sql.DataFrame = {
+    val n = if (shards > 0) shards
+      else docs.sparkSession.sparkContext.defaultParallelism
+    val toks = docs.select(
       col("doc_id"),
-      (graft.functions.Funcs.splitBucket(col("doc_id"), "pack") % 8).as("shard"),
+      (graft.functions.Funcs.splitBucket(col("doc_id"), "pack") % n).as("shard"),
       size(split(trim(col("text")), " +")).cast("long").as("n_tokens"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id").asc)
@@ -604,8 +615,16 @@ object QueriesData {
       .select(col("doc_id"), col("shard"), col("n_tokens"), col("start_offset"), col("bin"))
   }
 
-  val t07Sql: String =
-    """SELECT doc_id, shard, n_tokens, start_offset,
+  /** Shard count the REGISTERED t07 oracle pair pins on both sides —
+    * deliberately not the old hardcoded 8, proving the oracle
+    * hash-matches at any agreed constant.
+    */
+  val T07Shards = 12
+
+  val t07: Q = (s, d) => seqPack(Tables.documents(s, d), shards = T07Shards)
+
+  def t07SqlFor(shards: Int): String =
+    s"""SELECT doc_id, shard, n_tokens, start_offset,
       | CAST(floor(CAST(start_offset AS DOUBLE) / 2048) AS BIGINT) AS bin
       |FROM (
       | SELECT doc_id, shard, n_tokens,
@@ -615,9 +634,11 @@ object QueriesData {
       | FROM (
       |  SELECT doc_id,
       |    CAST(CAST(substr(regexp_replace(md5(CAST(doc_id AS VARCHAR) || '|pack'),
-      |      '[a-f]', '', 'g') || '000000', 1, 6) AS BIGINT) % 100 % 8 AS BIGINT) AS shard,
+      |      '[a-f]', '', 'g') || '000000', 1, 6) AS BIGINT) % 100 % $shards AS BIGINT) AS shard,
       |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
       |  FROM documents))""".stripMargin
+
+  val t07Sql: String = t07SqlFor(T07Shards)
 
   // =====================================================================
   // t08 — PII scrubbing: free-text redaction of emails / phone numbers

@@ -238,12 +238,23 @@ object Dedup {
     // references `pairs` twice, and `pairs` is typically the tail of a
     // whole candidate-generation + verification pipeline — one
     // reference means one execution of it
-    val edges = ckpt(pairs
+    val edgesPlan = pairs
       .select(explode(array(
         struct(col(idA).as("src"), col(idB).as("dst")),
         struct(col(idB).as("src"), col(idA).as("dst")))).as("__e"))
       .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
-      .distinct())
+      .distinct()
+    // The gate count is FOLDED into the checkpoint materialization: a
+    // LAZY localCheckpoint marks the plan, and the count() is the one
+    // action that both materializes the blocks and returns the gate
+    // cardinality — one scheduler round-trip, not an eager-checkpoint
+    // job followed by a count job. (The reliable path keeps the eager
+    // checkpoint: a lazy RDD checkpoint re-runs the job to write the
+    // checkpoint files after the first action, which costs more than
+    // the count job it would save.)
+    val (edges, edgeCount) =
+      if (reliable) { val e = ckpt(edgesPlan); (e, e.count()) }
+      else { val e = edgesPlan.localCheckpoint(false); (e, e.count()) }
     // ADAPTIVE path selection on the materialized edge count (free —
     // `edges` is already checkpointed): the verified near-dup PAIR set
     // is orders of magnitude smaller than the corpus, and when it is
@@ -258,7 +269,7 @@ object Dedup {
     // to the type-generic distributed loop.
     val longIds = edges.schema.fields.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
-    if (longIds && edges.count() <= localThreshold) return clustersLocal(edges)
+    if (longIds && edgeCount <= localThreshold) return clustersLocal(edges)
     var labels = ckpt(edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")))
     var round = 0

@@ -106,8 +106,19 @@ object Warehouse {
     * written parquet, so downstream consumers see exactly the
     * persisted bytes; the internal bucket column is dropped).
     */
+  /** @param entityParallelism how many entity pipelines to keep in
+    *   flight concurrently. Entities are independent until the fact
+    *   layer (each writes its own clean/dim target), so their jobs can
+    *   share the cluster instead of serializing — ten small entities
+    *   on an idle 1000-executor cluster should not run one at a time
+    *   (the reference's final_proc fan-out is sequential; this is the
+    *   scale-up over it). Spark job submission is thread-safe; a
+    *   bounded pool keeps the number of concurrently-planned jobs
+    *   sane. 1 = the sequential fold. Facts always run after every
+    *   entity, in declared order, exactly as before.
+    */
   def runBatch(spark: SparkSession, cfg: Config, outDir: String,
-               numBuckets: Int = 16): Map[String, DataFrame] = {
+               numBuckets: Int = 16, entityParallelism: Int = 4): Map[String, DataFrame] = {
     def writeBucketed(df: DataFrame, e: Entity, path: String): DataFrame = {
       StreamPipeline.withBucket(df, e.keys, numBuckets)
         .write.mode("overwrite")
@@ -115,7 +126,7 @@ object Warehouse {
       StreamPipeline.writeLayoutMarker(path, numBuckets)
       spark.read.parquet(path).drop(StreamPipeline.BucketCol)
     }
-    val entityOut = cfg.entities.flatMap { e =>
+    def runEntity(e: Entity): Seq[(String, DataFrame)] = {
       val typed = withTombstones(StageReader.typed(stage(spark, e), e.casts), e)
       val clean = sinkDeleteCol(e).fold(
         Scd1.latestByKey(typed, e.keys, scd1Order(e)))(c =>
@@ -128,7 +139,20 @@ object Warehouse {
         Seq(s"dim/${e.name}" -> writeBucketed(h, e, s"$outDir/dim/${e.name}"))
       } else Nil
       Seq(s"clean/${e.name}" -> cleanOut) ++ dim
-    }.toMap
+    }
+    val par = math.max(1, math.min(entityParallelism, cfg.entities.size))
+    val entityOut: Map[String, DataFrame] =
+      if (par <= 1) cfg.entities.flatMap(runEntity).toMap
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(
+          Future.sequence(cfg.entities.map(e => Future(runEntity(e)))),
+          Duration.Inf).flatten.toMap
+        finally pool.shutdown()
+      }
     entityOut ++ runFacts(spark, cfg, outDir)
   }
 

@@ -83,6 +83,49 @@ class WarehouseSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap == Map("Pune" -> 1L, "Delhi" -> 1L))
   }
 
+  test("parallel entity fan-out produces exactly the sequential run's layers") {
+    val root = Files.createTempDirectory("graft_whp").toString
+    write(s"$root/stage/location/location.csv",
+      """loc_id,city,tier,updated_at,rec_id
+        |1,Pune,2,2024-01-01 00:00:00,101
+        |1,Pune,1,2024-02-01 00:00:00,102
+        |2,Delhi,1,2024-01-01 00:00:00,103
+        |""".stripMargin)
+    write(s"$root/stage/restaurant/restaurant.csv",
+      """rest_id,rest_name,loc_id,updated_at,rec_id
+        |10,Spice Hub,1,2024-01-01 00:00:00,201
+        |11,Dosa House,2,2024-01-01 00:00:00,202
+        |""".stripMargin)
+    val cfg = Warehouse.Config(
+      entities = Seq(
+        Warehouse.Entity("location", "csv", s"$root/stage/location",
+          locCols, locCasts, Seq("loc_id"), "updated_at", "rec_id", scd2 = true),
+        Warehouse.Entity("restaurant", "csv", s"$root/stage/restaurant",
+          Seq("rest_id", "rest_name", "loc_id", "updated_at", "rec_id"),
+          Seq("rest_id" -> "bigint", "loc_id" -> "bigint",
+            "updated_at" -> "timestamp", "rec_id" -> "bigint"),
+          Seq("rest_id"), "updated_at", "rec_id")),
+      facts = Seq(
+        Warehouse.Fact("restaurant_by_city",
+          Seq("clean/restaurant", "clean/location"),
+          m => m("clean/restaurant")
+            .join(m("clean/location"), "loc_id")
+            .groupBy("city").agg(count(lit(1)).as("n_restaurants")))))
+
+    val seqOut = Warehouse.runBatch(spark, cfg, s"$root/wh-seq", entityParallelism = 1)
+    val parOut = Warehouse.runBatch(spark, cfg, s"$root/wh-par", entityParallelism = 4)
+    assert(parOut.keySet == seqOut.keySet)
+    // volatile audit columns (load ts) differ between the two runs —
+    // compare the data columns
+    val volatile = Set("_stg_file_load_ts", "_copy_data_ts")
+    seqOut.keys.foreach { k =>
+      val cols = seqOut(k).columns.filterNot(volatile).sorted.toSeq
+      val a = seqOut(k).select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      val b = parOut(k).select(cols.map(col): _*).collect().map(_.toSeq).toSet
+      assert(a == b, s"layer $k differs between sequential and parallel runs")
+    }
+  }
+
   test("runIncremental folds newly staged files into clean+dim (AvailableNow cron analog)") {
     val root = Files.createTempDirectory("graft_whi").toString
     val cfg = Warehouse.Config(entities = Seq(
