@@ -1,0 +1,260 @@
+package graft.store
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import SnapshotStore.Manifest
+
+/** Table change feed over [[SnapshotStore]] — the analog of the
+  * reference's stream objects (`/root/reference/02 Location Entity
+  * .sql:79-81`: "a standard stream object on the location table to
+  * track insert, update, and delete changes") whose rows every MERGE
+  * consumes via `METADATA$ACTION` / `METADATA$ISUPDATE`
+  * (`/root/reference/with procedures/location_proc.sql:279-320`).
+  *
+  * The manifest already records, per commit, which buckets changed
+  * (their entries point at new dirs or carry new tombstone sidecars),
+  * so the diff for one version step reads ONLY the touched buckets of
+  * the old and new snapshots — O(delta + touched buckets) at any table
+  * size, never a full-table comparison. Change rows carry
+  * [[ChangeType]] (`insert` / `update_preimage` / `update_postimage` /
+  * `delete` — the METADATA$ACTION×ISUPDATE matrix, same shape as
+  * Delta's change data feed) and [[CommitVersion]].
+  *
+  * Consumers: [[consumeChanges]] gives the stream-object usage pattern
+  * — a named consumer's offset (last version it has seen) is persisted
+  * under the table root, each consume call delivers exactly the
+  * versions committed since, and [[SnapshotStore.vacuum]] never
+  * reclaims history a registered consumer still needs (retention
+  * stretches rather than going stale under a slow consumer; drop
+  * abandoned consumers to release their history). Offset advance is
+  * AFTER the consumer's action: delivery is at-least-once on a crash
+  * between the two — pair the action with a [[SnapshotStore]] txn (or
+  * any idempotent sink) for exactly-once, the same hinge the streaming
+  * sinks use.
+  */
+object ChangeFeed {
+
+  /** Metadata column: one of [[Insert]]/[[UpdatePre]]/[[UpdatePost]]/[[Delete]]. */
+  val ChangeType = "_change_type"
+
+  /** Metadata column: the version whose commit produced the change. */
+  val CommitVersion = "_commit_version"
+
+  val Insert = "insert"
+  val UpdatePre = "update_preimage"
+  val UpdatePost = "update_postimage"
+  val Delete = "delete"
+
+  /** All changes committed AFTER `fromVersion` (exclusive — "the last
+    * version you have seen") up to and including `toVersion`.
+    * Pass `fromVersion = -1` on a never-vacuumed table to include the
+    * initial load as inserts.
+    *
+    * @param keys row-identity columns: unique per row in every
+    *   snapshot (the table's merge keys; for multi-row-per-key tables
+    *   like SCD2 history include the discriminator, e.g. eff_from).
+    *   Updates are detected per identity; a duplicate identity would
+    *   cross-multiply in the diff join.
+    *
+    * Scale: each version step full-outer-joins the old and new state
+    * of ONLY its touched buckets on `keys` — one shuffle sized by the
+    * delta, not the table. Buckets rewritten bit-identically (a
+    * [[SnapshotStore.compact]]) diff to zero rows. A consumer lagging
+    * n versions pays n bounded step-diffs, not n table scans.
+    *
+    * Staleness: a step needs BOTH its manifests; if vacuum already
+    * reclaimed version v-1, changes at v are unrecoverable and this
+    * throws (the stream-gone-stale condition) — register a consumer to
+    * prevent that.
+    */
+  def readChanges(spark: SparkSession, root: String, keys: Seq[String],
+                  fromVersion: Long, toVersion: Long): DataFrame = {
+    require(toVersion > fromVersion,
+      s"empty version range ($fromVersion, $toVersion]")
+    val vs = SnapshotStore.versions(spark, root)
+    require(vs.nonEmpty, s"no table at $root")
+    val steps = vs.filter(v => v > fromVersion && v <= toVersion)
+    require(steps.nonEmpty || fromVersion >= vs.last,
+      s"no committed versions in ($fromVersion, $toVersion] at $root")
+    val diffs = steps.flatMap { v =>
+      val mNew = SnapshotStore.readManifest(spark, root, v)
+      val mOld: Option[Manifest] =
+        if (v == 0) None
+        else if (!vs.contains(v - 1)) throw new IllegalStateException(
+          s"change feed at $root is STALE for version $v: its base " +
+            s"manifest ${v - 1} was vacuumed — register a consumer " +
+            "(consumeChanges) to hold retention, or read from a newer version")
+        else Some(SnapshotStore.readManifest(spark, root, v - 1))
+      diffStep(spark, root, keys, mOld, mNew, v)
+    }
+    if (diffs.nonEmpty) diffs.reduce(_.unionByName(_, allowMissingColumns = true))
+    else { // every step was a no-data commit (e.g. a txn-marker-only version)
+      val empty = SnapshotStore.read(spark, root).limit(0)
+      empty.withColumn(ChangeType, lit(null).cast("string"))
+        .withColumn(CommitVersion, lit(null).cast("long"))
+        .where(lit(false))
+    }
+  }
+
+  /** Diff ONE committed version against its predecessor. Returns None
+    * when the commit touched nothing (manifest-only version).
+    */
+  private def diffStep(spark: SparkSession, root: String, keys: Seq[String],
+                       mOld: Option[Manifest], mNew: Manifest,
+                       v: Long): Option[DataFrame] = {
+    val changed: Set[Int] = mOld match {
+      case None => mNew.buckets.keySet // initial load: everything is new
+      case Some(o) => (o.buckets.keySet ++ mNew.buckets.keySet)
+        .filter(b => o.buckets.get(b) != mNew.buckets.get(b))
+    }
+    if (changed.isEmpty) return None
+    val newRaw = SnapshotStore.readBuckets(spark, root, mNew, changed)
+    val oldRaw = mOld.map(SnapshotStore.readBuckets(spark, root, _, changed))
+      .getOrElse(spark.emptyDataFrame)
+    // align schemas across additive evolution (and the empty-side
+    // cases: bucket deleted entirely / initial load) — missing columns
+    // null-fill in the OTHER side's type
+    val schemas = Seq(newRaw, oldRaw).filter(_.schema.nonEmpty)
+    if (schemas.isEmpty) return None
+    val cols: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      schemas.flatMap(_.schema.fields.map(f => f.name -> f.dataType))
+        .foldLeft(Vector.empty[(String, org.apache.spark.sql.types.DataType)]) {
+          case (acc, f) => if (acc.exists(_._1 == f._1)) acc else acc :+ f
+        }
+    def aligned(df: DataFrame, prefix: String): DataFrame = {
+      val base = if (df.schema.nonEmpty) df
+        else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq.empty))
+      val projected = cols.map { case (c, t) =>
+        (if (base.columns.contains(c)) col(c) else lit(null).cast(t)).as(s"$prefix$c")
+      } :+ lit(true).as(s"${prefix}_present")
+      base.select(projected: _*)
+    }
+    val o = aligned(oldRaw, "__o_")
+    val n = aligned(newRaw, "__n_")
+    val joinCond = keys.map(k => col(s"__o_$k") <=> col(s"__n_$k")).reduce(_ && _)
+    val j = o.join(n, joinCond, "full_outer")
+    val nonKeys = cols.map(_._1).filterNot(keys.contains)
+    val unchanged: Column = nonKeys
+      .map(c => col(s"__o_$c") <=> col(s"__n_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    def img(prefix: String, ct: String): Column =
+      struct((cols.map { case (c, _) => col(s"$prefix$c").as(c) } :+
+        lit(ct).as(ChangeType)): _*)
+    // one pass over the join, no union: each row yields 0 (unchanged),
+    // 1 (insert/delete) or 2 (update pre+post) change structs —
+    // explode skips the null branch, so the touched buckets are read
+    // once per side instead of once per change class
+    val changes = when(col("__o__present").isNull, array(img("__n_", Insert)))
+      .when(col("__n__present").isNull, array(img("__o_", Delete)))
+      .when(!unchanged, array(img("__o_", UpdatePre), img("__n_", UpdatePost)))
+      .otherwise(lit(null))
+    Some(j.select(explode(changes).as("__c"))
+      .select(col("__c.*"))
+      .withColumn(CommitVersion, lit(v)))
+  }
+
+  // ------------------------------------------------------------------
+  // named consumers (the stream-object offset protocol)
+  // ------------------------------------------------------------------
+
+  private def consumersDir(root: String) = new Path(root, "_consumers")
+  private def consumerDir(root: String, id: String) =
+    new Path(consumersDir(root), SnapshotStore.enc(id))
+
+  private def fileSystem(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The last version `id` has consumed, None for an unknown consumer.
+    * Offsets are marker FILES named by version, advanced by exclusive
+    * create — crash-safe (a torn advance is simply absent) and
+    * monotone (the offset is the max marker; stale markers are
+    * best-effort garbage-collected on the next advance).
+    */
+  def consumerOffset(spark: SparkSession, root: String, id: String): Option[Long] = {
+    val fs = fileSystem(spark, root)
+    val dir = consumerDir(root, id)
+    if (!fs.exists(dir)) None
+    // marker names are the offset BIASED BY +1 so the pre-history
+    // offset -1 (seedConsumer bootstrap) still encodes as plain digits
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong - 1)
+      .maxOption
+  }
+
+  /** Smallest offset over all registered consumers (vacuum's retention
+    * floor), None when no consumer exists.
+    */
+  private[store] def minConsumerOffset(spark: SparkSession, root: String): Option[Long] = {
+    val fs = fileSystem(spark, root)
+    val dir = consumersDir(root)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq.filter(_.isDirectory)
+      .flatMap(st => consumerOffset(spark, root,
+        SnapshotStore.dec(st.getPath.getName)))
+      .minOption
+  }
+
+  /** Record that `id` has seen everything up to `v` (idempotent;
+    * never moves an offset backwards).
+    */
+  def seedConsumer(spark: SparkSession, root: String, id: String, v: Long): Unit = {
+    require(v >= -1L, s"offset $v below the pre-history floor of -1")
+    val fs = fileSystem(spark, root)
+    val dir = consumerDir(root, id)
+    fs.mkdirs(dir)
+    val marker = new Path(dir, f"${v + 1}%020d")
+    try fs.create(marker, false).close()
+    catch { case _: java.io.IOException if fs.exists(marker) => () }
+    // GC superseded markers, best effort — the offset is the max, so a
+    // failed delete is cosmetic
+    fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => p.getName.forall(_.isDigit) && p.getName.toLong < v + 1)
+      .foreach(p => try fs.delete(p, false) catch { case _: java.io.IOException => () })
+  }
+
+  /** Forget a consumer, releasing the history vacuum was retaining
+    * for it.
+    */
+  def dropConsumer(spark: SparkSession, root: String, id: String): Unit = {
+    val fs = fileSystem(spark, root)
+    fs.delete(consumerDir(root, id), true)
+  }
+
+  /** Consume the changes committed since `id` last consumed: runs
+    * `action(changes, fromVersion, toVersion)` and advances the offset
+    * AFTER it returns. Returns the consumed range, or None when there
+    * was nothing new.
+    *
+    * A consumer seen for the FIRST time is registered at the current
+    * latest version and consumes nothing — like a stream object, it
+    * observes changes from its creation point forward (to include
+    * existing rows, [[seedConsumer]] at -1 before the first consume,
+    * or bootstrap from a [[SnapshotStore.read]] snapshot + consume
+    * from there).
+    *
+    * Delivery is at-least-once: a crash between `action` and the
+    * offset advance redelivers the same range on the next call — make
+    * `action` idempotent (a [[SnapshotStore]] txn keyed by
+    * `toVersion`, or any upsert-by-key sink).
+    */
+  def consumeChanges(spark: SparkSession, root: String, id: String,
+                     keys: Seq[String])
+                    (action: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] = {
+    val latest = SnapshotStore.latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root"))
+    consumerOffset(spark, root, id) match {
+      case None =>
+        seedConsumer(spark, root, id, latest)
+        None
+      case Some(from) if from >= latest =>
+        None
+      case Some(from) =>
+        action(readChanges(spark, root, keys, from, latest), from, latest)
+        seedConsumer(spark, root, id, latest)
+        Some((from, latest))
+    }
+  }
+}

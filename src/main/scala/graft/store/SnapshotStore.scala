@@ -156,9 +156,9 @@ object SnapshotStore {
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
     versions(spark, root).lastOption
 
-  private def enc(s: String): String =
+  private[store] def enc(s: String): String =
     java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
-  private def dec(s: String): String =
+  private[store] def dec(s: String): String =
     java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
 
   /** Manifest format (line-oriented, tab-separated, values URL-encoded):
@@ -428,8 +428,8 @@ object SnapshotStore {
       .join(broadcast(probe), keys, "left_semi")
   }
 
-  private def readBuckets(spark: SparkSession, root: String, m: Manifest,
-                          which: Set[Int]): DataFrame = {
+  private[store] def readBuckets(spark: SparkSession, root: String, m: Manifest,
+                                 which: Set[Int]): DataFrame = {
     val dirs = m.buckets.collect { case (b, e) if which(b) => new Path(root, e.dir).toString }
     if (dirs.isEmpty) spark.emptyDataFrame
     // mergeSchema: after additive evolution a snapshot legitimately
@@ -938,14 +938,22 @@ object SnapshotStore {
     val fs = fileSystem(spark, root)
     val vs = versions(spark, root)
     if (vs.isEmpty) return 0
-    val keep = vs.takeRight(keepLast)
+    // a registered change-feed consumer at offset o still needs
+    // manifest o (its next diff's base) and everything after it —
+    // retention stretches to cover the slowest consumer rather than
+    // going stale under it (drop abandoned consumers via
+    // [[ChangeFeed.dropConsumer]] to release their history)
+    val minConsumer = ChangeFeed.minConsumerOffset(spark, root)
+    val keepFrom = math.min(vs.takeRight(keepLast).head,
+      minConsumer.getOrElse(Long.MaxValue))
+    val keep = vs.filter(_ >= keepFrom)
     val latest = vs.last
     val referenced: Set[String] =
       keep.flatMap(v => readManifest(spark, root, v).buckets.values
         .flatMap(e => e.dir +: e.tombstones)).toSet
     val deleted = mutable.ArrayBuffer.empty[Path]
 
-    vs.dropRight(keepLast).foreach { v => deleted += manifestPath(root, v) }
+    vs.filter(_ < keepFrom).foreach { v => deleted += manifestPath(root, v) }
     fs.listStatus(new Path(root)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
       .foreach { st =>
