@@ -857,14 +857,32 @@ object SnapshotStore {
     *   file: parquet writes row groups in encounter order, so sorted
     *   data gives every row group a tight min/max — the filter
     *   pushdown then skips row groups INSIDE the files the bucket- and
-    *   manifest-level pruning kept (Z-order's cheaper cousin, and the
-    *   right granularity below our per-bucket stats). Sorting permutes
+    *   manifest-level pruning kept (tight for the LEADING column only;
+    *   multi-column predicates want `zOrderBy`). Sorting permutes
     *   rows only — bucket membership, data, and carried-over stats are
     *   unchanged.
+    * @param zOrderBy columns to MORTON-cluster within each rewritten
+    *   bucket instead (mutually exclusive with `clusterBy`): rows sort
+    *   by the bit-interleave of per-column quantile-bucket codes
+    *   ([[ZOrder.code]]), so every written file/row group covers a
+    *   small hyper-rectangle and per-file min/max stays narrow in ALL
+    *   z-columns at once — [[readRange]] then prunes files on any of
+    *   them. Costs one extra `approxQuantile` pass over the rewritten
+    *   buckets (boundary placement).
+    * @param maxRecordsPerFile when > 0, split each rewritten bucket
+    *   into files of at most this many rows (instead of one file per
+    *   bucket) and RECOMPUTE per-file stats for the rewritten buckets
+    *   — the knob that makes clustering pay at FILE granularity, not
+    *   just row groups. 0 keeps the single-file-per-bucket behavior
+    *   with zero-cost stats carry-over.
     */
   def compact(spark: SparkSession, root: String, minFiles: Int = 2,
-              maxAttempts: Int = 5, clusterBy: Seq[String] = Nil): Long = {
+              maxAttempts: Int = 5, clusterBy: Seq[String] = Nil,
+              zOrderBy: Seq[String] = Nil, zOrderBits: Int = 8,
+              maxRecordsPerFile: Long = 0L): Long = {
     require(minFiles >= 2, "minFiles < 2 would rewrite already-compact buckets")
+    require(clusterBy.isEmpty || zOrderBy.isEmpty,
+      "clusterBy and zOrderBy are mutually exclusive cluster layouts")
     val fs = fileSystem(spark, root)
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -898,25 +916,39 @@ object SnapshotStore {
       val df = parts.reduce(_.unionByName(_, allowMissingColumns = true))
       val placed = df.repartition(frag.size, col(BucketCol))
       val clustered =
-        if (clusterBy.isEmpty) placed
+        if (zOrderBy.nonEmpty) placed
+          .withColumn("__zcode", ZOrder.code(df, zOrderBy, zOrderBits))
+          .sortWithinPartitions(col(BucketCol), col("__zcode"))
+          .drop("__zcode")
+        else if (clusterBy.isEmpty) placed
         else placed.sortWithinPartitions((BucketCol +: clusterBy).map(col): _*)
       clustered
         .write.mode("overwrite").partitionBy(BucketCol)
+        .option("maxRecordsPerFile", maxRecordsPerFile)
         .parquet(new Path(root, rel).toString)
+      // a split rewrite changes file boundaries, so per-file stats are
+      // recomputed (one O(rewritten buckets) rollup — same order as the
+      // write itself); bucket-level stats stay carried over (data is
+      // unchanged, so they remain exact)
+      val freshFileStats: Map[Int, Map[String, Seq[Option[(String, String)]]]] =
+        if (maxRecordsPerFile > 0 && m.statsCols.nonEmpty)
+          collectStats(spark.read.parquet(new Path(root, rel).toString), m.statsCols)._2
+        else Map.empty
       val rewritten = frag.flatMap { b =>
         val dir = s"$rel/$BucketCol=$b"
         // folded deletes can empty a bucket entirely — no dir written,
         // and the bucket drops out of the manifest
         if (!fs.exists(new Path(root, dir))) None
         else {
-          // a compacted bucket is one file spanning the whole bucket,
-          // so the carried-over bucket stats ARE its file stats (were
-          // the write ever to split, bucket-range stats per file would
-          // still be conservative — supersets never cause a wrong
-          // prune; likewise folded deletes only ever SHRINK the true
-          // range, so carried stats stay conservative)
+          // an unsplit compacted bucket is one file spanning the whole
+          // bucket, so the carried-over bucket stats ARE its file stats
+          // (were the write ever to split anyway, bucket-range stats
+          // per file would still be conservative — supersets never
+          // cause a wrong prune; likewise folded deletes only ever
+          // SHRINK the true range, so carried stats stay conservative)
           val fst =
             if (m.statsCols.isEmpty) Map.empty[String, Seq[Option[(String, String)]]]
+            else if (maxRecordsPerFile > 0) freshFileStats.getOrElse(b, Map.empty)
             else fs.listStatus(new Path(root, dir)).toSeq
               .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
               .map(_.getPath.getName -> m.buckets(b).stats).toMap
