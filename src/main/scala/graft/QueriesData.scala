@@ -897,9 +897,95 @@ object QueriesData {
       .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
         count(lit(1)).as("n_events"))
 
+  // =====================================================================
+  // t13 — dataset mixture re-weighting (domain mixing): given target
+  // mixture weights per source, derive each source's acceptance rate
+  // (min(1, target_share·total / source_count)) and sample docs
+  // deterministically via the t06 md5-bucket — the "sample The Pile /
+  // CC dumps to target proportions" step of a training-data pipeline,
+  // reproducible in any engine. The corpus itself never shuffles: one
+  // groupBy on the (tiny) source domain, rates broadcast back.
+  // Weights here derive from the source name so the oracle is a pure
+  // function of the data; production passes an explicit weight map.
+  // =====================================================================
+  val t13: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_source"))
+      .withColumn("weight",
+        expr("CAST(substring(source, 4) AS BIGINT)") % 5 + 1)
+    val everything = org.apache.spark.sql.expressions.Window
+      .partitionBy() // the rates frame is |sources| rows — metadata
+    val rates = counts
+      .withColumn("accept_pct",
+        least(lit(100L), floor(lit(100.0) * col("weight")
+          * sum(col("n_source")).over(everything)
+          / (sum(col("weight")).over(everything) * col("n_source")))))
+      .select("source", "n_source", "weight", "accept_pct")
+    val bucket = graft.functions.Funcs.splitBucket(col("doc_id"), "mix")
+    docs.join(broadcast(rates), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_source"), col("weight"),
+        col("accept_pct"), bucket.as("mix_bucket"),
+        (bucket < col("accept_pct")).as("sampled"))
+  }
+
+  val t13Sql: String =
+    """WITH counts AS (
+      |  SELECT source, count(*) AS n_source,
+      |    CAST(substr(source, 4) AS BIGINT) % 5 + 1 AS weight
+      |  FROM documents GROUP BY source),
+      |rates AS (
+      |  SELECT source, n_source, weight,
+      |    CAST(least(100, CAST(floor(100.0 * weight * (sum(n_source) OVER ())
+      |      / ((sum(weight) OVER ()) * n_source)) AS BIGINT)) AS BIGINT) AS accept_pct
+      |  FROM counts),
+      |bucketed AS (
+      |  SELECT doc_id, source,
+      |    CAST(CAST(substr(regexp_replace(md5(CAST(doc_id AS VARCHAR) || '|mix'),
+      |      '[a-f]', '', 'g') || '000000', 1, 6) AS BIGINT) % 100 AS BIGINT) AS mix_bucket
+      |  FROM documents)
+      |SELECT b.doc_id, b.source, r.n_source, r.weight, r.accept_pct,
+      |  b.mix_bucket, (b.mix_bucket < r.accept_pct) AS sampled
+      |FROM bucketed b JOIN rates r USING (source)""".stripMargin
+
+  // =====================================================================
+  // d10 — semantic dedup (SemDeDup, Abbas et al. 2023): k-means
+  // cluster the embeddings, pairwise cosine ONLY within clusters,
+  // greedily drop vectors similar to a lower-id cluster-mate. Rows-only
+  // (the codebook comes from Spark-side deterministic Lloyd);
+  // DedupSpec proves the kept set τ-separated per cluster and every
+  // drop justified vs an exact recompute.
+  // =====================================================================
+  val d10: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val centroids = Similarity.ivfTrain(emb, "vec_id", "embedding",
+      nlist = 16, trainIters = 2)
+    Dedup.semanticDedup(emb, "vec_id", "embedding", centroids, threshold = 0.35)
+      .select(col("vec_id"), col("list_id").cast("long").as("list_id"),
+        col("is_kept"))
+  }
+
+  // =====================================================================
+  // s06 — product-quantization ANN: m=8 subspace codebooks of k=16
+  // centroids (PQ codes: 8 small ints standing in for 64 floats — the
+  // compression that keeps a 100 TB corpus' index in memory), ADC scan
+  // in the compressed domain, exact e12 rerank on the shortlist only.
+  // Rows-only; SimilaritySpec bounds recall@10 vs the exact baseline.
+  // =====================================================================
+  val s06: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, k = 16, dim = 64, trainIters = 2)
+    Similarity.pqTopK(emb, emb.where(col("vec_id") < 10),
+      "vec_id", "embedding", cb, dim = 64, k = 10, shortlist = 150)
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
+    "t13_domain_mix" -> t13,
+    "d10_semantic_dedup" -> d10,
+    "s06_ann_pq" -> s06,
     "k04_approx_distinct" -> k04,
     "t11_stratified_sample" -> t11,
     "t12_doc_freq_score" -> t12,
@@ -937,6 +1023,7 @@ object QueriesData {
     "t09_weighted_sample" -> t09)
 
   val oracles: Map[String, String] = Map(
+    "t13_domain_mix" -> t13Sql,
     "t11_stratified_sample" -> t11Sql,
     "t12_doc_freq_score" -> t12Sql,
     "s05_vector_quantize" -> s05Sql,

@@ -457,4 +457,46 @@ object Dedup {
         (col("label_a") === col("label_b")).as("same_label"),
         floor(col("cos") * 1000d).cast("long").as("cos_e3"))
   }
+
+  /** Semantic dedup (the SemDeDup recipe, Abbas et al.,
+    * arXiv:2303.09540): k-means-cluster the embeddings, then compare
+    * pairs ONLY within a cluster and greedily drop every vector whose
+    * cosine to some LOWER-ID vector of its cluster reaches
+    * `threshold` (id order replaces the paper's arbitrary scan order —
+    * deterministic in any engine). The kept set is τ-separated within
+    * every cluster: if kept j < kept i had cos ≥ τ, i would have been
+    * dropped by j.
+    *
+    * Scale: the quadratic step is per-cluster (the whole point — pick
+    * `nlist` ≈ √N so clusters stay ~√N and total pair work stays ~N^1.5
+    * bounded, vs N² all-pairs); the self-join is an equi-join on
+    * list_id, co-partitioned by one shuffle; cross-cluster near-dups
+    * are the recall trade the paper accepts. `centroids` come from
+    * [[Similarity.ivfTrain]] — metadata-sized, broadcast inside the
+    * assignment expression.
+    *
+    * Returns (idCol, list_id, is_kept).
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
+    graft.GraftFunctions.register(emb.sparkSession)
+    val assigned = Similarity.ivfAssign(emb, idCol, vecCol, centroids)
+    // narrow (id, list, vec, normSq) frame feeding BOTH self-join
+    // sides — materialize once (the d04 lesson: AQE broadcasting one
+    // side would re-run the assignment pipeline per side)
+    val base = graft.Caching.persistTracked(
+      emb.join(assigned, Seq(idCol)).select(col(idCol), col("list_id"), col(vecCol),
+        VecFuncs.normSqE12Native(col(vecCol)).cast("double").as("__nsq")))
+    def side(suffix: String) = base.select(col("list_id"),
+      col(idCol).as(s"__id_$suffix"), col(vecCol).as(s"__v_$suffix"),
+      col("__nsq").as(s"__nsq_$suffix"))
+    val dropped = side("a").join(side("b"), Seq("list_id"))
+      .where(col("__id_a") < col("__id_b"))
+      .where(VecFuncs.dotE12Native(col("__v_a"), col("__v_b")).cast("double")
+        / sqrt(col("__nsq_a") * col("__nsq_b")) >= threshold)
+      .select(col("__id_b").as(idCol)).distinct()
+    base.join(dropped.withColumn("__dup", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("list_id"),
+        coalesce(col("__dup"), lit(false)).unary_!.as("is_kept"))
+  }
 }

@@ -364,4 +364,147 @@ object Similarity {
         expr(s"(1000000 * n_vectors * $nlist) div __total"))
       .drop("__total")
   }
+
+  // ------------------------------------------------------------------
+  // product quantization (PQ) — compressed-domain ANN
+  // ------------------------------------------------------------------
+
+  /** Unit-normalize a vector column (zero vectors pass through). PQ
+    * codes the NORMALIZED corpus so one dot against the reconstruction
+    * approximates cosine directly — the norm needn't be stored.
+    */
+  private def normalized(vec: Column): Column = {
+    // normSqE12 is in 1e-12 units — the true norm is sqrt(e12)/1e6
+    val n = sqrt(VecFuncs.normSqE12Native(vec).cast("double")) / 1e6
+    when(n === 0d, vec).otherwise(transform(vec, x => x / n))
+  }
+
+  /** Plain (non-spherical) Lloyd over ONE subspace slice: argmin L2 =
+    * argmax(dot − ‖c‖²/2), centroid update is the e6-integer-exact
+    * mean — bit-deterministic like [[ivfTrain]], but without the
+    * unit-normalization step (PQ centroids must sit at the data mean
+    * to minimize reconstruction error; a unit-norm constraint would
+    * inflate it).
+    */
+  private def subspaceScores(cents: Seq[Seq[Double]])(vec: Column): Column =
+    zip_with(centroidDots(cents)(vec),
+      typedLit(cents.map(c => c.map(x => x * x).sum / 2)),
+      (d, h) => d - h)
+
+  private def kmeansSub(slices: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] = {
+    var cents: Seq[Seq[Double]] = slices
+      .orderBy(md5(col("__sid"))).limit(k)
+      .collect().toSeq.map(_.getSeq[Number](1).map(_.doubleValue()).toSeq)
+    require(cents.nonEmpty, "pqTrain: empty corpus")
+    (1 to iters).foreach { _ =>
+      val scores = subspaceScores(cents) _
+      val updated = slices.select(
+        array_position(scores(col("__v")), array_max(scores(col("__v"))))
+          .cast("int").as("__list"),
+        posexplode(col("__v")).as(Seq("__i", "__x")))
+        .groupBy(col("__list"), col("__i"))
+        .agg(sum(round(col("__x") * 1e6).cast("long")).as("__se6"),
+          count(lit(1)).as("__n"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (list, rows) =>
+          list -> rows.sortBy(_.getInt(1))
+            .map(r => r.getLong(2).toDouble / 1e6 / r.getLong(3)).toSeq
+        }
+      cents = cents.zipWithIndex.map { case (old, i) => updated.getOrElse(i + 1, old) }
+    }
+    cents
+  }
+
+  /** Train PQ codebooks: the (normalized) vector splits into `m`
+    * contiguous subspaces and each gets its own `k`-centroid plain
+    * k-means codebook — `m · k` centroids of `dim/m` values, metadata-
+    * sized (broadcast as literals into every downstream expression).
+    * Deterministic: md5-ordered sample init + integer-exact updates.
+    */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int, k: Int, dim: Int, trainIters: Int = 2): Seq[Seq[Seq[Double]]] = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    graft.GraftFunctions.register(corpus.sparkSession)
+    val w = dim / m
+    val base = Parallelize.ensure(corpus)
+    (0 until m).map { sub =>
+      // float-cast: the e12 dot kernel is array<float>-typed, and PQ
+      // precision is bounded by the quantizer, not the element width
+      kmeansSub(base.select(col(idCol).cast("string").as("__sid"),
+        slice(normalized(col(vecCol)).cast("array<float>"), sub * w + 1, w)
+          .as("__v")), k, trainIters)
+    }
+  }
+
+  /** Encode the corpus against trained codebooks: each vector becomes
+    * `m` small integers (codebook indices, 1-based) — with m=8, k≤256
+    * that is 8 bytes standing in for `dim` floats, the 16–32×
+    * compression that lets a 100 TB corpus' ANN index live in memory.
+    * One pure-expression pass, no shuffle. Returns (idCol, codes).
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebooks: Seq[Seq[Seq[Double]]], dim: Int): DataFrame = {
+    graft.GraftFunctions.register(corpus.sparkSession)
+    val m = codebooks.size
+    val w = dim / m
+    val nv = normalized(col(vecCol)).cast("array<float>")
+    val codes = array(codebooks.zipWithIndex.map { case (cb, sub) =>
+      val scores = subspaceScores(cb)(slice(nv, sub * w + 1, w))
+      array_position(scores, array_max(scores)).cast("int")
+    }: _*)
+    Parallelize.ensure(corpus).select(col(idCol), codes.as("codes"))
+  }
+
+  /** ADC top-k with exact rerank: score every CODE against each query
+    * via the query's dot with the code's reconstruction (subspace
+    * centroids concatenate back to a full vector — all literals, so
+    * the scan touches only the (id, codes) table), shortlist the top
+    * `shortlist` per query, then rerank ONLY the shortlist with the
+    * exact e12 cosine against the full vectors. The corpus' float
+    * vectors are read once by the encode and once per shortlist row —
+    * the ADC scan itself runs in the compressed domain, which is what
+    * survives at 100 TB. Same output shape as [[bruteForceTopK]]
+    * (query_id, rank, neighbor_id, cos_e3).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, codebooks: Seq[Seq[Seq[Double]]], dim: Int,
+             k: Int, shortlist: Int = 100): DataFrame = {
+    graft.GraftFunctions.register(corpus.sparkSession)
+    val m = codebooks.size
+    val w = dim / m
+    val enc = pqEncode(corpus, idCol, vecCol, codebooks, dim)
+    val q = queries.select(col(idCol).as("query_id"),
+      normalized(col(vecCol)).as("__qv"))
+    // reconstruction = concat of the looked-up subspace centroids
+    val recon = concat(codebooks.zipWithIndex.map { case (cb, sub) =>
+      element_at(typedLit(cb), element_at(col("codes"), sub + 1))
+    }: _*)
+    val adc = aggregate(zip_with(col("__qv"), recon, (a, b) => a * b),
+      lit(0.0d), (acc, x) => acc + x)
+    val wd = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").desc, col("neighbor_id").asc)
+    val short = enc.select(col(idCol).as("neighbor_id"), col("codes"))
+      .crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__adc", adc)
+      .withColumn("__r", row_number().over(wd))
+      .where(col("__r") <= shortlist)
+      .select("query_id", "neighbor_id")
+    // exact rerank on the shortlist only (broadcast: nq·shortlist rows)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      VecFuncs.normSqE12Native(col(vecCol)).cast("double").as("__cn"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qfull"),
+      VecFuncs.normSqE12Native(col(vecCol)).cast("double").as("__qn"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos", VecFuncs.dotE12Native(col("__cv"), col("__qfull"))
+        .cast("double") / sqrt(col("__cn") * col("__qn")))
+      .withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), floor(col("cos") * 1000d).cast("long").as("cos_e3"))
+  }
 }

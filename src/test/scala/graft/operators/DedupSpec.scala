@@ -139,4 +139,54 @@ class DedupSpec extends SparkSpec {
       Dedup.clusters(chain.toDF("id_a", "id_b"), maxIter = 1, localThreshold = 0L).collect()
     }
   }
+
+  test("semanticDedup: kept set is τ-separated per cluster; every drop justified; exact recompute agrees") {
+    val dir = "/root/testdata/sf0.001"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+    // plant a guaranteed near-duplicate of vector 0 at a high id so
+    // the fixture provably exercises the drop branch
+    val base = graft.Tables.embeddings(spark, dir)
+    val emb = base.unionByName(
+      base.where($"vec_id" === 0L).select(
+        lit(1000000L).as("vec_id"),
+        transform($"embedding", x => x * 0.99f).as("embedding"),
+        $"label"))
+    val tau = 0.35
+    val cents = Similarity.ivfTrain(emb, "vec_id", "embedding",
+      nlist = 8, trainIters = 2)
+    val got = Dedup.semanticDedup(emb, "vec_id", "embedding", cents, tau)
+      .as[(Long, Int, Boolean)].collect()
+    assert(got.length == emb.count()) // every vector classified exactly once
+
+    // exact reference: cosines recomputed locally with the same
+    // e6-integer quantization the engine uses
+    val assign = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+      .as[(Long, Int)].collect().toMap
+    val vecs = emb.as[(Long, Array[Float], Int)].collect()
+      .map { case (id, v, _) =>
+        id -> v.map(graft.plans.DotProductE12.e6) // engine's exact quantization
+      }.toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (vecs(a), vecs(b))
+      val dot = x.zip(y).map { case (p, q) => p * q }.sum.toDouble
+      dot / math.sqrt(x.map(p => p * p).sum.toDouble * y.map(q => q * q).sum.toDouble)
+    }
+    got.foreach { case (id, list, _) => assert(assign(id) == list) }
+    val byList = got.groupBy(_._2)
+    byList.values.foreach { members =>
+      val kept = members.filter(_._3).map(_._1).sorted
+      // kept pairs never reach τ
+      for (i <- kept.indices; j <- 0 until i)
+        assert(cos(kept(j), kept(i)) < tau,
+          s"kept pair (${kept(j)}, ${kept(i)}) violates separation")
+      // every dropped vector has an earlier cluster-mate at ≥ τ
+      members.filterNot(_._3).foreach { case (id, list, _) =>
+        val earlier = members.map(_._1).filter(_ < id)
+        assert(earlier.exists(e => cos(e, id) >= tau),
+          s"dropped $id in list $list has no justifying earlier neighbor")
+      }
+    }
+    // the fixture actually exercises both outcomes
+    assert(got.exists(_._3) && got.exists(!_._3))
+  }
 }

@@ -37,4 +37,31 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, Long)].collect().count(_._1 <= 10L)
     assert(top >= 8, s"expected heavy items to dominate, got $top/10")
   }
+
+  test("domain mix (t13): acceptance rates follow the target weights; sampling is the bucket threshold exactly") {
+    val dir = "/root/testdata/sf0.001"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+    val got = graft.QueriesData.t13(spark, dir)
+      .select("doc_id", "source", "n_source", "weight", "accept_pct",
+        "mix_bucket", "sampled")
+      .as[(Long, String, Long, Long, Long, Long, Boolean)].collect()
+    assert(got.nonEmpty)
+    // sampled ⟺ bucket below the source's acceptance threshold
+    got.foreach { case (id, _, _, _, pct, bucket, sampled) =>
+      assert(sampled == (bucket < pct), s"doc $id flag mismatch")
+    }
+    // per-source rate = min(1, target_share·total / n_source), in pct
+    val perSource = got.groupBy(_._2).map { case (src, rows) =>
+      (src, rows.head._3, rows.head._4, rows.head._5)
+    }.toSeq
+    val total = perSource.map(_._2).sum
+    val sumW = perSource.map(_._3).sum
+    perSource.foreach { case (src, n, w, pct) =>
+      val expect = math.min(100L, math.floor(100.0 * w * total / (sumW * n)).toLong)
+      assert(pct == expect, s"source $src acceptance $pct != $expect")
+      assert(w == src.stripPrefix("src").toLong % 5 + 1)
+    }
+    // the fixture exercises both capped and fractional rates
+    assert(perSource.exists(_._4 == 100L) && perSource.exists(_._4 < 100L))
+  }
 }

@@ -186,4 +186,44 @@ class SimilaritySpec extends SparkSpec {
       (cur, delta) => cur.unionByName(delta), txn = Some(ckpt -> 1L))
     assert(SnapshotStore.latestVersion(spark, root) == before)
   }
+
+  test("PQ: codes are m small ints; ADC + exact rerank reaches recall@10 vs brute force; rerank scores are exact") {
+    val dir = "/root/testdata/sf0.001"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+    val emb = graft.Tables.embeddings(spark, dir)
+    val q = emb.where($"vec_id" < 10)
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, k = 16, dim = 64, trainIters = 2)
+    assert(cb.size == 8 && cb.forall(_.size == 16) && cb.forall(_.forall(_.size == 8)))
+
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", cb, dim = 64)
+      .as[(Long, Array[Int])].collect()
+    assert(enc.length == emb.count())
+    enc.foreach { case (_, codes) =>
+      assert(codes.length == 8 && codes.forall(c => c >= 1 && c <= 16))
+    }
+    // encoding is deterministic (codebook + argmax tie-breaks)
+    val enc2 = Similarity.pqEncode(emb, "vec_id", "embedding", cb, dim = 64)
+      .as[(Long, Array[Int])].collect()
+    assert(enc.sortBy(_._1).zip(enc2.sortBy(_._1))
+      .forall { case ((a, ca), (b, cb2)) => a == b && ca.sameElements(cb2) })
+
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+    val pq = Similarity.pqTopK(emb, q, "vec_id", "embedding", cb,
+      dim = 64, k = 10, shortlist = 150)
+    val recall = pairs(exact).intersect(pairs(pq)).size.toDouble / pairs(exact).size
+    info(f"pq recall@10 (m=8, k=16, shortlist=150) = $recall%.3f")
+    assert(recall >= 0.7)
+
+    // whatever the shortlist surfaced carries the EXACT cosine — the
+    // compressed domain only shortlists, never scores the output
+    val exactCos = exact.select("query_id", "neighbor_id", "cos_e3")
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    pq.select("query_id", "neighbor_id", "cos_e3").as[(Long, Long, Long)]
+      .collect().foreach { case (qid, nid, ce3) =>
+        exactCos.get((qid, nid)).foreach(e => assert(e == ce3))
+      }
+  }
 }
