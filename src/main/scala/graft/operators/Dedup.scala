@@ -480,12 +480,16 @@ object Dedup {
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
     graft.GraftFunctions.register(emb.sparkSession)
-    val assigned = Similarity.ivfAssign(emb, idCol, vecCol, centroids)
-    // narrow (id, list, vec, normSq) frame feeding BOTH self-join
-    // sides — materialize once (the d04 lesson: AQE broadcasting one
-    // side would re-run the assignment pipeline per side)
+    // list assignment computed INLINE (the codebook is a literal) — a
+    // join against an ivfAssign frame would shuffle the corpus against
+    // a corpus-sized derived table for no reason. The narrow (id,
+    // list, vec, normSq) frame feeds BOTH self-join sides —
+    // materialize once (the d04 lesson: AQE broadcasting one side
+    // would re-run the assignment pipeline per side)
     val base = graft.Caching.persistTracked(
-      emb.join(assigned, Seq(idCol)).select(col(idCol), col("list_id"), col(vecCol),
+      Parallelize.ensure(emb).select(col(idCol),
+        Similarity.ivfAssignExpr(col(vecCol), centroids).as("list_id"),
+        col(vecCol),
         VecFuncs.normSqE12Native(col(vecCol)).cast("double").as("__nsq")))
     def side(suffix: String) = base.select(col("list_id"),
       col(idCol).as(s"__id_$suffix"), col(vecCol).as(s"__v_$suffix"),

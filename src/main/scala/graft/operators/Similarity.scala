@@ -265,16 +265,21 @@ object Similarity {
     * Returns (idCol, list_id) — the narrow frame the index build
     * shuffles on, and the input to [[ivfListStats]].
     */
+  /** The assignment as a pure COLUMN (argmax of the centroid dots,
+    * first-max tie-break): callers that already hold the vector column
+    * compute the list inline — no join against a corpus-sized
+    * assignment frame.
+    */
+  def ivfAssignExpr(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val d = centroidDots(centroids)(vec)
+    array_position(d, array_max(d)).cast("int")
+  }
+
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
                 centroids: Seq[Seq[Double]]): DataFrame = {
     graft.GraftFunctions.register(corpus.sparkSession)
-    val dots = centroidDots(centroids) _
-    def assigned(vec: Column): Column = {
-      val d = dots(vec)
-      array_position(d, array_max(d)).cast("int")
-    }
     Parallelize.ensure(corpus)
-      .select(col(idCol), assigned(col(vecCol)).as("list_id"))
+      .select(col(idCol), ivfAssignExpr(col(vecCol), centroids).as("list_id"))
   }
 
   /** IVF list-balance diagnostics: per-list occupancy plus its share
