@@ -257,4 +257,85 @@ object ChangeFeed {
         Some((from, latest))
     }
   }
+
+  // ------------------------------------------------------------------
+  // table → table incremental pipelines
+  // ------------------------------------------------------------------
+
+  /** Incrementally maintain a DERIVED snapshot table from a source
+    * snapshot table's change feed — the reference's stream-consuming
+    * MERGE between layers (`location_proc.sql:266-331`: clean-layer
+    * stream rows merged into the consumption table, dispatching on
+    * METADATA$ACTION) re-expressed over graft's own table format.
+    *
+    * One call = one sync: the consumer `id`'s unseen versions collapse
+    * to each key's FINAL state (last non-preimage change wins — a key
+    * upserted five times and deleted once costs one upsert or one
+    * delete downstream, not six commits), `transform` reshapes the
+    * upsert rows (projection/masking/derivation; must preserve
+    * `keys`), and the target gets at most two commits: a keyed-replace
+    * [[SnapshotStore.commitDelta]] and a [[SnapshotStore.commitDeletes]]
+    * — both O(delta + touched buckets).
+    *
+    * Exactly-once end to end: both commits carry a manifest txn keyed
+    * by the consumed source version, so a crash ANYWHERE between the
+    * first commit and the offset advance redelivers the same range and
+    * every already-applied commit skips as a txn no-op. A target that
+    * does not exist yet bootstraps from `transform(source latest)` and
+    * seeds the consumer there.
+    *
+    * Returns the consumed source range, None when already in sync.
+    */
+  def syncDerived(spark: SparkSession, sourceRoot: String, targetRoot: String,
+                  id: String, keys: Seq[String], numBuckets: Int = 16,
+                  transform: DataFrame => DataFrame = identity): Option[(Long, Long)] = {
+    val latest = SnapshotStore.latestVersion(spark, sourceRoot)
+      .getOrElse(throw new IllegalStateException(s"no table at $sourceRoot"))
+    if (SnapshotStore.latestVersion(spark, targetRoot).isEmpty) {
+      // consumer seeded BEFORE the init: a crash between the two
+      // re-runs the bootstrap (no committed target yet), while the
+      // reverse order could commit a target with no registered
+      // consumer. The snapshot is read at-or-after `latest`, so any
+      // overlap the offset re-delivers is an idempotent keyed replace.
+      seedConsumer(spark, sourceRoot, id, latest)
+      val snap = transform(SnapshotStore.read(spark, sourceRoot))
+      keys.foreach(k => require(snap.columns.contains(k),
+        s"transform must preserve key column $k"))
+      SnapshotStore.init(spark, targetRoot, snap, keys, numBuckets,
+        txn = Some(s"graft.sync.$id" -> latest))
+      return Some((-1L, latest))
+    }
+    val from = consumerOffset(spark, sourceRoot, id).getOrElse(
+      throw new IllegalStateException(
+        s"target $targetRoot exists but consumer $id is unregistered on " +
+          s"$sourceRoot — was the consumer dropped while the target lived on?"))
+    if (from >= latest) return None
+    val changes = readChanges(spark, sourceRoot, keys, from, latest)
+    // final state per key across the range: the last insert/postimage/
+    // delete wins (a version holds at most one non-preimage row per
+    // key, so (version desc) is a total order per key)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(CommitVersion).desc)
+    val finals = changes.where(col(ChangeType) =!= UpdatePre)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+    val upserts = transform(
+      finals.where(col(ChangeType) =!= Delete).drop(ChangeType, CommitVersion))
+    val deletes = finals.where(col(ChangeType) === Delete)
+      .select(keys.map(col): _*)
+    if (!upserts.isEmpty) {
+      SnapshotStore.commitDelta(spark, targetRoot, upserts, keys,
+        // keyed replace: the change feed already delivers full final
+        // rows, so the merge is delete-then-insert by key
+        (cur, delta) => cur.join(delta.select(keys.map(col): _*).distinct(),
+          keys, "left_anti").unionByName(delta),
+        txn = Some(s"graft.sync.$id" -> latest))
+    }
+    if (!deletes.isEmpty) {
+      SnapshotStore.commitDeletes(spark, targetRoot, deletes, keys,
+        txn = Some(s"graft.sync.$id#del" -> latest))
+    }
+    seedConsumer(spark, sourceRoot, id, latest)
+    Some((from, latest))
+  }
 }

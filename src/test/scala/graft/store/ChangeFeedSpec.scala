@@ -162,6 +162,60 @@ class ChangeFeedSpec extends SparkSpec {
     assert(ex.getMessage.contains("STALE"))
   }
 
+  test("syncDerived: derived table tracks the source through upserts, collapsed multi-version runs, and deletes; redelivery is a no-op") {
+    val src = tmpDir("sync-src")
+    val dst = tmpDir("sync-dst")
+    SnapshotStore.init(spark, src,
+      (1L to 40L).map(k => (k, s"v$k", 1L)).toDF("k", "v", "ts"),
+      Seq("k"), numBuckets = 4)
+    val mask = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("k"), upper(col("v")).as("v_clean"))
+    def expect(): Set[(Long, String)] =
+      mask(SnapshotStore.read(spark, src)).as[(Long, String)].collect().toSet
+    def got(): Set[(Long, String)] =
+      SnapshotStore.read(spark, dst).select("k", "v_clean")
+        .as[(Long, String)].collect().toSet
+
+    // bootstrap
+    assert(ChangeFeed.syncDerived(spark, src, dst, "clean", Seq("k"),
+      numBuckets = 2, transform = mask).contains((-1L, 0L)))
+    assert(got() == expect())
+    // in sync → no-op
+    assert(ChangeFeed.syncDerived(spark, src, dst, "clean", Seq("k"),
+      transform = mask).isEmpty)
+
+    // three source versions before one sync: k=1 updated twice (only
+    // the final state lands), k=41 inserted, k=2 deleted
+    SnapshotStore.commitDelta(spark, src,
+      Seq((1L, "x1", 2L)).toDF("k", "v", "ts"), Seq("k"), merge)
+    SnapshotStore.commitDelta(spark, src,
+      Seq((1L, "y1", 3L), (41L, "v41", 3L)).toDF("k", "v", "ts"), Seq("k"), merge)
+    SnapshotStore.commitDeletes(spark, src, Seq(Tuple1(2L)).toDF("k"), Seq("k"))
+    val dstBefore = SnapshotStore.latestVersion(spark, dst).get
+    assert(ChangeFeed.syncDerived(spark, src, dst, "clean", Seq("k"),
+      transform = mask).contains((0L, 3L)))
+    assert(got() == expect())
+    assert(got().contains((1L, "Y1")) && !got().exists(_._1 == 2L))
+    // collapsed: one upsert commit + one delete commit, not one per version
+    assert(SnapshotStore.latestVersion(spark, dst).get == dstBefore + 2)
+
+    // delete then re-insert across versions lands as the re-insert
+    SnapshotStore.commitDeletes(spark, src, Seq(Tuple1(3L)).toDF("k"), Seq("k"))
+    SnapshotStore.commitDelta(spark, src,
+      Seq((3L, "z3", 9L)).toDF("k", "v", "ts"), Seq("k"), merge)
+    ChangeFeed.syncDerived(spark, src, dst, "clean", Seq("k"), transform = mask)
+    assert(got() == expect() && got().contains((3L, "Z3")))
+
+    // redelivery: re-running the SAME range (offset wound back, as a
+    // crash before the advance would leave it) must not double-apply
+    ChangeFeed.dropConsumer(spark, src, "clean")
+    ChangeFeed.seedConsumer(spark, src, "clean", 3L)
+    val vBefore = SnapshotStore.latestVersion(spark, dst).get
+    ChangeFeed.syncDerived(spark, src, dst, "clean", Seq("k"), transform = mask)
+    assert(got() == expect())
+    assert(SnapshotStore.latestVersion(spark, dst).get == vBefore) // txn no-ops
+  }
+
   test("additive schema evolution: new column surfaces as update post-images, old rows null-fill") {
     val root = tmpDir("evolve")
     SnapshotStore.init(spark, root,
