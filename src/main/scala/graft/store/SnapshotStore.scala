@@ -965,6 +965,48 @@ object SnapshotStore {
       s"compact lost $maxAttempts consecutive commit races at $root")
   }
 
+  /** Bucket-count evolution: rewrite the table under a NEW hash-bucket
+    * layout (one full O(table) rewrite, published as one ordinary
+    * version through the same commit arbiter). The bucket count is
+    * otherwise fixed at creation, so a table that grew 100× is stuck
+    * with buckets 100× too coarse — point lookups, CoW merges, and
+    * compactions all degrade with bucket size. Every write/read path
+    * takes `numBuckets` from the LATEST manifest, so subsequent deltas
+    * compose with the new layout automatically; unfolded tombstones
+    * are subtracted by the rewrite (a key's sidecar lives under the
+    * OLD bucketing and would be wrong under the new one — fold, don't
+    * carry); per-bucket AND per-file stats are recomputed for the new
+    * buckets. Old-layout data stays referenced by old manifests (time
+    * travel intact) until [[vacuum]].
+    *
+    * `keys` must be the table's bucketing keys — the caller carries
+    * them on every commitDelta already; a mismatch would break
+    * readForKeys pruning, so it is on the same contract.
+    */
+  def rebucket(spark: SparkSession, root: String, keys: Seq[String],
+               newNumBuckets: Int, maxAttempts: Int = 5): Long = {
+    require(newNumBuckets >= 1, "need at least one bucket")
+    val fs = fileSystem(spark, root)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val base = latestVersion(spark, root)
+        .getOrElse(throw new IllegalStateException(s"no table at $root — call init first"))
+      val m = readManifest(spark, root, base)
+      if (m.numBuckets == newNumBuckets) return base
+      val v = base + 1
+      val token = newToken()
+      val current = readBuckets(spark, root, m, m.buckets.keySet)
+      val written = writeVersionData(current, root, v, token, keys,
+        newNumBuckets, m.statsCols, fs)
+      if (writeManifestAtomic(fs, root, v, newNumBuckets, m.statsCols,
+          m.txns, written)) return v
+      fs.delete(new Path(root, attemptDir(v, token)), true)
+    }
+    throw new IllegalStateException(
+      s"rebucket lost $maxAttempts consecutive commit races at $root")
+  }
+
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 1): Int = {
     require(keepLast >= 1, "must keep at least the latest version")
     val fs = fileSystem(spark, root)

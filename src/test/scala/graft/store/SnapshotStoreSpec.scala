@@ -114,6 +114,43 @@ class SnapshotStoreSpec extends SparkSpec {
     m1.buckets.values.foreach(e => assert(Files.exists(Paths.get(root, e.dir))))
   }
 
+  test("rebucket: new layout carries the same rows, folds tombstones, recomputes stats, and composes with later deltas") {
+    val root = tmpDir("rebucket")
+    val v0 = (1L to 200L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts")
+    SnapshotStore.init(spark, root, v0, Seq("k"), numBuckets = 2,
+      statsCols = Seq("ts"))
+    SnapshotStore.commitDeletes(spark, root, Seq(Tuple1(5L)).toDF("k"), Seq("k"))
+    val expected = rows(v0) - ((5L, "v5", 5L))
+
+    val v = SnapshotStore.rebucket(spark, root, Seq("k"), newNumBuckets = 8)
+    assert(v == 2L)
+    val m = SnapshotStore.readManifest(spark, root, v)
+    assert(m.numBuckets == 8 && m.buckets.size > 2)
+    m.buckets.values.foreach { e =>
+      assert(e.tombstones.isEmpty) // folded by the rewrite
+      assert(e.stats.nonEmpty)     // stats recomputed under the new layout
+    }
+    assert(rows(SnapshotStore.read(spark, root)) == expected)
+    // same-count rebucket is a no-op
+    assert(SnapshotStore.rebucket(spark, root, Seq("k"), 8) == v)
+    // a rebucket is layout-only: the change feed sees zero row changes
+    assert(ChangeFeed.readChanges(spark, root, Seq("k"), 1L, v).isEmpty)
+    // time travel still reaches the old layout (and pre-delete state)
+    assert(rows(SnapshotStore.readVersion(spark, root, 0L)) == rows(v0))
+
+    // point lookups and merges run against the NEW layout
+    val lookup = SnapshotStore.readForKeys(spark, root, Seq("k"), Seq(Seq(7L)))
+    assert(rows(lookup) == Set((7L, "v7", 7L)))
+    SnapshotStore.commitDelta(spark, root,
+      Seq((1L, "v1b", 900L), (5L, "v5b", 901L)).toDF("k", "v", "ts"),
+      Seq("k"), merge)
+    assert(rows(SnapshotStore.read(spark, root)) ==
+      expected - ((1L, "v1", 1L)) + ((1L, "v1b", 900L)) + ((5L, "v5b", 901L)))
+    // pruning works on the recomputed stats
+    assert(rows(SnapshotStore.readRange(spark, root, "ts", 899L, null)) ==
+      Set((1L, "v1b", 900L), (5L, "v5b", 901L)))
+  }
+
   test("data skipping: range reads prune to the buckets whose min/max overlap") {
     val root = tmpDir("skip")
     // keys and ts correlated so different buckets carry different ranges
