@@ -235,10 +235,13 @@ object Similarity {
     val corpusPar = Parallelize.ensure(corpus)
     (1 to trainIters).foreach { _ =>
       val dots0 = centroidDots(centroids) _
-      val assigned0 = corpusPar.select(
+      // assignment in its own select BELOW the posexplode one: a
+      // generator alongside it would hoist the nlist-dot argmax above
+      // the Generate and re-evaluate it per exploded element (dim×/row)
+      val assigned0 = corpusPar.select(col(vecCol),
         array_position(dots0(col(vecCol)), array_max(dots0(col(vecCol))))
-          .cast("int").as("__list"),
-        posexplode(col(vecCol)).as(Seq("__i", "__x")))
+          .cast("int").as("__list"))
+        .select(col("__list"), posexplode(col(vecCol)).as(Seq("__i", "__x")))
       val updated = assigned0
         .groupBy(col("__list"), col("__i"))
         .agg(sum(round(col("__x") * 1e6).cast("long")).as("__se6"),
@@ -392,40 +395,39 @@ object Similarity {
     * inflate it).
     */
   private def subspaceScores(cents: Seq[Seq[Double]])(vec: Column): Column =
-    zip_with(centroidDots(cents)(vec),
-      typedLit(cents.map(c => c.map(x => x * x).sum / 2)),
-      (d, h) => d - h)
+    // direct array of (native dot − literal half-norm) — NOT zip_with
+    // over centroidDots: higher-order functions are CodegenFallback, and
+    // an interpreted root drags the whole m·k-dot subtree out of
+    // whole-stage codegen (the assignment pass ran ~3× slower that way)
+    // half-norms scaled to the dot's e12 units (the earlier zip_with
+    // form subtracted raw-unit half-norms from e12 dots — numerically
+    // a no-op, so assignment degenerated to plain argmax-dot)
+    array(cents.map(c =>
+      VecFuncs.dotE12Native(vec, typedLit(c.map(_.toFloat))).cast("double")
+        - lit(c.map(x => x * x).sum / 2 * 1e12)): _*)
 
-  private def kmeansSub(slices: DataFrame, k: Int, iters: Int): Seq[Seq[Double]] = {
-    var cents: Seq[Seq[Double]] = slices
-      .orderBy(md5(col("__sid"))).limit(k)
-      .collect().toSeq.map(_.getSeq[Number](1).map(_.doubleValue()).toSeq)
-    require(cents.nonEmpty, "pqTrain: empty corpus")
-    (1 to iters).foreach { _ =>
-      val scores = subspaceScores(cents) _
-      val updated = slices.select(
-        array_position(scores(col("__v")), array_max(scores(col("__v"))))
-          .cast("int").as("__list"),
-        posexplode(col("__v")).as(Seq("__i", "__x")))
-        .groupBy(col("__list"), col("__i"))
-        .agg(sum(round(col("__x") * 1e6).cast("long")).as("__se6"),
-          count(lit(1)).as("__n"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (list, rows) =>
-          list -> rows.sortBy(_.getInt(1))
-            .map(r => r.getLong(2).toDouble / 1e6 / r.getLong(3)).toSeq
-        }
-      cents = cents.zipWithIndex.map { case (old, i) => updated.getOrElse(i + 1, old) }
-    }
-    cents
-  }
+  /** The per-subspace code array for one (normalized, float-cast)
+    * vector against a full set of codebooks — shared by training,
+    * encode, and any reranker.
+    */
+  private def pqCodes(nv: Column, codebooks: Seq[Seq[Seq[Double]]], w: Int): Column =
+    array(codebooks.zipWithIndex.map { case (cb, sub) =>
+      val scores = subspaceScores(cb)(slice(nv, sub * w + 1, w))
+      array_position(scores, array_max(scores)).cast("int")
+    }: _*)
 
   /** Train PQ codebooks: the (normalized) vector splits into `m`
     * contiguous subspaces and each gets its own `k`-centroid plain
     * k-means codebook — `m · k` centroids of `dim/m` values, metadata-
     * sized (broadcast as literals into every downstream expression).
     * Deterministic: md5-ordered sample init + integer-exact updates.
+    *
+    * ALL subspaces train together: one seed collect, then ONE
+    * distributed pass per Lloyd round (every subspace's assignment is
+    * an expression in the same projection; elements explode once and
+    * aggregate by (subspace, list, dim) — m·k·(dim/m) rows to the
+    * driver). A per-subspace loop would cost m× the scheduler round
+    * trips for identical results.
     */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
               m: Int, k: Int, dim: Int, trainIters: Int = 2): Seq[Seq[Seq[Double]]] = {
@@ -433,13 +435,41 @@ object Similarity {
     graft.GraftFunctions.register(corpus.sparkSession)
     val w = dim / m
     val base = Parallelize.ensure(corpus)
-    (0 until m).map { sub =>
-      // float-cast: the e12 dot kernel is array<float>-typed, and PQ
-      // precision is bounded by the quantizer, not the element width
-      kmeansSub(base.select(col(idCol).cast("string").as("__sid"),
-        slice(normalized(col(vecCol)).cast("array<float>"), sub * w + 1, w)
-          .as("__v")), k, trainIters)
+      .select(col(idCol).cast("string").as("__sid"),
+        // float-cast: the e12 dot kernel is array<float>-typed, and PQ
+        // precision is bounded by the quantizer, not the element width
+        normalized(col(vecCol)).cast("array<float>").as("__nv"))
+    val seeds: Seq[Seq[Double]] = base.orderBy(md5(col("__sid"))).limit(k)
+      .select(col("__nv")).collect().toSeq
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toSeq)
+    require(seeds.nonEmpty, "pqTrain: empty corpus")
+    var books: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(sub => seeds.map(_.slice(sub * w, sub * w + w)))
+    (1 to trainIters).foreach { _ =>
+      val sub = floor(col("__i") / w).cast("int")
+      // two selects, NOT one: a generator in the same projection would
+      // hoist every other expression ABOVE the Generate (analyzer
+      // generator extraction), re-evaluating the m·k-dot assignment
+      // once per exploded ELEMENT (dim× per row) instead of once per row
+      val updated = base
+        .select(col("__nv"), pqCodes(col("__nv"), books, w).as("__codes"))
+        .select(col("__codes"), posexplode(col("__nv")).as(Seq("__i", "__x")))
+        .groupBy(sub.as("__sub"),
+          element_at(col("__codes"), sub + 1).as("__list"),
+          (col("__i") % w).as("__d"))
+        .agg(sum(round(col("__x") * 1e6).cast("long")).as("__se6"),
+          count(lit(1)).as("__n"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case ((s, list), rows) =>
+          (s, list) -> rows.sortBy(_.getInt(2))
+            .map(r => r.getLong(3).toDouble / 1e6 / r.getLong(4)).toSeq
+        }
+      books = books.zipWithIndex.map { case (cb, s) =>
+        cb.zipWithIndex.map { case (old, i) => updated.getOrElse((s, i + 1), old) }
+      }
     }
+    books
   }
 
   /** Encode the corpus against trained codebooks: each vector becomes
@@ -454,11 +484,8 @@ object Similarity {
     val m = codebooks.size
     val w = dim / m
     val nv = normalized(col(vecCol)).cast("array<float>")
-    val codes = array(codebooks.zipWithIndex.map { case (cb, sub) =>
-      val scores = subspaceScores(cb)(slice(nv, sub * w + 1, w))
-      array_position(scores, array_max(scores)).cast("int")
-    }: _*)
-    Parallelize.ensure(corpus).select(col(idCol), codes.as("codes"))
+    Parallelize.ensure(corpus)
+      .select(col(idCol), pqCodes(nv, codebooks, w).as("codes"))
   }
 
   /** ADC top-k with exact rerank: score every CODE against each query
@@ -480,13 +507,15 @@ object Similarity {
     val w = dim / m
     val enc = pqEncode(corpus, idCol, vecCol, codebooks, dim)
     val q = queries.select(col(idCol).as("query_id"),
-      normalized(col(vecCol)).as("__qv"))
-    // reconstruction = concat of the looked-up subspace centroids
+      normalized(col(vecCol)).cast("array<float>").as("__qv"))
+    // reconstruction = concat of the looked-up subspace centroids,
+    // float-typed so the ADC dot runs in the codegen'd e12 kernel (the
+    // HOF zip_with/aggregate form evaluated interpreted per pair)
     val recon = concat(codebooks.zipWithIndex.map { case (cb, sub) =>
-      element_at(typedLit(cb), element_at(col("codes"), sub + 1))
+      element_at(typedLit(cb.map(_.map(_.toFloat))),
+        element_at(col("codes"), sub + 1))
     }: _*)
-    val adc = aggregate(zip_with(col("__qv"), recon, (a, b) => a * b),
-      lit(0.0d), (acc, x) => acc + x)
+    val adc = VecFuncs.dotE12Native(col("__qv"), recon).cast("double")
     val wd = Window.partitionBy(col("query_id"))
       .orderBy(col("__adc").desc, col("neighbor_id").asc)
     val short = enc.select(col(idCol).as("neighbor_id"), col("codes"))

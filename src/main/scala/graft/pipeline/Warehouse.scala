@@ -226,9 +226,13 @@ object Warehouse {
     */
   def maintain(spark: SparkSession, roots: Seq[String], minFiles: Int = 2,
                clusterBy: Seq[String] = Nil,
-               keepVersions: Int = 2): Map[String, (Long, Int)] =
+               keepVersions: Int = 2,
+               zOrderBy: Seq[String] = Nil,
+               maxRecordsPerFile: Long = 0L): Map[String, (Long, Int)] =
     roots.map { r =>
-      val v = graft.store.SnapshotStore.compact(spark, r, minFiles, clusterBy = clusterBy)
+      val v = graft.store.SnapshotStore.compact(spark, r, minFiles,
+        clusterBy = clusterBy, zOrderBy = zOrderBy,
+        maxRecordsPerFile = maxRecordsPerFile)
       val deleted = graft.store.SnapshotStore.vacuum(spark, r, keepLast = keepVersions)
       r -> (v, deleted)
     }.toMap

@@ -1,0 +1,22 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.files.maxPartitionBytes", "4194304")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val name = args(0); val dir = args(1)
+    SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count() // warm
+    (1 to 3).foreach { i =>
+      spark.catalog.clearCache(); graft.Caching.unpersistAll()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      println(f"TIME$i=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    spark.stop()
+  }
+}
