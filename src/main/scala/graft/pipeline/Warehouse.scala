@@ -50,6 +50,13 @@ object Warehouse {
     *                  `with procedures/location_proc.sql:274-286`):
     *                  flagged rows remove their key from the clean
     *                  layer and close out the dim history
+    * @param expectations data-quality rules applied to the TYPED frame
+    *                  (post-cast, pre-SCD) — see [[Expectations]]; the
+    *                  explicit contract over the reference's silent
+    *                  `TRY_TO_*` null-coercion. Quarantined rows land
+    *                  under `<out>/quarantine/<name>` with the violated
+    *                  rule names; violation counts ride the clean
+    *                  write's own action (no extra pass)
     */
   final case class Entity(
       name: String,
@@ -61,7 +68,8 @@ object Warehouse {
       changeTs: String,
       tieBreak: String,
       scd2: Boolean = false,
-      deleteCol: Option[String] = None)
+      deleteCol: Option[String] = None,
+      expectations: Seq[Expectations.Expectation] = Nil)
 
   /** The audit-namespaced tombstone column the sinks consume; the
     * entity's `deleteCol` is renamed to this so the persisted targets
@@ -118,7 +126,9 @@ object Warehouse {
     *   entity, in declared order, exactly as before.
     */
   def runBatch(spark: SparkSession, cfg: Config, outDir: String,
-               numBuckets: Int = 16, entityParallelism: Int = 4): Map[String, DataFrame] = {
+               numBuckets: Int = 16, entityParallelism: Int = 4,
+               onExpectations: (String, Map[String, Long]) => Unit = (_, _) => ())
+      : Map[String, DataFrame] = {
     def writeBucketed(df: DataFrame, e: Entity, path: String): DataFrame = {
       StreamPipeline.withBucket(df, e.keys, numBuckets)
         .write.mode("overwrite")
@@ -127,7 +137,10 @@ object Warehouse {
       spark.read.parquet(path).drop(StreamPipeline.BucketCol)
     }
     def runEntity(e: Entity): Seq[(String, DataFrame)] = {
-      val typed = withTombstones(StageReader.typed(stage(spark, e), e.casts), e)
+      val validated = Expectations.validate(
+        withTombstones(StageReader.typed(stage(spark, e), e.casts), e),
+        e.expectations)
+      val typed = validated.kept
       val clean = sinkDeleteCol(e).fold(
         Scd1.latestByKey(typed, e.keys, scd1Order(e)))(c =>
         Scd1.latestWithDeletes(typed, e.keys, scd1Order(e), c))
@@ -138,7 +151,15 @@ object Warehouse {
             Scd2.buildHistoryWithDeletes(typed, e.keys, e.changeTs, e.tieBreak, c))
         Seq(s"dim/${e.name}" -> writeBucketed(h, e, s"$outDir/dim/${e.name}"))
       } else Nil
-      Seq(s"clean/${e.name}" -> cleanOut) ++ dim
+      val quarantine =
+        if (e.expectations.exists(_.policy == Expectations.Quarantine)) {
+          val p = s"$outDir/quarantine/${e.name}"
+          validated.quarantined.write.mode("overwrite").parquet(p)
+          Seq(s"quarantine/${e.name}" -> spark.read.parquet(p))
+        } else Nil
+      // after the clean write (the observed action) — counts are ready
+      if (e.expectations.nonEmpty) onExpectations(e.name, validated.metrics())
+      Seq(s"clean/${e.name}" -> cleanOut) ++ dim ++ quarantine
     }
     val par = math.max(1, math.min(entityParallelism, cfg.entities.size))
     val entityOut: Map[String, DataFrame] =
@@ -190,7 +211,9 @@ object Warehouse {
     * from; the streams themselves never touch `cfg.facts`.
     */
   def runIncremental(spark: SparkSession, cfg: Config, outDir: String,
-                     checkpointDir: String, numBuckets: Int = 16): Seq[StreamingQuery] =
+                     checkpointDir: String, numBuckets: Int = 16,
+                     onExpectations: (String, Map[String, Long]) => Unit = (_, _) => ())
+      : Seq[StreamingQuery] =
     cfg.entities.map { e =>
       val schema = StageReader.textSchema(e.columns)
       val staged = e.format match {
@@ -205,11 +228,19 @@ object Warehouse {
         .option("checkpointLocation", s"$checkpointDir/${e.name}")
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          StreamPipeline.upsertBatch(batch, s"$outDir/clean/${e.name}",
+          // per-batch validation: Fail pre-flights before any write;
+          // quarantined rows append (batch-scoped; at-least-once like
+          // any foreachBatch side output — keyed by audit cols)
+          val validated = Expectations.validate(batch.toDF(), e.expectations)
+          StreamPipeline.upsertBatch(validated.kept, s"$outDir/clean/${e.name}",
             e.keys, scd1Order(e), numBuckets, sinkDeleteCol(e))
           if (e.scd2)
-            StreamPipeline.scd2ApplyBatch(batch.toDF(), s"$outDir/dim/${e.name}",
+            StreamPipeline.scd2ApplyBatch(validated.kept, s"$outDir/dim/${e.name}",
               e.keys, e.changeTs, e.tieBreak, numBuckets, sinkDeleteCol(e))
+          if (e.expectations.exists(_.policy == Expectations.Quarantine))
+            validated.quarantined.write.mode("append")
+              .parquet(s"$outDir/quarantine/${e.name}")
+          if (e.expectations.nonEmpty) onExpectations(e.name, validated.metrics())
         }
         .start()
     }
