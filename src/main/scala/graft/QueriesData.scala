@@ -980,12 +980,30 @@ object QueriesData {
       "vec_id", "embedding", cb, dim = 64, k = 10, shortlist = 150)
   }
 
+  // =====================================================================
+  // s07 — IVF-PQ (Jégou et al. 2011): coarse quantizer prunes the scan
+  // to nprobe inverted lists, residual-PQ ADC shortlists in the
+  // compressed domain, exact e12 rerank on the shortlist only — the
+  // composition that serves ANN at 100 TB (index = one narrow
+  // (id, list, 8-int codes) frame). Rows-only; SimilaritySpec proves
+  // nprobe=nlist + full shortlist ≡ exact brute force, bounds pruned
+  // recall, and pins determinism.
+  // =====================================================================
+  val s07: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfPqTopK(emb, emb.where(col("vec_id") < 10),
+      "vec_id", "embedding", k = 10, nlist = 16, nprobe = 6,
+      m = 8, pqK = 16, dim = 64, trainIters = 1, pqIters = 2,
+      shortlist = 150)
+  }
+
   // ---------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "t13_domain_mix" -> t13,
     "d10_semantic_dedup" -> d10,
     "s06_ann_pq" -> s06,
+    "s07_ann_ivfpq" -> s07,
     "k04_approx_distinct" -> k04,
     "t11_stratified_sample" -> t11,
     "t12_doc_freq_score" -> t12,

@@ -172,27 +172,33 @@ object Similarity {
     * correctness oracle for the machinery; smaller `nprobe` trades
     * recall for a ~nprobe/nlist fraction of the scan.
     */
+  /** The query's `nprobe` nearest coarse lists (1-based ids), by dot
+    * against every centroid, index tie-break — the probe-side half of
+    * any IVF-family index. Per-QUERY-row HOF sort over nlist structs:
+    * interpreted, but queries are the bounded broadcast side.
+    */
+  private def probeListsExpr(vec: Column, centroids: Seq[Seq[Double]],
+                             nprobe: Int): Column = {
+    val n = centroids.size
+    val structs = zip_with(centroidDots(centroids)(vec),
+      sequence(lit(1), lit(n)), (d, i) => struct(d.as("d"), i.as("i")))
+    val sorted = array_sort(structs, (l, r) =>
+      when(l.getField("d") > r.getField("d"), -1)
+        .when(l.getField("d") < r.getField("d"), 1)
+        .when(l.getField("i") < r.getField("i"), -1)
+        .otherwise(1).cast("int"))
+    transform(slice(sorted, 1, math.min(nprobe, n)), s => s.getField("i").cast("int"))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nlist: Int = 16, nprobe: Int = 4, trainIters: Int = 1): DataFrame = {
     val centroids = ivfTrain(corpus, idCol, vecCol, nlist, trainIters)
-    val n = centroids.size
-    val dots = centroidDots(centroids) _
-    def probeLists(vec: Column): Column = {
-      val structs = zip_with(dots(vec),
-        sequence(lit(1), lit(n)), (d, i) => struct(d.as("d"), i.as("i")))
-      val sorted = array_sort(structs, (l, r) =>
-        when(l.getField("d") > r.getField("d"), -1)
-          .when(l.getField("d") < r.getField("d"), 1)
-          .when(l.getField("i") < r.getField("i"), -1)
-          .otherwise(1).cast("int"))
-      transform(slice(sorted, 1, math.min(nprobe, n)), s => s.getField("i").cast("int"))
-    }
 
     val c = ivfAssign(corpus, idCol, vecCol, centroids)
       .select(col(idCol).as("neighbor_id"), col("list_id").as("__list"))
     val q = queries.select(col(idCol).as("query_id"),
-      explode(probeLists(col(vecCol))).as("__list"))
+      explode(probeListsExpr(col(vecCol), centroids, nprobe)).as("__list"))
     val cand = c.join(broadcast(q), Seq("__list"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id").distinct()
@@ -431,14 +437,24 @@ object Similarity {
     */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
               m: Int, k: Int, dim: Int, trainIters: Int = 2): Seq[Seq[Seq[Double]]] = {
-    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     graft.GraftFunctions.register(corpus.sparkSession)
-    val w = dim / m
     val base = Parallelize.ensure(corpus)
       .select(col(idCol).cast("string").as("__sid"),
         // float-cast: the e12 dot kernel is array<float>-typed, and PQ
         // precision is bounded by the quantizer, not the element width
         normalized(col(vecCol)).cast("array<float>").as("__nv"))
+    pqTrainCore(base, m, k, dim, trainIters)
+  }
+
+  /** Lloyd over a PREPARED `(__sid, __nv: array<float>)` frame — the
+    * shared core of [[pqTrain]] (normalized vectors) and [[ivfPqTopK]]
+    * (coarse-centroid residuals, which must NOT be re-normalized:
+    * their magnitude IS the information the codebook must capture).
+    */
+  private def pqTrainCore(base: DataFrame, m: Int, k: Int, dim: Int,
+                          trainIters: Int): Seq[Seq[Seq[Double]]] = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val w = dim / m
     val seeds: Seq[Seq[Double]] = base.orderBy(md5(col("__sid"))).limit(k)
       .select(col("__nv")).collect().toSeq
       .map(_.getSeq[Number](0).map(_.doubleValue()).toSeq)
@@ -540,5 +556,76 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), floor(col("cos") * 1000d).cast("long").as("cos_e3"))
+  }
+
+  /** IVF-PQ (Jégou, Douze & Schmid 2011, "Product Quantization for
+    * Nearest Neighbor Search" §IV): the composition that serves ANN at
+    * 100 TB. A coarse `nlist`-centroid quantizer prunes the scan to
+    * each query's `nprobe` nearest inverted lists, and within them
+    * candidates are scored in the COMPRESSED domain against PQ codes of
+    * the coarse RESIDUAL (x − c_list — what the paper encodes: residual
+    * magnitudes are small, so the same code budget buys far less
+    * quantization error than coding raw vectors). The ADC estimate
+    * decomposes as dot(q, c_list) + dot(q, residual-reconstruction) —
+    * two codegen'd e12 dots per candidate, codebooks all literals.
+    * Exact e12 rerank on the per-query shortlist only.
+    *
+    * Plan shape at scale: corpus → one narrow (id, list, codes) frame
+    * (8 ints standing in for dim floats); candidates from an equi-join
+    * on the list id against the broadcast probe set (nq × nprobe rows);
+    * full vectors touched only by the shortlist rerank. With
+    * `nprobe = nlist` and `shortlist ≥ corpus` this degenerates to the
+    * exact brute force (spec-asserted) — the correctness oracle for
+    * the whole machinery.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, pqK: Int = 16, dim: Int = 64,
+                trainIters: Int = 1, pqIters: Int = 2,
+                shortlist: Int = 100): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    graft.GraftFunctions.register(corpus.sparkSession)
+    val w = dim / m
+    val cents = ivfTrain(corpus, idCol, vecCol, nlist, trainIters)
+    val centsF = cents.map(_.map(_.toFloat))
+    // normalized vector, coarse list, residual — one narrow pass,
+    // persisted (tracked): referenced by PQ training (seed + rounds)
+    // AND the encode
+    val prepped = graft.Caching.persistTracked(
+      Parallelize.ensure(corpus).select(
+        col(idCol).as("__id"),
+        col(idCol).cast("string").as("__sid"),
+        normalized(col(vecCol)).cast("array<float>").as("__fnv"))
+      .withColumn("__list", ivfAssignExpr(col("__fnv"), cents))
+      .withColumn("__nv",
+        zip_with(col("__fnv"), element_at(typedLit(centsF), col("__list")),
+          (a, b) => a - b).cast("array<float>")))
+    val books = pqTrainCore(prepped.select(col("__sid"), col("__nv")),
+      m, pqK, dim, pqIters)
+    val enc = prepped.select(col("__id").as("neighbor_id"), col("__list"),
+      pqCodes(col("__nv"), books, w).as("codes"))
+    val probed = queries.select(col(idCol).as("query_id"),
+      normalized(col(vecCol)).cast("array<float>").as("__qv"))
+      .select(col("query_id"), col("__qv"),
+        explode(probeListsExpr(col("__qv"), cents, nprobe)).as("__list"))
+    val recon = concat(books.zipWithIndex.map { case (cb, sub) =>
+      element_at(typedLit(cb.map(_.map(_.toFloat))),
+        element_at(col("codes"), sub + 1))
+    }: _*)
+    val adc = (VecFuncs.dotE12Native(col("__qv"),
+        element_at(typedLit(centsF), col("__list"))) +
+      VecFuncs.dotE12Native(col("__qv"), recon)).cast("double")
+    val wd = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").desc, col("neighbor_id").asc)
+    // each corpus row lives in exactly ONE list and probed lists are
+    // distinct per query, so (query, neighbor) pairs are unique here
+    val short = enc.join(broadcast(probed), Seq("__list"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__adc", adc)
+      .withColumn("__r", row_number().over(wd))
+      .where(col("__r") <= shortlist)
+      .select("query_id", "neighbor_id")
+    exactRerank(broadcast(short), corpus, queries, idCol, vecCol, k)
   }
 }

@@ -226,4 +226,44 @@ class SimilaritySpec extends SparkSpec {
         exactCos.get((qid, nid)).foreach(e => assert(e == ce3))
       }
   }
+
+  test("IVF-PQ: full probe + full shortlist degenerates to exact brute force; pruned probe keeps recall") {
+    val dir = "/root/testdata/sf0.001"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)))
+    val emb = graft.Tables.embeddings(spark, dir)
+    val n = emb.count().toInt
+    val q = emb.where($"vec_id" < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id", "cos_e3")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val exact = rows(Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10))
+    // correctness oracle: probe every list, shortlist the whole corpus
+    // -> every vector reaches the exact rerank -> identical output
+    val full = rows(Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", k = 10,
+      nlist = 8, nprobe = 8, m = 8, pqK = 16, dim = 64, shortlist = n))
+    assert(full === exact)
+    graft.Caching.unpersistAll()
+
+    // the production shape: pruned probe + compressed-domain shortlist
+    val pruned = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", k = 10,
+      nlist = 8, nprobe = 6, m = 8, pqK = 16, dim = 64, shortlist = 100)
+    def pairs(s: Set[(Long, Long, Long, Long)]) = s.map(t => (t._1, t._3))
+    val got = rows(pruned)
+    val recall = pairs(exact).intersect(pairs(got)).size.toDouble / pairs(exact).size
+    info(f"ivf-pq recall@10 (nlist=8, nprobe=6, shortlist=100) = $recall%.3f")
+    assert(recall >= 0.55)
+    // surfaced pairs carry the EXACT cosine (rerank, not ADC estimate)
+    val exactCos = exact.map(t => (t._1, t._3) -> t._4).toMap
+    got.foreach { case (qid, rank, nid, ce3) =>
+      exactCos.get((qid, nid)).foreach(e => assert(e == ce3)): Unit
+    }
+    // deterministic end to end (seeded init, integer-exact updates,
+    // index tie-breaks)
+    graft.Caching.unpersistAll()
+    val again = rows(Similarity.ivfPqTopK(emb, q, "vec_id", "embedding", k = 10,
+      nlist = 8, nprobe = 6, m = 8, pqK = 16, dim = 64, shortlist = 100))
+    assert(again === got)
+    graft.Caching.unpersistAll()
+  }
 }
