@@ -602,7 +602,9 @@ object QueriesData {
       else docs.sparkSession.sparkContext.defaultParallelism
     val toks = docs.select(
       col("doc_id"),
-      (graft.functions.Funcs.splitBucket(col("doc_id"), "pack") % n).as("shard"),
+      // full-width hash mod n — NOT splitBucket % n, which caps the
+      // shard count at 100 and skews shards 2× when 50 < n < 100
+      graft.functions.Funcs.hashMod(col("doc_id"), "pack", n).as("shard"),
       size(split(trim(col("text")), " +")).cast("long").as("n_tokens"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id").asc)
@@ -634,7 +636,7 @@ object QueriesData {
       | FROM (
       |  SELECT doc_id,
       |    CAST(CAST(substr(regexp_replace(md5(CAST(doc_id AS VARCHAR) || '|pack'),
-      |      '[a-f]', '', 'g') || '000000', 1, 6) AS BIGINT) % 100 % $shards AS BIGINT) AS shard,
+      |      '[a-f]', '', 'g') || '000000', 1, 6) AS BIGINT) % $shards AS BIGINT) AS shard,
       |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
       |  FROM documents))""".stripMargin
 

@@ -61,11 +61,19 @@ object Funcs {
     * the identical bucket: the split of a 100 TB corpus is a pure
     * per-row expression, re-derivable forever, never a stored lookup.
     */
-  def splitBucket(id: Column, salt: String): Column =
+  def splitBucket(id: Column, salt: String): Column = hashMod(id, salt, 100)
+
+  /** The same engine-reproducible md5-digit hash, mod an arbitrary
+    * `n` — for shard/bucket counts beyond 100. Drawn from the full
+    * 6-digit space directly: deriving a wide count from
+    * `splitBucket % n` would cap it at 100 distinct values and skew
+    * whole shards 2× wherever 100 % n ≠ 0.
+    */
+  def hashMod(id: Column, salt: String, n: Int): Column =
     substring(
       concat(regexp_replace(md5(concat(id.cast("string"), lit("|" + salt))),
         "[a-f]", ""), lit("000000")), 1, 6)
-      .cast("bigint") % 100
+      .cast("bigint") % n
 
   /** Bucket → split label with the conventional 80/10/10 default. */
   def splitLabel(bucket: Column, trainPct: Int = 80, valPct: Int = 10): Column =

@@ -164,6 +164,11 @@ object Multimodal {
       val codec = instantiate(codecClass)
       it.grouped(batchSize).flatMap { rows =>
         val out = codec.transcodeBatch(mkBatch(rows), maxBytes)
+        // same 1:1 contract check as decodeFeatures — a codec that
+        // filters or reorders rows must fail loudly, not mispair
+        // payloads with doc ids downstream
+        require(out.size == rows.size,
+          s"codec $codecClass returned ${out.size} payloads for ${rows.size} rows")
         (0 until out.size).iterator.map(i => MediaRecord(out.docIds(i),
           out.mimes(i), out.nBytes(i), out.payloads(i)))
       }
@@ -184,9 +189,17 @@ object Multimodal {
       val codec = instantiate(codecClass)
       it.grouped(batchSize).flatMap { rows =>
         val out = codec.sampleFramesBatch(mkBatch(rows), frameBytes, everyMs)
-        (0 until out.size).iterator.map(i => FrameSample(out.docIds(i),
-          out.mimes(i), out.frameIdxs(i), out.tsMs(i), out.nBytes(i),
-          out.frameHashes(i)))
+        // 1→N contract: output size is free, but every frame must
+        // belong to a row of THIS batch (no invented/mispaired ids)
+        val inIds = rows.iterator.map(_.doc_id).toSet
+        (0 until out.size).iterator.map { i =>
+          require(inIds.contains(out.docIds(i)),
+            s"codec $codecClass emitted a frame for doc ${out.docIds(i)} " +
+              "not present in its input batch")
+          FrameSample(out.docIds(i),
+            out.mimes(i), out.frameIdxs(i), out.tsMs(i), out.nBytes(i),
+            out.frameHashes(i))
+        }
       }
     }
   }

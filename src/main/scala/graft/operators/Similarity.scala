@@ -330,7 +330,10 @@ object Similarity {
                    centroids: Seq[Seq[Double]],
                    numBuckets: Int = 16,
                    maxBalanceRatioE6: Long = 4000000L,
-                   balanceCheckEvery: Int = 1,
+                   // the check reads the WHOLE index (narrow 2-column
+                   // scan, but O(index) not O(batch)) — every batch
+                   // would let it dominate a small-batch steady state
+                   balanceCheckEvery: Int = 16,
                    onImbalance: Long => Unit = _ => ()): StreamingQuery = {
     require(balanceCheckEvery >= 1, "balanceCheckEvery must be ≥ 1")
     val nlist = centroids.size
@@ -542,20 +545,7 @@ object Similarity {
       .where(col("__r") <= shortlist)
       .select("query_id", "neighbor_id")
     // exact rerank on the shortlist only (broadcast: nq·shortlist rows)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      VecFuncs.normSqE12Native(col(vecCol)).cast("double").as("__cn"))
-    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qfull"),
-      VecFuncs.normSqE12Native(col(vecCol)).cast("double").as("__qn"))
-    val wr = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    c.join(broadcast(short), Seq("neighbor_id"))
-      .join(broadcast(qv), Seq("query_id"))
-      .withColumn("cos", VecFuncs.dotE12Native(col("__cv"), col("__qfull"))
-        .cast("double") / sqrt(col("__cn") * col("__qn")))
-      .withColumn("rank", row_number().over(wr))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), floor(col("cos") * 1000d).cast("long").as("cos_e3"))
+    exactRerank(broadcast(short), corpus, queries, idCol, vecCol, k)
   }
 
   /** IVF-PQ (Jégou, Douze & Schmid 2011, "Product Quantization for

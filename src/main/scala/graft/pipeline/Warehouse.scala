@@ -77,6 +77,9 @@ object Warehouse {
     */
   private val DeletedCol = "_graft_deleted"
 
+  /** Serializes user callbacks fired from the entity-parallel pool. */
+  private val callbackLock = new Object
+
   private def withTombstones(df: DataFrame, e: Entity): DataFrame =
     e.deleteCol.fold(df)(c => df.withColumnRenamed(c, DeletedCol))
 
@@ -124,6 +127,15 @@ object Warehouse {
     *   bounded pool keeps the number of concurrently-planned jobs
     *   sane. 1 = the sequential fold. Facts always run after every
     *   entity, in declared order, exactly as before.
+    * @param onExpectations per-entity expectation report
+    *   (entity name → rule → violation count), fired after that
+    *   entity's clean write. Invocations are SERIALIZED (internal
+    *   lock), so a plain mutable collector is safe at any
+    *   entityParallelism. Failure semantics under parallelism: one
+    *   entity throwing (e.g. a Fail expectation) propagates after the
+    *   in-flight entities finish their writes — their outputs exist;
+    *   run with entityParallelism = 1 if nothing may be written past
+    *   the first failure.
     */
   def runBatch(spark: SparkSession, cfg: Config, outDir: String,
                numBuckets: Int = 16, entityParallelism: Int = 4,
@@ -157,8 +169,12 @@ object Warehouse {
           validated.quarantined.write.mode("overwrite").parquet(p)
           Seq(s"quarantine/${e.name}" -> spark.read.parquet(p))
         } else Nil
-      // after the clean write (the observed action) — counts are ready
-      if (e.expectations.nonEmpty) onExpectations(e.name, validated.metrics())
+      // after the clean write (the observed action) — counts are ready;
+      // serialized so concurrent entities can share a plain collector
+      if (e.expectations.nonEmpty) {
+        val m = validated.metrics()
+        callbackLock.synchronized(onExpectations(e.name, m))
+      }
       Seq(s"clean/${e.name}" -> cleanOut) ++ dim ++ quarantine
     }
     val par = math.max(1, math.min(entityParallelism, cfg.entities.size))

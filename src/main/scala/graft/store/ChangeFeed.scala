@@ -316,9 +316,14 @@ object ChangeFeed {
     // key, so (version desc) is a total order per key)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*).orderBy(col(CommitVersion).desc)
-    val finals = changes.where(col(ChangeType) =!= UpdatePre)
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn")
+    // persisted (tracked): the downstream actions (emptiness probes,
+    // the upsert commit's touched-bucket census + write + stats, the
+    // delete commit) would otherwise EACH re-run the whole multi-step
+    // feed diff — per-version full-outer joins plus this window
+    val finals = graft.Caching.persistTracked(
+      changes.where(col(ChangeType) =!= UpdatePre)
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn"))
     val upserts = transform(
       finals.where(col(ChangeType) =!= Delete).drop(ChangeType, CommitVersion))
     val deletes = finals.where(col(ChangeType) === Delete)

@@ -454,7 +454,12 @@ object SnapshotStore {
     if (tombDirs.isEmpty) df
     else {
       val tomb = spark.read.option("mergeSchema", "true").parquet(tombDirs: _*)
-      df.join(broadcast(tomb), tomb.columns.toSeq, "left_anti")
+      // null-SAFE equality: a usingColumns anti-join would never match
+      // a NULL key component, silently resurrecting deleted null-keyed
+      // rows (and diverging from the eager delete path, whose window
+      // partitioning groups nulls together)
+      val cond = tomb.columns.map(c => df(c) <=> tomb(c)).reduce(_ && _)
+      df.join(broadcast(tomb), cond, "left_anti")
     }
   }
 

@@ -10,7 +10,10 @@ object TimeOne {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val name = args(0); val dir = args(1)
-    SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count() // warm
+    // warm-up (codegen compile) on a smaller SF if given, else the
+    // measured dir itself
+    val warmDir = if (args.length > 2) args(2) else dir
+    SparkEntry.queries(name)(spark, warmDir).count()
     (1 to 3).foreach { i =>
       spark.catalog.clearCache(); graft.Caching.unpersistAll()
       val t0 = System.nanoTime()

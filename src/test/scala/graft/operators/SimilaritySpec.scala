@@ -158,6 +158,7 @@ class SimilaritySpec extends SparkSpec {
     val q = Similarity.ivfIndexSink(mem.toDF().toDF("vec_id", "embedding"),
       root, ckpt, "vec_id", "embedding", cents, numBuckets = 4,
       maxBalanceRatioE6 = 1L, // every check fires — proves the trigger wiring
+      balanceCheckEvery = 1,  // production default is sparser (O(index) scan)
       onImbalance = r => imbalances ::= r)
     try {
       mem.addData(b1.toSeq)

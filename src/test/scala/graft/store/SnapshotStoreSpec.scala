@@ -654,6 +654,28 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(rows(SnapshotStore.read(spark, root)).size == 49)
   }
 
+  test("merge-on-read deletes remove NULL-keyed rows (null-safe anti-join) and compact keeps them gone") {
+    val root = tmpDir("mor-null")
+    val v0 = Seq((Some(1L), "a"), (Some(2L), "b"), (None, "nullrow"))
+      .toDF("k", "v")
+    SnapshotStore.init(spark, root, v0, Seq("k"), numBuckets = 2)
+    // delete the null-keyed row via tombstone — a null-UNSAFE anti-join
+    // would never match it and silently resurrect the row
+    SnapshotStore.commitDeletes(spark, root,
+      Seq(Option.empty[Long]).toDF("k"), Seq("k"))
+    def vs(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("v").collect().map(_.getString(0)).toSet
+    assert(vs(SnapshotStore.read(spark, root)) === Set("a", "b"))
+    // compact folds the tombstone; the delete must survive the fold
+    // (a fold that missed the null key would discard the tombstone AND
+    // keep the row — the delete lost forever)
+    SnapshotStore.compact(spark, root)
+    val m = SnapshotStore.readManifest(spark, root,
+      SnapshotStore.latestVersion(spark, root).get)
+    assert(m.buckets.values.forall(_.tombstones.isEmpty))
+    assert(vs(SnapshotStore.read(spark, root)) === Set("a", "b"))
+  }
+
   test("manifest format marker: a future format is rejected, a legacy marker-less one parses") {
     val root = tmpDir("format")
     val v0 = (1L to 40L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts")
