@@ -119,6 +119,18 @@ object SnapshotStore {
     */
   private def attemptDir(v: Long, token: String) = s"v=$v-$token"
 
+  /** A manifest-recorded data location: relative to the table root for
+    * ordinary commits, ABSOLUTE for zero-copy clones ([[cloneTable]]
+    * writes entries that point into the SOURCE table's directories
+    * until a local rewrite re-homes them). [[vacuum]] only ever deletes
+    * from its own root's listing, so external absolute references are
+    * structurally out of its reach.
+    */
+  private def dataPath(root: String, rel: String): Path = {
+    val p = new Path(rel)
+    if (p.isAbsolute) p else new Path(root, rel)
+  }
+
   private def newToken(): String = UUID.randomUUID().toString.take(8)
 
   private def withBucket(df: DataFrame, keys: Seq[String], numBuckets: Int): DataFrame =
@@ -430,7 +442,7 @@ object SnapshotStore {
 
   private[store] def readBuckets(spark: SparkSession, root: String, m: Manifest,
                                  which: Set[Int]): DataFrame = {
-    val dirs = m.buckets.collect { case (b, e) if which(b) => new Path(root, e.dir).toString }
+    val dirs = m.buckets.collect { case (b, e) if which(b) => dataPath(root, e.dir).toString }
     if (dirs.isEmpty) spark.emptyDataFrame
     // mergeSchema: after additive evolution a snapshot legitimately
     // spans pre- and post-evolution version dirs until every bucket
@@ -450,7 +462,7 @@ object SnapshotStore {
   private def antiJoinTombstones(spark: SparkSession, root: String, m: Manifest,
                                  which: Set[Int], df: DataFrame): DataFrame = {
     val tombDirs = m.buckets.collect { case (b, e) if which(b) => e.tombstones }
-      .flatten.map(d => new Path(root, d).toString).toSeq
+      .flatten.map(d => dataPath(root, d).toString).toSeq
     if (tombDirs.isEmpty) df
     else {
       val tomb = spark.read.option("mergeSchema", "true").parquet(tombDirs: _*)
@@ -575,8 +587,8 @@ object SnapshotStore {
       val e = m.buckets(b)
       pruneFiles(m, b, statsCol, lower, upper) match {
         case Some(names) =>
-          names.map(n => new Path(new Path(root, e.dir), n).toString)
-        case None => Seq(new Path(root, e.dir).toString)
+          names.map(n => new Path(dataPath(root, e.dir), n).toString)
+        case None => Seq(dataPath(root, e.dir).toString)
       }
     }
     // an everything-pruned read still returns the TABLE's schema (a
@@ -900,7 +912,7 @@ object SnapshotStore {
       // get folded back into the data files
       val frag = m.buckets.filter { case (_, e) =>
         e.tombstones.nonEmpty ||
-          fs.listStatus(new Path(root, e.dir))
+          fs.listStatus(dataPath(root, e.dir))
             .count(st => st.isFile && !st.getPath.getName.startsWith("_")) >= minFiles
       }.keys.toSeq.sorted
       if (frag.isEmpty) return base
@@ -915,7 +927,7 @@ object SnapshotStore {
       val parts = frag.map { b =>
         antiJoinTombstones(spark, root, m, Set(b),
           spark.read.option("mergeSchema", "true")
-            .parquet(new Path(root, m.buckets(b).dir).toString))
+            .parquet(dataPath(root, m.buckets(b).dir).toString))
           .withColumn(BucketCol, lit(b))
       }
       val df = parts.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -991,6 +1003,21 @@ object SnapshotStore {
   def rebucket(spark: SparkSession, root: String, keys: Seq[String],
                newNumBuckets: Int, maxAttempts: Int = 5): Long = {
     require(newNumBuckets >= 1, "need at least one bucket")
+    rewriteAll(spark, root, keys, Some(newNumBuckets), maxAttempts)
+  }
+
+  /** Rewrite every bucket locally under the current layout — the
+    * re-homing pass for a [[cloneTable]] zero-copy clone: after it, no
+    * manifest entry references the source table, so the source may
+    * vacuum (or disappear) freely. No-op (returns the current version)
+    * on a table that is already fully local.
+    */
+  def materialize(spark: SparkSession, root: String, keys: Seq[String],
+                  maxAttempts: Int = 5): Long =
+    rewriteAll(spark, root, keys, None, maxAttempts)
+
+  private def rewriteAll(spark: SparkSession, root: String, keys: Seq[String],
+                         newCount: Option[Int], maxAttempts: Int): Long = {
     val fs = fileSystem(spark, root)
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -998,18 +1025,98 @@ object SnapshotStore {
       val base = latestVersion(spark, root)
         .getOrElse(throw new IllegalStateException(s"no table at $root — call init first"))
       val m = readManifest(spark, root, base)
-      if (m.numBuckets == newNumBuckets) return base
+      // nothing to do when the layout already matches AND every entry
+      // is local (a clone at the same bucket count still needs the
+      // rewrite — that is what re-homes it)
+      if (newCount.forall(_ == m.numBuckets) &&
+          m.buckets.values.forall(e => !new Path(e.dir).isAbsolute)) return base
+      val nb = newCount.getOrElse(m.numBuckets)
       val v = base + 1
       val token = newToken()
       val current = readBuckets(spark, root, m, m.buckets.keySet)
       val written = writeVersionData(current, root, v, token, keys,
-        newNumBuckets, m.statsCols, fs)
-      if (writeManifestAtomic(fs, root, v, newNumBuckets, m.statsCols,
+        nb, m.statsCols, fs)
+      if (writeManifestAtomic(fs, root, v, nb, m.statsCols,
           m.txns, written)) return v
       fs.delete(new Path(root, attemptDir(v, token)), true)
     }
     throw new IllegalStateException(
       s"rebucket lost $maxAttempts consecutive commit races at $root")
+  }
+
+  /** Roll the table back to `toVersion` AS A NEW COMMIT: the new
+    * manifest re-points every bucket at the restored version's
+    * directories (zero data movement — O(manifest) like every commit),
+    * history above it stays time-travelable, and [[vacuum]] keeps the
+    * restored dirs referenced. The Snowflake `CREATE TABLE ... CLONE
+    * ... AT (TIMESTAMP => ...)`-in-place / Delta RESTORE analog — the
+    * undo for a bad commit.
+    *
+    * Layout (`numBuckets`) and stats columns revert with the data (a
+    * restore across a [[rebucket]] must, or key pruning would hash
+    * into the wrong buckets). Writer txn high-water marks are kept
+    * from the CURRENT version: the rolled-back batches were seen, and
+    * an at-least-once redelivery after restore must stay a no-op, not
+    * silently re-apply on the restored base.
+    */
+  def restore(spark: SparkSession, root: String, toVersion: Long,
+              maxAttempts: Int = 5): Long = {
+    val fs = fileSystem(spark, root)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val vs = versions(spark, root)
+      require(vs.contains(toVersion),
+        s"version $toVersion is not in $root's history (have: $vs) — vacuumed?")
+      val base = vs.last
+      if (base == toVersion) return base
+      val target = readManifest(spark, root, toVersion)
+      val cur = readManifest(spark, root, base)
+      if (writeManifestAtomic(fs, root, base + 1, target.numBuckets,
+          target.statsCols, cur.txns, target.buckets)) return base + 1
+    }
+    throw new IllegalStateException(
+      s"restore lost $maxAttempts consecutive commit races at $root")
+  }
+
+  /** Zero-copy clone (the flagship capability of the reference's
+    * platform — Snowflake `CREATE TABLE ... CLONE`): the target is a
+    * NEW table whose version-0 manifest points at the SOURCE's current
+    * data directories by absolute path — O(manifest) cost at any
+    * table size, no data read or written. Subsequent writes are
+    * ordinary bucket-CoW: each touched bucket re-homes under the
+    * clone's root, so source and clone diverge independently; the
+    * clone's [[vacuum]] can never touch source files (it only deletes
+    * from its own root's listing).
+    *
+    * Retention caveat (same as Delta shallow clones): the SOURCE's
+    * vacuum does not know about clones — it may reclaim directories a
+    * clone still references once the cloned version leaves its
+    * retention window. Either retain that version at the source
+    * (`keepLast` / a registered consumer) or [[materialize]] the clone
+    * to cut the dependency.
+    */
+  def cloneTable(spark: SparkSession, srcRoot: String, dstRoot: String): Long = {
+    val srcFs = fileSystem(spark, srcRoot)
+    val dstFs = fileSystem(spark, dstRoot)
+    val base = latestVersion(spark, srcRoot).getOrElse(
+      throw new IllegalStateException(s"no table at $srcRoot — nothing to clone"))
+    require(latestVersion(spark, dstRoot).isEmpty,
+      s"clone target $dstRoot already holds a table")
+    val m = readManifest(spark, srcRoot, base)
+    val srcAbs = srcFs.makeQualified(new Path(srcRoot))
+    def abs(d: String): String = {
+      val p = new Path(d)
+      (if (p.isAbsolute) p else new Path(srcAbs, d)).toString
+    }
+    val entries = m.buckets.map { case (b, e) =>
+      b -> e.copy(dir = abs(e.dir), tombstones = e.tombstones.map(abs))
+    }
+    if (!writeManifestAtomic(dstFs, dstRoot, 0L, m.numBuckets, m.statsCols,
+        m.txns, entries))
+      throw new IllegalStateException(
+        s"clone target $dstRoot was concurrently initialized")
+    0L
   }
 
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 1): Int = {

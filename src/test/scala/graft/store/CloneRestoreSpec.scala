@@ -1,0 +1,132 @@
+package graft.store
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Scd1
+
+/** Zero-copy clones and version restore: O(manifest) operations whose
+  * correctness rests on the commit arbiter — no data moves until a
+  * bucket is genuinely rewritten.
+  */
+class CloneRestoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-cr-$tag").toString
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+    df.select("k", "v", "ts").as[(Long, String, Long)].collect().toSet
+
+  private val merge = (cur: org.apache.spark.sql.DataFrame,
+                       delta: org.apache.spark.sql.DataFrame) =>
+    Scd1.merge(cur, delta, Seq("k"), Seq(col("ts").desc))
+
+  test("restore rolls back as a NEW commit; history, pruning and later deltas compose") {
+    val root = tmpDir("restore")
+    val v0 = (1L to 60L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts")
+    SnapshotStore.init(spark, root, v0, Seq("k"), numBuckets = 4, statsCols = Seq("ts"))
+    SnapshotStore.commitDelta(spark, root,
+      Seq((1L, "bad1", 100L), (61L, "bad61", 100L)).toDF("k", "v", "ts"), Seq("k"), merge)
+    SnapshotStore.commitDeletes(spark, root, Seq(5L).toDF("k"), Seq("k"))
+    assert(rows(SnapshotStore.read(spark, root)).size == 60) // 61 rows - 5 deleted
+
+    // undo both bad commits
+    val rv = SnapshotStore.restore(spark, root, 0L)
+    assert(rv == 3L)
+    assert(rows(SnapshotStore.read(spark, root)) == rows(v0))
+    // the bad version is still time-travelable above the restore
+    assert(rows(SnapshotStore.readVersion(spark, root, 1L))
+      .exists(_._2 == "bad1"))
+    // stats pruning works against the restored manifest
+    assert(rows(SnapshotStore.readRange(spark, root, "ts", 1L, 3L)) ==
+      Set((1L, "v1", 1L), (2L, "v2", 2L), (3L, "v3", 3L)))
+    // restoring to the current version is a no-op
+    assert(SnapshotStore.restore(spark, root, 3L) == 3L)
+    // later deltas compose on the restored base
+    SnapshotStore.commitDelta(spark, root,
+      Seq((2L, "v2c", 200L)).toDF("k", "v", "ts"), Seq("k"), merge)
+    val now = rows(SnapshotStore.read(spark, root))
+    assert(now((2L, "v2c", 200L)) && now.size == 60)
+    // vacuum keeps the restored dirs referenced — reads stay intact
+    SnapshotStore.vacuum(spark, root, keepLast = 1)
+    assert(rows(SnapshotStore.read(spark, root)) == now)
+  }
+
+  test("restore keeps CURRENT txn marks: a rolled-back batch's redelivery stays a no-op") {
+    val root = tmpDir("restore-txn")
+    val v0 = (1L to 20L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts")
+    SnapshotStore.init(spark, root, v0, Seq("k"), numBuckets = 2)
+    SnapshotStore.commitDelta(spark, root,
+      Seq((1L, "b7", 50L)).toDF("k", "v", "ts"), Seq("k"), merge,
+      txn = Some("w" -> 7L))
+    SnapshotStore.restore(spark, root, 0L)
+    // the at-least-once redelivery of batch 7 after the rollback: seen
+    // before, so still skipped (no silent re-apply on the restored base)
+    val before = SnapshotStore.latestVersion(spark, root)
+    SnapshotStore.commitDelta(spark, root,
+      Seq((1L, "b7", 50L)).toDF("k", "v", "ts"), Seq("k"), merge,
+      txn = Some("w" -> 7L))
+    assert(SnapshotStore.latestVersion(spark, root) == before)
+    assert(!rows(SnapshotStore.read(spark, root)).exists(_._2 == "b7"))
+  }
+
+  test("cloneTable: zero data files under the clone; reads identical; divergence is isolated") {
+    val src = tmpDir("clone-src")
+    val dst = tmpDir("clone-dst")
+    val v0 = (1L to 80L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts")
+    SnapshotStore.init(spark, src, v0, Seq("k"), numBuckets = 4, statsCols = Seq("ts"))
+    SnapshotStore.commitDeletes(spark, src, Seq(9L).toDF("k"), Seq("k"))
+
+    assert(SnapshotStore.cloneTable(spark, src, dst) == 0L)
+    // identical content, including the tombstone subtraction
+    assert(rows(SnapshotStore.read(spark, dst)) == rows(SnapshotStore.read(spark, src)))
+    // the clone holds ONLY a manifest — no v= data dirs were written
+    val local = Files.list(Paths.get(dst)).toArray.map(_.toString.split('/').last)
+    assert(local.toSet == Set("_commits"), s"clone root holds $local")
+    // cloning onto an existing table refuses
+    intercept[IllegalArgumentException] {
+      SnapshotStore.cloneTable(spark, src, dst)
+    }
+
+    // clone-side delta: only touched buckets re-home; source unchanged
+    SnapshotStore.commitDelta(spark, dst,
+      Seq((1L, "clone1", 500L)).toDF("k", "v", "ts"), Seq("k"), merge)
+    assert(rows(SnapshotStore.read(spark, dst))((1L, "clone1", 500L)))
+    assert(!rows(SnapshotStore.read(spark, src)).exists(_._2 == "clone1"))
+    // source-side delta: clone does not see it
+    SnapshotStore.commitDelta(spark, src,
+      Seq((2L, "src2", 500L)).toDF("k", "v", "ts"), Seq("k"), merge)
+    assert(!rows(SnapshotStore.read(spark, dst)).exists(_._2 == "src2"))
+
+    // the clone's vacuum never reaches into the source
+    val srcFiles = Files.walk(Paths.get(src)).toArray.length
+    SnapshotStore.vacuum(spark, dst, keepLast = 1)
+    assert(Files.walk(Paths.get(src)).toArray.length == srcFiles)
+    assert(rows(SnapshotStore.read(spark, dst))((1L, "clone1", 500L)))
+  }
+
+  test("materialize re-homes every clone bucket; the source can then vanish") {
+    val src = tmpDir("mat-src")
+    val dst = tmpDir("mat-dst")
+    val v0 = (1L to 40L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts")
+    SnapshotStore.init(spark, src, v0, Seq("k"), numBuckets = 4)
+    SnapshotStore.cloneTable(spark, src, dst)
+    val expected = rows(SnapshotStore.read(spark, dst))
+
+    val mv = SnapshotStore.materialize(spark, dst, Seq("k"))
+    assert(mv == 1L)
+    // a second materialize is a no-op (already fully local)
+    assert(SnapshotStore.materialize(spark, dst, Seq("k")) == 1L)
+
+    // cut the dependency for real: delete the source table wholesale
+    def rmRf(p: java.nio.file.Path): Unit = {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(q => { Files.delete(q); () })
+    }
+    rmRf(Paths.get(src))
+    assert(rows(SnapshotStore.read(spark, dst)) == expected)
+  }
+}
