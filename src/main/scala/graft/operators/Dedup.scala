@@ -503,4 +503,68 @@ object Dedup {
       .select(col(idCol), col("list_id"),
         coalesce(col("__dup"), lit(false)).unary_!.as("is_kept"))
   }
+
+  /** Streaming near-dup index maintenance — the text-side twin of
+    * [[graft.operators.Similarity.ivfIndexSink]]: keep a MinHash-LSH
+    * band index fresh as a corpus streams in. Each micro-batch runs
+    * the batch [[minhashBands]] pass (signatures + band keys — the
+    * hash family is seed-frozen, so batch and backfill agree) and
+    * upserts the (doc_id, band_idx, band_key) rows into a
+    * [[graft.store.SnapshotStore]] table keyed (doc_id, band_idx):
+    * one atomic version per batch, O(batch + touched buckets),
+    * redelivery-idempotent via the manifest txn (and a re-streamed
+    * doc re-derives identical band rows anyway).
+    *
+    * Query side: [[nearDupCandidatesAgainst]] bands the probe docs
+    * with the SAME frozen family and equi-joins the index on
+    * band_key — candidates only; callers verify with [[ngramJaccard]]
+    * exactly as in the batch pipeline.
+    */
+  def nearDupIndexSink(stream: DataFrame, root: String, checkpointDir: String,
+                       textCol: String, idCol: String,
+                       numHashes: Int = 64, bands: Int = 16,
+                       shingleSize: Int = 3,
+                       numBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.store.SnapshotStore
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val txn = Some(checkpointDir -> batchId)
+        if (!batch.isEmpty) {
+          val banded = minhashBands(batch.toDF(), textCol, idCol,
+            numHashes, bands, shingleSize)
+          val keys = Seq(idCol, "band_idx")
+          if (SnapshotStore.latestVersion(spark, root).isEmpty) {
+            SnapshotStore.init(spark, root, banded, keys, numBuckets, txn = txn)
+          } else {
+            SnapshotStore.commitDelta(spark, root, banded, keys,
+              (cur, delta) => cur
+                .join(delta.select(keys.map(col): _*).distinct(), keys, "left_anti")
+                .unionByName(delta),
+              txn = txn)
+          }
+        }: Unit
+      }
+      .start()
+  }
+
+  /** Near-dup candidate pairs of `probeDocs` against a
+    * [[nearDupIndexSink]]-maintained index: band the probes with the
+    * same frozen hash family, equi-join on band_key (shuffle on the
+    * key, never an all-pairs product), self-matches dropped. Returns
+    * (probe id, index doc_id) distinct pairs — the exact-verify input.
+    */
+  def nearDupCandidatesAgainst(index: DataFrame, probeDocs: DataFrame,
+                               textCol: String, idCol: String,
+                               numHashes: Int = 64, bands: Int = 16,
+                               shingleSize: Int = 3): DataFrame = {
+    val probes = minhashBands(probeDocs, textCol, idCol,
+      numHashes, bands, shingleSize)
+      .select(col("band_key"), col(idCol).as("probe_id"))
+    index.select(col("band_key"), col(idCol))
+      .join(probes, Seq("band_key"))
+      .where(col("probe_id") =!= col(idCol))
+      .select(col("probe_id"), col(idCol)).distinct()
+  }
 }

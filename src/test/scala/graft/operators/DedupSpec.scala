@@ -189,4 +189,51 @@ class DedupSpec extends SparkSpec {
     // the fixture actually exercises both outcomes
     assert(got.exists(_._3) && got.exists(!_._3))
   }
+
+  test("nearDupIndexSink: stream-built band index == batch minhashBands; candidates surface a planted near-dup") {
+    import graft.store.SnapshotStore
+    def doc(i: Long) = s"the quick brown fox $i jumps over the lazy dog " +
+      s"while number $i watches carefully from the old wooden fence nearby"
+    val corpus = (1L to 30L).map(i => (i, doc(i)))
+    val root = java.nio.file.Files.createTempDirectory("graft-nd-idx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-nd-ckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = Dedup.nearDupIndexSink(mem.toDF().toDF("doc_id", "text"),
+      root, ckpt, "text", "doc_id", numBuckets = 4)
+    try {
+      val (b1, b2) = corpus.splitAt(15)
+      mem.addData(b1)
+      q.processAllAvailable()
+      // overlap: the tail of b1 re-streams — the keyed upsert dedups
+      mem.addData(b1.takeRight(3) ++ b2)
+      q.processAllAvailable()
+
+      assert(SnapshotStore.versions(spark, root) == Seq(0L, 1L))
+      val streamed = SnapshotStore.read(spark, root)
+        .select("doc_id", "band_idx", "band_key")
+        .as[(Long, Int, String)].collect().sorted
+      val batch = Dedup.minhashBands(corpus.toDF("doc_id", "text"), "text", "doc_id")
+        .select("doc_id", "band_idx", "band_key")
+        .as[(Long, Int, String)].collect().sorted
+      assert(streamed.sameElements(batch))
+
+      // probe with a near-duplicate of doc 7 (one token changed): the
+      // band equi-join against the stored index must surface doc 7
+      val probe = Seq((1000L, doc(7).replace("lazy", "sleepy")))
+        .toDF("doc_id", "text")
+      val cand = Dedup.nearDupCandidatesAgainst(
+        SnapshotStore.read(spark, root), probe, "text", "doc_id")
+        .as[(Long, Long)].collect().toSet
+      assert(cand.contains((1000L, 7L)), s"candidates: $cand")
+
+      // redelivery idempotence: replaying batch 1's txn is a no-op
+      val before = SnapshotStore.latestVersion(spark, root)
+      SnapshotStore.commitDelta(spark, root,
+        Seq((99L, 0, "zz")).toDF("doc_id", "band_idx", "band_key"),
+        Seq("doc_id", "band_idx"),
+        (cur, delta) => cur.unionByName(delta), txn = Some(ckpt -> 1L))
+      assert(SnapshotStore.latestVersion(spark, root) == before)
+    } finally q.stop()
+  }
 }
