@@ -532,18 +532,22 @@ object Dedup {
         val spark = batch.sparkSession
         val txn = Some(checkpointDir -> batchId)
         if (!batch.isEmpty) {
+          // persisted for the batch's lifetime: the commit evaluates
+          // its delta several times (touched-bucket census, merge
+          // write, stats rollup, any race retry) and the banding
+          // pipeline's shingle expansion is the dominant CPU cost —
+          // unlike ivfIndexSink's cheap assignment expression
           val banded = minhashBands(batch.toDF(), textCol, idCol,
-            numHashes, bands, shingleSize)
-          val keys = Seq(idCol, "band_idx")
-          if (SnapshotStore.latestVersion(spark, root).isEmpty) {
-            SnapshotStore.init(spark, root, banded, keys, numBuckets, txn = txn)
-          } else {
-            SnapshotStore.commitDelta(spark, root, banded, keys,
-              (cur, delta) => cur
-                .join(delta.select(keys.map(col): _*).distinct(), keys, "left_anti")
-                .unionByName(delta),
-              txn = txn)
-          }
+            numHashes, bands, shingleSize).persist()
+          try {
+            val keys = Seq(idCol, "band_idx")
+            if (SnapshotStore.latestVersion(spark, root).isEmpty) {
+              SnapshotStore.init(spark, root, banded, keys, numBuckets, txn = txn)
+            } else {
+              SnapshotStore.commitDelta(spark, root, banded, keys,
+                SnapshotStore.upsertMerge(keys), txn = txn)
+            }
+          } finally banded.unpersist()
         }: Unit
       }
       .start()

@@ -350,10 +350,7 @@ object Similarity {
             // upsert: a re-streamed id keeps ONE row (the assignment is
             // deterministic under a frozen codebook, so old == new)
             SnapshotStore.commitDelta(spark, root, assigned, Seq(idCol),
-              (cur, delta) => cur
-                .join(delta.select(col(idCol)), Seq(idCol), "left_anti")
-                .unionByName(delta),
-              txn = txn)
+              SnapshotStore.upsertMerge(Seq(idCol)), txn = txn)
           }
           if (batchId % balanceCheckEvery == 0) {
             val worst = ivfListStats(SnapshotStore.read(spark, root), nlist)

@@ -329,11 +329,10 @@ object ChangeFeed {
     val deletes = finals.where(col(ChangeType) === Delete)
       .select(keys.map(col): _*)
     if (!upserts.isEmpty) {
+      // keyed replace: the change feed already delivers full final
+      // rows per key
       SnapshotStore.commitDelta(spark, targetRoot, upserts, keys,
-        // keyed replace: the change feed already delivers full final
-        // rows, so the merge is delete-then-insert by key
-        (cur, delta) => cur.join(delta.select(keys.map(col): _*).distinct(),
-          keys, "left_anti").unionByName(delta),
+        SnapshotStore.upsertMerge(keys),
         txn = Some(s"graft.sync.$id" -> latest))
     }
     if (!deletes.isEmpty) {

@@ -136,6 +136,17 @@ object SnapshotStore {
   private def withBucket(df: DataFrame, keys: Seq[String], numBuckets: Int): DataFrame =
     df.withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(numBuckets)))
 
+  /** The keyed delete-then-insert merge every upsert-shaped sink hands
+    * to [[commitDelta]] (the delta already carries full FINAL rows per
+    * key, so replace-by-key is the whole merge). One definition — the
+    * index sinks and [[graft.store.ChangeFeed.syncDerived]] all share
+    * these semantics.
+    */
+  def upsertMerge(keys: Seq[String]): (DataFrame, DataFrame) => DataFrame =
+    (cur, delta) => cur
+      .join(delta.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(delta)
+
   // ------------------------------------------------------------------
   // manifest IO
   // ------------------------------------------------------------------
@@ -911,9 +922,14 @@ object SnapshotStore {
       // delete sidecars — compaction is where merge-on-read deletes
       // get folded back into the data files
       val frag = m.buckets.filter { case (_, e) =>
-        e.tombstones.nonEmpty ||
-          fs.listStatus(dataPath(root, e.dir))
+        e.tombstones.nonEmpty || {
+          // resolve the FileSystem FROM the path: an un-materialized
+          // clone's absolute dirs may live on a different FS/authority
+          // than the clone root (fs.listStatus there throws "Wrong FS")
+          val p = dataPath(root, e.dir)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).listStatus(p)
             .count(st => st.isFile && !st.getPath.getName.startsWith("_")) >= minFiles
+        }
       }.keys.toSeq.sorted
       if (frag.isEmpty) return base
       val v = base + 1
@@ -1040,8 +1056,9 @@ object SnapshotStore {
           m.txns, written)) return v
       fs.delete(new Path(root, attemptDir(v, token)), true)
     }
+    val op = if (newCount.isDefined) "rebucket" else "materialize"
     throw new IllegalStateException(
-      s"rebucket lost $maxAttempts consecutive commit races at $root")
+      s"$op lost $maxAttempts consecutive commit races at $root")
   }
 
   /** Roll the table back to `toVersion` AS A NEW COMMIT: the new

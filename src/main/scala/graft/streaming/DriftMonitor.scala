@@ -28,22 +28,26 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object DriftMonitor {
 
   /** A frozen reference: interior bin boundaries (b₁ < … < b_{k−1},
-    * defining k bins over (−∞,b₁), [b₁,b₂), …, [b_{k−1},∞)) and each
-    * bin's reference share. Metadata-sized; serialize it wherever
-    * config lives.
+    * defining k VALUE bins over (−∞,b₁), [b₁,b₂), …, [b_{k−1},∞))
+    * plus one NULL bin (null/NaN rows — a feed degrading into nulls
+    * is itself drift, and a monitor that dropped them would report
+    * "stable" while 90% of the signal vanished). `shares` has
+    * k + 1 entries, the null bin LAST. Metadata-sized; serialize it
+    * wherever config lives.
     */
   final case class Reference(boundaries: Seq[Double], shares: Seq[Double]) {
     require(boundaries == boundaries.sorted && boundaries.distinct == boundaries,
       "boundaries must be strictly increasing")
-    require(shares.size == boundaries.size + 1,
-      s"${boundaries.size} boundaries define ${boundaries.size + 1} bins, " +
-        s"got ${shares.size} shares")
+    require(shares.size == boundaries.size + 2,
+      s"${boundaries.size} boundaries define ${boundaries.size + 1} value bins " +
+        s"+ 1 null bin, got ${shares.size} shares")
   }
 
   /** Train a [[Reference]] on a batch frame: `bins` equi-population
     * buckets from one distributed `approxQuantile` pass (boundaries
     * deduped — a heavily repeated value may merge bins), then one
-    * aggregation for the exact shares under those boundaries.
+    * aggregation for the exact shares (null bin included) under those
+    * boundaries.
     */
   def referenceOf(df: DataFrame, valueCol: String, bins: Int = 10,
                   relativeError: Double = 0.001): Reference = {
@@ -57,30 +61,34 @@ object DriftMonitor {
     Reference(bounds, counts.map(_ / total))
   }
 
-  /** The literal bin id (0-based) of `c` under `bounds` — a chained
-    * CASE over metadata-sized boundaries, fully codegen'd.
+  /** The literal bin id (0-based) of `c` under `bounds`, with
+    * null/NaN routed to the LAST bin — a chained CASE over
+    * metadata-sized boundaries, fully codegen'd.
     */
   private def binId(c: Column, bounds: Seq[Double]): Column =
-    bounds.zipWithIndex.foldRight(lit(bounds.size)) { case ((b, i), rest) =>
-      when(c < b, lit(i)).otherwise(rest)
-    }
+    when(c.isNull || c.isNaN, lit(bounds.size + 1)).otherwise(
+      bounds.zipWithIndex.foldRight(lit(bounds.size)) { case ((b, i), rest) =>
+        when(c < b, lit(i)).otherwise(rest)
+      })
 
-  /** Per-bin row counts of `df[valueCol]` (null rows excluded): ONE
-    * narrow aggregation collecting exactly nbins longs.
+  /** Per-bin row counts of `df[valueCol]` — nbins value bins plus the
+    * null/NaN bin LAST: ONE narrow aggregation collecting exactly
+    * nbins + 1 longs.
     */
   def binCounts(df: DataFrame, valueCol: String, bounds: Seq[Double]): Seq[Long] = {
-    val n = bounds.size + 1
-    val got = df.na.drop(Seq(valueCol))
-      .groupBy(binId(col(valueCol), bounds).as("__bin"))
+    val n = bounds.size + 2
+    val got = df
+      .groupBy(binId(col(valueCol).cast("double"), bounds).as("__bin"))
       .agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     (0 until n).map(got.getOrElse(_, 0L))
   }
 
-  /** PSI of observed bin counts vs the reference shares. Empty bins on
-    * either side are Laplace-smoothed (ε = 1e-4) — the conventional
-    * guard against ln(0) — so a bin going from tiny to zero reads as
-    * strong-but-finite drift.
+  /** PSI of observed bin counts vs the reference shares (null bin a
+    * first-class bin: a null-rate regression alerts like any other
+    * shift). Empty bins on either side are Laplace-smoothed
+    * (ε = 1e-4) — the conventional guard against ln(0) — so a bin
+    * going from tiny to zero reads as strong-but-finite drift.
     */
   def psi(ref: Reference, counts: Seq[Long]): Double = {
     require(counts.size == ref.shares.size,

@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
+import org.apache.spark.sql.functions.{lit, when}
 import graft.SparkSpec
 import DriftMonitor._
 
@@ -19,12 +20,14 @@ class DriftMonitorSpec extends SparkSpec {
     ids.map(i => (i.toLong, (math.abs((i * 2654435761L) % 1000L)).toDouble + shift))
       .toDF("id", "score")
 
-  test("referenceOf: decile bins partition the data; shares sum to 1") {
+  test("referenceOf: decile bins partition the data; shares sum to 1; null bin last") {
     val ref = referenceOf(scores(0 until 2000), "score", bins = 10)
-    assert(ref.boundaries.size == 9 && ref.shares.size == 10)
+    assert(ref.boundaries.size == 9 && ref.shares.size == 11)
     assert(math.abs(ref.shares.sum - 1d) < 1e-9)
-    // equi-population training: every decile holds ~10%
-    ref.shares.foreach(s => assert(s > 0.05 && s < 0.15, s"share $s"))
+    // equi-population training: every value decile holds ~10%; the
+    // all-values fixture has an empty null bin
+    ref.shares.init.foreach(s => assert(s > 0.05 && s < 0.15, s"share $s"))
+    assert(ref.shares.last == 0d)
   }
 
   test("psi: same distribution ~0, shifted distribution alerts, empty batch is 0") {
@@ -38,11 +41,18 @@ class DriftMonitorSpec extends SparkSpec {
     val collapsed = binCounts(Seq.fill(100)((1L, 5d)).toDF("id", "score"),
       "score", ref.boundaries)
     assert(psi(ref, collapsed) > 1.0)
-    assert(psi(ref, Seq.fill(10)(0L)) == 0d)
-    // null scores are excluded, not binned
+    assert(psi(ref, Seq.fill(11)(0L)) == 0d)
+    // null scores land in the dedicated LAST bin — a feed degrading
+    // into nulls is drift, not invisible
     val withNulls = Seq((1L, Some(5d)), (2L, None), (3L, Some(999d)))
       .toDF("id", "score")
-    assert(binCounts(withNulls, "score", ref.boundaries).sum == 2)
+    val nc = binCounts(withNulls, "score", ref.boundaries)
+    assert(nc.sum == 3 && nc.last == 1)
+    // 90% of the feed going null alerts even when surviving values
+    // keep the reference distribution
+    val mostlyNull = scores(0 until 200).select($"id",
+      when($"id" % 10 === 0, $"score").otherwise(lit(null)).as("score"))
+    assert(psi(ref, binCounts(mostlyNull, "score", ref.boundaries)) > 0.25)
   }
 
   test("driftSink: reports every batch, alerts only on the drifted one") {
