@@ -54,7 +54,13 @@ object WarehouseDemo {
             Seq("loc_id", "city", "state", "tier", "updated_at", "rec_id"),
             Seq("loc_id" -> "bigint", "tier" -> "int",
               "updated_at" -> "timestamp", "rec_id" -> "bigint"),
-            Seq("loc_id"), "updated_at", "rec_id", scd2 = true),
+            Seq("loc_id"), "updated_at", "rec_id", scd2 = true,
+            expectations = Seq(
+              graft.pipeline.Expectations.Expectation("loc_id_set",
+                org.apache.spark.sql.functions.col("loc_id").isNotNull,
+                graft.pipeline.Expectations.Quarantine),
+              graft.pipeline.Expectations.Expectation("tier_valid",
+                org.apache.spark.sql.functions.col("tier").between(1, 3)))),
           Warehouse.Entity("restaurant", "csv", s"$root/stage/restaurant",
             Seq("rest_id", "rest_name", "loc_id", "updated_at", "rec_id"),
             Seq("rest_id" -> "bigint", "loc_id" -> "bigint",
@@ -74,7 +80,8 @@ object WarehouseDemo {
             })))
 
       println(s"[demo] batch run → $root/wh")
-      val out = Warehouse.runBatch(spark, cfg, s"$root/wh")
+      val out = Warehouse.runBatch(spark, cfg, s"$root/wh",
+        onExpectations = (e, m) => println(s"[demo]   expectations $e: $m"))
       out.keys.toSeq.sorted.foreach(k => println(f"[demo]   $k%-28s ${out(k).count()}%4d rows"))
 
       println("[demo] late file arrives; incremental (AvailableNow) pass")

@@ -65,6 +65,32 @@ class ExpectationsSpec extends SparkSpec {
     assert(v.quarantined.isEmpty)
   }
 
+  test("parallel entities report into a plain collector without racing (serialized callback)") {
+    val root = Files.createTempDirectory("graft_exp_par").toString
+    val names = (1 to 6).map(i => s"e$i")
+    names.foreach { n =>
+      Files.createDirectories(Paths.get(s"$root/stage/$n"))
+      Files.writeString(Paths.get(s"$root/stage/$n/data.csv"),
+        """id,qty,updated_at,rec_id
+          |1,5,2024-01-01 00:00:00,1
+          |2,-1,2024-01-01 00:00:00,2
+          |""".stripMargin)
+    }
+    var reported = Map.empty[String, Map[String, Long]] // plain, unsynchronized
+    val cfg = Warehouse.Config(names.map(n =>
+      Warehouse.Entity(n, "csv", s"$root/stage/$n",
+        Seq("id", "qty", "updated_at", "rec_id"),
+        Seq("id" -> "bigint", "qty" -> "bigint",
+          "updated_at" -> "timestamp", "rec_id" -> "bigint"),
+        Seq("id"), "updated_at", "rec_id",
+        expectations = Seq(Expectation("qty_pos", col("qty") > 0, Drop)))))
+    Warehouse.runBatch(spark, cfg, s"$root/out", entityParallelism = 4,
+      onExpectations = (name, m) => reported += name -> m)
+    // every entity's report arrived exactly once, none lost to a race
+    assert(reported.keySet === names.toSet)
+    assert(reported.values.forall(_ === Map("qty_pos" -> 1L)))
+  }
+
   test("runBatch: quarantine layer written, clean layer excludes offenders, callback fires") {
     val root = Files.createTempDirectory("graft_exp").toString
     Files.createDirectories(Paths.get(s"$root/stage/item"))
