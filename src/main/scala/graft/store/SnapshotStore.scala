@@ -1075,6 +1075,12 @@ object SnapshotStore {
     * from the CURRENT version: the rolled-back batches were seen, and
     * an at-least-once redelivery after restore must stay a no-op, not
     * silently re-apply on the restored base.
+    *
+    * To the [[ChangeFeed]] a restore is a DATA change, not an
+    * invisible pointer swap: the re-pointed buckets diff against the
+    * rolled-back version, so consumers see the reversion as ordinary
+    * I/U/D rows and [[ChangeFeed.syncDerived]] mirrors roll back
+    * automatically (spec'd).
     */
   def restore(spark: SparkSession, root: String, toVersion: Long,
               maxAttempts: Int = 5): Long = {

@@ -216,6 +216,37 @@ class ChangeFeedSpec extends SparkSpec {
     assert(SnapshotStore.latestVersion(spark, dst).get == vBefore) // txn no-ops
   }
 
+  test("restore surfaces as row-level changes and syncDerived propagates it downstream") {
+    val src = tmpDir("restore-feed")
+    val dst = tmpDir("restore-sync")
+    val v0 = (1L to 40L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts")
+    SnapshotStore.init(spark, src, v0, Seq("k"), numBuckets = 4)
+    // downstream target bootstraps from v0
+    assert(ChangeFeed.syncDerived(spark, src, dst, "mirror", Seq("k"))
+      .contains((-1L, 0L)))
+
+    // a bad commit: update k=3, insert k=41
+    SnapshotStore.commitDelta(spark, src,
+      Seq((3L, "bad3", 99L), (41L, "bad41", 99L)).toDF("k", "v", "ts"),
+      Seq("k"), merge)
+    ChangeFeed.syncDerived(spark, src, dst, "mirror", Seq("k"))
+
+    // undo it: the feed must emit the reversion as ordinary I/U/D —
+    // update k=3 back, delete k=41 (RESTORE is a data change to
+    // consumers, not an invisible pointer swap)
+    val rv = SnapshotStore.restore(spark, src, 0L)
+    assert(changes(src, rv - 1, rv) == Set(
+      (3L, "bad3", 99L, ChangeFeed.UpdatePre, rv),
+      (3L, "v3", 3L, ChangeFeed.UpdatePost, rv),
+      (41L, "bad41", 99L, ChangeFeed.Delete, rv)))
+
+    // ...and the derived mirror follows the rollback automatically
+    ChangeFeed.syncDerived(spark, src, dst, "mirror", Seq("k"))
+    val mirror = SnapshotStore.read(spark, dst)
+      .select("k", "v", "ts").as[(Long, String, Long)].collect().toSet
+    assert(mirror == v0.as[(Long, String, Long)].collect().toSet)
+  }
+
   test("additive schema evolution: new column surfaces as update post-images, old rows null-fill") {
     val root = tmpDir("evolve")
     SnapshotStore.init(spark, root,
