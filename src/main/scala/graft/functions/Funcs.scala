@@ -64,16 +64,24 @@ object Funcs {
   def splitBucket(id: Column, salt: String): Column = hashMod(id, salt, 100)
 
   /** The same engine-reproducible md5-digit hash, mod an arbitrary
-    * `n` — for shard/bucket counts beyond 100. Drawn from the full
-    * 6-digit space directly: deriving a wide count from
+    * `n` up to 10^6 — for shard/bucket counts beyond 100. Drawn from
+    * the full 6-digit space directly: deriving a wide count from
     * `splitBucket % n` would cap it at 100 distinct values and skew
-    * whole shards 2× wherever 100 % n ≠ 0.
+    * whole shards 2× wherever 100 % n ≠ 0. The 6-digit draw bounds
+    * what is expressible: n above 10^6 would silently collapse to at
+    * most 10^6 distinct shards, so it is rejected; for n that does not
+    * divide 10^6 the low shards are favored by at most 1 part in
+    * 10^6/n (the usual modulo bias — negligible for realistic shard
+    * counts, zero for powers of 10).
     */
-  def hashMod(id: Column, salt: String, n: Int): Column =
+  def hashMod(id: Column, salt: String, n: Int): Column = {
+    require(n >= 1 && n <= 1000000,
+      s"hashMod draws from a 6-digit space: n must be in [1, 10^6], got $n")
     substring(
       concat(regexp_replace(md5(concat(id.cast("string"), lit("|" + salt))),
         "[a-f]", ""), lit("000000")), 1, 6)
       .cast("bigint") % n
+  }
 
   /** Bucket → split label with the conventional 80/10/10 default. */
   def splitLabel(bucket: Column, trainPct: Int = 80, valPct: Int = 10): Column =

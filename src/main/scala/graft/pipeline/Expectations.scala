@@ -65,12 +65,26 @@ object Expectations {
       _.get.map { case (k, v) => k -> v.asInstanceOf[Long] })
   }
 
-  private def violated(e: Expectation): Column = !coalesce(e.predicate, lit(false))
+  /** NULL predicate = violation (a rule that cannot evaluate did not
+    * hold). Shared with the snapshot-commit validation path.
+    */
+  private[graft] def violated(e: Expectation): Column = !coalesce(e.predicate, lit(false))
 
   /** Validate `df` against `rules`. `Fail` rules run a pre-flight
     * count (one job over the source scan) so nothing downstream is
     * written when they trip; the rest evaluate lazily inside the
     * caller's own first action on `kept`.
+    *
+    * Stable-source assumption: `df`'s lineage is evaluated up to three
+    * times (the Fail pre-flight, the caller's action on `kept`, and a
+    * quarantine write) — these are only mutually consistent when the
+    * source yields the same rows each time. A source that can change
+    * between actions (e.g. a stage directory still receiving files)
+    * should be pinned first (`persist`/`localCheckpoint`) by the
+    * caller, or validated inside the snapshot-commit path
+    * ([[graft.store.SnapshotStore.commitDelta]]'s `failRules`, which
+    * observes the single attempt-dir write — one evaluation, abort
+    * before visibility, no extra scan).
     */
   def validate(df: DataFrame, rules: Seq[Expectation]): Validated = {
     require(rules.map(_.name).distinct.size == rules.size,

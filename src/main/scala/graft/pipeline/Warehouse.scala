@@ -256,7 +256,13 @@ object Warehouse {
           if (e.expectations.exists(_.policy == Expectations.Quarantine))
             validated.quarantined.write.mode("append")
               .parquet(s"$outDir/quarantine/${e.name}")
-          if (e.expectations.nonEmpty) onExpectations(e.name, validated.metrics())
+          // serialized like runBatch's callback: each entity's stream
+          // runs its batches on its own thread, so a shared collector
+          // would otherwise race across entities
+          if (e.expectations.nonEmpty) {
+            val m = validated.metrics()
+            callbackLock.synchronized(onExpectations(e.name, m))
+          }
         }
         .start()
     }

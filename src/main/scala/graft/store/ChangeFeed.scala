@@ -98,6 +98,42 @@ object ChangeFeed {
     }
   }
 
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => true
+      case ArrayType(et, _) => containsMap(et)
+      case StructType(fs) => fs.exists(f => containsMap(f.dataType))
+      case _ => false
+    }
+  }
+
+  /** Null-safe-equality-comparable stand-in for a possibly-map-typed
+    * column: maps don't support `<=>` (no canonical entry order), so
+    * every map anywhere in the type is rewritten to its entry list
+    * sorted by key — a canonical, orderable encoding; two maps are
+    * equal iff their sorted entry lists are. Identity for map-free
+    * types, so the common diff plan is untouched.
+    */
+  private def canonical(c: Column, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case MapType(kt, vt, _) =>
+        array_sort(transform(map_entries(c), e =>
+          struct(canonical(e.getField("key"), kt).as("k"),
+            canonical(e.getField("value"), vt).as("v"))))
+      case ArrayType(et, _) if containsMap(et) =>
+        transform(c, x => canonical(x, et))
+      case st: StructType if containsMap(st) =>
+        // rebuilding a struct from its fields must not conflate a NULL
+        // struct with a struct of nulls
+        when(c.isNull, lit(null)).otherwise(
+          struct(st.fields.toSeq.map(f =>
+            canonical(c.getField(f.name), f.dataType).as(f.name)): _*))
+      case _ => c
+    }
+  }
+
   /** Diff ONE committed version against its predecessor. Returns None
     * when the commit touched nothing (manifest-only version).
     */
@@ -132,13 +168,23 @@ object ChangeFeed {
       } :+ lit(true).as(s"${prefix}_present")
       base.select(projected: _*)
     }
+    keys.foreach { k =>
+      cols.find(_._1 == k).map(_._2).filter(containsMap).foreach { t =>
+        throw new IllegalArgumentException(
+          s"change-feed key column $k has type $t: map-typed keys are " +
+            "not equi-joinable — use an atomic identity column")
+      }
+    }
     val o = aligned(oldRaw, "__o_")
     val n = aligned(newRaw, "__n_")
     val joinCond = keys.map(k => col(s"__o_$k") <=> col(s"__n_$k")).reduce(_ && _)
     val j = o.join(n, joinCond, "full_outer")
     val nonKeys = cols.map(_._1).filterNot(keys.contains)
     val unchanged: Column = nonKeys
-      .map(c => col(s"__o_$c") <=> col(s"__n_$c"))
+      .map { c =>
+        val dt = cols.find(_._1 == c).get._2
+        canonical(col(s"__o_$c"), dt) <=> canonical(col(s"__n_$c"), dt)
+      }
       .reduceOption(_ && _).getOrElse(lit(true))
     def img(prefix: String, ct: String): Column =
       struct((cols.map { case (c, _) => col(s"$prefix$c").as(c) } :+

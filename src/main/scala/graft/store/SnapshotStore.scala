@@ -672,16 +672,21 @@ object SnapshotStore {
     *   layout.
     * @param txn writer id + batch id recorded in the manifest so a
     *   redelivered first micro-batch skips instead of double-applying
+    * @param failRules Fail-policy expectations validated INSIDE the
+    *   version-0 write (observe on the attempt-dir job — no extra
+    *   scan); any violation aborts before the manifest exists
     */
   def init(spark: SparkSession, root: String, df: DataFrame,
            keys: Seq[String], numBuckets: Int = 16,
            statsCols: Seq[String] = Nil,
-           txn: Option[(String, Long)] = None): Long = {
+           txn: Option[(String, Long)] = None,
+           failRules: Seq[graft.pipeline.Expectations.Expectation] = Nil): Long = {
     val fs = fileSystem(spark, root)
     require(latestVersion(spark, root).isEmpty, s"table already exists at $root")
     val tagged = tagStatsCols(df, statsCols)
     val token = newToken()
-    val written = writeVersionData(df, root, 0L, token, keys, numBuckets, tagged, fs)
+    val written = writeVersionData(df, root, 0L, token, keys, numBuckets, tagged, fs,
+      failRules)
     if (!writeManifestAtomic(fs, root, 0L, numBuckets, tagged,
         txn.map { case (id, b) => id -> b }.toMap, written)) {
       // lost a concurrent create: clean up our own attempt dir (the
@@ -707,15 +712,43 @@ object SnapshotStore {
   /** Write `df`'s rows under this attempt's `v=<n>-<token>/` dir
     * partitioned by bucket; returns bucket → (dir, stats) for the
     * buckets that actually got files.
+    *
+    * `failRules` validate IN the attempt-dir write: violation counts
+    * ride the write job via `observe` (no extra source scan), and a
+    * violation deletes the attempt dir and throws BEFORE any manifest
+    * is published — abort-before-visibility at zero pre-flight cost
+    * (vs [[graft.pipeline.Expectations.validate]]'s documented extra
+    * Fail pass). The attempt dir is never referenced, so even a crash
+    * mid-abort leaves only vacuum-food.
     */
   private def writeVersionData(df: DataFrame, root: String, v: Long, token: String,
                                keys: Seq[String], numBuckets: Int,
                                statsCols: Seq[(String, String)],
-                               fs: FileSystem): Map[Int, BucketEntry] = {
+                               fs: FileSystem,
+                               failRules: Seq[graft.pipeline.Expectations.Expectation] = Nil)
+      : Map[Int, BucketEntry] = {
+    import graft.pipeline.Expectations
     val rel = attemptDir(v, token)
     val vdir = new Path(root, rel)
-    withBucket(df, keys, numBuckets)
-      .write.mode("overwrite").partitionBy(BucketCol).parquet(vdir.toString)
+    val obs = if (failRules.isEmpty) None
+      else Some(org.apache.spark.sql.Observation())
+    val bucketed = withBucket(df, keys, numBuckets)
+    val observed = obs.fold(bucketed) { o =>
+      val counts = failRules.map(e =>
+        sum(Expectations.violated(e).cast("long")).as(e.name))
+      bucketed.observe(o, counts.head, counts.tail: _*)
+    }
+    observed.write.mode("overwrite").partitionBy(BucketCol).parquet(vdir.toString)
+    obs.foreach { o =>
+      val counts = o.get
+      failRules.foreach { e =>
+        val n = counts.get(e.name).collect { case l: Long => l }.getOrElse(0L)
+        if (n > 0) {
+          fs.delete(vdir, true)
+          throw new Expectations.FailedExpectationException(e.name, n)
+        }
+      }
+    }
     if (!fs.exists(vdir)) Map.empty
     else {
       val bucketNames = fs.listStatus(vdir).toSeq
@@ -753,12 +786,20 @@ object SnapshotStore {
     *   exactly-once hinge for non-idempotent merges like the
     *   aggregating sink, where re-summing a replayed batch would
     *   corrupt the table permanently.
+    * @param failRules Fail-policy expectations validated INSIDE the
+    *   attempt-dir write — they see the MERGED state of the touched
+    *   buckets (table invariants, e.g. "col is never null"), counts
+    *   ride the write via observe (no pre-flight scan), and any
+    *   violation deletes the attempt dir and throws
+    *   [[graft.pipeline.Expectations.FailedExpectationException]]
+    *   before a manifest is published — nothing becomes visible
     */
   def commitDelta(spark: SparkSession, root: String, delta: DataFrame,
                   keys: Seq[String],
                   merge: (DataFrame, DataFrame) => DataFrame,
                   maxAttempts: Int = 5,
-                  txn: Option[(String, Long)] = None): Long = {
+                  txn: Option[(String, Long)] = None,
+                  failRules: Seq[graft.pipeline.Expectations.Expectation] = Nil): Long = {
     val fs = fileSystem(spark, root)
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -780,7 +821,8 @@ object SnapshotStore {
         if (current.schema.isEmpty) delta.limit(0) else current
       val merged = merge(currentAligned, delta)
 
-      val written = writeVersionData(merged, root, v, token, keys, m.numBuckets, m.statsCols, fs)
+      val written = writeVersionData(merged, root, v, token, keys, m.numBuckets,
+        m.statsCols, fs, failRules)
       // touched buckets now live at v; emptied buckets drop out; the
       // rest keep pointing at their existing files (and stats)
       val next = (m.buckets -- touched) ++ written
@@ -1045,7 +1087,10 @@ object SnapshotStore {
       // is local (a clone at the same bucket count still needs the
       // rewrite — that is what re-homes it)
       if (newCount.forall(_ == m.numBuckets) &&
-          m.buckets.values.forall(e => !new Path(e.dir).isAbsolute)) return base
+          m.buckets.values.forall(e => !new Path(e.dir).isAbsolute)) {
+        releaseClone(spark, root) // already fully local — drop any stale hold
+        return base
+      }
       val nb = newCount.getOrElse(m.numBuckets)
       val v = base + 1
       val token = newToken()
@@ -1053,7 +1098,12 @@ object SnapshotStore {
       val written = writeVersionData(current, root, v, token, keys,
         nb, m.statsCols, fs)
       if (writeManifestAtomic(fs, root, v, nb, m.statsCols,
-          m.txns, written)) return v
+          m.txns, written)) {
+        // every bucket now lives under OUR root: the clone (if this
+        // was one) no longer needs its source retained
+        releaseClone(spark, root)
+        return v
+      }
       fs.delete(new Path(root, attemptDir(v, token)), true)
     }
     val op = if (newCount.isDefined) "rebucket" else "materialize"
@@ -1112,12 +1162,24 @@ object SnapshotStore {
     * clone's [[vacuum]] can never touch source files (it only deletes
     * from its own root's listing).
     *
-    * Retention caveat (same as Delta shallow clones): the SOURCE's
-    * vacuum does not know about clones — it may reclaim directories a
-    * clone still references once the cloned version leaves its
-    * retention window. Either retain that version at the source
-    * (`keepLast` / a registered consumer) or [[materialize]] the clone
-    * to cut the dependency.
+    * Retention: the clone registers a change-feed CONSUMER on the
+    * source at the cloned version — the same mechanical retention
+    * floor slow feed consumers get — so the source's [[vacuum]]
+    * retains the referenced directories instead of reclaiming them
+    * out from under the clone. [[materialize]] (and [[rebucket]],
+    * which also re-homes every bucket) drops that consumer once no
+    * entry references the source; dropping the clone without
+    * materializing should [[releaseClone]] (or
+    * [[ChangeFeed.dropConsumer]]) to free the source's history. A
+    * crash between the consumer registration and the manifest commit
+    * can leak the consumer — visible in the source's `_consumers`
+    * listing, released the same way.
+    *
+    * Chained-clone caveat: cloning an UN-materialized clone pins only
+    * the direct source (the middle clone); entries pointing through it
+    * into the original table stay protected only while the middle
+    * clone's own consumer lives. Materialize the middle clone before
+    * cloning it again, or materialize the new clone promptly.
     */
   def cloneTable(spark: SparkSession, srcRoot: String, dstRoot: String): Long = {
     val srcFs = fileSystem(spark, srcRoot)
@@ -1135,11 +1197,53 @@ object SnapshotStore {
     val entries = m.buckets.map { case (b, e) =>
       b -> e.copy(dir = abs(e.dir), tombstones = e.tombstones.map(abs))
     }
+    // consumer BEFORE the commit: the failure path below releases it,
+    // so the only leak window is a crash in between (documented);
+    // registering after would leave a committed clone unprotected for
+    // the same window — an unprotected clone silently loses data,
+    // a leaked consumer only over-retains until released
+    ChangeFeed.seedConsumer(spark, srcRoot, cloneConsumerId(spark, dstRoot), base)
     if (!writeManifestAtomic(dstFs, dstRoot, 0L, m.numBuckets, m.statsCols,
-        m.txns, entries))
+        m.txns, entries)) {
+      ChangeFeed.dropConsumer(spark, srcRoot, cloneConsumerId(spark, dstRoot))
       throw new IllegalStateException(
         s"clone target $dstRoot was concurrently initialized")
+    }
+    // breadcrumb for materialize/releaseClone: WHERE the retention
+    // consumer was registered (best effort — the consumer itself is
+    // the durable artifact; a missing marker just means manual release)
+    val out = dstFs.create(new Path(dstRoot, CloneSourceMarker), true)
+    try out.write(srcAbs.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
     0L
+  }
+
+  private val CloneSourceMarker = "_clone_source"
+
+  /** The retention consumer a clone at `dstRoot` registers on its
+    * source: keyed by the clone's QUALIFIED root, so it is derivable
+    * from the clone alone and two clones of one source never collide.
+    */
+  private def cloneConsumerId(spark: SparkSession, dstRoot: String): String =
+    "clone:" + fileSystem(spark, dstRoot).makeQualified(new Path(dstRoot)).toString
+
+  /** Release the retention a clone holds on its source (the
+    * `_clone_source` breadcrumb + registered consumer) — called
+    * automatically by [[materialize]]/[[rebucket]] once the clone is
+    * fully re-homed; call directly when DROPPING an un-materialized
+    * clone. Idempotent; no-op for non-clones. After release, restoring
+    * the clone to a pre-materialize version may find source
+    * directories already vacuumed (inherent — that history belonged to
+    * the source).
+    */
+  def releaseClone(spark: SparkSession, root: String): Unit = {
+    val fs = fileSystem(spark, root)
+    val marker = new Path(root, CloneSourceMarker)
+    if (!fs.exists(marker)) return
+    val in = new BufferedReader(new InputStreamReader(fs.open(marker), StandardCharsets.UTF_8))
+    val src = try in.readLine() finally in.close()
+    if (src != null && src.nonEmpty)
+      ChangeFeed.dropConsumer(spark, src, cloneConsumerId(spark, root))
+    fs.delete(marker, false)
   }
 
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 1): Int = {

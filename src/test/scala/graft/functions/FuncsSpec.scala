@@ -29,4 +29,13 @@ class FuncsSpec extends SparkSpec {
     assert(labels == Map(0L -> "train", 79L -> "train", 80L -> "val",
       89L -> "val", 90L -> "test", 99L -> "test"))
   }
+
+  test("hashMod rejects n outside the 6-digit draw space") {
+    intercept[IllegalArgumentException](Funcs.hashMod($"id", "s", 0))
+    intercept[IllegalArgumentException](Funcs.hashMod($"id", "s", 1000001))
+    // the max legal n still yields in-range shards
+    val max = Seq(1L, 2L, 3L).toDF("id")
+      .select(Funcs.hashMod($"id", "s", 1000000).as("h")).as[Long].collect()
+    assert(max.forall(h => h >= 0 && h < 1000000))
+  }
 }

@@ -264,4 +264,30 @@ class ChangeFeedSpec extends SparkSpec {
       (1L, "a", None, ChangeFeed.UpdatePre),
       (1L, "a", Some("x"), ChangeFeed.UpdatePost)))
   }
+
+  test("map-typed columns diff via canonical entry order; map-typed keys are rejected") {
+    val root = tmpDir("map")
+    // a map column AND an array-of-maps column — <=> supports neither
+    val v0 = Seq(
+      (1L, Map("a" -> 1L, "b" -> 2L), Seq(Map("z" -> 1L))),
+      (2L, Map("x" -> 9L), Seq.empty[Map[String, Long]]),
+      (3L, Map.empty[String, Long], Seq(Map("q" -> 7L)))).toDF("k", "m", "ams")
+    SnapshotStore.init(spark, root, v0, Seq("k"), numBuckets = 2)
+    // k=1 genuinely changes; k=2 rewrites with an EQUAL map (different
+    // literal entry order); k=3 untouched but likely co-bucketed
+    SnapshotStore.commitDelta(spark, root,
+      Seq((1L, Map("b" -> 2L, "a" -> 99L), Seq(Map("z" -> 1L))),
+        (2L, Map("x" -> 9L), Seq.empty[Map[String, Long]])).toDF("k", "m", "ams"),
+      Seq("k"), SnapshotStore.upsertMerge(Seq("k")))
+    val got = ChangeFeed.readChanges(spark, root, Seq("k"), 0L, 1L)
+      .select(col("k"), col(ChangeFeed.ChangeType))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, ChangeFeed.UpdatePre), (1L, ChangeFeed.UpdatePost)))
+
+    // naming a map column as the feed IDENTITY is rejected up front
+    // (it cannot equi-join; SnapshotStore itself can't even bucket one)
+    val e = intercept[IllegalArgumentException](
+      ChangeFeed.readChanges(spark, root, Seq("m"), -1L, 0L).collect())
+    assert(e.getMessage.contains("map-typed keys"))
+  }
 }

@@ -83,9 +83,11 @@ class CloneRestoreSpec extends SparkSpec {
     assert(SnapshotStore.cloneTable(spark, src, dst) == 0L)
     // identical content, including the tombstone subtraction
     assert(rows(SnapshotStore.read(spark, dst)) == rows(SnapshotStore.read(spark, src)))
-    // the clone holds ONLY a manifest — no v= data dirs were written
+    // the clone holds ONLY metadata (manifest + retention breadcrumb)
+    // — no v= data dirs were written
     val local = Files.list(Paths.get(dst)).toArray.map(_.toString.split('/').last)
-    assert(local.toSet == Set("_commits"), s"clone root holds $local")
+    assert(!local.exists(_.startsWith("v=")), s"clone root holds data: $local")
+    assert(local.contains("_commits") && local.contains("_clone_source"))
     // cloning onto an existing table refuses
     intercept[IllegalArgumentException] {
       SnapshotStore.cloneTable(spark, src, dst)
@@ -128,5 +130,44 @@ class CloneRestoreSpec extends SparkSpec {
     }
     rmRf(Paths.get(src))
     assert(rows(SnapshotStore.read(spark, dst)) == expected)
+  }
+
+  test("clone holds a retention consumer on the source; materialize releases it") {
+    val src = tmpDir("ret-src")
+    val dst = tmpDir("ret-dst")
+    val v0 = (1L to 40L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts")
+    SnapshotStore.init(spark, src, v0, Seq("k"), numBuckets = 4)
+    SnapshotStore.cloneTable(spark, src, dst)
+    // source moves on and vacuums aggressively — the clone's consumer
+    // is the retention floor, so nothing it references is reclaimed
+    SnapshotStore.commitDelta(spark, src,
+      Seq((1L, "x", 100L)).toDF("k", "v", "ts"), Seq("k"), merge)
+    SnapshotStore.commitDelta(spark, src,
+      Seq((2L, "y", 101L)).toDF("k", "v", "ts"), Seq("k"), merge)
+    assert(SnapshotStore.vacuum(spark, src, keepLast = 1) == 0)
+    assert(rows(SnapshotStore.read(spark, dst)) == rows(v0))
+
+    // materialize re-homes every bucket AND releases the hold: the
+    // next source vacuum reclaims the old history for real
+    SnapshotStore.materialize(spark, dst, Seq("k"))
+    assert(SnapshotStore.vacuum(spark, src, keepLast = 1) > 0)
+    assert(rows(SnapshotStore.read(spark, dst)) == rows(v0))
+    assert(rows(SnapshotStore.read(spark, src)).size == 40) // 40 keys, 2 upserted in place
+  }
+
+  test("releaseClone frees the source when an un-materialized clone is dropped") {
+    val src = tmpDir("rel-src")
+    val dst = tmpDir("rel-dst")
+    SnapshotStore.init(spark, src,
+      (1L to 10L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts"), Seq("k"), numBuckets = 2)
+    SnapshotStore.cloneTable(spark, src, dst)
+    SnapshotStore.commitDelta(spark, src,
+      Seq((1L, "x", 50L)).toDF("k", "v", "ts"), Seq("k"), merge)
+    assert(SnapshotStore.vacuum(spark, src, keepLast = 1) == 0) // held
+    SnapshotStore.releaseClone(spark, dst)
+    assert(SnapshotStore.vacuum(spark, src, keepLast = 1) > 0) // freed
+    // idempotent / no-op on a non-clone
+    SnapshotStore.releaseClone(spark, dst)
+    SnapshotStore.releaseClone(spark, src)
   }
 }

@@ -700,4 +700,53 @@ class SnapshotStoreSpec extends SparkSpec {
     val e = intercept[IllegalStateException](SnapshotStore.readManifest(spark, root, 2L))
     assert(e.getMessage.contains("format 99"))
   }
+
+  test("failRules validate inside the attempt-dir write: abort before visibility, no extra scan") {
+    import graft.pipeline.Expectations
+    import graft.pipeline.Expectations.{Expectation, Fail}
+    val root = tmpDir("exp")
+    val v0 = (1L to 20L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts")
+    SnapshotStore.init(spark, root, v0, Seq("k"), numBuckets = 4)
+
+    // count how many times the delta's lineage is actually evaluated
+    val scanned = spark.sparkContext.longAccumulator("delta-rows-scanned")
+    def delta = spark.sparkContext
+      .parallelize(Seq((1L, "neg", -5L), (21L, "ok", 42L)), 2)
+      .map { r => scanned.add(1L); r }.toDF("k", "v", "ts")
+
+    val ex = intercept[Expectations.FailedExpectationException] {
+      SnapshotStore.commitDelta(spark, root, delta, Seq("k"),
+        (_, d) => d, // keyed-replace-free merge: delta IS the bucket state
+        failRules = Seq(Expectation("ts_pos", col("ts") > 0, Fail)))
+    }
+    assert(ex.rule == "ts_pos" && ex.rows == 1L)
+    // nothing published, nothing visible, attempt dir gone
+    assert(SnapshotStore.latestVersion(spark, root).contains(0L))
+    assert(rows(SnapshotStore.read(spark, root)) == rows(v0))
+    assert(!Files.list(Paths.get(root))
+      .anyMatch(p => p.getFileName.toString.startsWith("v=1-")))
+    // the delta was evaluated exactly twice — commitDelta's standing
+    // touched-bucket census plus THE write itself: validation rode the
+    // write via observe, adding zero evaluations (the pre-flight style
+    // would make this 6: an extra 2-row pass before census + write)
+    assert(scanned.value == 4L)
+
+    // a passing commit with the same rules goes through
+    scanned.reset()
+    val ok = spark.sparkContext
+      .parallelize(Seq((21L, "ok", 42L)), 1)
+      .map { r => scanned.add(1L); r }.toDF("k", "v", "ts")
+    SnapshotStore.commitDelta(spark, root, ok, Seq("k"), merge,
+      failRules = Seq(Expectation("ts_pos", col("ts") > 0, Fail)))
+    assert(rows(SnapshotStore.read(spark, root)).contains((21L, "ok", 42L)))
+
+    // init validates the same way: a violating version 0 never exists
+    val root2 = tmpDir("exp-init")
+    intercept[Expectations.FailedExpectationException] {
+      SnapshotStore.init(spark, root2,
+        Seq((1L, "bad", -1L)).toDF("k", "v", "ts"), Seq("k"),
+        failRules = Seq(Expectation("ts_pos", col("ts") > 0, Fail)))
+    }
+    assert(SnapshotStore.latestVersion(spark, root2).isEmpty)
+  }
 }
