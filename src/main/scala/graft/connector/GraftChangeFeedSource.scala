@@ -1,0 +1,116 @@
+package graft.connector
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+import graft.store.{ChangeFeed, SnapshotStore}
+
+/** `spark.readStream.format("graft")` — a continuous tail of a
+  * [[SnapshotStore]] table's [[ChangeFeed]], the streaming face of the
+  * reference's stream-object + scheduled-task pattern
+  * (`/root/reference/with procedures/task_proc.sql:32-40`: tasks
+  * re-run a MERGE over whatever the stream delivered since last time).
+  *
+  * Shape: a V1 [[Source]], deliberately — one feed step is a
+  * manifest-guided diff JOIN over only the touched buckets, which
+  * plans as a DataFrame; forcing it through DSv2 file partitions would
+  * re-materialize every diff. Offsets ARE committed table versions
+  * (`LongOffset(v)`), so the checkpoint contract is exact: batch
+  * (start, end] replays as `readChanges(start, end]` bit-for-bit, and
+  * a crash-restart re-reads precisely the uncommitted range from the
+  * still-live manifests.
+  *
+  * Options:
+  *   - `path` (required): table root
+  *   - `keys` (required): comma-separated row-identity columns (the
+  *     same contract as [[ChangeFeed.readChanges]])
+  *   - `startingVersion`: first batch starts AFTER this version;
+  *     `-1` = include the initial snapshot as inserts; default
+  *     `latest` = only changes committed after the query starts
+  *   - `consumerId`: register under the table's named-consumer
+  *     protocol — [[SnapshotStore.vacuum]] then retains every version
+  *     the stream still needs (the offset advances on batch COMMIT,
+  *     so retention never runs ahead of the checkpoint), and a fresh
+  *     query without `startingVersion` resumes from the consumer's
+  *     offset.
+  */
+class GraftChangeFeedSource(spark: SparkSession, root: String,
+                            keys: Seq[String], consumerId: Option[String],
+                            initialVersion: Long) extends Source {
+
+  override val schema: StructType = GraftChangeFeedSource.feedSchema(spark, root)
+
+  // retention floor from the start: versions after `initialVersion`
+  // must survive vacuum until this stream's batches commit past them
+  consumerId.foreach(id => ChangeFeed.seedConsumer(spark, root, id, initialVersion))
+
+  private def toVersion(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case SerializedOffset(json) => json.trim.toLong
+    case other => other.json().trim.toLong
+  }
+
+  override def getOffset: Option[Offset] =
+    SnapshotStore.latestVersion(spark, root)
+      .filter(_ > initialVersion).map(LongOffset.apply)
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(toVersion).getOrElse(initialVersion)
+    val to = toVersion(end)
+    val changes = ChangeFeed.readChanges(spark, root, keys, from, to)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    // the engine requires isStreaming=true on a getBatch result; the
+    // plan itself is the ordinary bounded feed diff
+    org.apache.spark.sql.graft.GraftSqlShims.streamingDataFrame(
+      spark, changes.queryExecution.toRdd, schema)
+  }
+
+  /** Batch (…, end] is durably committed downstream: advance the named
+    * consumer so vacuum may release history at its own pace. Never
+    * called for in-flight batches — retention can lag the checkpoint
+    * but never lead it.
+    */
+  override def commit(end: Offset): Unit =
+    consumerId.foreach(id =>
+      ChangeFeed.seedConsumer(spark, root, id, toVersion(end)))
+
+  override def stop(): Unit = ()
+}
+
+object GraftChangeFeedSource {
+
+  private[connector] def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft streaming reads need a table root: .option(\"path\", <root>) " +
+        "or .load(<root>)"))
+
+  /** Change rows = table schema + the change-type / commit-version
+    * metadata columns (the METADATA$ACTION × ISUPDATE matrix).
+    */
+  private[connector] def feedSchema(spark: SparkSession, root: String): StructType =
+    GraftTable.resolveSchema(spark, rootOf(Map("path" -> root)), None)
+      .add(ChangeFeed.ChangeType, StringType)
+      .add(ChangeFeed.CommitVersion, LongType)
+
+  def apply(spark: SparkSession, parameters: Map[String, String]): GraftChangeFeedSource = {
+    val root = rootOf(parameters)
+    val keys = parameters.getOrElse("keys", throw new IllegalArgumentException(
+      "graft streaming reads need the row-identity columns: " +
+        ".option(\"keys\", \"k1,k2\")")).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val consumerId = parameters.get("consumerId").filter(_.nonEmpty)
+    val latest = SnapshotStore.latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed graft table at $root"))
+    val initial = parameters.get("startingVersion") match {
+      case Some("latest") | None =>
+        // a registered consumer resumes where it left off; a fresh
+        // stream observes changes from its creation point forward
+        consumerId.flatMap(ChangeFeed.consumerOffset(spark, root, _))
+          .getOrElse(latest)
+      case Some(v) => v.trim.toLong
+    }
+    new GraftChangeFeedSource(spark, root, keys, consumerId, initial)
+  }
+}

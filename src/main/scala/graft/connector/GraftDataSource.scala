@@ -1,0 +1,358 @@
+package graft.connector
+
+import java.util.{Map => JMap}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.paths.SparkPath
+
+import graft.store.SnapshotStore
+import graft.store.SnapshotStore.Manifest
+
+/** DataSourceV2 connector over [[SnapshotStore]] tables — the piece
+  * that turns the storage layer from a Scala-only library into a table
+  * ANY Spark session can read: `spark.read.format("graft").load(root)`,
+  * `CREATE TEMPORARY VIEW t USING graft OPTIONS (path '...')` + plain
+  * SQL, `option("versionAsOf", v)` time travel — the consumption-layer
+  * contract the reference exposes through Snowflake tables
+  * (`/root/reference/with procedures/final_proc.sql:64-83`, queried
+  * directly by BI).
+  *
+  * Scale design: the scan plans FILES, not directories — filter
+  * pushdown maps range/equality predicates on the table's declared
+  * stats columns onto [[SnapshotStore.pruneBuckets]] +
+  * [[SnapshotStore.pruneFiles]] (manifest metadata only, no file I/O),
+  * surviving files are split at `maxPartitionBytes` like Spark's own
+  * file scans, and the SAME filters flow into the parquet reader for
+  * row-group skipping. Merge-on-read tombstones are applied IN-SCAN:
+  * each partition carries its bucket's deleted-key set (delta-sized by
+  * design) and the reader drops matching rows before they surface —
+  * readers see exactly [[SnapshotStore.read]] semantics with no
+  * post-scan anti-join. Pushed filters are also reported as residuals,
+  * so Spark re-applies them exactly: pruning is an optimization, never
+  * a correctness dependency.
+  *
+  * Streaming: `spark.readStream.format("graft")` tails the table's
+  * change feed — see [[GraftChangeFeedSource]] (V1 `Source`: a feed
+  * step is a manifest-guided diff JOIN, which plans as a DataFrame,
+  * not as file partitions — the same shape as Delta's CDF stream).
+  */
+class GraftDataSource extends TableProvider with DataSourceRegister
+    with StreamSourceProvider {
+
+  override def shortName(): String = "graft"
+
+  // schema comes from the table's own manifest+footers, never the user
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftTable.resolveSchema(spark, GraftTable.rootOf(options),
+      Option(options.get(GraftTable.VersionAsOf)).map(_.toLong))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new GraftTable(GraftTable.rootOf(opts),
+      Option(opts.get(GraftTable.VersionAsOf)).map(_.toLong), schema)
+  }
+
+  // ------------------------------------------------------------------
+  // V1 streaming source (change feed) — see GraftChangeFeedSource
+  // ------------------------------------------------------------------
+
+  override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), GraftChangeFeedSource.feedSchema(
+      sqlContext.sparkSession, GraftChangeFeedSource.rootOf(parameters)))
+
+  override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
+                            metadataPath: String, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+    GraftChangeFeedSource(sqlContext.sparkSession, parameters)
+}
+
+object GraftTable {
+  val VersionAsOf = "versionAsOf"
+
+  private[connector] def rootOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty,
+      "graft reads need a table root: spark.read.format(\"graft\").load(<root>) " +
+        "or OPTIONS (path '<root>')")
+    p
+  }
+
+  private[connector] def manifestAt(spark: SparkSession, root: String,
+                                    versionAsOf: Option[Long]): Manifest = {
+    val v = versionAsOf.getOrElse(SnapshotStore.latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no committed graft table at $root")))
+    SnapshotStore.readManifest(spark, root, v)
+  }
+
+  /** Table schema = merged footer schema of the snapshot's CURRENT
+    * dirs (spans additive evolution exactly like the library read
+    * path; the bucket column is layout metadata and never appears —
+    * data files don't contain it).
+    */
+  private[connector] def resolveSchema(spark: SparkSession, root: String,
+                                       versionAsOf: Option[Long]): StructType = {
+    val m = manifestAt(spark, root, versionAsOf)
+    val dirs = m.buckets.values.map(e =>
+      SnapshotStore.dataPath(root, e.dir).toString).toSeq
+    if (dirs.isEmpty) new StructType()
+    else spark.read.option("mergeSchema", "true").parquet(dirs: _*).schema
+  }
+}
+
+/** One graft table resolved for reading. The manifest is re-read per
+  * scan (not pinned at table creation), so repeated queries observe
+  * new commits — table semantics, while each individual scan is one
+  * consistent snapshot.
+  */
+class GraftTable(root: String, versionAsOf: Option[Long],
+                 tableSchema: StructType) extends Table with SupportsRead {
+  override def name(): String = s"graft.`$root`" +
+    versionAsOf.fold("")(v => s"@v$v")
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(SparkSession.active, root,
+      GraftTable.manifestAt(SparkSession.active, root, versionAsOf), tableSchema)
+}
+
+class GraftScanBuilder(spark: SparkSession, root: String, m: Manifest,
+                       tableSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Every filter is RETAINED as a residual (returned back to Spark)
+    * — the scan uses them only to prune buckets/files via manifest
+    * stats and to hint parquet row-group skipping, both of which are
+    * conservative supersets. Reporting them as pushed makes the
+    * pruning visible in explain() without taking over exact
+    * evaluation.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val statsCols = m.statsCols.map(_._1).toSet
+    pushed = filters.filter(f => f.references.nonEmpty &&
+      f.references.forall(statsCols.contains))
+    filters // all residual: Spark re-applies exactly
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GraftScan(spark, root, m, tableSchema, required, pushed)
+}
+
+/** The batch scan: manifest-stats pruning → file splits → parquet
+  * readers with in-scan tombstone subtraction.
+  */
+class GraftScan(spark: SparkSession, root: String, m: Manifest,
+                dataSchema: StructType, required: StructType,
+                filters: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft $root v${m.version} buckets=${plannedFiles.map(_._2).distinct.size} " +
+      s"files=${plannedFiles.size} prunedBy=[${filters.mkString(", ")}]"
+
+  /** Conjunctive [lower, upper] bounds per stats column, from the
+    * pushed filters (nested Ands unwrapped; anything else ignored —
+    * pruning only ever narrows).
+    */
+  private def bounds: Map[String, (Option[Any], Option[Any])] = {
+    def flatten(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => flatten(l) ++ flatten(r)
+      case other => Seq(other)
+    }
+    def norm(v: Any): Any = v match {
+      // stats tags encode timestamps as epoch micros; Filter values
+      // arrive as java.sql.Timestamp or java.time.Instant per conf
+      case i: java.time.Instant =>
+        java.lang.Long.valueOf(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case other => other
+    }
+    filters.flatMap(flatten).foldLeft(
+      Map.empty[String, (Option[Any], Option[Any])]) { (acc, f) =>
+      def upd(c: String)(g: ((Option[Any], Option[Any])) => (Option[Any], Option[Any])) =
+        acc + (c -> g(acc.getOrElse(c, (None, None))))
+      f match {
+        case EqualTo(c, v) => upd(c) { case (lo, hi) =>
+          (lo.orElse(Some(norm(v))), hi.orElse(Some(norm(v)))) }
+        case GreaterThan(c, v) => upd(c) { case (lo, hi) => (Some(norm(v)), hi) }
+        case GreaterThanOrEqual(c, v) => upd(c) { case (lo, hi) => (Some(norm(v)), hi) }
+        case LessThan(c, v) => upd(c) { case (lo, hi) => (lo, Some(norm(v))) }
+        case LessThanOrEqual(c, v) => upd(c) { case (lo, hi) => (lo, Some(norm(v))) }
+        case IsNotNull(_) => acc
+        case _ => acc
+      }
+    }
+  }
+
+  /** (path, bucket, fileLen) for every file the scan must read, after
+    * bucket- then file-level stats pruning — the same decisions
+    * [[SnapshotStore.readRange]] makes, driven by pushed filters.
+    */
+  private lazy val plannedFiles: Seq[(Path, Int, Long)] = {
+    val bs = bounds
+    val surviving = bs.foldLeft(m.buckets.keySet) { case (keep, (c, (lo, hi))) =>
+      keep.intersect(SnapshotStore.pruneBuckets(m, c, lo.orNull, hi.orNull))
+    }
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    surviving.toSeq.sorted.flatMap { b =>
+      val e = m.buckets(b)
+      val dir = SnapshotStore.dataPath(root, e.dir)
+      // per-file pruning: intersect the kept-name sets across bounded
+      // columns; None (no per-file stats) = keep the whole dir
+      val kept: Option[Set[String]] = bs.foldLeft(Option.empty[Set[String]]) {
+        case (acc, (c, (lo, hi))) =>
+          SnapshotStore.pruneFiles(m, b, c, lo.orNull, hi.orNull) match {
+            case Some(names) => Some(acc.fold(names.toSet)(_.intersect(names.toSet)))
+            case None => acc
+          }
+      }
+      dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(dir).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+          && !st.getPath.getName.startsWith("."))
+        .filter(st => kept.forall(_.contains(st.getPath.getName)))
+        .map(st => (st.getPath, b, st.getLen))
+    }
+  }
+
+  /** Buckets' unfolded delete sidecars, collected to (key schema,
+    * bucket → deleted key tuples in catalyst form). Sidecars are
+    * deltas since the buckets' last rewrite — metadata-sized by the
+    * same argument the library read path broadcasts them.
+    */
+  private lazy val tombstones: (StructType, Map[Int, Set[Seq[Any]]]) = {
+    val withTombs = m.buckets.filter(_._2.tombstones.nonEmpty)
+    if (withTombs.isEmpty) (new StructType(), Map.empty)
+    else {
+      val perBucket = withTombs.map { case (b, e) =>
+        val dirs = e.tombstones.map(d => SnapshotStore.dataPath(root, d).toString)
+        val df = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+        val schema = df.schema
+        val keys = df.queryExecution.executedPlan.executeCollect()
+          .map(_.toSeq(schema)).map(_.toSeq: Seq[Any]).toSet
+        (b, schema, keys)
+      }.toSeq
+      (perBucket.head._2, perBucket.map { case (b, _, ks) => b -> ks }.toMap)
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val (_, tombs) = tombstones
+    plannedFiles.flatMap { case (p, b, len) =>
+      // split like Spark's own file scan: parquet row groups attach to
+      // the split containing their midpoint, so splits are exact
+      (0L until len by maxBytes).map { off =>
+        GraftInputPartition(SparkPath.fromPath(p).urlEncoded, off,
+          math.min(maxBytes, len - off), len,
+          tombs.getOrElse(b, Set.empty))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val (keySchema, tombs) = tombstones
+    // reader schema: required columns, plus key columns (appended)
+    // when any bucket needs in-scan tombstone subtraction
+    val extraKeys =
+      if (tombs.isEmpty) Seq.empty
+      else keySchema.fields.toSeq.filterNot(f => required.fieldNames.contains(f.name))
+    val readerSchema = StructType(required.fields.toSeq ++ extraKeys)
+    val keyOrdinals =
+      if (tombs.isEmpty) Array.empty[Int]
+      else keySchema.fields.map(f => readerSchema.fieldIndex(f.name))
+    val fmt = new ParquetFileFormat()
+    // returning_batch=false: the reader unwraps its own vectorized
+    // batches into rows — the DSv2 row contract, no smuggled
+    // ColumnarBatch to special-case
+    val readFunc = fmt.buildReaderWithPartitionValues(
+      spark, dataSchema, new StructType(), readerSchema,
+      filters.toSeq,
+      Map(org.apache.spark.sql.execution.datasources.FileFormat
+        .OPTION_RETURNING_BATCH -> "false"),
+      spark.sessionState.newHadoopConf())
+    new GraftReaderFactory(readFunc, readerSchema, required,
+      keyOrdinals, keySchema)
+  }
+}
+
+/** One parquet split plus its bucket's deleted-key set (empty for
+  * tombstone-free buckets). Key tuples are catalyst values
+  * (UTF8String/Long/...), which are what the parquet reader yields —
+  * set membership is exact, including null components (Seq equality
+  * matches nulls, the `<=>` the library's anti-join uses).
+  */
+case class GraftInputPartition(urlEncodedPath: String, start: Long, length: Long,
+                               fileSize: Long, deletedKeys: Set[Seq[Any]])
+  extends InputPartition
+
+class GraftReaderFactory(readFunc: PartitionedFile => Iterator[InternalRow],
+                         readerSchema: StructType, required: StructType,
+                         keyOrdinals: Array[Int], keySchema: StructType)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    val file = PartitionedFile(InternalRow.empty,
+      SparkPath.fromUrlString(p.urlEncodedPath), p.start, p.length,
+      Array.empty, 0L, p.fileSize)
+    // returning_batch=false at build time: the format's own iterator
+    // yields plain rows (no smuggled ColumnarBatch to unwrap)
+    val rows: Iterator[InternalRow] = readFunc(file)
+    val filtered =
+      if (p.deletedKeys.isEmpty) rows
+      else {
+        val keyTypes = keySchema.fields.map(_.dataType)
+        rows.filterNot { r =>
+          val key: Seq[Any] = keyOrdinals.indices
+            .map(i => r.get(keyOrdinals(i), keyTypes(i)))
+          p.deletedKeys.contains(key)
+        }
+      }
+    // project away the key columns read only for tombstone filtering
+    val projected =
+      if (readerSchema.length == required.length) filtered
+      else {
+        val proj = UnsafeProjection.create(
+          required.fields.toIndexedSeq.map { f =>
+            val i = readerSchema.fieldIndex(f.name)
+            BoundReference(i, f.dataType, f.nullable)
+          })
+        filtered.map(proj)
+      }
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (projected.hasNext) { current = projected.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -126,7 +126,7 @@ object SnapshotStore {
     * from its own root's listing, so external absolute references are
     * structurally out of its reach.
     */
-  private def dataPath(root: String, rel: String): Path = {
+  private[graft] def dataPath(root: String, rel: String): Path = {
     val p = new Path(rel)
     if (p.isAbsolute) p else new Path(root, rel)
   }

@@ -1,0 +1,21 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.classic.ClassicConversions._
+import org.apache.spark.sql.types.StructType
+
+/** The one `private[sql]` doorway a V1 streaming Source needs: the
+  * DataFrame a `Source.getBatch` returns must carry
+  * `isStreaming = true` (MicroBatchExecution asserts it), and the only
+  * constructor that sets the flag is `SparkSession
+  * .internalCreateDataFrame` — the same call Spark's own file and
+  * socket sources make. This object lives under `org.apache.spark.sql`
+  * purely to reach it; no other internals are touched.
+  */
+object GraftSqlShims {
+  def streamingDataFrame(spark: SparkSession, rdd: RDD[InternalRow],
+                         schema: StructType): DataFrame =
+    spark.internalCreateDataFrame(rdd, schema, isStreaming = true)
+}
