@@ -188,25 +188,60 @@ object SnapshotStore {
     * {{{
     *   buckets:<n>
     *   format:<v>                  (format marker; absent = format 2)
+    *   delta:<base>                (format 3 only: entries below are a
+    *                                DELTA on version <base> = this-1)
     *   stats:<name>:<tag>,...      (absent when no stats cols declared)
-    *   txn:<writerId>\t<batchId>   (0..many)
+    *   txn:<writerId>\t<batchId>   (0..many; always the FULL map)
     *   <bucket>\t<dir>[\t<min>,<max>,<min>,<max>,...]
     *   fstats:<bucket>\t<fileName>\t<min>,<max>,...   (0..many, after their bucket line)
     *   tomb:<bucket>\t<dir>         (0..many, one per unfolded delete sidecar)
+    *   del:<bucket>                 (format 3 only: bucket removed vs base)
     *   end:<token>:<lineCount>
     * }}}
     *
-    * The `format:` marker exists so any future backward-incompatible
-    * change (like the terminator line would have been, had tables
-    * predated it) is detectable instead of silently misread: readers
-    * reject manifests with a format ABOVE what they understand rather
-    * than misinterpret them. Absent marker = format 2 (every manifest
-    * this code ever wrote has the terminator protocol; no format-1
-    * on-disk tables exist).
+    * Format 2 = FULL state (every bucket listed — what every commit
+    * wrote before delta manifests). Format 3 = a delta on its
+    * predecessor: only the buckets the commit changed (listed with
+    * their complete entry: dir + stats + fstats + tombs) plus `del:`
+    * removals — so commit METADATA cost is O(touched buckets' files),
+    * not O(table files); at 10⁵–10⁶ files per table, full per-commit
+    * manifests are the first real 100× bottleneck. State is
+    * reconstructed by [[readManifest]] from the nearest full base
+    * (a columnar CHECKPOINT — parquet snapshot of the whole state
+    * written every [[checkpointInterval]] commits — or a full
+    * manifest, v0 at worst) plus the delta chain above it.
+    *
+    * The `format:` marker exists so any backward-incompatible change
+    * is detectable instead of silently misread: readers reject
+    * manifests with a format ABOVE what they understand. Absent
+    * marker = format 2. A format-2-only reader REJECTS delta
+    * manifests rather than misreading a delta as a (shrunken) full
+    * state — exactly the failure the marker is for.
     */
-  private val ManifestFormat = 2
-  def readManifest(spark: SparkSession, root: String, v: Long): Manifest = {
-    val fs = fileSystem(spark, root)
+  private val ManifestFormat = 3
+
+  /** Write a full-state checkpoint every this-many commits (the
+    * Delta-parquet-checkpoint cadence knob).
+    */
+  private def checkpointInterval: Long =
+    sys.props.get("graft.snapshot.checkpointInterval").map(_.toLong).getOrElse(8L)
+
+  /** One parsed manifest FILE (possibly a delta, not yet a state). */
+  private final case class RawManifest(version: Long, numBuckets: Int,
+                                       statsCols: Seq[(String, String)],
+                                       txns: Map[String, Long],
+                                       entries: Map[Int, BucketEntry],
+                                       deleted: Set[Int],
+                                       deltaBase: Option[Long])
+
+  private[store] def parseStats(s: String): Seq[Option[(String, String)]] =
+    if (s.isEmpty) Seq.empty
+    else s.split(",", -1).grouped(2).map {
+      case Array("", "") => None
+      case Array(mn, mx) => Some((dec(mn), dec(mx)))
+    }.toSeq
+
+  private def parseManifestFile(fs: FileSystem, root: String, v: Long): RawManifest = {
     val in = new BufferedReader(new InputStreamReader(
       fs.open(manifestPath(root, v)), StandardCharsets.UTF_8))
     try {
@@ -214,16 +249,12 @@ object SnapshotStore {
       val numBuckets = header.stripPrefix("buckets:").trim.toInt
       var statsCols = Seq.empty[(String, String)]
       var complete = false
+      var deltaBase: Option[Long] = None
       val txns = mutable.Map.empty[String, Long]
       val entries = mutable.Map.empty[Int, BucketEntry]
+      val deleted = mutable.Set.empty[Int]
       val fstats = mutable.Map.empty[Int, mutable.Map[String, Seq[Option[(String, String)]]]]
       val tombs = mutable.Map.empty[Int, mutable.ArrayBuffer[String]]
-      def parseStats(s: String): Seq[Option[(String, String)]] =
-        if (s.isEmpty) Seq.empty
-        else s.split(",", -1).grouped(2).map {
-          case Array("", "") => None
-          case Array(mn, mx) => Some((dec(mn), dec(mx)))
-        }.toSeq
       Iterator.continually(in.readLine()).takeWhile(_ != null)
         .filter(_.nonEmpty)
         .foreach {
@@ -232,6 +263,8 @@ object SnapshotStore {
             if (f > ManifestFormat) throw new IllegalStateException(
               s"manifest for version $v at $root is format $f; this " +
                 s"reader understands up to $ManifestFormat — refusing to misread it")
+          case l if l.startsWith("delta:") =>
+            deltaBase = Some(l.stripPrefix("delta:").trim.toLong)
           case l if l.startsWith("stats:") =>
             statsCols = l.stripPrefix("stats:").split(",").toSeq
               .filter(_.nonEmpty).map { part =>
@@ -250,6 +283,8 @@ object SnapshotStore {
           case l if l.startsWith("tomb:") =>
             val Array(b, dir) = l.stripPrefix("tomb:").split("\t", 2)
             tombs.getOrElseUpdate(b.toInt, mutable.ArrayBuffer.empty) += dir
+          case l if l.startsWith("del:") =>
+            deleted += l.stripPrefix("del:").trim.toInt
           case l =>
             val parts = l.split("\t", 3)
             val stats = if (parts.length < 3 || parts(2).isEmpty) Seq.empty
@@ -264,8 +299,163 @@ object SnapshotStore {
         b -> e.copy(fileStats = fstats.get(b).map(_.toMap).getOrElse(Map.empty),
           tombstones = tombs.get(b).map(_.toSeq).getOrElse(Nil))
       }
-      Manifest(v, numBuckets, statsCols, txns.toMap, withF.toMap)
+      RawManifest(v, numBuckets, statsCols, txns.toMap, withF.toMap,
+        deleted.toSet, deltaBase)
     } finally in.close()
+  }
+
+  /** Reconstructed-manifest LRU: manifests are immutable once
+    * committed (reclaim only ever replaces INCOMPLETE files, which
+    * never parse successfully, so never land here), making this safe;
+    * a cheap existence check on hit keeps time travel to a VACUUMED
+    * version failing like the uncached path would.
+    */
+  private val manifestCache =
+    new java.util.LinkedHashMap[(String, Long), Manifest](64, 0.75f, true) {
+      override def removeEldestEntry(e: JMapEntry[(String, Long), Manifest]): Boolean =
+        size() > 64
+    }
+  private type JMapEntry[K, V] = java.util.Map.Entry[K, V]
+  private def cacheKey(fs: FileSystem, root: String, v: Long): (String, Long) =
+    (fs.makeQualified(new Path(root)).toString, v)
+  private def cacheGet(fs: FileSystem, root: String, v: Long): Option[Manifest] =
+    manifestCache.synchronized(Option(manifestCache.get(cacheKey(fs, root, v))))
+      .filter(_ => fs.exists(manifestPath(root, v)))
+  private[store] def cachePut(fs: FileSystem, root: String, m: Manifest): Unit =
+    manifestCache.synchronized {
+      manifestCache.put(cacheKey(fs, root, m.version), m): Unit
+    }
+
+  /** The table state AT version `v`: walk back through delta manifests
+    * to the nearest full base — a columnar checkpoint, a cached
+    * reconstruction, or a full manifest (v0 at worst) — then fold the
+    * deltas forward. Cost is O(deltas since the last checkpoint), i.e.
+    * bounded by [[checkpointInterval]], independent of table size and
+    * of total history length.
+    */
+  def readManifest(spark: SparkSession, root: String, v: Long): Manifest = {
+    val fs = fileSystem(spark, root)
+    cacheGet(fs, root, v).getOrElse {
+      var deltas = List.empty[RawManifest]
+      var w = v
+      var base: Option[Manifest] = None
+      while (base.isEmpty) {
+        val cached = if (w == v) None else cacheGet(fs, root, w)
+        if (cached.isDefined) base = cached
+        else readCheckpoint(spark, root, w) match {
+          case Some(m) => base = Some(m)
+          case None =>
+            val raw =
+              try parseManifestFile(fs, root, w)
+              catch {
+                case e: java.io.FileNotFoundException if w < v =>
+                  throw new IllegalStateException(
+                    s"manifest chain for version $v at $root is broken at $w — " +
+                      "history vacuumed without a checkpoint at the retention floor?", e)
+              }
+            raw.deltaBase match {
+              case Some(b) =>
+                require(b == w - 1, s"delta manifest $w declares base $b (want ${w - 1})")
+                deltas ::= raw
+                w -= 1
+              case None =>
+                base = Some(Manifest(w, raw.numBuckets, raw.statsCols, raw.txns, raw.entries))
+            }
+        }
+      }
+      val m = deltas.foldLeft(base.get) { (acc, d) =>
+        Manifest(d.version, d.numBuckets, d.statsCols, d.txns,
+          (acc.buckets -- d.deleted) ++ d.entries)
+      }
+      val result = m.copy(version = v)
+      cachePut(fs, root, result)
+      result
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // columnar checkpoints
+  // ------------------------------------------------------------------
+
+  private def checkpointDir(root: String, v: Long) =
+    new Path(commitsDir(root), f"cp-$v%020d")
+
+  private[store] def encStats(stats: Seq[Option[(String, String)]]): String = stats.map {
+    case Some((mn, mx)) => s"${enc(mn)},${enc(mx)}"
+    case None => ","
+  }.mkString(",")
+
+  /** Write the FULL state at `m.version` as one parquet snapshot under
+    * `_commits/cp-<v>` — the columnar metadata the text manifests
+    * checkpoint into (micro-partition-metadata / Delta-checkpoint
+    * analog). Rows are (kind, bucket, name, value, stats):
+    * `meta` (numBuckets / statsCols), `txn`, `bucket`, `fstat`,
+    * `tomb`. Best-effort: a failed or torn checkpoint (no _SUCCESS) is
+    * ignored by readers, whose walk-back just continues to the next
+    * base — checkpoints are an optimization of read cost, never a
+    * correctness dependency. Vacuum's retention-floor checkpoint is
+    * the one exception and verifies its own write.
+    */
+  private[store] def writeCheckpoint(spark: SparkSession, root: String, m: Manifest): Unit = {
+    val meta = Seq(
+      ("meta", -1, "numBuckets", m.numBuckets.toString, ""),
+      ("meta", -1, "statsCols",
+        m.statsCols.map { case (n, t) => s"${enc(n)}:$t" }.mkString(","), ""))
+    val txns = m.txns.toSeq.sortBy(_._1).map { case (id, b) =>
+      ("txn", -1, enc(id), b.toString, "")
+    }
+    val buckets = m.buckets.toSeq.sortBy(_._1).flatMap { case (b, e) =>
+      Seq(("bucket", b, "", e.dir, encStats(e.stats))) ++
+        e.fileStats.toSeq.sortBy(_._1).map { case (n, st) =>
+          ("fstat", b, enc(n), "", encStats(st))
+        } ++
+        e.tombstones.map(d => ("tomb", b, "", d, ""))
+    }
+    // one writer task: the checkpoint is metadata-sized relative to
+    // the data (≤ files + buckets + txns rows), and one file reads
+    // back with one task
+    spark.createDataFrame(meta ++ txns ++ buckets)
+      .toDF("kind", "bucket", "name", "value", "stats")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(checkpointDir(root, m.version).toString)
+  }
+
+  private def maybeCheckpoint(spark: SparkSession, root: String, m: Manifest): Unit = {
+    cachePut(fileSystem(spark, root), root, m)
+    if (m.version > 0 && m.version % checkpointInterval == 0) {
+      try writeCheckpoint(spark, root, m)
+      catch { case scala.util.control.NonFatal(_) => () } // read chain just stays longer
+    }
+  }
+
+  /** The checkpointed state at exactly `v`, if a complete checkpoint
+    * (_SUCCESS present) exists there.
+    */
+  private def readCheckpoint(spark: SparkSession, root: String, v: Long): Option[Manifest] = {
+    val dir = checkpointDir(root, v)
+    val fs = fileSystem(spark, root)
+    if (!fs.exists(new Path(dir, "_SUCCESS"))) return None
+    val rows = spark.read.parquet(dir.toString).collect()
+    def kind(k: String) = rows.filter(_.getString(0) == k)
+    val metas = kind("meta").map(r => r.getString(2) -> r.getString(3)).toMap
+    val fstats = kind("fstat").groupBy(_.getInt(1)).map { case (b, rs) =>
+      b -> rs.map(r => (dec(r.getString(2)), parseStats(r.getString(4)))).toMap
+    }
+    val tombs = kind("tomb").groupBy(_.getInt(1)).map { case (b, rs) =>
+      b -> rs.map(_.getString(3)).toSeq
+    }
+    val buckets = kind("bucket").map { r =>
+      val b = r.getInt(1)
+      b -> BucketEntry(r.getString(3), parseStats(r.getString(4)),
+        fstats.getOrElse(b, Map.empty), tombs.getOrElse(b, Nil))
+    }.toMap
+    Some(Manifest(v, metas("numBuckets").toInt,
+      metas("statsCols").split(",").toSeq.filter(_.nonEmpty).map { part =>
+        val Array(n, t) = part.split(":", 2)
+        (dec(n), t)
+      },
+      kind("txn").map(r => dec(r.getString(2)) -> r.getString(3).toLong).toMap,
+      buckets))
   }
 
   /** The terminator token of a manifest file, or None when the file is
@@ -336,11 +526,20 @@ object SnapshotStore {
     * bytes went to an unlinked inode reports failure and retries via
     * the normal OCC path.
     */
+  /** @param base when Some, write a FORMAT-3 DELTA against it (must be
+    *   the immediate predecessor version): only the bucket entries
+    *   that differ, plus `del:` lines — O(touched buckets' files)
+    *   metadata per commit. None writes the full state (init, clone,
+    *   and the retention-floor path), readable by format-2 readers.
+    */
   private def writeManifestAtomic(fs: FileSystem, root: String, v: Long,
                                   numBuckets: Int,
                                   statsCols: Seq[(String, String)],
                                   txns: Map[String, Long],
-                                  buckets: Map[Int, BucketEntry]): Boolean = {
+                                  buckets: Map[Int, BucketEntry],
+                                  base: Option[Manifest] = None): Boolean = {
+    base.foreach(b => require(b.version == v - 1,
+      s"delta manifest for $v must base on ${v - 1}, got ${b.version}"))
     val target = manifestPath(root, v)
     val token = UUID.randomUUID().toString
     val statsLine =
@@ -348,11 +547,14 @@ object SnapshotStore {
       else Seq("stats:" + statsCols.map { case (n, t) => s"${enc(n)}:$t" }.mkString(","))
     val txnLines = txns.toSeq.sortBy(_._1)
       .map { case (id, b) => s"txn:${enc(id)}\t$b" }
-    def encStats(stats: Seq[Option[(String, String)]]): String = stats.map {
-      case Some((mn, mx)) => s"${enc(mn)},${enc(mx)}"
-      case None => ","
-    }.mkString(",")
-    val bucketLines = buckets.toSeq.sortBy(_._1).flatMap { case (b, e) =>
+    val (written, delLines, deltaLine) = base match {
+      case Some(bm) =>
+        (buckets.filter { case (b, e) => !bm.buckets.get(b).contains(e) },
+          (bm.buckets.keySet -- buckets.keySet).toSeq.sorted.map(b => s"del:$b"),
+          Seq(s"delta:${bm.version}"))
+      case None => (buckets, Seq.empty[String], Seq.empty[String])
+    }
+    val bucketLines = written.toSeq.sortBy(_._1).flatMap { case (b, e) =>
       val main = if (statsCols.isEmpty) s"$b\t${e.dir}"
         else s"$b\t${e.dir}\t${encStats(e.stats)}"
       val files = e.fileStats.toSeq.sortBy(_._1).map { case (name, st) =>
@@ -361,8 +563,9 @@ object SnapshotStore {
       val tombs = e.tombstones.map(d => s"tomb:$b\t$d")
       (main +: files) ++ tombs
     }
-    val bodyLines = Seq(s"buckets:$numBuckets", s"format:$ManifestFormat") ++
-      statsLine ++ txnLines ++ bucketLines
+    val format = if (base.isDefined) ManifestFormat else 2
+    val bodyLines = Seq(s"buckets:$numBuckets", s"format:$format") ++
+      deltaLine ++ statsLine ++ txnLines ++ bucketLines ++ delLines
     val body = bodyLines.mkString("", "\n", "\n") + s"end:$token:${bodyLines.size}\n"
 
     def tryCreate(): Option[org.apache.hadoop.fs.FSDataOutputStream] =
@@ -687,13 +890,14 @@ object SnapshotStore {
     val token = newToken()
     val written = writeVersionData(df, root, 0L, token, keys, numBuckets, tagged, fs,
       failRules)
-    if (!writeManifestAtomic(fs, root, 0L, numBuckets, tagged,
-        txn.map { case (id, b) => id -> b }.toMap, written)) {
+    val txns = txn.map { case (id, b) => id -> b }.toMap
+    if (!writeManifestAtomic(fs, root, 0L, numBuckets, tagged, txns, written)) {
       // lost a concurrent create: clean up our own attempt dir (the
       // winner's data lives under its own token) before failing
       fs.delete(new Path(root, attemptDir(0L, token)), true)
       throw new IllegalStateException(s"concurrent init at $root")
     }
+    maybeCheckpoint(spark, root, Manifest(0L, numBuckets, tagged, txns, written))
     0L
   }
 
@@ -827,7 +1031,11 @@ object SnapshotStore {
       // rest keep pointing at their existing files (and stats)
       val next = (m.buckets -- touched) ++ written
       val txns = m.txns ++ txn.map { case (id, b) => id -> b }
-      if (writeManifestAtomic(fs, root, v, m.numBuckets, m.statsCols, txns, next)) return v
+      if (writeManifestAtomic(fs, root, v, m.numBuckets, m.statsCols, txns, next,
+          base = Some(m))) {
+        maybeCheckpoint(spark, root, Manifest(v, m.numBuckets, m.statsCols, txns, next))
+        return v
+      }
       // lost the race: discard OUR OWN attempt dir and re-merge on the new base
       fs.delete(new Path(root, attemptDir(v, token)), true)
     }
@@ -893,7 +1101,11 @@ object SnapshotStore {
         b -> m.buckets(b).copy(tombstones = m.buckets(b).tombstones :+ d)
       }
       val txns = m.txns ++ txn.map { case (id, b) => id -> b }
-      if (writeManifestAtomic(fs, root, v, m.numBuckets, m.statsCols, txns, next)) return v
+      if (writeManifestAtomic(fs, root, v, m.numBuckets, m.statsCols, txns, next,
+          base = Some(m))) {
+        maybeCheckpoint(spark, root, Manifest(v, m.numBuckets, m.statsCols, txns, next))
+        return v
+      }
       fs.delete(vdir, true)
     }
     throw new IllegalStateException(
@@ -1031,8 +1243,11 @@ object SnapshotStore {
         }
       }
       val next = (m.buckets -- frag) ++ rewritten
-      if (writeManifestAtomic(fs, root, v, m.numBuckets, m.statsCols, m.txns, next))
+      if (writeManifestAtomic(fs, root, v, m.numBuckets, m.statsCols, m.txns, next,
+          base = Some(m))) {
+        maybeCheckpoint(spark, root, Manifest(v, m.numBuckets, m.statsCols, m.txns, next))
         return v
+      }
       // lost to a concurrent committer: drop our attempt, re-census
       fs.delete(new Path(root, rel), true)
     }
@@ -1098,7 +1313,8 @@ object SnapshotStore {
       val written = writeVersionData(current, root, v, token, keys,
         nb, m.statsCols, fs)
       if (writeManifestAtomic(fs, root, v, nb, m.statsCols,
-          m.txns, written)) {
+          m.txns, written, base = Some(m))) {
+        maybeCheckpoint(spark, root, Manifest(v, nb, m.statsCols, m.txns, written))
         // every bucket now lives under OUR root: the clone (if this
         // was one) no longer needs its source retained
         releaseClone(spark, root)
@@ -1146,7 +1362,11 @@ object SnapshotStore {
       val target = readManifest(spark, root, toVersion)
       val cur = readManifest(spark, root, base)
       if (writeManifestAtomic(fs, root, base + 1, target.numBuckets,
-          target.statsCols, cur.txns, target.buckets)) return base + 1
+          target.statsCols, cur.txns, target.buckets, base = Some(cur))) {
+        maybeCheckpoint(spark, root, Manifest(base + 1, target.numBuckets,
+          target.statsCols, cur.txns, target.buckets))
+        return base + 1
+      }
     }
     throw new IllegalStateException(
       s"restore lost $maxAttempts consecutive commit races at $root")
@@ -1209,6 +1429,8 @@ object SnapshotStore {
       throw new IllegalStateException(
         s"clone target $dstRoot was concurrently initialized")
     }
+    maybeCheckpoint(spark, dstRoot, Manifest(0L, m.numBuckets, m.statsCols,
+      m.txns, entries))
     // breadcrumb for materialize/releaseClone: WHERE the retention
     // consumer was registered (best effort — the consumer itself is
     // the durable artifact; a missing marker just means manual release)
@@ -1266,6 +1488,25 @@ object SnapshotStore {
         .flatMap(e => e.dir +: e.tombstones)).toSet
     val deleted = mutable.ArrayBuffer.empty[Path]
 
+    if (vs.exists(_ < keepFrom)) {
+      // kept versions must reconstruct WITHOUT the manifests below the
+      // floor: the floor version needs a standalone full base — either
+      // its own manifest is full, or a verified checkpoint exists (the
+      // one checkpoint write that is a correctness dependency, so it
+      // is confirmed before any manifest is deleted)
+      val floorIsFull = parseManifestFile(fs, root, keepFrom).deltaBase.isEmpty
+      if (!floorIsFull && !fs.exists(new Path(checkpointDir(root, keepFrom), "_SUCCESS"))) {
+        writeCheckpoint(spark, root, readManifest(spark, root, keepFrom))
+        require(fs.exists(new Path(checkpointDir(root, keepFrom), "_SUCCESS")),
+          s"retention-floor checkpoint at $keepFrom failed to materialize — " +
+            "aborting manifest cleanup (data dirs were not touched)")
+      }
+      // superseded checkpoints below the floor go with their manifests
+      fs.listStatus(commitsDir(root)).toSeq
+        .map(_.getPath).filter(_.getName.startsWith("cp-"))
+        .filter(_.getName.stripPrefix("cp-").toLong < keepFrom)
+        .foreach(deleted += _)
+    }
     vs.filter(_ < keepFrom).foreach { v => deleted += manifestPath(root, v) }
     fs.listStatus(new Path(root)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
