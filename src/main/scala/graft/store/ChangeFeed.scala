@@ -68,17 +68,30 @@ object ChangeFeed {
     * reclaimed version v-1, changes at v are unrecoverable and this
     * throws (the stream-gone-stale condition) — register a consumer to
     * prevent that.
+    *
+    * Plan width: a consumer catching up over hundreds of versions must
+    * not hand the optimizer a hundreds-wide union of join sub-plans
+    * (driver analysis cost grows with the PLAN even when the data is
+    * delta-sized). Ranges longer than `maxPlanSteps` are evaluated in
+    * chunks — each chunk's union is `localCheckpoint`ed (eagerly
+    * materialized, lineage truncated to one leaf) and the result is a
+    * narrow union of those leaves: a 500-version catch-up pays 500
+    * bounded data-steps but never a 500-way join-union plan. Ranges at
+    * or under `maxPlanSteps` (every tight consumer loop) stay fully
+    * lazy and plan exactly as before.
     */
   def readChanges(spark: SparkSession, root: String, keys: Seq[String],
-                  fromVersion: Long, toVersion: Long): DataFrame = {
+                  fromVersion: Long, toVersion: Long,
+                  maxPlanSteps: Int = 32): DataFrame = {
     require(toVersion > fromVersion,
       s"empty version range ($fromVersion, $toVersion]")
+    require(maxPlanSteps >= 1, "need at least one step per chunk")
     val vs = SnapshotStore.versions(spark, root)
     require(vs.nonEmpty, s"no table at $root")
     val steps = vs.filter(v => v > fromVersion && v <= toVersion)
     require(steps.nonEmpty || fromVersion >= vs.last,
       s"no committed versions in ($fromVersion, $toVersion] at $root")
-    val diffs = steps.flatMap { v =>
+    def diffsOf(ss: Seq[Long]): Seq[DataFrame] = ss.flatMap { v =>
       val mNew = SnapshotStore.readManifest(spark, root, v)
       val mOld: Option[Manifest] =
         if (v == 0) None
@@ -89,7 +102,23 @@ object ChangeFeed {
         else Some(SnapshotStore.readManifest(spark, root, v - 1))
       diffStep(spark, root, keys, mOld, mNew, v)
     }
-    if (diffs.nonEmpty) diffs.reduce(_.unionByName(_, allowMissingColumns = true))
+    def union(dfs: Seq[DataFrame]): DataFrame =
+      dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+    val chunked: Seq[DataFrame] =
+      if (steps.size <= maxPlanSteps) diffsOf(steps) match {
+        case Seq() => Seq.empty
+        case dfs => Seq(union(dfs))
+      }
+      else steps.grouped(maxPlanSteps).toSeq.flatMap { ss =>
+        diffsOf(ss) match {
+          case Seq() => None
+          // eager: the chunk materializes NOW and enters the final
+          // plan as one leaf — catch-up cost is per-chunk data, plan
+          // cost is #chunks leaves
+          case dfs => Some(union(dfs).localCheckpoint(true))
+        }
+      }
+    if (chunked.nonEmpty) union(chunked)
     else { // every step was a no-data commit (e.g. a txn-marker-only version)
       val empty = SnapshotStore.read(spark, root).limit(0)
       empty.withColumn(ChangeType, lit(null).cast("string"))

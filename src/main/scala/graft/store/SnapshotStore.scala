@@ -136,6 +136,42 @@ object SnapshotStore {
   private def withBucket(df: DataFrame, keys: Seq[String], numBuckets: Int): DataFrame =
     df.withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(numBuckets)))
 
+  /** Lost-race REBASE: when every version committed since `baseM` (the
+    * manifest the loser computed against) touched buckets DISJOINT
+    * from the loser's, the loser's already-written data is still the
+    * correct replacement state — the current state of its buckets is
+    * bit-identical to what it read — so re-point it onto the new
+    * latest instead of recomputing. Returns the re-targeted (version,
+    * attemptRel, buckets) after atomically RENAMING the attempt dir to
+    * the new version's name (keeping it above vacuum's in-flight
+    * line: an unreferenced dir numbered ≤ latest is vacuum food, and
+    * a vacuum racing the rebase must take the dir — making the rename
+    * fail and the caller fall back to a re-merge — never the commit).
+    * None = winners overlap (or changed the layout): recompute.
+    */
+  private def tryRebase(spark: SparkSession, fs: FileSystem, root: String,
+                        baseM: Manifest, touched: Set[Int],
+                        v: Long, token: String)
+      : Option[(Long, Manifest)] = {
+    val latest = latestVersion(spark, root).getOrElse(return None)
+    if (latest < v) return None // arbiter lost for another reason
+    val winners = readManifest(spark, root, latest)
+    val winnerTouched = (baseM.buckets.keySet ++ winners.buckets.keySet)
+      .filter(b => baseM.buckets.get(b) != winners.buckets.get(b))
+    if (winners.numBuckets != baseM.numBuckets ||
+        winnerTouched.intersect(touched).nonEmpty) return None
+    val newV = latest + 1
+    if (!fs.rename(new Path(root, attemptDir(v, token)),
+        new Path(root, attemptDir(newV, token)))) return None
+    Some((newV, winners))
+  }
+
+  /** Re-home an attempt-relative dir string after [[tryRebase]]'s
+    * rename (`v=<old>-tok/...` → `v=<new>-tok/...`).
+    */
+  private def rebased(rel: String, v: Long, newV: Long, token: String): String =
+    attemptDir(newV, token) + rel.stripPrefix(attemptDir(v, token))
+
   /** The keyed delete-then-insert merge every upsert-shaped sink hands
     * to [[commitDelta]] (the delta already carries full FINAL rows per
     * key, so replace-by-key is the whole merge). One definition — the
@@ -1027,17 +1063,47 @@ object SnapshotStore {
 
       val written = writeVersionData(merged, root, v, token, keys, m.numBuckets,
         m.statsCols, fs, failRules)
-      // touched buckets now live at v; emptied buckets drop out; the
-      // rest keep pointing at their existing files (and stats)
-      val next = (m.buckets -- touched) ++ written
-      val txns = m.txns ++ txn.map { case (id, b) => id -> b }
-      if (writeManifestAtomic(fs, root, v, m.numBuckets, m.statsCols, txns, next,
-          base = Some(m))) {
-        maybeCheckpoint(spark, root, Manifest(v, m.numBuckets, m.statsCols, txns, next))
-        return v
+      // touched buckets now live at this commit; emptied buckets drop
+      // out; the rest keep pointing at their existing files (and
+      // stats). A lost race first tries a REBASE — when the winners
+      // touched disjoint buckets, the written data re-points onto
+      // their manifest without recomputing the merge (the independent-
+      // writers path: entity-parallel pipelines sharing a table no
+      // longer serialize through each other's work, only through the
+      // metadata arbiter).
+      var curV = v
+      var curWritten = written
+      var winnersM = m
+      var rebasing = true
+      while (rebasing) {
+        val next = (winnersM.buckets -- touched) ++ curWritten
+        val txns = winnersM.txns ++ txn.map { case (id, b) => id -> b }
+        if (writeManifestAtomic(fs, root, curV, m.numBuckets, m.statsCols, txns, next,
+            base = Some(winnersM))) {
+          maybeCheckpoint(spark, root, Manifest(curV, m.numBuckets, m.statsCols, txns, next))
+          return curV
+        }
+        if (attempt >= maxAttempts) rebasing = false
+        else tryRebase(spark, fs, root, m, touched, curV, token) match {
+          case Some((newV, winners)) =>
+            attempt += 1
+            txn.foreach { case (id, bid) => // a same-writer redelivery won meanwhile
+              if (winners.txns.get(id).exists(_ >= bid)) {
+                fs.delete(new Path(root, attemptDir(newV, token)), true)
+                return winners.version
+              }
+            }
+            curWritten = curWritten.map { case (b, e) =>
+              b -> e.copy(dir = rebased(e.dir, curV, newV, token))
+            }
+            winnersM = winners
+            curV = newV
+          case None => rebasing = false
+        }
       }
-      // lost the race: discard OUR OWN attempt dir and re-merge on the new base
-      fs.delete(new Path(root, attemptDir(v, token)), true)
+      // overlapping winners (or the rebase rename lost to vacuum):
+      // discard OUR OWN attempt dir and re-merge on the new base
+      fs.delete(new Path(root, attemptDir(curV, token)), true)
     }
     throw new IllegalStateException(
       s"commitDelta lost $maxAttempts consecutive commit races at $root")
@@ -1097,16 +1163,46 @@ object SnapshotStore {
         // still commit an (unchanged) manifest so the txn high-water
         // mark records this batch — a redelivery must stay a no-op
       }
-      val next = m.buckets ++ effective.map { case (b, d) =>
-        b -> m.buckets(b).copy(tombstones = m.buckets(b).tombstones :+ d)
+      // lost races rebase like commitDelta: tombstone appends to
+      // buckets the winners didn't touch re-point without rewriting
+      // the sidecar. (A delete aimed at a bucket that did not exist at
+      // our base stays dropped even if a winner re-created it — that
+      // is the delete-before-insert serialization of two genuinely
+      // concurrent operations, the same one a first-arriving delete
+      // would have produced.)
+      val touchedSet = effective.map(_._1).toSet
+      var curV = v
+      var curEff = effective
+      var winnersM = m
+      var rebasing = true
+      while (rebasing) {
+        val next = winnersM.buckets ++ curEff.map { case (b, d) =>
+          b -> winnersM.buckets(b).copy(
+            tombstones = winnersM.buckets(b).tombstones :+ d)
+        }
+        val txns = winnersM.txns ++ txn.map { case (id, b) => id -> b }
+        if (writeManifestAtomic(fs, root, curV, m.numBuckets, m.statsCols, txns, next,
+            base = Some(winnersM))) {
+          maybeCheckpoint(spark, root, Manifest(curV, m.numBuckets, m.statsCols, txns, next))
+          return curV
+        }
+        if (attempt >= maxAttempts) rebasing = false
+        else tryRebase(spark, fs, root, m, touchedSet, curV, token) match {
+          case Some((newV, winners)) =>
+            attempt += 1
+            txn.foreach { case (id, bid) =>
+              if (winners.txns.get(id).exists(_ >= bid)) {
+                fs.delete(new Path(root, attemptDir(newV, token)), true)
+                return winners.version
+              }
+            }
+            curEff = curEff.map { case (b, d) => (b, rebased(d, curV, newV, token)) }
+            winnersM = winners
+            curV = newV
+          case None => rebasing = false
+        }
       }
-      val txns = m.txns ++ txn.map { case (id, b) => id -> b }
-      if (writeManifestAtomic(fs, root, v, m.numBuckets, m.statsCols, txns, next,
-          base = Some(m))) {
-        maybeCheckpoint(spark, root, Manifest(v, m.numBuckets, m.statsCols, txns, next))
-        return v
-      }
-      fs.delete(vdir, true)
+      fs.delete(new Path(root, attemptDir(curV, token)), true)
     }
     throw new IllegalStateException(
       s"commitDeletes lost $maxAttempts consecutive commit races at $root")

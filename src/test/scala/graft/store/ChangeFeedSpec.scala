@@ -290,4 +290,28 @@ class ChangeFeedSpec extends SparkSpec {
       ChangeFeed.readChanges(spark, root, Seq("m"), -1L, 0L).collect())
     assert(e.getMessage.contains("map-typed keys"))
   }
+
+  test("long-range catch-up chunks the plan: bounded leaves, identical changes") {
+    val root = tmpDir("chunk")
+    SnapshotStore.init(spark, root,
+      (1L to 30L).map(k => (k, s"v$k", 0L)).toDF("k", "v", "ts"),
+      Seq("k"), numBuckets = 4)
+    (1L to 21L).foreach { i =>
+      SnapshotStore.commitDelta(spark, root,
+        Seq((i, s"u$i", i)).toDF("k", "v", "ts"), Seq("k"), merge)
+    }
+    val single = ChangeFeed.readChanges(spark, root, Seq("k"), -1L, 21L,
+      maxPlanSteps = 1000)
+    val chunked = ChangeFeed.readChanges(spark, root, Seq("k"), -1L, 21L,
+      maxPlanSteps = 4)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "ts", ChangeFeed.ChangeType, ChangeFeed.CommitVersion)
+        .as[(Long, String, Long, String, Long)].collect().toSet
+    assert(asSet(chunked) == asSet(single))
+    assert(asSet(chunked).size == 30 + 21 * 2) // init inserts + per-step pre+post
+    // 22 steps at 4/chunk = 6 checkpointed leaves — not 22 join sub-plans
+    val leaves = chunked.queryExecution.logical.collectLeaves().size
+    assert(leaves <= 6, s"expected ≤6 chunk leaves, got $leaves")
+    assert(single.queryExecution.logical.collectLeaves().size > 22)
+  }
 }

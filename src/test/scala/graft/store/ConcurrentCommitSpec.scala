@@ -1,0 +1,167 @@
+package graft.store
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Scd1
+
+/** Disjoint-bucket concurrent commits REBASE instead of recomputing:
+  * the loser's written data re-points onto the winner's manifest when
+  * their touched-bucket sets don't intersect; genuinely overlapping
+  * writers still serialize through a re-merge.
+  */
+/** Latches for the executor-side block in the commitDeletes test —
+  * top-level so task closures reference JVM statics instead of
+  * capturing (CountDownLatch is not serializable; local[*] shares the
+  * JVM, so the statics ARE the coordination channel).
+  */
+object ConcurrentCommitLatches {
+  val aStarted = new CountDownLatch(1)
+  val go = new CountDownLatch(1)
+}
+
+class ConcurrentCommitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-cc-$tag").toString
+
+  private val plainMerge = (cur: org.apache.spark.sql.DataFrame,
+                            delta: org.apache.spark.sql.DataFrame) =>
+    Scd1.merge(cur, delta, Seq("k"), Seq(col("ts").desc))
+
+  private def rows(root: String): Set[(Long, String, Long)] =
+    SnapshotStore.read(spark, root).select("k", "v", "ts")
+      .as[(Long, String, Long)].collect().toSet
+
+  /** Two keys guaranteed to hash into different buckets at `n`. */
+  private def disjointKeys(n: Int): (Long, Long) = {
+    val bs = (1L to 50L).toDF("k")
+      .select(col("k"), pmod(hash(col("k")), lit(n)).as("b"))
+      .as[(Long, Int)].collect()
+    val a = bs.head
+    (a._1, bs.find(_._2 != a._2).get._1)
+  }
+
+  test("disjoint-bucket loser rebases: merge runs once, data dirs re-point, both commits land") {
+    val root = tmpDir("rebase")
+    val numBuckets = 4
+    val (kA, kB) = disjointKeys(numBuckets)
+    SnapshotStore.init(spark, root,
+      (1L to 50L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts"),
+      Seq("k"), numBuckets = numBuckets)
+
+    val mergeRuns = new AtomicInteger(0)
+    val aMerging = new CountDownLatch(1)
+    val bCommitted = new CountDownLatch(1)
+    // the latch sits in A's merge CALLBACK (plan construction, on A's
+    // thread, after A's touched-bucket census against the stale base):
+    // B commits in the window, so A deterministically loses the
+    // version race with its data already computed
+    val fut = Future {
+      SnapshotStore.commitDelta(spark, root,
+        Seq((kA, "from-A", 100L)).toDF("k", "v", "ts"), Seq("k"),
+        (cur, delta) => {
+          mergeRuns.incrementAndGet()
+          aMerging.countDown()
+          assert(bCommitted.await(60, TimeUnit.SECONDS))
+          plainMerge(cur, delta)
+        })
+    }
+    assert(aMerging.await(60, TimeUnit.SECONDS))
+    val vB = SnapshotStore.commitDelta(spark, root,
+      Seq((kB, "from-B", 100L)).toDF("k", "v", "ts"), Seq("k"), plainMerge)
+    bCommitted.countDown()
+    val vA = Await.result(fut, 120.seconds)
+
+    assert(vB == 1L && vA == 2L)
+    assert(mergeRuns.get() == 1, "disjoint loser must NOT recompute its merge")
+    val now = rows(root)
+    assert(now((kA, "from-A", 100L)) && now((kB, "from-B", 100L)) && now.size == 50)
+    // A's committed bucket data lives under the REBASED attempt dir —
+    // written once at version 1, re-pointed (renamed) to version 2
+    val mA = SnapshotStore.readManifest(spark, root, 2L)
+    val bucketA = (1 to 1).map(_ => // bucket id of kA under this layout
+      Seq((kA, "", 0L)).toDF("k", "v", "ts")
+        .select(pmod(hash(col("k")), lit(numBuckets))).as[Int].head()).head
+    assert(mA.buckets(bucketA).dir.startsWith("v=2-"),
+      s"expected re-pointed dir, got ${mA.buckets(bucketA).dir}")
+    // history is sane: version 1 has B's row but not A's
+    val at1 = SnapshotStore.readVersion(spark, root, 1L)
+      .select("k", "v", "ts").as[(Long, String, Long)].collect().toSet
+    assert(at1((kB, "from-B", 100L)) && !at1.exists(_._2 == "from-A"))
+  }
+
+  test("overlapping writers still serialize: the loser re-merges against the winner's state") {
+    val root = tmpDir("overlap")
+    SnapshotStore.init(spark, root,
+      (1L to 20L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts"),
+      Seq("k"), numBuckets = 1) // one bucket: every pair overlaps
+
+    val mergeRuns = new AtomicInteger(0)
+    val aMerging = new CountDownLatch(1)
+    val bCommitted = new CountDownLatch(1)
+    val fut = Future {
+      SnapshotStore.commitDelta(spark, root,
+        Seq((1L, "from-A", 100L)).toDF("k", "v", "ts"), Seq("k"),
+        (cur, delta) => {
+          if (mergeRuns.incrementAndGet() == 1) {
+            aMerging.countDown()
+            assert(bCommitted.await(60, TimeUnit.SECONDS))
+          }
+          plainMerge(cur, delta)
+        })
+    }
+    assert(aMerging.await(60, TimeUnit.SECONDS))
+    SnapshotStore.commitDelta(spark, root,
+      Seq((2L, "from-B", 100L)).toDF("k", "v", "ts"), Seq("k"), plainMerge)
+    bCommitted.countDown()
+    val vA = Await.result(fut, 120.seconds)
+
+    assert(vA == 2L)
+    assert(mergeRuns.get() == 2, "overlapping loser must re-merge on the new base")
+    val now = rows(root)
+    assert(now((1L, "from-A", 100L)) && now((2L, "from-B", 100L)) && now.size == 20)
+  }
+
+  test("commitDeletes rebases across a disjoint winner") {
+    val root = tmpDir("del")
+    val numBuckets = 4
+    val (kDel, kB) = disjointKeys(numBuckets)
+    SnapshotStore.init(spark, root,
+      (1L to 50L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts"),
+      Seq("k"), numBuckets = numBuckets)
+
+    val aStarted = ConcurrentCommitLatches.aStarted
+    val go = ConcurrentCommitLatches.go
+    // the latch rides INSIDE the delete-keys evaluation (executor
+    // task, same JVM — referenced via the static holder so the closure
+    // captures nothing unserializable): A's sidecar write blocks
+    // mid-job while B commits
+    val delKeys = spark.sparkContext.parallelize(Seq(kDel), 1).map { k =>
+      ConcurrentCommitLatches.aStarted.countDown()
+      assert(ConcurrentCommitLatches.go.await(60, TimeUnit.SECONDS))
+      k
+    }.toDF("k")
+    val fut = Future {
+      SnapshotStore.commitDeletes(spark, root, delKeys, Seq("k"))
+    }
+    assert(aStarted.await(60, TimeUnit.SECONDS))
+    val vB = SnapshotStore.commitDelta(spark, root,
+      Seq((kB, "from-B", 100L)).toDF("k", "v", "ts"), Seq("k"), plainMerge)
+    go.countDown()
+    val vA = Await.result(fut, 120.seconds)
+
+    assert(vB == 1L && vA == 2L)
+    val now = rows(root)
+    assert(!now.exists(_._1 == kDel) && now((kB, "from-B", 100L)) && now.size == 49)
+  }
+}
