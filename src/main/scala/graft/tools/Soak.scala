@@ -1,0 +1,154 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, Tables}
+import graft.sources.DataGen
+import graft.store.SnapshotStore
+
+/** Scale soak: synthesize a ~`scale`× corpus (DataGen documents /
+  * embeddings / events at scale× the base row counts; lineitem+orders
+  * replicated with consistently shifted keys so joins stay real; dims
+  * copied), run the headline queries at BOTH scales in one JVM, run a
+  * full snapshot-table maintenance cycle (init → upsert → MoR delete →
+  * clustered compact → restore → vacuum) on the scaled corpus, and
+  * emit one JSON artifact. The point is the RATIO column: a query
+  * whose soak/base ratio far exceeds the scale factor has a
+  * superlinear term (driver-side loop, skew cliff, quadratic
+  * candidate set) that sf0.1 was too small to expose.
+  *
+  * Usage: runMain graft.tools.Soak [scale] [workDir] [outJson]
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val scale = args.headOption.map(_.toInt).getOrElse(10)
+    val work = if (args.length > 1) args(1) else "/tmp/graft_soak"
+    val outJson = if (args.length > 2) args(2) else "SOAK_r6.json"
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MPB", "16777216"))
+      .config("spark.sql.files.openCostInBytes", "1048576")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, math.round((System.nanoTime() - t0) / 1e6) / 1e3)
+    }
+    def ms(v: Double): Double = math.round(v * 1000) / 1000.0
+
+    // ---------------- 1. synthesize the scaled corpus ----------------
+    val gen = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def write(name: String, df: DataFrame): Unit = {
+      val (_, t) = timed(df.write.mode("overwrite").parquet(s"$work/$name.parquet"))
+      gen(name) = t
+    }
+    write("documents", DataGen.documents(spark, 5000L * scale))
+    write("embeddings", DataGen.embeddings(spark, 2000L * scale))
+    write("events", DataGen.events(spark, 100000L * scale))
+    // lineitem/orders: replicate with the SAME orderkey shift so the
+    // order↔line relationship (and part/supp/cust joins) stay real
+    val orders0 = Tables.orders(spark, baseDir)
+    val line0 = Tables.lineitem(spark, baseDir)
+    val shift = orders0.agg(max("o_orderkey")).head().getLong(0) + 1L
+    def replicate(df: DataFrame, keyCol: String): DataFrame =
+      df.crossJoin(spark.range(scale).select(col("id").as("__rep")))
+        .withColumn(keyCol, col(keyCol) + col("__rep") * shift)
+        .drop("__rep")
+    write("orders", replicate(orders0, "o_orderkey"))
+    write("lineitem", replicate(line0, "l_orderkey"))
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      write(t, spark.read.parquet(s"$baseDir/$t.parquet"))
+    }
+
+    // ---------------- 2. headline queries, base vs soak --------------
+    val headline = Seq(
+      "q05_orders_fact", "q21_market_basket", "q25_gap_percentiles",
+      "q26_sessionization", "q34_salted_join", "q40_funnel",
+      "d01_dedup_exact", "d02_dedup_minhash", "d04_dedup_ngram",
+      "d07_dedup_clusters", "d08_passage_dedup",
+      "s02_ann_lsh", "s04_ann_ivf", "s06_ann_pq", "s07_ann_ivfpq",
+      "t12_doc_freq_score", "a01_asof_attribution", "k02_heavy_hitters")
+    val qmap = SparkEntry.queries
+    // codegen warm-up at the smallest SF, as Bench does
+    headline.foreach { q =>
+      try { qmap(q)(spark, warmDir).count(); () } catch { case _: Throwable => () }
+      spark.catalog.clearCache(); graft.Caching.unpersistAll()
+    }
+    def run(q: String, dir: String): Double = {
+      val times = (1 to 2).map { _ =>
+        spark.catalog.clearCache(); graft.Caching.unpersistAll()
+        val (_, t) = timed(qmap(q)(spark, dir).count())
+        t
+      }
+      times.min
+    }
+    val queryRows = headline.map { q =>
+      val base = run(q, baseDir)
+      val soak = run(q, work)
+      println(f"[soak] $q%-22s base=$base%8.3fs soak=$soak%8.3fs ratio=${soak / base}%6.2f")
+      q -> (base, soak)
+    }
+
+    // ---------------- 3. maintenance cycle on the scaled corpus ------
+    val root = s"$work/table_documents"
+    val maint = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def phase[A](name: String)(body: => A): A = {
+      val (a, t) = timed(body); maint(name) = t; a
+    }
+    val docs = spark.read.parquet(s"$work/documents.parquet")
+    phase("init") {
+      SnapshotStore.init(spark, root, docs, Seq("doc_id"), numBuckets = 32,
+        statsCols = Seq("n_chars", "doc_id"))
+    }
+    phase("upsert") {
+      SnapshotStore.commitDelta(spark, root,
+        docs.where(col("doc_id") % 97 === 0)
+          .withColumn("source", lit("src_upserted")),
+        Seq("doc_id"), SnapshotStore.upsertMerge(Seq("doc_id")))
+    }
+    phase("mor_delete") {
+      SnapshotStore.commitDeletes(spark, root,
+        docs.select("doc_id").where(col("doc_id") % 101 === 0), Seq("doc_id"))
+    }
+    phase("compact_zorder") {
+      SnapshotStore.compact(spark, root, minFiles = 2,
+        zOrderBy = Seq("n_chars", "doc_id"), maxRecordsPerFile = 4000L)
+    }
+    val pruned = phase("pruned_range_read") {
+      SnapshotStore.readRange(spark, root, "n_chars", 100, 160).count()
+    }
+    phase("restore") { SnapshotStore.restore(spark, root, 0L) }
+    phase("vacuum") { SnapshotStore.vacuum(spark, root, keepLast = 1): Unit }
+    val finalRows = SnapshotStore.read(spark, root).count()
+    require(finalRows == 5000L * scale,
+      s"restore lost rows: $finalRows != ${5000L * scale}")
+
+    // ---------------- 4. artifact ------------------------------------
+    def jmap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    val queriesJson = queryRows.map { case (q, (b, s)) =>
+      "\"" + q + "\":{\"base\":" + ms(b) + ",\"soak\":" + ms(s) +
+        ",\"ratio\":" + ms(s / b) + "}"
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"soak","scale":$scale,"base_sf":"$baseDir","unit":"sec",""" +
+        s""""gen":${jmap(gen)},"queries":$queriesJson,""" +
+        s""""maintenance":${jmap(maint)},"pruned_range_rows":$pruned,""" +
+        s""""final_rows":$finalRows}"""
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      (json + "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}

@@ -131,4 +131,39 @@ class SourcesSpec extends SparkSpec {
       .select("category").distinct().as[String].collect().toSet
     assert(nonVegCats.subsetOf(Set("Appetizers", "Main Course")))
   }
+
+  test("DataGen corpus tables: deterministic, test-schema-shaped, with planted structure") {
+    // documents: schema matches the test corpus; ~5% planted near-dups
+    val d = DataGen.documents(spark, 2000)
+    assert(d.columns.toSeq == Seq("doc_id", "text", "lang", "source", "n_chars"))
+    assert(d.exceptAll(DataGen.documents(spark, 2000)).count() == 0)
+    assert(d.where(length($"text") =!= $"n_chars").count() == 0)
+    val nearDups = d.as("a").join(DataGen.documents(spark, 2000).as("b"),
+      expr("b.text = concat(a.text, ' extra') and a.doc_id = b.doc_id - 3"))
+      .count()
+    assert(nearDups > 50 && nearDups < 200, s"planted near-dup rate off: $nearDups")
+
+    // embeddings: fixed dim, clusterable — same-label vectors sit
+    // closer to their centroid than to other labels' (by construction)
+    val e = DataGen.embeddings(spark, 1000, dim = 16, labels = 4)
+    assert(e.columns.toSeq == Seq("vec_id", "embedding", "label"))
+    assert(e.where(size($"embedding") =!= 16).count() == 0)
+    val spread = e.groupBy("label")
+      .agg(avg(aggregate(zip_with($"embedding", $"embedding", (x, _) => x * x),
+        lit(0.0d), (acc, x) => acc + x)).as("sq"))
+      .count()
+    assert(spread == 4)
+
+    // events: per-user timestamps advance (sessionizable), types from
+    // the reference set
+    val ev = DataGen.events(spark, 20000, users = 100)
+    assert(ev.columns.toSeq ==
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val types = ev.select("event_type").distinct().as[String].collect().toSet
+    assert(types == Set("view", "click", "purchase", "signup", "error"))
+    val span = ev.groupBy("user_id")
+      .agg((max($"ts").cast("long") - min($"ts").cast("long")).as("span"))
+      .agg(min("span")).head().getLong(0)
+    assert(span > 1000, s"per-user time span too tight for sessionization: $span")
+  }
 }
