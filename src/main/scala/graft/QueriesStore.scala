@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.store.ChangeFeed
+
+/** Storage-layer queries (SURVEY.md §2 connector rows): the snapshot
+  * table format exercised END TO END through the public connector —
+  * create + keyed upsert via `df.write.format("graft")`, pruned read
+  * via `spark.read.format("graft")`, and the change feed — each
+  * DuckDB-oracle-checked against the equivalent SQL over the raw
+  * parquet (the oracle recomputes the upsert/diff semantics
+  * relationally, so a hash match proves the whole table format:
+  * bucketing, manifest reconstruction, merge, and scan).
+  */
+object QueriesStore {
+  import Queries.Q
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString + "/t"
+
+  // =====================================================================
+  // w01 — connector round trip: create from orders, upsert a keyed
+  // delta, read back through the pushdown scan, aggregate. The oracle
+  // recomputes the final state with a CASE over raw orders.
+  // =====================================================================
+  val w01: Q = (s, d) => {
+    val root = freshRoot("w01")
+    val src = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus").as("status"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)").as("cents"))
+    src.write.format("graft")
+      .option("keys", "o_orderkey").option("numBuckets", "8")
+      .option("statsCols", "o_custkey").save(root)
+    src.where(col("o_orderkey") % 10 === 0).withColumn("status", lit("X"))
+      .write.format("graft").option("keys", "o_orderkey").mode("append").save(root)
+    s.read.format("graft").load(root)
+      .where(col("o_custkey") <= 500) // pushed → bucket/file pruning
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(cents) AS BIGINT)").as("sum_cents"))
+  }
+
+  val w01Sql: String =
+    """WITH fin AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END AS status,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM fin WHERE o_custkey <= 500 GROUP BY 1""".stripMargin
+
+  // =====================================================================
+  // w02 — change feed vs relational history: init + one keyed upsert,
+  // then readChanges(-1, 1]. The oracle reconstructs the exact change
+  // rows (v0 inserts, v1 pre/post images for the touched keys) from
+  // raw orders — a hash match proves the manifest-guided diff.
+  // =====================================================================
+  val w02: Q = (s, d) => {
+    val root = freshRoot("w02")
+    val src = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus").as("status"))
+    src.write.format("graft")
+      .option("keys", "o_orderkey").option("numBuckets", "8").save(root)
+    src.where(col("o_orderkey") % 10 === 0).withColumn("status", lit("X"))
+      .write.format("graft").option("keys", "o_orderkey").mode("append").save(root)
+    ChangeFeed.readChanges(s, root, Seq("o_orderkey"), -1L, 1L)
+      .select(col("o_orderkey"), col("status"),
+        col(ChangeFeed.ChangeType).as("change_type"),
+        col(ChangeFeed.CommitVersion).as("commit_version"))
+  }
+
+  val w02Sql: String =
+    """SELECT o_orderkey, o_orderstatus AS status,
+      |  'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version
+      |FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus, 'update_preimage', CAST(1 AS BIGINT)
+      |FROM orders WHERE o_orderkey % 10 = 0
+      |UNION ALL
+      |SELECT o_orderkey, 'X', 'update_postimage', CAST(1 AS BIGINT)
+      |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "w01_table_roundtrip" -> w01,
+    "w02_change_feed" -> w02)
+
+  val oracles: Map[String, String] = Map(
+    "w01_table_roundtrip" -> w01Sql,
+    "w02_change_feed" -> w02Sql)
+}

@@ -1,0 +1,181 @@
+package graft.connector
+
+import java.util.{Map => JMap}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.store.SnapshotStore
+
+/** A DSv2 catalog over a directory of graft tables — name-first SQL
+  * access, completing the consumption story the path-based connector
+  * started:
+  * {{{
+  *   spark.sql.catalog.graft      = graft.connector.GraftCatalog
+  *   spark.sql.catalog.graft.root = /warehouse/graft
+  *
+  *   SELECT * FROM graft.sales.orders
+  *   SELECT * FROM graft.sales.orders VERSION AS OF 7      -- time travel
+  *   SELECT * FROM graft.sales.orders TIMESTAMP AS OF '...'
+  *   SHOW TABLES IN graft.sales
+  * }}}
+  *
+  * Layout is the obvious one: `<root>/<ns...>/<table>` where a table
+  * directory is recognized by its `_commits` log. Namespaces are
+  * directories; metadata beyond existence is deliberately none.
+  * Tables are CREATED by writers (`SnapshotStore.init` /
+  * `df.write.format("graft").save(dir)`) because creation fixes the
+  * bucket layout from actual keys — a catalog CREATE TABLE with no
+  * data has no keys to bucket by, so it is rejected with that
+  * guidance rather than half-supported.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
+      s"graft catalog '$name' needs a warehouse directory: " +
+        s"set spark.sql.catalog.$name.root"))
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(parts: Seq[String]): Path =
+    parts.foldLeft(new Path(root))(new Path(_, _))
+  private def tableDir(ident: Identifier): Path =
+    dirOf(ident.namespace().toSeq :+ ident.name())
+  private def isTable(p: Path): Boolean =
+    fs.exists(new Path(p, "_commits"))
+
+  // ------------------------------------------------------------------
+  // tables
+  // ------------------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = dirOf(namespace.toSeq)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(name() +: namespace)
+    fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filter(isTable)
+      .map(p => Identifier.of(namespace, p.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTable(tableDir(ident))
+
+  override def loadTable(ident: Identifier): Table = loadAt(ident, None)
+
+  /** SQL `VERSION AS OF <v>` lands here. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadAt(ident, Some(version.toLong))
+
+  /** SQL `TIMESTAMP AS OF <ts>` (micros since epoch): the newest
+    * version whose manifest was committed at or before the instant —
+    * commit mtime IS the commit instant, the same resolution rule as
+    * Delta's.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val tsMillis = timestamp / 1000L
+    val vs = SnapshotStore.versions(spark, dir.toString)
+    val at = vs.filter { v =>
+      fs.getFileStatus(new Path(new Path(dir, "_commits"), f"$v%020d"))
+        .getModificationTime <= tsMillis
+    }.lastOption.getOrElse(throw new NoSuchTableException(ident))
+    loadAt(ident, Some(at))
+  }
+
+  private def loadAt(ident: Identifier, version: Option[Long]): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    new GraftTable(dir.toString, version,
+      GraftTable.resolveSchema(spark, dir.toString, version))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft tables are created by their first write (bucket layout is " +
+        "fixed from real keys): SnapshotStore.init or " +
+        s"df.write.format(\"graft\").option(\"keys\", ...).save(\"${tableDir(ident)}\")")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft table layout is fixed at creation; evolve data via commits " +
+        "(additive schema evolution) or SnapshotStore.rebucket")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) return false
+    // an un-materialized clone holds retention on its source — release
+    // before the breadcrumb disappears with the directory
+    SnapshotStore.releaseClone(spark, dir.toString)
+    fs.delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tableDir(oldIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    val to = tableDir(newIdent)
+    require(!fs.exists(to), s"rename target $to already exists")
+    // manifests reference data RELATIVE to the table root (absolute
+    // only for clone sources, which stay valid), so a directory move
+    // is a complete rename
+    if (!fs.rename(from, to))
+      throw new IllegalStateException(s"rename $from -> $to failed")
+  }
+
+  // ------------------------------------------------------------------
+  // namespaces = directories
+  // ------------------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val dir = dirOf(namespace.toSeq)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(name() +: namespace)
+    fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filterNot(isTable)
+      .filterNot(_.getName.startsWith("_"))
+      .map(p => namespace :+ p.getName)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val dir = dirOf(namespace.toSeq)
+    namespace.isEmpty || (fs.exists(dir) && !isTable(dir))
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(name() +: namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: JMap[String, String]): Unit = {
+    fs.mkdirs(dirOf(namespace.toSeq)): Unit
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = dirOf(namespace.toSeq)
+    if (!fs.exists(dir)) return false
+    if (!cascade && fs.listStatus(dir).nonEmpty)
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+    fs.delete(dir, true)
+  }
+}

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, StreamSourceProvider}
+import org.apache.spark.sql.sources.{And, CreatableRelationProvider, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.paths.SparkPath
@@ -46,9 +46,14 @@ import graft.store.SnapshotStore.Manifest
   * change feed — see [[GraftChangeFeedSource]] (V1 `Source`: a feed
   * step is a manifest-guided diff JOIN, which plans as a DataFrame,
   * not as file partitions — the same shape as Delta's CDF stream).
+  *
+  * Writes: `df.write.format("graft")` (keyed upsert / overwrite /
+  * create — [[GraftWrite]]) and `df.writeStream.format("graft")`
+  * (exactly-once streaming upserts — [[GraftSink]]).
   */
 class GraftDataSource extends TableProvider with DataSourceRegister
-    with StreamSourceProvider {
+    with StreamSourceProvider with CreatableRelationProvider
+    with StreamSinkProvider {
 
   override def shortName(): String = "graft"
 
@@ -57,9 +62,19 @@ class GraftDataSource extends TableProvider with DataSourceRegister
 
   private def spark: SparkSession = SparkSession.active
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftTable.resolveSchema(spark, GraftTable.rootOf(options),
+  /** Missing table → EMPTY schema, not an error: the writer paths
+    * (df.write / writeStream creating a new table) resolve this
+    * provider as a TableProvider first and only then fall back to the
+    * V1 write interfaces — inferSchema throwing would break create-on-
+    * first-write. Reads of a missing table still fail with the clear
+    * message, at scan planning.
+    */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val root = GraftTable.rootOf(options)
+    if (SnapshotStore.latestVersion(spark, root).isEmpty) new StructType()
+    else GraftTable.resolveSchema(spark, root,
       Option(options.get(GraftTable.VersionAsOf)).map(_.toLong))
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
@@ -83,6 +98,26 @@ class GraftDataSource extends TableProvider with DataSourceRegister
                             providerName: String,
                             parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
     GraftChangeFeedSource(sqlContext.sparkSession, parameters)
+
+  // ------------------------------------------------------------------
+  // V1 write paths — see GraftWrite / GraftSink
+  // ------------------------------------------------------------------
+
+  override def createRelation(sqlContext: org.apache.spark.sql.SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.sources.BaseRelation = {
+    GraftWrite.save(sqlContext.sparkSession, mode, parameters, data.toDF())
+    GraftWrite.relation(sqlContext, parameters)
+  }
+
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink =
+    GraftSinkProvider.createSink(sqlContext, parameters, outputMode)
 }
 
 object GraftTable {

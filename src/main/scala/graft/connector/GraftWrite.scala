@@ -1,0 +1,119 @@
+package graft.connector
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.BaseRelation
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+
+import graft.store.SnapshotStore
+
+/** Write-side of the connector: `df.write.format("graft")` batch saves
+  * and `df.writeStream.format("graft")` exactly-once streaming upserts
+  * — any Spark job can now WRITE a transactional snapshot table, not
+  * just read one (the other half of the reference's consumption
+  * contract: its MERGE procedures both read and land in Snowflake
+  * tables).
+  *
+  * Options: `keys` (required — the table's merge identity), plus at
+  * creation `numBuckets` (default 16) and `statsCols` (data-skipping
+  * columns). Batch SaveModes:
+  *   - Append       keyed upsert ([[SnapshotStore.upsertMerge]] — this
+  *                  is a KEYED table format; the rows' final state per
+  *                  key replaces, never duplicates)
+  *   - Overwrite    full replace as one new version (history stays
+  *                  time-travelable until vacuum)
+  *   - ErrorIfExists / Ignore  standard create semantics
+  */
+private[connector] object GraftWrite {
+
+  final case class WriteOpts(root: String, keys: Seq[String],
+                             numBuckets: Int, statsCols: Seq[String])
+
+  def opts(parameters: Map[String, String]): WriteOpts = {
+    val root = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft writes need a table root: .save(<root>) or .option(\"path\", <root>)"))
+    val keys = parameters.getOrElse("keys", throw new IllegalArgumentException(
+      "graft writes need the merge-identity columns: .option(\"keys\", \"k1,k2\")"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    WriteOpts(root, keys,
+      parameters.get("numBuckets").map(_.toInt).getOrElse(16),
+      parameters.get("statsCols").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil))
+  }
+
+  def save(spark: SparkSession, mode: SaveMode, parameters: Map[String, String],
+           data: DataFrame): Unit = {
+    val w = opts(parameters)
+    val exists = SnapshotStore.latestVersion(spark, w.root).isDefined
+    mode match {
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"graft table already exists at ${w.root} (mode=ErrorIfExists)")
+        SnapshotStore.init(spark, w.root, data, w.keys, w.numBuckets, w.statsCols): Unit
+      case SaveMode.Ignore =>
+        if (!exists)
+          SnapshotStore.init(spark, w.root, data, w.keys, w.numBuckets, w.statsCols): Unit
+      case SaveMode.Overwrite =>
+        if (exists) SnapshotStore.replaceAll(spark, w.root, data, w.keys): Unit
+        else SnapshotStore.init(spark, w.root, data, w.keys, w.numBuckets, w.statsCols): Unit
+      case SaveMode.Append =>
+        if (exists) SnapshotStore.commitDelta(spark, w.root, data, w.keys,
+          SnapshotStore.upsertMerge(w.keys)): Unit
+        else SnapshotStore.init(spark, w.root, data, w.keys, w.numBuckets, w.statsCols): Unit
+    }
+  }
+
+  def relation(sqlCtx: SQLContext, parameters: Map[String, String]): BaseRelation =
+    new BaseRelation {
+      override def sqlContext: SQLContext = sqlCtx
+      override def schema: StructType = GraftTable.resolveSchema(
+        sqlCtx.sparkSession, parameters("path"), None)
+    }
+}
+
+/** Exactly-once streaming upsert sink: each micro-batch commits one
+  * atomic version, with the manifest txn keyed by (checkpoint, batch
+  * id) making at-least-once redelivery a no-op — the same hinge every
+  * library sink uses ([[SnapshotStore.scd1SnapshotSink]]), reachable
+  * from plain `writeStream.format("graft")`.
+  */
+class GraftSink(spark: SparkSession, parameters: Map[String, String])
+    extends Sink {
+
+  private val w = GraftWrite.opts(parameters)
+  // txn identity: the query's checkpoint is the natural writer id (a
+  // restarted query keeps its id; a new checkpoint is a new writer)
+  private val txnId = parameters.getOrElse("checkpointLocation",
+    parameters.getOrElse("txnAppId", throw new IllegalArgumentException(
+      "graft streaming writes need a checkpointLocation (or txnAppId) " +
+        "for exactly-once redelivery protection")))
+
+  override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
+    // detach from the incremental execution, then pin: the commit runs
+    // several jobs (bucket census, write, stats) over the batch
+    val fresh = org.apache.spark.sql.graft.GraftSqlShims.batchDataFrame(
+      spark, data.queryExecution.toRdd, data.schema).localCheckpoint(true)
+    try {
+      val txn = Some(txnId -> batchId)
+      if (SnapshotStore.latestVersion(spark, w.root).isEmpty)
+        SnapshotStore.init(spark, w.root, fresh, w.keys, w.numBuckets,
+          w.statsCols, txn): Unit
+      else
+        SnapshotStore.commitDelta(spark, w.root, fresh, w.keys,
+          SnapshotStore.upsertMerge(w.keys), txn = txn): Unit
+    } finally fresh.unpersist()
+  }
+
+  override def toString: String = s"GraftSink[${w.root}]"
+}
+
+private[connector] object GraftSinkProvider {
+  def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+                 outputMode: OutputMode): Sink = {
+    require(outputMode != OutputMode.Complete(),
+      "graft sink upserts keyed deltas: use append or update output mode " +
+        "(complete-mode re-emission would be a full replace per batch)")
+    new GraftSink(sqlContext.sparkSession, parameters)
+  }
+}

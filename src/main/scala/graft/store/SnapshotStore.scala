@@ -1109,6 +1109,43 @@ object SnapshotStore {
       s"commitDelta lost $maxAttempts consecutive commit races at $root")
   }
 
+  /** Replace the ENTIRE table state with `df` as one new version (the
+    * INSERT OVERWRITE analog): every old bucket drops out of the
+    * manifest (history stays time-travelable until [[vacuum]]), the
+    * new state writes under the same commit arbiter, layout and stats
+    * columns are preserved. O(new data) written; an O(table) operation
+    * by nature, unlike the keyed deltas.
+    */
+  def replaceAll(spark: SparkSession, root: String, df: DataFrame,
+                 keys: Seq[String], maxAttempts: Int = 5,
+                 txn: Option[(String, Long)] = None,
+                 failRules: Seq[graft.pipeline.Expectations.Expectation] = Nil): Long = {
+    val fs = fileSystem(spark, root)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val base = latestVersion(spark, root)
+        .getOrElse(throw new IllegalStateException(s"no table at $root — call init first"))
+      val m = readManifest(spark, root, base)
+      txn.foreach { case (id, batchId) =>
+        if (m.txns.get(id).exists(_ >= batchId)) return base
+      }
+      val v = base + 1
+      val token = newToken()
+      val written = writeVersionData(df, root, v, token, keys, m.numBuckets,
+        m.statsCols, fs, failRules)
+      val txns = m.txns ++ txn.map { case (id, b) => id -> b }
+      if (writeManifestAtomic(fs, root, v, m.numBuckets, m.statsCols, txns,
+          written, base = Some(m))) {
+        maybeCheckpoint(spark, root, Manifest(v, m.numBuckets, m.statsCols, txns, written))
+        return v
+      }
+      fs.delete(new Path(root, attemptDir(v, token)), true)
+    }
+    throw new IllegalStateException(
+      s"replaceAll lost $maxAttempts consecutive commit races at $root")
+  }
+
   /** Merge-on-read DELETE: commit the removal of `deleteKeys` (frame
     * of key tuples) by writing a tombstone sidecar per touched bucket
     * — O(deleted keys) bytes written, NO data bucket read or rewritten

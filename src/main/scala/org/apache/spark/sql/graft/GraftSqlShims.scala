@@ -18,4 +18,14 @@ object GraftSqlShims {
   def streamingDataFrame(spark: SparkSession, rdd: RDD[InternalRow],
                          schema: StructType): DataFrame =
     spark.internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** Rebind a V1 `Sink.addBatch` micro-batch onto a plain batch plan:
+    * the frame a sink receives is tied to the stream's incremental
+    * execution and cannot safely back the multiple jobs a transactional
+    * commit runs — its `toRdd` over a fresh batch frame can (the same
+    * detach Spark's own V1 sinks perform).
+    */
+  def batchDataFrame(spark: SparkSession, rdd: RDD[InternalRow],
+                     schema: StructType): DataFrame =
+    spark.internalCreateDataFrame(rdd, schema, isStreaming = false)
 }

@@ -1,0 +1,125 @@
+package graft.connector
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.store.SnapshotStore
+
+/** Write-side connector + catalog: any Spark job can create, upsert,
+  * overwrite, stream into, and name-address graft tables.
+  */
+class WriteCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-wc-$tag").toString
+
+  private def rows(df: DataFrame): Set[(Long, String, Long)] =
+    df.select("k", "v", "ts").as[(Long, String, Long)].collect().toSet
+
+  test("df.write.format(graft): create, keyed-upsert append, overwrite, create modes") {
+    val root = tmpDir("write")
+    val v0 = (1L to 30L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts")
+    v0.write.format("graft").option("keys", "k").option("numBuckets", "4")
+      .option("statsCols", "ts").save(root)
+    assert(rows(SnapshotStore.read(spark, root)) == rows(v0))
+
+    // append = keyed upsert: k=1 replaces, k=31 inserts
+    Seq((1L, "x", 100L), (31L, "new", 100L)).toDF("k", "v", "ts")
+      .write.format("graft").option("keys", "k").mode("append").save(root)
+    val now = rows(SnapshotStore.read(spark, root))
+    assert(now((1L, "x", 100L)) && now((31L, "new", 100L)) && now.size == 31)
+
+    // overwrite = full replace, previous versions still travelable
+    Seq((7L, "only", 1L)).toDF("k", "v", "ts")
+      .write.format("graft").option("keys", "k").mode("overwrite").save(root)
+    assert(rows(SnapshotStore.read(spark, root)) == Set((7L, "only", 1L)))
+    assert(rows(SnapshotStore.readVersion(spark, root, 1L)) == now)
+
+    // the round trip composes with the read connector + pushdown
+    assert(spark.read.format("graft").load(root).where(col("ts") <= 5L)
+      .count() == 1L)
+
+    intercept[IllegalStateException] {
+      v0.write.format("graft").option("keys", "k").mode("errorifexists").save(root)
+    }
+    v0.write.format("graft").option("keys", "k").mode("ignore").save(root) // no-op
+    assert(rows(SnapshotStore.read(spark, root)) == Set((7L, "only", 1L)))
+    // missing keys option fails with guidance, not a downstream NPE
+    val e = intercept[Exception](
+      v0.write.format("graft").mode("append").save(root))
+    assert(e.getMessage.contains("keys"))
+  }
+
+  test("writeStream.format(graft): exactly-once streaming upserts") {
+    val root = tmpDir("sink")
+    val ckpt = tmpDir("sink-ckpt")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = mem.toDF().toDF("k", "v", "ts")
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .option("path", root)
+      .option("keys", "k").option("numBuckets", "4")
+      .start()
+    mem.addData((1L, "a", 1L), (2L, "b", 1L))
+    q.processAllAvailable()
+    mem.addData((1L, "a2", 2L), (3L, "c", 2L))
+    q.processAllAvailable()
+    q.stop()
+    assert(rows(SnapshotStore.read(spark, root)) ==
+      Set((1L, "a2", 2L), (2L, "b", 1L), (3L, "c", 2L)))
+
+    // redelivered batch id = manifest-txn no-op (the exactly-once hinge)
+    val sink = new GraftSink(spark, Map("path" -> root, "keys" -> "k",
+      "checkpointLocation" -> ckpt))
+    val vBefore = SnapshotStore.latestVersion(spark, root).get
+    sink.addBatch(0, Seq((1L, "REPLAYED", 9L)).toDF("k", "v", "ts"))
+    assert(SnapshotStore.latestVersion(spark, root).get == vBefore)
+    assert(!rows(SnapshotStore.read(spark, root)).exists(_._2 == "REPLAYED"))
+    // a genuinely new batch applies
+    sink.addBatch(99, Seq((4L, "d", 3L)).toDF("k", "v", "ts"))
+    assert(rows(SnapshotStore.read(spark, root))((4L, "d", 3L)))
+  }
+
+  test("GraftCatalog: name-first SQL, VERSION AS OF time travel, listing, drop") {
+    val warehouse = tmpDir("cat")
+    spark.conf.set("spark.sql.catalog.gcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.root", warehouse)
+
+    val t1 = s"$warehouse/sales/orders"
+    val v0 = (1L to 20L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts")
+    SnapshotStore.init(spark, t1, v0, Seq("k"), numBuckets = 4)
+    SnapshotStore.commitDelta(spark, t1,
+      Seq((1L, "x", 100L)).toDF("k", "v", "ts"), Seq("k"),
+      SnapshotStore.upsertMerge(Seq("k")))
+
+    assert(spark.sql("SELECT count(*) FROM gcat.sales.orders").as[Long].head() == 20L)
+    assert(spark.sql(
+      "SELECT v FROM gcat.sales.orders VERSION AS OF 0 WHERE k = 1").as[String].head() == "v1")
+    assert(spark.sql(
+      "SELECT v FROM gcat.sales.orders VERSION AS OF 1 WHERE k = 1").as[String].head() == "x")
+    // predicates over the catalog table reach the same pruned scan
+    // (k=1's ts moved to 100 in the upsert, so only k=2,3 remain ≤ 3)
+    assert(spark.sql(
+      "SELECT count(*) FROM gcat.sales.orders WHERE ts <= 3").as[Long].head() == 2L)
+
+    val listed = spark.sql("SHOW TABLES IN gcat.sales").collect().map(_.getString(1)).toSet
+    assert(listed == Set("orders"))
+    assert(spark.sql("SHOW NAMESPACES IN gcat").collect().map(_.getString(0)).toSet
+      == Set("sales"))
+
+    // creation is a writer's job — the catalog says so
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE gcat.sales.t2 (a INT) USING graft"))
+    assert(e.getMessage.contains("first write"))
+
+    spark.sql("DROP TABLE gcat.sales.orders")
+    assert(spark.sql("SHOW TABLES IN gcat.sales").isEmpty)
+    intercept[Exception](spark.sql("SELECT * FROM gcat.sales.orders").collect())
+  }
+}
