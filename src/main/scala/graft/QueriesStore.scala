@@ -16,8 +16,26 @@ import graft.store.ChangeFeed
 object QueriesStore {
   import Queries.Q
 
-  private def freshRoot(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString + "/t"
+  // every invocation builds its table in a fresh dir (Bench re-runs
+  // each key several times); all of them are reclaimed when the JVM
+  // exits so repeated gate/bench runs don't accumulate under /tmp
+  private val createdRoots = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      createdRoots.forEach { p =>
+        try {
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+        } catch { case _: java.io.IOException => () }
+      }))
+  }
+
+  private def freshRoot(tag: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_$tag")
+    createdRoots.add(dir)
+    dir.toString + "/t"
+  }
 
   // =====================================================================
   // w01 — connector round trip: create from orders, upsert a keyed

@@ -134,6 +134,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // is a complete rename
     if (!fs.rename(from, to))
       throw new IllegalStateException(s"rename $from -> $to failed")
+    // a clone's retention consumer is keyed by its root — re-key it
+    SnapshotStore.relocateClone(spark, to.toString, from.toString)
   }
 
   // ------------------------------------------------------------------
@@ -176,6 +178,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!fs.exists(dir)) return false
     if (!cascade && fs.listStatus(dir).nonEmpty)
       throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+    // cascading over an un-materialized clone must release its hold on
+    // the source (as dropTable does) before the breadcrumb disappears
+    def releaseClonesUnder(p: Path): Unit =
+      if (isTable(p)) SnapshotStore.releaseClone(spark, p.toString)
+      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+        .foreach(releaseClonesUnder)
+    if (cascade) releaseClonesUnder(dir)
     fs.delete(dir, true)
   }
 }

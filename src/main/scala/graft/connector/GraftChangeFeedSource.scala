@@ -53,13 +53,26 @@ class GraftChangeFeedSource(spark: SparkSession, root: String,
     case other => other.json().trim.toLong
   }
 
+  /** The available offset is ALWAYS the table's latest version (floored
+    * at the start point so a fresh query's first batch is empty rather
+    * than unconstructible). Never gate on `initialVersion` alone: a
+    * RESTARTED query's progress lives in the checkpoint (`start` in
+    * getBatch), and versions committed while the query was down must
+    * surface the moment it comes back — the engine itself skips batch
+    * construction when available == committed.
+    */
   override def getOffset: Option[Offset] =
     SnapshotStore.latestVersion(spark, root)
-      .filter(_ > initialVersion).map(LongOffset.apply)
+      .map(v => LongOffset(math.max(v, initialVersion)))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(toVersion).getOrElse(initialVersion)
     val to = toVersion(end)
+    // an empty range is a legitimate first batch (fresh query created
+    // at the table's current version)
+    if (from >= to)
+      return org.apache.spark.sql.graft.GraftSqlShims.streamingDataFrame(
+        spark, spark.sparkContext.emptyRDD, schema)
     val changes = ChangeFeed.readChanges(spark, root, keys, from, to)
       .select(schema.fieldNames.map(col).toSeq: _*)
     // the engine requires isStreaming=true on a getBatch result; the

@@ -300,14 +300,12 @@ class GraftScan(spark: SparkSession, root: String, m: Manifest,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
-    val (_, tombs) = tombstones
     plannedFiles.flatMap { case (p, b, len) =>
       // split like Spark's own file scan: parquet row groups attach to
       // the split containing their midpoint, so splits are exact
       (0L until len by maxBytes).map { off =>
         GraftInputPartition(SparkPath.fromPath(p).urlEncoded, off,
-          math.min(maxBytes, len - off), len,
-          tombs.getOrElse(b, Set.empty))
+          math.min(maxBytes, len - off), len, b)
       }
     }.toArray
   }
@@ -333,24 +331,35 @@ class GraftScan(spark: SparkSession, root: String, m: Manifest,
       Map(org.apache.spark.sql.execution.datasources.FileFormat
         .OPTION_RETURNING_BATCH -> "false"),
       spark.sessionState.newHadoopConf())
+    // deleted-key sets ship ONCE per executor as a broadcast, not once
+    // per task inside every split's InputPartition — a heavily-
+    // tombstoned bucket split 40 ways must not serialize its key set
+    // 40 times per scan
+    val tombBc =
+      if (tombs.isEmpty) None
+      else Some(spark.sparkContext.broadcast(tombs))
     new GraftReaderFactory(readFunc, readerSchema, required,
-      keyOrdinals, keySchema)
+      keyOrdinals, keySchema, tombBc)
   }
 }
 
-/** One parquet split plus its bucket's deleted-key set (empty for
-  * tombstone-free buckets). Key tuples are catalyst values
-  * (UTF8String/Long/...), which are what the parquet reader yields —
-  * set membership is exact, including null components (Seq equality
-  * matches nulls, the `<=>` the library's anti-join uses).
+/** One parquet split, tagged with its bucket id (the key into the
+  * broadcast deleted-key sets).
   */
 case class GraftInputPartition(urlEncodedPath: String, start: Long, length: Long,
-                               fileSize: Long, deletedKeys: Set[Seq[Any]])
+                               fileSize: Long, bucket: Int)
   extends InputPartition
 
+/** Deleted-key tuples are catalyst values (UTF8String/Long/...),
+  * which are what the parquet reader yields — set membership is
+  * exact, including null components (Seq equality matches nulls, the
+  * `<=>` the library's anti-join uses).
+  */
 class GraftReaderFactory(readFunc: PartitionedFile => Iterator[InternalRow],
                          readerSchema: StructType, required: StructType,
-                         keyOrdinals: Array[Int], keySchema: StructType)
+                         keyOrdinals: Array[Int], keySchema: StructType,
+                         tombstones: Option[org.apache.spark.broadcast.Broadcast[
+                           Map[Int, Set[Seq[Any]]]]])
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -361,14 +370,17 @@ class GraftReaderFactory(readFunc: PartitionedFile => Iterator[InternalRow],
     // returning_batch=false at build time: the format's own iterator
     // yields plain rows (no smuggled ColumnarBatch to unwrap)
     val rows: Iterator[InternalRow] = readFunc(file)
+    val deletedKeys: Set[Seq[Any]] =
+      tombstones.map(_.value.getOrElse(p.bucket, Set.empty[Seq[Any]]))
+        .getOrElse(Set.empty)
     val filtered =
-      if (p.deletedKeys.isEmpty) rows
+      if (deletedKeys.isEmpty) rows
       else {
         val keyTypes = keySchema.fields.map(_.dataType)
         rows.filterNot { r =>
           val key: Seq[Any] = keyOrdinals.indices
             .map(i => r.get(keyOrdinals(i), keyTypes(i)))
-          p.deletedKeys.contains(key)
+          deletedKeys.contains(key)
         }
       }
     // project away the key columns read only for tombstone filtering

@@ -83,11 +83,20 @@ class GraftSink(spark: SparkSession, parameters: Map[String, String])
 
   private val w = GraftWrite.opts(parameters)
   // txn identity: the query's checkpoint is the natural writer id (a
-  // restarted query keeps its id; a new checkpoint is a new writer)
+  // restarted query keeps its id; a new checkpoint is a new writer).
+  // Deliberately an EXPLICIT option: the session-wide
+  // spark.sql.streaming.checkpointLocation default is a PARENT
+  // directory shared by every query in the session — using it as the
+  // txn id would make two different queries writing this table
+  // suppress each other's batches as "redeliveries". A query relying
+  // on the session default must pass txnAppId (any stable per-query
+  // id) instead.
   private val txnId = parameters.getOrElse("checkpointLocation",
     parameters.getOrElse("txnAppId", throw new IllegalArgumentException(
-      "graft streaming writes need a checkpointLocation (or txnAppId) " +
-        "for exactly-once redelivery protection")))
+      "graft streaming writes need an explicit checkpointLocation (or " +
+        "txnAppId) option: the txn id must be stable per QUERY for " +
+        "exactly-once redelivery protection, and the session-wide " +
+        "checkpoint default is shared by all queries")))
 
   override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
     // detach from the incremental execution, then pin: the commit runs

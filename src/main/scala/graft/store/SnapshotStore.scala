@@ -172,6 +172,62 @@ object SnapshotStore {
   private def rebased(rel: String, v: Long, newV: Long, token: String): String =
     attemptDir(newV, token) + rel.stripPrefix(attemptDir(v, token))
 
+  /** THE lost-race commit protocol, shared by every delta-shaped
+    * commit: attempt the manifest at `v0`; on loss, rebase across
+    * disjoint winners ([[tryRebase]]) as long as `mayRetry` grants
+    * budget — carrying caller state `S` (the written entries /
+    * sidecar dirs) through `rehome` on each rename and rebuilding the
+    * manifest via `nextOf` against each new winner. Returns
+    * Some(version) when committed (or when a same-writer txn
+    * redelivery is found already applied — attempt data discarded);
+    * None when the caller must recompute against the new base (the
+    * attempt dir is already deleted here).
+    */
+  private def commitOrRebase[S](spark: SparkSession, fs: FileSystem, root: String,
+                                baseM: Manifest, touched: Set[Int],
+                                v0: Long, token: String,
+                                txn: Option[(String, Long)],
+                                mayRetry: () => Boolean,
+                                state0: S,
+                                nextOf: (Manifest, S) => Map[Int, BucketEntry],
+                                rehome: (S, Long, Long) => S): Option[Long] = {
+    var curV = v0
+    var st = state0
+    var winnersM = baseM
+    while (true) {
+      val next = nextOf(winnersM, st)
+      val txns = winnersM.txns ++ txn
+      if (writeManifestAtomic(fs, root, curV, baseM.numBuckets, baseM.statsCols,
+          txns, next, base = Some(winnersM))) {
+        maybeCheckpoint(spark, root,
+          Manifest(curV, baseM.numBuckets, baseM.statsCols, txns, next))
+        return Some(curV)
+      }
+      val rebase =
+        if (mayRetry()) tryRebase(spark, fs, root, baseM, touched, curV, token)
+        else None
+      rebase match {
+        case Some((newV, winners)) =>
+          txn.foreach { case (id, bid) => // a same-writer redelivery won meanwhile
+            if (winners.txns.get(id).exists(_ >= bid)) {
+              fs.delete(new Path(root, attemptDir(newV, token)), true)
+              return Some(winners.version)
+            }
+          }
+          st = rehome(st, curV, newV)
+          winnersM = winners
+          curV = newV
+        case None =>
+          // overlapping winners (or the rebase rename lost to vacuum,
+          // or budget exhausted): discard OUR OWN attempt dir; the
+          // caller recomputes on the new base
+          fs.delete(new Path(root, attemptDir(curV, token)), true)
+          return None
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** The keyed delete-then-insert merge every upsert-shaped sink hands
     * to [[commitDelta]] (the delta already carries full FINAL rows per
     * key, so replace-by-key is the whole merge). One definition — the
@@ -342,24 +398,38 @@ object SnapshotStore {
 
   /** Reconstructed-manifest LRU: manifests are immutable once
     * committed (reclaim only ever replaces INCOMPLETE files, which
-    * never parse successfully, so never land here), making this safe;
-    * a cheap existence check on hit keeps time travel to a VACUUMED
-    * version failing like the uncached path would.
+    * never parse successfully, so never land here), making this safe
+    * WITHIN one table's life. A hit is validated against the manifest
+    * file's (length, mtime) fingerprint — one getFileStatus, the same
+    * cost the plain existence check paid — so both a VACUUMED version
+    * (file gone) and a table dropped-and-recreated at the same path by
+    * another process (same version number, different file) miss
+    * instead of serving the dead table's state.
     */
   private val manifestCache =
-    new java.util.LinkedHashMap[(String, Long), Manifest](64, 0.75f, true) {
-      override def removeEldestEntry(e: JMapEntry[(String, Long), Manifest]): Boolean =
+    new java.util.LinkedHashMap[(String, Long), (Manifest, Long, Long)](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: JMapEntry[(String, Long), (Manifest, Long, Long)]): Boolean =
         size() > 64
     }
   private type JMapEntry[K, V] = java.util.Map.Entry[K, V]
   private def cacheKey(fs: FileSystem, root: String, v: Long): (String, Long) =
     (fs.makeQualified(new Path(root)).toString, v)
+  private def manifestFingerprint(fs: FileSystem, root: String, v: Long)
+      : Option[(Long, Long)] =
+    try {
+      val st = fs.getFileStatus(manifestPath(root, v))
+      Some((st.getLen, st.getModificationTime))
+    } catch { case _: java.io.IOException => None }
   private def cacheGet(fs: FileSystem, root: String, v: Long): Option[Manifest] =
     manifestCache.synchronized(Option(manifestCache.get(cacheKey(fs, root, v))))
-      .filter(_ => fs.exists(manifestPath(root, v)))
+      .collect { case (m, len, mtime)
+        if manifestFingerprint(fs, root, v).contains((len, mtime)) => m }
   private[store] def cachePut(fs: FileSystem, root: String, m: Manifest): Unit =
-    manifestCache.synchronized {
-      manifestCache.put(cacheKey(fs, root, m.version), m): Unit
+    manifestFingerprint(fs, root, m.version).foreach { case (len, mtime) =>
+      manifestCache.synchronized {
+        manifestCache.put(cacheKey(fs, root, m.version), (m, len, mtime)): Unit
+      }
     }
 
   /** The table state AT version `v`: walk back through delta manifests
@@ -1071,39 +1141,17 @@ object SnapshotStore {
       // writers path: entity-parallel pipelines sharing a table no
       // longer serialize through each other's work, only through the
       // metadata arbiter).
-      var curV = v
-      var curWritten = written
-      var winnersM = m
-      var rebasing = true
-      while (rebasing) {
-        val next = (winnersM.buckets -- touched) ++ curWritten
-        val txns = winnersM.txns ++ txn.map { case (id, b) => id -> b }
-        if (writeManifestAtomic(fs, root, curV, m.numBuckets, m.statsCols, txns, next,
-            base = Some(winnersM))) {
-          maybeCheckpoint(spark, root, Manifest(curV, m.numBuckets, m.statsCols, txns, next))
-          return curV
-        }
-        if (attempt >= maxAttempts) rebasing = false
-        else tryRebase(spark, fs, root, m, touched, curV, token) match {
-          case Some((newV, winners)) =>
-            attempt += 1
-            txn.foreach { case (id, bid) => // a same-writer redelivery won meanwhile
-              if (winners.txns.get(id).exists(_ >= bid)) {
-                fs.delete(new Path(root, attemptDir(newV, token)), true)
-                return winners.version
-              }
-            }
-            curWritten = curWritten.map { case (b, e) =>
-              b -> e.copy(dir = rebased(e.dir, curV, newV, token))
-            }
-            winnersM = winners
-            curV = newV
-          case None => rebasing = false
-        }
+      commitOrRebase[Map[Int, BucketEntry]](spark, fs, root, m, touched, v, token,
+        txn,
+        mayRetry = () => if (attempt >= maxAttempts) false else { attempt += 1; true },
+        state0 = written,
+        nextOf = (winners, w) => (winners.buckets -- touched) ++ w,
+        rehome = (w, curV, newV) => w.map { case (b, e) =>
+          b -> e.copy(dir = rebased(e.dir, curV, newV, token))
+        }) match {
+        case Some(committed) => return committed
+        case None => () // re-merge on the new base
       }
-      // overlapping winners (or the rebase rename lost to vacuum):
-      // discard OUR OWN attempt dir and re-merge on the new base
-      fs.delete(new Path(root, attemptDir(curV, token)), true)
     }
     throw new IllegalStateException(
       s"commitDelta lost $maxAttempts consecutive commit races at $root")
@@ -1207,39 +1255,20 @@ object SnapshotStore {
       // is the delete-before-insert serialization of two genuinely
       // concurrent operations, the same one a first-arriving delete
       // would have produced.)
-      val touchedSet = effective.map(_._1).toSet
-      var curV = v
-      var curEff = effective
-      var winnersM = m
-      var rebasing = true
-      while (rebasing) {
-        val next = winnersM.buckets ++ curEff.map { case (b, d) =>
-          b -> winnersM.buckets(b).copy(
-            tombstones = winnersM.buckets(b).tombstones :+ d)
-        }
-        val txns = winnersM.txns ++ txn.map { case (id, b) => id -> b }
-        if (writeManifestAtomic(fs, root, curV, m.numBuckets, m.statsCols, txns, next,
-            base = Some(winnersM))) {
-          maybeCheckpoint(spark, root, Manifest(curV, m.numBuckets, m.statsCols, txns, next))
-          return curV
-        }
-        if (attempt >= maxAttempts) rebasing = false
-        else tryRebase(spark, fs, root, m, touchedSet, curV, token) match {
-          case Some((newV, winners)) =>
-            attempt += 1
-            txn.foreach { case (id, bid) =>
-              if (winners.txns.get(id).exists(_ >= bid)) {
-                fs.delete(new Path(root, attemptDir(newV, token)), true)
-                return winners.version
-              }
-            }
-            curEff = curEff.map { case (b, d) => (b, rebased(d, curV, newV, token)) }
-            winnersM = winners
-            curV = newV
-          case None => rebasing = false
-        }
+      commitOrRebase[Seq[(Int, String)]](spark, fs, root, m,
+        effective.map(_._1).toSet, v, token, txn,
+        mayRetry = () => if (attempt >= maxAttempts) false else { attempt += 1; true },
+        state0 = effective,
+        nextOf = (winners, eff) => winners.buckets ++ eff.map { case (b, d) =>
+          b -> winners.buckets(b).copy(
+            tombstones = winners.buckets(b).tombstones :+ d)
+        },
+        rehome = (eff, curV, newV) => eff.map { case (b, d) =>
+          (b, rebased(d, curV, newV, token))
+        }) match {
+        case Some(committed) => return committed
+        case None => () // recompute the sidecar against the new base
       }
-      fs.delete(new Path(root, attemptDir(curV, token)), true)
     }
     throw new IllegalStateException(
       s"commitDeletes lost $maxAttempts consecutive commit races at $root")
@@ -1592,13 +1621,39 @@ object SnapshotStore {
     */
   def releaseClone(spark: SparkSession, root: String): Unit = {
     val fs = fileSystem(spark, root)
+    cloneSourceOf(fs, root).foreach(src =>
+      ChangeFeed.dropConsumer(spark, src, cloneConsumerId(spark, root)))
+    fs.delete(new Path(root, CloneSourceMarker), false)
+  }
+
+  private def cloneSourceOf(fs: FileSystem, root: String): Option[String] = {
     val marker = new Path(root, CloneSourceMarker)
-    if (!fs.exists(marker)) return
+    if (!fs.exists(marker)) return None
     val in = new BufferedReader(new InputStreamReader(fs.open(marker), StandardCharsets.UTF_8))
     val src = try in.readLine() finally in.close()
-    if (src != null && src.nonEmpty)
-      ChangeFeed.dropConsumer(spark, src, cloneConsumerId(spark, root))
-    fs.delete(marker, false)
+    Option(src).filter(_.nonEmpty)
+  }
+
+  /** After MOVING a table directory (rename), re-key any clone-
+    * retention hold it carries: the consumer id embeds the clone's
+    * root, so the consumer registered under the OLD root must be
+    * re-seeded under the new one (at the same offset) and dropped —
+    * otherwise materialize/release at the new root targets a consumer
+    * that doesn't exist and the real one over-retains the source
+    * forever. New-id-first ordering keeps the source protected through
+    * a crash in between (an over-retaining leftover is releasable; a
+    * gap is data loss for the clone).
+    */
+  def relocateClone(spark: SparkSession, newRoot: String, oldRoot: String): Unit = {
+    val fs = fileSystem(spark, newRoot)
+    cloneSourceOf(fs, newRoot).foreach { src =>
+      val oldId = "clone:" +
+        fileSystem(spark, oldRoot).makeQualified(new Path(oldRoot)).toString
+      ChangeFeed.consumerOffset(spark, src, oldId).foreach { off =>
+        ChangeFeed.seedConsumer(spark, src, cloneConsumerId(spark, newRoot), off)
+        ChangeFeed.dropConsumer(spark, src, oldId)
+      }
+    }
   }
 
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 1): Int = {

@@ -137,4 +137,36 @@ class ConnectorSpec extends SparkSpec {
     // the stream's named consumer is registered (vacuum retention)
     assert(ChangeFeed.consumerOffset(spark, root, "conn-spec").nonEmpty)
   }
+
+  test("default startingVersion: restart delivers versions committed while the query was down") {
+    val root = freshTable("restart", n = 20L, buckets = 4)
+    val ckpt = tmpDir("restart-ckpt")
+    val received = scala.collection.mutable.Set.empty[(Long, String)]
+    def runStream(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("path", root).option("keys", "k") // NO startingVersion: default latest
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val batch = b.select(col("k"), col(ChangeFeed.ChangeType))
+            .as[(Long, String)].collect().toSet
+          received.synchronized { received ++= batch }: Unit
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    runStream() // created at the current latest: nothing to deliver
+    assert(received.isEmpty)
+
+    // versions land WHILE THE QUERY IS DOWN — the checkpoint (not a
+    // re-resolved "latest") must govern the restart's starting point
+    SnapshotStore.commitDelta(spark, root,
+      Seq((1L, "x", 100L)).toDF("k", "v", "ts"), Seq("k"), merge)
+    SnapshotStore.commitDeletes(spark, root, Seq(2L).toDF("k"), Seq("k"))
+    runStream()
+    assert(received.toSet == Set(
+      (1L, ChangeFeed.UpdatePre), (1L, ChangeFeed.UpdatePost),
+      (2L, ChangeFeed.Delete)))
+  }
 }
