@@ -36,10 +36,18 @@ import graft.store.{ChangeFeed, SnapshotStore}
   *     so retention never runs ahead of the checkpoint), and a fresh
   *     query without `startingVersion` resumes from the consumer's
   *     offset.
+  *   - `maxVersionsPerBatch`: steady-state rate limit — each offered
+  *     batch spans at most this many table versions (the
+  *     maxFilesPerTrigger analog: a burst of commits drains in
+  *     bounded transactions instead of one giant batch). The first
+  *     batch after a RESTART may still span the full backlog — the
+  *     engine replays its checkpointed range verbatim — where the
+  *     chunked [[ChangeFeed.readChanges]] keeps the plan bounded.
   */
 class GraftChangeFeedSource(spark: SparkSession, root: String,
                             keys: Seq[String], consumerId: Option[String],
-                            initialVersion: Long) extends Source {
+                            initialVersion: Long,
+                            maxVersionsPerBatch: Option[Long]) extends Source {
 
   override val schema: StructType = GraftChangeFeedSource.feedSchema(spark, root)
 
@@ -53,21 +61,33 @@ class GraftChangeFeedSource(spark: SparkSession, root: String,
     case other => other.json().trim.toLong
   }
 
-  /** The available offset is ALWAYS the table's latest version (floored
-    * at the start point so a fresh query's first batch is empty rather
-    * than unconstructible). Never gate on `initialVersion` alone: a
+  /** Highest version this source has handed to the engine (via a
+    * constructed batch or a commit callback) — the base the rate limit
+    * advances from. Purely an optimization floor: correctness lives in
+    * the checkpoint offsets, never here.
+    */
+  @volatile private var highWater: Long = initialVersion
+
+  /** The available offset is the table's latest version (floored at
+    * the start point so a fresh query's first batch is empty rather
+    * than unconstructible; capped at `highWater + maxVersionsPerBatch`
+    * when rate-limited). Never gate on `initialVersion` alone: a
     * RESTARTED query's progress lives in the checkpoint (`start` in
     * getBatch), and versions committed while the query was down must
     * surface the moment it comes back — the engine itself skips batch
     * construction when available == committed.
     */
   override def getOffset: Option[Offset] =
-    SnapshotStore.latestVersion(spark, root)
-      .map(v => LongOffset(math.max(v, initialVersion)))
+    SnapshotStore.latestVersion(spark, root).map { v =>
+      val floored = math.max(v, initialVersion)
+      LongOffset(maxVersionsPerBatch
+        .fold(floored)(n => math.min(floored, math.max(highWater, initialVersion) + n)))
+    }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(toVersion).getOrElse(initialVersion)
     val to = toVersion(end)
+    highWater = math.max(highWater, to)
     // an empty range is a legitimate first batch (fresh query created
     // at the table's current version)
     if (from >= to)
@@ -86,9 +106,11 @@ class GraftChangeFeedSource(spark: SparkSession, root: String,
     * called for in-flight batches — retention can lag the checkpoint
     * but never lead it.
     */
-  override def commit(end: Offset): Unit =
+  override def commit(end: Offset): Unit = {
+    highWater = math.max(highWater, toVersion(end))
     consumerId.foreach(id =>
       ChangeFeed.seedConsumer(spark, root, id, toVersion(end)))
+  }
 
   override def stop(): Unit = ()
 }
@@ -124,6 +146,9 @@ object GraftChangeFeedSource {
           .getOrElse(latest)
       case Some(v) => v.trim.toLong
     }
-    new GraftChangeFeedSource(spark, root, keys, consumerId, initial)
+    new GraftChangeFeedSource(spark, root, keys, consumerId, initial,
+      parameters.get("maxVersionsPerBatch").map(_.trim.toLong).map { n =>
+        require(n >= 1, s"maxVersionsPerBatch must be >= 1, got $n"); n
+      })
   }
 }

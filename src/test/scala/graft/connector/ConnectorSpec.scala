@@ -169,4 +169,32 @@ class ConnectorSpec extends SparkSpec {
       (1L, ChangeFeed.UpdatePre), (1L, ChangeFeed.UpdatePost),
       (2L, ChangeFeed.Delete)))
   }
+
+  test("maxVersionsPerBatch rate-limits: a commit burst drains in bounded batches, same rows") {
+    val root = freshTable("rate", n = 20L, buckets = 4)
+    (1L to 4L).foreach { i =>
+      SnapshotStore.commitDelta(spark, root,
+        Seq((i, s"u$i", 100L + i)).toDF("k", "v", "ts"), Seq("k"), merge)
+    }
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = spark.readStream.format("graft")
+      .option("path", root).option("keys", "k")
+      .option("startingVersion", "0") // the 4-version burst is the backlog
+      .option("maxVersionsPerBatch", "1")
+      .load()
+      .writeStream.option("checkpointLocation", tmpDir("rate-ckpt"))
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val versions = b.select(col(ChangeFeed.CommitVersion)).as[Long].collect().toSet
+        batchSizes.synchronized { batchSizes += versions }: Unit
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val nonEmpty = batchSizes.filter(_.nonEmpty)
+    // one version per non-empty batch — the burst never collapses into
+    // one giant transaction
+    assert(nonEmpty.size == 4 && nonEmpty.forall(_.size == 1),
+      s"expected 4 single-version batches, got $batchSizes")
+    assert(nonEmpty.flatten.toSet == Set(1L, 2L, 3L, 4L))
+  }
 }
