@@ -23,11 +23,16 @@ object QueriesStore {
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       createdRoots.forEach { p =>
+        // per-root NonFatal guard: the lazy walk throws
+        // UncheckedIOException (not IOException) when concurrent
+        // shutdown hooks race deletions — one root's failure must not
+        // leak every root after it
         try {
-          java.nio.file.Files.walk(p)
-            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          val walk = java.nio.file.Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
             .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
-        } catch { case _: java.io.IOException => () }
+          finally walk.close()
+        } catch { case scala.util.control.NonFatal(_) => () }
       }))
   }
 

@@ -129,12 +129,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!isTable(from)) throw new NoSuchTableException(oldIdent)
     val to = tableDir(newIdent)
     require(!fs.exists(to), s"rename target $to already exists")
-    // manifests reference data RELATIVE to the table root (absolute
-    // only for clone sources, which stay valid), so a directory move
-    // is a complete rename
+    // un-materialized clones OF this table reference its directories by
+    // ABSOLUTE path — moving it would dangle every one of them, so the
+    // rename refuses while any clone-retention consumer is registered
+    val clones = graft.store.ChangeFeed.cloneConsumerIds(spark, from.toString)
+    require(clones.isEmpty,
+      s"cannot rename ${oldIdent}: un-materialized clones still reference " +
+        s"its directories (${clones.mkString(", ")}) — materialize or drop " +
+        "them first")
+    // manifests reference their own data RELATIVE to the table root
+    // (absolute only for entries pointing INTO a clone source, which a
+    // move does not disturb), so a directory move is a complete rename
     if (!fs.rename(from, to))
       throw new IllegalStateException(s"rename $from -> $to failed")
-    // a clone's retention consumer is keyed by its root — re-key it
+    // this table's OWN retention consumer on its clone source is keyed
+    // by its root — re-key it
     SnapshotStore.relocateClone(spark, to.toString, from.toString)
   }
 

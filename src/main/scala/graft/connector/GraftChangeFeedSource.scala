@@ -1,5 +1,6 @@
 package graft.connector
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
@@ -36,18 +37,20 @@ import graft.store.{ChangeFeed, SnapshotStore}
   *     so retention never runs ahead of the checkpoint), and a fresh
   *     query without `startingVersion` resumes from the consumer's
   *     offset.
-  *   - `maxVersionsPerBatch`: steady-state rate limit — each offered
-  *     batch spans at most this many table versions (the
-  *     maxFilesPerTrigger analog: a burst of commits drains in
-  *     bounded transactions instead of one giant batch). The first
-  *     batch after a RESTART may still span the full backlog — the
-  *     engine replays its checkpointed range verbatim — where the
-  *     chunked [[ChangeFeed.readChanges]] keeps the plan bounded.
+  *   - `maxVersionsPerBatch`: rate limit — each offered batch spans at
+  *     most this many table versions (the maxFilesPerTrigger analog: a
+  *     commit burst drains in bounded transactions instead of one
+  *     giant batch). The cap's base is persisted in the source's own
+  *     checkpoint metadata dir, so it survives restarts WITHOUT ever
+  *     offering below what an earlier incarnation offered — the engine
+  *     compares available only against committed, so a lower re-offer
+  *     would rewind the commit log and re-deliver old versions.
   */
 class GraftChangeFeedSource(spark: SparkSession, root: String,
                             keys: Seq[String], consumerId: Option[String],
                             initialVersion: Long,
-                            maxVersionsPerBatch: Option[Long]) extends Source {
+                            maxVersionsPerBatch: Option[Long],
+                            metadataPath: Option[String]) extends Source {
 
   override val schema: StructType = GraftChangeFeedSource.feedSchema(spark, root)
 
@@ -61,12 +64,51 @@ class GraftChangeFeedSource(spark: SparkSession, root: String,
     case other => other.json().trim.toLong
   }
 
-  /** Highest version this source has handed to the engine (via a
-    * constructed batch or a commit callback) — the base the rate limit
-    * advances from. Purely an optimization floor: correctness lives in
-    * the checkpoint offsets, never here.
+  // ------------------------------------------------------------------
+  // offered-offset high-water (rate-limit base)
+  // ------------------------------------------------------------------
+
+  /** Marker dir for offers, under the engine-assigned source metadata
+    * path — only maintained when a cap is configured (uncapped sources
+    * always offer the table's latest, which can never regress below
+    * the committed offset).
     */
-  @volatile private var highWater: Long = initialVersion
+  private val offerLog: Option[(FileSystem, Path)] =
+    metadataPath.filter(_ => maxVersionsPerBatch.isDefined).map { mp =>
+      val p = new Path(mp, "graft-offered")
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+
+  private def persistedOffer: Option[Long] = offerLog.flatMap { case (fs, dir) =>
+    if (!fs.exists(dir)) None
+    // names carry the +1 bias so offset -1 still encodes as digits
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toLong - 1).maxOption
+  }
+
+  /** Durably record an offer before handing it to the engine; false =
+    * could not persist (the caller then offers UNCAPPED — over-
+    * delivering one batch is safe, regressing the offer is not).
+    */
+  private def persistOffer(v: Long): Boolean = offerLog.forall { case (fs, dir) =>
+    try {
+      fs.mkdirs(dir)
+      val marker = new Path(dir, f"${v + 1}%020d")
+      try fs.create(marker, false).close()
+      catch { case _: java.io.IOException if fs.exists(marker) => () }
+      fs.listStatus(dir).toSeq.map(_.getPath)
+        .filter(p => p.getName.forall(_.isDigit) && p.getName.toLong < v + 1)
+        .foreach(p => try fs.delete(p, false) catch { case _: java.io.IOException => () })
+      true
+    } catch { case _: java.io.IOException => false }
+  }
+
+  /** Highest version ever OFFERED to the engine by this query (across
+    * incarnations, via the persisted markers) — the base the rate
+    * limit advances from. Never below it: see the class doc.
+    */
+  @volatile private var highWater: Long =
+    math.max(initialVersion, persistedOffer.getOrElse(Long.MinValue))
 
   /** The available offset is the table's latest version (floored at
     * the start point so a fresh query's first batch is empty rather
@@ -80,14 +122,18 @@ class GraftChangeFeedSource(spark: SparkSession, root: String,
   override def getOffset: Option[Offset] =
     SnapshotStore.latestVersion(spark, root).map { v =>
       val floored = math.max(v, initialVersion)
-      LongOffset(maxVersionsPerBatch
-        .fold(floored)(n => math.min(floored, math.max(highWater, initialVersion) + n)))
+      val offered = maxVersionsPerBatch
+        .fold(floored)(n => math.min(floored, highWater + n))
+      if (offered > highWater) {
+        if (persistOffer(offered)) { highWater = offered; LongOffset(offered) }
+        else LongOffset(floored) // can't record the cap base: don't cap
+      } else LongOffset(offered)
     }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(toVersion).getOrElse(initialVersion)
     val to = toVersion(end)
-    highWater = math.max(highWater, to)
+    if (to > highWater) { persistOffer(to): Unit; highWater = to }
     // an empty range is a legitimate first batch (fresh query created
     // at the table's current version)
     if (from >= to)
@@ -107,7 +153,7 @@ class GraftChangeFeedSource(spark: SparkSession, root: String,
     * but never lead it.
     */
   override def commit(end: Offset): Unit = {
-    highWater = math.max(highWater, toVersion(end))
+    if (toVersion(end) > highWater) highWater = toVersion(end)
     consumerId.foreach(id =>
       ChangeFeed.seedConsumer(spark, root, id, toVersion(end)))
   }
@@ -130,7 +176,8 @@ object GraftChangeFeedSource {
       .add(ChangeFeed.ChangeType, StringType)
       .add(ChangeFeed.CommitVersion, LongType)
 
-  def apply(spark: SparkSession, parameters: Map[String, String]): GraftChangeFeedSource = {
+  def apply(spark: SparkSession, parameters: Map[String, String],
+            metadataPath: Option[String] = None): GraftChangeFeedSource = {
     val root = rootOf(parameters)
     val keys = parameters.getOrElse("keys", throw new IllegalArgumentException(
       "graft streaming reads need the row-identity columns: " +
@@ -149,6 +196,7 @@ object GraftChangeFeedSource {
     new GraftChangeFeedSource(spark, root, keys, consumerId, initial,
       parameters.get("maxVersionsPerBatch").map(_.trim.toLong).map { n =>
         require(n >= 1, s"maxVersionsPerBatch must be >= 1, got $n"); n
-      })
+      },
+      metadataPath)
   }
 }

@@ -97,7 +97,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
                             metadataPath: String, schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
-    GraftChangeFeedSource(sqlContext.sparkSession, parameters)
+    GraftChangeFeedSource(sqlContext.sparkSession, parameters, Some(metadataPath))
 
   // ------------------------------------------------------------------
   // V1 write paths — see GraftWrite / GraftSink
@@ -298,6 +298,16 @@ class GraftScan(spark: SparkSession, root: String, m: Manifest,
     }
   }
 
+  /** One broadcast per SCAN, not per execution: repeated actions on
+    * the same DataFrame reuse it instead of accumulating broadcast
+    * blocks between context-cleaner GCs.
+    */
+  private lazy val tombstonesBc
+      : Option[org.apache.spark.broadcast.Broadcast[Map[Int, Set[Seq[Any]]]]] = {
+    val (_, tombs) = tombstones
+    if (tombs.isEmpty) None else Some(spark.sparkContext.broadcast(tombs))
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
     plannedFiles.flatMap { case (p, b, len) =>
@@ -335,11 +345,8 @@ class GraftScan(spark: SparkSession, root: String, m: Manifest,
     // per task inside every split's InputPartition — a heavily-
     // tombstoned bucket split 40 ways must not serialize its key set
     // 40 times per scan
-    val tombBc =
-      if (tombs.isEmpty) None
-      else Some(spark.sparkContext.broadcast(tombs))
     new GraftReaderFactory(readFunc, readerSchema, required,
-      keyOrdinals, keySchema, tombBc)
+      keyOrdinals, keySchema, tombstonesBc)
   }
 }
 

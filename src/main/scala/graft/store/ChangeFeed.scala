@@ -298,6 +298,20 @@ object ChangeFeed {
     fs.delete(consumerDir(root, id), true)
   }
 
+  /** Registered consumer ids representing un-materialized CLONES of
+    * this table (their absolute manifest entries point into this
+    * table's directories — a path change under them dangles every
+    * clone read).
+    */
+  private[graft] def cloneConsumerIds(spark: SparkSession, root: String): Seq[String] = {
+    val fs = fileSystem(spark, root)
+    val dir = consumersDir(root)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filter(_.isDirectory)
+      .map(st => SnapshotStore.dec(st.getPath.getName))
+      .filter(_.startsWith("clone:"))
+  }
+
   /** Consume the changes committed since `id` last consumed: runs
     * `action(changes, fromVersion, toVersion)` and advances the offset
     * AFTER it returns. Returns the consumed range, or None when there

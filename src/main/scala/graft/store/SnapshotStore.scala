@@ -174,20 +174,24 @@ object SnapshotStore {
 
   /** THE lost-race commit protocol, shared by every delta-shaped
     * commit: attempt the manifest at `v0`; on loss, rebase across
-    * disjoint winners ([[tryRebase]]) as long as `mayRetry` grants
-    * budget — carrying caller state `S` (the written entries /
-    * sidecar dirs) through `rehome` on each rename and rebuilding the
-    * manifest via `nextOf` against each new winner. Returns
-    * Some(version) when committed (or when a same-writer txn
-    * redelivery is found already applied — attempt data discarded);
-    * None when the caller must recompute against the new base (the
-    * attempt dir is already deleted here).
+    * disjoint winners ([[tryRebase]]) as long as `mayRetry` reports
+    * remaining budget — consumed via `spendRetry` ONLY when a rebase
+    * actually happens (a failed rebase falls straight through to the
+    * caller's recompute, which spends its own attempt; double-charging
+    * here would halve resilience under sustained overlap) — carrying
+    * caller state `S` (the written entries / sidecar dirs) through
+    * `rehome` on each rename and rebuilding the manifest via `nextOf`
+    * against each new winner. Returns Some(version) when committed
+    * (or when a same-writer txn redelivery is found already applied —
+    * attempt data discarded); None when the caller must recompute
+    * against the new base (the attempt dir is already deleted here).
     */
   private def commitOrRebase[S](spark: SparkSession, fs: FileSystem, root: String,
                                 baseM: Manifest, touched: Set[Int],
                                 v0: Long, token: String,
                                 txn: Option[(String, Long)],
                                 mayRetry: () => Boolean,
+                                spendRetry: () => Unit,
                                 state0: S,
                                 nextOf: (Manifest, S) => Map[Int, BucketEntry],
                                 rehome: (S, Long, Long) => S): Option[Long] = {
@@ -208,6 +212,7 @@ object SnapshotStore {
         else None
       rebase match {
         case Some((newV, winners)) =>
+          spendRetry()
           txn.foreach { case (id, bid) => // a same-writer redelivery won meanwhile
             if (winners.txns.get(id).exists(_ >= bid)) {
               fs.delete(new Path(root, attemptDir(newV, token)), true)
@@ -1143,7 +1148,8 @@ object SnapshotStore {
       // metadata arbiter).
       commitOrRebase[Map[Int, BucketEntry]](spark, fs, root, m, touched, v, token,
         txn,
-        mayRetry = () => if (attempt >= maxAttempts) false else { attempt += 1; true },
+        mayRetry = () => attempt < maxAttempts,
+        spendRetry = () => attempt += 1,
         state0 = written,
         nextOf = (winners, w) => (winners.buckets -- touched) ++ w,
         rehome = (w, curV, newV) => w.map { case (b, e) =>
@@ -1257,7 +1263,8 @@ object SnapshotStore {
       // would have produced.)
       commitOrRebase[Seq[(Int, String)]](spark, fs, root, m,
         effective.map(_._1).toSet, v, token, txn,
-        mayRetry = () => if (attempt >= maxAttempts) false else { attempt += 1; true },
+        mayRetry = () => attempt < maxAttempts,
+        spendRetry = () => attempt += 1,
         state0 = effective,
         nextOf = (winners, eff) => winners.buckets ++ eff.map { case (b, d) =>
           b -> winners.buckets(b).copy(
@@ -1647,8 +1654,7 @@ object SnapshotStore {
   def relocateClone(spark: SparkSession, newRoot: String, oldRoot: String): Unit = {
     val fs = fileSystem(spark, newRoot)
     cloneSourceOf(fs, newRoot).foreach { src =>
-      val oldId = "clone:" +
-        fileSystem(spark, oldRoot).makeQualified(new Path(oldRoot)).toString
+      val oldId = cloneConsumerId(spark, oldRoot)
       ChangeFeed.consumerOffset(spark, src, oldId).foreach { off =>
         ChangeFeed.seedConsumer(spark, src, cloneConsumerId(spark, newRoot), off)
         ChangeFeed.dropConsumer(spark, src, oldId)

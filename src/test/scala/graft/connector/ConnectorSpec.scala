@@ -176,25 +176,43 @@ class ConnectorSpec extends SparkSpec {
       SnapshotStore.commitDelta(spark, root,
         Seq((i, s"u$i", 100L + i)).toDF("k", "v", "ts"), Seq("k"), merge)
     }
+    val ckpt = tmpDir("rate-ckpt")
     val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
-    val q = spark.readStream.format("graft")
-      .option("path", root).option("keys", "k")
-      .option("startingVersion", "0") // the 4-version burst is the backlog
-      .option("maxVersionsPerBatch", "1")
-      .load()
-      .writeStream.option("checkpointLocation", tmpDir("rate-ckpt"))
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val versions = b.select(col(ChangeFeed.CommitVersion)).as[Long].collect().toSet
-        batchSizes.synchronized { batchSizes += versions }: Unit
-      }
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    def runStream(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("path", root).option("keys", "k")
+        .option("startingVersion", "0") // the 4-version burst is the backlog
+        .option("maxVersionsPerBatch", "1")
+        .load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val versions = b.select(col(ChangeFeed.CommitVersion)).as[Long].collect().toSet
+          batchSizes.synchronized { batchSizes += versions }: Unit
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    runStream()
     val nonEmpty = batchSizes.filter(_.nonEmpty)
     // one version per non-empty batch — the burst never collapses into
     // one giant transaction
     assert(nonEmpty.size == 4 && nonEmpty.forall(_.size == 1),
       s"expected 4 single-version batches, got $batchSizes")
     assert(nonEmpty.flatten.toSet == Set(1L, 2L, 3L, 4L))
+
+    // RESTART with the rate limit still on: the persisted offer base
+    // keeps the cap from re-offering below the checkpoint — versions
+    // 1-4 must NOT be re-delivered, the two new versions drain capped
+    batchSizes.clear()
+    (5L to 6L).foreach { i =>
+      SnapshotStore.commitDelta(spark, root,
+        Seq((i, s"u$i", 100L + i)).toDF("k", "v", "ts"), Seq("k"), merge)
+    }
+    runStream()
+    val after = batchSizes.filter(_.nonEmpty)
+    assert(after.flatten.toSet == Set(5L, 6L),
+      s"restart must deliver only new versions, got $after")
+    assert(after.forall(_.size == 1), s"cap must survive restart, got $after")
   }
 }
