@@ -122,4 +122,39 @@ class WriteCatalogSpec extends SparkSpec {
     assert(spark.sql("SHOW TABLES IN gcat.sales").isEmpty)
     intercept[Exception](spark.sql("SELECT * FROM gcat.sales.orders").collect())
   }
+
+  test("GraftCatalog: TIMESTAMP AS OF resolves by commit instant; rename moves a table whole") {
+    val warehouse = tmpDir("cat2")
+    spark.conf.set("spark.sql.catalog.gcat2", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat2.root", warehouse)
+    val t = s"$warehouse/t"
+    SnapshotStore.init(spark, t,
+      (1L to 10L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts"), Seq("k"), numBuckets = 2)
+    Thread.sleep(1100) // commit instants must straddle a wall-clock gap
+    val betweenCommits = java.sql.Timestamp.from(java.time.Instant.now())
+    Thread.sleep(1100)
+    SnapshotStore.commitDelta(spark, t,
+      Seq((1L, "x", 100L)).toDF("k", "v", "ts"), Seq("k"),
+      SnapshotStore.upsertMerge(Seq("k")))
+
+    // between the two commits → version 0's state
+    assert(spark.sql(
+      s"SELECT v FROM gcat2.t TIMESTAMP AS OF '$betweenCommits' WHERE k = 1")
+      .as[String].head() == "v1")
+    // after the latest commit → current state
+    val now = java.sql.Timestamp.from(java.time.Instant.now())
+    assert(spark.sql(
+      s"SELECT v FROM gcat2.t TIMESTAMP AS OF '$now' WHERE k = 1")
+      .as[String].head() == "x")
+    // before the table existed → no version qualifies
+    intercept[Exception](spark.sql(
+      "SELECT * FROM gcat2.t TIMESTAMP AS OF '2000-01-01 00:00:00'").collect())
+
+    // rename: the whole history moves (manifests are root-relative)
+    spark.sql("ALTER TABLE gcat2.t RENAME TO t2")
+    assert(spark.sql("SELECT count(*) FROM gcat2.t2").as[Long].head() == 10L)
+    assert(spark.sql("SELECT v FROM gcat2.t2 VERSION AS OF 0 WHERE k = 1")
+      .as[String].head() == "v1")
+    intercept[Exception](spark.sql("SELECT * FROM gcat2.t").collect())
+  }
 }
