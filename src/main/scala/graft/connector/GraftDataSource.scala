@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{And, CreatableRelationProvider, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{And, BaseRelation, CreatableRelationProvider, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, RelationProvider, StreamSinkProvider, StreamSourceProvider, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.paths.SparkPath
@@ -53,7 +53,7 @@ import graft.store.SnapshotStore.Manifest
   */
 class GraftDataSource extends TableProvider with DataSourceRegister
     with StreamSourceProvider with CreatableRelationProvider
-    with StreamSinkProvider {
+    with RelationProvider with StreamSinkProvider {
 
   override def shortName(): String = "graft"
 
@@ -61,6 +61,9 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   override def supportsExternalMetadata(): Boolean = false
 
   private def spark: SparkSession = SparkSession.active
+
+  private def isChangeFeed(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("readChangeFeed")).exists(_.toBoolean)
 
   /** Missing table → EMPTY schema, not an error: the writer paths
     * (df.write / writeStream creating a new table) resolve this
@@ -72,6 +75,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = GraftTable.rootOf(options)
     if (SnapshotStore.latestVersion(spark, root).isEmpty) new StructType()
+    else if (isChangeFeed(options)) GraftChangeFeedSource.feedSchema(spark, root)
     else GraftTable.resolveSchema(spark, root,
       Option(options.get(GraftTable.VersionAsOf)).map(_.toLong))
   }
@@ -79,8 +83,49 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new GraftTable(GraftTable.rootOf(opts),
+    // a change-feed batch read is a diff JOIN, not a file scan — the
+    // returned table deliberately lacks BATCH_READ, which makes the
+    // reader fall back to the V1 relation below (whose buildScan can
+    // BE a DataFrame plan)
+    val feedSchema = schema
+    if (isChangeFeed(opts))
+      new Table {
+        override def name(): String = s"graft-cdf.`${GraftTable.rootOf(opts)}`"
+        override def schema(): StructType = feedSchema
+        override def capabilities(): java.util.Set[TableCapability] =
+          java.util.Collections.emptySet()
+      }
+    else new GraftTable(GraftTable.rootOf(opts),
       Option(opts.get(GraftTable.VersionAsOf)).map(_.toLong), schema)
+  }
+
+  /** V1 fallback target for `option("readChangeFeed", "true")` batch
+    * reads: the change rows in (`startingVersion` (default -1, i.e.
+    * the initial snapshot as inserts), `endingVersion` (default
+    * latest)] — Delta's batch CDF shape, SQL-able through a temp view.
+    */
+  override def createRelation(sqlCtx: org.apache.spark.sql.SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    require(parameters.get("readChangeFeed").exists(_.toBoolean),
+      "graft V1 relations serve only readChangeFeed batch reads — plain " +
+        "snapshot reads go through the DSv2 scan")
+    val sp = sqlCtx.sparkSession
+    val root = GraftChangeFeedSource.rootOf(parameters)
+    val keys = parameters.getOrElse("keys", throw new IllegalArgumentException(
+      "change-feed reads need the row-identity columns: .option(\"keys\", \"k1,k2\")"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val from = parameters.get("startingVersion").map(_.trim.toLong).getOrElse(-1L)
+    val to = parameters.get("endingVersion").map(_.trim.toLong).getOrElse(
+      SnapshotStore.latestVersion(sp, root).getOrElse(
+        throw new IllegalStateException(s"no committed graft table at $root")))
+    new BaseRelation with TableScan {
+      override def sqlContext: org.apache.spark.sql.SQLContext = sqlCtx
+      override val schema: StructType = GraftChangeFeedSource.feedSchema(sp, root)
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+        graft.store.ChangeFeed.readChanges(sp, root, keys, from, to)
+          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+          .rdd
+    }
   }
 
   // ------------------------------------------------------------------

@@ -138,6 +138,34 @@ class ConnectorSpec extends SparkSpec {
     assert(ChangeFeed.consumerOffset(spark, root, "conn-spec").nonEmpty)
   }
 
+  test("batch change-feed read: option(readChangeFeed) ≡ library readChanges, SQL-able") {
+    val root = freshTable("cdf-batch", n = 30L, buckets = 4)
+    SnapshotStore.commitDelta(spark, root,
+      Seq((1L, "x", 100L)).toDF("k", "v", "ts"), Seq("k"), merge)
+    SnapshotStore.commitDeletes(spark, root, Seq(2L).toDF("k"), Seq("k"))
+    def asSet(df: DataFrame) =
+      df.select("k", "v", "ts", ChangeFeed.ChangeType, ChangeFeed.CommitVersion)
+        .as[(Long, String, Long, String, Long)].collect().toSet
+
+    val full = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("keys", "k")
+      .load(root)
+    assert(asSet(full) == asSet(ChangeFeed.readChanges(spark, root, Seq("k"), -1L, 2L)))
+
+    val ranged = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("keys", "k")
+      .option("startingVersion", "0").option("endingVersion", "1")
+      .load(root)
+    assert(asSet(ranged) == asSet(ChangeFeed.readChanges(spark, root, Seq("k"), 0L, 1L)))
+
+    // plain SQL over the feed
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW cdf_v USING graft OPTIONS " +
+      s"(path '$root', readChangeFeed 'true', keys 'k', startingVersion '0')")
+    assert(spark.sql(
+      s"SELECT count(*) FROM cdf_v WHERE ${ChangeFeed.ChangeType} = 'delete'")
+      .as[Long].head() == 1L)
+  }
+
   test("default startingVersion: restart delivers versions committed while the query was down") {
     val root = freshTable("restart", n = 20L, buckets = 4)
     val ckpt = tmpDir("restart-ckpt")
