@@ -27,37 +27,67 @@ import org.apache.spark.storage.StorageLevel
   * harnesses use between queries), this releases ONLY graft-created
   * caches and leaves the caller's own persisted frames alone.
   *
-  * Scope caveat: the registry is PROCESS-GLOBAL, like the session
-  * cache it manages. `unpersistAll()` releases every tracked frame,
-  * including ones another thread's in-flight query still references
-  * (that query recomputes from lineage — correct, just slower), so
-  * call it at quiescent points: between queries, or at the end of a
-  * job. Callers that never call it keep every tracked frame cached
-  * for the session's lifetime — the documented trade for operators
-  * whose returned LAZY plans cannot release their own intermediates.
+  * Concurrency: by default registrations land in one process-global
+  * scope — `unpersistAll()` at a quiescent point releases everything,
+  * the single-session harness pattern. A host running CONCURRENT
+  * queries isolates them with [[scoped]]: persists made while
+  * constructing a query's plan land in that query's own [[Scope]],
+  * released via `scope.release()` without touching any other
+  * in-flight query's caches. Scoping keys off the CONSTRUCTING
+  * thread (operators persist at plan-construction time), the natural
+  * unit for a query-per-thread server.
   */
 object Caching {
 
-  private val tracked = mutable.Set.empty[DataFrame]
+  /** An isolated registry of operator-internal persists — release
+    * with [[Scope.release]] when the queries built inside it are done.
+    */
+  final class Scope private[Caching] () {
+    private val tracked = mutable.Set.empty[DataFrame]
+    private[Caching] def add(df: DataFrame): Unit = synchronized { tracked += df }
 
-  /** Persist `df` (MEMORY_AND_DISK) and register it for
-    * [[unpersistAll]]. All internal operator persists go through here.
+    /** Unpersist every frame tracked by THIS scope; returns how many
+      * were released. Frames already unpersisted (e.g. by
+      * `clearCache`) unpersist as a no-op.
+      */
+    def release(blocking: Boolean = false): Int = synchronized {
+      val n = tracked.size
+      tracked.foreach(_.unpersist(blocking))
+      tracked.clear()
+      n
+    }
+  }
+
+  private val globalScope = new Scope
+  private val current = new ThreadLocal[Scope]
+
+  /** Run `body` (plan construction) with a fresh scope: every
+    * [[persistTracked]] it triggers registers there instead of the
+    * global scope. Returns the result and the scope — call
+    * `scope.release()` after the plans' consuming actions. Nests:
+    * the previous scope (global or outer) is restored on exit.
+    */
+  def scoped[T](body: => T): (T, Scope) = {
+    val s = new Scope
+    val prev = current.get()
+    current.set(s)
+    try (body, s)
+    finally { if (prev == null) current.remove() else current.set(prev) }
+  }
+
+  /** Persist `df` (MEMORY_AND_DISK) and register it with the current
+    * scope (the constructing thread's [[scoped]] scope, else the
+    * global one). All internal operator persists go through here.
     */
   def persistTracked(df: DataFrame,
-                     level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
-    synchronized {
-      tracked += df
-      df.persist(level)
-    }
-
-  /** Unpersist every frame registered since the last call; returns how
-    * many were released. Safe to call at any time — frames already
-    * unpersisted (e.g. by `clearCache`) unpersist as a no-op.
-    */
-  def unpersistAll(blocking: Boolean = false): Int = synchronized {
-    val n = tracked.size
-    tracked.foreach(_.unpersist(blocking))
-    tracked.clear()
-    n
+                     level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    Option(current.get()).getOrElse(globalScope).add(df)
+    df.persist(level)
   }
+
+  /** Release the GLOBAL scope (frames registered outside any
+    * [[scoped]] block) — the between-queries call for single-session
+    * harnesses. Scoped frames are their owners' to release.
+    */
+  def unpersistAll(blocking: Boolean = false): Int = globalScope.release(blocking)
 }

@@ -49,4 +49,38 @@ class CachingSpec extends SparkSpec {
     mine.unpersist(blocking = true)
     assert(persisted == before)
   }
+
+  test("scoped persists are isolated: unpersistAll leaves them; the scope's owner releases them") {
+    Caching.unpersistAll(blocking = true)
+    val before = persisted
+    // distinct text per query: identical plans would collapse to ONE
+    // cache-manager entry and the isolation assertion would test the
+    // cache manager's dedup, not the scopes
+    def buildQuery(tag: String) = {
+      val docs = Seq((1L, s"a b c d $tag"), (2L, s"a b c d $tag")).toDF("doc_id", "text")
+      Dedup.ngramJaccard(Seq((1L, 2L)).toDF("id_a", "id_b"), docs, "text", "doc_id")
+    }
+    // one query built inside a scope, another outside (global)
+    val (scopedQ, scope) = Caching.scoped(buildQuery("scoped"))
+    val globalQ = buildQuery("global")
+    assert(scopedQ.count() == 1 && globalQ.count() == 1)
+    assert((persisted -- before).nonEmpty)
+
+    // releasing the GLOBAL scope must not touch the scoped query's
+    // caches (the other-in-flight-query isolation)
+    Caching.unpersistAll(blocking = true)
+    assert((persisted -- before).nonEmpty,
+      "scoped caches must survive unpersistAll")
+    assert(scopedQ.count() == 1) // still answers (from cache or lineage)
+
+    assert(scope.release(blocking = true) >= 1)
+    assert(persisted == before, "scope.release must clear exactly its own")
+    assert(scope.release() == 0) // idempotent
+
+    // after the scoped block, registration falls back to global
+    val lateQ = buildQuery("late")
+    assert(lateQ.count() == 1)
+    assert(Caching.unpersistAll(blocking = true) >= 1)
+    assert(persisted == before)
+  }
 }
