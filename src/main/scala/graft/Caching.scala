@@ -44,7 +44,16 @@ object Caching {
     */
   final class Scope private[Caching] () {
     private val tracked = mutable.Set.empty[DataFrame]
-    private[Caching] def add(df: DataFrame): Unit = synchronized { tracked += df }
+
+    /** Registration and the persist itself under ONE lock (the same
+      * lock [[release]] takes): a release interleaving between the two
+      * could otherwise leave a cached-but-untracked frame behind.
+      */
+    private[Caching] def persistInto(df: DataFrame, level: StorageLevel): DataFrame =
+      synchronized {
+        tracked += df
+        df.persist(level)
+      }
 
     /** Unpersist every frame tracked by THIS scope; returns how many
       * were released. Frames already unpersisted (e.g. by
@@ -72,6 +81,11 @@ object Caching {
     val prev = current.get()
     current.set(s)
     try (body, s)
+    catch {
+      // a throwing body would strand the scope (and any frames already
+      // persisted into it) unreachable — release before rethrowing
+      case t: Throwable => s.release(); throw t
+    }
     finally { if (prev == null) current.remove() else current.set(prev) }
   }
 
@@ -80,10 +94,8 @@ object Caching {
     * global one). All internal operator persists go through here.
     */
   def persistTracked(df: DataFrame,
-                     level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    Option(current.get()).getOrElse(globalScope).add(df)
-    df.persist(level)
-  }
+                     level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+    Option(current.get()).getOrElse(globalScope).persistInto(df, level)
 
   /** Release the GLOBAL scope (frames registered outside any
     * [[scoped]] block) — the between-queries call for single-session

@@ -4,7 +4,6 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
 import graft.store.{ChangeFeed, SnapshotStore}
@@ -139,8 +138,13 @@ class GraftChangeFeedSource(spark: SparkSession, root: String,
     if (from >= to)
       return org.apache.spark.sql.graft.GraftSqlShims.streamingDataFrame(
         spark, spark.sparkContext.emptyRDD, schema)
-    val changes = ChangeFeed.readChanges(spark, root, keys, from, to)
-      .select(schema.fieldNames.map(col).toSeq: _*)
+    val raw = ChangeFeed.readChanges(spark, root, keys, from, to)
+    // dataset-resolved columns (a literal dot in a name is not field
+    // access), null-filling columns a pre-evolution range lacks
+    val changes = raw.select(schema.fields.toSeq.map { f =>
+      if (raw.columns.contains(f.name)) raw(f.name)
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+    }: _*)
     // the engine requires isStreaming=true on a getBatch result; the
     // plan itself is the ordinary bounded feed diff
     org.apache.spark.sql.graft.GraftSqlShims.streamingDataFrame(
@@ -168,6 +172,14 @@ object GraftChangeFeedSource {
       "graft streaming reads need a table root: .option(\"path\", <root>) " +
         "or .load(<root>)"))
 
+  /** The one parsing of the row-identity option, shared by the stream
+    * source and the batch CDF relation.
+    */
+  private[connector] def keysOf(parameters: Map[String, String]): Seq[String] =
+    parameters.getOrElse("keys", throw new IllegalArgumentException(
+      "change-feed reads need the row-identity columns: " +
+        ".option(\"keys\", \"k1,k2\")")).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
   /** Change rows = table schema + the change-type / commit-version
     * metadata columns (the METADATA$ACTION × ISUPDATE matrix).
     */
@@ -179,9 +191,7 @@ object GraftChangeFeedSource {
   def apply(spark: SparkSession, parameters: Map[String, String],
             metadataPath: Option[String] = None): GraftChangeFeedSource = {
     val root = rootOf(parameters)
-    val keys = parameters.getOrElse("keys", throw new IllegalArgumentException(
-      "graft streaming reads need the row-identity columns: " +
-        ".option(\"keys\", \"k1,k2\")")).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val keys = keysOf(parameters)
     val consumerId = parameters.get("consumerId").filter(_.nonEmpty)
     val latest = SnapshotStore.latestVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed graft table at $root"))

@@ -101,8 +101,12 @@ class GraftDataSource extends TableProvider with DataSourceRegister
 
   /** V1 fallback target for `option("readChangeFeed", "true")` batch
     * reads: the change rows in (`startingVersion` (default -1, i.e.
-    * the initial snapshot as inserts), `endingVersion` (default
-    * latest)] — Delta's batch CDF shape, SQL-able through a temp view.
+    * the initial snapshot as inserts; `latest` accepted for symmetry
+    * with the stream), `endingVersion`] — Delta's batch CDF shape,
+    * SQL-able through a temp view. The default ending version
+    * re-resolves to the table's latest PER SCAN (inside buildScan),
+    * so a long-lived view keeps observing new commits like the
+    * snapshot table does; an explicit `endingVersion` pins.
     */
   override def createRelation(sqlCtx: org.apache.spark.sql.SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
@@ -111,20 +115,33 @@ class GraftDataSource extends TableProvider with DataSourceRegister
         "snapshot reads go through the DSv2 scan")
     val sp = sqlCtx.sparkSession
     val root = GraftChangeFeedSource.rootOf(parameters)
-    val keys = parameters.getOrElse("keys", throw new IllegalArgumentException(
-      "change-feed reads need the row-identity columns: .option(\"keys\", \"k1,k2\")"))
-      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    val from = parameters.get("startingVersion").map(_.trim.toLong).getOrElse(-1L)
-    val to = parameters.get("endingVersion").map(_.trim.toLong).getOrElse(
-      SnapshotStore.latestVersion(sp, root).getOrElse(
-        throw new IllegalStateException(s"no committed graft table at $root")))
+    val keys = GraftChangeFeedSource.keysOf(parameters)
+    def latest: Long = SnapshotStore.latestVersion(sp, root).getOrElse(
+      throw new IllegalStateException(s"no committed graft table at $root"))
+    val from = parameters.get("startingVersion").map(_.trim) match {
+      case Some("latest") => latest
+      case Some(v) => v.toLong
+      case None => -1L
+    }
+    val pinnedTo = parameters.get("endingVersion").map(_.trim.toLong)
     new BaseRelation with TableScan {
       override def sqlContext: org.apache.spark.sql.SQLContext = sqlCtx
       override val schema: StructType = GraftChangeFeedSource.feedSchema(sp, root)
-      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-        graft.store.ChangeFeed.readChanges(sp, root, keys, from, to)
-          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
-          .rdd
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+        val to = pinnedTo.getOrElse(latest)
+        if (from >= to) return sp.sparkContext.emptyRDD
+        val changes = graft.store.ChangeFeed.readChanges(sp, root, keys, from, to)
+        // align to the declared (latest) schema: a range that predates
+        // additive evolution lacks the newer columns — null-fill them,
+        // exactly like the snapshot read path does for old buckets.
+        // Names go through quoted resolution (a literal dot in a
+        // column name is not field access).
+        val aligned = schema.fields.toSeq.map { f =>
+          if (changes.columns.contains(f.name)) changes(f.name)
+          else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+        }
+        changes.select(aligned: _*).rdd
+      }
     }
   }
 
