@@ -88,7 +88,8 @@ object SnapshotStore {
     */
   final case class BucketEntry(dir: String, stats: Seq[Option[(String, String)]],
                                fileStats: Map[String, Seq[Option[(String, String)]]] = Map.empty,
-                               tombstones: Seq[String] = Nil)
+                               tombstones: Seq[String] = Nil,
+                               rows: Option[Long] = None)
 
   /** @param statsCols declared data-skipping columns as (name, tag);
     *   tag is `num` (any numeric), `ts` (timestamp, stored as epoch
@@ -96,11 +97,22 @@ object SnapshotStore {
     * @param txns last applied batch id per writer id — the
     *   Delta-txn-appId pattern making at-least-once `foreachBatch`
     *   redelivery a no-op instead of a double-apply
+    * @param keys the table's merge-identity (bucketing) columns,
+    *   persisted since format 4 so SQL writers (`INSERT INTO` has no
+    *   options channel) and key-validation don't depend on every
+    *   caller re-supplying them; Nil on pre-format-4 tables
+    * @param commitTsMillis the commit's own wall-clock instant,
+    *   recorded IN the manifest (monotonic per table: max(now,
+    *   prev+1)) so `TIMESTAMP AS OF` resolves from durable metadata
+    *   instead of copy-fragile file mtimes; -1 on pre-format-4
+    *   manifests (readers fall back to the manifest file's mtime)
     */
   final case class Manifest(version: Long, numBuckets: Int,
                             statsCols: Seq[(String, String)],
                             txns: Map[String, Long],
-                            buckets: Map[Int, BucketEntry])
+                            buckets: Map[Int, BucketEntry],
+                            keys: Seq[String] = Nil,
+                            commitTsMillis: Long = -1L)
 
   private def fileSystem(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -194,18 +206,20 @@ object SnapshotStore {
                                 spendRetry: () => Unit,
                                 state0: S,
                                 nextOf: (Manifest, S) => Map[Int, BucketEntry],
-                                rehome: (S, Long, Long) => S): Option[Long] = {
+                                rehome: (S, Long, Long) => S,
+                                keys: Seq[String] = Nil): Option[Long] = {
     var curV = v0
     var st = state0
     var winnersM = baseM
     while (true) {
       val next = nextOf(winnersM, st)
       val txns = winnersM.txns ++ txn
-      if (writeManifestAtomic(fs, root, curV, baseM.numBuckets, baseM.statsCols,
-          txns, next, base = Some(winnersM))) {
-        maybeCheckpoint(spark, root,
-          Manifest(curV, baseM.numBuckets, baseM.statsCols, txns, next))
-        return Some(curV)
+      writeManifestAtomic(fs, root, curV, baseM.numBuckets, baseM.statsCols,
+          txns, next, base = Some(winnersM), keys = keys) match {
+        case Some(cm) =>
+          maybeCheckpoint(spark, root, cm)
+          return Some(curV)
+        case None => ()
       }
       val rebase =
         if (mayRetry()) tryRebase(spark, fs, root, baseM, touched, curV, token)
@@ -220,6 +234,19 @@ object SnapshotStore {
             }
           }
           st = rehome(st, curV, newV)
+          // post-rename re-verify: a vacuum that started deleting the
+          // attempt dir before the rename could leave the renamed dir
+          // incomplete (recursive delete is not atomic) — confirm every
+          // rehomed directory still exists before committing a manifest
+          // that references it; the vacuum grace window makes this
+          // all-but-unreachable, the check catches the residue
+          val expected = nextOf(winners, st).values
+            .flatMap(e => e.dir +: e.tombstones)
+            .filter(_.startsWith(attemptDir(newV, token)))
+          if (!expected.forall(d => fs.exists(dataPath(root, d)))) {
+            fs.delete(new Path(root, attemptDir(newV, token)), true)
+            return None
+          }
           winnersM = winners
           curV = newV
         case None =>
@@ -285,14 +312,20 @@ object SnapshotStore {
     * {{{
     *   buckets:<n>
     *   format:<v>                  (format marker; absent = format 2)
-    *   delta:<base>                (format 3 only: entries below are a
+    *   delta:<base>                (delta manifests: entries below are a
     *                                DELTA on version <base> = this-1)
+    *   keys:<k1>,<k2>,...          (format 4: the table's merge-identity
+    *                                columns, URL-encoded)
+    *   ts:<epochMillis>            (format 4: commit wall-clock instant,
+    *                                monotonic per table)
     *   stats:<name>:<tag>,...      (absent when no stats cols declared)
     *   txn:<writerId>\t<batchId>   (0..many; always the FULL map)
     *   <bucket>\t<dir>[\t<min>,<max>,<min>,<max>,...]
     *   fstats:<bucket>\t<fileName>\t<min>,<max>,...   (0..many, after their bucket line)
+    *   rows:<bucket>\t<n>           (format 4: bucket row count, exact
+    *                                 as of the bucket's last rewrite)
     *   tomb:<bucket>\t<dir>         (0..many, one per unfolded delete sidecar)
-    *   del:<bucket>                 (format 3 only: bucket removed vs base)
+    *   del:<bucket>                 (delta manifests: bucket removed vs base)
     *   end:<token>:<lineCount>
     * }}}
     *
@@ -313,9 +346,12 @@ object SnapshotStore {
     * manifests with a format ABOVE what they understand. Absent
     * marker = format 2. A format-2-only reader REJECTS delta
     * manifests rather than misreading a delta as a (shrunken) full
-    * state — exactly the failure the marker is for.
+    * state — exactly the failure the marker is for. Format 4 adds the
+    * `keys:` / `ts:` / `rows:` lines (new line TYPES an older parser
+    * would misread as bucket entries), so every manifest carrying them
+    * — full and delta alike — declares format 4.
     */
-  private val ManifestFormat = 3
+  private val ManifestFormat = 4
 
   /** Write a full-state checkpoint every this-many commits (the
     * Delta-parquet-checkpoint cadence knob).
@@ -329,7 +365,9 @@ object SnapshotStore {
                                        txns: Map[String, Long],
                                        entries: Map[Int, BucketEntry],
                                        deleted: Set[Int],
-                                       deltaBase: Option[Long])
+                                       deltaBase: Option[Long],
+                                       keys: Seq[String] = Nil,
+                                       commitTsMillis: Long = -1L)
 
   private[store] def parseStats(s: String): Seq[Option[(String, String)]] =
     if (s.isEmpty) Seq.empty
@@ -347,10 +385,13 @@ object SnapshotStore {
       var statsCols = Seq.empty[(String, String)]
       var complete = false
       var deltaBase: Option[Long] = None
+      var keys = Seq.empty[String]
+      var commitTs = -1L
       val txns = mutable.Map.empty[String, Long]
       val entries = mutable.Map.empty[Int, BucketEntry]
       val deleted = mutable.Set.empty[Int]
       val fstats = mutable.Map.empty[Int, mutable.Map[String, Seq[Option[(String, String)]]]]
+      val rowCounts = mutable.Map.empty[Int, Long]
       val tombs = mutable.Map.empty[Int, mutable.ArrayBuffer[String]]
       Iterator.continually(in.readLine()).takeWhile(_ != null)
         .filter(_.nonEmpty)
@@ -362,6 +403,14 @@ object SnapshotStore {
                 s"reader understands up to $ManifestFormat — refusing to misread it")
           case l if l.startsWith("delta:") =>
             deltaBase = Some(l.stripPrefix("delta:").trim.toLong)
+          case l if l.startsWith("keys:") =>
+            keys = l.stripPrefix("keys:").split(",").toSeq
+              .filter(_.nonEmpty).map(dec)
+          case l if l.startsWith("ts:") =>
+            commitTs = l.stripPrefix("ts:").trim.toLong
+          case l if l.startsWith("rows:") =>
+            val Array(b, n) = l.stripPrefix("rows:").split("\t", 2)
+            rowCounts(b.toInt) = n.toLong
           case l if l.startsWith("stats:") =>
             statsCols = l.stripPrefix("stats:").split(",").toSeq
               .filter(_.nonEmpty).map { part =>
@@ -394,10 +443,11 @@ object SnapshotStore {
             "written by a crashed committer; it is not a committed version")
       val withF = entries.map { case (b, e) =>
         b -> e.copy(fileStats = fstats.get(b).map(_.toMap).getOrElse(Map.empty),
-          tombstones = tombs.get(b).map(_.toSeq).getOrElse(Nil))
+          tombstones = tombs.get(b).map(_.toSeq).getOrElse(Nil),
+          rows = rowCounts.get(b))
       }
       RawManifest(v, numBuckets, statsCols, txns.toMap, withF.toMap,
-        deleted.toSet, deltaBase)
+        deleted.toSet, deltaBase, keys, commitTs)
     } finally in.close()
   }
 
@@ -470,13 +520,15 @@ object SnapshotStore {
                 deltas ::= raw
                 w -= 1
               case None =>
-                base = Some(Manifest(w, raw.numBuckets, raw.statsCols, raw.txns, raw.entries))
+                base = Some(Manifest(w, raw.numBuckets, raw.statsCols, raw.txns,
+                  raw.entries, raw.keys, raw.commitTsMillis))
             }
         }
       }
       val m = deltas.foldLeft(base.get) { (acc, d) =>
         Manifest(d.version, d.numBuckets, d.statsCols, d.txns,
-          (acc.buckets -- d.deleted) ++ d.entries)
+          (acc.buckets -- d.deleted) ++ d.entries,
+          if (d.keys.nonEmpty) d.keys else acc.keys, d.commitTsMillis)
       }
       val result = m.copy(version = v)
       cachePut(fs, root, result)
@@ -511,7 +563,9 @@ object SnapshotStore {
     val meta = Seq(
       ("meta", -1, "numBuckets", m.numBuckets.toString, ""),
       ("meta", -1, "statsCols",
-        m.statsCols.map { case (n, t) => s"${enc(n)}:$t" }.mkString(","), ""))
+        m.statsCols.map { case (n, t) => s"${enc(n)}:$t" }.mkString(","), ""),
+      ("meta", -1, "keys", m.keys.map(enc).mkString(","), ""),
+      ("meta", -1, "commitTs", m.commitTsMillis.toString, ""))
     val txns = m.txns.toSeq.sortBy(_._1).map { case (id, b) =>
       ("txn", -1, enc(id), b.toString, "")
     }
@@ -520,6 +574,7 @@ object SnapshotStore {
         e.fileStats.toSeq.sortBy(_._1).map { case (n, st) =>
           ("fstat", b, enc(n), "", encStats(st))
         } ++
+        e.rows.map(n => ("rows", b, "", n.toString, "")) ++
         e.tombstones.map(d => ("tomb", b, "", d, ""))
     }
     // one writer task: the checkpoint is metadata-sized relative to
@@ -555,10 +610,12 @@ object SnapshotStore {
     val tombs = kind("tomb").groupBy(_.getInt(1)).map { case (b, rs) =>
       b -> rs.map(_.getString(3)).toSeq
     }
+    val rowCounts = kind("rows").map(r => r.getInt(1) -> r.getString(3).toLong).toMap
     val buckets = kind("bucket").map { r =>
       val b = r.getInt(1)
       b -> BucketEntry(r.getString(3), parseStats(r.getString(4)),
-        fstats.getOrElse(b, Map.empty), tombs.getOrElse(b, Nil))
+        fstats.getOrElse(b, Map.empty), tombs.getOrElse(b, Nil),
+        rowCounts.get(b))
     }.toMap
     Some(Manifest(v, metas("numBuckets").toInt,
       metas("statsCols").split(",").toSeq.filter(_.nonEmpty).map { part =>
@@ -566,7 +623,9 @@ object SnapshotStore {
         (dec(n), t)
       },
       kind("txn").map(r => dec(r.getString(2)) -> r.getString(3).toLong).toMap,
-      buckets))
+      buckets,
+      metas.getOrElse("keys", "").split(",").toSeq.filter(_.nonEmpty).map(dec),
+      metas.getOrElse("commitTs", "-1").toLong))
   }
 
   /** The terminator token of a manifest file, or None when the file is
@@ -637,22 +696,37 @@ object SnapshotStore {
     * bytes went to an unlinked inode reports failure and retries via
     * the normal OCC path.
     */
-  /** @param base when Some, write a FORMAT-3 DELTA against it (must be
-    *   the immediate predecessor version): only the bucket entries
-    *   that differ, plus `del:` lines — O(touched buckets' files)
-    *   metadata per commit. None writes the full state (init, clone,
-    *   and the retention-floor path), readable by format-2 readers.
+  /** @param base when Some, write a DELTA against it (must be the
+    *   immediate predecessor version): only the bucket entries that
+    *   differ, plus `del:` lines — O(touched buckets' files) metadata
+    *   per commit. None writes the full state (init, clone, and the
+    *   retention-floor path).
+    * @param keys the table's merge-identity columns; carried forward
+    *   from `base` when not supplied (so every commit re-persists them
+    *   once a creation recorded them)
+    * @return the committed [[Manifest]] (carrying the commit's
+    *   in-manifest timestamp) on success; None when another writer
+    *   already committed `v`.
     */
   private def writeManifestAtomic(fs: FileSystem, root: String, v: Long,
                                   numBuckets: Int,
                                   statsCols: Seq[(String, String)],
                                   txns: Map[String, Long],
                                   buckets: Map[Int, BucketEntry],
-                                  base: Option[Manifest] = None): Boolean = {
+                                  base: Option[Manifest] = None,
+                                  keys: Seq[String] = Nil): Option[Manifest] = {
     base.foreach(b => require(b.version == v - 1,
       s"delta manifest for $v must base on ${v - 1}, got ${b.version}"))
     val target = manifestPath(root, v)
     val token = UUID.randomUUID().toString
+    val effKeys = if (keys.nonEmpty) keys else base.map(_.keys).getOrElse(Nil)
+    // monotonic per table even under wall-clock skew (the Delta
+    // in-commit-timestamp rule): TIMESTAMP AS OF binary-searches this
+    val commitTs = math.max(System.currentTimeMillis(),
+      base.map(_.commitTsMillis + 1).getOrElse(Long.MinValue))
+    val keysLine =
+      if (effKeys.isEmpty) Seq.empty
+      else Seq("keys:" + effKeys.map(enc).mkString(","))
     val statsLine =
       if (statsCols.isEmpty) Seq.empty
       else Seq("stats:" + statsCols.map { case (n, t) => s"${enc(n)}:$t" }.mkString(","))
@@ -671,12 +745,13 @@ object SnapshotStore {
       val files = e.fileStats.toSeq.sortBy(_._1).map { case (name, st) =>
         s"fstats:$b\t${enc(name)}\t${encStats(st)}"
       }
+      val rows = e.rows.map(n => s"rows:$b\t$n").toSeq
       val tombs = e.tombstones.map(d => s"tomb:$b\t$d")
-      (main +: files) ++ tombs
+      (main +: files) ++ rows ++ tombs
     }
-    val format = if (base.isDefined) ManifestFormat else 2
-    val bodyLines = Seq(s"buckets:$numBuckets", s"format:$format") ++
-      deltaLine ++ statsLine ++ txnLines ++ bucketLines ++ delLines
+    val bodyLines = Seq(s"buckets:$numBuckets", s"format:$ManifestFormat",
+      s"ts:$commitTs") ++
+      deltaLine ++ keysLine ++ statsLine ++ txnLines ++ bucketLines ++ delLines
     val body = bodyLines.mkString("", "\n", "\n") + s"end:$token:${bodyLines.size}\n"
 
     def tryCreate(): Option[org.apache.hadoop.fs.FSDataOutputStream] =
@@ -694,12 +769,12 @@ object SnapshotStore {
       // A genuinely crashed writer's leftover ages past the grace
       // period and is reclaimed then; until that, this committer
       // simply loses and retries through the normal OCC path.
-      if (readTerminator(fs, target).isDefined) return false
+      if (readTerminator(fs, target).isDefined) return None
       val age = System.currentTimeMillis() - fs.getFileStatus(target).getModificationTime
-      if (age < ReclaimGraceMs) return false
+      if (age < ReclaimGraceMs) return None
       fs.delete(target, false)
       out = tryCreate()
-      if (out.isEmpty) return false
+      if (out.isEmpty) return None
     }
     try out.get.write(body.getBytes(StandardCharsets.UTF_8)) finally out.get.close()
     // Post-write ownership check (see scaladoc): success only if OUR
@@ -720,7 +795,10 @@ object SnapshotStore {
       verdict = readTerminatorEither(fs, target)
     }
     verdict match {
-      case Right(t) => t.contains(token)
+      case Right(t) =>
+        if (t.contains(token))
+          Some(Manifest(v, numBuckets, statsCols, txns, buckets, effKeys, commitTs))
+        else None
       case Left(e) => throw new IllegalStateException(
         s"commit of version $v at $root is INDETERMINATE: the manifest " +
           "was written but its readback keeps failing — do NOT treat as " +
@@ -1002,13 +1080,15 @@ object SnapshotStore {
     val written = writeVersionData(df, root, 0L, token, keys, numBuckets, tagged, fs,
       failRules)
     val txns = txn.map { case (id, b) => id -> b }.toMap
-    if (!writeManifestAtomic(fs, root, 0L, numBuckets, tagged, txns, written)) {
-      // lost a concurrent create: clean up our own attempt dir (the
-      // winner's data lives under its own token) before failing
-      fs.delete(new Path(root, attemptDir(0L, token)), true)
-      throw new IllegalStateException(s"concurrent init at $root")
+    writeManifestAtomic(fs, root, 0L, numBuckets, tagged, txns, written,
+        keys = keys) match {
+      case Some(cm) => maybeCheckpoint(spark, root, cm)
+      case None =>
+        // lost a concurrent create: clean up our own attempt dir (the
+        // winner's data lives under its own token) before failing
+        fs.delete(new Path(root, attemptDir(0L, token)), true)
+        throw new IllegalStateException(s"concurrent init at $root")
     }
-    maybeCheckpoint(spark, root, Manifest(0L, numBuckets, tagged, txns, written))
     0L
   }
 
@@ -1154,7 +1234,8 @@ object SnapshotStore {
         nextOf = (winners, w) => (winners.buckets -- touched) ++ w,
         rehome = (w, curV, newV) => w.map { case (b, e) =>
           b -> e.copy(dir = rebased(e.dir, curV, newV, token))
-        }) match {
+        },
+        keys = keys) match {
         case Some(committed) => return committed
         case None => () // re-merge on the new base
       }
@@ -1189,12 +1270,11 @@ object SnapshotStore {
       val written = writeVersionData(df, root, v, token, keys, m.numBuckets,
         m.statsCols, fs, failRules)
       val txns = m.txns ++ txn.map { case (id, b) => id -> b }
-      if (writeManifestAtomic(fs, root, v, m.numBuckets, m.statsCols, txns,
-          written, base = Some(m))) {
-        maybeCheckpoint(spark, root, Manifest(v, m.numBuckets, m.statsCols, txns, written))
-        return v
+      writeManifestAtomic(fs, root, v, m.numBuckets, m.statsCols, txns,
+          written, base = Some(m), keys = keys) match {
+        case Some(cm) => maybeCheckpoint(spark, root, cm); return v
+        case None => fs.delete(new Path(root, attemptDir(v, token)), true)
       }
-      fs.delete(new Path(root, attemptDir(v, token)), true)
     }
     throw new IllegalStateException(
       s"replaceAll lost $maxAttempts consecutive commit races at $root")
@@ -1256,13 +1336,16 @@ object SnapshotStore {
       }
       // lost races rebase like commitDelta: tombstone appends to
       // buckets the winners didn't touch re-point without rewriting
-      // the sidecar. (A delete aimed at a bucket that did not exist at
-      // our base stays dropped even if a winner re-created it — that
-      // is the delete-before-insert serialization of two genuinely
-      // concurrent operations, the same one a first-arriving delete
-      // would have produced.)
+      // the sidecar. Disjointness is checked against EVERY bucket the
+      // delete keys hash to (`written`), not just the base-populated
+      // ones: a winner that concurrently INSERTED into a bucket empty
+      // at our base overlaps — the rebase refuses and the recompute
+      // re-runs against the new base, where the bucket now exists and
+      // the tombstone applies (this commit carries the LATER version
+      // number, so delete-after-insert is the order observers see;
+      // silently dropping it would violate that).
       commitOrRebase[Seq[(Int, String)]](spark, fs, root, m,
-        effective.map(_._1).toSet, v, token, txn,
+        written.map(_._1).toSet, v, token, txn,
         mayRetry = () => attempt < maxAttempts,
         spendRetry = () => attempt += 1,
         state0 = effective,
@@ -1272,7 +1355,8 @@ object SnapshotStore {
         },
         rehome = (eff, curV, newV) => eff.map { case (b, d) =>
           (b, rebased(d, curV, newV, token))
-        }) match {
+        },
+        keys = keys) match {
         case Some(committed) => return committed
         case None => () // recompute the sidecar against the new base
       }
@@ -1326,11 +1410,19 @@ object SnapshotStore {
     *   — the knob that makes clustering pay at FILE granularity, not
     *   just row groups. 0 keeps the single-file-per-bucket behavior
     *   with zero-cost stats carry-over.
+    * @param tombstoneFoldBytes fold a bucket's delete sidecars only
+    *   once their total bytes reach this threshold (0 = any unfolded
+    *   sidecar triggers the fold, the always-fold default): at 100 TB,
+    *   rewriting a multi-GB bucket to fold a 1 KB sidecar is the wrong
+    *   trade until enough deletes amortize it — this is the knob
+    *   [[graft.pipeline.Warehouse.maintain]] exposes for auto-folding
+    *   on a cadence without pathological rewrites.
     */
   def compact(spark: SparkSession, root: String, minFiles: Int = 2,
               maxAttempts: Int = 5, clusterBy: Seq[String] = Nil,
               zOrderBy: Seq[String] = Nil, zOrderBits: Int = 8,
-              maxRecordsPerFile: Long = 0L): Long = {
+              maxRecordsPerFile: Long = 0L,
+              tombstoneFoldBytes: Long = 0L): Long = {
     require(minFiles >= 2, "minFiles < 2 would rewrite already-compact buckets")
     require(clusterBy.isEmpty || zOrderBy.isEmpty,
       "clusterBy and zOrderBy are mutually exclusive cluster layouts")
@@ -1342,10 +1434,15 @@ object SnapshotStore {
         .getOrElse(throw new IllegalStateException(s"no table at $root — call init first"))
       val m = readManifest(spark, root, base)
       // a bucket is rewritten when fragmented OR carrying unfolded
-      // delete sidecars — compaction is where merge-on-read deletes
-      // get folded back into the data files
+      // delete sidecars past the fold threshold — compaction is where
+      // merge-on-read deletes get folded back into the data files
+      def sidecarBytes(e: BucketEntry): Long = e.tombstones.map { d =>
+        val p = dataPath(root, d)
+        val pfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        pfs.listStatus(p).filter(_.isFile).map(_.getLen).sum
+      }.sum
       val frag = m.buckets.filter { case (_, e) =>
-        e.tombstones.nonEmpty || {
+        (e.tombstones.nonEmpty && sidecarBytes(e) >= tombstoneFoldBytes) || {
           // resolve the FileSystem FROM the path: an un-materialized
           // clone's absolute dirs may live on a different FS/authority
           // than the clone root (fs.listStatus there throws "Wrong FS")
