@@ -85,6 +85,11 @@ object SnapshotStore {
     * reclaims folded sidecar files. A key's tombstone lives in the
     * bucket the key hashes to, so the read-side anti-join on the key
     * columns alone is exact.
+    * `rows` is the exact PHYSICAL row count of the bucket's data files
+    * (format 4; None for entries written before it). Outstanding
+    * `tombstones` make the LOGICAL count smaller, so consumers
+    * (COUNT(*) pushdown, reported statistics) must treat `rows` as
+    * exact only when `tombstones.isEmpty`, else an upper bound.
     */
   final case class BucketEntry(dir: String, stats: Seq[Option[(String, String)]],
                                fileStats: Map[String, Seq[Option[(String, String)]]] = Map.empty,
@@ -1153,13 +1158,26 @@ object SnapshotStore {
           (Map.empty[Int, Seq[Option[(String, String)]]],
            Map.empty[Int, Map[String, Seq[Option[(String, String)]]]])
         else collectStats(df.sparkSession.read.parquet(vdir.toString), statsCols)
+      val counts =
+        if (bucketNames.isEmpty) Map.empty[Int, Long]
+        else bucketRowCounts(df.sparkSession, vdir.toString)
       bucketNames.map { name =>
         val b = name.stripPrefix(s"$BucketCol=").toInt
         b -> BucketEntry(s"$rel/$name", stats.getOrElse(b, statsCols.map(_ => None)),
-          fstats.getOrElse(b, Map.empty))
+          fstats.getOrElse(b, Map.empty), rows = counts.get(b))
       }.toMap
     }
   }
+
+  /** Exact per-bucket row counts of a freshly written attempt dir —
+    * an empty-projection count over partitioned parquet, which the
+    * vectorized reader answers from footer row counts alone (no data
+    * pages) — O(files) metadata, not O(rows). Feeds the manifest's
+    * format-4 `rows:` lines (COUNT(*) pushdown / reported statistics).
+    */
+  private def bucketRowCounts(spark: SparkSession, vdir: String): Map[Int, Long] =
+    spark.read.parquet(vdir).groupBy(col(BucketCol)).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
   /** Merge a delta in and commit a new version. `merge(current, delta)`
     * receives the CURRENT rows of only the buckets the delta touches
@@ -1442,7 +1460,10 @@ object SnapshotStore {
         pfs.listStatus(p).filter(_.isFile).map(_.getLen).sum
       }.sum
       val frag = m.buckets.filter { case (_, e) =>
-        (e.tombstones.nonEmpty && sidecarBytes(e) >= tombstoneFoldBytes) || {
+        // threshold 0 (always fold) needs no FS calls — short-circuit
+        // the per-sidecar listStatus census to the non-default path
+        (e.tombstones.nonEmpty &&
+          (tombstoneFoldBytes == 0L || sidecarBytes(e) >= tombstoneFoldBytes)) || {
           // resolve the FileSystem FROM the path: an un-materialized
           // clone's absolute dirs may live on a different FS/authority
           // than the clone root (fs.listStatus there throws "Wrong FS")
@@ -1487,6 +1508,13 @@ object SnapshotStore {
         if (maxRecordsPerFile > 0 && m.statsCols.nonEmpty)
           collectStats(spark.read.parquet(new Path(root, rel).toString), m.statsCols)._2
         else Map.empty
+      // fresh physical counts for the rewritten buckets (folding
+      // tombstones changes them) — one footers-only scan of the
+      // attempt dir, same metadata order as the fstats census below
+      val freshCounts: Map[Int, Long] =
+        if (fs.exists(new Path(root, rel)))
+          bucketRowCounts(spark, new Path(root, rel).toString)
+        else Map.empty
       val rewritten = frag.flatMap { b =>
         val dir = s"$rel/$BucketCol=$b"
         // folded deletes can empty a bucket entirely — no dir written,
@@ -1505,17 +1533,20 @@ object SnapshotStore {
             else fs.listStatus(new Path(root, dir)).toSeq
               .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
               .map(_.getPath.getName -> m.buckets(b).stats).toMap
-          Some(b -> BucketEntry(dir, m.buckets(b).stats, fst))
+          Some(b -> BucketEntry(dir, m.buckets(b).stats, fst,
+            rows = freshCounts.get(b)))
         }
       }
       val next = (m.buckets -- frag) ++ rewritten
-      if (writeManifestAtomic(fs, root, v, m.numBuckets, m.statsCols, m.txns, next,
-          base = Some(m))) {
-        maybeCheckpoint(spark, root, Manifest(v, m.numBuckets, m.statsCols, m.txns, next))
-        return v
+      writeManifestAtomic(fs, root, v, m.numBuckets, m.statsCols, m.txns, next,
+          base = Some(m)) match {
+        case Some(cm) =>
+          maybeCheckpoint(spark, root, cm)
+          return v
+        case None =>
+          // lost to a concurrent committer: drop our attempt, re-census
+          fs.delete(new Path(root, rel), true)
       }
-      // lost to a concurrent committer: drop our attempt, re-census
-      fs.delete(new Path(root, rel), true)
     }
     throw new IllegalStateException(
       s"compact lost $maxAttempts consecutive commit races at $root")
@@ -1578,15 +1609,17 @@ object SnapshotStore {
       val current = readBuckets(spark, root, m, m.buckets.keySet)
       val written = writeVersionData(current, root, v, token, keys,
         nb, m.statsCols, fs)
-      if (writeManifestAtomic(fs, root, v, nb, m.statsCols,
-          m.txns, written, base = Some(m))) {
-        maybeCheckpoint(spark, root, Manifest(v, nb, m.statsCols, m.txns, written))
-        // every bucket now lives under OUR root: the clone (if this
-        // was one) no longer needs its source retained
-        releaseClone(spark, root)
-        return v
+      writeManifestAtomic(fs, root, v, nb, m.statsCols,
+          m.txns, written, base = Some(m)) match {
+        case Some(cm) =>
+          maybeCheckpoint(spark, root, cm)
+          // every bucket now lives under OUR root: the clone (if this
+          // was one) no longer needs its source retained
+          releaseClone(spark, root)
+          return v
+        case None =>
+          fs.delete(new Path(root, attemptDir(v, token)), true)
       }
-      fs.delete(new Path(root, attemptDir(v, token)), true)
     }
     val op = if (newCount.isDefined) "rebucket" else "materialize"
     throw new IllegalStateException(
@@ -1627,11 +1660,12 @@ object SnapshotStore {
       if (base == toVersion) return base
       val target = readManifest(spark, root, toVersion)
       val cur = readManifest(spark, root, base)
-      if (writeManifestAtomic(fs, root, base + 1, target.numBuckets,
-          target.statsCols, cur.txns, target.buckets, base = Some(cur))) {
-        maybeCheckpoint(spark, root, Manifest(base + 1, target.numBuckets,
-          target.statsCols, cur.txns, target.buckets))
-        return base + 1
+      writeManifestAtomic(fs, root, base + 1, target.numBuckets,
+          target.statsCols, cur.txns, target.buckets, base = Some(cur)) match {
+        case Some(cm) =>
+          maybeCheckpoint(spark, root, cm)
+          return base + 1
+        case None => // lost the race — re-census and retry
       }
     }
     throw new IllegalStateException(
@@ -1689,14 +1723,14 @@ object SnapshotStore {
     // the same window — an unprotected clone silently loses data,
     // a leaked consumer only over-retains until released
     ChangeFeed.seedConsumer(spark, srcRoot, cloneConsumerId(spark, dstRoot), base)
-    if (!writeManifestAtomic(dstFs, dstRoot, 0L, m.numBuckets, m.statsCols,
-        m.txns, entries)) {
-      ChangeFeed.dropConsumer(spark, srcRoot, cloneConsumerId(spark, dstRoot))
-      throw new IllegalStateException(
-        s"clone target $dstRoot was concurrently initialized")
+    writeManifestAtomic(dstFs, dstRoot, 0L, m.numBuckets, m.statsCols,
+        m.txns, entries, keys = m.keys) match {
+      case Some(cm) => maybeCheckpoint(spark, dstRoot, cm)
+      case None =>
+        ChangeFeed.dropConsumer(spark, srcRoot, cloneConsumerId(spark, dstRoot))
+        throw new IllegalStateException(
+          s"clone target $dstRoot was concurrently initialized")
     }
-    maybeCheckpoint(spark, dstRoot, Manifest(0L, m.numBuckets, m.statsCols,
-      m.txns, entries))
     // breadcrumb for materialize/releaseClone: WHERE the retention
     // consumer was registered (best effort — the consumer itself is
     // the durable artifact; a missing marker just means manual release)
