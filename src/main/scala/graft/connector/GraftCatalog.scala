@@ -79,19 +79,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadAt(ident, Some(version.toLong))
 
   /** SQL `TIMESTAMP AS OF <ts>` (micros since epoch): the newest
-    * version whose manifest was committed at or before the instant —
-    * commit mtime IS the commit instant, the same resolution rule as
-    * Delta's.
+    * version whose manifest was committed at or before the instant,
+    * resolved from the manifests' own in-commit `ts:` timestamps
+    * (monotonic per table; skew-proof vs file mtimes, which are only
+    * the pre-format-4 fallback) — the same resolution rule as Delta's.
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val tsMillis = timestamp / 1000L
-    val vs = SnapshotStore.versions(spark, dir.toString)
-    val at = vs.filter { v =>
-      fs.getFileStatus(new Path(new Path(dir, "_commits"), f"$v%020d"))
-        .getModificationTime <= tsMillis
-    }.lastOption.getOrElse(throw new NoSuchTableException(ident))
+    val at = SnapshotStore.versionAt(spark, dir.toString, timestamp / 1000L)
+      .getOrElse(throw new NoSuchTableException(ident))
     loadAt(ident, Some(at))
   }
 

@@ -33,34 +33,71 @@ private[connector] object GraftWrite {
   def opts(parameters: Map[String, String]): WriteOpts = {
     val root = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft writes need a table root: .save(<root>) or .option(\"path\", <root>)"))
-    val keys = parameters.getOrElse("keys", throw new IllegalArgumentException(
-      "graft writes need the merge-identity columns: .option(\"keys\", \"k1,k2\")"))
-      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val keys = parameters.get("keys").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
     WriteOpts(root, keys,
       parameters.get("numBuckets").map(_.toInt).getOrElse(16),
       parameters.get("statsCols").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil))
   }
 
+  /** The write's effective merge-identity columns: the `keys` option
+    * validated against (and defaulted from) the keys the table's
+    * manifest persists (format 4). An existing table's keys are part
+    * of its physical layout — rows bucket by their hash — so a write
+    * under DIFFERENT keys would scatter updates across wrong buckets
+    * and silently duplicate identities; it fails fast here instead.
+    * Writers with no `keys` option at all (SQL INSERT INTO has no
+    * options channel) inherit the persisted keys, which is what makes
+    * catalog DML possible.
+    */
+  def resolveKeys(spark: SparkSession, root: String, optKeys: Seq[String],
+                  exists: Boolean): Seq[String] = {
+    val persisted =
+      if (!exists) Nil
+      else SnapshotStore.latestVersion(spark, root)
+        .map(v => SnapshotStore.readManifest(spark, root, v).keys).getOrElse(Nil)
+    if (persisted.nonEmpty) {
+      if (optKeys.nonEmpty && optKeys != persisted)
+        throw new IllegalArgumentException(
+          s"graft table at $root was created with keys " +
+            s"(${persisted.mkString(", ")}) but this write declares " +
+            s"(${optKeys.mkString(", ")}) — the merge identity is fixed at " +
+            "creation (it determines the bucket layout); drop the keys " +
+            "option or recreate the table")
+      persisted
+    } else {
+      if (optKeys.isEmpty) throw new IllegalArgumentException(
+        if (exists)
+          s"graft table at $root predates persisted keys (manifest format " +
+            "< 4): this write must declare .option(\"keys\", \"k1,k2\")"
+        else
+          "graft table creation needs the merge-identity columns: " +
+            ".option(\"keys\", \"k1,k2\")")
+      optKeys
+    }
+  }
+
   def save(spark: SparkSession, mode: SaveMode, parameters: Map[String, String],
            data: DataFrame): Unit = {
     val w = opts(parameters)
     val exists = SnapshotStore.latestVersion(spark, w.root).isDefined
+    val keys = resolveKeys(spark, w.root, w.keys, exists)
     mode match {
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"graft table already exists at ${w.root} (mode=ErrorIfExists)")
-        SnapshotStore.init(spark, w.root, data, w.keys, w.numBuckets, w.statsCols): Unit
+        SnapshotStore.init(spark, w.root, data, keys, w.numBuckets, w.statsCols): Unit
       case SaveMode.Ignore =>
         if (!exists)
-          SnapshotStore.init(spark, w.root, data, w.keys, w.numBuckets, w.statsCols): Unit
+          SnapshotStore.init(spark, w.root, data, keys, w.numBuckets, w.statsCols): Unit
       case SaveMode.Overwrite =>
-        if (exists) SnapshotStore.replaceAll(spark, w.root, data, w.keys): Unit
-        else SnapshotStore.init(spark, w.root, data, w.keys, w.numBuckets, w.statsCols): Unit
+        if (exists) SnapshotStore.replaceAll(spark, w.root, data, keys): Unit
+        else SnapshotStore.init(spark, w.root, data, keys, w.numBuckets, w.statsCols): Unit
       case SaveMode.Append =>
-        if (exists) SnapshotStore.commitDelta(spark, w.root, data, w.keys,
-          SnapshotStore.upsertMerge(w.keys)): Unit
-        else SnapshotStore.init(spark, w.root, data, w.keys, w.numBuckets, w.statsCols): Unit
+        if (exists) SnapshotStore.commitDelta(spark, w.root, data, keys,
+          SnapshotStore.upsertMerge(keys)): Unit
+        else SnapshotStore.init(spark, w.root, data, keys, w.numBuckets, w.statsCols): Unit
     }
   }
 
@@ -105,12 +142,14 @@ class GraftSink(spark: SparkSession, parameters: Map[String, String])
       spark, data.queryExecution.toRdd, data.schema).localCheckpoint(true)
     try {
       val txn = Some(txnId -> batchId)
-      if (SnapshotStore.latestVersion(spark, w.root).isEmpty)
-        SnapshotStore.init(spark, w.root, fresh, w.keys, w.numBuckets,
+      val exists = SnapshotStore.latestVersion(spark, w.root).isDefined
+      val keys = GraftWrite.resolveKeys(spark, w.root, w.keys, exists)
+      if (!exists)
+        SnapshotStore.init(spark, w.root, fresh, keys, w.numBuckets,
           w.statsCols, txn): Unit
       else
-        SnapshotStore.commitDelta(spark, w.root, fresh, w.keys,
-          SnapshotStore.upsertMerge(w.keys), txn = txn): Unit
+        SnapshotStore.commitDelta(spark, w.root, fresh, keys,
+          SnapshotStore.upsertMerge(keys), txn = txn): Unit
     } finally fresh.unpersist()
   }
 

@@ -281,11 +281,13 @@ object Warehouse {
                clusterBy: Seq[String] = Nil,
                keepVersions: Int = 2,
                zOrderBy: Seq[String] = Nil,
-               maxRecordsPerFile: Long = 0L): Map[String, (Long, Int)] =
+               maxRecordsPerFile: Long = 0L,
+               tombstoneFoldBytes: Long = 0L): Map[String, (Long, Int)] =
     roots.map { r =>
       val v = graft.store.SnapshotStore.compact(spark, r, minFiles,
         clusterBy = clusterBy, zOrderBy = zOrderBy,
-        maxRecordsPerFile = maxRecordsPerFile)
+        maxRecordsPerFile = maxRecordsPerFile,
+        tombstoneFoldBytes = tombstoneFoldBytes)
       val deleted = graft.store.SnapshotStore.vacuum(spark, r, keepLast = keepVersions)
       r -> (v, deleted)
     }.toMap

@@ -308,6 +308,50 @@ object SnapshotStore {
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
     versions(spark, root).lastOption
 
+  /** The commit instant of version `v`: the manifest's own in-commit
+    * `ts:` line (format 4 — monotonic per table by construction, even
+    * under wall-clock skew between committers), falling back to the
+    * commit file's mtime for manifests written before format 4.
+    * Header-only read — O(1) lines, no state reconstruction.
+    */
+  def commitTimeMillis(spark: SparkSession, root: String, v: Long): Long = {
+    val fs = fileSystem(spark, root)
+    val p = manifestPath(root, v)
+    val in = new BufferedReader(new InputStreamReader(
+      fs.open(p), StandardCharsets.UTF_8))
+    try {
+      // ts: sits in the first three header lines; scan a few extra in
+      // case the header ever grows, then give up to the mtime fallback
+      var i = 0
+      var line = in.readLine()
+      while (line != null && i < 8) {
+        if (line.startsWith("ts:")) return line.stripPrefix("ts:").trim.toLong
+        i += 1; line = in.readLine()
+      }
+    } finally in.close()
+    fs.getFileStatus(p).getModificationTime
+  }
+
+  /** Newest version committed at or before `tsMillis` — the
+    * `TIMESTAMP AS OF` resolution rule (Delta's). Binary search over
+    * the monotone in-commit timestamps: O(log versions) header reads,
+    * correct even when commit-file mtimes are skewed (copies,
+    * migrations, touch) because mtime is only the pre-format-4
+    * fallback.
+    */
+  def versionAt(spark: SparkSession, root: String, tsMillis: Long): Option[Long] = {
+    val vs = versions(spark, root)
+    var lo = 0
+    var hi = vs.length - 1
+    var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (commitTimeMillis(spark, root, vs(mid)) <= tsMillis) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    if (ans < 0) None else Some(vs(ans))
+  }
+
   private[store] def enc(s: String): String =
     java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
   private[store] def dec(s: String): String =

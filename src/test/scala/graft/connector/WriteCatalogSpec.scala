@@ -49,10 +49,22 @@ class WriteCatalogSpec extends SparkSpec {
     }
     v0.write.format("graft").option("keys", "k").mode("ignore").save(root) // no-op
     assert(rows(SnapshotStore.read(spark, root)) == Set((7L, "only", 1L)))
-    // missing keys option fails with guidance, not a downstream NPE
-    val e = intercept[Exception](
-      v0.write.format("graft").mode("append").save(root))
-    assert(e.getMessage.contains("keys"))
+
+    // keys are persisted in the manifest (format 4): a keys-LESS append
+    // inherits them (the SQL INSERT INTO path has no options channel)
+    Seq((8L, "inherited", 2L)).toDF("k", "v", "ts")
+      .write.format("graft").mode("append").save(root)
+    assert(rows(SnapshotStore.read(spark, root))((8L, "inherited", 2L)))
+    // ... while an append declaring DIFFERENT keys fails fast: the
+    // merge identity fixes the bucket layout at creation
+    val e = intercept[IllegalArgumentException](
+      Seq((9L, "bad", 3L)).toDF("k", "v", "ts")
+        .write.format("graft").option("keys", "v").mode("append").save(root))
+    assert(e.getMessage.contains("created with keys"))
+    // creation without keys still fails with guidance, not a downstream NPE
+    val e2 = intercept[Exception](
+      v0.write.format("graft").mode("append").save(tmpDir("nokeys")))
+    assert(e2.getMessage.contains("keys"))
   }
 
   test("writeStream.format(graft): exactly-once streaming upserts") {
