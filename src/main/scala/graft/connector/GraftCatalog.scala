@@ -51,8 +51,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
+  /** Identifier parts become path segments, so a part that IS path
+    * syntax would escape the warehouse root (`` `..` `` climbing out,
+    * a backticked `a/b` injecting a level, an absolute `/etc` part
+    * replacing the root entirely — `new Path(parent, "/x")` resolves
+    * to `/x`). Reject instead of resolve.
+    */
+  private def validPart(part: String): String = {
+    require(part.nonEmpty, "empty identifier part")
+    require(!part.contains("/") && !part.contains("\\") &&
+      part != "." && part != "..",
+      s"invalid graft identifier part '$part': identifier parts map to " +
+        "single path segments under the warehouse root and cannot " +
+        "contain path separators or be a relative-path token")
+    part
+  }
   private def dirOf(parts: Seq[String]): Path =
-    parts.foldLeft(new Path(root))(new Path(_, _))
+    parts.foldLeft(new Path(root))((p, part) => new Path(p, validPart(part)))
   private def tableDir(ident: Identifier): Path =
     dirOf(ident.namespace().toSeq :+ ident.name())
   private def isTable(p: Path): Boolean =
@@ -115,10 +130,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
     if (!isTable(dir)) return false
+    // un-materialized clones OF this table read its directories by
+    // absolute path — deleting it would silently lose THEIR data, so
+    // the drop refuses while any clone-retention consumer is
+    // registered (same guard as renameTable)
+    requireNoClones(dir, s"drop $ident")
     // an un-materialized clone holds retention on its source — release
     // before the breadcrumb disappears with the directory
     SnapshotStore.releaseClone(spark, dir.toString)
     fs.delete(dir, true)
+  }
+
+  private def requireNoClones(dir: Path, op: String,
+                              dyingWith: Option[Path] = None): Unit = {
+    val clones = graft.store.ChangeFeed.cloneConsumerIds(spark, dir.toString)
+      .filterNot { id =>
+        // a clone that is itself inside the subtree being dropped dies
+        // with its source — no dangling reference survives
+        dyingWith.exists { sub =>
+          val cloneRoot = new Path(id.stripPrefix("clone:"))
+          val qSub = fs.makeQualified(sub).toString + "/"
+          (fs.makeQualified(cloneRoot).toString + "/").startsWith(qSub)
+        }
+      }
+    require(clones.isEmpty,
+      s"cannot $op: un-materialized clones still reference its " +
+        s"directories (${clones.mkString(", ")}) — materialize or drop " +
+        "them first")
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
@@ -129,11 +167,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // un-materialized clones OF this table reference its directories by
     // ABSOLUTE path — moving it would dangle every one of them, so the
     // rename refuses while any clone-retention consumer is registered
-    val clones = graft.store.ChangeFeed.cloneConsumerIds(spark, from.toString)
-    require(clones.isEmpty,
-      s"cannot rename ${oldIdent}: un-materialized clones still reference " +
-        s"its directories (${clones.mkString(", ")}) — materialize or drop " +
-        "them first")
+    requireNoClones(from, s"rename $oldIdent")
     // manifests reference their own data RELATIVE to the table root
     // (absolute only for entries pointing INTO a clone source, which a
     // move does not disturb), so a directory move is a complete rename
@@ -185,9 +219,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!cascade && fs.listStatus(dir).nonEmpty)
       throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
     // cascading over an un-materialized clone must release its hold on
-    // the source (as dropTable does) before the breadcrumb disappears
+    // the source (as dropTable does) before the breadcrumb disappears;
+    // and a cascaded table with un-materialized clones OUTSIDE the
+    // dropped subtree refuses exactly like dropTable (clones inside it
+    // die with their source — those don't block)
     def releaseClonesUnder(p: Path): Unit =
-      if (isTable(p)) SnapshotStore.releaseClone(spark, p.toString)
+      if (isTable(p)) {
+        requireNoClones(p, s"drop namespace ${namespace.mkString(".")} " +
+          s"(cascades over table $p)", dyingWith = Some(dir))
+        SnapshotStore.releaseClone(spark, p.toString)
+      }
       else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
         .foreach(releaseClonesUnder)
     if (cascade) releaseClonesUnder(dir)

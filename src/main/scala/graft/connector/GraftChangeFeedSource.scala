@@ -86,8 +86,11 @@ class GraftChangeFeedSource(spark: SparkSession, root: String,
   }
 
   /** Durably record an offer before handing it to the engine; false =
-    * could not persist (the caller then offers UNCAPPED — over-
-    * delivering one batch is safe, regressing the offer is not).
+    * could not persist (the caller then offers NOTHING NEW this
+    * trigger and retries next time — an offer the log does not hold
+    * could exceed what a restarted incarnation ever re-offers, and an
+    * available offset that regresses below a prior offer rewinds the
+    * engine's commit log).
     */
   private def persistOffer(v: Long): Boolean = offerLog.forall { case (fs, dir) =>
     try {
@@ -125,7 +128,12 @@ class GraftChangeFeedSource(spark: SparkSession, root: String,
         .fold(floored)(n => math.min(floored, highWater + n))
       if (offered > highWater) {
         if (persistOffer(offered)) { highWater = offered; LongOffset(offered) }
-        else LongOffset(floored) // can't record the cap base: don't cap
+        // can't record the offer: hand back the last RECORDED one (no
+        // new data this trigger; the next getOffset retries). Offering
+        // the uncapped latest here would let a capped restart compute
+        // a lower available than this incarnation already offered —
+        // a commit-log rewind.
+        else LongOffset(highWater)
       } else LongOffset(offered)
     }
 
