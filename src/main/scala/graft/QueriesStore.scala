@@ -105,11 +105,64 @@ object QueriesStore {
       |SELECT o_orderkey, 'X', 'update_postimage', CAST(1 AS BIGINT)
       |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin
 
+  // =====================================================================
+  // w03 — SQL-only DML round trip through the DSv2 catalog: CTAS from
+  // orders, INSERT INTO (keyed upsert), aggregate over the cataloged
+  // table — not one library call on the write path. The oracle is the
+  // same relational recompute as w01 (CASE over raw orders), so a hash
+  // match proves CREATE TABLE AS / INSERT INTO / catalog scan end to
+  // end. Reference: every load procedure is exactly this
+  // SQL-write-then-SQL-read shape (`with procedures/order_proc.sql`).
+  // =====================================================================
+  private lazy val w03Warehouse: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_w03cat")
+    createdRoots.add(dir)
+    dir.toString
+  }
+
+  val w03: Q = (s, d) => {
+    // the catalog instance is cached per session at first use, so the
+    // warehouse root is fixed per JVM; each invocation gets its own
+    // table name under it (Bench re-runs keys)
+    s.conf.set("spark.sql.catalog.graft_w03",
+      classOf[graft.connector.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_w03.root", w03Warehouse)
+    val t = "t" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    Tables.orders(s, d).createOrReplaceTempView("w03_orders_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_w03.sales")
+    s.sql(
+      s"""CREATE TABLE graft_w03.sales.$t USING graft
+         |TBLPROPERTIES ('keys'='o_orderkey', 'numBuckets'='8')
+         |AS SELECT o_orderkey, o_custkey, o_orderstatus AS status,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+         |FROM w03_orders_src""".stripMargin)
+    s.sql(
+      s"""INSERT INTO graft_w03.sales.$t
+         |SELECT o_orderkey, o_custkey, 'X',
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+         |FROM w03_orders_src WHERE o_orderkey % 10 = 0""".stripMargin)
+    s.sql(
+      s"""SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM graft_w03.sales.$t WHERE o_custkey <= 500
+         |GROUP BY status""".stripMargin)
+  }
+
+  val w03Sql: String =
+    """WITH fin AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END AS status,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM fin WHERE o_custkey <= 500 GROUP BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
     "w01_table_roundtrip" -> w01,
-    "w02_change_feed" -> w02)
+    "w02_change_feed" -> w02,
+    "w03_sql_dml" -> w03)
 
   val oracles: Map[String, String] = Map(
     "w01_table_roundtrip" -> w01Sql,
-    "w02_change_feed" -> w02Sql)
+    "w02_change_feed" -> w02Sql,
+    "w03_sql_dml" -> w03Sql)
 }

@@ -114,13 +114,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       GraftTable.resolveSchema(spark, dir.toString, version))
   }
 
+  /** SQL `CREATE TABLE` / CTAS. The merge-identity keys come from a
+    * `keys` table property (TBLPROPERTIES or OPTIONS) and are
+    * persisted in the v0 manifest, which is what lets every later
+    * options-less SQL write (INSERT INTO) resolve them. The table is
+    * created EMPTY as an ordinary version-0 commit — concurrent
+    * creates serialize through the same manifest arbiter as any
+    * commit — plus a `_schema` breadcrumb so reads and INSERT column
+    * resolution work before the first row lands (data footers take
+    * over after).
+    */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: JMap[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft tables are created by their first write (bucket layout is " +
-        "fixed from real keys): SnapshotStore.init or " +
-        s"df.write.format(\"graft\").option(\"keys\", ...).save(\"${tableDir(ident)}\")")
+                           properties: JMap[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables are hash-bucketed by their merge keys (the 'keys' " +
+        "property); PARTITIONED BY is not supported")
+    require(schema.nonEmpty, "graft CREATE TABLE needs a column list (or AS SELECT)")
+    val dir = tableDir(ident)
+    val props = new CaseInsensitiveStringMap(properties)
+    def prop(k: String): Option[String] =
+      Option(props.get(k)).orElse(Option(props.get(TableCatalog.OPTION_PREFIX + k)))
+    val keys = prop("keys").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft CREATE TABLE needs the merge-identity columns: " +
+          s"TBLPROPERTIES ('keys'='k1,k2') — they fix the bucket layout " +
+          s"and every INSERT INTO upserts on them"))
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"key column '$k' is not in the table schema " +
+        s"(${schema.fieldNames.mkString(", ")})"))
+    val numBuckets = prop("numBuckets").map(_.toInt).getOrElse(16)
+    val statsCols = prop("statsCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    try SnapshotStore.init(spark, dir.toString, empty, keys, numBuckets, statsCols)
+    catch {
+      case e: IllegalArgumentException if e.getMessage != null &&
+          e.getMessage.contains("already exists") =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(ident.toString)
+    }
+    GraftTable.writeSchemaFile(spark, dir.toString, schema)
+    loadTable(ident)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(

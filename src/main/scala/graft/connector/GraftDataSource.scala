@@ -4,14 +4,15 @@ import java.util.{Map => JMap}
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{And, BaseRelation, CreatableRelationProvider, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, RelationProvider, StreamSinkProvider, StreamSourceProvider, TableScan}
+import org.apache.spark.sql.sources.{And, BaseRelation, CreatableRelationProvider, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, InsertableRelation, IsNotNull, LessThan, LessThanOrEqual, RelationProvider, StreamSinkProvider, StreamSourceProvider, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.paths.SparkPath
@@ -203,33 +204,108 @@ object GraftTable {
   /** Table schema = merged footer schema of the snapshot's CURRENT
     * dirs (spans additive evolution exactly like the library read
     * path; the bucket column is layout metadata and never appears —
-    * data files don't contain it).
+    * data files don't contain it). A table with NO data yet (catalog
+    * CREATE TABLE before its first INSERT) resolves from the `_schema`
+    * breadcrumb the catalog wrote — once data exists, footers win.
     */
   private[connector] def resolveSchema(spark: SparkSession, root: String,
                                        versionAsOf: Option[Long]): StructType = {
     val m = manifestAt(spark, root, versionAsOf)
     val dirs = m.buckets.values.map(e =>
       SnapshotStore.dataPath(root, e.dir).toString).toSeq
-    if (dirs.isEmpty) new StructType()
+    if (dirs.isEmpty) readSchemaFile(spark, root).getOrElse(new StructType())
     else spark.read.option("mergeSchema", "true").parquet(dirs: _*).schema
+  }
+
+  private val SchemaFile = "_schema"
+
+  private[connector] def writeSchemaFile(spark: SparkSession, root: String,
+                                         schema: StructType): Unit = {
+    val p = new Path(root, SchemaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private[connector] def readSchemaFile(spark: SparkSession,
+                                        root: String): Option[StructType] = {
+    val p = new Path(root, SchemaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        buf.toString("UTF-8")
+      } finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(body).asInstanceOf[StructType])
+    }
   }
 }
 
-/** One graft table resolved for reading. The manifest is re-read per
-  * scan (not pinned at table creation), so repeated queries observe
-  * new commits — table semantics, while each individual scan is one
-  * consistent snapshot.
+/** One graft table resolved for reading and writing. The manifest is
+  * re-read per scan (not pinned at table creation), so repeated
+  * queries observe new commits — table semantics, while each
+  * individual scan is one consistent snapshot.
+  *
+  * Writes (INSERT INTO / INSERT OVERWRITE / df.writeTo) go through the
+  * V1 write fallback: the insert is a DRIVER-side DataFrame handed to
+  * [[SnapshotStore]]'s commit protocol — which already is a
+  * distributed write (bucket CoW + OCC manifest arbiter); a V2
+  * DataWriter per task would re-implement exactly that. INSERT INTO is
+  * the KEYED UPSERT every graft write is (merge identity = the
+  * manifest's persisted keys; the reference's procedures MERGE on
+  * every load, `with procedures/order_proc.sql:34-88`); INSERT
+  * OVERWRITE replaces the whole state as one new version.
   */
 class GraftTable(root: String, versionAsOf: Option[Long],
-                 tableSchema: StructType) extends Table with SupportsRead {
+                 tableSchema: StructType) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"graft.`$root`" +
     versionAsOf.fold("")(v => s"@v$v")
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(SparkSession.active, root,
       GraftTable.manifestAt(SparkSession.active, root, versionAsOf), tableSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(versionAsOf.isEmpty,
+      s"cannot write to time-travel snapshot $name — writes land on the " +
+        "table's latest version")
+    new GraftTableWriteBuilder(root)
+  }
+}
+
+/** V1-fallback write builder: append = keyed upsert, truncate+append
+  * (INSERT OVERWRITE) = full replace. Keys come from the manifest
+  * (SQL has no options channel — exactly what persisted keys are for).
+  */
+class GraftTableWriteBuilder(root: String) extends WriteBuilder
+    with SupportsTruncate {
+  private var replace = false
+  override def truncate(): WriteBuilder = { replace = true; this }
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: org.apache.spark.sql.DataFrame,
+                            overwrite: Boolean): Unit = {
+          val spark = data.sparkSession
+          val exists = SnapshotStore.latestVersion(spark, root).isDefined
+          require(exists, s"no committed graft table at $root")
+          val keys = GraftWrite.resolveKeys(spark, root, Nil, exists)
+          if (replace || overwrite)
+            SnapshotStore.replaceAll(spark, root, data, keys): Unit
+          else
+            SnapshotStore.commitDelta(spark, root, data, keys,
+              SnapshotStore.upsertMerge(keys)): Unit
+        }
+      }
+  }
 }
 
 class GraftScanBuilder(spark: SparkSession, root: String, m: Manifest,

@@ -125,14 +125,72 @@ class WriteCatalogSpec extends SparkSpec {
     assert(spark.sql("SHOW NAMESPACES IN gcat").collect().map(_.getString(0)).toSet
       == Set("sales"))
 
-    // creation is a writer's job — the catalog says so
+    // creation without the merge identity is refused with guidance
     val e = intercept[Exception](spark.sql(
       "CREATE TABLE gcat.sales.t2 (a INT) USING graft"))
-    assert(e.getMessage.contains("first write"))
+    assert(e.getMessage.contains("keys"))
 
     spark.sql("DROP TABLE gcat.sales.orders")
     assert(spark.sql("SHOW TABLES IN gcat.sales").isEmpty)
     intercept[Exception](spark.sql("SELECT * FROM gcat.sales.orders").collect())
+  }
+
+  test("SQL DML through the catalog: CREATE TABLE, INSERT INTO upserts, INSERT OVERWRITE, CTAS") {
+    val warehouse = tmpDir("dml")
+    spark.conf.set("spark.sql.catalog.gdml", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gdml.root", warehouse)
+    spark.sql("CREATE NAMESPACE gdml.sales")
+
+    // CREATE TABLE: empty, keys persisted, schema readable pre-data
+    spark.sql("""CREATE TABLE gdml.sales.orders (k BIGINT, v STRING, ts BIGINT)
+                 USING graft TBLPROPERTIES ('keys'='k', 'numBuckets'='4')""")
+    assert(spark.sql("SELECT * FROM gdml.sales.orders").isEmpty)
+    assert(spark.table("gdml.sales.orders").schema.fieldNames.toSeq ==
+      Seq("k", "v", "ts"))
+    // keys are required and validated against the schema
+    val e1 = intercept[Exception](spark.sql(
+      "CREATE TABLE gdml.sales.nokeys (a INT) USING graft"))
+    assert(e1.getMessage.contains("keys"))
+    val e2 = intercept[Exception](spark.sql(
+      "CREATE TABLE gdml.sales.badkey (a INT) USING graft TBLPROPERTIES ('keys'='zz')"))
+    assert(e2.getMessage.contains("zz"))
+
+    // INSERT INTO = keyed upsert (graft is a keyed table format)
+    spark.sql("INSERT INTO gdml.sales.orders VALUES (1, 'a', 10), (2, 'b', 20)")
+    spark.sql("INSERT INTO gdml.sales.orders VALUES (1, 'a2', 30), (3, 'c', 30)")
+    assert(rows(spark.table("gdml.sales.orders").toDF()) ==
+      Set((1L, "a2", 30L), (2L, "b", 20L), (3L, "c", 30L)))
+    // history: each INSERT is one commit above the empty v0
+    assert(rows(spark.sql("SELECT * FROM gdml.sales.orders VERSION AS OF 1")) ==
+      Set((1L, "a", 10L), (2L, "b", 20L)))
+
+    // INSERT OVERWRITE replaces the state as one new version
+    spark.sql("INSERT OVERWRITE gdml.sales.orders VALUES (9, 'z', 90)")
+    assert(rows(spark.table("gdml.sales.orders").toDF()) == Set((9L, "z", 90L)))
+    assert(rows(spark.sql("SELECT * FROM gdml.sales.orders VERSION AS OF 2"))
+      .size == 3)
+
+    // CTAS: schema + data from the query, keys from properties
+    spark.sql("""CREATE TABLE gdml.sales.big USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')
+                 AS SELECT id AS k, CAST(id AS STRING) AS v, id AS ts
+                    FROM range(1, 21)""")
+    assert(spark.sql("SELECT count(*) FROM gdml.sales.big").as[Long].head() == 20L)
+    // ... and the created table is an ordinary graft table: upsertable,
+    // time-travelable, prunable
+    spark.sql("INSERT INTO gdml.sales.big VALUES (1, 'x', 100)")
+    assert(spark.sql("SELECT v FROM gdml.sales.big WHERE k = 1").as[String].head() == "x")
+    assert(spark.sql("SELECT count(*) FROM gdml.sales.big").as[Long].head() == 20L)
+
+    // writeTo API lands in the same path
+    Seq((21L, "w", 1L)).toDF("k", "v", "ts").writeTo("gdml.sales.big").append()
+    assert(spark.sql("SELECT count(*) FROM gdml.sales.big").as[Long].head() == 21L)
+
+    // a time-travel relation refuses writes
+    val e3 = intercept[Exception](spark.sql(
+      "INSERT INTO gdml.sales.big VERSION AS OF 0 VALUES (5, 'n', 5)"))
+    assert(e3.getMessage.toLowerCase.contains("time") ||
+      e3.getMessage.contains("VERSION"))
   }
 
   test("GraftCatalog: TIMESTAMP AS OF resolves by commit instant; rename moves a table whole") {
