@@ -156,13 +156,65 @@ object QueriesStore {
       |SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM fin WHERE o_custkey <= 500 GROUP BY 1""".stripMargin
 
+  // =====================================================================
+  // w04 — MERGE builder vs relational recompute: one merge commit
+  // carrying updates (%10 keys → status X), deletes (%7 keys not
+  // already updated), and inserts (%13 keys re-keyed high), driven by
+  // a source-only `op` column the clauses condition on. The oracle
+  // rebuilds the final state with CASE + filter + UNION — a hash match
+  // proves clause routing, bucket CoW, and physical delete folding.
+  // Reference: every `*_proc.sql` is exactly this MERGE shape.
+  // =====================================================================
+  val w04: Q = (s, d) => {
+    val root = freshRoot("w04")
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)").as("cents"))
+    base.write.format("graft")
+      .option("keys", "k").option("numBuckets", "8").save(root)
+    val source =
+      base.where(col("k") % 10 === 0)
+        .withColumn("status", lit("X")).withColumn("op", lit("U"))
+      .unionByName(base.where(col("k") % 7 === 0 && col("k") % 10 =!= 0)
+        .withColumn("op", lit("D")))
+      .unionByName(base.where(col("k") % 13 === 0)
+        .withColumn("k", col("k") + 100000000L)
+        .withColumn("status", lit("N")).withColumn("op", lit("I")))
+    graft.store.GraftMerge.into(s, root)
+      .using(source)
+      .whenMatchedDelete(expr("source.op = 'D'"))
+      .whenMatchedUpdate(expr("source.op = 'U'"))
+      .whenNotMatchedInsert()
+      .execute()
+    s.read.format("graft").load(root)
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(cents) AS BIGINT)").as("sum_cents"))
+  }
+
+  val w04Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS status,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |merged AS (
+      |  SELECT k, CASE WHEN k % 10 = 0 THEN 'X' ELSE status END AS status, cents
+      |  FROM base WHERE NOT (k % 7 = 0 AND k % 10 <> 0)
+      |  UNION ALL
+      |  SELECT k + 100000000, 'N', cents FROM base WHERE k % 13 = 0)
+      |SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM merged GROUP BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
     "w01_table_roundtrip" -> w01,
     "w02_change_feed" -> w02,
-    "w03_sql_dml" -> w03)
+    "w03_sql_dml" -> w03,
+    "w04_merge" -> w04)
 
   val oracles: Map[String, String] = Map(
     "w01_table_roundtrip" -> w01Sql,
     "w02_change_feed" -> w02Sql,
-    "w03_sql_dml" -> w03Sql)
+    "w03_sql_dml" -> w03Sql,
+    "w04_merge" -> w04Sql)
 }
