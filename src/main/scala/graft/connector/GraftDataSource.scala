@@ -6,7 +6,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar => CountStarAgg, Max => MaxAgg, Min => MinAgg}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
@@ -311,10 +312,11 @@ class GraftTableWriteBuilder(root: String) extends WriteBuilder
 class GraftScanBuilder(spark: SparkSession, root: String, m: Manifest,
                        tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  private var aggResult: Option[(StructType, InternalRow, String)] = None
 
   /** Every filter is RETAINED as a residual (returned back to Spark)
     * — the scan uses them only to prune buckets/files via manifest
@@ -334,8 +336,120 @@ class GraftScanBuilder(spark: SparkSession, root: String, m: Manifest,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new GraftScan(spark, root, m, tableSchema, required, pushed)
+  /** COUNT(*)/MIN/MAX answered from the MANIFEST — zero file reads
+    * (the scan becomes a driver-local one-row result). Only when the
+    * answer is provably exact: no outstanding tombstones (a sidecar
+    * could hide the min row or shrink the count), `rows:` recorded for
+    * every bucket (COUNT), the column in the declared stats set with
+    * no all-null gap ambiguity (MIN/MAX), and no grouping. Spark only
+    * attempts aggregate pushdown when every filter was fully consumed;
+    * this scan reports all filters as residuals, so a filtered query
+    * never reaches here — the gate is structural, not re-checked.
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    answerFromManifest(agg).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    answerFromManifest(agg) match {
+      case Some(r) => aggResult = Some(r); true
+      case None => false
+    }
+  }
+
+  private def answerFromManifest(agg: Aggregation)
+      : Option[(StructType, InternalRow, String)] = {
+    import org.apache.spark.sql.types._
+    if (agg.groupByExpressions.nonEmpty) return None
+    if (m.buckets.values.exists(_.tombstones.nonEmpty)) return None
+
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[(String, Int, DataType)] = e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames().length == 1 =>
+        val name = nr.fieldNames()(0)
+        val i = m.statsCols.indexWhere(_._1 == name)
+        if (i < 0) None
+        else tableSchema.fields.find(_.name == name).map(f => (name, i, f.dataType))
+      case _ => None
+    }
+    // decode a manifest stats string back to its catalyst value; None
+    // = a type this pushdown doesn't answer (fall back to a real scan)
+    def decode(dt: DataType, s: String): Option[Any] = dt match {
+      case LongType | TimestampType => Some(java.lang.Long.valueOf(s))
+      case IntegerType => Some(Integer.valueOf(s))
+      case ShortType => Some(java.lang.Short.valueOf(s))
+      case ByteType => Some(java.lang.Byte.valueOf(s))
+      case DoubleType => Some(java.lang.Double.valueOf(s))
+      case FloatType => Some(java.lang.Float.valueOf(s))
+      case StringType =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      case d: DecimalType =>
+        Some(org.apache.spark.sql.types.Decimal(BigDecimal(s), d.precision, d.scale))
+      case _ => None
+    }
+    def cmp(dt: DataType, a: Any, b: Any): Int = (a, b) match {
+      case (x: java.lang.Comparable[Any] @unchecked, y) => x.compareTo(y)
+      case _ => 0
+    }
+    def extreme(i: Int, dt: DataType, wantMin: Boolean): Option[Option[Any]] = {
+      // per-bucket stats: None entry = all-null bucket (skip); a table
+      // with only all-null buckets answers NULL (exact)
+      val perBucket = m.buckets.values.toSeq.map(_.stats.lift(i).flatten)
+      val decoded = perBucket.flatten.map { case (mn, mx) =>
+        decode(dt, if (wantMin) mn else mx)
+      }
+      if (decoded.exists(_.isEmpty)) None // undecodable type
+      else Some(decoded.flatten.reduceOption { (a, b) =>
+        val c = cmp(dt, a, b)
+        if ((c <= 0) == wantMin) a else b
+      })
+    }
+
+    val funcs = agg.aggregateExpressions().toSeq
+    if (funcs.isEmpty) return None
+    val answered = funcs.map {
+      case _: CountStarAgg =>
+        m.buckets.values.toSeq.map(_.rows) match {
+          case rs if rs.forall(_.isDefined) =>
+            Some((StructField("count", LongType, nullable = false),
+              java.lang.Long.valueOf(rs.map(_.get).sum): Any, "count(*)"))
+          case _ => None
+        }
+      case mn: MinAgg => colOf(mn.column()).flatMap { case (n, i, dt) =>
+        extreme(i, dt, wantMin = true).map(v =>
+          (StructField(s"min($n)", dt, nullable = true), v.orNull: Any, s"min($n)"))
+      }
+      case mx: MaxAgg => colOf(mx.column()).flatMap { case (n, i, dt) =>
+        extreme(i, dt, wantMin = false).map(v =>
+          (StructField(s"max($n)", dt, nullable = true), v.orNull: Any, s"max($n)"))
+      }
+      case _ => None
+    }
+    if (answered.exists(_.isEmpty)) return None
+    val fields = answered.flatten
+    Some((StructType(fields.map(_._1)),
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        fields.map(_._2).toArray),
+      fields.map(_._3).mkString(", ")))
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, row, desc)) =>
+      new GraftManifestAggScan(root, m.version, schema, row, desc)
+    case None => new GraftScan(spark, root, m, tableSchema, required, pushed)
+  }
+}
+
+/** A completely-pushed aggregate: the answer was computed from the
+  * manifest on the driver — the "scan" is one local row, ZERO file
+  * reads, zero tasks (plans as a local table scan).
+  */
+class GraftManifestAggScan(root: String, version: Long, schema: StructType,
+                           row: InternalRow, desc: String)
+    extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[InternalRow] = Array(row)
+  override def description(): String =
+    s"graft $root v$version manifest-aggregate [$desc] (no file reads)"
 }
 
 /** The batch scan: manifest-stats pruning → file splits → parquet
@@ -343,13 +457,40 @@ class GraftScanBuilder(spark: SparkSession, root: String, m: Manifest,
   */
 class GraftScan(spark: SparkSession, root: String, m: Manifest,
                 dataSchema: StructType, required: StructType,
-                filters: Array[Filter]) extends Scan with Batch {
+                filters: Array[Filter]) extends Scan with Batch
+    with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft $root v${m.version} buckets=${plannedFiles.map(_._2).distinct.size} " +
       s"files=${plannedFiles.size} prunedBy=[${filters.mkString(", ")}]"
+
+  /** POST-PRUNING size (the files this scan will actually read) and —
+    * when exactly known from the manifest (every bucket's `rows:`
+    * recorded, no tombstones, no pruning in play) — the row count.
+    * Without this, a DSv2 relation reports the session default
+    * (spark.sql.defaultSizeInBytes = huge), so a graft dim table
+    * NEVER qualified for auto-broadcast and the first join over it
+    * misplanned at any scale until AQE rescued it at runtime.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val size = plannedFiles.map(_._3).sum
+    val exactRows =
+      if (filters.nonEmpty) None
+      else {
+        val entries = m.buckets.values.toSeq
+        if (entries.exists(e => e.tombstones.nonEmpty || e.rows.isEmpty)) None
+        else Some(entries.map(_.rows.get).sum)
+      }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(size, 1L))
+      override def numRows(): java.util.OptionalLong =
+        exactRows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+    }
+  }
 
   /** Conjunctive [lower, upper] bounds per stats column, from the
     * pushed filters (nested Ands unwrapped; anything else ignored —

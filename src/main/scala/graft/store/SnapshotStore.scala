@@ -1544,14 +1544,21 @@ object SnapshotStore {
         .write.mode("overwrite").partitionBy(BucketCol)
         .option("maxRecordsPerFile", maxRecordsPerFile)
         .parquet(new Path(root, rel).toString)
-      // a split rewrite changes file boundaries, so per-file stats are
-      // recomputed (one O(rewritten buckets) rollup — same order as the
-      // write itself); bucket-level stats stay carried over (data is
-      // unchanged, so they remain exact)
-      val freshFileStats: Map[Int, Map[String, Seq[Option[(String, String)]]]] =
-        if (maxRecordsPerFile > 0 && m.statsCols.nonEmpty)
-          collectStats(spark.read.parquet(new Path(root, rel).toString), m.statsCols)._2
-        else Map.empty
+      // recompute stats (one O(rewritten buckets) rollup — same order
+      // as the write itself) when the rewrite could change them: a
+      // split changes FILE boundaries, and folding tombstones changes
+      // the DATA — carried-over bucket stats after a fold are only a
+      // conservative superset (fine for pruning, but the manifest
+      // aggregate pushdown answers MIN/MAX from them exactly, so a
+      // folded bucket must re-tighten). A pure file-merge rewrite
+      // keeps carrying stats at zero cost (data unchanged = exact).
+      val foldedAny = frag.exists(b => m.buckets(b).tombstones.nonEmpty)
+      val (freshBucketStats, freshFileStats)
+          : (Map[Int, Seq[Option[(String, String)]]],
+             Map[Int, Map[String, Seq[Option[(String, String)]]]]) =
+        if (m.statsCols.nonEmpty && (maxRecordsPerFile > 0 || foldedAny))
+          collectStats(spark.read.parquet(new Path(root, rel).toString), m.statsCols)
+        else (Map.empty, Map.empty)
       // fresh physical counts for the rewritten buckets (folding
       // tombstones changes them) — one footers-only scan of the
       // attempt dir, same metadata order as the fstats census below
@@ -1565,20 +1572,22 @@ object SnapshotStore {
         // and the bucket drops out of the manifest
         if (!fs.exists(new Path(root, dir))) None
         else {
+          // fresh stats when the rollup ran (split or fold), else the
+          // carried-over bucket stats remain EXACT (data unchanged);
           // an unsplit compacted bucket is one file spanning the whole
-          // bucket, so the carried-over bucket stats ARE its file stats
-          // (were the write ever to split anyway, bucket-range stats
-          // per file would still be conservative — supersets never
-          // cause a wrong prune; likewise folded deletes only ever
-          // SHRINK the true range, so carried stats stay conservative)
+          // bucket, so its bucket stats ARE its file stats
+          val statsFresh = m.statsCols.nonEmpty &&
+            (maxRecordsPerFile > 0 || foldedAny)
+          val bst =
+            if (statsFresh) freshBucketStats.getOrElse(b, m.statsCols.map(_ => None))
+            else m.buckets(b).stats
           val fst =
             if (m.statsCols.isEmpty) Map.empty[String, Seq[Option[(String, String)]]]
-            else if (maxRecordsPerFile > 0) freshFileStats.getOrElse(b, Map.empty)
+            else if (statsFresh) freshFileStats.getOrElse(b, Map.empty)
             else fs.listStatus(new Path(root, dir)).toSeq
               .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
-              .map(_.getPath.getName -> m.buckets(b).stats).toMap
-          Some(b -> BucketEntry(dir, m.buckets(b).stats, fst,
-            rows = freshCounts.get(b)))
+              .map(_.getPath.getName -> bst).toMap
+          Some(b -> BucketEntry(dir, bst, fst, rows = freshCounts.get(b)))
         }
       }
       val next = (m.buckets -- frag) ++ rewritten
