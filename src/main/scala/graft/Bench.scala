@@ -21,7 +21,19 @@ import org.apache.spark.sql.SparkSession
   *    query's warm blocks.
   */
 object Bench {
+  /** 1-minute load average at call time, or -1 where /proc is absent.
+    * Carried in the headline JSON (start and end) so a contended-box
+    * artifact is self-diagnosing: BENCH_r07's 8.1x total on
+    * byte-identical bytecode took a round of adjudication that two
+    * numbers here would have settled instantly.
+    */
+  private def loadavg(): Double =
+    try java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/loadavg"))
+      .get(0).split("\\s+")(0).toDouble
+    catch { case _: Exception => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val load0 = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -64,9 +76,14 @@ object Bench {
     def fmt(sel: ((Double, Double)) => Double): String = results
       .map { case (k, v) => "\"" + k + "\":" + ms(sel(v)) }.mkString("{", ",", "}")
     val total = ms(results.values.map(_._1).sum)
+    val totalMin = ms(results.values.map(_._2).sum)
+    val load1 = loadavg()
     val headline =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"nqueries":${results.size},"sf":"$sfDir"}"""
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,""" +
+        s""""reps":$reps,"nqueries":${results.size},""" +
+        s""""loadavg_start":$load0,"loadavg_end":$load1,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"reps":$reps,""" +
+      s""""loadavg_start":$load0,"loadavg_end":$load1,""" +
       s""""queries":${fmt(_._1)},"queries_min":${fmt(_._2)},"sf":"$sfDir"}"""
     println(headline)
     println(detail)

@@ -5,7 +5,8 @@ import java.util.{Map => JMap}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -34,7 +35,7 @@ import graft.store.SnapshotStore
   * data has no keys to bucket by, so it is rejected with that
   * guidance rather than half-supported.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -213,6 +214,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // this table's OWN retention consumer on its clone source is keyed
     // by its root — re-key it
     SnapshotStore.relocateClone(spark, to.toString, from.toString)
+  }
+
+  // ------------------------------------------------------------------
+  // procedures — SQL-visible maintenance (CALL graft.system.compact …)
+  // ------------------------------------------------------------------
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    GraftProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(this, namespace)
+
+  /** Resolve a procedure's `table` argument ('ns.table', dot-separated)
+    * to its directory under the warehouse root — same per-part
+    * validation as a table reference, so a `CALL` can't name a path
+    * outside the root either.
+    */
+  private[connector] def resolveTableDir(table: String): String = {
+    val parts = table.split("\\.").toSeq
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"malformed table argument '$table' — expected 'ns.table' relative to catalog '$catalogName'")
+    val dir = dirOf(parts)
+    if (!isTable(dir))
+      throw new NoSuchTableException(
+        Identifier.of(parts.init.toArray, parts.last))
+    dir.toString
   }
 
   // ------------------------------------------------------------------

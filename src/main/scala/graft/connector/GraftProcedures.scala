@@ -1,0 +1,149 @@
+package graft.connector
+
+import java.util.{Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+import graft.store.SnapshotStore
+
+/** SQL-visible table maintenance — the DSv2 procedure surface behind
+  * `CALL graft.system.<proc>(...)`. The reference runs its maintenance
+  * as scheduled SQL procedures (`with procedures/task_proc.sql:32-40`);
+  * graft's equivalents were library-only until now, which left a
+  * SQL-session operator (the persona every `*_proc.sql` is written
+  * for) unable to compact, vacuum, or roll back a table at all.
+  *
+  * {{{
+  *   CALL graft.system.compact(table => 'sales.orders')
+  *   CALL graft.system.compact(table => 'sales.orders',
+  *                             zorder_by => 'o_custkey,o_orderdate')
+  *   CALL graft.system.vacuum(table => 'sales.orders', keep_last => 3)
+  *   CALL graft.system.restore(table => 'sales.orders', version => 7)
+  *   CALL graft.system.checkpoint(table => 'sales.orders')
+  * }}}
+  *
+  * Each procedure resolves its `table` argument against the SAME
+  * catalog root and identifier validation as a table reference
+  * (path-traversal parts are rejected before they touch the
+  * filesystem), delegates to the [[graft.store.SnapshotStore]]
+  * maintenance verbs — so every CALL goes through the ordinary
+  * exclusive-create commit arbiter and is safe against concurrent
+  * writers — and returns a one-row result describing what happened,
+  * via [[LocalScan]] (maintenance output is a single metadata row;
+  * shipping it through a distributed scan would be ceremony).
+  *
+  * At 100 TB this surface matters more, not less: compaction and
+  * sidecar folding are scheduled jobs there, and a scheduler speaks
+  * SQL, not library calls.
+  */
+object GraftProcedures {
+
+  private val Namespace = Array("system")
+
+  private val names = Seq("compact", "vacuum", "restore", "checkpoint")
+
+  def list(catalog: GraftCatalog, namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Namespace))
+      names.map(n => Identifier.of(Namespace, n)).toArray
+    else Array.empty
+
+  def load(catalog: GraftCatalog, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Namespace) &&
+      names.contains(ident.name().toLowerCase(java.util.Locale.ROOT)),
+      s"unknown graft procedure ${ident.namespace().mkString(".")}.${ident.name()} — " +
+        s"available: ${names.map("system." + _).mkString(", ")}")
+    new Unbound(catalog, ident.name().toLowerCase(java.util.Locale.ROOT))
+  }
+
+  private def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private def in(name: String, dt: DataType, default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  private final class Unbound(catalog: GraftCatalog, proc: String)
+      extends UnboundProcedure {
+    override def name(): String = proc
+    override def description(): String = proc match {
+      case "compact"    => "rewrite fragmented buckets to one file each, fold delete sidecars, optionally cluster/z-order"
+      case "vacuum"     => "delete data versions older than the newest keep_last (respecting feed/clone retention)"
+      case "restore"    => "commit a new version whose content is a past version (roll back without losing history)"
+      case "checkpoint" => "write a manifest checkpoint so cold reads replay O(1) deltas"
+    }
+    override def bind(inputType: StructType): BoundProcedure = new Bound(catalog, proc)
+  }
+
+  private final class Bound(catalog: GraftCatalog, proc: String)
+      extends BoundProcedure {
+    override def name(): String = proc
+    // every procedure commits (or deletes) table state
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = proc match {
+      case "compact" => Array(
+        in("table", StringType),
+        in("min_files", IntegerType, "2"),
+        in("cluster_by", StringType, "''"),
+        in("zorder_by", StringType, "''"),
+        in("max_records_per_file", LongType, "0"),
+        in("tombstone_fold_bytes", LongType, "0"))
+      case "vacuum" => Array(
+        in("table", StringType),
+        in("keep_last", IntegerType, "1"))
+      case "restore" => Array(
+        in("table", StringType),
+        in("version", LongType))
+      case "checkpoint" => Array(
+        in("table", StringType))
+    }
+
+    private def outSchema: StructType = proc match {
+      case "compact"    => new StructType().add("version", LongType)
+      case "vacuum"     => new StructType().add("removed_versions", IntegerType)
+      case "restore"    => new StructType().add("version", LongType)
+      case "checkpoint" => new StructType().add("version", LongType)
+    }
+
+    private def csv(s: String): Seq[String] =
+      s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val table = Option(input.getUTF8String(0)).map(_.toString).getOrElse(
+        throw new IllegalArgumentException(s"$proc: 'table' must not be NULL"))
+      val root = catalog.resolveTableDir(table)
+      val result: Any = proc match {
+        case "compact" =>
+          SnapshotStore.compact(spark, root,
+            minFiles = input.getInt(1),
+            clusterBy = csv(input.getUTF8String(2).toString),
+            zOrderBy = csv(input.getUTF8String(3).toString),
+            maxRecordsPerFile = input.getLong(4),
+            tombstoneFoldBytes = input.getLong(5))
+        case "vacuum" =>
+          SnapshotStore.vacuum(spark, root, keepLast = input.getInt(1))
+        case "restore" =>
+          SnapshotStore.restore(spark, root, toVersion = input.getLong(1))
+        case "checkpoint" =>
+          SnapshotStore.checkpoint(spark, root)
+      }
+      val row = new GenericInternalRow(Array[Any](result))
+      java.util.Collections.singletonList[Scan](
+        new ResultScan(outSchema, Array[InternalRow](row))).iterator()
+    }
+  }
+
+  /** One metadata row, driver-local — the procedure already ran; this
+    * is just how `CALL` surfaces its outcome to the SQL session.
+    */
+  private final class ResultScan(schema: StructType, out: Array[InternalRow])
+      extends LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] = out
+  }
+}

@@ -643,6 +643,23 @@ object SnapshotStore {
     }
   }
 
+  /** Write a full-state checkpoint of the LATEST version on demand —
+    * the manual form of the every-[[checkpointInterval]] cadence, for
+    * an operator who just landed a long delta chain (bulk backfill,
+    * streaming catch-up) and wants the next cold read to replay O(1)
+    * deltas without waiting for the cadence to come around. SQL
+    * surface: `CALL graft.system.checkpoint(table => ...)`. Unlike the
+    * cadence write this one PROPAGATES failure: the caller asked for
+    * the checkpoint specifically, so a torn write must not be
+    * reported as done. Returns the checkpointed version.
+    */
+  def checkpoint(spark: SparkSession, root: String): Long = {
+    val v = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no table at $root — call init first"))
+    writeCheckpoint(spark, root, readManifest(spark, root, v))
+    v
+  }
+
   /** The checkpointed state at exactly `v`, if a complete checkpoint
     * (_SUCCESS present) exists there.
     */

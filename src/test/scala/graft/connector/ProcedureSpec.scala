@@ -1,0 +1,111 @@
+package graft.connector
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** SQL-visible maintenance: compact / vacuum / restore / checkpoint
+  * driven entirely from a SQL session via `CALL graft.system.<proc>`
+  * — the reference schedules its maintenance as SQL procedures
+  * (`with procedures/task_proc.sql:32-40`), so a SQL-only operator
+  * must be able to run graft's without a library import.
+  */
+class ProcedureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val warehouse = Files.createTempDirectory("graft-proc").toString
+  spark.conf.set("spark.sql.catalog.gproc", classOf[GraftCatalog].getName)
+  spark.conf.set("spark.sql.catalog.gproc.root", warehouse)
+
+  private def rows(df: DataFrame): Set[(Long, String, Long)] =
+    df.select("k", "v", "ts").as[(Long, String, Long)].collect().toSet
+
+  private def call(sql: String): Seq[Long] =
+    spark.sql(sql).collect().map(_.getAs[Any](0) match {
+      case l: Long => l
+      case i: Int  => i.toLong
+    }).toSeq
+
+  test("CALL system.compact defragments from SQL only; result row carries the version") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gproc.m")
+    spark.sql("""CREATE TABLE gproc.m.t (k BIGINT, v STRING, ts BIGINT)
+                 USING graft TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    // three commits → every bucket holds ≥3 files
+    spark.sql("INSERT INTO gproc.m.t SELECT id, CAST(id AS STRING), id FROM range(0, 20)")
+    spark.sql("INSERT INTO gproc.m.t SELECT id, CAST(id AS STRING), id FROM range(20, 40)")
+    spark.sql("INSERT INTO gproc.m.t SELECT id, 'u', 99 FROM range(0, 5)")
+    val before = rows(spark.table("gproc.m.t").toDF())
+    assert(before.size == 40)
+
+    val out = spark.sql("CALL gproc.system.compact(table => 'm.t')")
+    assert(out.schema.fieldNames.toSeq == Seq("version"))
+    val v = out.as[Long].head()
+    assert(v == 4L) // v0 empty create + 3 inserts + the compaction commit
+    // data bit-identical through the rewrite
+    assert(rows(spark.table("gproc.m.t").toDF()) == before)
+    // nothing left fragmented: a second CALL is a no-op at the same version
+    assert(call("CALL gproc.system.compact(table => 'm.t')") == Seq(4L))
+    // positional + extra knobs parse too
+    assert(call("CALL gproc.system.compact('m.t', 2, '', 'ts')") == Seq(4L))
+  }
+
+  test("CALL system.checkpoint + vacuum + restore complete the SQL lifecycle") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gproc.l")
+    spark.sql("""CREATE TABLE gproc.l.t (k BIGINT, v STRING, ts BIGINT)
+                 USING graft TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO gproc.l.t VALUES (1, 'a', 1), (2, 'b', 2)")
+    spark.sql("INSERT INTO gproc.l.t VALUES (1, 'a2', 3)")
+
+    // checkpoint the current version on demand
+    assert(call("CALL gproc.system.checkpoint(table => 'l.t')") == Seq(2L))
+    assert(new java.io.File(
+      s"$warehouse/l/t/_commits/cp-${"%020d".format(2)}/_SUCCESS").exists())
+
+    // restore to the pre-upsert state — a NEW version, history intact
+    assert(call("CALL gproc.system.restore(table => 'l.t', version => 1)") == Seq(3L))
+    assert(rows(spark.table("gproc.l.t").toDF()) ==
+      Set((1L, "a", 1L), (2L, "b", 2L)))
+    assert(rows(spark.sql("SELECT * FROM gproc.l.t VERSION AS OF 2")) ==
+      Set((1L, "a2", 3L), (2L, "b", 2L)))
+
+    // vacuum old versions away; current state survives, travel doesn't
+    val removed = call("CALL gproc.system.vacuum(table => 'l.t', keep_last => 1)")
+    assert(removed.head >= 1L)
+    assert(rows(spark.table("gproc.l.t").toDF()) ==
+      Set((1L, "a", 1L), (2L, "b", 2L)))
+    intercept[Exception](
+      spark.sql("SELECT * FROM gproc.l.t VERSION AS OF 0").collect())
+  }
+
+  test("CALL validates its target like any table reference") {
+    // unknown procedure → the catalog's own guidance, not a match error
+    val e1 = intercept[Exception](
+      spark.sql("CALL gproc.system.explode(table => 'm.t')").collect())
+    // Spark wraps the catalog's IllegalArgumentException in
+    // FAILED_TO_LOAD_ROUTINE; our guidance rides along as the cause
+    assert(e1.getMessage.contains("FAILED_TO_LOAD_ROUTINE") &&
+      Iterator.iterate(e1.getCause)(_.getCause).takeWhile(_ != null).take(5)
+        .exists(_.getMessage.contains("unknown graft procedure")))
+    // nonexistent table
+    intercept[Exception](
+      spark.sql("CALL gproc.system.compact(table => 'm.nope')").collect())
+    // a table argument is identifier parts, not a path: traversal out of
+    // the warehouse root is rejected before any FS access
+    // '..' cannot even form a part ('.' is the separator → empty parts)
+    val e3 = intercept[Exception](
+      spark.sql("CALL gproc.system.compact(table => '../../etc')").collect())
+    assert(e3.getMessage.contains("malformed table argument"))
+    // and a separator-free traversal token hits the per-part validation
+    val e4 = intercept[Exception](
+      spark.sql("CALL gproc.system.compact(table => 'a/b')").collect())
+    assert(e4.getMessage.contains("identifier part"))
+    // procedures are listable for discovery
+    val cat = new GraftCatalog
+    cat.initialize("gp", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("root", warehouse)))
+    assert(cat.listProcedures(Array("system")).map(_.name()).toSet ==
+      Set("compact", "vacuum", "restore", "checkpoint"))
+  }
+}
