@@ -4,11 +4,12 @@ import java.util.{Map => JMap}
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDeleteV2, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar => CountStarAgg, Max => MaxAgg, Min => MinAgg}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsOverwriteV2, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
@@ -263,13 +264,15 @@ object GraftTable {
   */
 class GraftTable(root: String, versionAsOf: Option[Long],
                  tableSchema: StructType) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite with SupportsMetadataColumns
+    with SupportsRowLevelOperations with SupportsDeleteV2 {
   override def name(): String = s"graft.`$root`" +
     versionAsOf.fold("")(v => s"@v$v")
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(SparkSession.active, root,
       GraftTable.manifestAt(SparkSession.active, root, versionAsOf), tableSchema)
@@ -280,16 +283,110 @@ class GraftTable(root: String, versionAsOf: Option[Long],
         "table's latest version")
     new GraftTableWriteBuilder(root)
   }
+
+  /** The table's bucket id as a metadata column — the GROUP identity
+    * for SQL row-level rewrites (Spark's runtime group filtering
+    * selects `distinct _graft_bucket` of the matching rows to narrow
+    * the copy-on-write scan) and a handy layout diagnostic
+    * (`SELECT _graft_bucket, count(*) ...`).
+    */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = SnapshotStore.BucketCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.IntegerType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "hash bucket the row's merge key maps to (graft layout metadata)"
+    })
+
+  /** SQL `DELETE FROM` without a rewrite: the matching keys are
+    * computed by a (pruned) scan and committed as merge-on-read
+    * tombstone sidecars — O(matched keys) written, no bucket read back
+    * or rewritten ([[SnapshotStore.commitDeletes]]). Subquery or
+    * otherwise untranslatable conditions refuse here and fall back to
+    * the group-based row-level rewrite below.
+    */
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean = {
+    versionAsOf.isEmpty &&
+      GraftTable.manifestAt(SparkSession.active, root, None).keys.nonEmpty &&
+      GraftFilters.toCondition(predicates).isDefined
+  }
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    val spark = SparkSession.active
+    val cond = GraftFilters.toCondition(predicates).getOrElse(
+      throw new UnsupportedOperationException(
+        s"untranslatable DELETE condition for $name"))
+    val keys = GraftTable.manifestAt(spark, root, None).keys
+    val isTruncate = org.apache.spark.sql.graft.GraftSqlShims
+      .toV1Filters(predicates)
+      .forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+    if (isTruncate) {
+      // unconditioned DELETE: one version with every bucket dropped —
+      // cheaper than tombstoning the whole key set
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
+      SnapshotStore.replaceAll(spark, root, empty, keys): Unit
+    } else {
+      // the matching-key scan goes through this very connector, so
+      // stats-aligned conditions prune buckets/files before reading
+      val matching = spark.read.format("graft").load(root)
+        .where(cond).select(keys.map(org.apache.spark.sql.functions.col): _*)
+        .distinct()
+      SnapshotStore.commitDeletes(spark, root, matching, keys): Unit
+    }
+  }
+
+  /** Group-based copy-on-write row-level operations — SQL `DELETE` /
+    * `UPDATE` / `MERGE INTO` against a cataloged graft table (the
+    * reference's procedures are exactly MERGE statements,
+    * `/root/reference/with procedures/order_proc.sql:34-88`). The
+    * GROUP is the bucket: Spark's rewrite plan reads whole affected
+    * buckets through the CoW scan (statically pruned by the condition,
+    * runtime-narrowed to the buckets holding matched keys), computes
+    * the replacement rows, and the write publishes them through
+    * [[SnapshotStore.replaceBuckets]] as one atomic version.
+    */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(versionAsOf.isEmpty,
+      s"cannot run ${info.command} against time-travel snapshot $name")
+    () => new GraftRowLevelOperation(root, tableSchema, info.command)
+  }
 }
 
 /** V1-fallback write builder: append = keyed upsert, truncate+append
-  * (INSERT OVERWRITE) = full replace. Keys come from the manifest
-  * (SQL has no options channel — exactly what persisted keys are for).
+  * (INSERT OVERWRITE) = full replace, `df.writeTo(t).overwrite(cond)`
+  * = FILTER-SCOPED overwrite — one commit deleting the matching rows
+  * and upserting the new data ([[SnapshotStore.replaceWhere]]); only
+  * buckets whose manifest stats may match the condition (plus the new
+  * rows' buckets) rewrite. Keys come from the manifest (SQL has no
+  * options channel — exactly what persisted keys are for). The
+  * OVERWRITE SEMANTICS live in this builder (captured predicates),
+  * so the V1 fallback exec — which only ever calls
+  * `insert(data, overwrite)` — cannot silently widen a scoped
+  * overwrite into a full replace.
   */
 class GraftTableWriteBuilder(root: String) extends WriteBuilder
-    with SupportsTruncate {
+    with SupportsOverwriteV2 {
   private var replace = false
-  override def truncate(): WriteBuilder = { replace = true; this }
+  private var scoped: Option[org.apache.spark.sql.Column] = None
+  private var scopedFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  override def truncate(): WriteBuilder = { replace = true; scoped = None; this }
+  override def canOverwrite(predicates: Array[Predicate]): Boolean =
+    GraftFilters.toCondition(predicates).isDefined
+  override def overwrite(predicates: Array[Predicate]): WriteBuilder = {
+    val v1 = org.apache.spark.sql.graft.GraftSqlShims.toV1Filters(predicates)
+    if (v1.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])) truncate()
+    else {
+      scoped = Some(GraftFilters.toCondition(predicates).getOrElse(
+        throw new UnsupportedOperationException(
+          s"untranslatable overwrite condition for graft table at $root")))
+      scopedFilters = v1
+      this
+    }
+  }
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
@@ -299,11 +396,18 @@ class GraftTableWriteBuilder(root: String) extends WriteBuilder
           val exists = SnapshotStore.latestVersion(spark, root).isDefined
           require(exists, s"no committed graft table at $root")
           val keys = GraftWrite.resolveKeys(spark, root, Nil, exists)
-          if (replace || overwrite)
-            SnapshotStore.replaceAll(spark, root, data, keys): Unit
-          else
-            SnapshotStore.commitDelta(spark, root, data, keys,
-              SnapshotStore.upsertMerge(keys)): Unit
+          scoped match {
+            case Some(cond) =>
+              SnapshotStore.replaceWhere(spark, root, cond, data, keys,
+                candidatesOf = m =>
+                  GraftFilters.candidateBuckets(m, scopedFilters)): Unit
+            case None =>
+              if (replace || overwrite)
+                SnapshotStore.replaceAll(spark, root, data, keys): Unit
+              else
+                SnapshotStore.commitDelta(spark, root, data, keys,
+                  SnapshotStore.upsertMerge(keys)): Unit
+          }
         }
       }
   }
@@ -453,18 +557,92 @@ class GraftManifestAggScan(root: String, version: Long, schema: StructType,
 }
 
 /** The batch scan: manifest-stats pruning → file splits → parquet
-  * readers with in-scan tombstone subtraction.
+  * readers with in-scan tombstone subtraction. Also the RUNTIME-
+  * filtered scan (the dynamic-partition-pruning analog): when this
+  * table is joined against a filtered dimension on its merge key or a
+  * stats column, Spark feeds the dimension's values back through
+  * [[SupportsRuntimeV2Filtering]] and the scan re-prunes buckets/files
+  * at execution time — key values hash straight to their buckets, so
+  * a selective dim join reads 1/numBuckets-sized slices instead of
+  * the table.
   */
 class GraftScan(spark: SparkSession, root: String, m: Manifest,
                 dataSchema: StructType, required: StructType,
                 filters: Array[Filter]) extends Scan with Batch
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+
+  /** Runtime narrowing state: an explicit kept-bucket intersection
+    * (from merge-key values, which hash directly to buckets) plus
+    * extra filters folded into the same bounds pruning the static
+    * filters drive. Conservative supersets only — the join re-applies
+    * its own condition, so pruning is never a correctness dependency.
+    */
+  protected var runtimeBuckets: Option[Set[Int]] = None
+  protected var runtimeFilters: Array[Filter] = Array.empty
+  private var plannedFilesCache: Seq[(Path, Int, Long)] = null
+  /** Post-pruning bucket set of the last planning pass (the GROUP set
+    * for the row-level subclass).
+    */
+  protected var survivingBuckets: Set[Int] = Set.empty
+
+  /** Row-level (copy-on-write) scans override: group selection must
+    * keep whole buckets, so neither file-level pruning nor parquet
+    * row-group skipping may drop rows inside a kept bucket there.
+    */
+  protected def fileLevelPruning: Boolean = true
+  protected def parquetFilters: Seq[Filter] = (filters ++ runtimeFilters).toSeq
+
+  /** Columns whose runtime (join-derived) values this scan can turn
+    * into pruning: the merge key when it is single-column (values
+    * hash to exact buckets) and every declared stats column (values
+    * fold to range bounds).
+    */
+  override def filterAttributes(): Array[NamedReference] = {
+    val keyCols = if (m.keys.size == 1) m.keys else Nil
+    (keyCols ++ m.statsCols.map(_._1)).distinct
+      // only columns THIS scan outputs: Spark resolves the attributes
+      // against the (column-pruned) relation, so a filterable column
+      // the query never selected must not be advertised
+      .filter(c => required.fieldNames.contains(c))
+      .map(Expressions.column).toArray
+  }
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val v1 = org.apache.spark.sql.graft.GraftSqlShims.toV1Filters(predicates)
+    v1.foreach {
+      case org.apache.spark.sql.sources.In(c, vs) if m.keys == Seq(c) =>
+        narrowToBuckets(GraftFilters.bucketsOf(vs.toSeq, dataSchema(c).dataType, m.numBuckets))
+      case EqualTo(c, v) if m.keys == Seq(c) =>
+        narrowToBuckets(GraftFilters.bucketsOf(Seq(v), dataSchema(c).dataType, m.numBuckets))
+      case _ => ()
+    }
+    runtimeFilters ++= v1 // bounds pruning consumes the shapes it knows
+    invalidatePlanning()
+  }
+
+  /** Drop the cached file plan so the next planning pass re-prunes
+    * with the runtime narrowing applied.
+    */
+  protected def invalidatePlanning(): Unit = plannedFilesCache = null
+
+  private def narrowToBuckets(bs: Set[Int]): Unit =
+    runtimeBuckets = Some(runtimeBuckets.fold(bs)(_.intersect(bs)))
 
   override def readSchema(): StructType = required
+
+  /** `required` minus the metadata column: what the parquet readers
+    * must produce (the bucket id is layout metadata injected per
+    * partition, never stored in data files).
+    */
+  private def dataRequired: StructType =
+    StructType(required.fields.filterNot(_.name == SnapshotStore.BucketCol).toSeq)
+
   override def toBatch: Batch = this
   override def description(): String =
     s"graft $root v${m.version} buckets=${plannedFiles.map(_._2).distinct.size} " +
-      s"files=${plannedFiles.size} prunedBy=[${filters.mkString(", ")}]"
+      s"files=${plannedFiles.size} prunedBy=[${filters.mkString(", ")}]" +
+      (if (runtimeFilters.nonEmpty || runtimeBuckets.nonEmpty)
+        s" runtimePrunedBy=[${runtimeFilters.mkString(", ")}]" else "")
 
   /** POST-PRUNING size (the files this scan will actually read) and —
     * when exactly known from the manifest (every bucket's `rows:`
@@ -492,61 +670,37 @@ class GraftScan(spark: SparkSession, root: String, m: Manifest,
     }
   }
 
-  /** Conjunctive [lower, upper] bounds per stats column, from the
-    * pushed filters (nested Ands unwrapped; anything else ignored —
-    * pruning only ever narrows).
+  /** (path, bucket, fileLen) for every file the scan must read, after
+    * bucket- then (when allowed) file-level stats pruning — the same
+    * decisions [[SnapshotStore.readRange]] makes, driven by pushed +
+    * runtime filters. Recomputed after [[filter]] narrows the scan.
     */
-  private def bounds: Map[String, (Option[Any], Option[Any])] = {
-    def flatten(f: Filter): Seq[Filter] = f match {
-      case And(l, r) => flatten(l) ++ flatten(r)
-      case other => Seq(other)
-    }
-    def norm(v: Any): Any = v match {
-      // stats tags encode timestamps as epoch micros; Filter values
-      // arrive as java.sql.Timestamp or java.time.Instant per conf
-      case i: java.time.Instant =>
-        java.lang.Long.valueOf(i.getEpochSecond * 1000000L + i.getNano / 1000L)
-      case other => other
-    }
-    filters.flatMap(flatten).foldLeft(
-      Map.empty[String, (Option[Any], Option[Any])]) { (acc, f) =>
-      def upd(c: String)(g: ((Option[Any], Option[Any])) => (Option[Any], Option[Any])) =
-        acc + (c -> g(acc.getOrElse(c, (None, None))))
-      f match {
-        case EqualTo(c, v) => upd(c) { case (lo, hi) =>
-          (lo.orElse(Some(norm(v))), hi.orElse(Some(norm(v)))) }
-        case GreaterThan(c, v) => upd(c) { case (lo, hi) => (Some(norm(v)), hi) }
-        case GreaterThanOrEqual(c, v) => upd(c) { case (lo, hi) => (Some(norm(v)), hi) }
-        case LessThan(c, v) => upd(c) { case (lo, hi) => (lo, Some(norm(v))) }
-        case LessThanOrEqual(c, v) => upd(c) { case (lo, hi) => (lo, Some(norm(v))) }
-        case IsNotNull(_) => acc
-        case _ => acc
-      }
-    }
+  protected def plannedFiles: Seq[(Path, Int, Long)] = {
+    if (plannedFilesCache == null) plannedFilesCache = computePlannedFiles()
+    plannedFilesCache
   }
 
-  /** (path, bucket, fileLen) for every file the scan must read, after
-    * bucket- then file-level stats pruning — the same decisions
-    * [[SnapshotStore.readRange]] makes, driven by pushed filters.
-    */
-  private lazy val plannedFiles: Seq[(Path, Int, Long)] = {
-    val bs = bounds
-    val surviving = bs.foldLeft(m.buckets.keySet) { case (keep, (c, (lo, hi))) =>
+  private def computePlannedFiles(): Seq[(Path, Int, Long)] = {
+    val bs = GraftFilters.bounds(filters ++ runtimeFilters)
+    val statBound = bs.foldLeft(m.buckets.keySet) { case (keep, (c, (lo, hi))) =>
       keep.intersect(SnapshotStore.pruneBuckets(m, c, lo.orNull, hi.orNull))
     }
-    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val surviving = runtimeBuckets.fold(statBound)(_.intersect(statBound))
+    survivingBuckets = surviving
     surviving.toSeq.sorted.flatMap { b =>
       val e = m.buckets(b)
       val dir = SnapshotStore.dataPath(root, e.dir)
       // per-file pruning: intersect the kept-name sets across bounded
       // columns; None (no per-file stats) = keep the whole dir
-      val kept: Option[Set[String]] = bs.foldLeft(Option.empty[Set[String]]) {
-        case (acc, (c, (lo, hi))) =>
-          SnapshotStore.pruneFiles(m, b, c, lo.orNull, hi.orNull) match {
-            case Some(names) => Some(acc.fold(names.toSet)(_.intersect(names.toSet)))
-            case None => acc
-          }
-      }
+      val kept: Option[Set[String]] =
+        if (!fileLevelPruning) None
+        else bs.foldLeft(Option.empty[Set[String]]) {
+          case (acc, (c, (lo, hi))) =>
+            SnapshotStore.pruneFiles(m, b, c, lo.orNull, hi.orNull) match {
+              case Some(names) => Some(acc.fold(names.toSet)(_.intersect(names.toSet)))
+              case None => acc
+            }
+        }
       dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .listStatus(dir).toSeq
         .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
@@ -601,12 +755,14 @@ class GraftScan(spark: SparkSession, root: String, m: Manifest,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val (keySchema, tombs) = tombstones
-    // reader schema: required columns, plus key columns (appended)
-    // when any bucket needs in-scan tombstone subtraction
+    // reader schema: required DATA columns (the bucket metadata column
+    // is injected per partition, not read), plus key columns
+    // (appended) when any bucket needs in-scan tombstone subtraction
+    val base = dataRequired
     val extraKeys =
       if (tombs.isEmpty) Seq.empty
-      else keySchema.fields.toSeq.filterNot(f => required.fieldNames.contains(f.name))
-    val readerSchema = StructType(required.fields.toSeq ++ extraKeys)
+      else keySchema.fields.toSeq.filterNot(f => base.fieldNames.contains(f.name))
+    val readerSchema = StructType(base.fields.toSeq ++ extraKeys)
     val keyOrdinals =
       if (tombs.isEmpty) Array.empty[Int]
       else keySchema.fields.map(f => readerSchema.fieldIndex(f.name))
@@ -616,7 +772,7 @@ class GraftScan(spark: SparkSession, root: String, m: Manifest,
     // ColumnarBatch to special-case
     val readFunc = fmt.buildReaderWithPartitionValues(
       spark, dataSchema, new StructType(), readerSchema,
-      filters.toSeq,
+      parquetFilters,
       Map(org.apache.spark.sql.execution.datasources.FileFormat
         .OPTION_RETURNING_BATCH -> "false"),
       spark.sessionState.newHadoopConf())
@@ -669,14 +825,25 @@ class GraftReaderFactory(readFunc: PartitionedFile => Iterator[InternalRow],
           deletedKeys.contains(key)
         }
       }
-    // project away the key columns read only for tombstone filtering
+    // project to the scan's OUTPUT schema: key columns read only for
+    // tombstone filtering drop away, and the bucket metadata column —
+    // when the query asked for it — is injected as this partition's
+    // constant (it is layout metadata, never stored in the files)
+    val needsProjection = readerSchema.length != required.length ||
+      required.fieldNames.contains(SnapshotStore.BucketCol)
     val projected =
-      if (readerSchema.length == required.length) filtered
+      if (!needsProjection) filtered
       else {
         val proj = UnsafeProjection.create(
           required.fields.toIndexedSeq.map { f =>
-            val i = readerSchema.fieldIndex(f.name)
-            BoundReference(i, f.dataType, f.nullable)
+            if (f.name == SnapshotStore.BucketCol)
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                p.bucket, org.apache.spark.sql.types.IntegerType)
+                : org.apache.spark.sql.catalyst.expressions.Expression
+            else {
+              val i = readerSchema.fieldIndex(f.name)
+              BoundReference(i, f.dataType, f.nullable)
+            }
           })
         filtered.map(proj)
       }

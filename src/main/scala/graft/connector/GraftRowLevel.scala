@@ -1,0 +1,338 @@
+package graft.connector
+
+import java.io.{IOException, ObjectInputStream, ObjectOutputStream}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{InputPartition, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.store.SnapshotStore
+import graft.store.SnapshotStore.Manifest
+
+/** SQL row-level operations (`DELETE FROM` / `UPDATE` / `MERGE INTO`)
+  * over a graft table — the group-based copy-on-write protocol, with
+  * the BUCKET as the group (the reference's whole write surface is
+  * MERGE procedures, `/root/reference/with procedures/order_proc.sql:
+  * 34-88`; this makes the same statements first-class Spark SQL
+  * against the graft catalog).
+  *
+  * How a statement executes at scale:
+  *   1. Spark's rewrite reads the AFFECTED groups through
+  *      [[GraftCoWScan]] — statically pruned by the condition's stats
+  *      bounds (DELETE/UPDATE), then RUNTIME-narrowed to the buckets
+  *      actually holding matched keys via the `_graft_bucket` metadata
+  *      column (Spark's row-level runtime group filtering — the MERGE
+  *      path's equivalent of dynamic partition pruning, so a MERGE
+  *      touching 0.1% of keys rewrites ~0.1% of buckets, not the
+  *      table);
+  *   2. the replacement rows land in a STAGING spill (length-prefixed
+  *      UnsafeRow frames — schema-agnostic, no re-encode) written by
+  *      ordinary distributed tasks;
+  *   3. commit publishes ONE atomic version via
+  *      [[SnapshotStore.replaceBuckets]]: scanned buckets are replaced
+  *      by their staged content (folding tombstones), rows hashing
+  *      outside the scanned set (MERGE inserts, key-moving updates)
+  *      upsert-merge into their buckets, and a commit that raced an
+  *      overlapping writer refuses (ConcurrentModificationException)
+  *      instead of silently dropping the winner's changes.
+  *
+  * The scan must return WHOLE groups, so — unlike the regular scan —
+  * it disables file-level pruning and parquet row-group skipping:
+  * dropping a non-matching row of an affected bucket there would
+  * delete it from the rewritten table. Bucket-level pruning IS the
+  * group selection and stays.
+  */
+class GraftRowLevelOperation(root: String, tableSchema: StructType,
+                             cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+
+  /** Set by the CoW scan when it plans (post runtime narrowing): the
+    * GROUP set the write must replace, and the snapshot version the
+    * replacement was computed against (the write's conflict check).
+    * Driver-side handshake only — scan and write builders both hang
+    * off this operation instance.
+    */
+  @volatile private[connector] var scannedBuckets: Set[Int] = Set.empty
+  @volatile private[connector] var scanVersion: Option[Long] = None
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft row-level $cmd on $root"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val spark = SparkSession.active
+    val m = GraftTable.manifestAt(spark, root, None)
+    scanVersion = Some(m.version)
+    new GraftCoWScanBuilder(spark, root, m, tableSchema, this)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new GraftStagedWrite(root, info.schema(), GraftRowLevelOperation.this)
+    }
+
+  /** The group identity rides every scanned row so Spark's runtime
+    * group filtering can collect `distinct _graft_bucket` of the
+    * matching rows and feed it back through [[GraftCoWScan.filter]].
+    */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(SnapshotStore.BucketCol))
+}
+
+/** Scan builder for the rewrite's target-table read: pushed filters
+  * are retained as residuals and used ONLY for bucket-level (group)
+  * pruning — see the class note on [[GraftRowLevelOperation]] for why
+  * finer pruning is forbidden here.
+  */
+class GraftCoWScanBuilder(spark: SparkSession, root: String, m: Manifest,
+                          tableSchema: StructType, op: GraftRowLevelOperation)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val statsCols = m.statsCols.map(_._1).toSet
+    pushed = filters.filter(f => f.references.nonEmpty &&
+      f.references.forall(statsCols.contains))
+    filters // all residual: the rewrite plan re-applies the condition
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GraftCoWScan(spark, root, m, tableSchema, required, pushed, op)
+}
+
+/** The copy-on-write variant of [[GraftScan]]: whole buckets only
+  * (no file pruning, no parquet filters), runtime group filtering on
+  * the bucket metadata column, and the final group set reported back
+  * to the operation for the write's replace step.
+  */
+class GraftCoWScan(spark: SparkSession, root: String, m: Manifest,
+                   dataSchema: StructType, required: StructType,
+                   filters: Array[Filter], op: GraftRowLevelOperation)
+    extends GraftScan(spark, root, m, dataSchema, required, filters) {
+
+  override protected def fileLevelPruning: Boolean = false
+  override protected def parquetFilters: Seq[Filter] = Nil
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(SnapshotStore.BucketCol))
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    org.apache.spark.sql.graft.GraftSqlShims.toV1Filters(predicates).foreach {
+      case In(SnapshotStore.BucketCol, vs) =>
+        narrowGroups(vs.toSeq.collect { case i: java.lang.Integer => i.intValue() }.toSet)
+      case EqualTo(SnapshotStore.BucketCol, v: java.lang.Integer) =>
+        narrowGroups(Set(v.intValue()))
+      case _ => () // unknown shapes never narrow (conservative)
+    }
+  }
+
+  private def narrowGroups(bs: Set[Int]): Unit = {
+    runtimeBuckets = Some(runtimeBuckets.fold(bs)(_.intersect(bs)))
+    invalidatePlanning()
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = super.planInputPartitions()
+    op.scannedBuckets = survivingBuckets
+    parts
+  }
+
+  override def description(): String = s"graft-cow ${super.description()}"
+}
+
+/** The rewrite's write side: distributed staging of the replacement
+  * rows, then one driver-side [[SnapshotStore.replaceBuckets]] commit.
+  * Staged frames are raw UnsafeRow bytes — schema-agnostic (nested
+  * types included), zero encode/decode beyond what the rows already
+  * are — under `<root>/_staging/`, removed on commit and abort alike
+  * (a crashed statement's leftovers sit outside `_commits` and the
+  * bucket dirs, invisible to readers).
+  */
+class GraftStagedWrite(root: String, writeSchema: StructType,
+                       op: GraftRowLevelOperation)
+    extends Write with BatchWrite {
+
+  private val stagingRel =
+    s"_staging/rlo-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+
+  /** Data columns to persist: the write schema minus the bucket
+    * metadata column (layout metadata — recomputed from the keys at
+    * commit, never stored).
+    */
+  private val dataSchema: StructType = StructType(
+    writeSchema.fields.filterNot(_.name == SnapshotStore.BucketCol).toSeq)
+
+  override def toBatch: BatchWrite = this
+  override def description(): String =
+    s"graft row-level ${op.command()} write on $root"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftStagedWriterFactory(new Path(root, stagingRel).toString,
+      writeSchema, dataSchema,
+      new GraftSerializableConf(
+        SparkSession.active.sparkContext.hadoopConfiguration))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    try {
+      val files = messages.collect { case GraftStagedFile(p, n) if n > 0 => p }
+      val staged =
+        if (files.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dataSchema)
+        else {
+          val conf = new GraftSerializableConf(
+            spark.sparkContext.hadoopConfiguration)
+          val nFields = dataSchema.length
+          val rdd = spark.sparkContext
+            .parallelize(files.toIndexedSeq,
+              math.max(1, math.min(files.length,
+                spark.sparkContext.defaultParallelism)))
+            .flatMap(p => GraftStagedIO.readRows(p, nFields, conf.value))
+          org.apache.spark.sql.graft.GraftSqlShims
+            .batchDataFrame(spark, rdd, dataSchema)
+        }
+      val keys = GraftWrite.resolveKeys(spark, root, Nil, exists = true)
+      SnapshotStore.replaceBuckets(spark, root, op.scannedBuckets, staged,
+        keys, basedOnVersion = op.scanVersion): Unit
+    } finally cleanupStaging()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    cleanupStaging()
+
+  private def cleanupStaging(): Unit = {
+    val p = new Path(root, stagingRel)
+    try {
+      val fs = p.getFileSystem(
+        SparkSession.active.sparkContext.hadoopConfiguration)
+      fs.delete(p, true): Unit
+    } catch { case _: IOException => () }
+  }
+}
+
+/** One staged spill file: its path and row count (count 0 = the task
+  * saw no rows and created no file).
+  */
+case class GraftStagedFile(path: String, rows: Long) extends WriterCommitMessage
+
+class GraftStagedWriterFactory(stagingDir: String, writeSchema: StructType,
+                               dataSchema: StructType,
+                               conf: GraftSerializableConf)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftStagedWriter(stagingDir, partitionId, taskId,
+      writeSchema, dataSchema, conf.value)
+}
+
+/** Task-side staging writer: projects each row to the data schema and
+  * appends it as a length-prefixed UnsafeRow frame. One file per
+  * committed task attempt (the commit coordinator admits exactly one
+  * attempt per partition, and the file is named by task id, so a
+  * speculative loser can neither collide nor leak into the commit).
+  */
+class GraftStagedWriter(stagingDir: String, partitionId: Int, taskId: Long,
+                        writeSchema: StructType, dataSchema: StructType,
+                        conf: Configuration)
+    extends DataWriter[InternalRow] {
+
+  private val path = new Path(stagingDir, f"part-$partitionId%05d-$taskId")
+  private val fs = path.getFileSystem(conf)
+  private var out: org.apache.hadoop.fs.FSDataOutputStream = null
+  private val proj = UnsafeProjection.create(
+    dataSchema.fields.toIndexedSeq.map { f =>
+      val i = writeSchema.fieldIndex(f.name)
+      BoundReference(i, f.dataType, f.nullable)
+        : org.apache.spark.sql.catalyst.expressions.Expression
+    })
+  private var n = 0L
+
+  override def write(row: InternalRow): Unit = {
+    if (out == null) out = fs.create(path, true)
+    val u = proj(row)
+    val bytes = u.getBytes // copies out of the projection's buffer
+    out.writeInt(bytes.length)
+    out.write(bytes)
+    n += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) out.close()
+    GraftStagedFile(if (n > 0) path.toString else "", n)
+  }
+
+  override def abort(): Unit = {
+    try { if (out != null) out.close() } catch { case _: IOException => () }
+    try { fs.delete(path, false); () } catch { case _: IOException => () }
+  }
+
+  override def close(): Unit = ()
+}
+
+private[connector] object GraftStagedIO {
+  /** Stream a staged spill back as InternalRows. Each frame gets its
+    * own backing array (no row reuse — downstream operators may
+    * buffer). The stream closes at exhaustion and, for partially
+    * consumed iterators, with the task.
+    */
+  def readRows(path: String, nFields: Int, conf: Configuration)
+      : Iterator[InternalRow] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    var closed = false
+    def closeOnce(): Unit = if (!closed) { closed = true; in.close() }
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => closeOnce()))
+    new Iterator[InternalRow] {
+      private var pos = 0L
+      override def hasNext: Boolean = {
+        val more = pos < len
+        if (!more) closeOnce()
+        more
+      }
+      override def next(): InternalRow = {
+        val l = in.readInt()
+        val bytes = new Array[Byte](l)
+        in.readFully(bytes)
+        pos += 4L + l
+        val r = new UnsafeRow(nFields)
+        r.pointTo(bytes, l)
+        r
+      }
+    }
+  }
+}
+
+/** A serializable Hadoop `Configuration` carrier (the executor-side
+  * staging IO needs the driver's FS conf; Spark's own wrapper is
+  * `private[spark]`).
+  */
+class GraftSerializableConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}

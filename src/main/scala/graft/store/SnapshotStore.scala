@@ -1273,7 +1273,8 @@ object SnapshotStore {
                   merge: (DataFrame, DataFrame) => DataFrame,
                   maxAttempts: Int = 5,
                   txn: Option[(String, Long)] = None,
-                  failRules: Seq[graft.pipeline.Expectations.Expectation] = Nil): Long = {
+                  failRules: Seq[graft.pipeline.Expectations.Expectation] = Nil,
+                  alsoTouch: Manifest => Set[Int] = _ => Set.empty): Long = {
     val fs = fileSystem(spark, root)
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -1288,8 +1289,14 @@ object SnapshotStore {
       val token = newToken()
 
       val bucketed = withBucket(delta, keys, m.numBuckets)
+      // `alsoTouch` widens the rewrite to buckets the delta does not
+      // hash into (filter-scoped overwrite: buckets whose current rows
+      // may match the overwrite condition must be rewritten even when
+      // no new row lands there) — their current rows flow through the
+      // same `merge` and emptied ones drop out of the manifest
       val touched = bucketed.select(BucketCol).distinct()
-        .collect().map(_.getInt(0)).toSet // ≤ numBuckets ids — metadata-sized
+        .collect().map(_.getInt(0)).toSet ++ // ≤ numBuckets ids — metadata-sized
+        alsoTouch(m)
       val current = readBuckets(spark, root, m, touched)
       val currentAligned =
         if (current.schema.isEmpty) delta.limit(0) else current
@@ -1358,6 +1365,155 @@ object SnapshotStore {
     throw new IllegalStateException(
       s"replaceAll lost $maxAttempts consecutive commit races at $root")
   }
+
+  /** Group-replace commit — the verb behind SQL row-level rewrites
+    * (DELETE FROM / UPDATE / MERGE INTO through the DSv2 connector;
+    * the reference's `*_proc.sql` MERGE shape as literal SQL). Spark's
+    * group-based rewrite plan computes the full replacement content of
+    * the affected groups (group = bucket here; `scanned` is exactly
+    * the bucket set its copy-on-write scan served) and this publishes
+    * it as ONE atomic version:
+    *   - a scanned bucket's new content = exactly the replacement rows
+    *     hashing into it (none left → the bucket empties out of the
+    *     manifest);
+    *   - replacement rows hashing OUTSIDE `scanned` (MERGE inserts,
+    *     key-moving updates) upsert-merge into their buckets — the
+    *     keyed-table invariant (one row per key) holds through any
+    *     ON-condition;
+    *   - every rewritten bucket folds its tombstone sidecars (the
+    *     replacement content derives from the tombstone-subtracted
+    *     scan, so the fold is exact).
+    * O(affected buckets + inserts) data written; untouched buckets
+    * re-point unchanged.
+    *
+    * Concurrency: a lost commit race REBASES across disjoint winners
+    * like every delta commit, but an OVERLAPPING winner cannot be
+    * re-merged here — the replacement was computed against a snapshot
+    * by a plan this library no longer holds, and re-applying it over
+    * the winner's changes would silently drop them — so the loss
+    * surfaces as [[java.util.ConcurrentModificationException]] and the
+    * caller re-runs the whole statement against the new state (the
+    * Delta/Iceberg conflict contract).
+    */
+  def replaceBuckets(spark: SparkSession, root: String, scanned: Set[Int],
+                     replacement: DataFrame, keys: Seq[String],
+                     maxAttempts: Int = 5,
+                     basedOnVersion: Option[Long] = None): Long = {
+    val fs = fileSystem(spark, root)
+    val base = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root — call init first"))
+    val m = readManifest(spark, root, base)
+    require(keys.nonEmpty, s"replaceBuckets at $root needs the table's merge keys")
+    def conflict(detail: String): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"row-level rewrite at $root lost to a concurrent commit ($detail) — " +
+          "the rewrite was computed against a stale snapshot; re-run the statement")
+    // the replacement was computed by a scan of `basedOnVersion`; any
+    // commit since then that touched a scanned bucket (or changed the
+    // layout) invalidates it — the same disjointness rule the rebase
+    // path applies, checked up front against the scan's snapshot
+    basedOnVersion.filter(_ != base).foreach { sv =>
+      val scanM = readManifest(spark, root, sv)
+      if (scanM.numBuckets != m.numBuckets) conflict("bucket layout changed")
+      val winnerTouched = (scanM.buckets.keySet ++ m.buckets.keySet)
+        .filter(b => scanM.buckets.get(b) != m.buckets.get(b))
+      if (winnerTouched.intersect(scanned).nonEmpty)
+        conflict(s"buckets ${winnerTouched.intersect(scanned).toSeq.sorted.mkString(",")} changed")
+    }
+    val v = base + 1
+    val token = newToken()
+    val bucketed = withBucket(replacement, keys, m.numBuckets)
+    val inScanned =
+      if (scanned.isEmpty) replacement.limit(0)
+      else bucketed.where(col(BucketCol).isInCollection(scanned)).drop(BucketCol)
+    val outsideB =
+      if (scanned.isEmpty) bucketed
+      else bucketed.where(!col(BucketCol).isInCollection(scanned))
+    val outsideTouched = outsideB.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSet // ≤ numBuckets ids — metadata-sized
+    val outside = outsideB.drop(BucketCol)
+    val touched = scanned ++ outsideTouched
+    def hasKeyDup(df: DataFrame): Boolean =
+      df.groupBy(keys.map(col): _*).count()
+        .where(col("count") > 1).limit(1).count() > 0
+    // A key-rewriting statement (UPDATE SET <key> = …, MERGE inserting
+    // an existing key) can land a changed row on a key whose
+    // UNCHANGED row sits in the same scanned bucket — the group
+    // rewrite has no key-uniqueness concept, so both rows arrive.
+    // The keyed-table contract says the WRITE wins (every graft write
+    // is an upsert), and a changed row is distinguishable
+    // structurally: a copied-over row is bit-identical to a current
+    // row of the scanned buckets, a changed one is not. The
+    // classification (two delta-sized exceptAlls + a keyed merge) runs
+    // ONLY when a duplicate key is actually detected — the common
+    // statement pays one map-combined count aggregate over the
+    // affected buckets and nothing else.
+    val mergedIn =
+      if (scanned.isEmpty || !hasKeyDup(inScanned)) inScanned
+      else {
+        val curS = readBuckets(spark, root, m, scanned)
+        val curAligned =
+          if (curS.schema.isEmpty) inScanned.limit(0)
+          else curS.select(inScanned.columns.map(col).toIndexedSeq: _*)
+        val changedIn = inScanned.exceptAll(curAligned)
+        if (hasKeyDup(changedIn)) throw new IllegalStateException(
+          s"row-level rewrite at $root produced two CHANGED rows for one " +
+            "merge key (e.g. an UPDATE mapping several keys onto the same " +
+            "new key) — a keyed graft table holds one row per key; make the " +
+            "statement produce distinct keys")
+        val copiesIn = inScanned.exceptAll(changedIn)
+        upsertMerge(keys)(copiesIn, changedIn)
+      }
+    val mergedOutside =
+      if (outsideTouched.isEmpty) outside
+      else {
+        if (hasKeyDup(outside)) throw new IllegalStateException(
+          s"row-level rewrite at $root inserts one merge key twice — a " +
+            "keyed graft table holds one row per key; deduplicate the source")
+        val current = readBuckets(spark, root, m, outsideTouched)
+        upsertMerge(keys)(
+          if (current.schema.isEmpty) outside.limit(0) else current, outside)
+      }
+    val full = mergedIn.unionByName(mergedOutside)
+    val written = writeVersionData(full, root, v, token, keys, m.numBuckets,
+      m.statsCols, fs)
+    var attempt = 1
+    commitOrRebase[Map[Int, BucketEntry]](spark, fs, root, m, touched, v, token,
+      txn = None,
+      mayRetry = () => attempt < maxAttempts,
+      spendRetry = () => attempt += 1,
+      state0 = written,
+      nextOf = (winners, w) => (winners.buckets -- touched) ++ w,
+      rehome = (w, curV, newV) => w.map { case (b, e) =>
+        b -> e.copy(dir = rebased(e.dir, curV, newV, token))
+      },
+      keys = keys) match {
+      case Some(committed) => committed
+      case None => throw new java.util.ConcurrentModificationException(
+        s"row-level rewrite at $root lost its commit race to an overlapping " +
+          "concurrent commit — the rewrite was computed against a stale " +
+          "snapshot; re-run the statement")
+    }
+  }
+
+  /** Filter-scoped overwrite (`df.writeTo(t).overwrite(cond)` /
+    * `SupportsOverwriteV2`): ONE commit that deletes every current row
+    * matching `cond` and upserts `df`. `candidatesOf` supplies a
+    * conservative superset of the buckets that may hold a matching row
+    * (manifest-stats pruning; `_ => all` when the condition is not
+    * prunable) — buckets outside it that receive no new rows re-point
+    * untouched, so a stats-aligned overwrite stays O(affected), not
+    * O(table). Races recompute against the new base like any delta
+    * commit: the (cond, df) spec re-applies cleanly.
+    */
+  def replaceWhere(spark: SparkSession, root: String, cond: Column,
+                   df: DataFrame, keys: Seq[String],
+                   candidatesOf: Manifest => Set[Int],
+                   txn: Option[(String, Long)] = None): Long =
+    commitDelta(spark, root, df, keys,
+      merge = (cur, delta) => upsertMerge(keys)(cur.where(!cond), delta),
+      txn = txn,
+      alsoTouch = candidatesOf)
 
   /** Merge-on-read DELETE: commit the removal of `deleteKeys` (frame
     * of key tuples) by writing a tombstone sidecar per touched bucket

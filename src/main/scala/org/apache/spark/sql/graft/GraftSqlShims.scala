@@ -28,4 +28,14 @@ object GraftSqlShims {
   def batchDataFrame(spark: SparkSession, rdd: RDD[InternalRow],
                      schema: StructType): DataFrame =
     spark.internalCreateDataFrame(rdd, schema, isStreaming = false)
+
+  /** V2 `Predicate` → V1 `Filter` translation (Spark's own, so the
+    * supported shapes and literal conversions match what every file
+    * source accepts). Used by the connector's runtime filtering and
+    * SQL DELETE paths; untranslatable predicates drop out (callers
+    * treat the result as a conservative subset).
+    */
+  def toV1Filters(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Array[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(predicates)
 }
