@@ -206,15 +206,105 @@ object QueriesStore {
       |SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM merged GROUP BY 1""".stripMargin
 
+  // =====================================================================
+  // w05 — SQL MERGE INTO vs relational recompute: the same mixed
+  // update/delete/insert shape as w04, but as a LITERAL SQL statement
+  // against the cataloged table (group-based copy-on-write rewrite:
+  // CoW scan + runtime group narrowing + replaceBuckets commit). The
+  // oracle is w04's relational rebuild — a hash match proves clause
+  // routing, Spark's cardinality semantics, and the bucket-group
+  // replace end to end. Reference: every `*_proc.sql` IS this
+  // statement.
+  // =====================================================================
+  private def catalogInit(s: org.apache.spark.sql.SparkSession): Unit = {
+    s.conf.set("spark.sql.catalog.graft_w03",
+      classOf[graft.connector.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_w03.root", w03Warehouse)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_w03.sales")
+  }
+
+  val w05: Q = (s, d) => {
+    catalogInit(s)
+    val t = "t" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    Tables.orders(s, d).createOrReplaceTempView("w05_orders_src")
+    s.sql(
+      s"""CREATE TABLE graft_w03.sales.$t USING graft
+         |TBLPROPERTIES ('keys'='k', 'numBuckets'='8')
+         |AS SELECT o_orderkey AS k, o_orderstatus AS status,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+         |FROM w05_orders_src""".stripMargin)
+    s.sql(
+      s"""MERGE INTO graft_w03.sales.$t t
+         |USING (
+         |  SELECT o_orderkey AS k, 'X' AS status,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents,
+         |    'U' AS op
+         |  FROM w05_orders_src WHERE o_orderkey % 10 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey, NULL, CAST(0 AS BIGINT), 'D'
+         |  FROM w05_orders_src WHERE o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 100000000, 'N',
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT), 'I'
+         |  FROM w05_orders_src WHERE o_orderkey % 13 = 0
+         |) s ON t.k = s.k
+         |WHEN MATCHED AND s.op = 'D' THEN DELETE
+         |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET status = s.status
+         |WHEN NOT MATCHED THEN INSERT (k, status, cents) VALUES (s.k, s.status, s.cents)
+         |""".stripMargin)
+    s.sql(
+      s"""SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM graft_w03.sales.$t GROUP BY status""".stripMargin)
+  }
+
+  val w05Sql: String = w04Sql // identical relational recompute
+
+  // =====================================================================
+  // w06 — SQL DELETE + UPDATE round trip: DELETE with a translatable
+  // predicate commits merge-on-read tombstones (no bucket rewrite),
+  // UPDATE runs the group rewrite; the read back proves the in-scan
+  // tombstone subtraction composes with the rewritten buckets. The
+  // oracle rebuilds the final state with WHERE + CASE.
+  // =====================================================================
+  val w06: Q = (s, d) => {
+    catalogInit(s)
+    val t = "t" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    Tables.orders(s, d).createOrReplaceTempView("w06_orders_src")
+    s.sql(
+      s"""CREATE TABLE graft_w03.sales.$t USING graft
+         |TBLPROPERTIES ('keys'='k', 'numBuckets'='8', 'statsCols'='k')
+         |AS SELECT o_orderkey AS k, o_orderstatus AS status,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+         |FROM w06_orders_src""".stripMargin)
+    s.sql(s"DELETE FROM graft_w03.sales.$t WHERE k % 5 = 0")
+    s.sql(s"UPDATE graft_w03.sales.$t SET status = 'U' WHERE k % 3 = 0")
+    s.sql(
+      s"""SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM graft_w03.sales.$t GROUP BY status""".stripMargin)
+  }
+
+  val w06Sql: String =
+    """WITH fin AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END AS status,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 5 <> 0)
+      |SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM fin GROUP BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
     "w01_table_roundtrip" -> w01,
     "w02_change_feed" -> w02,
     "w03_sql_dml" -> w03,
-    "w04_merge" -> w04)
+    "w04_merge" -> w04,
+    "w05_sql_merge" -> w05,
+    "w06_sql_delete_update" -> w06)
 
   val oracles: Map[String, String] = Map(
     "w01_table_roundtrip" -> w01Sql,
     "w02_change_feed" -> w02Sql,
     "w03_sql_dml" -> w03Sql,
-    "w04_merge" -> w04Sql)
+    "w04_merge" -> w04Sql,
+    "w05_sql_merge" -> w05Sql,
+    "w06_sql_delete_update" -> w06Sql)
 }
