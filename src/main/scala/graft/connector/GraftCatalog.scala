@@ -242,6 +242,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     dir.toString
   }
 
+  /** Same validation for a procedure argument naming a table that must
+    * NOT exist yet (`CALL clone`'s target) — the parent namespace must
+    * exist, the target must not.
+    */
+  private[connector] def resolveNewTableDir(table: String): String = {
+    val parts = table.split("\\.").toSeq
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"malformed table argument '$table' — expected 'ns.table' relative to catalog '$catalogName'")
+    val parent = dirOf(parts.init)
+    require(fs.exists(parent) && !isTable(parent),
+      s"namespace ${parts.init.mkString(".")} does not exist")
+    val dir = dirOf(parts)
+    require(!fs.exists(dir), s"target $table already exists")
+    dir.toString
+  }
+
   // ------------------------------------------------------------------
   // namespaces = directories
   // ------------------------------------------------------------------

@@ -46,7 +46,8 @@ object GraftProcedures {
 
   private val Namespace = Array("system")
 
-  private val names = Seq("compact", "vacuum", "restore", "checkpoint")
+  private val names = Seq("compact", "vacuum", "restore", "checkpoint",
+    "clone", "rebucket", "materialize")
 
   def list(catalog: GraftCatalog, namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Namespace))
@@ -74,6 +75,9 @@ object GraftProcedures {
       case "vacuum"     => "delete data versions older than the newest keep_last (respecting feed/clone retention)"
       case "restore"    => "commit a new version whose content is a past version (roll back without losing history)"
       case "checkpoint" => "write a manifest checkpoint so cold reads replay O(1) deltas"
+      case "clone"      => "zero-copy clone: the target's v0 points at the source's data; O(manifest) at any size"
+      case "rebucket"   => "rewrite the table under a new hash-bucket count (one O(table) commit; later deltas compose)"
+      case "materialize" => "re-home every cloned bucket locally, cutting the clone's dependency on its source"
     }
     override def bind(inputType: StructType): BoundProcedure = new Bound(catalog, proc)
   }
@@ -100,6 +104,14 @@ object GraftProcedures {
         in("version", LongType))
       case "checkpoint" => Array(
         in("table", StringType))
+      case "clone" => Array(
+        in("table", StringType),
+        in("target", StringType))
+      case "rebucket" => Array(
+        in("table", StringType),
+        in("num_buckets", IntegerType))
+      case "materialize" => Array(
+        in("table", StringType))
     }
 
     private def outSchema: StructType = proc match {
@@ -107,6 +119,9 @@ object GraftProcedures {
       case "vacuum"     => new StructType().add("removed_versions", IntegerType)
       case "restore"    => new StructType().add("version", LongType)
       case "checkpoint" => new StructType().add("version", LongType)
+      case "clone"      => new StructType().add("version", LongType)
+      case "rebucket"   => new StructType().add("version", LongType)
+      case "materialize" => new StructType().add("version", LongType)
     }
 
     private def csv(s: String): Seq[String] =
@@ -131,10 +146,32 @@ object GraftProcedures {
           SnapshotStore.restore(spark, root, toVersion = input.getLong(1))
         case "checkpoint" =>
           SnapshotStore.checkpoint(spark, root)
+        case "clone" =>
+          val target = Option(input.getUTF8String(1)).map(_.toString).getOrElse(
+            throw new IllegalArgumentException("clone: 'target' must not be NULL"))
+          SnapshotStore.cloneTable(spark, root,
+            catalog.resolveNewTableDir(target))
+        case "rebucket" =>
+          SnapshotStore.rebucket(spark, root, persistedKeys(spark, root),
+            newNumBuckets = input.getInt(1))
+        case "materialize" =>
+          SnapshotStore.materialize(spark, root, persistedKeys(spark, root))
       }
       val row = new GenericInternalRow(Array[Any](result))
       java.util.Collections.singletonList[Scan](
         new ResultScan(outSchema, Array[InternalRow](row))).iterator()
+    }
+
+    /** The table's manifest-persisted merge keys (rebucket/materialize
+      * rewrite by them; SQL has no channel to re-supply them — exactly
+      * what format-4 persistence is for).
+      */
+    private def persistedKeys(spark: SparkSession, root: String): Seq[String] = {
+      val keys = GraftTable.manifestAt(spark, root, None).keys
+      require(keys.nonEmpty,
+        s"table at $root predates persisted keys (manifest format < 4): " +
+          s"run $proc through the library API, which takes them explicitly")
+      keys
     }
   }
 

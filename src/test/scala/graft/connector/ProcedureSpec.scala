@@ -106,6 +106,45 @@ class ProcedureSpec extends SparkSpec {
     cat.initialize("gp", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
       java.util.Map.of("root", warehouse)))
     assert(cat.listProcedures(Array("system")).map(_.name()).toSet ==
-      Set("compact", "vacuum", "restore", "checkpoint"))
+      Set("compact", "vacuum", "restore", "checkpoint",
+        "clone", "rebucket", "materialize"))
+  }
+
+  test("CALL system.clone / materialize / rebucket complete the layout lifecycle from SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gproc.lay")
+    spark.sql("""CREATE TABLE gproc.lay.src (k BIGINT, v STRING, ts BIGINT)
+                 USING graft TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO gproc.lay.src SELECT id, CAST(id AS STRING), id FROM range(0, 40)")
+    val srcRows = rows(spark.table("gproc.lay.src").toDF())
+
+    // zero-copy clone: target readable immediately, no local data files
+    assert(call("CALL gproc.system.clone(table => 'lay.src', target => 'lay.c1')") == Seq(0L))
+    assert(rows(spark.table("gproc.lay.c1").toDF()) == srcRows)
+    // the clone diverges independently of the source
+    spark.sql("INSERT INTO gproc.lay.c1 VALUES (100, 'clone-only', 1)")
+    assert(spark.table("gproc.lay.c1").count() == 41)
+    assert(rows(spark.table("gproc.lay.src").toDF()) == srcRows)
+
+    // materialize re-homes the clone; the source can then be dropped
+    call("CALL gproc.system.materialize(table => 'lay.c1')")
+    spark.sql("DROP TABLE gproc.lay.src")
+    assert(spark.table("gproc.lay.c1").count() == 41)
+
+    // rebucket: new layout, identical rows, future writes compose
+    call("CALL gproc.system.rebucket(table => 'lay.c1', num_buckets => 5)")
+    val m = graft.store.SnapshotStore.readManifest(spark, s"$warehouse/lay/c1",
+      graft.store.SnapshotStore.latestVersion(spark, s"$warehouse/lay/c1").get)
+    assert(m.numBuckets == 5)
+    assert(spark.table("gproc.lay.c1").count() == 41)
+    spark.sql("INSERT INTO gproc.lay.c1 VALUES (200, 'post-rebucket', 2)")
+    assert(spark.table("gproc.lay.c1").count() == 42)
+
+    // clone target validation: existing target and missing namespace refuse
+    val e1 = intercept[Exception](
+      call("CALL gproc.system.clone(table => 'lay.c1', target => 'lay.c1')"))
+    assert(e1.getMessage.contains("already exists"))
+    val e2 = intercept[Exception](
+      call("CALL gproc.system.clone(table => 'lay.c1', target => 'nope.c2')"))
+    assert(e2.getMessage.contains("does not exist"))
   }
 }

@@ -147,6 +147,21 @@ class RowLevelSpec extends SparkSpec {
       assert(after.buckets(b).dir == e.dir, s"untouched bucket $b was rewritten")
   }
 
+  test("SQL MERGE with NOT MATCHED BY SOURCE rewrites against the full group set") {
+    val (name, _) = freshTable(count = 20)
+    // source holds only even keys: evens update, odds (absent from the
+    // source) must DELETE — which forces every bucket into the scan
+    // (no runtime narrowing is sound when unmatched targets act)
+    (2 to 20 by 2).map(k => (k.toLong, s"m$k")).toDF("k", "nv")
+      .createOrReplaceTempView("rl_nbs_src")
+    spark.sql(
+      s"""MERGE INTO $name t USING rl_nbs_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.nv
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(state(name) ==
+      (2 to 20 by 2).map(k => (k.toLong, s"m$k", k * 10L)).toSet)
+  }
+
   test("SQL MERGE INTO rejects duplicate source matches (cardinality check)") {
     val (name, _) = freshTable()
     Seq((1L, "a", 1L), (1L, "b", 2L)).toDF("k", "v", "cents")
