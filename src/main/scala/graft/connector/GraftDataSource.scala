@@ -80,7 +80,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     if (SnapshotStore.latestVersion(spark, root).isEmpty) new StructType()
     else if (isChangeFeed(options)) GraftChangeFeedSource.feedSchema(spark, root)
     else GraftTable.resolveSchema(spark, root,
-      Option(options.get(GraftTable.VersionAsOf)).map(_.toLong))
+      GraftTable.pinnedVersion(spark, options, root))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -99,7 +99,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
           java.util.Collections.emptySet()
       }
     else new GraftTable(GraftTable.rootOf(opts),
-      Option(opts.get(GraftTable.VersionAsOf)).map(_.toLong), schema)
+      GraftTable.pinnedVersion(spark, opts, GraftTable.rootOf(opts)), schema)
   }
 
   /** V1 fallback target for `option("readChangeFeed", "true")` batch
@@ -187,6 +187,30 @@ class GraftDataSource extends TableProvider with DataSourceRegister
 
 object GraftTable {
   val VersionAsOf = "versionAsOf"
+  val TimestampAsOf = "timestampAsOf"
+
+  /** Time-travel pin from read options: `versionAsOf` wins; else
+    * `timestampAsOf` (epoch millis, or an ISO-8601 / `yyyy-MM-dd
+    * HH:mm:ss` instant) resolves to the newest version committed at or
+    * before it via the manifests' in-commit timestamps — the same rule
+    * the catalog's `TIMESTAMP AS OF` applies.
+    */
+  private[connector] def pinnedVersion(spark: SparkSession,
+                                       options: CaseInsensitiveStringMap,
+                                       root: String): Option[Long] =
+    Option(options.get(VersionAsOf)).map(_.toLong).orElse(
+      Option(options.get(TimestampAsOf)).map { raw =>
+        val millis = raw.trim match {
+          case ms if ms.nonEmpty && ms.forall(_.isDigit) => ms.toLong
+          case s =>
+            val norm = s.replace("T", " ")
+            val full = if (norm.length == 10) norm + " 00:00:00" else norm
+            java.sql.Timestamp.valueOf(full).getTime
+        }
+        SnapshotStore.versionAt(spark, root, millis).getOrElse(
+          throw new IllegalArgumentException(
+            s"no graft version at $root committed at or before $raw"))
+      })
 
   private[connector] def rootOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -282,6 +306,22 @@ class GraftTable(root: String, versionAsOf: Option[Long],
       s"cannot write to time-travel snapshot $name — writes land on the " +
         "table's latest version")
     new GraftTableWriteBuilder(root)
+  }
+
+  /** Surfaced through `SHOW TBLPROPERTIES` / `DESCRIBE TABLE EXTENDED`:
+    * the layout facts an operator needs (merge keys, bucket count,
+    * declared stats columns, current version) — read from the latest
+    * manifest, the single source of truth.
+    */
+  override def properties(): java.util.Map[String, String] = {
+    val spark = SparkSession.active
+    val m = GraftTable.manifestAt(spark, root, versionAsOf)
+    val props = new java.util.HashMap[String, String]()
+    props.put("keys", m.keys.mkString(","))
+    props.put("numBuckets", m.numBuckets.toString)
+    props.put("statsCols", m.statsCols.map(_._1).mkString(","))
+    props.put("version", m.version.toString)
+    props
   }
 
   /** The table's bucket id as a metadata column — the GROUP identity

@@ -253,7 +253,7 @@ class GraftStagedWriter(stagingDir: String, partitionId: Int, taskId: Long,
 
   private val path = new Path(stagingDir, f"part-$partitionId%05d-$taskId")
   private val fs = path.getFileSystem(conf)
-  private var out: org.apache.hadoop.fs.FSDataOutputStream = null
+  private var out: java.io.DataOutputStream = null
   private val proj = UnsafeProjection.create(
     dataSchema.fields.toIndexedSeq.map { f =>
       val i = writeSchema.fieldIndex(f.name)
@@ -263,7 +263,11 @@ class GraftStagedWriter(stagingDir: String, partitionId: Int, taskId: Long,
   private var n = 0L
 
   override def write(row: InternalRow): Unit = {
-    if (out == null) out = fs.create(path, true)
+    if (out == null)
+      // LZ4 block framing over the raw row bytes: staged spill is
+      // I/O-bound at scale and UnsafeRow frames compress well
+      out = new java.io.DataOutputStream(
+        new net.jpountz.lz4.LZ4BlockOutputStream(fs.create(path, true)))
     val u = proj(row)
     val bytes = u.getBytes // copies out of the projection's buffer
     out.writeInt(bytes.length)
@@ -272,7 +276,7 @@ class GraftStagedWriter(stagingDir: String, partitionId: Int, taskId: Long,
   }
 
   override def commit(): WriterCommitMessage = {
-    if (out != null) out.close()
+    if (out != null) { out.writeInt(-1); out.close() } // -1 = end marker
     GraftStagedFile(if (n > 0) path.toString else "", n)
   }
 
@@ -294,26 +298,25 @@ private[connector] object GraftStagedIO {
       : Iterator[InternalRow] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val len = fs.getFileStatus(p).getLen
-    val in = fs.open(p)
+    val in = new java.io.DataInputStream(
+      new net.jpountz.lz4.LZ4BlockInputStream(fs.open(p)))
     var closed = false
     def closeOnce(): Unit = if (!closed) { closed = true; in.close() }
     Option(org.apache.spark.TaskContext.get()).foreach(
       _.addTaskCompletionListener[Unit](_ => closeOnce()))
     new Iterator[InternalRow] {
-      private var pos = 0L
+      private var nextLen = in.readInt()
       override def hasNext: Boolean = {
-        val more = pos < len
+        val more = nextLen >= 0
         if (!more) closeOnce()
         more
       }
       override def next(): InternalRow = {
-        val l = in.readInt()
-        val bytes = new Array[Byte](l)
+        val bytes = new Array[Byte](nextLen)
         in.readFully(bytes)
-        pos += 4L + l
         val r = new UnsafeRow(nFields)
-        r.pointTo(bytes, l)
+        r.pointTo(bytes, nextLen)
+        nextLen = in.readInt()
         r
       }
     }

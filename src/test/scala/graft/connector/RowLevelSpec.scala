@@ -210,6 +210,32 @@ class RowLevelSpec extends SparkSpec {
       before.buckets.size <= 2, "stats pruning should narrow the overwrite")
   }
 
+  test("timestampAsOf read option resolves from in-commit timestamps") {
+    val (name, root) = freshTable()
+    val v1 = SnapshotStore.latestVersion(spark, root).get
+    val t1 = SnapshotStore.commitTimeMillis(spark, root, v1)
+    spark.sql(s"DELETE FROM $name WHERE k <= 30")
+    assert(spark.table(name).count() == 10)
+    // epoch-millis form pins the pre-delete snapshot
+    assert(spark.read.format("graft").option("timestampAsOf", t1.toString)
+      .load(root).count() == 40)
+    // a timestamp before the table existed refuses with guidance
+    val e = intercept[IllegalArgumentException](
+      spark.read.format("graft").option("timestampAsOf", "1970-01-02")
+        .load(root).count())
+    assert(e.getMessage.contains("no graft version"))
+  }
+
+  test("SHOW TBLPROPERTIES surfaces the manifest's layout facts") {
+    val (name, _) = freshTable(buckets = 4)
+    val props = spark.sql(s"SHOW TBLPROPERTIES $name")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("keys") == "k")
+    assert(props("numBuckets") == "4")
+    assert(props("statsCols") == "k,cents")
+    assert(props("version") == "1") // CTAS = empty create (v0) + data (v1)
+  }
+
   test("row-level rewrite against a concurrently-modified bucket refuses") {
     val (name, root) = freshTable()
     // plant a conflicting commit BETWEEN the scan and the write by
