@@ -4,8 +4,9 @@ import java.util.{Map => JMap}
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
@@ -35,7 +36,8 @@ import graft.store.SnapshotStore
   * data has no keys to bucket by, so it is rejected with that
   * guidance rather than half-supported.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog with FunctionCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -257,6 +259,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     require(!fs.exists(dir), s"target $table already exists")
     dir.toString
   }
+
+  // ------------------------------------------------------------------
+  // functions — the bucket transform behind storage-partitioned joins
+  // ------------------------------------------------------------------
+
+  /** `bucket` resolves from the catalog's top level (where Spark looks
+    * partition transforms up) and from any namespace (where SQL
+    * `SELECT cat.ns.bucket(...)` might) — it is layout arithmetic, not
+    * namespaced state.
+    */
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name().toLowerCase(java.util.Locale.ROOT) == "bucket")
+      GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespaceExists(namespace))
+      Array(Identifier.of(namespace, "bucket"))
+    else throw new NoSuchNamespaceException(name() +: namespace)
 
   // ------------------------------------------------------------------
   // namespaces = directories

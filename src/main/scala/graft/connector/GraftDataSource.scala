@@ -609,7 +609,37 @@ class GraftManifestAggScan(root: String, version: Long, schema: StructType,
 class GraftScan(spark: SparkSession, root: String, m: Manifest,
                 dataSchema: StructType, required: StructType,
                 filters: Array[Filter]) extends Scan with Batch
-    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** The layout IS a partitioning: every split carries its bucket id
+    * ([[GraftInputPartition.partitionKey]]), so with
+    * `spark.sql.sources.v2.bucketing.enabled=true` Spark groups splits
+    * by bucket and a graft⋈graft join on the merge key — or an
+    * aggregation grouped by it — runs as a STORAGE-PARTITIONED plan
+    * with zero shuffle on the graft side(s). The transform resolves
+    * through the catalog's `bucket` function
+    * ([[GraftBucketFunction]]); reported only when every key column is
+    * in this scan's output (Spark resolves the references against the
+    * pruned relation) and the manifest persists keys at all.
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val reportable = m.keys.nonEmpty &&
+      m.keys.forall(k => required.fieldNames.contains(k))
+    if (!reportable)
+      new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(0)
+    else {
+      val bucketArgs =
+        Expressions.literal(m.numBuckets) +:
+          m.keys.map(k => Expressions.column(k)
+            : org.apache.spark.sql.connector.expressions.Expression)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(Expressions.apply("bucket", bucketArgs: _*)),
+        plannedFiles.map(_._2).distinct.size)
+    }
+  }
 
   /** Runtime narrowing state: an explicit kept-bucket intersection
     * (from merge-key values, which hash directly to buckets) plus
@@ -826,11 +856,17 @@ class GraftScan(spark: SparkSession, root: String, m: Manifest,
 }
 
 /** One parquet split, tagged with its bucket id (the key into the
-  * broadcast deleted-key sets).
+  * broadcast deleted-key sets, and the partition VALUE storage-
+  * partitioned planning groups splits by).
   */
 case class GraftInputPartition(urlEncodedPath: String, start: Long, length: Long,
                                fileSize: Long, bucket: Int)
-  extends InputPartition
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket))
+}
 
 /** Deleted-key tuples are catalyst values (UTF8String/Long/...),
   * which are what the parquet reader yields — set membership is

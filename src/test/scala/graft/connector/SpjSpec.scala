@@ -1,0 +1,109 @@
+package graft.connector
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Storage-partitioned joins: the bucket layout IS a reported
+  * partitioning, so two graft tables joined on their merge key — or an
+  * aggregation grouped by it — plan with ZERO shuffle on the graft
+  * side(s). At 100 TB this is the difference between a fact⋈fact join
+  * shuffling both tables and one shuffling nothing.
+  */
+class SpjSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val warehouse = Files.createTempDirectory("graft-spj-wh").toString
+  locally {
+    spark.conf.set("spark.sql.catalog.spj",
+      classOf[graft.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spj.root", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS spj.ns")
+  }
+
+  private def planNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        planNodes(a.executedPlan)
+      case other => Seq(other)
+    }
+    self ++ p.children.flatMap(planNodes)
+  }
+
+  private def shuffleCount(df: DataFrame): Int = {
+    df.collect() // materialize so AQE (if on) settles the final plan
+    planNodes(df.queryExecution.executedPlan)
+      .count(_.getClass.getSimpleName.contains("ShuffleExchange"))
+  }
+
+  private def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("graft-to-graft join on the merge key plans with zero shuffles") {
+    (1L to 200L).map(k => (k, s"a$k")).toDF("k", "va")
+      .createOrReplaceTempView("spj_a_src")
+    (1L to 150L).map(k => (k, k * 10L)).toDF("k", "vb")
+      .createOrReplaceTempView("spj_b_src")
+    spark.sql("""CREATE TABLE spj.ns.a USING graft
+                 TBLPROPERTIES('keys'='k','numBuckets'='4')
+                 AS SELECT * FROM spj_a_src""")
+    spark.sql("""CREATE TABLE spj.ns.b USING graft
+                 TBLPROPERTIES('keys'='k','numBuckets'='4')
+                 AS SELECT * FROM spj_b_src""")
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val joined = spark.sql(
+        "SELECT a.k, a.va, b.vb FROM spj.ns.a a JOIN spj.ns.b b ON a.k = b.k")
+      assert(shuffleCount(joined) == 0,
+        s"expected a storage-partitioned join:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() == 150)
+      // and the result is right, not just shuffle-free
+      val expect = (1L to 150L).map(k => (k, s"a$k", k * 10L)).toSet
+      assert(joined.as[(Long, String, Long)].collect().toSet == expect)
+    }
+    // without the v2-bucketing opt-in the same query still answers
+    // correctly through ordinary shuffles
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      assert(spark.sql(
+        "SELECT a.k FROM spj.ns.a a JOIN spj.ns.b b ON a.k = b.k").count() == 150)
+    }
+  }
+
+  test("aggregation grouped by the merge key avoids the shuffle") {
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val agg = spark.sql(
+        "SELECT k, count(*) AS n FROM spj.ns.a GROUP BY k")
+      assert(shuffleCount(agg) == 0,
+        s"expected partition-aligned aggregation:\n${agg.queryExecution.executedPlan}")
+      assert(agg.count() == 200)
+    }
+  }
+
+  test("the bucket function is SQL-callable and matches the write layout") {
+    val m = graft.store.SnapshotStore.readManifest(spark, s"$warehouse/ns/a",
+      graft.store.SnapshotStore.latestVersion(spark, s"$warehouse/ns/a").get)
+    val viaSql = spark.sql(
+      "SELECT k, spj.bucket(4, k) AS b FROM spj.ns.a")
+      .as[(Long, Int)].collect().toMap
+    (1L to 200L).foreach { k =>
+      val expect = GraftFilters.bucketsOf(Seq(k),
+        org.apache.spark.sql.types.LongType, m.numBuckets).head
+      assert(viaSql(k) == expect, s"k=$k")
+    }
+  }
+}
