@@ -166,7 +166,8 @@ class GraftCoWScan(spark: SparkSession, root: String, m: Manifest,
   */
 class GraftStagedWrite(root: String, writeSchema: StructType,
                        op: GraftRowLevelOperation)
-    extends Write with BatchWrite {
+    extends Write with BatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
   private val stagingRel =
     s"_staging/rlo-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
@@ -181,6 +182,35 @@ class GraftStagedWrite(root: String, writeSchema: StructType,
   override def toBatch: BatchWrite = this
   override def description(): String =
     s"graft row-level ${op.command()} write on $root"
+
+  /** Cluster the replacement rows by their TARGET bucket before they
+    * reach the writers (the transform resolves through the catalog's
+    * `bucket` function): one delta-sized shuffle in the rewrite plan
+    * buys each rewritten bucket landing as ONE file instead of
+    * per-task fragments — at scale the difference between a rewrite
+    * that needs compaction immediately and one that doesn't. Keys
+    * missing from the write schema (shouldn't happen — replacement
+    * rows are full rows) degrade to unspecified distribution.
+    */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution = {
+    val spark = SparkSession.active
+    val m = GraftTable.manifestAt(spark, root, None)
+    val ok = m.keys.nonEmpty &&
+      m.keys.forall(k => writeSchema.fieldNames.contains(k))
+    if (!ok) org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else org.apache.spark.sql.connector.distributions.Distributions.clustered(Array(
+      Expressions.apply("bucket",
+        (Expressions.literal(m.numBuckets) +: m.keys.map(k =>
+          Expressions.column(k)
+            : org.apache.spark.sql.connector.expressions.Expression)): _*)))
+  }
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
+
+  override def requiredNumPartitions(): Int = 0 // let the planner size it
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftStagedWriterFactory(new Path(root, stagingRel).toString,

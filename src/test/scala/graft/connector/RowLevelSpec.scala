@@ -98,6 +98,16 @@ class RowLevelSpec extends SparkSpec {
       org.apache.spark.sql.types.LongType, before.numBuckets)
     for ((b, e) <- before.buckets if !touched(b))
       assert(after.buckets(b).dir == e.dir, s"untouched bucket $b was rewritten")
+    // the write requests clustering by target bucket, so every
+    // rewritten bucket lands as ONE file (no immediate compaction debt)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (b <- touched if after.buckets.contains(b)) {
+      val dir = new org.apache.hadoop.fs.Path(root, after.buckets(b).dir)
+      val files = fs.listStatus(dir).count(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+      assert(files == 1, s"rewritten bucket $b holds $files files")
+    }
   }
 
   test("SQL UPDATE moving a key between buckets keeps the keyed-table invariant") {
