@@ -172,6 +172,56 @@ class RowLevelSpec extends SparkSpec {
       (2 to 20 by 2).map(k => (k.toLong, s"m$k", k * 10L)).toSet)
   }
 
+  test("group rewrite deleting every key of a bucket empties it out of the manifest") {
+    val (name, root) = freshTable(count = 40, buckets = 4)
+    val before = manifest(root)
+    // delete ALL keys hashing into bucket 0 — via a subquery so the
+    // group-rewrite path (not the tombstone path) runs
+    val allKeys = (1L to 40L)
+    val b0keys = allKeys.filter(k => GraftFilters.bucketsOf(Seq(k),
+      org.apache.spark.sql.types.LongType, before.numBuckets).head == 0)
+    assert(b0keys.nonEmpty)
+    b0keys.toDF("dk").createOrReplaceTempView("rl_empty_src")
+    spark.sql(s"DELETE FROM $name WHERE k IN (SELECT dk FROM rl_empty_src)")
+    val after = manifest(root)
+    assert(!after.buckets.contains(0), "emptied bucket should drop from the manifest")
+    assert(state(name) == allKeys.filterNot(b0keys.contains)
+      .map(k => (k, s"v$k", k * 10L)).toSet)
+    // and the table keeps working: a later insert re-creates the bucket
+    spark.sql(s"INSERT INTO $name VALUES (${b0keys.head}, 'back', 1)")
+    assert(manifest(root).buckets.contains(0))
+  }
+
+  test("row-level ops hold on composite merge keys") {
+    n += 1
+    val t = s"t$n"
+    (1 to 30).map(k => (k.toLong % 5, s"s$k", k * 10L))
+      .toDF("k1", "k2", "cents").createOrReplaceTempView(s"rl_ck_src_$n")
+    spark.sql(
+      s"""CREATE TABLE rl.ns.$t USING graft
+         |TBLPROPERTIES ('keys'='k1,k2', 'numBuckets'='4')
+         |AS SELECT * FROM rl_ck_src_$n""".stripMargin)
+    val name = s"rl.ns.$t"
+    // MERGE keyed on both columns: update one identity, insert another
+    Seq((1L, "s1", -1L, "U"), (9L, "brand-new", 999L, "I"))
+      .toDF("k1", "k2", "cents", "op").createOrReplaceTempView("rl_ck_merge")
+    spark.sql(
+      s"""MERGE INTO $name t USING rl_ck_merge s
+         |ON t.k1 = s.k1 AND t.k2 = s.k2
+         |WHEN MATCHED THEN UPDATE SET cents = t.cents + 1
+         |WHEN NOT MATCHED THEN INSERT (k1, k2, cents) VALUES (s.k1, s.k2, s.cents)
+         |""".stripMargin)
+    val got = spark.table(name).as[(Long, String, Long)].collect().toSet
+    val expected = (1 to 30).map { k =>
+      val base = (k.toLong % 5, s"s$k", k * 10L)
+      if (base._1 == 1L && base._2 == "s1") (base._1, base._2, base._3 + 1) else base
+    }.toSet + ((9L, "brand-new", 999L))
+    assert(got == expected)
+    // tombstone DELETE on a composite-key predicate
+    spark.sql(s"DELETE FROM $name WHERE k1 = 9 AND k2 = 'brand-new'")
+    assert(spark.table(name).count() == 30)
+  }
+
   test("SQL MERGE INTO rejects duplicate source matches (cardinality check)") {
     val (name, _) = freshTable()
     Seq((1L, "a", 1L), (1L, "b", 2L)).toDF("k", "v", "cents")
