@@ -94,6 +94,23 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("path-based reads (no catalog) degrade gracefully under v2 bucketing") {
+    // a path read has no FunctionCatalog to resolve the reported
+    // transform against — Spark must ignore the partitioning, not fail
+    val root = Files.createTempDirectory("graft-spj-path").toString + "/t"
+    (1L to 50L).map(k => (k, k * 2L)).toDF("k", "v")
+      .write.format("graft").option("keys", "k").option("numBuckets", "4")
+      .save(root)
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val a = spark.read.format("graft").load(root)
+      val b = spark.read.format("graft").load(root).withColumnRenamed("v", "v2")
+      assert(a.join(b, "k").count() == 50)
+      assert(a.groupBy("k").count().count() == 50)
+    }
+  }
+
   test("the bucket function is SQL-callable and matches the write layout") {
     val m = graft.store.SnapshotStore.readManifest(spark, s"$warehouse/ns/a",
       graft.store.SnapshotStore.latestVersion(spark, s"$warehouse/ns/a").get)
