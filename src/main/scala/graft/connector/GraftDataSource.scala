@@ -239,8 +239,20 @@ object GraftTable {
     val m = manifestAt(spark, root, versionAsOf)
     val dirs = m.buckets.values.map(e =>
       SnapshotStore.dataPath(root, e.dir).toString).toSeq
-    if (dirs.isEmpty) readSchemaFile(spark, root).getOrElse(new StructType())
-    else spark.read.option("mergeSchema", "true").parquet(dirs: _*).schema
+    val base =
+      if (dirs.isEmpty) readSchemaFile(spark, root).getOrElse(new StructType())
+      else spark.read.option("mergeSchema", "true").parquet(dirs: _*).schema
+    // DELTA DML mode asserts the merge keys hold no nulls (footer
+    // schemas are always nullable-typed): Spark's delta row-level
+    // rewrite requires NON-NULLABLE row-id attributes — the same
+    // not-null-identifier precondition other table formats impose.
+    // An explicit session opt-in, because the library's null-safe key
+    // semantics stay available outside it.
+    if (m.keys.nonEmpty &&
+        spark.conf.get("spark.graft.dml.mode", "cow") == "delta")
+      StructType(base.fields.toSeq.map(f =>
+        if (m.keys.contains(f.name)) f.copy(nullable = false) else f))
+    else base
   }
 
   private val SchemaFile = "_schema"
@@ -392,7 +404,21 @@ class GraftTable(root: String, versionAsOf: Option[Long],
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(versionAsOf.isEmpty,
       s"cannot run ${info.command} against time-travel snapshot $name")
-    () => new GraftRowLevelOperation(root, tableSchema, info.command)
+    // Mode policy: copy-on-write by default (runtime GROUP narrowing
+    // reads only affected buckets; null-safe key semantics hold).
+    // `spark.graft.dml.mode=delta` opts the session into the DELTA
+    // path — O(changed rows) staging, and a pure DELETE (any
+    // condition, subqueries included) commits merge-on-read
+    // tombstones with zero bucket rewrite — at the price of asserting
+    // NON-NULL merge keys (Spark's row-id precondition; the schema
+    // resolution marks them accordingly under the same conf).
+    () => {
+      val conf = SparkSession.active.conf
+      val keys = GraftTable.manifestAt(SparkSession.active, root, None).keys
+      if (conf.get("spark.graft.dml.mode", "cow") == "delta" && keys.nonEmpty)
+        new GraftDeltaOperation(root, tableSchema, info.command, keys)
+      else new GraftRowLevelOperation(root, tableSchema, info.command)
+    }
   }
 }
 

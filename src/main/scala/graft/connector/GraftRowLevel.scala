@@ -353,6 +353,220 @@ private[connector] object GraftStagedIO {
   }
 }
 
+// ---------------------------------------------------------------------
+// DELTA (merge-on-read-shaped) row-level operations
+// ---------------------------------------------------------------------
+
+/** The `SupportsDelta` variant of the row-level protocol: Spark's
+  * rewrite emits only the CHANGED rows — `insert(row)` /
+  * `update(meta, id, row)` / `delete(meta, id)` callbacks per row —
+  * so the plan and staging carry O(changed rows), never whole groups.
+  * The scan side is the ORDINARY pruned scan (exact filters, file
+  * pruning, row-group skipping all allowed — row identity, not group
+  * membership, drives the rewrite).
+  *
+  * Commit shape: a DELETE-only statement lands as a merge-on-read
+  * TOMBSTONE commit ([[SnapshotStore.commitDeletes]] — zero bucket
+  * rewrite, for ARBITRARY conditions including subqueries); anything
+  * carrying inserts/updates lands through
+  * [[SnapshotStore.applyRowDelta]] (touched buckets rewrite once as
+  * `(current ∖ deleted) ⊎ upserts`).
+  *
+  * This is the default for SQL DELETE (cheapest possible path) and
+  * opt-in for UPDATE / MERGE via `spark.graft.dml.mode=delta` — the
+  * copy-on-write path stays default there because its runtime GROUP
+  * narrowing reads only affected buckets, where the delta path's
+  * join reads the full target once; which wins depends on how
+  * concentrated the touched keys are.
+  */
+class GraftDeltaOperation(root: String, tableSchema: StructType,
+                          cmd: RowLevelOperation.Command, keys: Seq[String])
+    extends RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  @volatile private[connector] var scanVersion: Option[Long] = None
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft row-delta $cmd on $root"
+
+  override def rowId(): Array[NamedReference] =
+    keys.map(Expressions.column).toArray
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = false
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array.empty
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val spark = SparkSession.active
+    val m = GraftTable.manifestAt(spark, root, None)
+    scanVersion = Some(m.version)
+    new GraftScanBuilder(spark, root, m, tableSchema)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new GraftDeltaWrite(root, info.schema(),
+          info.rowIdSchema().orElse(null), keys, GraftDeltaOperation.this)
+    }
+}
+
+/** Delta write: each task stages its changed full rows and its
+  * deleted/updated identities as two LZ4 UnsafeRow spills; the commit
+  * turns them into a tombstone commit (deletes only) or one
+  * [[SnapshotStore.applyRowDelta]] version.
+  */
+class GraftDeltaWrite(root: String, rowSchema: StructType,
+                      idSchemaOrNull: StructType, keys: Seq[String],
+                      op: GraftDeltaOperation)
+    extends org.apache.spark.sql.connector.write.DeltaWrite
+    with org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  private val idSchema: StructType =
+    Option(idSchemaOrNull).getOrElse(StructType(
+      keys.map(k => rowSchema(rowSchema.fieldIndex(k)))))
+
+  private val stagingRel =
+    s"_staging/rld-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+
+  override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite = this
+  override def description(): String = s"graft row-delta ${op.command()} write on $root"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+    new GraftDeltaWriterFactory(new Path(root, stagingRel).toString,
+      rowSchema, idSchema,
+      new GraftSerializableConf(
+        SparkSession.active.sparkContext.hadoopConfiguration))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    try {
+      val msgs = messages.collect { case m: GraftDeltaFiles => m }
+      def readStaged(files: Seq[String], schema: StructType) =
+        if (files.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        else {
+          val conf = new GraftSerializableConf(
+            spark.sparkContext.hadoopConfiguration)
+          val n = schema.length
+          val rdd = spark.sparkContext
+            .parallelize(files.toIndexedSeq,
+              math.max(1, math.min(files.size,
+                spark.sparkContext.defaultParallelism)))
+            .flatMap(p => GraftStagedIO.readRows(p, n, conf.value))
+          org.apache.spark.sql.graft.GraftSqlShims
+            .batchDataFrame(spark, rdd, schema)
+        }
+      val upserts = readStaged(
+        msgs.filter(_.upsertRows > 0).map(_.upsertPath).toSeq, rowSchema)
+      val deletes = readStaged(
+        msgs.filter(_.deleteRows > 0).map(_.deletePath).toSeq, idSchema)
+      val anyUpserts = msgs.exists(_.upsertRows > 0)
+      val anyDeletes = msgs.exists(_.deleteRows > 0)
+      if (!anyUpserts && anyDeletes)
+        // pure DELETE: merge-on-read tombstones, no bucket rewrite
+        SnapshotStore.commitDeletes(spark, root,
+          deletes.toDF(keys: _*), keys): Unit
+      else if (anyUpserts || anyDeletes)
+        SnapshotStore.applyRowDelta(spark, root, upserts,
+          deletes.toDF(keys: _*), keys,
+          basedOnVersion = op.scanVersion): Unit
+    } finally cleanupStaging(spark)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    cleanupStaging(SparkSession.active)
+
+  private def cleanupStaging(spark: SparkSession): Unit = {
+    val p = new Path(root, stagingRel)
+    try {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true): Unit
+    } catch { case _: IOException => () }
+  }
+}
+
+/** Both spills of one delta task: the changed full rows and the
+  * deleted/updated identities.
+  */
+case class GraftDeltaFiles(upsertPath: String, upsertRows: Long,
+                           deletePath: String, deleteRows: Long)
+  extends WriterCommitMessage
+
+class GraftDeltaWriterFactory(stagingDir: String, rowSchema: StructType,
+                              idSchema: StructType,
+                              conf: GraftSerializableConf)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(stagingDir, partitionId, taskId,
+      rowSchema, idSchema, conf.value)
+}
+
+class GraftDeltaWriter(stagingDir: String, partitionId: Int, taskId: Long,
+                       rowSchema: StructType, idSchema: StructType,
+                       conf: Configuration)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+
+  private def spill(suffix: String, schema: StructType) =
+    new GraftSpill(new Path(stagingDir,
+      f"part-$partitionId%05d-$taskId-$suffix"), schema.length, conf)
+
+  private val upserts = spill("u", rowSchema)
+  private val deletes = spill("d", idSchema)
+  // rows arrive as the plan's own (possibly Unsafe) rows — copy to a
+  // stable frame via identity projections
+  private val rowProj = UnsafeProjection.create(rowSchema)
+  private val idProj = UnsafeProjection.create(idSchema)
+
+  override def insert(row: InternalRow): Unit = upserts.add(rowProj(row))
+
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    deletes.add(idProj(id))
+    upserts.add(rowProj(row))
+  }
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit =
+    deletes.add(idProj(id))
+
+  override def commit(): WriterCommitMessage = {
+    val (up, un) = upserts.finish()
+    val (dp, dn) = deletes.finish()
+    GraftDeltaFiles(up, un, dp, dn)
+  }
+
+  override def abort(): Unit = { upserts.dispose(); deletes.dispose() }
+  override def close(): Unit = ()
+}
+
+/** One lazily-opened LZ4 UnsafeRow spill file. */
+private[connector] final class GraftSpill(path: Path, nFields: Int,
+                                          conf: Configuration) {
+  private var out: java.io.DataOutputStream = null
+  private var n = 0L
+  def add(u: UnsafeRow): Unit = {
+    if (out == null)
+      out = new java.io.DataOutputStream(new net.jpountz.lz4.LZ4BlockOutputStream(
+        path.getFileSystem(conf).create(path, true)))
+    val bytes = u.getBytes
+    out.writeInt(bytes.length)
+    out.write(bytes)
+    n += 1
+  }
+  def finish(): (String, Long) = {
+    if (out != null) { out.writeInt(-1); out.close() }
+    (if (n > 0) path.toString else "", n)
+  }
+  def dispose(): Unit = {
+    try { if (out != null) out.close() } catch { case _: IOException => () }
+    try { path.getFileSystem(conf).delete(path, false); () }
+    catch { case _: IOException => () }
+  }
+}
+
 /** A serializable Hadoop `Configuration` carrier (the executor-side
   * staging IO needs the driver's FS conf; Spark's own wrapper is
   * `private[spark]`).

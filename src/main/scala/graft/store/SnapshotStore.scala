@@ -1274,7 +1274,8 @@ object SnapshotStore {
                   maxAttempts: Int = 5,
                   txn: Option[(String, Long)] = None,
                   failRules: Seq[graft.pipeline.Expectations.Expectation] = Nil,
-                  alsoTouch: Manifest => Set[Int] = _ => Set.empty): Long = {
+                  alsoTouch: Manifest => Set[Int] = _ => Set.empty,
+                  recomputeOnOverlap: Boolean = true): Long = {
     val fs = fileSystem(spark, root)
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -1323,7 +1324,15 @@ object SnapshotStore {
         },
         keys = keys) match {
         case Some(committed) => return committed
-        case None => () // re-merge on the new base
+        case None =>
+          // re-merge on the new base — unless the caller's merge was
+          // computed from a snapshot it cannot re-derive (row-level
+          // DML), in which case an overlapping winner must surface as
+          // a conflict, never a silent last-writer-wins
+          if (!recomputeOnOverlap)
+            throw new java.util.ConcurrentModificationException(
+              s"commit at $root lost to an overlapping concurrent commit " +
+                "and this delta must not be re-merged — re-run the statement")
       }
     }
     throw new IllegalStateException(
@@ -1514,6 +1523,62 @@ object SnapshotStore {
       merge = (cur, delta) => upsertMerge(keys)(cur.where(!cond), delta),
       txn = txn,
       alsoTouch = candidatesOf)
+
+  /** Row-delta commit — the merge-on-read-shaped verb behind DELTA
+    * row-level rewrites ([[graft.connector]]'s `SupportsDelta` path):
+    * Spark's rewrite emits only the CHANGED rows (`upserts`, full
+    * rows) and the deleted/updated identities (`deleteKeys`, key
+    * tuples) — O(changed rows) through the plan and staging, never
+    * whole groups — and this lands both in ONE version: touched
+    * buckets rewrite as `(current ∖ deleteKeys) ⊎ upserts` (an update
+    * is its key in BOTH sets: the anti-join removes the old row, the
+    * upsert adds the new — key moves included), untouched buckets
+    * re-point. Null key components match null-safely, like every
+    * delete path here.
+    *
+    * Concurrency: the delta was computed against `basedOnVersion`'s
+    * snapshot; a commit since then that touched any target bucket —
+    * or an overlapping loss inside the commit loop — surfaces as
+    * [[java.util.ConcurrentModificationException]] (re-run the
+    * statement), because re-merging someone else's rows under a stale
+    * row-delta would silently drop their update. Disjoint winners
+    * rebase as usual.
+    */
+  def applyRowDelta(spark: SparkSession, root: String, upserts: DataFrame,
+                    deleteKeys: DataFrame, keys: Seq[String],
+                    maxAttempts: Int = 5,
+                    basedOnVersion: Option[Long] = None): Long = {
+    val base = latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(s"no table at $root — call init first"))
+    val m = readManifest(spark, root, base)
+    val delKeyed = deleteKeys.select(keys.map(col): _*).distinct()
+    val delBuckets = withBucket(delKeyed, keys, m.numBuckets)
+      .select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
+    basedOnVersion.filter(_ != base).foreach { sv =>
+      val scanM = readManifest(spark, root, sv)
+      val upsBuckets = withBucket(upserts, keys, m.numBuckets)
+        .select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
+      val winnerTouched = (scanM.buckets.keySet ++ m.buckets.keySet)
+        .filter(b => scanM.buckets.get(b) != m.buckets.get(b))
+      if (scanM.numBuckets != m.numBuckets ||
+          winnerTouched.intersect(delBuckets ++ upsBuckets).nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"row delta at $root lost to a concurrent commit — computed " +
+            "against a stale snapshot; re-run the statement")
+    }
+    // no broadcast hint: a row-delta's delete set is bounded by the
+    // statement's changed rows, which can be large — let the planner
+    // (AQE) pick broadcast when it actually is small
+    def minusDeleted(cur: DataFrame): DataFrame =
+      if (delBuckets.isEmpty) cur
+      else cur.join(delKeyed,
+        keys.map(k => cur(k) <=> delKeyed(k)).reduce(_ && _), "left_anti")
+    commitDelta(spark, root, upserts, keys,
+      merge = (cur, delta) => upsertMerge(keys)(minusDeleted(cur), delta),
+      maxAttempts = maxAttempts,
+      alsoTouch = _ => delBuckets,
+      recomputeOnOverlap = false)
+  }
 
   /** Merge-on-read DELETE: commit the removal of `deleteKeys` (frame
     * of key tuples) by writing a tombstone sidecar per touched bucket

@@ -78,12 +78,62 @@ class RowLevelSpec extends SparkSpec {
     // the rewrite replaced the affected buckets — no tombstones here
     assert(after.buckets.values.forall(_.tombstones.isEmpty))
     // runtime group filtering: buckets holding NO deleted key keep
-    // their pointer (delete keys 1..10 at 4 buckets touch a strict
-    // subset only if some bucket has none — verify via the hash)
+    // their pointer
     val touched = GraftFilters.bucketsOf((1L to 10L),
       org.apache.spark.sql.types.LongType, before.numBuckets)
     for ((b, e) <- before.buckets if !touched(b))
       assert(after.buckets(b).dir == e.dir, s"untouched bucket $b was rewritten")
+  }
+
+  test("SQL DELETE with a subquery stays merge-on-read under dml.mode=delta") {
+    spark.conf.set("spark.graft.dml.mode", "delta")
+    try {
+      val (name, root) = freshTable()
+      val before = manifest(root)
+      (1 to 10).map(_.toLong).toDF("dk").createOrReplaceTempView("rl_delkeys2")
+      spark.sql(s"DELETE FROM $name WHERE k IN (SELECT dk FROM rl_delkeys2)")
+      assert(state(name) == (11 to 40).map(k => (k.toLong, s"v$k", k * 10L)).toSet)
+      val after = manifest(root)
+      assert(after.version == before.version + 1)
+      // the delta path commits TOMBSTONES: no bucket rewrote even
+      // though the condition was a subquery the metadata path can't
+      // take
+      for ((b, e) <- before.buckets)
+        assert(after.buckets(b).dir == e.dir, s"bucket $b was rewritten")
+      assert(after.buckets.values.exists(_.tombstones.nonEmpty))
+    } finally spark.conf.unset("spark.graft.dml.mode")
+  }
+
+  test("UPDATE and MERGE under dml.mode=delta match the cow semantics") {
+    spark.conf.set("spark.graft.dml.mode", "delta")
+    try {
+      val (name, root) = freshTable()
+      spark.sql(s"UPDATE $name SET v = 'upd', cents = cents + 1 WHERE k <= 5")
+      assert(state(name) ==
+        ((1 to 5).map(k => (k.toLong, "upd", k * 10L + 1)) ++
+          (6 to 40).map(k => (k.toLong, s"v$k", k * 10L))).toSet)
+      // key-moving update through the delta path: D(old id) + I(new row)
+      spark.sql(s"UPDATE $name SET k = 4 WHERE k = 3")
+      val afterMove = state(name)
+      assert(afterMove.count(_._1 == 4L) == 1 && !afterMove.exists(_._1 == 3L)
+        && afterMove.size == 39)
+      // mixed MERGE: update/delete/insert in one delta commit
+      Seq((6L, "m6", -1L, "U"), (7L, "", 0L, "D"), (300L, "new", 3000L, "I"))
+        .toDF("k", "v", "cents", "op").createOrReplaceTempView("rl_delta_merge")
+      spark.sql(
+        s"""MERGE INTO $name t USING rl_delta_merge s ON t.k = s.k
+           |WHEN MATCHED AND s.op = 'D' THEN DELETE
+           |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET v = s.v
+           |WHEN NOT MATCHED THEN INSERT (k, v, cents) VALUES (s.k, s.v, s.cents)
+           |""".stripMargin)
+      val got = state(name)
+      assert(got((6L, "m6", 60L)) && !got.exists(_._1 == 7L)
+        && got((300L, "new", 3000L)) && got.size == 39)
+      // the whole sequence rode tombstones + touched-bucket rewrites;
+      // time travel still reaches every intermediate version
+      assert(spark.read.format("graft").option("versionAsOf", 1)
+        .load(root).count() == 40)
+    } finally spark.conf.unset("spark.graft.dml.mode")
   }
 
   test("SQL UPDATE rewrites only the buckets holding matching rows") {
