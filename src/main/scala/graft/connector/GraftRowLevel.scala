@@ -469,10 +469,11 @@ class GraftDeltaWrite(root: String, rowSchema: StructType,
       if (!anyUpserts && anyDeletes)
         // pure DELETE: merge-on-read tombstones, no bucket rewrite
         SnapshotStore.commitDeletes(spark, root,
-          deletes.toDF(keys: _*), keys): Unit
+          deletes.select(keys.map(org.apache.spark.sql.functions.col): _*),
+          keys): Unit
       else if (anyUpserts || anyDeletes)
         SnapshotStore.applyRowDelta(spark, root, upserts,
-          deletes.toDF(keys: _*), keys,
+          deletes.select(keys.map(org.apache.spark.sql.functions.col): _*), keys,
           basedOnVersion = op.scanVersion): Unit
     } finally cleanupStaging(spark)
   }
