@@ -281,40 +281,23 @@ class GraftStagedWriter(stagingDir: String, partitionId: Int, taskId: Long,
                         conf: Configuration)
     extends DataWriter[InternalRow] {
 
-  private val path = new Path(stagingDir, f"part-$partitionId%05d-$taskId")
-  private val fs = path.getFileSystem(conf)
-  private var out: java.io.DataOutputStream = null
+  private val spill = new GraftSpill(
+    new Path(stagingDir, f"part-$partitionId%05d-$taskId"), conf)
   private val proj = UnsafeProjection.create(
     dataSchema.fields.toIndexedSeq.map { f =>
       val i = writeSchema.fieldIndex(f.name)
       BoundReference(i, f.dataType, f.nullable)
         : org.apache.spark.sql.catalyst.expressions.Expression
     })
-  private var n = 0L
 
-  override def write(row: InternalRow): Unit = {
-    if (out == null)
-      // LZ4 block framing over the raw row bytes: staged spill is
-      // I/O-bound at scale and UnsafeRow frames compress well
-      out = new java.io.DataOutputStream(
-        new net.jpountz.lz4.LZ4BlockOutputStream(fs.create(path, true)))
-    val u = proj(row)
-    val bytes = u.getBytes // copies out of the projection's buffer
-    out.writeInt(bytes.length)
-    out.write(bytes)
-    n += 1
-  }
+  override def write(row: InternalRow): Unit = spill.add(proj(row))
 
   override def commit(): WriterCommitMessage = {
-    if (out != null) { out.writeInt(-1); out.close() } // -1 = end marker
-    GraftStagedFile(if (n > 0) path.toString else "", n)
+    val (p, n) = spill.finish()
+    GraftStagedFile(p, n)
   }
 
-  override def abort(): Unit = {
-    try { if (out != null) out.close() } catch { case _: IOException => () }
-    try { fs.delete(path, false); () } catch { case _: IOException => () }
-  }
-
+  override def abort(): Unit = spill.dispose()
   override def close(): Unit = ()
 }
 
@@ -512,12 +495,12 @@ class GraftDeltaWriter(stagingDir: String, partitionId: Int, taskId: Long,
                        conf: Configuration)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
 
-  private def spill(suffix: String, schema: StructType) =
+  private def spill(suffix: String) =
     new GraftSpill(new Path(stagingDir,
-      f"part-$partitionId%05d-$taskId-$suffix"), schema.length, conf)
+      f"part-$partitionId%05d-$taskId-$suffix"), conf)
 
-  private val upserts = spill("u", rowSchema)
-  private val deletes = spill("d", idSchema)
+  private val upserts = spill("u")
+  private val deletes = spill("d")
   // rows arrive as the plan's own (possibly Unsafe) rows — copy to a
   // stable frame via identity projections
   private val rowProj = UnsafeProjection.create(rowSchema)
@@ -543,9 +526,11 @@ class GraftDeltaWriter(stagingDir: String, partitionId: Int, taskId: Long,
   override def close(): Unit = ()
 }
 
-/** One lazily-opened LZ4 UnsafeRow spill file. */
-private[connector] final class GraftSpill(path: Path, nFields: Int,
-                                          conf: Configuration) {
+/** One lazily-opened LZ4 UnsafeRow spill file (length-prefixed
+  * frames, -1 terminator — the format [[GraftStagedIO.readRows]]
+  * streams back).
+  */
+private[connector] final class GraftSpill(path: Path, conf: Configuration) {
   private var out: java.io.DataOutputStream = null
   private var n = 0L
   def add(u: UnsafeRow): Unit = {
