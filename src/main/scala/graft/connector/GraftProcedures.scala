@@ -47,7 +47,7 @@ object GraftProcedures {
   private val Namespace = Array("system")
 
   private val names = Seq("compact", "vacuum", "restore", "checkpoint",
-    "clone", "rebucket", "materialize")
+    "clone", "rebucket", "materialize", "detail")
 
   def list(catalog: GraftCatalog, namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Namespace))
@@ -78,6 +78,7 @@ object GraftProcedures {
       case "clone"      => "zero-copy clone: the target's v0 points at the source's data; O(manifest) at any size"
       case "rebucket"   => "rewrite the table under a new hash-bucket count (one O(table) commit; later deltas compose)"
       case "materialize" => "re-home every cloned bucket locally, cutting the clone's dependency on its source"
+      case "detail"     => "one row per bucket: files, bytes, recorded rows, tombstone debt — the compaction/fold planning view"
     }
     override def bind(inputType: StructType): BoundProcedure = new Bound(catalog, proc)
   }
@@ -112,6 +113,8 @@ object GraftProcedures {
         in("num_buckets", IntegerType))
       case "materialize" => Array(
         in("table", StringType))
+      case "detail" => Array(
+        in("table", StringType))
     }
 
     private def outSchema: StructType = proc match {
@@ -122,6 +125,13 @@ object GraftProcedures {
       case "clone"      => new StructType().add("version", LongType)
       case "rebucket"   => new StructType().add("version", LongType)
       case "materialize" => new StructType().add("version", LongType)
+      case "detail" => new StructType()
+        .add("bucket", IntegerType)
+        .add("files", IntegerType)
+        .add("bytes", LongType)
+        .add("rows", LongType) // null = pre-format-4 entry (not recorded)
+        .add("tombstone_dirs", IntegerType)
+        .add("tombstone_bytes", LongType)
     }
 
     private def csv(s: String): Seq[String] =
@@ -132,6 +142,7 @@ object GraftProcedures {
       val table = Option(input.getUTF8String(0)).map(_.toString).getOrElse(
         throw new IllegalArgumentException(s"$proc: 'table' must not be NULL"))
       val root = catalog.resolveTableDir(table)
+      if (proc == "detail") return detailRows(spark, root)
       val result: Any = proc match {
         case "compact" =>
           SnapshotStore.compact(spark, root,
@@ -160,6 +171,30 @@ object GraftProcedures {
       val row = new GenericInternalRow(Array[Any](result))
       java.util.Collections.singletonList[Scan](
         new ResultScan(outSchema, Array[InternalRow](row))).iterator()
+    }
+
+    /** One row per bucket from manifest + a driver file listing
+      * (O(files) metadata, the same census `compact` runs): the view
+      * an operator sizes compaction and tombstone folding from.
+      */
+    private def detailRows(spark: SparkSession, root: String): JIterator[Scan] = {
+      val m = GraftTable.manifestAt(spark, root, None)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def dataFiles(rel: String) =
+        fs.listStatus(SnapshotStore.dataPath(root, rel)).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+            && !st.getPath.getName.startsWith("."))
+      val rows = m.buckets.toSeq.sortBy(_._1).map { case (b, e) =>
+        val files = dataFiles(e.dir)
+        val tombBytes = e.tombstones.flatMap(dataFiles).map(_.getLen).sum
+        new GenericInternalRow(Array[Any](
+          b, files.length, files.map(_.getLen).sum,
+          e.rows.map(java.lang.Long.valueOf).orNull,
+          e.tombstones.size, tombBytes)): InternalRow
+      }
+      java.util.Collections.singletonList[Scan](
+        new ResultScan(outSchema, rows.toArray)).iterator()
     }
 
     /** The table's manifest-persisted merge keys (rebucket/materialize

@@ -107,7 +107,32 @@ class ProcedureSpec extends SparkSpec {
       java.util.Map.of("root", warehouse)))
     assert(cat.listProcedures(Array("system")).map(_.name()).toSet ==
       Set("compact", "vacuum", "restore", "checkpoint",
-        "clone", "rebucket", "materialize"))
+        "clone", "rebucket", "materialize", "detail"))
+  }
+
+  test("CALL system.detail reports per-bucket layout, rows, and tombstone debt") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gproc.det")
+    spark.sql("""CREATE TABLE gproc.det.t (k BIGINT, v STRING, ts BIGINT)
+                 USING graft TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO gproc.det.t SELECT id, CAST(id AS STRING), id FROM range(0, 20)")
+    spark.sql("INSERT INTO gproc.det.t SELECT id, CAST(id AS STRING), id FROM range(20, 40)")
+    spark.sql("DELETE FROM gproc.det.t WHERE k = 1") // tombstone sidecar
+    val det = spark.sql("CALL gproc.system.detail(table => 'det.t')")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4), r.getLong(5)))
+    assert(det.map(_._1).toSeq == Seq(0, 1))
+    // two un-compacted inserts → ≥2 files per bucket, bytes positive
+    assert(det.forall(d => d._2 >= 2 && d._3 > 0))
+    // recorded physical rows sum to 40 (the tombstoned row still counts
+    // physically until folded)
+    assert(det.map(_._4).sum == 40)
+    // exactly one bucket carries the delete's sidecar, with real bytes
+    assert(det.count(d => d._5 > 0 && d._6 > 0) == 1)
+    // compaction folds the debt; detail reflects it
+    spark.sql("CALL gproc.system.compact(table => 'det.t')")
+    val det2 = spark.sql("CALL gproc.system.detail(table => 'det.t')")
+      .collect().map(r => (r.getInt(1), r.getInt(4)))
+    assert(det2.forall { case (files, tombs) => files == 1 && tombs == 0 })
   }
 
   test("CALL system.clone / materialize / rebucket complete the layout lifecycle from SQL") {

@@ -272,6 +272,31 @@ class RowLevelSpec extends SparkSpec {
     assert(spark.table(name).count() == 30)
   }
 
+  test("delta-mode MERGE rewrites only the matched keys' buckets") {
+    spark.conf.set("spark.graft.dml.mode", "delta")
+    try {
+      val (name, root) = freshTable(count = 400, buckets = 8)
+      val before = manifest(root)
+      spark.range(1L, 401L).toDF("sk").where(col("sk") % 100 === 0)
+        .createOrReplaceTempView("rl_dpp_src")
+      spark.sql(
+        s"""MERGE INTO $name t USING rl_dpp_src s ON t.k = s.sk
+           |WHEN MATCHED THEN UPDATE SET v = 'dpp'""".stripMargin)
+      val got = state(name)
+      assert(got.count(_._2 == "dpp") == 4) // keys 100, 200, 300, 400
+      assert(got.size == 400)
+      // the delta commit's scope is the CHANGED rows' buckets — every
+      // bucket holding no matched key kept its pointer (at scale this
+      // is what bounds a selective MERGE's rewrite to the touched
+      // slice, with no dependence on runtime group filtering)
+      val after = manifest(root)
+      val touched = GraftFilters.bucketsOf(Seq(100L, 200L, 300L, 400L),
+        org.apache.spark.sql.types.LongType, before.numBuckets)
+      for ((b, e) <- before.buckets if !touched(b))
+        assert(after.buckets(b).dir == e.dir, s"untouched bucket $b was rewritten")
+    } finally spark.conf.unset("spark.graft.dml.mode")
+  }
+
   test("SQL MERGE INTO rejects duplicate source matches (cardinality check)") {
     val (name, _) = freshTable()
     Seq((1L, "a", 1L), (1L, "b", 2L)).toDF("k", "v", "cents")
