@@ -159,13 +159,109 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .TableAlreadyExistsException(ident.toString)
     }
     GraftTable.writeSchemaFile(spark, dir.toString, schema)
+    // free-form TBLPROPERTIES (beyond the layout trio, which live in
+    // the manifest) persist in the table's `_props` breadcrumb —
+    // today's meaningful one is dml.mode (the delta-DML not-null-key
+    // contract, enforced by every write from this moment on)
+    val extra = {
+      import scala.jdk.CollectionConverters._
+      properties.asScala.toMap.filter { case (k, _) =>
+        val lk = k.toLowerCase(java.util.Locale.ROOT)
+        !ReservedProps(lk) && !lk.startsWith(TableCatalog.OPTION_PREFIX)
+      }
+    }
+    extra.get("dml.mode").foreach(validDmlMode)
+    if (extra.nonEmpty) SnapshotStore.writeProps(spark, dir.toString, extra)
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft table layout is fixed at creation; evolve data via commits " +
-        "(additive schema evolution) or SnapshotStore.rebucket")
+  /** Properties owned elsewhere: the layout trio lives in the manifest
+    * (fixed at creation), the rest are Spark-reserved metadata.
+    */
+  private val ReservedProps = Set("keys", "numbuckets", "statscols", "version",
+    TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+    TableCatalog.PROP_COMMENT, TableCatalog.PROP_OWNER,
+    TableCatalog.PROP_EXTERNAL, "transient_lastddltime")
+
+  private def validDmlMode(v: String): Unit =
+    require(v == "cow" || v == "delta",
+      s"dml.mode must be 'cow' or 'delta', got '$v'")
+
+  /** SQL `ALTER TABLE`: ADDITIVE evolution only — `ADD COLUMN` (new
+    * nullable top-level column, appended; history null-fills, exactly
+    * the library's additive-evolution rule) and `SET/UNSET
+    * TBLPROPERTIES`. Setting `dml.mode=delta` verifies the EXISTING
+    * keys are null-free before recording the contract (writes enforce
+    * it from then on). Everything that would rewrite history — drops,
+    * renames, type changes, layout changes — refuses loudly.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val root = dir.toString
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          s"graft ALTER TABLE ADD COLUMN supports top-level columns only, " +
+            s"got nested '${add.fieldNames().mkString(".")}'")
+        val colName = add.fieldNames()(0)
+        require(add.isNullable,
+          s"new column '$colName' must be nullable: existing rows null-fill " +
+            "(additive evolution cannot conjure values for history)")
+        require(add.position() == null,
+          s"column position is not supported — new columns append " +
+            s"(column order is presentation, not layout)")
+        val cur = GraftTable.resolveSchema(spark, root, None)
+        require(cur.nonEmpty, s"table $ident has no resolvable schema")
+        require(!cur.fieldNames.exists(_.equalsIgnoreCase(colName)),
+          s"column '$colName' already exists in $ident")
+        val field = {
+          val f = org.apache.spark.sql.types.StructField(colName,
+            add.dataType(), nullable = true)
+          if (add.comment() != null) f.withComment(add.comment()) else f
+        }
+        GraftTable.writeSchemaFile(spark, root,
+          StructType(cur.fields.toSeq :+ field))
+      case set: TableChange.SetProperty =>
+        val k = set.property()
+        require(!ReservedProps(k.toLowerCase(java.util.Locale.ROOT)),
+          s"property '$k' is layout/reserved metadata and cannot be set — " +
+            "bucket layout evolves via CALL system.rebucket")
+        if (k == "dml.mode") {
+          validDmlMode(set.value())
+          if (set.value() == "delta") {
+            val keys = SnapshotStore.readManifest(spark, root,
+              SnapshotStore.latestVersion(spark, root).getOrElse(
+                throw new NoSuchTableException(ident))).keys
+            require(keys.nonEmpty,
+              s"dml.mode=delta needs merge keys; $ident has none")
+            // the contract must hold for data already in the table —
+            // one column-pruned scan of the key columns, at ALTER time
+            val nullKeys = spark.read.format("graft").load(root)
+              .where(keys.map(org.apache.spark.sql.functions.col(_).isNull)
+                .reduce(_ || _)).limit(1).count()
+            require(nullKeys == 0,
+              s"cannot set dml.mode=delta on $ident: existing rows hold " +
+                "null merge keys — the delta row-identity contract " +
+                "requires non-null keys; clean them first")
+          }
+        }
+        SnapshotStore.writeProps(spark, root,
+          SnapshotStore.readProps(spark, root) + (k -> set.value()))
+      case rm: TableChange.RemoveProperty =>
+        require(!ReservedProps(rm.property().toLowerCase(java.util.Locale.ROOT)),
+          s"property '${rm.property()}' is layout/reserved metadata")
+        SnapshotStore.writeProps(spark, root,
+          SnapshotStore.readProps(spark, root) - rm.property())
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft ALTER TABLE supports ADD COLUMN (nullable, appended) and " +
+            s"SET/UNSET TBLPROPERTIES; ${other.getClass.getSimpleName} would " +
+            "rewrite history (drop/rename/retype) or change fixed layout — " +
+            "refusing")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

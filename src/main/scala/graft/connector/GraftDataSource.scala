@@ -242,18 +242,39 @@ object GraftTable {
     val base =
       if (dirs.isEmpty) readSchemaFile(spark, root).getOrElse(new StructType())
       else spark.read.option("mergeSchema", "true").parquet(dirs: _*).schema
-    // DELTA DML mode asserts the merge keys hold no nulls (footer
-    // schemas are always nullable-typed): Spark's delta row-level
-    // rewrite requires NON-NULLABLE row-id attributes — the same
-    // not-null-identifier precondition other table formats impose.
-    // An explicit session opt-in, because the library's null-safe key
-    // semantics stay available outside it.
-    if (m.keys.nonEmpty &&
-        spark.conf.get("spark.graft.dml.mode", "cow") == "delta")
-      StructType(base.fields.toSeq.map(f =>
+    // a table declaring `dml.mode=delta` (TBLPROPERTIES, recorded at
+    // creation) carries the not-null-merge-key contract — every write
+    // path REJECTS null key values ([[SnapshotStore.writeVersionData]])
+    // — so presenting non-nullable key fields (footer schemas are
+    // always nullable-typed) is truthful for every reader, and gives
+    // Spark's delta row-level rewrite the NON-NULLABLE row-id
+    // attributes it requires. Deliberately property-driven, never
+    // session-conf-driven: a conf can't retroactively make existing
+    // data null-free, so marking on conf would lie to the optimizer
+    // for ordinary reads (IS NULL folded to false).
+    val schema = withEvolvedColumns(spark, root, base)
+    if (m.keys.nonEmpty && SnapshotStore.deltaModeDeclared(spark, root))
+      StructType(schema.fields.toSeq.map(f =>
         if (m.keys.contains(f.name)) f.copy(nullable = false) else f))
-    else base
+    else schema
   }
+
+  /** Columns declared by SQL `ALTER TABLE ADD COLUMN` live in the
+    * `_schema` breadcrumb before any data carries them: append the
+    * breadcrumb's extra fields (always nullable — history predates
+    * them) so reads null-fill immediately, the additive-evolution
+    * rule the write path already applies.
+    */
+  private def withEvolvedColumns(spark: SparkSession, root: String,
+                                 base: StructType): StructType =
+    readSchemaFile(spark, root) match {
+      case Some(declared) if base.nonEmpty =>
+        val extra = declared.fields.toSeq
+          .filterNot(f => base.fieldNames.contains(f.name))
+          .map(_.copy(nullable = true))
+        if (extra.isEmpty) base else StructType(base.fields.toSeq ++ extra)
+      case _ => base
+    }
 
   private val SchemaFile = "_schema"
 
@@ -329,6 +350,7 @@ class GraftTable(root: String, versionAsOf: Option[Long],
     val spark = SparkSession.active
     val m = GraftTable.manifestAt(spark, root, versionAsOf)
     val props = new java.util.HashMap[String, String]()
+    SnapshotStore.readProps(spark, root).foreach { case (k, v) => props.put(k, v) }
     props.put("keys", m.keys.mkString(","))
     props.put("numBuckets", m.numBuckets.toString)
     props.put("statsCols", m.statsCols.map(_._1).mkString(","))
@@ -405,19 +427,32 @@ class GraftTable(root: String, versionAsOf: Option[Long],
     require(versionAsOf.isEmpty,
       s"cannot run ${info.command} against time-travel snapshot $name")
     // Mode policy: copy-on-write by default (runtime GROUP narrowing
-    // reads only affected buckets; null-safe key semantics hold).
-    // `spark.graft.dml.mode=delta` opts the session into the DELTA
-    // path — O(changed rows) staging, and a pure DELETE (any
+    // reads only affected buckets; null-safe key semantics hold). A
+    // table declaring TBLPROPERTIES('dml.mode'='delta') — the
+    // not-null-merge-key contract, enforced on every write — takes
+    // the DELTA path: O(changed rows) staging, and a pure DELETE (any
     // condition, subqueries included) commits merge-on-read
-    // tombstones with zero bucket rewrite — at the price of asserting
-    // NON-NULL merge keys (Spark's row-id precondition; the schema
-    // resolution marks them accordingly under the same conf).
+    // tombstones with zero bucket rewrite. `spark.graft.dml.mode`
+    // overrides the CHOICE per session (forcing cow on a delta table
+    // is always sound), but forcing delta on a table WITHOUT the
+    // property refuses: only the recorded contract makes the
+    // non-nullable row-id schema the rewrite requires truthful.
     () => {
-      val conf = SparkSession.active.conf
-      val keys = GraftTable.manifestAt(SparkSession.active, root, None).keys
-      if (conf.get("spark.graft.dml.mode", "cow") == "delta" && keys.nonEmpty)
+      val spark = SparkSession.active
+      val keys = GraftTable.manifestAt(spark, root, None).keys
+      val declared = SnapshotStore.deltaModeDeclared(spark, root)
+      val mode = spark.conf.getOption("spark.graft.dml.mode")
+        .getOrElse(if (declared) "delta" else "cow")
+      if (mode == "delta" && keys.nonEmpty) {
+        require(declared,
+          s"spark.graft.dml.mode=delta needs the table's not-null-key " +
+            "contract, which belongs to the TABLE: declare " +
+            "TBLPROPERTIES('dml.mode'='delta') at CREATE TABLE or via " +
+            "ALTER TABLE ... SET TBLPROPERTIES (which verifies existing " +
+            "keys are null-free); the session conf only picks between " +
+            "modes the table supports")
         new GraftDeltaOperation(root, tableSchema, info.command, keys)
-      else new GraftRowLevelOperation(root, tableSchema, info.command)
+      } else new GraftRowLevelOperation(root, tableSchema, info.command)
     }
   }
 }

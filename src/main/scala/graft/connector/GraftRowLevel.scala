@@ -355,12 +355,14 @@ private[connector] object GraftStagedIO {
   * [[SnapshotStore.applyRowDelta]] (touched buckets rewrite once as
   * `(current ∖ deleted) ⊎ upserts`).
   *
-  * This is the default for SQL DELETE (cheapest possible path) and
-  * opt-in for UPDATE / MERGE via `spark.graft.dml.mode=delta` — the
-  * copy-on-write path stays default there because its runtime GROUP
-  * narrowing reads only affected buckets, where the delta path's
-  * join reads the full target once; which wins depends on how
-  * concentrated the touched keys are.
+  * Selected by the TABLE property `dml.mode=delta` (recorded at
+  * CREATE or via ALTER TABLE SET TBLPROPERTIES — it declares the
+  * not-null-merge-key contract Spark's row-id rewrite requires,
+  * enforced on every write; `spark.graft.dml.mode` only overrides
+  * the choice per session). The copy-on-write path stays the default
+  * because its runtime GROUP narrowing reads only affected buckets,
+  * where the delta path's join reads the (runtime-filtered) target
+  * once; which wins depends on how concentrated the touched keys are.
   */
 class GraftDeltaOperation(root: String, tableSchema: StructType,
                           cmd: RowLevelOperation.Command, keys: Seq[String])
@@ -450,10 +452,14 @@ class GraftDeltaWrite(root: String, rowSchema: StructType,
       val anyUpserts = msgs.exists(_.upsertRows > 0)
       val anyDeletes = msgs.exists(_.deleteRows > 0)
       if (!anyUpserts && anyDeletes)
-        // pure DELETE: merge-on-read tombstones, no bucket rewrite
+        // pure DELETE: merge-on-read tombstones, no bucket rewrite.
+        // The deleted ids were computed against the scan's snapshot —
+        // thread it through so a winner that replaced one of those
+        // rows in the meantime surfaces as a conflict, not a silently
+        // tombstoned update.
         SnapshotStore.commitDeletes(spark, root,
           deletes.select(keys.map(org.apache.spark.sql.functions.col): _*),
-          keys): Unit
+          keys, basedOnVersion = op.scanVersion): Unit
       else if (anyUpserts || anyDeletes)
         SnapshotStore.applyRowDelta(spark, root, upserts,
           deletes.select(keys.map(org.apache.spark.sql.functions.col): _*), keys,

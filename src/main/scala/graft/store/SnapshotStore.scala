@@ -153,6 +153,61 @@ object SnapshotStore {
   private def withBucket(df: DataFrame, keys: Seq[String], numBuckets: Int): DataFrame =
     df.withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(numBuckets)))
 
+  // ------------------------------------------------------------------
+  // table properties (`_props` breadcrumb)
+  // ------------------------------------------------------------------
+
+  private val PropsFile = "_props"
+
+  /** Free-form table properties a SQL catalog records on the TABLE
+    * itself (`<root>/_props`, one tab-separated `key<TAB>value` pair
+    * per line). Unlike session confs these travel with the table, so a
+    * contract recorded here binds EVERY writer — the store enforces
+    * the one property it understands: `dml.mode=delta` declares the
+    * not-null-merge-key contract Spark's delta row-level rewrites
+    * require, and [[writeVersionData]] rejects null key values on
+    * every write to such a table (which is what makes a non-nullable
+    * key schema truthful for ordinary reads, not just DML sessions).
+    */
+  def writeProps(spark: SparkSession, root: String,
+                 props: Map[String, String]): Unit = {
+    props.foreach { case (k, v) =>
+      require(k.nonEmpty && !k.exists(c => c == '\t' || c == '\n' || c == '\r')
+        && !v.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"table property '$k' — keys and values cannot contain tabs or newlines")
+    }
+    val p = new Path(root, PropsFile)
+    val fs = fileSystem(spark, root)
+    if (props.isEmpty) { fs.delete(p, false): Unit }
+    else {
+      val out = fs.create(p, true)
+      try out.write(props.toSeq.sortBy(_._1).map { case (k, v) => s"$k\t$v" }
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  def readProps(spark: SparkSession, root: String): Map[String, String] = {
+    val p = new Path(root, PropsFile)
+    val fs = fileSystem(spark, root)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = new BufferedReader(new InputStreamReader(fs.open(p),
+        StandardCharsets.UTF_8))
+      try Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .filter(_.nonEmpty).map { line =>
+          val i = line.indexOf('\t')
+          require(i > 0, s"malformed _props line at $root: '$line'")
+          line.substring(0, i) -> line.substring(i + 1)
+        }.toMap
+      finally in.close()
+    }
+  }
+
+  /** Does this table declare the delta-DML not-null-key contract? */
+  private[graft] def deltaModeDeclared(spark: SparkSession, root: String): Boolean =
+    readProps(spark, root).get("dml.mode").contains("delta")
+
   /** Lost-race REBASE: when every version committed since `baseM` (the
     * manifest the loser computed against) touched buckets DISJOINT
     * from the loser's, the loser's already-written data is still the
@@ -269,12 +324,17 @@ object SnapshotStore {
     * to [[commitDelta]] (the delta already carries full FINAL rows per
     * key, so replace-by-key is the whole merge). One definition — the
     * index sinks and [[graft.store.ChangeFeed.syncDerived]] all share
-    * these semantics.
+    * these semantics. The union spans ADDITIVE schema evolution in
+    * both directions (a widened delta against pre-evolution buckets,
+    * or an old-shape delta against an ALTER-declared column no file
+    * carries yet): missing columns null-fill, the same rule the
+    * mergeSchema read path applies. SCD merges that must REJECT drift
+    * instead do so explicitly ([[graft.operators.Scd1]] checkDrift).
     */
   def upsertMerge(keys: Seq[String]): (DataFrame, DataFrame) => DataFrame =
     (cur, delta) => cur
       .join(delta.select(keys.map(col): _*).distinct(), keys, "left_anti")
-      .unionByName(delta)
+      .unionByName(delta, allowMissingColumns = true)
 
   // ------------------------------------------------------------------
   // manifest IO
@@ -1193,7 +1253,19 @@ object SnapshotStore {
     val vdir = new Path(root, rel)
     val obs = if (failRules.isEmpty) None
       else Some(org.apache.spark.sql.Observation())
-    val bucketed = withBucket(df, keys, numBuckets)
+    // a table declaring `dml.mode=delta` carries the not-null-merge-key
+    // contract: reject a null key value IN the write (a guard fused
+    // into the projection — no extra pass), so the contract holds over
+    // every write path and the non-nullable key schema the connector
+    // presents is truthful for all readers
+    val checked =
+      if (keys.isEmpty || !deltaModeDeclared(df.sparkSession, root)) df
+      else keys.foldLeft(df)((d, k) => d.withColumn(k,
+        when(col(k).isNull, raise_error(lit(
+          s"null merge key '$k' rejected: the table at $root declares " +
+            "dml.mode=delta, whose row-identity contract requires " +
+            "non-null merge keys"))).otherwise(col(k))))
+    val bucketed = withBucket(checked, keys, numBuckets)
     val observed = obs.fold(bucketed) { o =>
       val counts = failRules.map(e =>
         sum(Expectations.violated(e).cast("long")).as(e.name))
@@ -1520,7 +1592,12 @@ object SnapshotStore {
                    candidatesOf: Manifest => Set[Int],
                    txn: Option[(String, Long)] = None): Long =
     commitDelta(spark, root, df, keys,
-      merge = (cur, delta) => upsertMerge(keys)(cur.where(!cond), delta),
+      // keep rows where cond is NOT TRUE: under three-valued logic a
+      // NULL-evaluating row does not match the overwrite scope, so it
+      // survives — the same rule deleteWhere applies (`where(cond)`
+      // selects only TRUE matches)
+      merge = (cur, delta) =>
+        upsertMerge(keys)(cur.where(coalesce(!cond, lit(true))), delta),
       txn = txn,
       alsoTouch = candidatesOf)
 
@@ -1551,6 +1628,20 @@ object SnapshotStore {
     val base = latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no table at $root — call init first"))
     val m = readManifest(spark, root, base)
+    // the keyed-table contract (one row per key) must hold through the
+    // delta path exactly as the copy-on-write path enforces it: an
+    // UPDATE mapping several keys onto one new key, or a MERGE
+    // inserting one key twice, arrives here as duplicate upsert keys —
+    // refuse loudly instead of landing two rows for one key. One
+    // map-combined aggregate over the DELTA-sized upserts, not the
+    // table.
+    if (upserts.groupBy(keys.map(col): _*).count()
+        .where(col("count") > 1).limit(1).count() > 0)
+      throw new IllegalStateException(
+        s"row delta at $root carries two rows for one merge key (e.g. an " +
+          "UPDATE mapping several keys onto the same new key, or a MERGE " +
+          "inserting one key twice) — a keyed graft table holds one row " +
+          "per key; make the statement produce distinct keys")
     val delKeyed = deleteKeys.select(keys.map(col): _*).distinct()
     val delBuckets = withBucket(delKeyed, keys, m.numBuckets)
       .select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
@@ -1604,7 +1695,8 @@ object SnapshotStore {
     */
   def commitDeletes(spark: SparkSession, root: String, deleteKeys: DataFrame,
                     keys: Seq[String], maxAttempts: Int = 5,
-                    txn: Option[(String, Long)] = None): Long = {
+                    txn: Option[(String, Long)] = None,
+                    basedOnVersion: Option[Long] = None): Long = {
     val fs = fileSystem(spark, root)
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -1625,6 +1717,27 @@ object SnapshotStore {
         fs.listStatus(vdir).toSeq.map(_.getPath.getName)
           .filter(_.startsWith(s"$BucketCol="))
           .map(n => n.stripPrefix(s"$BucketCol=").toInt -> s"$rel/$n")
+      // the delete set was computed by a scan of `basedOnVersion` (the
+      // delta row-level path): a commit since then that touched any
+      // bucket the deletes hash into could have REPLACED a deleted
+      // key's row — tombstoning it now would silently kill the
+      // winner's update, so the loss surfaces as a conflict (the same
+      // stale-snapshot contract as applyRowDelta/replaceBuckets).
+      // Callers passing no version (the declarative deleteWhere path,
+      // whose matching-key frame re-reads the LATEST manifest per
+      // attempt) keep recompute-on-race semantics.
+      basedOnVersion.filter(_ != base).foreach { sv =>
+        val scanM = readManifest(spark, root, sv)
+        val winnerTouched = (scanM.buckets.keySet ++ m.buckets.keySet)
+          .filter(b => scanM.buckets.get(b) != m.buckets.get(b))
+        if (scanM.numBuckets != m.numBuckets ||
+            winnerTouched.intersect(written.map(_._1).toSet).nonEmpty) {
+          fs.delete(vdir, true)
+          throw new java.util.ConcurrentModificationException(
+            s"delete at $root lost to a concurrent commit — computed " +
+              "against a stale snapshot; re-run the statement")
+        }
+      }
       // a tombstone for a bucket holding no data is a no-op — never
       // reference it (the unreferenced attempt dir is vacuum food)
       val effective = written.filter { case (b, _) => m.buckets.contains(b) }

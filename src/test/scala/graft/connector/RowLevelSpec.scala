@@ -29,16 +29,20 @@ class RowLevelSpec extends SparkSpec {
 
   private var n = 0
   /** Fresh cataloged table of (k, v, cents): k 1..count, v = "v<k>",
-    * cents = k*10; returns (sql name, filesystem root).
+    * cents = k*10; returns (sql name, filesystem root). `delta = true`
+    * declares the dml.mode=delta table property (the not-null-key
+    * contract) at creation.
     */
-  private def freshTable(count: Int = 40, buckets: Int = 4): (String, String) = {
+  private def freshTable(count: Int = 40, buckets: Int = 4,
+                         delta: Boolean = false): (String, String) = {
     n += 1
     val t = s"t$n"
+    val deltaProp = if (delta) ", 'dml.mode'='delta'" else ""
     (1 to count).map(k => (k.toLong, s"v$k", k * 10L))
       .toDF("k", "v", "cents").createOrReplaceTempView(s"rl_src_$n")
     spark.sql(
       s"""CREATE TABLE rl.ns.$t USING graft
-         |TBLPROPERTIES ('keys'='k', 'numBuckets'='$buckets', 'statsCols'='k,cents')
+         |TBLPROPERTIES ('keys'='k', 'numBuckets'='$buckets', 'statsCols'='k,cents'$deltaProp)
          |AS SELECT * FROM rl_src_$n""".stripMargin)
     (s"rl.ns.$t", s"$warehouse/ns/$t")
   }
@@ -85,29 +89,61 @@ class RowLevelSpec extends SparkSpec {
       assert(after.buckets(b).dir == e.dir, s"untouched bucket $b was rewritten")
   }
 
-  test("SQL DELETE with a subquery stays merge-on-read under dml.mode=delta") {
-    spark.conf.set("spark.graft.dml.mode", "delta")
-    try {
-      val (name, root) = freshTable()
-      val before = manifest(root)
-      (1 to 10).map(_.toLong).toDF("dk").createOrReplaceTempView("rl_delkeys2")
-      spark.sql(s"DELETE FROM $name WHERE k IN (SELECT dk FROM rl_delkeys2)")
-      assert(state(name) == (11 to 40).map(k => (k.toLong, s"v$k", k * 10L)).toSet)
-      val after = manifest(root)
-      assert(after.version == before.version + 1)
-      // the delta path commits TOMBSTONES: no bucket rewrote even
-      // though the condition was a subquery the metadata path can't
-      // take
-      for ((b, e) <- before.buckets)
-        assert(after.buckets(b).dir == e.dir, s"bucket $b was rewritten")
-      assert(after.buckets.values.exists(_.tombstones.nonEmpty))
-    } finally spark.conf.unset("spark.graft.dml.mode")
+  test("subquery DELETE on a dml.mode=delta table stays merge-on-read, no conf set") {
+    // the table PROPERTY alone drives the delta path — no session conf
+    val (name, root) = freshTable(delta = true)
+    assert(spark.conf.getOption("spark.graft.dml.mode").isEmpty)
+    val before = manifest(root)
+    (1 to 10).map(_.toLong).toDF("dk").createOrReplaceTempView("rl_delkeys2")
+    spark.sql(s"DELETE FROM $name WHERE k IN (SELECT dk FROM rl_delkeys2)")
+    assert(state(name) == (11 to 40).map(k => (k.toLong, s"v$k", k * 10L)).toSet)
+    val after = manifest(root)
+    assert(after.version == before.version + 1)
+    // the delta path commits TOMBSTONES: no bucket rewrote even
+    // though the condition was a subquery the metadata path can't
+    // take
+    for ((b, e) <- before.buckets)
+      assert(after.buckets(b).dir == e.dir, s"bucket $b was rewritten")
+    assert(after.buckets.values.exists(_.tombstones.nonEmpty))
   }
 
-  test("UPDATE and MERGE under dml.mode=delta match the cow semantics") {
+  test("dml.mode table property: conf overrides choice, contract is enforced") {
+    // conf=cow on a delta-property table forces the CoW path — a
+    // legal override (the rewrite, not the contract, changes)
+    val (name, root) = freshTable(delta = true)
+    spark.conf.set("spark.graft.dml.mode", "cow")
+    try {
+      (1 to 3).map(_.toLong).toDF("dk").createOrReplaceTempView("rl_ovr_keys")
+      spark.sql(s"DELETE FROM $name WHERE k IN (SELECT dk FROM rl_ovr_keys)")
+      // CoW group rewrite: no tombstones, affected buckets rewrote
+      assert(manifest(root).buckets.values.forall(_.tombstones.isEmpty))
+      assert(state(name).size == 37)
+    } finally spark.conf.unset("spark.graft.dml.mode")
+    // conf=delta on a table WITHOUT the property refuses with guidance:
+    // only the recorded contract makes non-null row-ids truthful
+    val (name2, _) = freshTable()
     spark.conf.set("spark.graft.dml.mode", "delta")
     try {
-      val (name, root) = freshTable()
+      (1 to 3).map(_.toLong).toDF("dk").createOrReplaceTempView("rl_ovr_keys2")
+      val e = intercept[Exception](
+        spark.sql(s"DELETE FROM $name2 WHERE k IN (SELECT dk FROM rl_ovr_keys2)"))
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("dml.mode")), msgs(e).mkString(" | "))
+    } finally spark.conf.unset("spark.graft.dml.mode")
+    // the contract is real: a null merge key is rejected at write
+    val e2 = intercept[Exception](
+      spark.sql(s"INSERT INTO $name SELECT CAST(NULL AS BIGINT), 'x', 1"))
+    assert(e2.getMessage != null)
+    assert(state(name).size == 37, "failed insert must not land rows")
+    // and SHOW TBLPROPERTIES surfaces the declared mode
+    val props = spark.sql(s"SHOW TBLPROPERTIES $name")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("dml.mode") == "delta")
+  }
+
+  test("UPDATE and MERGE on a dml.mode=delta table match the cow semantics") {
+    val (name, root) = freshTable(delta = true)
       spark.sql(s"UPDATE $name SET v = 'upd', cents = cents + 1 WHERE k <= 5")
       assert(state(name) ==
         ((1 to 5).map(k => (k.toLong, "upd", k * 10L + 1)) ++
@@ -129,11 +165,20 @@ class RowLevelSpec extends SparkSpec {
       val got = state(name)
       assert(got((6L, "m6", 60L)) && !got.exists(_._1 == 7L)
         && got((300L, "new", 3000L)) && got.size == 39)
-      // the whole sequence rode tombstones + touched-bucket rewrites;
-      // time travel still reaches every intermediate version
-      assert(spark.read.format("graft").option("versionAsOf", 1)
-        .load(root).count() == 40)
-    } finally spark.conf.unset("spark.graft.dml.mode")
+    // the whole sequence rode tombstones + touched-bucket rewrites;
+    // time travel still reaches every intermediate version
+    assert(spark.read.format("graft").option("versionAsOf", 1)
+      .load(root).count() == 40)
+    // the delta path enforces the keyed-table contract exactly like
+    // the cow path: an UPDATE mapping several keys onto one new key
+    // refuses instead of landing two rows for that key
+    val e = intercept[Exception](
+      spark.sql(s"UPDATE $name SET k = 9999 WHERE k IN (10, 11)"))
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("one row per key") ||
+        Option(e.getCause).exists(_.getMessage.contains("one row per key"))),
+      s"expected the duplicate-upsert-key guard, got: ${e.getMessage}")
+    assert(!state(name).exists(_._1 == 9999L), "failed UPDATE must not land rows")
   }
 
   test("SQL UPDATE rewrites only the buckets holding matching rows") {
@@ -273,28 +318,25 @@ class RowLevelSpec extends SparkSpec {
   }
 
   test("delta-mode MERGE rewrites only the matched keys' buckets") {
-    spark.conf.set("spark.graft.dml.mode", "delta")
-    try {
-      val (name, root) = freshTable(count = 400, buckets = 8)
-      val before = manifest(root)
-      spark.range(1L, 401L).toDF("sk").where(col("sk") % 100 === 0)
-        .createOrReplaceTempView("rl_dpp_src")
-      spark.sql(
-        s"""MERGE INTO $name t USING rl_dpp_src s ON t.k = s.sk
-           |WHEN MATCHED THEN UPDATE SET v = 'dpp'""".stripMargin)
-      val got = state(name)
-      assert(got.count(_._2 == "dpp") == 4) // keys 100, 200, 300, 400
-      assert(got.size == 400)
-      // the delta commit's scope is the CHANGED rows' buckets — every
-      // bucket holding no matched key kept its pointer (at scale this
-      // is what bounds a selective MERGE's rewrite to the touched
-      // slice, with no dependence on runtime group filtering)
-      val after = manifest(root)
-      val touched = GraftFilters.bucketsOf(Seq(100L, 200L, 300L, 400L),
-        org.apache.spark.sql.types.LongType, before.numBuckets)
-      for ((b, e) <- before.buckets if !touched(b))
-        assert(after.buckets(b).dir == e.dir, s"untouched bucket $b was rewritten")
-    } finally spark.conf.unset("spark.graft.dml.mode")
+    val (name, root) = freshTable(count = 400, buckets = 8, delta = true)
+    val before = manifest(root)
+    spark.range(1L, 401L).toDF("sk").where(col("sk") % 100 === 0)
+      .createOrReplaceTempView("rl_dpp_src")
+    spark.sql(
+      s"""MERGE INTO $name t USING rl_dpp_src s ON t.k = s.sk
+         |WHEN MATCHED THEN UPDATE SET v = 'dpp'""".stripMargin)
+    val got = state(name)
+    assert(got.count(_._2 == "dpp") == 4) // keys 100, 200, 300, 400
+    assert(got.size == 400)
+    // the delta commit's scope is the CHANGED rows' buckets — every
+    // bucket holding no matched key kept its pointer (at scale this
+    // is what bounds a selective MERGE's rewrite to the touched
+    // slice, with no dependence on runtime group filtering)
+    val after = manifest(root)
+    val touched = GraftFilters.bucketsOf(Seq(100L, 200L, 300L, 400L),
+      org.apache.spark.sql.types.LongType, before.numBuckets)
+    for ((b, e) <- before.buckets if !touched(b))
+      assert(after.buckets(b).dir == e.dir, s"untouched bucket $b was rewritten")
   }
 
   test("SQL MERGE INTO rejects duplicate source matches (cardinality check)") {
@@ -390,5 +432,44 @@ class RowLevelSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("stale"))
     assert(state(name)((1L, "winner", 999L)))
+  }
+
+  test("delta pure-DELETE against a concurrently-modified bucket refuses") {
+    // the delta path's tombstone commit carries the scan's snapshot
+    // version: a winner that replaced a to-be-deleted row between the
+    // scan and the commit must surface as a conflict — silently
+    // tombstoning it would drop the winner's update
+    val (name, root) = freshTable(delta = true)
+    val m0 = manifest(root)
+    // concurrent writer replaces k=1 after "our scan" (m0)
+    Seq((1L, "winner", 999L)).toDF("k", "v", "cents")
+      .write.format("graft").mode("append").save(root)
+    val e = intercept[java.util.ConcurrentModificationException] {
+      SnapshotStore.commitDeletes(spark, root, Seq(1L).toDF("k"), Seq("k"),
+        basedOnVersion = Some(m0.version))
+    }
+    assert(e.getMessage.contains("stale"))
+    assert(state(name)((1L, "winner", 999L)))
+    // without a version pin (the declarative deleteWhere path, which
+    // recomputes its matching keys per attempt) the commit proceeds
+    SnapshotStore.commitDeletes(spark, root, Seq(1L).toDF("k"), Seq("k"))
+    assert(!state(name).exists(_._1 == 1L))
+  }
+
+  test("filter-scoped overwrite keeps rows where the condition is NULL") {
+    // three-valued logic: a row whose condition evaluates to NULL does
+    // NOT match the overwrite scope and must survive (deleteWhere
+    // already behaves this way — where(cond) keeps non-TRUE rows)
+    n += 1
+    val t = s"t$n"
+    spark.sql(
+      s"""CREATE TABLE rl.ns.$t (k BIGINT, v STRING) USING graft
+         |TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""".stripMargin)
+    val name = s"rl.ns.$t"
+    spark.sql(s"INSERT INTO $name VALUES (1, 'x'), (2, 'y'), (3, NULL)")
+    Seq((10L, "repl")).toDF("k", "v").writeTo(name).overwrite(col("v") === "x")
+    val got = spark.table(name).as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "y"), (3L, null), (10L, "repl")),
+      s"NULL-evaluating row must survive the scoped overwrite, got $got")
   }
 }
