@@ -33,7 +33,23 @@ object Bench {
     catch { case _: Exception => -1.0 }
 
   def main(args: Array[String]): Unit = {
+    // Load gate (r10 verdict item #2: two rounds shipped contended
+    // artifacts that misstated the engine ~2×): if the box is busy at
+    // start, WAIT for it to quiet down — up to SPARK_GRAFT_LOAD_WAIT
+    // seconds (default 600) — before measuring; if it never does, the
+    // artifact is stamped "contended":true so no one mistakes the
+    // numbers for engine throughput.
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE",
+      (Runtime.getRuntime.availableProcessors() / 8.0).toString).toDouble
+    val loadWaitS = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT", "600").toLong
+    val waitDeadline = System.nanoTime() + loadWaitS * 1000000000L
+    while (loadavg() > loadGate && System.nanoTime() < waitDeadline) {
+      System.err.println(
+        s"[bench] loadavg ${loadavg()} > gate $loadGate — waiting for a quiet box")
+      Thread.sleep(15000)
+    }
     val load0 = loadavg()
+    val contended = load0 > loadGate
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -80,7 +96,7 @@ object Bench {
     val load1 = loadavg()
     val headline =
       s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,""" +
-        s""""reps":$reps,"nqueries":${results.size},""" +
+        s""""reps":$reps,"nqueries":${results.size},"contended":$contended,""" +
         s""""loadavg_start":$load0,"loadavg_end":$load1,"sf":"$sfDir"}"""
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"reps":$reps,""" +
       s""""loadavg_start":$load0,"loadavg_end":$load1,""" +

@@ -31,10 +31,16 @@ object GraftFunctions {
       new ExpressionInfo(classOf[SignBuckets].getName, "graft_sign_buckets"),
       (args: Seq[Expression]) => SignBuckets(args(0), args(1))))
 
-  /** Idempotently register graft functions on an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotently register graft functions on an existing session,
+    * plus the delta-DML runtime-filter rule (which must sit in the
+    * post-scan-planning user batch, not the extension hook's
+    * operator-optimization batch).
+    */
+  def register(spark: SparkSession): Unit = {
     injections.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    graft.connector.DeltaDmlRuntimeFiltering.install(spark)
+  }
 }

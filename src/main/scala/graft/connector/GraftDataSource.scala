@@ -451,6 +451,9 @@ class GraftTable(root: String, versionAsOf: Option[Long],
             "ALTER TABLE ... SET TBLPROPERTIES (which verifies existing " +
             "keys are null-free); the session conf only picks between " +
             "modes the table supports")
+        // the delta rewrite's runtime source-bucket filtering rides the
+        // user-provided optimizer batch — make sure THIS session has it
+        DeltaDmlRuntimeFiltering.install(spark)
         new GraftDeltaOperation(root, tableSchema, info.command, keys)
       } else new GraftRowLevelOperation(root, tableSchema, info.command)
     }
@@ -519,8 +522,8 @@ class GraftScanBuilder(spark: SparkSession, root: String, m: Manifest,
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
-  private var required: StructType = tableSchema
-  private var pushed: Array[Filter] = Array.empty
+  protected var required: StructType = tableSchema
+  protected var pushed: Array[Filter] = Array.empty
   private var aggResult: Option[(StructType, InternalRow, String)] = None
 
   /** Every filter is RETAINED as a residual (returned back to Spark)
@@ -724,13 +727,15 @@ class GraftScan(spark: SparkSession, root: String, m: Manifest,
   protected def parquetFilters: Seq[Filter] = (filters ++ runtimeFilters).toSeq
 
   /** Columns whose runtime (join-derived) values this scan can turn
-    * into pruning: the merge key when it is single-column (values
-    * hash to exact buckets) and every declared stats column (values
+    * into pruning: the merge key columns (single-key values hash to
+    * exact buckets; composite-key tables narrow when ALL key columns
+    * receive value lists — capped tuple product), the bucket metadata
+    * column (ids narrow directly — [[DeltaDmlRuntimeFiltering]] keys
+    * its source filter on it), and every declared stats column (values
     * fold to range bounds).
     */
   override def filterAttributes(): Array[NamedReference] = {
-    val keyCols = if (m.keys.size == 1) m.keys else Nil
-    (keyCols ++ m.statsCols.map(_._1)).distinct
+    (m.keys ++ m.statsCols.map(_._1) ++ Seq(SnapshotStore.BucketCol)).distinct
       // only columns THIS scan outputs: Spark resolves the attributes
       // against the (column-pruned) relation, so a filterable column
       // the query never selected must not be advertised
@@ -740,14 +745,35 @@ class GraftScan(spark: SparkSession, root: String, m: Manifest,
 
   override def filter(predicates: Array[Predicate]): Unit = {
     val v1 = org.apache.spark.sql.graft.GraftSqlShims.toV1Filters(predicates)
+    // per-key-column value lists from this batch of runtime filters:
+    // single-key → buckets directly; composite key → buckets of the
+    // (capped) tuple cross-product, a superset of the joined tuples
+    val perKey = scala.collection.mutable.Map.empty[String, Seq[Any]]
     v1.foreach {
-      case org.apache.spark.sql.sources.In(c, vs) if m.keys == Seq(c) =>
-        narrowToBuckets(GraftFilters.bucketsOf(vs.toSeq, dataSchema(c).dataType, m.numBuckets))
-      case EqualTo(c, v) if m.keys == Seq(c) =>
-        narrowToBuckets(GraftFilters.bucketsOf(Seq(v), dataSchema(c).dataType, m.numBuckets))
+      case org.apache.spark.sql.sources.In(c, vs) if m.keys.contains(c) =>
+        perKey(c) = vs.toSeq
+      case EqualTo(c, v) if m.keys.contains(c) =>
+        perKey(c) = Seq(v)
+      case org.apache.spark.sql.sources.In(SnapshotStore.BucketCol, vs) =>
+        narrowToBuckets(vs.toSeq.collect {
+          case i: java.lang.Integer => i.intValue() }.toSet)
+      case EqualTo(SnapshotStore.BucketCol, v: java.lang.Integer) =>
+        narrowToBuckets(Set(v.intValue()))
       case _ => ()
     }
-    runtimeFilters ++= v1 // bounds pruning consumes the shapes it knows
+    if (m.keys.size == 1 && perKey.contains(m.keys.head)) {
+      val k = m.keys.head
+      narrowToBuckets(GraftFilters.bucketsOf(perKey(k),
+        dataSchema(k).dataType, m.numBuckets))
+    } else if (m.keys.size > 1 && m.keys.forall(perKey.contains)) {
+      val perKeyTyped = m.keys.map(k => (perKey(k), dataSchema(k).dataType))
+      GraftFilters.bucketsOfTuples(perKeyTyped, m.numBuckets)
+        .foreach(narrowToBuckets)
+    }
+    // bounds pruning consumes the shapes it knows; the bucket metadata
+    // column is layout-only and must not reach the parquet readers
+    runtimeFilters ++= v1.filterNot(
+      _.references.contains(SnapshotStore.BucketCol))
     invalidatePlanning()
   }
 

@@ -129,4 +129,32 @@ private[connector] object GraftFilters {
         .eval(null).asInstanceOf[Int]
       ((h % numBuckets) + numBuckets) % numBuckets
     }.toSet
+
+  /** Composite-key variant of [[bucketsOf]]: per-key-column value
+    * lists (in MERGE-KEY ORDER — the hash is over the full tuple)
+    * fold to the buckets of their cross-product, a superset of the
+    * actual joined tuples, so the narrowing stays conservative. None
+    * when the product exceeds `cap` (driver-side hashing must stay
+    * metadata-sized) — callers simply skip narrowing.
+    */
+  def bucketsOfTuples(perKey: Seq[(Seq[Any], DataType)], numBuckets: Int,
+                      cap: Long = 65536L): Option[Set[Int]] = {
+    val total = perKey.foldLeft(1L)((acc, p) =>
+      math.min(cap + 1, acc * math.max(1, p._1.size)))
+    if (perKey.exists(_._1.isEmpty) || total > cap) None
+    else {
+      import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, Murmur3Hash}
+      def combos(rest: Seq[(Seq[Any], DataType)]): Seq[Seq[Expression]] =
+        rest match {
+          case Seq() => Seq(Seq.empty)
+          case (vs, dt) +: tail =>
+            val tails = combos(tail)
+            vs.flatMap(v => tails.map((Literal.create(v, dt): Expression) +: _))
+        }
+      Some(combos(perKey).map { lits =>
+        val h = new Murmur3Hash(lits).eval(null).asInstanceOf[Int]
+        ((h % numBuckets) + numBuckets) % numBuckets
+      }.toSet)
+    }
+  }
 }

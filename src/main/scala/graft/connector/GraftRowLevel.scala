@@ -371,6 +371,8 @@ class GraftDeltaOperation(root: String, tableSchema: StructType,
 
   @volatile private[connector] var scanVersion: Option[Long] = None
 
+  private[connector] def mergeKeys: Seq[String] = keys
+
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"graft row-delta $cmd on $root"
 
@@ -379,14 +381,21 @@ class GraftDeltaOperation(root: String, tableSchema: StructType,
 
   override def representUpdateAsDeleteAndInsert(): Boolean = false
 
+  /** The bucket id rides every scanned row (injected per partition —
+    * layout metadata, not stored) so [[DeltaDmlRuntimeFiltering]] can
+    * key its runtime source filter on it: the rewrite join's source
+    * side computes `pmod(hash(keys), n)` and the scan narrows to those
+    * buckets before reading files. The delta writers ignore the
+    * metadata row.
+    */
   override def requiredMetadataAttributes(): Array[NamedReference] =
-    Array.empty
+    Array(Expressions.column(SnapshotStore.BucketCol))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val spark = SparkSession.active
     val m = GraftTable.manifestAt(spark, root, None)
     scanVersion = Some(m.version)
-    new GraftScanBuilder(spark, root, m, tableSchema)
+    new GraftDeltaScanBuilder(spark, root, m, tableSchema, this)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo)
@@ -396,6 +405,35 @@ class GraftDeltaOperation(root: String, tableSchema: StructType,
         new GraftDeltaWrite(root, info.schema(),
           info.rowIdSchema().orElse(null), keys, GraftDeltaOperation.this)
     }
+}
+
+/** Scan builder for the DELTA rewrite's target read: the ordinary
+  * pruned scan (exact filters, file pruning, row-group skipping all
+  * allowed), marked so [[DeltaDmlRuntimeFiltering]] can recognize the
+  * rewrite target inside the plan and key a runtime source-bucket
+  * filter on its `_graft_bucket` metadata column.
+  */
+class GraftDeltaScanBuilder(spark: SparkSession, root: String, m: Manifest,
+                            tableSchema: StructType,
+                            op: GraftDeltaOperation)
+    extends GraftScanBuilder(spark, root, m, tableSchema) {
+  override def build(): Scan =
+    new GraftDeltaScan(spark, root, m, tableSchema, required, pushed, op)
+}
+
+/** The delta rewrite's target scan — behaviorally the regular
+  * [[GraftScan]]; exists as a distinct type so the optimizer rule can
+  * find the rewrite TARGET (the source side of a self-merge reads
+  * through the ordinary scan, so there is never ambiguity).
+  */
+class GraftDeltaScan(spark: SparkSession, root: String, m: Manifest,
+                     dataSchema: StructType, required: StructType,
+                     filters: Array[Filter],
+                     private[connector] val op: GraftDeltaOperation)
+    extends GraftScan(spark, root, m, dataSchema, required, filters) {
+  private[connector] def mergeKeys: Seq[String] = op.mergeKeys
+  private[connector] def bucketCount: Int = m.numBuckets
+  override def description(): String = s"graft-delta ${super.description()}"
 }
 
 /** Delta write: each task stages its changed full rows and its

@@ -78,6 +78,66 @@ class RuntimeFilterSpec extends SparkSpec {
     assert(scanRows.min == expectRows)
   }
 
+  test("composite-key join values narrow buckets via the capped tuple product") {
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try runCompositeCase()
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  private def runCompositeCase(): Unit = {
+    val root = Files.createTempDirectory("graft-dpp-ck").toString + "/t"
+    val total = 2000L
+    (1L to total).map(k => (k, s"g${k % 4}", k * 7L)).toDF("k1", "k2", "v")
+      .write.format("graft").option("keys", "k1,k2").option("numBuckets", "8")
+      .save(root)
+    val fact = spark.read.format("graft").load(root)
+    // dim joins on BOTH key columns; selective filter makes it a DPP
+    // candidate for each
+    val dim = spark.range(1L, 501L).toDF("d1")
+      .withColumn("d2", concat(lit("g"), (col("d1") % 4).cast("string")))
+      .where(col("d1") % 250 === 0)
+    val joined = fact.join(broadcast(dim),
+      fact("k1") === dim("d1") && fact("k2") === dim("d2"))
+    assert(joined.collect().length == 2) // (250,g2), (500,g0)
+
+    val plan = joined.queryExecution.executedPlan
+    val scanRows = planNodes(plan)
+      .filter(_.getClass.getSimpleName == "BatchScanExec")
+      .flatMap(_.metrics.get("numOutputRows").map(_.value))
+    assert(scanRows.nonEmpty)
+    assert(scanRows.min < total, s"scan read the whole table ($scanRows)")
+    // exact: the kept buckets are those of the per-column value
+    // CROSS-PRODUCT (a superset of the joined tuples — conservative)
+    val m = graft.store.SnapshotStore.readManifest(spark, root,
+      graft.store.SnapshotStore.latestVersion(spark, root).get)
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val kept = GraftFilters.bucketsOfTuples(Seq(
+      (Seq(250L, 500L), LongType),
+      (Seq("g2", "g0"), StringType)), m.numBuckets).get
+    val expectRows = (1L to total).count { k =>
+      val b = GraftFilters.bucketsOfTuples(Seq(
+        (Seq(k), LongType), (Seq(s"g${k % 4}"), StringType)),
+        m.numBuckets).get.head
+      kept(b)
+    }
+    // bucket narrowing is an UPPER bound here: the same runtime In
+    // filters also reach the parquet readers, whose dictionary /
+    // row-group skipping drops non-matching row groups inside kept
+    // buckets — the scan may legitimately emit fewer rows
+    assert(scanRows.min > 0 && scanRows.min <= expectRows,
+      s"expected at most bucket-level $expectRows rows, scan read ${scanRows.min}")
+    // and the bucket-level narrowing itself is visible in the plan:
+    // the scan kept exactly the tuple-product buckets
+    val scanDesc = planNodes(plan)
+      .filter(_.getClass.getSimpleName == "BatchScanExec")
+      .map(_.toString).mkString
+    val bucketsRead = "buckets=(\\d+)".r.findFirstMatchIn(scanDesc)
+      .map(_.group(1).toInt)
+    assert(bucketsRead.contains(kept.size),
+      s"expected ${kept.size} buckets read, plan says $bucketsRead")
+  }
+
   test("runtime stats-column values fold to range pruning") {
     val root = Files.createTempDirectory("graft-dpp2").toString + "/t"
     (1L to 2000L).map(k => (k, k * 3L)).toDF("k", "ts")

@@ -94,6 +94,50 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("skewed bucket fans out under partially-clustered SPJ, still zero-shuffle") {
+    // one bucket dominated by fat payloads: without partial
+    // clustering, a storage-partitioned join runs ONE task per bucket
+    // and the skewed bucket serializes the stage at scale. With
+    // `partiallyClusteredDistribution` the planner keeps the splits of
+    // the bigger side ungrouped (replicating the other side's groups),
+    // so the fat bucket spreads over its file splits — and the join
+    // STAYS shuffle-free on both graft sides.
+    val big = "x" * 2000
+    (1L to 20000L).map(k => (k, if (k % 4 == 0) big else "s"))
+      .toDF("k", "va").createOrReplaceTempView("spj_skew_a")
+    (1L to 20000L).map(k => (k, k * 2L)).toDF("k", "vb")
+      .createOrReplaceTempView("spj_skew_b")
+    spark.sql("""CREATE TABLE spj.ns.ska USING graft
+                 TBLPROPERTIES('keys'='k','numBuckets'='4')
+                 AS SELECT * FROM spj_skew_a""")
+    spark.sql("""CREATE TABLE spj.ns.skb USING graft
+                 TBLPROPERTIES('keys'='k','numBuckets'='4')
+                 AS SELECT * FROM spj_skew_b""")
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false",
+      // force multiple splits per fat file so the fan-out is visible
+      "spark.sql.files.maxPartitionBytes" -> "65536") {
+      val joined = spark.sql(
+        "SELECT a.k, a.va, b.vb FROM spj.ns.ska a JOIN spj.ns.skb b ON a.k = b.k")
+      assert(joined.count() == 20000)
+      assert(shuffleCount(joined) == 0,
+        s"expected a zero-shuffle partially-clustered SPJ:\n${joined.queryExecution.executedPlan}")
+      // the join's inputs fan out past one-task-per-bucket
+      val scanParts = planNodes(joined.queryExecution.executedPlan)
+        .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.getNumPartitions }
+      assert(scanParts.nonEmpty && scanParts.forall(_ > 4),
+        s"expected split-level fan-out beyond the 4 buckets, got $scanParts")
+      // spot-check values, not just cardinality
+      assert(joined.where(col("k") === 8L).as[(Long, String, Long)]
+        .collect().toSet == Set((8L, big, 16L)))
+    }
+  }
+
   test("path-based reads (no catalog) degrade gracefully under v2 bucketing") {
     // a path read has no FunctionCatalog to resolve the reported
     // transform against — Spark must ignore the partitioning, not fail
