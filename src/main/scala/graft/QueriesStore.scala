@@ -292,13 +292,59 @@ object QueriesStore {
       |SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM fin GROUP BY 1""".stripMargin
 
+  // =====================================================================
+  // w07 — the SAME literal MERGE as w05, on a TBLPROPERTIES
+  // dml.mode=delta table: the statement runs the SupportsDelta rewrite
+  // (O(changed-rows) staging, runtime source-bucket filtering on the
+  // target scan via DeltaDmlRuntimeFiltering) and must hash-match the
+  // identical relational recompute — mode is an execution choice, never
+  // a semantics choice. This puts the delta engine (and its runtime
+  // filter) under the driver's DuckDB gate, not just ScalaTest.
+  // =====================================================================
+  val w07: Q = (s, d) => {
+    catalogInit(s)
+    val t = "t" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    Tables.orders(s, d).createOrReplaceTempView("w07_orders_src")
+    s.sql(
+      s"""CREATE TABLE graft_w03.sales.$t USING graft
+         |TBLPROPERTIES ('keys'='k', 'numBuckets'='8', 'dml.mode'='delta')
+         |AS SELECT o_orderkey AS k, o_orderstatus AS status,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+         |FROM w07_orders_src""".stripMargin)
+    s.sql(
+      s"""MERGE INTO graft_w03.sales.$t t
+         |USING (
+         |  SELECT o_orderkey AS k, 'X' AS status,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents,
+         |    'U' AS op
+         |  FROM w07_orders_src WHERE o_orderkey % 10 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey, NULL, CAST(0 AS BIGINT), 'D'
+         |  FROM w07_orders_src WHERE o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 100000000, 'N',
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT), 'I'
+         |  FROM w07_orders_src WHERE o_orderkey % 13 = 0
+         |) s ON t.k = s.k
+         |WHEN MATCHED AND s.op = 'D' THEN DELETE
+         |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET status = s.status
+         |WHEN NOT MATCHED THEN INSERT (k, status, cents) VALUES (s.k, s.status, s.cents)
+         |""".stripMargin)
+    s.sql(
+      s"""SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM graft_w03.sales.$t GROUP BY status""".stripMargin)
+  }
+
+  val w07Sql: String = w04Sql // identical relational recompute
+
   val all: Map[String, Q] = Map(
     "w01_table_roundtrip" -> w01,
     "w02_change_feed" -> w02,
     "w03_sql_dml" -> w03,
     "w04_merge" -> w04,
     "w05_sql_merge" -> w05,
-    "w06_sql_delete_update" -> w06)
+    "w06_sql_delete_update" -> w06,
+    "w07_sql_merge_delta" -> w07)
 
   val oracles: Map[String, String] = Map(
     "w01_table_roundtrip" -> w01Sql,
@@ -306,5 +352,6 @@ object QueriesStore {
     "w03_sql_dml" -> w03Sql,
     "w04_merge" -> w04Sql,
     "w05_sql_merge" -> w05Sql,
-    "w06_sql_delete_update" -> w06Sql)
+    "w06_sql_delete_update" -> w06Sql,
+    "w07_sql_merge_delta" -> w07Sql)
 }

@@ -153,6 +153,21 @@ object DeltaDmlRuntimeFiltering extends Rule[LogicalPlan] with PredicateHelper {
         case EqualNullSafe(l, r) if r.semanticEquals(a) && usableSource(l, otherSide) => l
       }.getOrElse(return None)
     }
+    // re-execution safety: the pruning subquery runs the source
+    // subplan a SECOND time, independently of the join's own
+    // execution. A plan whose row set can differ between executions —
+    // LIMIT without a total order, TABLESAMPLE, any non-deterministic
+    // expression (rand(), uuid(), non-deterministic UDFs) — could
+    // yield a bucket set missing rows the join WILL match, silently
+    // dropping their effects. Decline those outright.
+    val replayable = !otherSide.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Sample => true
+      case n => n.expressions.exists(e => !e.deterministic)
+    }
+    if (!replayable) return None
+
     // cost gate: re-running a source much larger than the target scan
     // to maybe-prune it is a loss — at that shape the statement
     // touches most buckets anyway. The ratio is generous because

@@ -47,7 +47,7 @@ object GraftProcedures {
   private val Namespace = Array("system")
 
   private val names = Seq("compact", "vacuum", "restore", "checkpoint",
-    "clone", "rebucket", "materialize", "detail")
+    "clone", "rebucket", "materialize", "detail", "history")
 
   def list(catalog: GraftCatalog, namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Namespace))
@@ -79,6 +79,7 @@ object GraftProcedures {
       case "rebucket"   => "rewrite the table under a new hash-bucket count (one O(table) commit; later deltas compose)"
       case "materialize" => "re-home every cloned bucket locally, cutting the clone's dependency on its source"
       case "detail"     => "one row per bucket: files, bytes, recorded rows, tombstone debt — the compaction/fold planning view"
+      case "history"    => "one row per retained version: in-commit timestamp + current marker — what VERSION/TIMESTAMP AS OF resolves against"
     }
     override def bind(inputType: StructType): BoundProcedure = new Bound(catalog, proc)
   }
@@ -115,6 +116,8 @@ object GraftProcedures {
         in("table", StringType))
       case "detail" => Array(
         in("table", StringType))
+      case "history" => Array(
+        in("table", StringType))
     }
 
     private def outSchema: StructType = proc match {
@@ -132,6 +135,10 @@ object GraftProcedures {
         .add("rows", LongType) // null = pre-format-4 entry (not recorded)
         .add("tombstone_dirs", IntegerType)
         .add("tombstone_bytes", LongType)
+      case "history" => new StructType()
+        .add("version", LongType)
+        .add("committed_at", TimestampType)
+        .add("is_current", BooleanType)
     }
 
     private def csv(s: String): Seq[String] =
@@ -143,6 +150,7 @@ object GraftProcedures {
         throw new IllegalArgumentException(s"$proc: 'table' must not be NULL"))
       val root = catalog.resolveTableDir(table)
       if (proc == "detail") return detailRows(spark, root)
+      if (proc == "history") return historyRows(spark, root)
       val result: Any = proc match {
         case "compact" =>
           SnapshotStore.compact(spark, root,
@@ -192,6 +200,24 @@ object GraftProcedures {
           b, files.length, files.map(_.getLen).sum,
           e.rows.map(java.lang.Long.valueOf).orNull,
           e.tombstones.size, tombBytes)): InternalRow
+      }
+      java.util.Collections.singletonList[Scan](
+        new ResultScan(outSchema, rows.toArray)).iterator()
+    }
+
+    /** One row per RETAINED version (vacuum prunes history), newest
+      * last: the version id and its in-commit timestamp — exactly what
+      * `VERSION AS OF` / `TIMESTAMP AS OF` and `restore` resolve
+      * against. O(versions) manifest HEADER reads, no data I/O.
+      */
+    private def historyRows(spark: SparkSession, root: String): JIterator[Scan] = {
+      val vs = SnapshotStore.versions(spark, root)
+      val cur = vs.lastOption.getOrElse(
+        throw new IllegalStateException(s"no committed graft table at $root"))
+      val rows = vs.map { v =>
+        new GenericInternalRow(Array[Any](
+          v, SnapshotStore.commitTimeMillis(spark, root, v) * 1000L,
+          v == cur)): InternalRow
       }
       java.util.Collections.singletonList[Scan](
         new ResultScan(outSchema, rows.toArray)).iterator()

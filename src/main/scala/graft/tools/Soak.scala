@@ -134,6 +134,94 @@ object Soak {
     require(finalRows == 5000L * scale,
       s"restore lost rows: $finalRows != ${5000L * scale}")
 
+    // ---------------- 3b. SQL DML at scale ---------------------------
+    // The §5 O(delta) claim under the SQL path: a selective MERGE /
+    // UPDATE must rewrite (and, in delta mode, READ) only the buckets
+    // its keys hash into; a translatable DELETE must rewrite nothing.
+    // Bucket-touch counts come from manifest dir-pointer diffs — the
+    // same observable RowLevelSpec pins at unit scale.
+    val dml = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val dmlN = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def dphase[A](name: String)(body: => A): A = {
+      val (a, t) = timed(body); dml(name) = t; a
+    }
+    spark.conf.set("spark.sql.catalog.soak",
+      classOf[graft.connector.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.soak.root", s"$work/wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS soak.ns")
+    spark.read.parquet(s"$work/orders.parquet")
+      .createOrReplaceTempView("soak_orders")
+    val totalOrders = spark.table("soak_orders").count()
+    val nb = 64
+    def mfst(t: String) = SnapshotStore.readManifest(spark, s"$work/wh/ns/$t",
+      SnapshotStore.latestVersion(spark, s"$work/wh/ns/$t").get)
+    def touched(t: String, before: SnapshotStore.Manifest): Long =
+      mfst(t).buckets.count { case (b, e) => before.buckets.get(b).forall(_.dir != e.dir) }.toLong
+    def runDml(t: String, deltaMode: Boolean): Unit = {
+      val tag = if (deltaMode) "delta" else "cow"
+      val prop = if (deltaMode) ", 'dml.mode'='delta'" else ""
+      dphase(s"create_$tag") {
+        spark.sql(s"""CREATE TABLE soak.ns.$t USING graft
+          |TBLPROPERTIES('keys'='o_orderkey','numBuckets'='$nb',
+          |  'statsCols'='o_orderkey'$prop)
+          |AS SELECT * FROM soak_orders""".stripMargin)
+      }
+      // selective MERGE: 10 fixed keys — rewrite scope must be ≤ 10
+      // buckets of 64, whatever the table size. Keys are materialized
+      // driver-side first: a LIMIT-shaped source is not replayable and
+      // would (correctly) disable the delta path's runtime filter.
+      val m0 = mfst(t)
+      val tenKeys = spark.sql("""SELECT o_orderkey FROM soak_orders
+        WHERE o_orderkey % 100000 = 0 ORDER BY o_orderkey LIMIT 10""")
+        .collect().map(_.getLong(0))
+      spark.table("soak_orders")
+        .where(col("o_orderkey").isin(tenKeys.map(Long.box): _*))
+        .createOrReplaceTempView(s"soak_merge_src_$t")
+      dphase(s"merge_10keys_$tag") {
+        spark.sql(s"""MERGE INTO soak.ns.$t t
+          |USING soak_merge_src_$t s ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET o_orderstatus = 'S'
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      }
+      dmlN(s"merge_10keys_${tag}_touched_buckets") = touched(t, m0)
+      // translatable DELETE (fixed ~300-key In-list — a `%` predicate
+      // would NOT translate and correctly fall back to the group
+      // rewrite): pure tombstones — ZERO bucket rewrite at any scale
+      val delKeys = spark.sql("""SELECT o_orderkey FROM soak_orders
+        WHERE o_orderkey % 5003 = 0 ORDER BY o_orderkey""")
+        .collect().map(_.getLong(0))
+      val m1 = mfst(t)
+      dphase(s"delete_tombstone_$tag") {
+        spark.sql(s"DELETE FROM soak.ns.$t WHERE o_orderkey IN " +
+          delKeys.mkString("(", ",", ")"))
+      }
+      dmlN(s"delete_tombstone_${tag}_rewrote_buckets") = touched(t, m1)
+      // group/delta UPDATE on a handful of keys
+      val m2 = mfst(t)
+      dphase(s"update_selective_$tag") {
+        spark.sql(s"""UPDATE soak.ns.$t SET o_orderstatus = 'U'
+          |WHERE o_orderkey IN (7, 5003, 99991)""".stripMargin)
+      }
+      dmlN(s"update_selective_${tag}_touched_buckets") = touched(t, m2)
+      // fold the tombstone debt, then verify the final state
+      dphase(s"compact_fold_$tag") {
+        spark.sql(s"CALL soak.system.compact(table => 'ns.$t')")
+      }
+      val expectDeleted = spark.sql(
+        "SELECT count(*) FROM soak_orders WHERE o_orderkey % 5003 = 0")
+        .head().getLong(0)
+      val fin = spark.table(s"soak.ns.$t").count()
+      require(fin == totalOrders - expectDeleted,
+        s"$tag DML end state wrong: $fin != $totalOrders - $expectDeleted")
+      dmlN(s"final_rows_$tag") = fin
+    }
+    runDml("ocow", deltaMode = false)
+    runDml("odelta", deltaMode = true)
+    dmlN("num_buckets") = nb.toLong
+    dmlN("table_rows") = totalOrders
+    dml.foreach { case (k, v) => println(f"[soak-dml] $k%-32s $v%8.3fs") }
+    dmlN.foreach { case (k, v) => println(f"[soak-dml] $k%-32s $v%8d") }
+
     // ---------------- 4. artifact ------------------------------------
     def jmap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
@@ -145,6 +233,9 @@ object Soak {
       s"""{"metric":"soak","scale":$scale,"base_sf":"$baseDir","unit":"sec",""" +
         s""""gen":${jmap(gen)},"queries":$queriesJson,""" +
         s""""maintenance":${jmap(maint)},"pruned_range_rows":$pruned,""" +
+        s""""sql_dml":${jmap(dml)},""" +
+        s""""sql_dml_counts":${dmlN.map { case (k, v) =>
+          "\"" + k + "\":" + v }.mkString("{", ",", "}")},""" +
         s""""final_rows":$finalRows}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),

@@ -158,6 +158,27 @@ class DeltaRuntimeFilterSpec extends SparkSpec {
     }
   }
 
+  test("non-replayable sources (LIMIT / rand) decline the filter, stay correct") {
+    withPlainPlans {
+      val (name, _) = freshDeltaTable(100, buckets = 4)
+      // LIMIT without a total order: two executions may pick different
+      // rows — re-running it as a pruning subquery could compute a
+      // bucket set missing rows the join WILL match. The rule must
+      // refuse; the merge must still apply.
+      // (a LIMIT over literal VALUES would fold into a LocalRelation —
+      // legitimately replayable; range() keeps the Limit node alive)
+      spark.sql("SELECT id AS sk FROM range(1, 100) LIMIT 2")
+        .createOrReplaceTempView("drf_lim_src")
+      val res = spark.sql(
+        s"""MERGE INTO $name t USING drf_lim_src s ON t.k = s.sk
+           |WHEN MATCHED THEN UPDATE SET v = 'lim'""".stripMargin)
+      assert(spark.table(name).where($"v" === "lim").count() == 2)
+      val scans = graftScanRows(res)
+      assert(scans.nonEmpty && scans.min == 100L,
+        s"non-replayable source must not runtime-filter the target ($scans)")
+    }
+  }
+
   test("pure-delete subquery DELETE narrows its matching-key scan") {
     withPlainPlans {
       val total = 2000

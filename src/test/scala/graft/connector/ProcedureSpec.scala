@@ -107,7 +107,50 @@ class ProcedureSpec extends SparkSpec {
       java.util.Map.of("root", warehouse)))
     assert(cat.listProcedures(Array("system")).map(_.name()).toSet ==
       Set("compact", "vacuum", "restore", "checkpoint",
-        "clone", "rebucket", "materialize", "detail"))
+        "clone", "rebucket", "materialize", "detail", "history"))
+  }
+
+  test("CALL system.history lists retained versions with in-commit timestamps") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gproc.his")
+    spark.sql("""CREATE TABLE gproc.his.t (k BIGINT, v STRING)
+                 USING graft TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO gproc.his.t SELECT id, CAST(id AS STRING) FROM range(0, 10)")
+    spark.sql("DELETE FROM gproc.his.t WHERE k = 3")
+    val his = spark.sql("CALL gproc.system.history(table => 'his.t')")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getBoolean(2)))
+    // CREATE (v0) + INSERT + DELETE = three versions, newest last and
+    // marked current; timestamps monotone non-decreasing
+    assert(his.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(his.map(_._3).toSeq == Seq(false, false, true))
+    assert(his.sliding(2).forall { case Array(a, b) => !a._2.after(b._2); case _ => true })
+    // what history reports is exactly what time travel resolves: the
+    // middle version's timestamp reads back the pre-DELETE state
+    val t1 = his(1)._2.getTime
+    val root = s"$warehouse/his/t"
+    assert(spark.read.format("graft").option("timestampAsOf", t1.toString)
+      .load(root).count() == 10)
+    // vacuum prunes history; the report follows
+    spark.sql("CALL gproc.system.vacuum(table => 'his.t', keep_last => 1)")
+    val his2 = spark.sql("CALL gproc.system.history(table => 'his.t')")
+      .collect().map(_.getLong(0))
+    assert(his2.toSeq == Seq(2L))
+  }
+
+  test("SQL TRUNCATE TABLE empties a graft table as one version") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gproc.trn")
+    spark.sql("""CREATE TABLE gproc.trn.t (k BIGINT, v STRING)
+                 USING graft TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO gproc.trn.t SELECT id, CAST(id AS STRING) FROM range(0, 10)")
+    spark.sql("TRUNCATE TABLE gproc.trn.t")
+    assert(spark.table("gproc.trn.t").count() == 0)
+    // one version, time travel still sees the old rows
+    val root = s"$warehouse/trn/t"
+    val latest = graft.store.SnapshotStore.latestVersion(spark, root).get
+    assert(spark.read.format("graft").option("versionAsOf", latest - 1)
+      .load(root).count() == 10)
+    // and the table remains writable after truncation
+    spark.sql("INSERT INTO gproc.trn.t VALUES (1, 'back')")
+    assert(spark.table("gproc.trn.t").count() == 1)
   }
 
   test("CALL system.detail reports per-bucket layout, rows, and tombstone debt") {
