@@ -5,7 +5,8 @@ import java.util.{Map => JMap}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableCatalogCapability, TableChange, TableInfo}
+import org.apache.spark.sql.connector.catalog.constraints.{Check, Constraint, PrimaryKey, Unique}
 import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
@@ -53,6 +54,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def name(): String = catalogName
+
+  /** ANSI table constraints are first-class: `CHECK` is write-ENFORCED
+    * (every write path guards it — see `SnapshotStore.writeVersionData`),
+    * `PRIMARY KEY`/`UNIQUE` are accepted as informational metadata when
+    * they name exactly the merge keys (the engine's one-row-per-key
+    * invariant is what backs the claim).
+    */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   /** Identifier parts become path segments, so a part that IS path
     * syntax would escape the warehouse root (`` `..` `` climbing out,
@@ -175,6 +185,66 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
+  /** `CREATE TABLE ... CONSTRAINT ...` — the TableInfo overload carries
+    * the constraint list; validate and persist each after the base
+    * create (an empty new table vacuously satisfies any CHECK).
+    */
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    createTable(ident, info.schema(), info.partitions(), info.properties())
+    val cs = info.constraints()
+    if (cs.nonEmpty) {
+      val dir = tableDir(ident).toString
+      val keys = SnapshotStore.readManifest(spark, dir,
+        SnapshotStore.latestVersion(spark, dir).get).keys
+      val props = cs.foldLeft(SnapshotStore.readProps(spark, dir)) {
+        (p, c) => p + constraintProp(c, keys, p)
+      }
+      SnapshotStore.writeProps(spark, dir, props)
+    }
+    loadTable(ident)
+  }
+
+  private val ConstraintPrefixes =
+    Seq("constraint.check.", "constraint.pk.", "constraint.unique.")
+
+  /** Persisted form of one accepted constraint (refusing the shapes the
+    * engine cannot back): `constraint.check.<name>` = predicate SQL,
+    * `constraint.pk.<name>` / `constraint.unique.<name>` = column CSV
+    * (must equal the merge keys — uniqueness there is the engine's own
+    * one-row-per-key invariant, anywhere else it would be a claim
+    * nothing enforces).
+    */
+  private def constraintProp(c: Constraint, keys: Seq[String],
+                             existing: Map[String, String]): (String, String) = {
+    require(!ConstraintPrefixes.exists(p => existing.contains(p + c.name())),
+      s"constraint '${c.name()}' already exists")
+    c match {
+      case ch: Check =>
+        require(ch.predicateSql() != null && ch.predicateSql().nonEmpty,
+          s"CHECK constraint '${ch.name()}' has no SQL predicate")
+        ("constraint.check." + ch.name()) -> ch.predicateSql()
+      case pk: PrimaryKey =>
+        val cols = pk.columns().map(_.fieldNames().mkString(".")).toSeq
+        require(cols.sorted == keys.sorted,
+          s"PRIMARY KEY (${cols.mkString(", ")}) must name exactly the " +
+            s"merge keys (${keys.mkString(", ")}) — that uniqueness is the " +
+            "engine's one-row-per-key invariant; any other column set is " +
+            "an unenforceable claim")
+        ("constraint.pk." + pk.name()) -> cols.mkString(",")
+      case u: Unique =>
+        val cols = u.columns().map(_.fieldNames().mkString(".")).toSeq
+        require(cols.sorted == keys.sorted,
+          s"UNIQUE (${cols.mkString(", ")}) must name exactly the merge " +
+            s"keys (${keys.mkString(", ")}) — see PRIMARY KEY")
+        ("constraint.unique." + u.name()) -> cols.mkString(",")
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft tables support CHECK (write-enforced) and PRIMARY KEY/" +
+            s"UNIQUE over the merge keys (informational); " +
+            s"${other.getClass.getSimpleName} is not supported")
+    }
+  }
+
   /** Properties owned elsewhere: the layout trio lives in the manifest
     * (fixed at creation), the rest are Spark-reserved metadata.
     */
@@ -222,11 +292,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
         GraftTable.writeSchemaFile(spark, root,
           StructType(cur.fields.toSeq :+ field))
+      case add: TableChange.AddConstraint =>
+        // ENFORCED CHECKs were already validated against existing rows
+        // by Spark's AddCheckConstraintExec before this call; recording
+        // the property makes every write path enforce it from now on
+        val keys = SnapshotStore.readManifest(spark, root,
+          SnapshotStore.latestVersion(spark, root).getOrElse(
+            throw new NoSuchTableException(ident))).keys
+        val props = SnapshotStore.readProps(spark, root)
+        SnapshotStore.writeProps(spark, root,
+          props + constraintProp(add.constraint(), keys, props))
+      case drop: TableChange.DropConstraint =>
+        val props = SnapshotStore.readProps(spark, root)
+        val key = ConstraintPrefixes.map(_ + drop.name()).find(props.contains)
+        key match {
+          case Some(k) => SnapshotStore.writeProps(spark, root, props - k)
+          case None =>
+            require(drop.ifExists(),
+              s"no constraint named '${drop.name()}' on $ident")
+        }
       case set: TableChange.SetProperty =>
         val k = set.property()
         require(!ReservedProps(k.toLowerCase(java.util.Locale.ROOT)),
           s"property '$k' is layout/reserved metadata and cannot be set — " +
             "bucket layout evolves via CALL system.rebucket")
+        require(!k.toLowerCase(java.util.Locale.ROOT).startsWith("constraint."),
+          s"constraints are managed via ALTER TABLE ADD/DROP CONSTRAINT " +
+            "(which validates existing data), not raw TBLPROPERTIES")
         if (k == "dml.mode") {
           validDmlMode(set.value())
           if (set.value() == "delta") {
@@ -251,6 +343,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case rm: TableChange.RemoveProperty =>
         require(!ReservedProps(rm.property().toLowerCase(java.util.Locale.ROOT)),
           s"property '${rm.property()}' is layout/reserved metadata")
+        require(!rm.property().toLowerCase(java.util.Locale.ROOT)
+          .startsWith("constraint."),
+          s"constraints are dropped via ALTER TABLE DROP CONSTRAINT, " +
+            "not TBLPROPERTIES")
         SnapshotStore.writeProps(spark, root,
           SnapshotStore.readProps(spark, root) - rm.property())
       case other =>

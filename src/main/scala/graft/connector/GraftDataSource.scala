@@ -358,6 +358,34 @@ class GraftTable(root: String, versionAsOf: Option[Long],
     props
   }
 
+  /** ANSI constraints from the `_props` breadcrumb: CHECKs are
+    * write-ENFORCED (every write path fuses the predicate as a
+    * raise_error guard — [[SnapshotStore]]), and Spark's own
+    * `ResolveTableConstraints` additionally plants `CheckInvariant`
+    * into catalog writes because they are reported here; PRIMARY KEY /
+    * UNIQUE over the merge keys are informational (backed by the
+    * engine's one-row-per-key invariant).
+    */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
+    import org.apache.spark.sql.connector.catalog.constraints.Constraint
+    val spark = SparkSession.active
+    SnapshotStore.readProps(spark, root).toSeq.sortBy(_._1).flatMap {
+      case (k, v) if k.startsWith("constraint.check.") =>
+        Some(Constraint.check(k.stripPrefix("constraint.check."))
+          .predicateSql(v).enforced(true).build(): Constraint)
+      case (k, v) if k.startsWith("constraint.pk.") =>
+        Some(Constraint.primaryKey(k.stripPrefix("constraint.pk."),
+          v.split(",").map(c => Expressions.column(c)
+            : NamedReference)).build(): Constraint)
+      case (k, v) if k.startsWith("constraint.unique.") =>
+        Some(Constraint.unique(k.stripPrefix("constraint.unique."),
+          v.split(",").map(c => Expressions.column(c)
+            : NamedReference)).build(): Constraint)
+      case _ => None
+    }.toArray
+  }
+
   /** The table's bucket id as a metadata column — the GROUP identity
     * for SQL row-level rewrites (Spark's runtime group filtering
     * selects `distinct _graft_bucket` of the matching rows to narrow

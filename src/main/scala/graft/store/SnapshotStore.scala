@@ -1258,14 +1258,31 @@ object SnapshotStore {
     // into the projection — no extra pass), so the contract holds over
     // every write path and the non-nullable key schema the connector
     // presents is truthful for all readers
+    val props = readProps(df.sparkSession, root)
     val checked =
-      if (keys.isEmpty || !deltaModeDeclared(df.sparkSession, root)) df
+      if (keys.isEmpty || !props.get("dml.mode").contains("delta")) df
       else keys.foldLeft(df)((d, k) => d.withColumn(k,
         when(col(k).isNull, raise_error(lit(
           s"null merge key '$k' rejected: the table at $root declares " +
             "dml.mode=delta, whose row-identity contract requires " +
             "non-null merge keys"))).otherwise(col(k))))
-    val bucketed = withBucket(checked, keys, numBuckets)
+    // ANSI CHECK constraints (`constraint.check.<name>` props, recorded
+    // by the catalog's ADD CONSTRAINT after validating existing data):
+    // fused into the same projection — ANY write path (SQL, library,
+    // path-based, streaming, DML rewrite) rejects a violating row at
+    // write time. ANSI semantics: only a FALSE predicate violates
+    // (NULL passes).
+    val constrained = props.toSeq.sortBy(_._1).collect {
+      case (k, sql) if k.startsWith("constraint.check.") =>
+        (k.stripPrefix("constraint.check."), sql)
+    }.foldLeft(checked) { case (d, (cname, sql)) =>
+      val anchor = d.columns.head
+      d.withColumn(anchor,
+        when(coalesce(expr(sql), lit(true)) === false, raise_error(lit(
+          s"CHECK constraint '$cname' ($sql) violated by a written row " +
+            s"on the table at $root"))).otherwise(col(anchor)))
+    }
+    val bucketed = withBucket(constrained, keys, numBuckets)
     val observed = obs.fold(bucketed) { o =>
       val counts = failRules.map(e =>
         sum(Expectations.violated(e).cast("long")).as(e.name))
