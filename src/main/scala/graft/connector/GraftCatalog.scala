@@ -62,7 +62,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * invariant is what backs the claim).
     */
   override def capabilities(): java.util.Set[TableCatalogCapability] =
-    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** Identifier parts become path segments, so a part that IS path
     * syntax would escape the warehouse root (`` `..` `` climbing out,
@@ -281,6 +282,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(add.position() == null,
           s"column position is not supported — new columns append " +
             s"(column order is presentation, not layout)")
+        require(add.defaultValue() == null,
+          s"ADD COLUMN with DEFAULT would need a retroactive value for " +
+            "history, which additive evolution null-fills by contract — " +
+            "add the column, then ALTER TABLE ... ALTER COLUMN ... SET " +
+            "DEFAULT for FUTURE inserts")
         val cur = GraftTable.resolveSchema(spark, root, None)
         require(cur.nonEmpty, s"table $ident has no resolvable schema")
         require(!cur.fieldNames.exists(_.equalsIgnoreCase(colName)),
@@ -292,6 +298,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
         GraftTable.writeSchemaFile(spark, root,
           StructType(cur.fields.toSeq :+ field))
+      case upd: TableChange.UpdateColumnDefaultValue =>
+        // CURRENT default only: applies to FUTURE inserts (the analyzer
+        // materializes it into written rows); history keeps its real
+        // values / null-fill — no retroactive EXISTS_DEFAULT claims
+        require(upd.fieldNames().length == 1,
+          "SET DEFAULT supports top-level columns only")
+        val colName = upd.fieldNames()(0)
+        val cur = GraftTable.readSchemaFile(spark, root).getOrElse(
+          GraftTable.resolveSchema(spark, root, None))
+        require(cur.fieldNames.exists(_.equalsIgnoreCase(colName)),
+          s"no column '$colName' in $ident")
+        val updated = StructType(cur.fields.toSeq.map { f =>
+          if (!f.name.equalsIgnoreCase(colName)) f
+          else {
+            val mb = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+            val sql = Option(upd.newCurrentDefault()).map(_.getSql)
+              .orElse(Option(upd.newDefaultValue()).filter(_.nonEmpty))
+            sql match {
+              case Some(s) if s.nonEmpty => f.copy(metadata =
+                mb.putString("CURRENT_DEFAULT", s).build())
+              case _ => f.copy(metadata =
+                mb.remove("CURRENT_DEFAULT").build()) // DROP DEFAULT
+            }
+          }
+        })
+        GraftTable.writeSchemaFile(spark, root, updated)
       case add: TableChange.AddConstraint =>
         // ENFORCED CHECKs were already validated against existing rows
         // by Spark's AddCheckConstraintExec before this call; recording

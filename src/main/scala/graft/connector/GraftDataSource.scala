@@ -252,12 +252,34 @@ object GraftTable {
     // session-conf-driven: a conf can't retroactively make existing
     // data null-free, so marking on conf would lie to the optimizer
     // for ordinary reads (IS NULL folded to false).
-    val schema = withEvolvedColumns(spark, root, base)
+    val schema = withEvolvedColumns(spark, root,
+      withDeclaredMetadata(spark, root, base))
     if (m.keys.nonEmpty && SnapshotStore.deltaModeDeclared(spark, root))
       StructType(schema.fields.toSeq.map(f =>
         if (m.keys.contains(f.name)) f.copy(nullable = false) else f))
     else schema
   }
+
+  /** Footer schemas carry no field METADATA — column DEFAULT
+    * expressions (`CURRENT_DEFAULT`) and comments live only in the
+    * `_schema` breadcrumb the catalog maintains. Overlay them onto the
+    * footer-derived fields so `INSERT` default resolution keeps
+    * working after the first data lands (types stay the footers').
+    */
+  private def withDeclaredMetadata(spark: SparkSession, root: String,
+                                   base: StructType): StructType =
+    readSchemaFile(spark, root) match {
+      case Some(declared) if base.nonEmpty =>
+        StructType(base.fields.toSeq.map { f =>
+          declared.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+            case Some(d) if d.metadata !=
+                org.apache.spark.sql.types.Metadata.empty =>
+              f.copy(metadata = d.metadata)
+            case _ => f
+          }
+        })
+      case _ => base
+    }
 
   /** Columns declared by SQL `ALTER TABLE ADD COLUMN` live in the
     * `_schema` breadcrumb before any data carries them: append the
