@@ -125,7 +125,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     new GraftTable(dir.toString, version,
-      GraftTable.resolveSchema(spark, dir.toString, version))
+      GraftTable.resolveSchema(spark, dir.toString, version),
+      fromCatalog = true)
   }
 
   /** SQL `CREATE TABLE` / CTAS. The merge-identity keys come from a

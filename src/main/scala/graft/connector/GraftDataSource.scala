@@ -342,16 +342,26 @@ object GraftTable {
   * OVERWRITE replaces the whole state as one new version.
   */
 class GraftTable(root: String, versionAsOf: Option[Long],
-                 tableSchema: StructType) extends Table
+                 tableSchema: StructType,
+                 fromCatalog: Boolean = false) extends Table
     with SupportsRead with SupportsWrite with SupportsMetadataColumns
     with SupportsRowLevelOperations with SupportsDeleteV2 {
   override def name(): String = s"graft.`$root`" +
     versionAsOf.fold("")(v => s"@v$v")
   override def schema(): StructType = tableSchema
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
+  /** STREAMING_WRITE only for CATALOG-loaded tables
+    * (`writeStream.toTable` — txn keyed by the query id): a path-based
+    * `writeStream.format("graft")` keeps resolving to the V1
+    * [[GraftSink]], whose create-on-first-batch and explicit-txn-option
+    * semantics are spec'd behavior.
+    */
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val base = java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER)
+    if (fromCatalog) base.add(TableCapability.STREAMING_WRITE)
+    base
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(SparkSession.active, root,
       GraftTable.manifestAt(SparkSession.active, root, versionAsOf), tableSchema)
@@ -360,7 +370,7 @@ class GraftTable(root: String, versionAsOf: Option[Long],
     require(versionAsOf.isEmpty,
       s"cannot write to time-travel snapshot $name — writes land on the " +
         "table's latest version")
-    new GraftTableWriteBuilder(root)
+    new GraftTableWriteBuilder(root, info)
   }
 
   /** Surfaced through `SHOW TBLPROPERTIES` / `DESCRIBE TABLE EXTENDED`:
@@ -522,7 +532,8 @@ class GraftTable(root: String, versionAsOf: Option[Long],
   * `insert(data, overwrite)` — cannot silently widen a scoped
   * overwrite into a full replace.
   */
-class GraftTableWriteBuilder(root: String) extends WriteBuilder
+class GraftTableWriteBuilder(root: String, info: LogicalWriteInfo)
+    extends org.apache.spark.sql.graft.GraftStreamingUpdatableBuilder
     with SupportsOverwriteV2 {
   private var replace = false
   private var scoped: Option[org.apache.spark.sql.Column] = None
@@ -564,6 +575,20 @@ class GraftTableWriteBuilder(root: String) extends WriteBuilder
           }
         }
       }
+
+    /** `writeStream.toTable(...)` lands here: per-epoch exactly-once
+      * keyed upserts with the txn keyed by the STREAMING QUERY ID —
+      * stable across restarts (it lives in the query's checkpoint), so
+      * a redelivered epoch is a no-op.
+      */
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(!replace && scoped.isEmpty,
+        "graft streaming writes upsert keyed deltas: use append or " +
+          "update output mode (complete-mode re-emission would be a " +
+          "full replace per epoch)")
+      new GraftStreamingWrite(root, info.schema(), info.queryId())
+    }
   }
 }
 

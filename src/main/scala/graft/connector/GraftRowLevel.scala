@@ -222,21 +222,7 @@ class GraftStagedWrite(root: String, writeSchema: StructType,
     val spark = SparkSession.active
     try {
       val files = messages.collect { case GraftStagedFile(p, n) if n > 0 => p }
-      val staged =
-        if (files.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dataSchema)
-        else {
-          val conf = new GraftSerializableConf(
-            spark.sparkContext.hadoopConfiguration)
-          val nFields = dataSchema.length
-          val rdd = spark.sparkContext
-            .parallelize(files.toIndexedSeq,
-              math.max(1, math.min(files.length,
-                spark.sparkContext.defaultParallelism)))
-            .flatMap(p => GraftStagedIO.readRows(p, nFields, conf.value))
-          org.apache.spark.sql.graft.GraftSqlShims
-            .batchDataFrame(spark, rdd, dataSchema)
-        }
+      val staged = GraftStagedIO.stagedDf(spark, files.toSeq, dataSchema)
       val keys = GraftWrite.resolveKeys(spark, root, Nil, exists = true)
       SnapshotStore.replaceBuckets(spark, root, op.scannedBuckets, staged,
         keys, basedOnVersion = op.scanVersion): Unit
@@ -302,6 +288,27 @@ class GraftStagedWriter(stagingDir: String, partitionId: Int, taskId: Long,
 }
 
 private[connector] object GraftStagedIO {
+
+  /** The staged spill files of one write, read back as ONE batch
+    * DataFrame (empty frame when no task staged rows) — the shared
+    * commit-side half of the spill protocol.
+    */
+  def stagedDf(spark: SparkSession, files: Seq[String],
+               schema: StructType): org.apache.spark.sql.DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else {
+      val conf = new GraftSerializableConf(
+        spark.sparkContext.hadoopConfiguration)
+      val n = schema.length
+      val rdd = spark.sparkContext
+        .parallelize(files.toIndexedSeq,
+          math.max(1, math.min(files.size,
+            spark.sparkContext.defaultParallelism)))
+        .flatMap(p => GraftStagedIO.readRows(p, n, conf.value))
+      org.apache.spark.sql.graft.GraftSqlShims.batchDataFrame(spark, rdd, schema)
+    }
+
   /** Stream a staged spill back as InternalRows. Each frame gets its
     * own backing array (no row reuse — downstream operators may
     * buffer). The stream closes at exhaustion and, for partially
@@ -468,24 +475,9 @@ class GraftDeltaWrite(root: String, rowSchema: StructType,
     val spark = SparkSession.active
     try {
       val msgs = messages.collect { case m: GraftDeltaFiles => m }
-      def readStaged(files: Seq[String], schema: StructType) =
-        if (files.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-        else {
-          val conf = new GraftSerializableConf(
-            spark.sparkContext.hadoopConfiguration)
-          val n = schema.length
-          val rdd = spark.sparkContext
-            .parallelize(files.toIndexedSeq,
-              math.max(1, math.min(files.size,
-                spark.sparkContext.defaultParallelism)))
-            .flatMap(p => GraftStagedIO.readRows(p, n, conf.value))
-          org.apache.spark.sql.graft.GraftSqlShims
-            .batchDataFrame(spark, rdd, schema)
-        }
-      val upserts = readStaged(
+      val upserts = GraftStagedIO.stagedDf(spark,
         msgs.filter(_.upsertRows > 0).map(_.upsertPath).toSeq, rowSchema)
-      val deletes = readStaged(
+      val deletes = GraftStagedIO.stagedDf(spark,
         msgs.filter(_.deleteRows > 0).map(_.deletePath).toSeq, idSchema)
       val anyUpserts = msgs.exists(_.upsertRows > 0)
       val anyDeletes = msgs.exists(_.deleteRows > 0)

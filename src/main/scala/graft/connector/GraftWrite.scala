@@ -156,6 +156,76 @@ class GraftSink(spark: SparkSession, parameters: Map[String, String])
   override def toString: String = s"GraftSink[${w.root}]"
 }
 
+/** V2 streaming write behind `df.writeStream.toTable("cat.ns.t")` —
+  * the CATALOGED twin of [[GraftSink]]: each epoch's rows stage as
+  * distributed LZ4 UnsafeRow spills (the row-level write's exact spill
+  * protocol), and the epoch commit reads them back into one batch
+  * frame and runs the ordinary exactly-once keyed upsert with
+  * `txn = (stw:<queryId>, epochId)` — the streaming query id lives in
+  * the checkpoint, so a restarted query keeps its identity and a
+  * redelivered epoch is suppressed by the manifest's txn high-water
+  * mark. Table creation stays with the catalog (`CREATE TABLE` fixes
+  * keys/buckets); the stream only ever upserts.
+  */
+class GraftStreamingWrite(root: String, schema: StructType, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val stagingBase =
+    s"_staging/stw-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+
+  private def epochDir(epochId: Long) =
+    new org.apache.hadoop.fs.Path(root, s"$stagingBase/epoch-$epochId")
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new GraftStreamingWriterFactory(
+      new org.apache.hadoop.fs.Path(root, stagingBase).toString, schema,
+      new GraftSerializableConf(
+        SparkSession.active.sparkContext.hadoopConfiguration))
+
+  override def commit(epochId: Long,
+                      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    try {
+      val files = messages.collect { case GraftStagedFile(p, n) if n > 0 => p }
+      val batch = GraftStagedIO.stagedDf(spark, files.toSeq, schema)
+        .localCheckpoint(true)
+      try {
+        val txn = Some(s"stw:$queryId" -> epochId)
+        val exists = SnapshotStore.latestVersion(spark, root).isDefined
+        require(exists, s"no committed graft table at $root — create it " +
+          "(CREATE TABLE ... USING graft TBLPROPERTIES('keys'=...)) " +
+          "before streaming into it")
+        val keys = GraftWrite.resolveKeys(spark, root, Nil, exists)
+        SnapshotStore.commitDelta(spark, root, batch, keys,
+          SnapshotStore.upsertMerge(keys), txn = txn): Unit
+      } finally batch.unpersist()
+    } finally cleanup(epochId)
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    cleanup(epochId)
+
+  private def cleanup(epochId: Long): Unit =
+    try {
+      val p = epochDir(epochId)
+      val fs = p.getFileSystem(
+        SparkSession.active.sparkContext.hadoopConfiguration)
+      fs.delete(p, true): Unit
+    } catch { case _: java.io.IOException => () }
+}
+
+class GraftStreamingWriterFactory(stagingBase: String, schema: StructType,
+                                  conf: GraftSerializableConf)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
+    new GraftStagedWriter(s"$stagingBase/epoch-$epochId", partitionId, taskId,
+      schema, schema, conf.value)
+}
+
 private[connector] object GraftSinkProvider {
   def createSink(sqlContext: SQLContext, parameters: Map[String, String],
                  outputMode: OutputMode): Sink = {

@@ -39,3 +39,12 @@ object GraftSqlShims {
       : Array[org.apache.spark.sql.sources.Filter] =
     org.apache.spark.sql.internal.connector.PredicateUtils.toV1(predicates)
 }
+
+/** `SupportsStreamingUpdateAsAppend` is `private[sql]` — this public
+  * re-export lets the connector's write builder declare that a
+  * streaming UPDATE output mode may run through its append path (graft
+  * appends ARE keyed upserts, which is exactly update semantics).
+  */
+trait GraftStreamingUpdatableBuilder
+  extends org.apache.spark.sql.connector.write.WriteBuilder
+  with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend
