@@ -180,30 +180,58 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       properties.asScala.toMap.filter { case (k, _) =>
         val lk = k.toLowerCase(java.util.Locale.ROOT)
         !ReservedProps(lk) && !lk.startsWith(TableCatalog.OPTION_PREFIX)
+      }.map { case (k, v) =>
+        // managed keys normalize to canonical form — a case-variant
+        // 'DML.Mode' would skip validation AND the enforcement lookups
+        (if (k.equalsIgnoreCase("dml.mode")) "dml.mode" else k) -> v
       }
     }
+    extra.keys.foreach(k => require(
+      !k.toLowerCase(java.util.Locale.ROOT).startsWith("constraint."),
+      s"'$k': constraints are declared via CONSTRAINT clauses (validated), " +
+        "not raw TBLPROPERTIES"))
     extra.get("dml.mode").foreach(validDmlMode)
     if (extra.nonEmpty) SnapshotStore.writeProps(spark, dir.toString, extra)
     loadTable(ident)
   }
 
   /** `CREATE TABLE ... CONSTRAINT ...` — the TableInfo overload carries
-    * the constraint list; validate and persist each after the base
-    * create (an empty new table vacuously satisfies any CHECK).
+    * the constraint list. Constraints are validated BEFORE the base
+    * create commits: a refused constraint (wrong key set, FK,
+    * duplicate name) must fail the whole statement without leaving an
+    * orphaned table behind (an empty new table vacuously satisfies any
+    * accepted CHECK, so no data validation is needed).
     */
   override def createTable(ident: Identifier, info: TableInfo): Table = {
-    createTable(ident, info.schema(), info.partitions(), info.properties())
     val cs = info.constraints()
-    if (cs.nonEmpty) {
-      val dir = tableDir(ident).toString
-      val keys = SnapshotStore.readManifest(spark, dir,
-        SnapshotStore.latestVersion(spark, dir).get).keys
-      val props = cs.foldLeft(SnapshotStore.readProps(spark, dir)) {
-        (p, c) => p + constraintProp(c, keys, p)
+    val constraintProps =
+      if (cs.isEmpty) Map.empty[String, String]
+      else {
+        val keys = keysFromProperties(info.properties())
+        cs.foldLeft(Map.empty[String, String])((p, c) =>
+          p + constraintProp(c, keys, p))
       }
-      SnapshotStore.writeProps(spark, dir, props)
+    createTable(ident, info.schema(), info.partitions(), info.properties())
+    if (constraintProps.nonEmpty) {
+      val dir = tableDir(ident).toString
+      SnapshotStore.writeProps(spark, dir,
+        SnapshotStore.readProps(spark, dir) ++ constraintProps)
     }
     loadTable(ident)
+  }
+
+  /** The `keys` table property, parsed exactly as the base create does
+    * (shared so constraint validation can run pre-create).
+    */
+  private def keysFromProperties(properties: JMap[String, String]): Seq[String] = {
+    val props = new CaseInsensitiveStringMap(properties)
+    Option(props.get("keys"))
+      .orElse(Option(props.get(TableCatalog.OPTION_PREFIX + "keys")))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft CREATE TABLE needs the merge-identity columns: " +
+          s"TBLPROPERTIES ('keys'='k1,k2') — they fix the bucket layout " +
+          s"and every INSERT INTO upserts on them"))
   }
 
   private val ConstraintPrefixes =
@@ -271,6 +299,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val root = dir.toString
+    // TWO-PHASE: every change validates and composes against PENDING
+    // in-memory state; nothing persists until the whole statement
+    // validated — a multi-change ALTER that fails partway must not
+    // leave earlier changes applied (non-atomic DDL turns a reported
+    // failure into a half-applied schema the retry then trips over).
+    var pendingSchema: Option[StructType] = None
+    var pendingProps: Option[Map[String, String]] = None
+    // the FOOTER-MERGED schema (not just the breadcrumb): a column
+    // added by library-side additive evolution must be alterable too
+    def curSchema: StructType = pendingSchema.getOrElse(
+      GraftTable.resolveSchema(spark, root, None))
+    def curProps: Map[String, String] = pendingProps.getOrElse(
+      SnapshotStore.readProps(spark, root))
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
@@ -288,7 +329,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "history, which additive evolution null-fills by contract — " +
             "add the column, then ALTER TABLE ... ALTER COLUMN ... SET " +
             "DEFAULT for FUTURE inserts")
-        val cur = GraftTable.resolveSchema(spark, root, None)
+        val cur = curSchema
         require(cur.nonEmpty, s"table $ident has no resolvable schema")
         require(!cur.fieldNames.exists(_.equalsIgnoreCase(colName)),
           s"column '$colName' already exists in $ident")
@@ -297,8 +338,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             add.dataType(), nullable = true)
           if (add.comment() != null) f.withComment(add.comment()) else f
         }
-        GraftTable.writeSchemaFile(spark, root,
-          StructType(cur.fields.toSeq :+ field))
+        pendingSchema = Some(StructType(cur.fields.toSeq :+ field))
       case upd: TableChange.UpdateColumnDefaultValue =>
         // CURRENT default only: applies to FUTURE inserts (the analyzer
         // materializes it into written rows); history keeps its real
@@ -306,8 +346,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(upd.fieldNames().length == 1,
           "SET DEFAULT supports top-level columns only")
         val colName = upd.fieldNames()(0)
-        val cur = GraftTable.readSchemaFile(spark, root).getOrElse(
-          GraftTable.resolveSchema(spark, root, None))
+        val cur = curSchema
         require(cur.fieldNames.exists(_.equalsIgnoreCase(colName)),
           s"no column '$colName' in $ident")
         val updated = StructType(cur.fields.toSeq.map { f =>
@@ -315,17 +354,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           else {
             val mb = new org.apache.spark.sql.types.MetadataBuilder()
               .withMetadata(f.metadata)
-            val sql = Option(upd.newCurrentDefault()).map(_.getSql)
-              .orElse(Option(upd.newDefaultValue()).filter(_.nonEmpty))
+            val sql = Option(upd.newCurrentDefault())
+              .flatMap(d => Option(d.getSql))
+              .orElse(Option(upd.newDefaultValue()))
+              .filter(_.nonEmpty)
             sql match {
-              case Some(s) if s.nonEmpty => f.copy(metadata =
+              case Some(s) => f.copy(metadata =
                 mb.putString("CURRENT_DEFAULT", s).build())
-              case _ => f.copy(metadata =
+              case None => f.copy(metadata =
                 mb.remove("CURRENT_DEFAULT").build()) // DROP DEFAULT
             }
           }
         })
-        GraftTable.writeSchemaFile(spark, root, updated)
+        pendingSchema = Some(updated)
       case add: TableChange.AddConstraint =>
         // ENFORCED CHECKs were already validated against existing rows
         // by Spark's AddCheckConstraintExec before this call; recording
@@ -333,20 +374,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val keys = SnapshotStore.readManifest(spark, root,
           SnapshotStore.latestVersion(spark, root).getOrElse(
             throw new NoSuchTableException(ident))).keys
-        val props = SnapshotStore.readProps(spark, root)
-        SnapshotStore.writeProps(spark, root,
-          props + constraintProp(add.constraint(), keys, props))
+        val props = curProps
+        pendingProps = Some(props + constraintProp(add.constraint(), keys, props))
       case drop: TableChange.DropConstraint =>
-        val props = SnapshotStore.readProps(spark, root)
-        val key = ConstraintPrefixes.map(_ + drop.name()).find(props.contains)
-        key match {
-          case Some(k) => SnapshotStore.writeProps(spark, root, props - k)
+        val props = curProps
+        ConstraintPrefixes.map(_ + drop.name()).find(props.contains) match {
+          case Some(k) => pendingProps = Some(props - k)
           case None =>
             require(drop.ifExists(),
               s"no constraint named '${drop.name()}' on $ident")
         }
       case set: TableChange.SetProperty =>
-        val k = set.property()
+        // managed keys normalize to their canonical (lowercase) form —
+        // a case-variant 'DML.Mode' that silently skipped validation
+        // AND enforcement lookups would record a contract nothing honors
+        val k = if (set.property().equalsIgnoreCase("dml.mode")) "dml.mode"
+                else set.property()
         require(!ReservedProps(k.toLowerCase(java.util.Locale.ROOT)),
           s"property '$k' is layout/reserved metadata and cannot be set — " +
             "bucket layout evolves via CALL system.rebucket")
@@ -372,24 +415,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 "requires non-null keys; clean them first")
           }
         }
-        SnapshotStore.writeProps(spark, root,
-          SnapshotStore.readProps(spark, root) + (k -> set.value()))
+        pendingProps = Some(curProps + (k -> set.value()))
       case rm: TableChange.RemoveProperty =>
-        require(!ReservedProps(rm.property().toLowerCase(java.util.Locale.ROOT)),
-          s"property '${rm.property()}' is layout/reserved metadata")
-        require(!rm.property().toLowerCase(java.util.Locale.ROOT)
+        val k = if (rm.property().equalsIgnoreCase("dml.mode")) "dml.mode"
+                else rm.property()
+        require(!ReservedProps(k.toLowerCase(java.util.Locale.ROOT)),
+          s"property '$k' is layout/reserved metadata")
+        require(!k.toLowerCase(java.util.Locale.ROOT)
           .startsWith("constraint."),
           s"constraints are dropped via ALTER TABLE DROP CONSTRAINT, " +
             "not TBLPROPERTIES")
-        SnapshotStore.writeProps(spark, root,
-          SnapshotStore.readProps(spark, root) - rm.property())
+        pendingProps = Some(curProps - k)
       case other =>
         throw new UnsupportedOperationException(
-          s"graft ALTER TABLE supports ADD COLUMN (nullable, appended) and " +
+          s"graft ALTER TABLE supports ADD COLUMN (nullable, appended), " +
+            s"ALTER COLUMN SET/DROP DEFAULT, ADD/DROP CONSTRAINT, and " +
             s"SET/UNSET TBLPROPERTIES; ${other.getClass.getSimpleName} would " +
             "rewrite history (drop/rename/retype) or change fixed layout — " +
             "refusing")
     }
+    // every change validated — persist once
+    pendingSchema.foreach(s => GraftTable.writeSchemaFile(spark, root, s))
+    pendingProps.foreach(p => SnapshotStore.writeProps(spark, root, p))
     loadTable(ident)
   }
 

@@ -292,7 +292,7 @@ object GraftTable {
     readSchemaFile(spark, root) match {
       case Some(declared) if base.nonEmpty =>
         val extra = declared.fields.toSeq
-          .filterNot(f => base.fieldNames.contains(f.name))
+          .filterNot(f => base.fieldNames.exists(_.equalsIgnoreCase(f.name)))
           .map(_.copy(nullable = true))
         if (extra.isEmpty) base else StructType(base.fields.toSeq ++ extra)
       case _ => base

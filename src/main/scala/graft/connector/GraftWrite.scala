@@ -189,6 +189,11 @@ class GraftStreamingWrite(root: String, schema: StructType, queryId: String)
     val spark = SparkSession.active
     try {
       val files = messages.collect { case GraftStagedFile(p, n) if n > 0 => p }
+      // an idle trigger stages nothing: committing would mint one no-op
+      // manifest version per empty epoch (history growth + vacuum
+      // pressure for zero data). Redelivery of an empty epoch is
+      // vacuously idempotent, so skipping the txn mark is safe.
+      if (files.isEmpty) return
       val batch = GraftStagedIO.stagedDf(spark, files.toSeq, schema)
         .localCheckpoint(true)
       try {

@@ -180,10 +180,28 @@ object SnapshotStore {
     val fs = fileSystem(spark, root)
     if (props.isEmpty) { fs.delete(p, false): Unit }
     else {
-      val out = fs.create(p, true)
+      // write-then-atomic-rename: a concurrent reader (writeVersionData
+      // checking dml.mode / CHECK constraints) must never observe a
+      // truncated file — fs.create(overwrite) truncates first, which
+      // would silently disable write-enforced contracts for the racing
+      // commit
+      val tmp = new Path(root, PropsFile + ".tmp-" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12))
+      val out = fs.create(tmp, true)
       try out.write(props.toSeq.sortBy(_._1).map { case (k, v) => s"$k\t$v" }
         .mkString("\n").getBytes(StandardCharsets.UTF_8))
       finally out.close()
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          p.toUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: UnsupportedOperationException =>
+          // FS without atomic overwrite-rename: fall back to
+          // delete+rename (small missing-file window, never a tear)
+          fs.delete(p, false)
+          require(fs.rename(tmp, p), s"could not publish _props at $root")
+      }
     }
   }
 
@@ -1652,8 +1670,11 @@ object SnapshotStore {
     // refuse loudly instead of landing two rows for one key. One
     // map-combined aggregate over the DELTA-sized upserts, not the
     // table.
-    if (upserts.groupBy(keys.map(col): _*).count()
-        .where(col("count") > 1).limit(1).count() > 0)
+    // count under a reserved alias — `.count()`'s literal "count"
+    // column would collide with a merge key of that name
+    if (upserts.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__graft_n"))
+        .where(col("__graft_n") > 1).limit(1).count() > 0)
       throw new IllegalStateException(
         s"row delta at $root carries two rows for one merge key (e.g. an " +
           "UPDATE mapping several keys onto the same new key, or a MERGE " +

@@ -85,6 +85,34 @@ class AlterTableSpec extends SparkSpec {
       e3.getMessage.toLowerCase.contains("append"))
   }
 
+  test("a multi-change ALTER is atomic: partial failure applies nothing") {
+    val (name, root) = freshTable()
+    // second column is NOT NULL → refused; the FIRST column must not
+    // have been recorded either (a half-applied ALTER would make the
+    // corrected retry fail on 'already exists')
+    val e = intercept[Exception](spark.sql(
+      s"ALTER TABLE $name ADD COLUMNS (c1 STRING, c2 STRING NOT NULL)"))
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("nullable"))))
+    assert(!spark.table(name).columns.contains("c1"))
+    // the corrected statement applies both
+    spark.sql(s"ALTER TABLE $name ADD COLUMNS (c1 STRING, c2 STRING)")
+    assert(spark.table(name).columns.toSeq.takeRight(2) == Seq("c1", "c2"))
+  }
+
+  test("case-variant dml.mode property normalizes instead of silently missing") {
+    val (name, root) = freshTable()
+    // an invalid VALUE under a case-variant KEY must still be validated
+    val e = intercept[Exception](spark.sql(
+      s"ALTER TABLE $name SET TBLPROPERTIES ('DML.Mode'='bogus')"))
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("dml.mode must be"))))
+    // and a valid one lands under the canonical key, visible to the
+    // enforcement lookups
+    spark.sql(s"ALTER TABLE $name SET TBLPROPERTIES ('DML.Mode'='delta')")
+    assert(SnapshotStore.readProps(spark, root).get("dml.mode").contains("delta"))
+  }
+
   test("destructive ALTERs refuse loudly") {
     val (name, _) = freshTable()
     for (stmt <- Seq(

@@ -113,6 +113,30 @@ class ConstraintSpec extends SparkSpec {
     spark.sql("ALTER TABLE cons.ns.t4 DROP CONSTRAINT IF EXISTS nope")
   }
 
+  test("a refused constraint fails CREATE without leaving an orphaned table") {
+    // PRIMARY KEY over a non-key column refuses — and the refusal must
+    // arrive BEFORE the base table commits, or the corrected retry
+    // hits TableAlreadyExists on a table the user never created
+    val bad = intercept[Exception](spark.sql(
+      """CREATE TABLE cons.ns.t6 (k BIGINT, v BIGINT,
+           CONSTRAINT pk PRIMARY KEY (v) NOT ENFORCED)
+         USING graft TBLPROPERTIES ('keys'='k', 'numBuckets'='2')"""))
+    assert(Iterator.iterate(bad: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("merge keys"))))
+    // the corrected statement succeeds — no orphan blocked it
+    spark.sql("""CREATE TABLE cons.ns.t6 (k BIGINT, v BIGINT,
+                   CONSTRAINT pk PRIMARY KEY (k) NOT ENFORCED)
+                 USING graft TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    assert(spark.table("cons.ns.t6").count() == 0)
+    // raw constraint.* TBLPROPERTIES cannot smuggle an unvalidated
+    // constraint through CREATE either
+    val raw = intercept[Exception](spark.sql(
+      """CREATE TABLE cons.ns.t7 (k BIGINT) USING graft
+         TBLPROPERTIES ('keys'='k', 'constraint.check.x'='1=1')"""))
+    assert(Iterator.iterate(raw: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("CONSTRAINT clauses"))))
+  }
+
   test("PRIMARY KEY / UNIQUE accepted only over the merge keys") {
     spark.sql("""CREATE TABLE cons.ns.t5 (
                    k BIGINT, v STRING,

@@ -339,6 +339,25 @@ class RowLevelSpec extends SparkSpec {
       assert(after.buckets(b).dir == e.dir, s"untouched bucket $b was rewritten")
   }
 
+  test("delta DML works on a table whose merge key is named 'count'") {
+    // the duplicate-key guard aggregates over the upserts — a literal
+    // `.count()` there would collide with a merge key of that name
+    // (AMBIGUOUS_REFERENCE) and break every delta statement on the table
+    spark.sql("""CREATE TABLE rl.ns.cntkey (count BIGINT, v STRING)
+                 USING graft TBLPROPERTIES ('keys'='count',
+                   'numBuckets'='2', 'dml.mode'='delta')""")
+    spark.sql("INSERT INTO rl.ns.cntkey VALUES (1, 'a'), (2, 'b')")
+    spark.sql("UPDATE rl.ns.cntkey SET v = 'u' WHERE count = 1")
+    assert(spark.table("rl.ns.cntkey").as[(Long, String)].collect().toSet ==
+      Set((1L, "u"), (2L, "b")))
+    // and the guard still fires for a REAL duplicate (two keys mapped
+    // onto one)
+    val e = intercept[Exception](spark.sql(
+      "UPDATE rl.ns.cntkey SET count = 9"))
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("two rows for one"))))
+  }
+
   test("SQL MERGE INTO rejects duplicate source matches (cardinality check)") {
     val (name, _) = freshTable()
     Seq((1L, "a", 1L), (1L, "b", 2L)).toDF("k", "v", "cents")
