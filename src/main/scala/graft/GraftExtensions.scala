@@ -29,7 +29,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => DotProductE12(args(0), args(1))),
     ("graft_sign_buckets",
       new ExpressionInfo(classOf[SignBuckets].getName, "graft_sign_buckets"),
-      (args: Seq[Expression]) => SignBuckets(args(0), args(1))))
+      (args: Seq[Expression]) => SignBuckets(args(0), args(1)))) ++
+    // the SQL-surface scalar functions: builders that re-emit the
+    // library's own Column definitions (functions/SqlFuncs.scala)
+    graft.functions.SqlFuncs.injections.map { case (name, builder) =>
+      (name, new ExpressionInfo(graft.functions.SqlFuncs.getClass.getName, name), builder)
+    }
 
   /** Idempotently register graft functions on an existing session,
     * plus the delta-DML runtime-filter rule (which must sit in the

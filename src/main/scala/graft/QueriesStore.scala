@@ -337,6 +337,53 @@ object QueriesStore {
 
   val w07Sql: String = w04Sql // identical relational recompute
 
+  // =====================================================================
+  // w08 — GENERATED ALWAYS AS + column DEFAULT under the DuckDB gate:
+  // the INSERT omits both columns; the engine materializes the default
+  // and computes the generation expression inside the write projection
+  // (SnapshotStore.writeVersionData), so the aggregate read back must
+  // match a relational recompute of both contracts.
+  // =====================================================================
+  private lazy val w08Warehouse: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_w08cat")
+    createdRoots.add(dir)
+    dir.toString
+  }
+
+  val w08: Q = (s, d) => {
+    s.conf.set("spark.sql.catalog.graft_w08",
+      classOf[graft.connector.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft_w08.root", w08Warehouse)
+    val t = "t" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    Tables.orders(s, d).createOrReplaceTempView("w08_orders_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_w08.sales")
+    s.sql(
+      s"""CREATE TABLE graft_w08.sales.$t (
+         |  o_orderkey BIGINT, cents BIGINT,
+         |  src STRING DEFAULT 'web',
+         |  band STRING GENERATED ALWAYS AS (
+         |    CASE WHEN cents >= 20000000 THEN 'HIGH'
+         |         WHEN cents >= 5000000 THEN 'MID' ELSE 'LOW' END))
+         |USING graft TBLPROPERTIES ('keys'='o_orderkey', 'numBuckets'='8')""".stripMargin)
+    s.sql(
+      s"""INSERT INTO graft_w08.sales.$t (o_orderkey, cents)
+         |SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+         |FROM w08_orders_src""".stripMargin)
+    s.sql(
+      s"""SELECT band, src, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM graft_w08.sales.$t GROUP BY band, src""".stripMargin)
+  }
+
+  val w08Sql: String =
+    """WITH fin AS (
+      |  SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT CASE WHEN cents >= 20000000 THEN 'HIGH'
+      |            WHEN cents >= 5000000 THEN 'MID' ELSE 'LOW' END AS band,
+      |  'web' AS src, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM fin GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, Q] = Map(
     "w01_table_roundtrip" -> w01,
     "w02_change_feed" -> w02,
@@ -344,7 +391,8 @@ object QueriesStore {
     "w04_merge" -> w04,
     "w05_sql_merge" -> w05,
     "w06_sql_delete_update" -> w06,
-    "w07_sql_merge_delta" -> w07)
+    "w07_sql_merge_delta" -> w07,
+    "w08_sql_generated" -> w08)
 
   val oracles: Map[String, String] = Map(
     "w01_table_roundtrip" -> w01Sql,
@@ -353,5 +401,6 @@ object QueriesStore {
     "w04_merge" -> w04Sql,
     "w05_sql_merge" -> w05Sql,
     "w06_sql_delete_update" -> w06Sql,
-    "w07_sql_merge_delta" -> w07Sql)
+    "w07_sql_merge_delta" -> w07Sql,
+    "w08_sql_generated" -> w08Sql)
 }

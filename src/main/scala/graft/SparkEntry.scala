@@ -10,10 +10,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all ++ QueriesData.all ++ QueriesStore.all
+    Queries.all ++ QueriesData.all ++ QueriesStore.all ++ QueriesFuncs.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Queries.oracles ++ QueriesData.oracles ++ QueriesStore.oracles
+    Queries.oracles ++ QueriesData.oracles ++ QueriesStore.oracles ++ QueriesFuncs.oracles
 }

@@ -63,7 +63,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   override def capabilities(): java.util.Set[TableCatalogCapability] =
     java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
-      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   /** Identifier parts become path segments, so a part that IS path
     * syntax would escape the warehouse root (`` `..` `` climbing out,
@@ -186,12 +188,51 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         (if (k.equalsIgnoreCase("dml.mode")) "dml.mode" else k) -> v
       }
     }
-    extra.keys.foreach(k => require(
-      !k.toLowerCase(java.util.Locale.ROOT).startsWith("constraint."),
-      s"'$k': constraints are declared via CONSTRAINT clauses (validated), " +
-        "not raw TBLPROPERTIES"))
+    extra.keys.foreach { k =>
+      val lk = k.toLowerCase(java.util.Locale.ROOT)
+      require(!lk.startsWith("constraint."),
+        s"'$k': constraints are declared via CONSTRAINT clauses (validated), " +
+          "not raw TBLPROPERTIES")
+      require(!lk.startsWith("generated."),
+        s"'$k': generated columns are declared via GENERATED ALWAYS AS " +
+          "(analyzer-validated), not raw TBLPROPERTIES")
+      require(!lk.startsWith("identity."),
+        s"'$k': identity columns are declared via GENERATED ... AS IDENTITY, " +
+          "not raw TBLPROPERTIES")
+    }
     extra.get("dml.mode").foreach(validDmlMode)
-    if (extra.nonEmpty) SnapshotStore.writeProps(spark, dir.toString, extra)
+    // GENERATED ALWAYS AS columns: the analyzer already validated each
+    // expression (deterministic, no subqueries, references only
+    // non-generated columns); record them as `generated.<col>` props
+    // so EVERY write path computes omitted values and refuses
+    // mismatched ones (the writeVersionData projection — same
+    // no-extra-pass door as CHECK and the delta key contract)
+    val genProps = schema.fields.toSeq.flatMap { f =>
+      org.apache.spark.sql.catalyst.util.GeneratedColumn
+        .getGenerationExpression(f).map { sql =>
+          require(!keys.contains(f.name),
+            s"merge key '${f.name}' cannot be GENERATED ALWAYS AS — " +
+              "row identity must come from the data itself")
+          ("generated." + f.name) -> SnapshotStore.encPropValue(sql)
+        }
+    }.toMap
+    // IDENTITY columns (the reference's AUTOINCREMENT surrogate keys,
+    // `09 Order Entity.sql:71`): recorded as `identity.<col>` props so
+    // every write path mints omitted values through the distributed
+    // block allocator (SnapshotStore.reserveIdentityBlock)
+    val idProps = schema.fields.toSeq.flatMap { f =>
+      org.apache.spark.sql.catalyst.util.IdentityColumn
+        .getIdentityInfo(f).map { s =>
+          require(f.dataType == org.apache.spark.sql.types.LongType,
+            s"identity column '${f.name}' must be BIGINT — the " +
+              "distributed allocator reserves per-partition id lanes " +
+              "in the full 64-bit space")
+          ("identity." + f.name) ->
+            s"${s.getStart},${s.getStep},${s.isAllowExplicitInsert}"
+        }
+    }.toMap
+    val allProps = extra ++ genProps ++ idProps
+    if (allProps.nonEmpty) SnapshotStore.writeProps(spark, dir.toString, allProps)
     loadTable(ident)
   }
 
@@ -211,14 +252,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         cs.foldLeft(Map.empty[String, String])((p, c) =>
           p + constraintProp(c, keys, p))
       }
+    // column-level contracts ride the v2 Column array, NOT StructField
+    // metadata (info.schema() arrives stripped) — validated BEFORE the
+    // base create so a refused contract leaves no orphan table
+    val colProps = columnContractProps(info.columns(),
+      keysFromProperties(info.properties()))
     createTable(ident, info.schema(), info.partitions(), info.properties())
-    if (constraintProps.nonEmpty) {
+    val extraProps = constraintProps ++ colProps
+    if (extraProps.nonEmpty) {
       val dir = tableDir(ident).toString
       SnapshotStore.writeProps(spark, dir,
-        SnapshotStore.readProps(spark, dir) ++ constraintProps)
+        SnapshotStore.readProps(spark, dir) ++ extraProps)
     }
     loadTable(ident)
   }
+
+  /** `generated.<col>` / `identity.<col>` props from the CREATE
+    * statement's column list: GENERATED ALWAYS AS expressions were
+    * analyzer-validated (deterministic, no subqueries, non-generated
+    * references only); IDENTITY is the reference's AUTOINCREMENT
+    * surrogate key (`09 Order Entity.sql:71`) backed by the
+    * distributed block allocator.
+    */
+  private def columnContractProps(
+      cols: Array[org.apache.spark.sql.connector.catalog.Column],
+      keys: Seq[String]): Map[String, String] =
+    cols.toSeq.flatMap { c =>
+      val gen = Option(c.generationExpression()).map { sql =>
+        require(!keys.contains(c.name()),
+          s"merge key '${c.name()}' cannot be GENERATED ALWAYS AS — " +
+            "row identity must come from the data itself")
+        // DDL formatting (newlines in a multi-line CASE) survives into
+        // the expression text; _props is line-oriented, so escape
+        ("generated." + c.name()) -> SnapshotStore.encPropValue(sql)
+      }
+      val id = Option(c.identityColumnSpec()).map { s =>
+        require(c.dataType() == org.apache.spark.sql.types.LongType,
+          s"identity column '${c.name()}' must be BIGINT — the " +
+            "distributed allocator reserves per-partition id lanes " +
+            "in the full 64-bit space")
+        ("identity." + c.name()) ->
+          s"${s.getStart},${s.getStep},${s.isAllowExplicitInsert}"
+      }
+      gen.toSeq ++ id.toSeq
+    }.toMap
 
   /** The `keys` table property, parsed exactly as the base create does
     * (shared so constraint validation can run pre-create).
@@ -396,6 +473,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(!k.toLowerCase(java.util.Locale.ROOT).startsWith("constraint."),
           s"constraints are managed via ALTER TABLE ADD/DROP CONSTRAINT " +
             "(which validates existing data), not raw TBLPROPERTIES")
+        require(!k.toLowerCase(java.util.Locale.ROOT).startsWith("generated."),
+          s"generated columns are declared at CREATE via GENERATED ALWAYS " +
+            "AS (analyzer-validated), not raw TBLPROPERTIES")
+        require(!k.toLowerCase(java.util.Locale.ROOT).startsWith("identity."),
+          s"identity columns are declared at CREATE via GENERATED ... AS " +
+            "IDENTITY, not raw TBLPROPERTIES")
         if (k == "dml.mode") {
           validDmlMode(set.value())
           if (set.value() == "delta") {
@@ -425,6 +508,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .startsWith("constraint."),
           s"constraints are dropped via ALTER TABLE DROP CONSTRAINT, " +
             "not TBLPROPERTIES")
+        require(!k.toLowerCase(java.util.Locale.ROOT)
+          .startsWith("generated."),
+          s"a GENERATED ALWAYS AS contract cannot be dropped — readers " +
+            "and history rely on it")
+        require(!k.toLowerCase(java.util.Locale.ROOT)
+          .startsWith("identity."),
+          s"an IDENTITY contract cannot be dropped — minted ids and " +
+            "the reservation ledger rely on it")
         pendingProps = Some(curProps - k)
       case other =>
         throw new UnsupportedOperationException(

@@ -270,14 +270,24 @@ object GraftTable {
                                    base: StructType): StructType =
     readSchemaFile(spark, root) match {
       case Some(declared) if base.nonEmpty =>
-        StructType(base.fields.toSeq.map { f =>
+        val overlaid = base.fields.toSeq.map { f =>
           declared.fields.find(_.name.equalsIgnoreCase(f.name)) match {
             case Some(d) if d.metadata !=
                 org.apache.spark.sql.types.Metadata.empty =>
               f.copy(metadata = d.metadata)
             case _ => f
           }
-        })
+        }
+        // footer field ORDER follows whatever frame the latest commit
+        // happened to write (a merge may reorder columns); present the
+        // DECLARED order so SELECT * is stable across writes —
+        // breadcrumb fields first in CREATE/evolution order, then any
+        // footer-only stragglers in footer order
+        val declaredFirst = declared.fields.toSeq.flatMap(d =>
+          overlaid.find(_.name.equalsIgnoreCase(d.name)))
+        val rest = overlaid.filterNot(f =>
+          declared.fields.exists(_.name.equalsIgnoreCase(f.name)))
+        StructType(declaredFirst ++ rest)
       case _ => base
     }
 
@@ -349,6 +359,36 @@ class GraftTable(root: String, versionAsOf: Option[Long],
   override def name(): String = s"graft.`$root`" +
     versionAsOf.fold("")(v => s"@v$v")
   override def schema(): StructType = tableSchema
+
+  /** Column-level contracts re-surfaced for introspection (DESCRIBE /
+    * SHOW CREATE TABLE read these): generation expressions and
+    * identity specs live in `_props` — the default `columns()` derives
+    * from the bare schema and would hide them.
+    */
+  override def columns(): Array[org.apache.spark.sql.connector.catalog.Column] = {
+    import org.apache.spark.sql.connector.catalog.{Column => V2Column}
+    val props = SnapshotStore.readProps(SparkSession.active, root)
+    val identities = SnapshotStore.identitySpecs(props).toMap
+    tableSchema.fields.map { f =>
+      val comment = if (f.getComment().isDefined) f.getComment().get else null
+      val metaJson =
+        if (f.metadata == org.apache.spark.sql.types.Metadata.empty) null
+        else f.metadata.json
+      props.get("generated." + f.name) match {
+        case Some(genSql) =>
+          V2Column.create(f.name, f.dataType, f.nullable, comment,
+            SnapshotStore.decPropValue(genSql), metaJson)
+        case None => identities.get(f.name) match {
+          case Some(s) =>
+            V2Column.create(f.name, f.dataType, f.nullable, comment,
+              new org.apache.spark.sql.connector.catalog.IdentityColumnSpec(
+                s.start, s.step, s.allowExplicit), metaJson)
+          case None =>
+            V2Column.create(f.name, f.dataType, f.nullable, comment, metaJson)
+        }
+      }
+    }
+  }
   /** STREAMING_WRITE only for CATALOG-loaded tables
     * (`writeStream.toTable` — txn keyed by the query id): a path-based
     * `writeStream.format("graft")` keeps resolving to the V1
@@ -555,12 +595,13 @@ class GraftTableWriteBuilder(root: String, info: LogicalWriteInfo)
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
-        override def insert(data: org.apache.spark.sql.DataFrame,
+        override def insert(rawData: org.apache.spark.sql.DataFrame,
                             overwrite: Boolean): Unit = {
-          val spark = data.sparkSession
+          val spark = rawData.sparkSession
           val exists = SnapshotStore.latestVersion(spark, root).isDefined
           require(exists, s"no committed graft table at $root")
           val keys = GraftWrite.resolveKeys(spark, root, Nil, exists)
+          val data = GraftWrite.identityInsertGuard(spark, root, rawData)
           scoped match {
             case Some(cond) =>
               SnapshotStore.replaceWhere(spark, root, cond, data, keys,
@@ -894,12 +935,47 @@ class GraftScan(spark: SparkSession, root: String, m: Manifest,
         if (entries.exists(e => e.tombstones.nonEmpty || e.rows.isEmpty)) None
         else Some(entries.map(_.rows.get).sum)
       }
+    val colStats = columnStatsMap
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(size, 1L))
       override def numRows(): java.util.OptionalLong =
         exactRows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
+  }
+
+  /** Per-column statistics from the table's last ANALYZE
+    * ([[SnapshotStore.analyze]] → `_colstats`), reported to the
+    * optimizer for the columns this (pruned) scan outputs. Guarded
+    * twice: only when the analyzed version IS the scanned version
+    * (stale NDVs misdirect join planning), and only on an unfiltered
+    * scan (these are whole-table moments; reporting them under pushed
+    * filters would overstate the filtered output). With them, CBO
+    * sizes graft⋈graft joins from real NDVs instead of byte-count
+    * guesses — at warehouse scale that is broadcast-vs-shuffle chosen
+    * correctly before AQE has to rescue the plan at runtime.
+    */
+  private def columnStatsMap: java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val out = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    if (filters.nonEmpty || runtimeFilters.nonEmpty) return out
+    SnapshotStore.readColStats(spark, root).filter(_.version == m.version)
+      .foreach { ts =>
+        required.fields.foreach { f =>
+          ts.cols.get(f.name).foreach { st =>
+            out.put(Expressions.column(f.name),
+              new GraftColumnStatistics(st, f.dataType))
+          }
+        }
+      }
+    out
   }
 
   /** (path, bucket, fileLen) for every file the scan must read, after

@@ -47,7 +47,7 @@ object GraftProcedures {
   private val Namespace = Array("system")
 
   private val names = Seq("compact", "vacuum", "restore", "checkpoint",
-    "clone", "rebucket", "materialize", "detail", "history")
+    "clone", "rebucket", "materialize", "detail", "history", "analyze")
 
   def list(catalog: GraftCatalog, namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Namespace))
@@ -80,6 +80,7 @@ object GraftProcedures {
       case "materialize" => "re-home every cloned bucket locally, cutting the clone's dependency on its source"
       case "detail"     => "one row per bucket: files, bytes, recorded rows, tombstone debt — the compaction/fold planning view"
       case "history"    => "one row per retained version: in-commit timestamp + current marker — what VERSION/TIMESTAMP AS OF resolves against"
+      case "analyze"    => "one aggregation pass computing per-column NDV/nulls/min/max, published for the optimizer (version-pinned)"
     }
     override def bind(inputType: StructType): BoundProcedure = new Bound(catalog, proc)
   }
@@ -118,6 +119,9 @@ object GraftProcedures {
         in("table", StringType))
       case "history" => Array(
         in("table", StringType))
+      case "analyze" => Array(
+        in("table", StringType),
+        in("columns", StringType, "''"))
     }
 
     private def outSchema: StructType = proc match {
@@ -139,6 +143,10 @@ object GraftProcedures {
         .add("version", LongType)
         .add("committed_at", TimestampType)
         .add("is_current", BooleanType)
+      case "analyze" => new StructType()
+        .add("version", LongType)
+        .add("analyzed_columns", IntegerType)
+        .add("rows", LongType)
     }
 
     private def csv(s: String): Seq[String] =
@@ -151,6 +159,14 @@ object GraftProcedures {
       val root = catalog.resolveTableDir(table)
       if (proc == "detail") return detailRows(spark, root)
       if (proc == "history") return historyRows(spark, root)
+      if (proc == "analyze") {
+        val ts = SnapshotStore.analyze(spark, root,
+          csv(input.getUTF8String(1).toString))
+        val row = new GenericInternalRow(
+          Array[Any](ts.version, ts.cols.size, ts.rows))
+        return java.util.Collections.singletonList[Scan](
+          new ResultScan(outSchema, Array[InternalRow](row))).iterator()
+      }
       val result: Any = proc match {
         case "compact" =>
           SnapshotStore.compact(spark, root,

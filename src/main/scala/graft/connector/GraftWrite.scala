@@ -101,6 +101,29 @@ private[connector] object GraftWrite {
     }
   }
 
+  /** SQL-INSERT-door policy for `GENERATED ALWAYS AS IDENTITY`: an
+    * explicit value is refused with guidance (declare `BY DEFAULT` to
+    * allow explicit inserts — Snowflake's AUTOINCREMENT behaves like
+    * BY DEFAULT). Enforced HERE, not in the engine write, because
+    * row-level rewrites (UPDATE/MERGE copying rows) legitimately carry
+    * existing minted ids through [[SnapshotStore]].
+    */
+  def identityInsertGuard(spark: SparkSession, root: String,
+                          df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, raise_error, when}
+    SnapshotStore.identitySpecs(SnapshotStore.readProps(spark, root))
+      .filter { case (c, s) => !s.allowExplicit && df.columns.contains(c) }
+      .foldLeft(df) { case (d, (c, _)) =>
+        d.withColumn(c,
+          when(d(c).isNotNull, raise_error(lit(
+            s"identity column '$c' is GENERATED ALWAYS — INSERT cannot " +
+              "supply a value (declare it GENERATED BY DEFAULT AS " +
+              "IDENTITY to allow explicit inserts)"))
+            .cast(d.schema(c).dataType))
+          .otherwise(d(c)))
+      }
+  }
+
   def relation(sqlCtx: SQLContext, parameters: Map[String, String]): BaseRelation =
     new BaseRelation {
       override def sqlContext: SQLContext = sqlCtx

@@ -26,8 +26,14 @@ object Funcs {
     md5(concat_ws("|", cols: _*))
 
   /** Keep the first two chars, star out the rest ("Jo****"). */
-  def maskName(colName: String): Column =
-    expr(s"rpad(substring($colName, 1, 2), length($colName), '*')")
+  def maskName(colName: String): Column = maskNameCol(col(colName))
+
+  /** [[maskName]] over an arbitrary Column (the Scala `rpad` overload
+    * only takes a literal length, so the data-dependent length goes
+    * through the SQL function).
+    */
+  def maskNameCol(c: Column): Column =
+    call_function("rpad", substring(c, 1, 2), length(c), lit("*"))
 
   /** Email masking policy analog: keep the first char + fixed domain. */
   def maskEmail(nameCol: Column): Column =

@@ -176,32 +176,16 @@ object SnapshotStore {
         && !v.exists(c => c == '\t' || c == '\n' || c == '\r'),
         s"table property '$k' — keys and values cannot contain tabs or newlines")
     }
-    val p = new Path(root, PropsFile)
-    val fs = fileSystem(spark, root)
-    if (props.isEmpty) { fs.delete(p, false): Unit }
-    else {
-      // write-then-atomic-rename: a concurrent reader (writeVersionData
-      // checking dml.mode / CHECK constraints) must never observe a
-      // truncated file — fs.create(overwrite) truncates first, which
-      // would silently disable write-enforced contracts for the racing
-      // commit
-      val tmp = new Path(root, PropsFile + ".tmp-" +
-        java.util.UUID.randomUUID().toString.replace("-", "").take(12))
-      val out = fs.create(tmp, true)
-      try out.write(props.toSeq.sortBy(_._1).map { case (k, v) => s"$k\t$v" }
-        .mkString("\n").getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      try {
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-          p.toUri, spark.sparkContext.hadoopConfiguration)
-        fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      } catch {
-        case _: UnsupportedOperationException =>
-          // FS without atomic overwrite-rename: fall back to
-          // delete+rename (small missing-file window, never a tear)
-          fs.delete(p, false)
-          require(fs.rename(tmp, p), s"could not publish _props at $root")
-      }
+    if (props.isEmpty) {
+      fileSystem(spark, root).delete(new Path(root, PropsFile), false): Unit
+    } else {
+      // write-then-atomic-rename (publishSmallFile): a concurrent
+      // reader (writeVersionData checking dml.mode / CHECK
+      // constraints) must never observe a truncated file —
+      // fs.create(overwrite) truncates first, which would silently
+      // disable write-enforced contracts for the racing commit
+      publishSmallFile(spark, root, PropsFile,
+        props.toSeq.sortBy(_._1).map { case (k, v) => s"$k\t$v" }.mkString("\n"))
     }
   }
 
@@ -225,6 +209,248 @@ object SnapshotStore {
   /** Does this table declare the delta-DML not-null-key contract? */
   private[graft] def deltaModeDeclared(spark: SparkSession, root: String): Boolean =
     readProps(spark, root).get("dml.mode").contains("delta")
+
+  /** `_props` values are one-per-line TSV, so control whitespace must
+    * be escaped — generation expressions arrive with the user's DDL
+    * formatting (newlines) intact. Reversible percent-encoding of
+    * exactly the four dangerous characters; [[decPropValue]] inverts.
+    */
+  private[graft] def encPropValue(v: String): String =
+    v.replace("%", "%25").replace("\t", "%09")
+      .replace("\n", "%0A").replace("\r", "%0D")
+  private[graft] def decPropValue(v: String): String =
+    v.replace("%0D", "\r").replace("%0A", "\n")
+      .replace("%09", "\t").replace("%25", "%")
+
+  // ------------------------------------------------------------------
+  // column statistics (`_colstats` breadcrumb — ANALYZE output)
+  // ------------------------------------------------------------------
+
+  private val ColStatsFile = "_colstats"
+
+  /** One analyzed column. NDV is HLL-approximate (±~2% at default
+    * precision, mergeable so the census is one distributed pass); the
+    * null count is exact; min/max are recorded as the column's
+    * CATALYST-INTERNAL value rendered to string (dates as epoch days,
+    * timestamps as epoch micros, numerics verbatim) so the scan can
+    * hand them straight back to the optimizer; string columns carry
+    * length moments instead (row-width estimation).
+    */
+  final case class ColStat(ndv: Long, nullCount: Long,
+                           min: Option[String], max: Option[String],
+                           avgLen: Option[Long], maxLen: Option[Long])
+
+  /** A whole ANALYZE result, pinned to the table version it measured:
+    * the scan reports these to Spark ONLY while the version still
+    * matches — stale statistics silently misdirect join planning,
+    * which is worse than none.
+    */
+  final case class TableColStats(version: Long, rows: Long,
+                                 cols: Map[String, ColStat])
+
+  private def analyzable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType => true
+      case StringType | BooleanType | DateType | TimestampType => true
+      case _ => false
+    }
+  }
+
+  /** ANALYZE: one distributed aggregation pass over the current
+    * snapshot computing per-column NDV (HLL partials merged map-side —
+    * no shuffle of data rows, one metadata-sized result row), exact
+    * null counts, min/max for orderable types and length moments for
+    * strings; the result is published to `<root>/_colstats` with the
+    * same torn-read-proof protocol as `_props`. At 100 TB this is the
+    * difference between the optimizer KNOWING a dimension's join key
+    * has 25 distinct values and guessing from byte size.
+    */
+  def analyze(spark: SparkSession, root: String,
+              columns: Seq[String] = Nil): TableColStats = {
+    import org.apache.spark.sql.types._
+    val version = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"analyze: no committed version at $root"))
+    val df = readVersion(spark, root, version)
+    val fields = df.schema.fields
+    val targets: Seq[String] =
+      if (columns.isEmpty) fields.filter(f => analyzable(f.dataType)).map(_.name).toSeq
+      else columns.map { c =>
+        val f = fields.find(_.name.equalsIgnoreCase(c)).getOrElse(throw new IllegalArgumentException(
+          s"analyze: no such column '$c' (have: ${fields.map(_.name).mkString(", ")})"))
+        require(analyzable(f.dataType),
+          s"analyze: column '${f.name}' has unanalyzable type ${f.dataType.simpleString}")
+        f.name
+      }
+    targets.foreach(n => require(!n.exists(ch => ch == '\t' || ch == '\n' || ch == '\r'),
+      s"analyze: column name '$n' cannot contain tabs or newlines"))
+    val nullStr = lit(null).cast("string")
+    val nullLong = lit(null).cast("long")
+    val aggs: Seq[Column] = count(lit(1)).as("__rows") +: targets.map { name =>
+      val dt = fields.find(_.name == name).get.dataType
+      // min/max over the INTERNAL ordering image (monotonic maps, so
+      // min/max commute with the conversion)
+      val ord: Option[Column] = dt match {
+        case DateType => Some(unix_date(df(name)).cast("long"))
+        case TimestampType => Some(unix_micros(df(name)))
+        case _: NumericType => Some(df(name))
+        case _ => None
+      }
+      val lenMoments = dt == StringType
+      struct(
+        approx_count_distinct(df(name)).as("ndv"),
+        count(df(name)).as("cnt"),
+        ord.map(o => min(o).cast("string")).getOrElse(nullStr).as("mn"),
+        ord.map(o => max(o).cast("string")).getOrElse(nullStr).as("mx"),
+        (if (lenMoments) floor(avg(length(df(name)))).cast("long") else nullLong).as("avgLen"),
+        (if (lenMoments) max(length(df(name))).cast("long") else nullLong).as("maxLen"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val rows = row.getLong(0)
+    val cols = targets.zipWithIndex.map { case (name, i) =>
+      val s = row.getStruct(i + 1)
+      name -> ColStat(
+        ndv = s.getLong(0),
+        nullCount = rows - s.getLong(1),
+        min = if (s.isNullAt(2)) None else Some(s.getString(2)),
+        max = if (s.isNullAt(3)) None else Some(s.getString(3)),
+        avgLen = if (s.isNullAt(4)) None else Some(s.getLong(4)),
+        maxLen = if (s.isNullAt(5)) None else Some(s.getLong(5)))
+    }.toMap
+    val result = TableColStats(version, rows, cols)
+    val body = (s"version\t$version\trows\t$rows" +:
+      targets.map { n =>
+        val c = cols(n)
+        Seq(n, c.ndv, c.nullCount, c.min.getOrElse(""), c.max.getOrElse(""),
+          c.avgLen.fold("")(_.toString), c.maxLen.fold("")(_.toString)).mkString("\t")
+      }).mkString("\n")
+    publishSmallFile(spark, root, ColStatsFile, body)
+    result
+  }
+
+  /** The persisted ANALYZE result, if any (callers decide staleness —
+    * [[TableColStats.version]] vs the manifest they plan against).
+    */
+  def readColStats(spark: SparkSession, root: String): Option[TableColStats] = {
+    val p = new Path(root, ColStatsFile)
+    val fs = fileSystem(spark, root)
+    if (!fs.exists(p)) None
+    else {
+      val in = new BufferedReader(new InputStreamReader(fs.open(p),
+        StandardCharsets.UTF_8))
+      val lines = try Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .filter(_.nonEmpty).toVector finally in.close()
+      if (lines.isEmpty) None
+      else {
+        val head = lines.head.split("\t")
+        require(head.length == 4 && head(0) == "version" && head(2) == "rows",
+          s"malformed _colstats header at $root: '${lines.head}'")
+        val cols = lines.tail.map { l =>
+          val parts = l.split("\t", -1)
+          require(parts.length == 7, s"malformed _colstats line at $root: '$l'")
+          def opt(s: String) = if (s.isEmpty) None else Some(s)
+          parts(0) -> ColStat(parts(1).toLong, parts(2).toLong,
+            opt(parts(3)), opt(parts(4)),
+            opt(parts(5)).map(_.toLong), opt(parts(6)).map(_.toLong))
+        }.toMap
+        Some(TableColStats(head(1).toLong, head(3).toLong, cols))
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // identity columns (`identity.<col>` props — the AUTOINCREMENT
+  // analog; reference: every entity table mints an AUTOINCREMENT
+  // surrogate key, e.g. `09 Order Entity.sql:71`)
+  // ------------------------------------------------------------------
+
+  /** Parsed `identity.<col>` property (recorded at CREATE from
+    * `GENERATED [ALWAYS | BY DEFAULT] AS IDENTITY (START WITH s
+    * INCREMENT BY i)`).
+    */
+  private[graft] final case class IdentitySpec(start: Long, step: Long,
+                                               allowExplicit: Boolean)
+
+  private[graft] def identitySpecs(props: Map[String, String])
+      : Seq[(String, IdentitySpec)] =
+    props.toSeq.sortBy(_._1).collect {
+      case (k, v) if k.startsWith("identity.") =>
+        val parts = v.split(",")
+        require(parts.length == 3, s"malformed identity property '$k' = '$v'")
+        k.stripPrefix("identity.") ->
+          IdentitySpec(parts(0).toLong, parts(1).toLong, parts(2).toBoolean)
+    }
+
+  /** Reserve a block of `count` identity VALUES (in step units) for
+    * one write: `<root>/_identity/<col>/block-<n>` files form an
+    * append-only ledger, each claimed by EXCLUSIVE CREATE (the same
+    * arbiter primitive as manifest commits), holding `firstId<TAB>
+    * count`. Concurrent writers race for block n+1; the loser re-lists
+    * and takes n+2 — two writers can NEVER mint the same id, at any
+    * cluster size, with zero coordination beyond the filesystem.
+    * Blocks reserved by aborted writes simply become gaps —
+    * AUTOINCREMENT promises uniqueness and per-writer monotonicity,
+    * never density (Snowflake documents the same).
+    */
+  private def reserveIdentityBlock(spark: SparkSession, root: String,
+                                   col: String, spec: IdentitySpec,
+                                   count: Long): Long = {
+    val fs = fileSystem(spark, root)
+    val dir = new Path(root, s"_identity/$col")
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    var attempt = 0
+    while (attempt < 64) {
+      attempt += 1
+      val blocks = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("block-")).map(_.stripPrefix("block-").toLong)
+      val last = if (blocks.isEmpty) -1L else blocks.max
+      val base =
+        if (last < 0) spec.start
+        else {
+          val in = new BufferedReader(new InputStreamReader(
+            fs.open(new Path(dir, f"block-$last%020d")), StandardCharsets.UTF_8))
+          val line = try in.readLine() finally in.close()
+          val Array(firstId, cnt) = line.split("\t")
+          firstId.toLong + spec.step * cnt.toLong
+        }
+      val target = new Path(dir, f"block-${last + 1}%020d")
+      val created = try Some(fs.create(target, false)) catch {
+        case _: java.io.IOException => None // lost the race — re-list
+      }
+      created match {
+        case Some(out) =>
+          try out.write(s"$base\t$count".getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          return base
+        case None => ()
+      }
+    }
+    throw new IllegalStateException(
+      s"could not reserve identity block for '$col' at $root after 64 attempts")
+  }
+
+  /** Write-to-temp + atomic overwrite-rename publish of a small
+    * metadata file — the `_props` torn-read guarantee, shared.
+    */
+  private def publishSmallFile(spark: SparkSession, root: String,
+                               name: String, body: String): Unit = {
+    val p = new Path(root, name)
+    val fs = fileSystem(spark, root)
+    val tmp = new Path(root, name + ".tmp-" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12))
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        p.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException =>
+        fs.delete(p, false)
+        require(fs.rename(tmp, p), s"could not publish $name at $root")
+    }
+  }
 
   /** Lost-race REBASE: when every version committed since `baseM` (the
     * manifest the loser computed against) touched buckets DISJOINT
@@ -1277,9 +1503,57 @@ object SnapshotStore {
     // every write path and the non-nullable key schema the connector
     // presents is truthful for all readers
     val props = readProps(df.sparkSession, root)
+    // GENERATED ALWAYS AS columns (`generated.<col>` props, recorded
+    // at CREATE): a NULL value means "engine, compute it" — which
+    // covers INSERTs that omit the column (the analyzer null-fills) —
+    // and any non-null value must MATCH the generation expression, or
+    // the write refuses. Corollary the spec pins: a row-level UPDATE
+    // changing a generation SOURCE must also SET the generated column
+    // (to the new value, or to NULL to recompute); silently keeping
+    // the stale derived value would corrupt the contract.
+    val generatedFilled = props.toSeq.sortBy(_._1).collect {
+      case (k, sql) if k.startsWith("generated.") =>
+        (k.stripPrefix("generated."), decPropValue(sql))
+    }.foldLeft(df) { case (d, (gname, sql)) =>
+      if (!d.columns.contains(gname)) d
+      else {
+        val e = expr(sql).cast(d.schema(gname).dataType)
+        d.withColumn(gname,
+          when(d(gname).isNull, e)
+            .when(!(d(gname) <=> e), raise_error(lit(
+              s"generated column '$gname' (GENERATED ALWAYS AS $sql): a " +
+                "written row supplies a value that differs from the " +
+                s"generation expression on the table at $root")))
+            .otherwise(d(gname)))
+      }
+    }
+    // identity columns: a NULL value means "mint the next id". One
+    // block of the id space is reserved per write (exclusive-create
+    // ledger), sized to the write's per-partition lanes:
+    // monotonically_increasing_id is (partitionId << 33) + rowIndex,
+    // so `base + step * monotonic` stays inside the reserved block for
+    // any row distribution, is deterministic under task retry, and
+    // involves NO shuffle, NO window, NO driver counting — the mint is
+    // a per-row projection at any scale. The 2× factor absorbs
+    // adaptive-planning partition-count wobble between plan and
+    // execution. Non-null values pass through (row-level rewrites copy
+    // existing ids; explicit-INSERT policy is enforced at the SQL
+    // INSERT door, where ALWAYS-mode supplies are refused).
+    val minted = identitySpecs(props)
+      .filter { case (c, _) => generatedFilled.columns.contains(c) }
+      .foldLeft(generatedFilled) { case (d, (cname, spec)) =>
+        val parts = math.max(1, d.rdd.getNumPartitions).toLong
+        val span = 2L * parts << 33
+        val base = reserveIdentityBlock(d.sparkSession, root, cname, spec, span)
+        d.withColumn(cname,
+          when(d(cname).isNull,
+            (lit(base) + lit(spec.step) * monotonically_increasing_id())
+              .cast(d.schema(cname).dataType))
+            .otherwise(d(cname)))
+      }
     val checked =
-      if (keys.isEmpty || !props.get("dml.mode").contains("delta")) df
-      else keys.foldLeft(df)((d, k) => d.withColumn(k,
+      if (keys.isEmpty || !props.get("dml.mode").contains("delta")) minted
+      else keys.foldLeft(minted)((d, k) => d.withColumn(k,
         when(col(k).isNull, raise_error(lit(
           s"null merge key '$k' rejected: the table at $root declares " +
             "dml.mode=delta, whose row-identity contract requires " +
@@ -2172,6 +2446,18 @@ object SnapshotStore {
         ChangeFeed.dropConsumer(spark, srcRoot, cloneConsumerId(spark, dstRoot))
         throw new IllegalStateException(
           s"clone target $dstRoot was concurrently initialized")
+    }
+    // CONTRACTS travel with the table: `_props` (CHECK constraints,
+    // dml.mode, generated/identity declarations), the declared-schema
+    // breadcrumb (DEFAULT metadata, column order), and the identity
+    // ledger — a clone restarting its allocator at the spec's START
+    // would re-mint ids its cloned data already holds
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("_props", "_schema", "_identity").foreach { n =>
+      val s = new Path(srcRoot, n)
+      if (srcFs.exists(s))
+        org.apache.hadoop.fs.FileUtil.copy(srcFs, s,
+          dstFs, new Path(dstRoot, n), false, conf): Unit
     }
     // breadcrumb for materialize/releaseClone: WHERE the retention
     // consumer was registered (best effort — the consumer itself is
