@@ -185,7 +185,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }.map { case (k, v) =>
         // managed keys normalize to canonical form — a case-variant
         // 'DML.Mode' would skip validation AND the enforcement lookups
-        (if (k.equalsIgnoreCase("dml.mode")) "dml.mode" else k) -> v
+        canonicalProp(k) -> v
       }
     }
     extra.keys.foreach { k =>
@@ -364,6 +364,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(v == "cow" || v == "delta",
       s"dml.mode must be 'cow' or 'delta', got '$v'")
 
+  /** ENGINE-MANAGED property keys normalize to canonical lowercase —
+    * a case-variant ('DML.Mode', 'Write.Clustered') would record an
+    * inert property that skips validation and every enforcement
+    * lookup.
+    */
+  private val ManagedProps = Set("dml.mode", "write.clustered")
+  private def canonicalProp(k: String): String = {
+    val lk = k.toLowerCase(java.util.Locale.ROOT)
+    if (ManagedProps(lk)) lk else k
+  }
+
   /** SQL `ALTER TABLE`: ADDITIVE evolution only — `ADD COLUMN` (new
     * nullable top-level column, appended; history null-fills, exactly
     * the library's additive-evolution rule) and `SET/UNSET
@@ -465,8 +476,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // managed keys normalize to their canonical (lowercase) form —
         // a case-variant 'DML.Mode' that silently skipped validation
         // AND enforcement lookups would record a contract nothing honors
-        val k = if (set.property().equalsIgnoreCase("dml.mode")) "dml.mode"
-                else set.property()
+        val k = canonicalProp(set.property())
         require(!ReservedProps(k.toLowerCase(java.util.Locale.ROOT)),
           s"property '$k' is layout/reserved metadata and cannot be set — " +
             "bucket layout evolves via CALL system.rebucket")
@@ -500,8 +510,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
         pendingProps = Some(curProps + (k -> set.value()))
       case rm: TableChange.RemoveProperty =>
-        val k = if (rm.property().equalsIgnoreCase("dml.mode")) "dml.mode"
-                else rm.property()
+        val k = canonicalProp(rm.property())
         require(!ReservedProps(k.toLowerCase(java.util.Locale.ROOT)),
           s"property '$k' is layout/reserved metadata")
         require(!k.toLowerCase(java.util.Locale.ROOT)

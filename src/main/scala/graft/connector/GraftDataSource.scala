@@ -399,7 +399,19 @@ class GraftTable(root: String, versionAsOf: Option[Long],
     val base = java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER)
-    if (fromCatalog) base.add(TableCapability.STREAMING_WRITE)
+    if (fromCatalog) {
+      base.add(TableCapability.STREAMING_WRITE)
+      // `MERGE … WITH SCHEMA EVOLUTION` gates on this capability: the
+      // analyzer computes AddColumn changes from the source's extra
+      // columns and routes them through catalog.alterTable — graft's
+      // ADDITIVE evolution (new nullable columns append, history
+      // null-fills) is exactly that contract, and non-additive changes
+      // still refuse loudly there. WITHOUT the clause a star MERGE
+      // resolves against the target's columns alone (extra source
+      // columns are ignored, never silently evolved). Catalog-only: a
+      // path-based table has no catalog to alter through.
+      base.add(TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
+    }
     base
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

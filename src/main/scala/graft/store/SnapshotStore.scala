@@ -1580,7 +1580,19 @@ object SnapshotStore {
         sum(Expectations.violated(e).cast("long")).as(e.name))
       bucketed.observe(o, counts.head, counts.tail: _*)
     }
-    observed.write.mode("overwrite").partitionBy(BucketCol).parquet(vdir.toString)
+    // `write.clustered=true` (TBLPROPERTIES, opt-in — the
+    // optimized-write analog): ONE exchange pins each bucket to a
+    // single task, so every commit lands exactly one file per touched
+    // bucket instead of one per (shuffle partition × bucket). Trades
+    // an extra shuffle of the rewrite data for zero fragmentation —
+    // right for trickle-upsert tables that would otherwise accrue
+    // compaction debt every commit; leave off for huge bulk loads
+    // where write parallelism above numBuckets matters more.
+    val placed =
+      if (props.get("write.clustered").contains("true"))
+        observed.repartition(numBuckets, col(BucketCol))
+      else observed
+    placed.write.mode("overwrite").partitionBy(BucketCol).parquet(vdir.toString)
     obs.foreach { o =>
       val counts = o.get
       failRules.foreach { e =>
