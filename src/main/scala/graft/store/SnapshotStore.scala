@@ -318,15 +318,32 @@ object SnapshotStore {
         maxLen = if (s.isNullAt(5)) None else Some(s.getLong(5)))
     }.toMap
     val result = TableColStats(version, rows, cols)
-    val body = (s"version\t$version\trows\t$rows" +:
-      targets.map { n =>
-        val c = cols(n)
+    writeColStatsFile(spark, root, result)
+    result
+  }
+
+  private def writeColStatsFile(spark: SparkSession, root: String,
+                                ts: TableColStats): Unit = {
+    val body = (s"version\t${ts.version}\trows\t${ts.rows}" +:
+      ts.cols.toSeq.sortBy(_._1).map { case (n, c) =>
         Seq(n, c.ndv, c.nullCount, c.min.getOrElse(""), c.max.getOrElse(""),
           c.avgLen.fold("")(_.toString), c.maxLen.fold("")(_.toString)).mkString("\t")
       }).mkString("\n")
     publishSmallFile(spark, root, ColStatsFile, body)
-    result
   }
+
+  /** Content-preserving maintenance (compact, rebucket, materialize)
+    * mints a new VERSION over the same live rows — re-pin an ANALYZE
+    * result published for the pre-maintenance version so real
+    * statistics survive the rewrite instead of silently retiring with
+    * the version pin. Never called by content-CHANGING verbs (restore
+    * rolls data back; DML changes it).
+    */
+  private def repinColStats(spark: SparkSession, root: String,
+                            fromV: Long, toV: Long): Unit =
+    readColStats(spark, root).filter(_.version == fromV).foreach { ts =>
+      writeColStatsFile(spark, root, ts.copy(version = toV))
+    }
 
   /** The persisted ANALYZE result, if any (callers decide staleness —
     * [[TableColStats.version]] vs the manifest they plan against).
@@ -2270,6 +2287,7 @@ object SnapshotStore {
           base = Some(m)) match {
         case Some(cm) =>
           maybeCheckpoint(spark, root, cm)
+          repinColStats(spark, root, base, v)
           return v
         case None =>
           // lost to a concurrent committer: drop our attempt, re-census
@@ -2344,6 +2362,7 @@ object SnapshotStore {
           // every bucket now lives under OUR root: the clone (if this
           // was one) no longer needs its source retained
           releaseClone(spark, root)
+          repinColStats(spark, root, base, v)
           return v
         case None =>
           fs.delete(new Path(root, attemptDir(v, token)), true)

@@ -88,6 +88,24 @@ class AnalyzeSpec extends SparkSpec {
     assert(unan.getMessage.contains("unanalyzable"))
   }
 
+  test("content-preserving maintenance re-pins statistics; DML still retires them") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gan.m")
+    spark.sql("""CREATE TABLE gan.m.t (k BIGINT, v STRING)
+                 USING graft TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO gan.m.t SELECT id, 'a' FROM range(0, 100)")
+    spark.sql("INSERT INTO gan.m.t SELECT id, 'b' FROM range(100, 200)")
+    spark.sql("CALL gan.system.analyze(table => 'm.t')")
+    assert(attrStats("gan.m.t").nonEmpty)
+    // compact mints a new version over the SAME live rows — the
+    // ANALYZE result re-pins instead of silently retiring
+    spark.sql("CALL gan.system.compact(table => 'm.t')")
+    val st = attrStats("gan.m.t")
+    assert(st.nonEmpty && st("k").max.contains(199L))
+    // a content-CHANGING commit still retires them
+    spark.sql("INSERT INTO gan.m.t VALUES (999, 'z')")
+    assert(attrStats("gan.m.t").isEmpty)
+  }
+
   test("stats survive the library path too and pin to the analyzed version") {
     val root = Files.createTempDirectory("graft-analyze-lib").toString + "/t"
     val df = Seq((1L, "x"), (2L, "y"), (3L, null.asInstanceOf[String]))
