@@ -163,20 +163,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val numBuckets = prop("numBuckets").map(_.toInt).getOrElse(16)
     val statsCols = prop("statsCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    try SnapshotStore.init(spark, dir.toString, empty, keys, numBuckets, statsCols)
-    catch {
-      case e: IllegalArgumentException if e.getMessage != null &&
-          e.getMessage.contains("already exists") =>
-        throw new org.apache.spark.sql.catalyst.analysis
-          .TableAlreadyExistsException(ident.toString)
-    }
-    GraftTable.writeSchemaFile(spark, dir.toString, schema)
     // free-form TBLPROPERTIES (beyond the layout trio, which live in
     // the manifest) persist in the table's `_props` breadcrumb —
-    // today's meaningful one is dml.mode (the delta-DML not-null-key
-    // contract, enforced by every write from this moment on)
+    // VALIDATED (like column contracts below) BEFORE the base create
+    // commits, so a refused property never leaves an orphaned table
+    // that blocks the corrected retry
     val extra = {
       import scala.jdk.CollectionConverters._
       properties.asScala.toMap.filter { case (k, _) =>
@@ -200,7 +191,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"'$k': identity columns are declared via GENERATED ... AS IDENTITY, " +
           "not raw TBLPROPERTIES")
     }
-    extra.get("dml.mode").foreach(validDmlMode)
+    extra.foreach { case (k, v) => validManagedValue(k, v) }
     // GENERATED ALWAYS AS columns: the analyzer already validated each
     // expression (deterministic, no subqueries, references only
     // non-generated columns); record them as `generated.<col>` props
@@ -232,6 +223,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
     }.toMap
     val allProps = extra ++ genProps ++ idProps
+    // everything validated — commit the base table, then its props
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    try SnapshotStore.init(spark, dir.toString, empty, keys, numBuckets, statsCols)
+    catch {
+      case e: IllegalArgumentException if e.getMessage != null &&
+          e.getMessage.contains("already exists") =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(ident.toString)
+    }
+    GraftTable.writeSchemaFile(spark, dir.toString, schema)
     if (allProps.nonEmpty) SnapshotStore.writeProps(spark, dir.toString, allProps)
     loadTable(ident)
   }
@@ -375,6 +377,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (ManagedProps(lk)) lk else k
   }
 
+  /** Same inert-property trap for VALUES: `'write.clustered'='TRUE'`
+    * would record cleanly and silently never engage.
+    */
+  private def validManagedValue(k: String, v: String): Unit = k match {
+    case "dml.mode" => validDmlMode(v)
+    case "write.clustered" => require(v == "true" || v == "false",
+      s"write.clustered must be 'true' or 'false', got '$v'")
+    case _ => ()
+  }
+
   /** SQL `ALTER TABLE`: ADDITIVE evolution only — `ADD COLUMN` (new
     * nullable top-level column, appended; history null-fills, exactly
     * the library's additive-evolution rule) and `SET/UNSET
@@ -489,8 +501,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(!k.toLowerCase(java.util.Locale.ROOT).startsWith("identity."),
           s"identity columns are declared at CREATE via GENERATED ... AS " +
             "IDENTITY, not raw TBLPROPERTIES")
+        validManagedValue(k, set.value())
         if (k == "dml.mode") {
-          validDmlMode(set.value())
           if (set.value() == "delta") {
             val keys = SnapshotStore.readManifest(spark, root,
               SnapshotStore.latestVersion(spark, root).getOrElse(

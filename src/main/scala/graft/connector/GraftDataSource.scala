@@ -365,9 +365,16 @@ class GraftTable(root: String, versionAsOf: Option[Long],
     * identity specs live in `_props` — the default `columns()` derives
     * from the bare schema and would hide them.
     */
+  /** Read once per table resolution, not once per columns() call —
+    * analysis invokes columns() repeatedly and each read is an FS
+    * round-trip on object stores.
+    */
+  @transient private lazy val contractProps: Map[String, String] =
+    SnapshotStore.readProps(SparkSession.active, root)
+
   override def columns(): Array[org.apache.spark.sql.connector.catalog.Column] = {
     import org.apache.spark.sql.connector.catalog.{Column => V2Column}
-    val props = SnapshotStore.readProps(SparkSession.active, root)
+    val props = contractProps
     val identities = SnapshotStore.identitySpecs(props).toMap
     tableSchema.fields.map { f =>
       val comment = if (f.getComment().isDefined) f.getComment().get else null
@@ -624,7 +631,7 @@ class GraftTableWriteBuilder(root: String, info: LogicalWriteInfo)
                 SnapshotStore.replaceAll(spark, root, data, keys): Unit
               else
                 SnapshotStore.commitDelta(spark, root, data, keys,
-                  SnapshotStore.upsertMerge(keys)): Unit
+                  GraftWrite.doorMerge(spark, root, keys, data)): Unit
           }
         }
       }

@@ -95,18 +95,20 @@ private[connector] object GraftWrite {
         if (exists) SnapshotStore.replaceAll(spark, w.root, data, keys): Unit
         else SnapshotStore.init(spark, w.root, data, keys, w.numBuckets, w.statsCols): Unit
       case SaveMode.Append =>
-        if (exists) SnapshotStore.commitDelta(spark, w.root, data, keys,
-          SnapshotStore.upsertMerge(keys)): Unit
+        if (exists) SnapshotStore.commitDelta(spark, w.root,
+          identityInsertGuard(spark, w.root, data), keys,
+          doorMerge(spark, w.root, keys, data)): Unit
         else SnapshotStore.init(spark, w.root, data, keys, w.numBuckets, w.statsCols): Unit
     }
   }
 
-  /** SQL-INSERT-door policy for `GENERATED ALWAYS AS IDENTITY`: an
-    * explicit value is refused with guidance (declare `BY DEFAULT` to
-    * allow explicit inserts — Snowflake's AUTOINCREMENT behaves like
-    * BY DEFAULT). Enforced HERE, not in the engine write, because
-    * row-level rewrites (UPDATE/MERGE copying rows) legitimately carry
-    * existing minted ids through [[SnapshotStore]].
+  /** USER-door policy for `GENERATED ALWAYS AS IDENTITY` (SQL INSERT,
+    * path-based append, streaming epochs): an explicit value is
+    * refused with guidance (declare `BY DEFAULT` to allow explicit
+    * inserts — Snowflake's AUTOINCREMENT behaves like BY DEFAULT).
+    * Enforced at the doors, not in the engine write, because row-level
+    * rewrites (UPDATE/MERGE copying rows) legitimately carry existing
+    * minted ids through [[SnapshotStore]].
     */
   def identityInsertGuard(spark: SparkSession, root: String,
                           df: DataFrame): DataFrame = {
@@ -122,6 +124,19 @@ private[connector] object GraftWrite {
             .cast(d.schema(c).dataType))
           .otherwise(d(c)))
       }
+  }
+
+  /** The user-door merge for keyed appends: identity surrogates carry
+    * forward across upserts of an existing key
+    * ([[SnapshotStore.upsertMergePreserving]]) — re-minting them would
+    * orphan every row keyed off the surrogate.
+    */
+  def doorMerge(spark: SparkSession, root: String, keys: Seq[String],
+                df: DataFrame): (DataFrame, DataFrame) => DataFrame = {
+    val ids = SnapshotStore.identitySpecs(SnapshotStore.readProps(spark, root))
+      .map(_._1).filter(df.columns.contains)
+    if (ids.isEmpty) SnapshotStore.upsertMerge(keys)
+    else SnapshotStore.upsertMergePreserving(keys, ids)
   }
 
   def relation(sqlCtx: SQLContext, parameters: Map[String, String]): BaseRelation =
@@ -226,8 +241,11 @@ class GraftStreamingWrite(root: String, schema: StructType, queryId: String)
           "(CREATE TABLE ... USING graft TBLPROPERTIES('keys'=...)) " +
           "before streaming into it")
         val keys = GraftWrite.resolveKeys(spark, root, Nil, exists)
-        SnapshotStore.commitDelta(spark, root, batch, keys,
-          SnapshotStore.upsertMerge(keys), txn = txn): Unit
+        // the stream is a user door like SQL INSERT: ALWAYS-mode
+        // identity supplies refuse, surrogates carry across upserts
+        val guarded = GraftWrite.identityInsertGuard(spark, root, batch)
+        SnapshotStore.commitDelta(spark, root, guarded, keys,
+          GraftWrite.doorMerge(spark, root, keys, batch), txn = txn): Unit
       } finally batch.unpersist()
     } finally cleanup(epochId)
   }

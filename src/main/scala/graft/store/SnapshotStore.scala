@@ -399,15 +399,19 @@ object SnapshotStore {
     }
 
   /** Reserve a block of `count` identity VALUES (in step units) for
-    * one write: `<root>/_identity/<col>/block-<n>` files form an
-    * append-only ledger, each claimed by EXCLUSIVE CREATE (the same
-    * arbiter primitive as manifest commits), holding `firstId<TAB>
-    * count`. Concurrent writers race for block n+1; the loser re-lists
-    * and takes n+2 — two writers can NEVER mint the same id, at any
-    * cluster size, with zero coordination beyond the filesystem.
-    * Blocks reserved by aborted writes simply become gaps —
-    * AUTOINCREMENT promises uniqueness and per-writer monotonicity,
-    * never density (Snowflake documents the same).
+    * one write: `<root>/_identity/<col>/block-<seq>_<firstId>_<count>`
+    * files form an append-only ledger, each claimed by EXCLUSIVE
+    * CREATE (the same arbiter primitive as manifest commits). The
+    * whole reservation is encoded IN THE FILENAME, so the atomic
+    * create is the claim and the payload at once — a writer crashing
+    * immediately after create leaves a fully-valid (gap) block, never
+    * a torn file that would brick the allocator. Concurrent writers
+    * race for seq n+1; the loser re-lists and takes n+2 — two writers
+    * can NEVER mint the same id, at any cluster size, with zero
+    * coordination beyond the filesystem. Blocks reserved by aborted
+    * writes simply become gaps — AUTOINCREMENT promises uniqueness
+    * and per-writer monotonicity, never density (Snowflake documents
+    * the same).
     */
   private def reserveIdentityBlock(spark: SparkSession, root: String,
                                    col: String, spec: IdentitySpec,
@@ -418,32 +422,32 @@ object SnapshotStore {
     var attempt = 0
     while (attempt < 64) {
       attempt += 1
+      // unparseable names are ignored defensively (they reserve
+      // nothing, so skipping them can only widen a gap, never collide)
       val blocks = fs.listStatus(dir).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("block-")).map(_.stripPrefix("block-").toLong)
-      val last = if (blocks.isEmpty) -1L else blocks.max
-      val base =
-        if (last < 0) spec.start
-        else {
-          val in = new BufferedReader(new InputStreamReader(
-            fs.open(new Path(dir, f"block-$last%020d")), StandardCharsets.UTF_8))
-          val line = try in.readLine() finally in.close()
-          val Array(firstId, cnt) = line.split("\t")
-          firstId.toLong + spec.step * cnt.toLong
-        }
-      val target = new Path(dir, f"block-${last + 1}%020d")
-      val created = try Some(fs.create(target, false)) catch {
-        case _: java.io.IOException => None // lost the race — re-list
+        .flatMap(parseIdentityBlock)
+      val (lastSeq, base) = blocks.sortBy(_._1).lastOption match {
+        case None => (-1L, spec.start)
+        case Some((seq, firstId, cnt)) => (seq, firstId + spec.step * cnt)
       }
-      created match {
-        case Some(out) =>
-          try out.write(s"$base\t$count".getBytes(StandardCharsets.UTF_8))
-          finally out.close()
-          return base
-        case None => ()
+      val target = new Path(dir, f"block-${lastSeq + 1}%020d" + s"_${base}_$count")
+      val created = try { fs.create(target, false).close(); true } catch {
+        case _: java.io.IOException => false // lost the race — re-list
       }
+      if (created) return base
     }
     throw new IllegalStateException(
       s"could not reserve identity block for '$col' at $root after 64 attempts")
+  }
+
+  private def parseIdentityBlock(name: String): Option[(Long, Long, Long)] = {
+    if (!name.startsWith("block-")) None
+    else {
+      val parts = name.stripPrefix("block-").split("_")
+      if (parts.length != 3) None
+      else try Some((parts(0).toLong, parts(1).toLong, parts(2).toLong))
+      catch { case _: NumberFormatException => None }
+    }
   }
 
   /** Write-to-temp + atomic overwrite-rename publish of a small
@@ -596,6 +600,42 @@ object SnapshotStore {
     (cur, delta) => cur
       .join(delta.select(keys.map(col): _*).distinct(), keys, "left_anti")
       .unionByName(delta, allowMissingColumns = true)
+
+  /** [[upsertMerge]] that CARRIES `preserve` columns across key
+    * collisions: where the delta replaces an existing key's row and
+    * its value for a preserved column is NULL, the current row's value
+    * flows into the replacement. This is the identity-surrogate-key
+    * contract — the reference MERGEs on business keys while the
+    * AUTOINCREMENT surrogate stays stable (`09 Order Entity.sql:71`);
+    * re-minting it on every upsert would orphan every fact row hanging
+    * off it. One extra delta⋈current join on the merge keys, bounded
+    * by the delta (the current side is the touched-bucket read the
+    * merge does anyway).
+    */
+  def upsertMergePreserving(keys: Seq[String], preserve: Seq[String])
+      : (DataFrame, DataFrame) => DataFrame =
+    (cur, delta) => {
+      val kept = preserve.filter(c =>
+        delta.columns.contains(c) && cur.columns.contains(c))
+      if (kept.isEmpty) upsertMerge(keys)(cur, delta)
+      else {
+        // rename the current side before joining: delta and cur often
+        // SHARE LINEAGE (a MERGE's source reads the target), and
+        // dataframe-column refs across a self-join are ambiguous —
+        // fresh aliases give the join disjoint attribute sets, so
+        // resolution is by name and can never be ambiguous
+        val tag = "_graft_keep_"
+        val curKeyed = cur.select(
+          (keys ++ kept).map(c => col(c).as(tag + c)): _*)
+        val joinCond = keys.map(k => col(k) <=> col(tag + k)).reduce(_ && _)
+        val joined = delta.join(curKeyed, joinCond, "left")
+        val projected = delta.columns.toSeq.map { c =>
+          if (kept.contains(c)) coalesce(col(c), col(tag + c)).as(c)
+          else col(c)
+        }
+        upsertMerge(keys)(cur, joined.select(projected: _*))
+      }
+    }
 
   // ------------------------------------------------------------------
   // manifest IO
@@ -1520,6 +1560,41 @@ object SnapshotStore {
     // every write path and the non-nullable key schema the connector
     // presents is truthful for all readers
     val props = readProps(df.sparkSession, root)
+    // identity columns FIRST (a generation expression may reference
+    // one): a NULL value means "mint the next id". The frame goes
+    // through ONE deterministic exchange — `repartition(n)` with an
+    // EXPLICIT n, which adaptive planning never overrides — so the
+    // partition count the lane math assumes is exact by construction
+    // (no `.rdd` side-planning, no second execution of the source).
+    // monotonically_increasing_id is (partitionId << 33) + rowIndex,
+    // so `base + step * monotonic` stays inside the reserved
+    // `n << 33` block for any row distribution and is deterministic
+    // under task retry; a per-row guard turns any violated assumption
+    // into a loud error, never a silent id collision. Non-null values
+    // pass through (row-level rewrites copy existing ids; explicit-
+    // INSERT policy is the SQL door's, where ALWAYS-mode refuses).
+    val idCols = identitySpecs(props)
+      .filter { case (c, _) => df.columns.contains(c) }
+    val minted =
+      if (idCols.isEmpty) df
+      else {
+        val n = math.max(numBuckets,
+          df.sparkSession.sparkContext.defaultParallelism)
+        val span = n.toLong << 33
+        idCols.foldLeft(df.repartition(n)) { case (d, (cname, spec)) =>
+          val base = reserveIdentityBlock(d.sparkSession, root, cname, spec, span)
+          val mono = monotonically_increasing_id()
+          d.withColumn(cname,
+            when(d(cname).isNull,
+              when(mono >= span, raise_error(lit(
+                s"identity lane overflow minting '$cname' at $root — " +
+                  "write partitioning exceeded the reserved block; re-run"))
+                .cast(d.schema(cname).dataType))
+                .otherwise((lit(base) + lit(spec.step) * mono)
+                  .cast(d.schema(cname).dataType)))
+              .otherwise(d(cname)))
+        }
+      }
     // GENERATED ALWAYS AS columns (`generated.<col>` props, recorded
     // at CREATE): a NULL value means "engine, compute it" — which
     // covers INSERTs that omit the column (the analyzer null-fills) —
@@ -1531,7 +1606,7 @@ object SnapshotStore {
     val generatedFilled = props.toSeq.sortBy(_._1).collect {
       case (k, sql) if k.startsWith("generated.") =>
         (k.stripPrefix("generated."), decPropValue(sql))
-    }.foldLeft(df) { case (d, (gname, sql)) =>
+    }.foldLeft(minted) { case (d, (gname, sql)) =>
       if (!d.columns.contains(gname)) d
       else {
         val e = expr(sql).cast(d.schema(gname).dataType)
@@ -1544,33 +1619,9 @@ object SnapshotStore {
             .otherwise(d(gname)))
       }
     }
-    // identity columns: a NULL value means "mint the next id". One
-    // block of the id space is reserved per write (exclusive-create
-    // ledger), sized to the write's per-partition lanes:
-    // monotonically_increasing_id is (partitionId << 33) + rowIndex,
-    // so `base + step * monotonic` stays inside the reserved block for
-    // any row distribution, is deterministic under task retry, and
-    // involves NO shuffle, NO window, NO driver counting — the mint is
-    // a per-row projection at any scale. The 2× factor absorbs
-    // adaptive-planning partition-count wobble between plan and
-    // execution. Non-null values pass through (row-level rewrites copy
-    // existing ids; explicit-INSERT policy is enforced at the SQL
-    // INSERT door, where ALWAYS-mode supplies are refused).
-    val minted = identitySpecs(props)
-      .filter { case (c, _) => generatedFilled.columns.contains(c) }
-      .foldLeft(generatedFilled) { case (d, (cname, spec)) =>
-        val parts = math.max(1, d.rdd.getNumPartitions).toLong
-        val span = 2L * parts << 33
-        val base = reserveIdentityBlock(d.sparkSession, root, cname, spec, span)
-        d.withColumn(cname,
-          when(d(cname).isNull,
-            (lit(base) + lit(spec.step) * monotonically_increasing_id())
-              .cast(d.schema(cname).dataType))
-            .otherwise(d(cname)))
-      }
     val checked =
-      if (keys.isEmpty || !props.get("dml.mode").contains("delta")) minted
-      else keys.foldLeft(minted)((d, k) => d.withColumn(k,
+      if (keys.isEmpty || !props.get("dml.mode").contains("delta")) generatedFilled
+      else keys.foldLeft(generatedFilled)((d, k) => d.withColumn(k,
         when(col(k).isNull, raise_error(lit(
           s"null merge key '$k' rejected: the table at $root declares " +
             "dml.mode=delta, whose row-identity contract requires " +

@@ -53,6 +53,21 @@ class ClusteredWriteSpec extends SparkSpec {
       spark.table("cw.ns.tu").orderBy("k").collect().toSeq)
   }
 
+  test("an invalid write.clustered value refuses at CREATE and ALTER") {
+    val atCreate = intercept[Throwable] {
+      spark.sql("""CREATE TABLE cw.ns.bad (k BIGINT, v STRING)
+                   USING graft TBLPROPERTIES ('keys'='k',
+                     'write.clustered'='TRUE')""")
+    }
+    assert(atCreate.getMessage.contains("'true' or 'false'"))
+    spark.sql("""CREATE TABLE cw.ns.ok (k BIGINT, v STRING)
+                 USING graft TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    val atAlter = intercept[Throwable] {
+      spark.sql("ALTER TABLE cw.ns.ok SET TBLPROPERTIES ('write.clustered'='yes')")
+    }
+    assert(atAlter.getMessage.contains("'true' or 'false'"))
+  }
+
   test("a case-variant property name still engages the clustering") {
     spark.sql("""CREATE TABLE cw.ns.tcase (k BIGINT, v STRING)
                  USING graft TBLPROPERTIES ('keys'='k', 'numBuckets'='2',
