@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDeleteV2,
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar => CountStarAgg, Max => MaxAgg, Min => MinAgg}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsOverwriteV2, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
@@ -655,11 +655,27 @@ class GraftTableWriteBuilder(root: String, info: LogicalWriteInfo)
 class GraftScanBuilder(spark: SparkSession, root: String, m: Manifest,
                        tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   protected var required: StructType = tableSchema
   protected var pushed: Array[Filter] = Array.empty
   private var aggResult: Option[(StructType, InternalRow, String)] = None
+  private var limitPushed: Option[Int] = None
+
+  /** `SELECT ... LIMIT n` with nothing between the limit and the scan
+    * (Spark only pushes in that shape; this builder keeps every filter
+    * residual, so a filtered query never reaches here). Declared
+    * PARTIAL — Spark keeps its own Limit and re-applies it exactly —
+    * so the scan's job is only to read less: a minimal prefix of
+    * buckets when the manifest proves row counts, and a per-partition
+    * row cap always. On a 100 TB table `SELECT * FROM t LIMIT 20`
+    * reads one bucket's files instead of all of them.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    limitPushed = Some(limit); true
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   /** Every filter is RETAINED as a residual (returned back to Spark)
     * — the scan uses them only to prune buckets/files via manifest
@@ -778,7 +794,8 @@ class GraftScanBuilder(spark: SparkSession, root: String, m: Manifest,
   override def build(): Scan = aggResult match {
     case Some((schema, row, desc)) =>
       new GraftManifestAggScan(root, m.version, schema, row, desc)
-    case None => new GraftScan(spark, root, m, tableSchema, required, pushed)
+    case None =>
+      new GraftScan(spark, root, m, tableSchema, required, pushed, limitPushed)
   }
 }
 
@@ -807,7 +824,8 @@ class GraftManifestAggScan(root: String, version: Long, schema: StructType,
   */
 class GraftScan(spark: SparkSession, root: String, m: Manifest,
                 dataSchema: StructType, required: StructType,
-                filters: Array[Filter]) extends Scan with Batch
+                filters: Array[Filter],
+                limit: Option[Int] = None) extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
@@ -934,7 +952,8 @@ class GraftScan(spark: SparkSession, root: String, m: Manifest,
     s"graft $root v${m.version} buckets=${plannedFiles.map(_._2).distinct.size} " +
       s"files=${plannedFiles.size} prunedBy=[${filters.mkString(", ")}]" +
       (if (runtimeFilters.nonEmpty || runtimeBuckets.nonEmpty)
-        s" runtimePrunedBy=[${runtimeFilters.mkString(", ")}]" else "")
+        s" runtimePrunedBy=[${runtimeFilters.mkString(", ")}]" else "") +
+      limit.fold("")(n => s" limit=$n")
 
   /** POST-PRUNING size (the files this scan will actually read) and —
     * when exactly known from the manifest (every bucket's `rows:`
@@ -948,7 +967,7 @@ class GraftScan(spark: SparkSession, root: String, m: Manifest,
       : org.apache.spark.sql.connector.read.Statistics = {
     val size = plannedFiles.map(_._3).sum
     val exactRows =
-      if (filters.nonEmpty) None
+      if (filters.nonEmpty || limit.isDefined) None
       else {
         val entries = m.buckets.values.toSeq
         if (entries.exists(e => e.tombstones.nonEmpty || e.rows.isEmpty)) None
@@ -1014,7 +1033,22 @@ class GraftScan(spark: SparkSession, root: String, m: Manifest,
     }
     val surviving = runtimeBuckets.fold(statBound)(_.intersect(statBound))
     survivingBuckets = surviving
-    surviving.toSeq.sorted.flatMap { b =>
+    // pushed LIMIT: take a minimal prefix of buckets whose recorded
+    // rows cover it — only when provably safe (no pruning in play that
+    // could have shrunk a bucket's yield, no tombstones hiding rows,
+    // every bucket's row count recorded); Spark re-applies the exact
+    // limit above, so this only ever needs to produce ENOUGH rows
+    val chosen = limit match {
+      case Some(n) if filters.isEmpty && runtimeFilters.isEmpty &&
+          runtimeBuckets.isEmpty &&
+          surviving.forall(b => m.buckets(b).tombstones.isEmpty &&
+            m.buckets(b).rows.isDefined) =>
+        val sorted = surviving.toSeq.sorted
+        val cum = sorted.scanLeft(0L)((acc, b) => acc + m.buckets(b).rows.get)
+        sorted.zip(cum).takeWhile { case (_, before) => before < n }.map(_._1)
+      case _ => surviving.toSeq.sorted
+    }
+    chosen.flatMap { b =>
       val e = m.buckets(b)
       val dir = SnapshotStore.dataPath(root, e.dir)
       // per-file pruning: intersect the kept-name sets across bounded
@@ -1108,7 +1142,7 @@ class GraftScan(spark: SparkSession, root: String, m: Manifest,
     // tombstoned bucket split 40 ways must not serialize its key set
     // 40 times per scan
     new GraftReaderFactory(readFunc, readerSchema, required,
-      keyOrdinals, keySchema, tombstonesBc)
+      keyOrdinals, keySchema, tombstonesBc, limit)
   }
 }
 
@@ -1134,7 +1168,8 @@ class GraftReaderFactory(readFunc: PartitionedFile => Iterator[InternalRow],
                          readerSchema: StructType, required: StructType,
                          keyOrdinals: Array[Int], keySchema: StructType,
                          tombstones: Option[org.apache.spark.broadcast.Broadcast[
-                           Map[Int, Set[Seq[Any]]]]])
+                           Map[Int, Set[Seq[Any]]]]],
+                         limit: Option[Int] = None)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -1180,10 +1215,15 @@ class GraftReaderFactory(readFunc: PartitionedFile => Iterator[InternalRow],
           })
         filtered.map(proj)
       }
+    // a pushed (partial) LIMIT caps every split at `limit` rows: the
+    // reader stops decoding the parquet stream as soon as its split
+    // alone could satisfy the query — Spark's own Limit above takes
+    // the exact first n across splits
+    val capped = limit.fold(projected)(n => projected.take(n))
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =
-        if (projected.hasNext) { current = projected.next(); true } else false
+        if (capped.hasNext) { current = capped.next(); true } else false
       override def get(): InternalRow = current
       override def close(): Unit = ()
     }
