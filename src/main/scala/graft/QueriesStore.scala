@@ -384,6 +384,51 @@ object QueriesStore {
       |  'web' AS src, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM fin GROUP BY 1, 2""".stripMargin
 
+  // =====================================================================
+  // w09 — write-audit-publish under the DuckDB gate: fork a branch,
+  // stage two commits on it (the second a read-modify-write of the
+  // branch's own state), audit, publish as one fast-forward commit,
+  // aggregate MAIN. The oracle recomputes the final state relationally
+  // from raw orders — a hash match proves isolation, multi-commit
+  // adoption, and the atomic publish end to end.
+  // =====================================================================
+  val w09: Q = (s, d) => {
+    val root = freshRoot("w09")
+    val src = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      col("o_orderstatus").as("status"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)").as("cents"))
+    src.write.format("graft").option("keys", "o_orderkey")
+      .option("numBuckets", "8").save(root)
+    graft.store.SnapshotStore.createBranch(s, root, "audit")
+    // stage 1: flag every 10th order, on the branch only
+    src.where(col("o_orderkey") % 10 === 0).withColumn("status", lit("X"))
+      .write.format("graft").option("branch", "audit").mode("append").save(root)
+    // stage 2: derived from the BRANCH's own staged state
+    s.read.format("graft").option("branch", "audit").load(root)
+      .where(col("o_orderkey") % 7 === 0)
+      .withColumn("cents", col("cents") * 2)
+      .write.format("graft").option("branch", "audit").mode("append").save(root)
+    // the audit step: key-count invariant holds on the branch → publish
+    val staged = s.read.format("graft").option("branch", "audit").load(root)
+    require(staged.count() == src.count(), "audit failed: key drift on branch")
+    graft.store.SnapshotStore.publishBranch(s, root, "audit")
+    s.read.format("graft").load(root)
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(cents) AS BIGINT)").as("sum_cents"))
+  }
+
+  val w09Sql: String =
+    """WITH fin AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END AS status,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+      |      * (CASE WHEN o_orderkey % 7 = 0 THEN 2 ELSE 1 END) AS cents
+      |  FROM orders)
+      |SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM fin GROUP BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
     "w01_table_roundtrip" -> w01,
     "w02_change_feed" -> w02,
@@ -392,7 +437,8 @@ object QueriesStore {
     "w05_sql_merge" -> w05,
     "w06_sql_delete_update" -> w06,
     "w07_sql_merge_delta" -> w07,
-    "w08_sql_generated" -> w08)
+    "w08_sql_generated" -> w08,
+    "w09_wap_publish" -> w09)
 
   val oracles: Map[String, String] = Map(
     "w01_table_roundtrip" -> w01Sql,
@@ -402,5 +448,6 @@ object QueriesStore {
     "w05_sql_merge" -> w05Sql,
     "w06_sql_delete_update" -> w06Sql,
     "w07_sql_merge_delta" -> w07Sql,
-    "w08_sql_generated" -> w08Sql)
+    "w08_sql_generated" -> w08Sql,
+    "w09_wap_publish" -> w09Sql)
 }

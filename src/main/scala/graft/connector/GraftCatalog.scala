@@ -559,7 +559,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // absolute path — deleting it would silently lose THEIR data, so
     // the drop refuses while any clone-retention consumer is
     // registered (same guard as renameTable)
-    requireNoClones(dir, s"drop $ident")
+    // the table's own BRANCHES are clones living inside its subtree —
+    // they die with it, so they must not block the drop
+    requireNoClones(dir, s"drop $ident", dyingWith = Some(dir))
     // an un-materialized clone holds retention on its source — release
     // before the breadcrumb disappears with the directory
     SnapshotStore.releaseClone(spark, dir.toString)

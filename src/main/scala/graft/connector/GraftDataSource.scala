@@ -217,7 +217,10 @@ object GraftTable {
     require(p != null && p.nonEmpty,
       "graft reads need a table root: spark.read.format(\"graft\").load(<root>) " +
         "or OPTIONS (path '<root>')")
-    p
+    // `option("branch", name)`: read/write the named write-audit-publish
+    // branch instead of main (SnapshotStore.createBranch creates one)
+    Option(options.get("branch")).filter(_.nonEmpty)
+      .fold(p)(SnapshotStore.branchRoot(p, _))
   }
 
   private[connector] def manifestAt(spark: SparkSession, root: String,

@@ -47,7 +47,8 @@ object GraftProcedures {
   private val Namespace = Array("system")
 
   private val names = Seq("compact", "vacuum", "restore", "checkpoint",
-    "clone", "rebucket", "materialize", "detail", "history", "analyze")
+    "clone", "rebucket", "materialize", "detail", "history", "analyze",
+    "branch", "publish_branch", "drop_branch", "branches")
 
   def list(catalog: GraftCatalog, namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Namespace))
@@ -81,6 +82,10 @@ object GraftProcedures {
       case "detail"     => "one row per bucket: files, bytes, recorded rows, tombstone debt — the compaction/fold planning view"
       case "history"    => "one row per retained version: in-commit timestamp + current marker — what VERSION/TIMESTAMP AS OF resolves against"
       case "analyze"    => "one aggregation pass computing per-column NDV/nulls/min/max, published for the optimizer (version-pinned)"
+      case "branch"     => "fork a write-audit-publish branch: a zero-copy clone under <root>/_branch/<name>, isolated until published"
+      case "publish_branch" => "land a branch's state on main as ONE atomic fast-forward commit (refuses if main advanced); adopts data dirs by rename"
+      case "drop_branch" => "abandon a branch: release its retention hold on main and delete it"
+      case "branches"   => "one row per live branch: name, fork base version, branch's own current version"
     }
     override def bind(inputType: StructType): BoundProcedure = new Bound(catalog, proc)
   }
@@ -122,6 +127,11 @@ object GraftProcedures {
       case "analyze" => Array(
         in("table", StringType),
         in("columns", StringType, "''"))
+      case "branch" | "publish_branch" | "drop_branch" => Array(
+        in("table", StringType),
+        in("name", StringType))
+      case "branches" => Array(
+        in("table", StringType))
     }
 
     private def outSchema: StructType = proc match {
@@ -147,6 +157,13 @@ object GraftProcedures {
         .add("version", LongType)
         .add("analyzed_columns", IntegerType)
         .add("rows", LongType)
+      case "branch"         => new StructType().add("base_version", LongType)
+      case "publish_branch" => new StructType().add("version", LongType)
+      case "drop_branch"    => new StructType().add("dropped", BooleanType)
+      case "branches" => new StructType()
+        .add("name", StringType)
+        .add("base_version", LongType)
+        .add("branch_version", LongType)
     }
 
     private def csv(s: String): Seq[String] =
@@ -159,6 +176,15 @@ object GraftProcedures {
       val root = catalog.resolveTableDir(table)
       if (proc == "detail") return detailRows(spark, root)
       if (proc == "history") return historyRows(spark, root)
+      if (proc == "branches") {
+        val rows = SnapshotStore.listBranches(spark, root).map {
+          case (n, b, v) => new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(n), b, v))
+            : InternalRow
+        }
+        return java.util.Collections.singletonList[Scan](
+          new ResultScan(outSchema, rows.toArray)).iterator()
+      }
       if (proc == "analyze") {
         val ts = SnapshotStore.analyze(spark, root,
           csv(input.getUTF8String(1).toString))
@@ -191,11 +217,21 @@ object GraftProcedures {
             newNumBuckets = input.getInt(1))
         case "materialize" =>
           SnapshotStore.materialize(spark, root, persistedKeys(spark, root))
+        case "branch" =>
+          SnapshotStore.createBranch(spark, root, branchName(input))
+        case "publish_branch" =>
+          SnapshotStore.publishBranch(spark, root, branchName(input))
+        case "drop_branch" =>
+          SnapshotStore.dropBranch(spark, root, branchName(input)); true
       }
       val row = new GenericInternalRow(Array[Any](result))
       java.util.Collections.singletonList[Scan](
         new ResultScan(outSchema, Array[InternalRow](row))).iterator()
     }
+
+    private def branchName(input: InternalRow): String =
+      Option(input.getUTF8String(1)).map(_.toString).getOrElse(
+        throw new IllegalArgumentException(s"$proc: 'name' must not be NULL"))
 
     /** One row per bucket from manifest + a driver file listing
       * (O(files) metadata, the same census `compact` runs): the view

@@ -31,8 +31,19 @@ private[connector] object GraftWrite {
                              numBuckets: Int, statsCols: Seq[String])
 
   def opts(parameters: Map[String, String]): WriteOpts = {
-    val root = parameters.getOrElse("path", throw new IllegalArgumentException(
+    val mainRoot = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft writes need a table root: .save(<root>) or .option(\"path\", <root>)"))
+    // `option("branch", name)` targets a write-audit-publish branch —
+    // which must already exist (createBranch fixes the fork point and
+    // retention); create-on-first-write through the branch door would
+    // silently make an unprotected free-standing table
+    val root = parameters.get("branch").filter(_.nonEmpty).fold(mainRoot) { b =>
+      val br = SnapshotStore.branchRoot(mainRoot, b)
+      require(SnapshotStore.latestVersion(SparkSession.active, br).isDefined,
+        s"no branch '$b' on $mainRoot — create it first " +
+          "(SnapshotStore.createBranch or CALL system.branch)")
+      br
+    }
     val keys = parameters.get("keys").toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
     WriteOpts(root, keys,

@@ -2603,6 +2603,230 @@ object SnapshotStore {
     }
   }
 
+  // ------------------------------------------------------------------
+  // branches (write-audit-publish)
+  // ------------------------------------------------------------------
+
+  private val BranchDirName = "_branch"
+  private val BranchBaseMarker = "_branch_base"
+  private val PublishingMarker = "_publishing"
+
+  private[graft] def branchRoot(root: String, name: String): String = {
+    require(name.matches("[A-Za-z0-9_-]{1,64}"),
+      s"invalid branch name '$name' (letters, digits, _ and - only)")
+    new Path(new Path(root, BranchDirName), name).toString
+  }
+
+  /** Create a write-audit-publish BRANCH: a zero-copy clone of the
+    * current version living at `<root>/_branch/<name>` — a full graft
+    * table (reads, writes, DML, expectations all work against it),
+    * isolated from main until [[publishBranch]] lands its state as ONE
+    * atomic fast-forward commit. The staging-table pattern the
+    * reference builds by hand with CREATE-TABLE-then-swap
+    * (`with procedures/order_proc.sql:17-30`), with the audit step a
+    * first-class read of the branch. The clone's change-feed consumer
+    * protects the shared base directories from main's vacuum for the
+    * branch's whole life ([[cloneTable]] retention).
+    *
+    * The fast-forward BASE is recorded conservatively (read before the
+    * clone): if main advances in between, publish refuses a
+    * legitimate-looking fast-forward rather than ever accepting a
+    * stale one.
+    */
+  def createBranch(spark: SparkSession, root: String, name: String): Long = {
+    val br = branchRoot(root, name)
+    val base = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed graft table at $root"))
+    cloneTable(spark, root, br)
+    publishSmallFile(spark, br, BranchBaseMarker, s"$base\n")
+    base
+  }
+
+  /** (name, fork base version on main, branch's own current version)
+    * for every live branch.
+    */
+  def listBranches(spark: SparkSession, root: String): Seq[(String, Long, Long)] = {
+    val fs = fileSystem(spark, root)
+    val dir = new Path(root, BranchDirName)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
+      .flatMap { n =>
+        val br = new Path(dir, n).toString
+        for {
+          v <- latestVersion(spark, br)
+          b <- branchBase(fs, br)
+        } yield (n, b, v)
+      }
+  }
+
+  private def branchBase(fs: FileSystem, br: String): Option[Long] = {
+    val p = new Path(br, BranchBaseMarker)
+    if (!fs.exists(p)) return None
+    val in = new BufferedReader(new InputStreamReader(fs.open(p),
+      StandardCharsets.UTF_8))
+    val line = try in.readLine() finally in.close()
+    Option(line).map(_.trim).filter(_.nonEmpty).map(_.toLong)
+  }
+
+  /** Abandon a branch: release the retention it holds on main and
+    * delete its directory. Idempotent.
+    */
+  def dropBranch(spark: SparkSession, root: String, name: String): Unit = {
+    val br = branchRoot(root, name)
+    releaseClone(spark, br)
+    fileSystem(spark, root).delete(new Path(br), true): Unit
+  }
+
+  /** Publish a branch's state onto main as ONE atomic FAST-FORWARD
+    * commit — the "publish" of write-audit-publish. Refuses with
+    * [[java.util.ConcurrentModificationException]] if main advanced
+    * past the branch's fork base (re-branch and re-apply; a merge that
+    * silently rebased audited data would defeat the audit).
+    *
+    * Zero-copy adoption: data directories the branch committed are
+    * RENAMED into main's directory space under the publish version's
+    * name (`v=<pub>-pub-<branch>-…`), so main's vacuum owns them like
+    * any other commit's output — no copy at any size. Entries still
+    * pointing at main's own directories (buckets the branch never
+    * touched) relativize back; entries absolute into a third table
+    * (main itself an unmaterialized clone) stay absolute with the
+    * usual clone-retention caveats. Identity-column frontiers minted
+    * on the branch are burned into main's ledger BEFORE the commit —
+    * an aborted publish leaves at most an id gap, never a future
+    * duplicate. A `_publishing` breadcrumb in the branch records the
+    * rename mapping for crash recovery; a lost commit race rolls the
+    * renames back, leaving the branch intact.
+    *
+    * Contract evolution (`_props`, `_schema` breadcrumbs) does NOT
+    * travel: branches carry DATA. Schema widening through drift-
+    * allowed branch writes publishes fine (the read schema is footer-
+    * merged); declared contracts change on main, via ALTER.
+    */
+  def publishBranch(spark: SparkSession, root: String, name: String): Long = {
+    val fs = fileSystem(spark, root)
+    val br = branchRoot(root, name)
+    val bv = latestVersion(spark, br).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' on $root"))
+    val base = branchBase(fs, br).getOrElse(
+      throw new IllegalStateException(
+        s"branch '$name' at $br carries no base marker — was it created " +
+          "by createBranch?"))
+    val cur = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed graft table at $root"))
+    if (cur != base)
+      throw new java.util.ConcurrentModificationException(
+        s"cannot fast-forward branch '$name': $root advanced to v$cur past " +
+          s"the fork base v$base — re-create the branch from the current " +
+          "version and re-apply its changes")
+    if (bv == 0L) { dropBranch(spark, root, name); return cur } // unchanged
+
+    val m = readManifest(spark, br, bv)
+    val pubV = base + 1
+    val mainAbs = fs.makeQualified(new Path(root)).toString
+    val brAbs = fs.makeQualified(new Path(br)).toString
+
+    // identity frontiers FIRST (see scaladoc)
+    identitySpecs(readProps(spark, br)).foreach { case (c, spec) =>
+      identityFrontierOf(spark, br, c, spec).foreach(f =>
+        syncIdentityFrontier(spark, root, c, spec, f))
+    }
+
+    def isLocal(d: String) = {
+      val p = new Path(d)
+      !p.isAbsolute || d.startsWith(brAbs + "/")
+    }
+    def localRel(d: String) =
+      if (new Path(d).isAbsolute) d.stripPrefix(brAbs + "/") else d
+    def verDirOf(rel: String) = rel.takeWhile(_ != '/')
+    val allDirs = m.buckets.values.toSeq.flatMap(e => e.dir +: e.tombstones)
+    val mapping: Map[String, String] =
+      allDirs.filter(isLocal).map(localRel).map(verDirOf).distinct.map { vd =>
+        vd -> s"v=$pubV-pub-$name-${vd.stripPrefix("v=")}"
+      }.toMap
+    if (mapping.nonEmpty)
+      publishSmallFile(spark, br, PublishingMarker,
+        mapping.toSeq.sorted.map { case (o, n) => s"$o\t$n" }.mkString("\n") + "\n")
+    mapping.toSeq.foreach { case (o, n) =>
+      val src = new Path(br, o)
+      val dst = new Path(root, n)
+      // idempotent under a publish re-run after a crash mid-adoption
+      if (fs.exists(src)) require(fs.rename(src, dst), s"could not adopt $src")
+      else require(fs.exists(dst),
+        s"branch dir $o is missing and was not adopted — branch corrupted")
+    }
+    def rehome(d: String): String =
+      if (isLocal(d)) {
+        val rel = localRel(d)
+        val vd = verDirOf(rel)
+        mapping(vd) + rel.stripPrefix(vd)
+      } else if (d.startsWith(mainAbs + "/")) d.stripPrefix(mainAbs + "/")
+      else d
+    val entries = m.buckets.map { case (b, e) =>
+      b -> e.copy(dir = rehome(e.dir), tombstones = e.tombstones.map(rehome))
+    }
+    writeManifestAtomic(fs, root, pubV, m.numBuckets, m.statsCols, m.txns,
+        entries, keys = m.keys) match {
+      case Some(cm) =>
+        maybeCheckpoint(spark, root, cm)
+        dropBranch(spark, root, name)
+        pubV
+      case None =>
+        mapping.toSeq.foreach { case (o, n) =>
+          val dst = new Path(root, n)
+          if (fs.exists(dst)) fs.rename(dst, new Path(br, o)): Unit
+        }
+        fs.delete(new Path(br, PublishingMarker), false)
+        throw new java.util.ConcurrentModificationException(
+          s"cannot fast-forward branch '$name': $root committed v$pubV " +
+            "during the publish — re-create the branch and re-apply")
+    }
+  }
+
+  /** The branch ledger's reserved frontier for one identity column:
+    * where the NEXT mint would start (last block's first + step·count).
+    */
+  private def identityFrontierOf(spark: SparkSession, root: String,
+                                 col: String, spec: IdentitySpec): Option[Long] = {
+    val fs = fileSystem(spark, root)
+    val dir = new Path(new Path(root, "_identity"), col)
+    if (!fs.exists(dir)) return None
+    fs.listStatus(dir).toSeq.map(_.getPath.getName).flatMap(parseIdentityBlock)
+      .sortBy(_._1).lastOption.map { case (_, f, c) => f + spec.step * c }
+  }
+
+  /** Advance main's identity ledger to at least `target` by writing a
+    * COUNT-ZERO block (pure frontier marker, reserves nothing new).
+    * No-op when main is already at or past the target in step
+    * direction; exclusive-create races re-list and retry like the
+    * allocator itself.
+    */
+  private def syncIdentityFrontier(spark: SparkSession, root: String,
+                                   col: String, spec: IdentitySpec,
+                                   target: Long): Unit = {
+    val fs = fileSystem(spark, root)
+    val dir = new Path(new Path(root, "_identity"), col)
+    fs.mkdirs(dir)
+    var attempt = 0
+    while (attempt < 64) {
+      attempt += 1
+      val blocks = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .flatMap(parseIdentityBlock)
+      val (lastSeq, cur) = blocks.sortBy(_._1).lastOption match {
+        case None => (-1L, spec.start)
+        case Some((s, f, c)) => (s, f + spec.step * c)
+      }
+      val ahead = if (spec.step > 0) cur >= target else cur <= target
+      if (ahead) return
+      val t = new Path(dir, f"block-${lastSeq + 1}%020d" + s"_${target}_0")
+      val created = try { fs.create(t, false).close(); true } catch {
+        case _: java.io.IOException => false
+      }
+      if (created) return
+    }
+    throw new IllegalStateException(
+      s"could not sync identity frontier for '$col' at $root after 64 attempts")
+  }
+
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 1): Int = {
     require(keepLast >= 1, "must keep at least the latest version")
     val fs = fileSystem(spark, root)

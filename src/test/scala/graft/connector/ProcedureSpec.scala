@@ -107,7 +107,8 @@ class ProcedureSpec extends SparkSpec {
       java.util.Map.of("root", warehouse)))
     assert(cat.listProcedures(Array("system")).map(_.name()).toSet ==
       Set("compact", "vacuum", "restore", "checkpoint",
-        "clone", "rebucket", "materialize", "detail", "history", "analyze"))
+        "clone", "rebucket", "materialize", "detail", "history", "analyze",
+        "branch", "publish_branch", "drop_branch", "branches"))
   }
 
   test("CALL system.history lists retained versions with in-commit timestamps") {
