@@ -175,10 +175,15 @@ class GraftChangeFeedSource(spark: SparkSession, root: String,
 
 object GraftChangeFeedSource {
 
-  private[connector] def rootOf(parameters: Map[String, String]): String =
-    parameters.getOrElse("path", throw new IllegalArgumentException(
+  private[connector] def rootOf(parameters: Map[String, String]): String = {
+    val p = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft streaming reads need a table root: .option(\"path\", <root>) " +
         "or .load(<root>)"))
+    // same branch resolution as the snapshot doors: the change feed of
+    // a write-audit-publish branch is the branch's own commit history
+    parameters.get("branch").filter(_.nonEmpty)
+      .fold(p)(graft.store.SnapshotStore.branchRoot(p, _))
+  }
 
   /** The one parsing of the row-identity option, shared by the stream
     * source and the batch CDF relation.

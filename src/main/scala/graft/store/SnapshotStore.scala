@@ -399,19 +399,23 @@ object SnapshotStore {
     }
 
   /** Reserve a block of `count` identity VALUES (in step units) for
-    * one write: `<root>/_identity/<col>/block-<seq>_<firstId>_<count>`
-    * files form an append-only ledger, each claimed by EXCLUSIVE
-    * CREATE (the same arbiter primitive as manifest commits). The
-    * whole reservation is encoded IN THE FILENAME, so the atomic
-    * create is the claim and the payload at once — a writer crashing
-    * immediately after create leaves a fully-valid (gap) block, never
-    * a torn file that would brick the allocator. Concurrent writers
-    * race for seq n+1; the loser re-lists and takes n+2 — two writers
-    * can NEVER mint the same id, at any cluster size, with zero
-    * coordination beyond the filesystem. Blocks reserved by aborted
-    * writes simply become gaps — AUTOINCREMENT promises uniqueness
-    * and per-writer monotonicity, never density (Snowflake documents
-    * the same).
+    * one write: `<root>/_identity/<col>/block-<seq>_<first>` files form
+    * an append-only ledger, each claimed by EXCLUSIVE CREATE — the
+    * same arbiter primitive as manifest commits, and for the same
+    * reason: every contender for seq n+1 derives the IDENTICAL
+    * filename (first = the predecessor chain's frontier), so the
+    * create is a true mutex; the loser re-lists and takes n+2. The
+    * block's SIZE (this writer's count) is the file's payload,
+    * terminator-marked like a manifest: a torn payload means the
+    * claimer crashed mid-write (it had not returned, so it minted
+    * nothing) — readers WAIT inside the reclaim grace window and
+    * reclaim (delete, freeing the seq) past it; the claimer re-reads
+    * its own payload before returning, so a grace-defying reclaim
+    * turns into a retry, never a double-mint. Two writers can NEVER
+    * mint the same id, at any cluster size, with zero coordination
+    * beyond the filesystem. Blocks reserved by aborted writes simply
+    * become gaps — AUTOINCREMENT promises uniqueness and per-writer
+    * monotonicity, never density (Snowflake documents the same).
     */
   private def reserveIdentityBlock(spark: SparkSession, root: String,
                                    col: String, spec: IdentitySpec,
@@ -420,32 +424,87 @@ object SnapshotStore {
     val dir = new Path(root, s"_identity/$col")
     if (!fs.exists(dir)) fs.mkdirs(dir)
     var attempt = 0
-    while (attempt < 64) {
+    while (attempt < 256) {
       attempt += 1
-      // unparseable names are ignored defensively (they reserve
-      // nothing, so skipping them can only widen a gap, never collide)
-      val blocks = fs.listStatus(dir).toSeq.map(_.getPath.getName)
-        .flatMap(parseIdentityBlock)
-      val (lastSeq, base) = blocks.sortBy(_._1).lastOption match {
-        case None => (-1L, spec.start)
-        case Some((seq, firstId, cnt)) => (seq, firstId + spec.step * cnt)
+      ledgerFrontier(fs, dir, spec) match {
+        case None => Thread.sleep(200) // payload in flight — settle or age out
+        case Some((lastSeq, base)) =>
+          if (claimBlock(fs, dir, lastSeq + 1, base, count)) return base
       }
-      val target = new Path(dir, f"block-${lastSeq + 1}%020d" + s"_${base}_$count")
-      val created = try { fs.create(target, false).close(); true } catch {
-        case _: java.io.IOException => false // lost the race — re-list
-      }
-      if (created) return base
     }
     throw new IllegalStateException(
-      s"could not reserve identity block for '$col' at $root after 64 attempts")
+      s"could not reserve identity block for '$col' at $root after 256 attempts")
   }
 
-  private def parseIdentityBlock(name: String): Option[(Long, Long, Long)] = {
+  /** One claim attempt at an exact (seq, first): exclusive create of
+    * the deterministic name, payload write, then READ-Back — only a
+    * payload that survived on disk is a win (defense against a
+    * grace-defying reclaim deleting the claim mid-write).
+    */
+  private def claimBlock(fs: FileSystem, dir: Path, seq: Long, first: Long,
+                         count: Long): Boolean = {
+    val target = new Path(dir, f"block-$seq%020d" + s"_$first")
+    val created = try Some(fs.create(target, false)) catch {
+      case _: java.io.IOException => None // lost the race — re-list
+    }
+    created match {
+      case Some(out) =>
+        try out.write(s"$count\tend".getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        blockCount(fs, target).contains(count)
+      case None => false
+    }
+  }
+
+  /** (last claimed seq, next first id) — the allocator's view of the
+    * chain tip. None while the tip's payload is IN FLIGHT (younger
+    * than the reclaim grace): the caller waits; past the grace the
+    * torn claim is reclaimed (its claimer crashed before minting
+    * anything) and the next listing sees the freed seq.
+    */
+  private def ledgerFrontier(fs: FileSystem, dir: Path,
+                             spec: IdentitySpec): Option[(Long, Long)] = {
+    // unparseable names are ignored defensively (they reserve nothing,
+    // so skipping them can only widen a gap, never collide)
+    val tip = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .flatMap(parseIdentityBlock).sortBy(_._1).lastOption
+    tip match {
+      case None => Some((-1L, spec.start))
+      case Some((seq, first)) =>
+        val p = new Path(dir, f"block-$seq%020d" + s"_$first")
+        blockCount(fs, p) match {
+          case Some(c) => Some((seq, first + spec.step * c))
+          case None =>
+            val age = try System.currentTimeMillis() -
+              fs.getFileStatus(p).getModificationTime
+            catch { case _: java.io.FileNotFoundException =>
+              return None } // reclaimed under us — re-list
+            if (age >= ReclaimGraceMs) fs.delete(p, false): Unit
+            None
+        }
+    }
+  }
+
+  /** The claimed size of a block, or None for a torn/missing payload. */
+  private def blockCount(fs: FileSystem, p: Path): Option[Long] = {
+    val in = try new BufferedReader(new InputStreamReader(fs.open(p),
+      StandardCharsets.UTF_8)) catch {
+      case _: java.io.IOException => return None
+    }
+    val line = try in.readLine() finally in.close()
+    Option(line).map(_.split("\t")).collect {
+      case Array(c, "end") => c
+    }.flatMap(c => try Some(c.toLong) catch {
+      case _: NumberFormatException => None
+    })
+  }
+
+  private def parseIdentityBlock(name: String): Option[(Long, Long)] = {
     if (!name.startsWith("block-")) None
     else {
       val parts = name.stripPrefix("block-").split("_")
-      if (parts.length != 3) None
-      else try Some((parts(0).toLong, parts(1).toLong, parts(2).toLong))
+      if (parts.length != 2) None
+      else try Some((parts(0).toLong, parts(1).toLong))
       catch { case _: NumberFormatException => None }
     }
   }
@@ -2643,19 +2702,21 @@ object SnapshotStore {
   }
 
   /** (name, fork base version on main, branch's own current version)
-    * for every live branch.
+    * for every live branch. A branch directory with no version or no
+    * base marker (a createBranch crash) still LISTS, with -1 for the
+    * missing field — it may hold a vacuum-pinning retention consumer
+    * on main, and an operator can only release what they can see
+    * (dropBranch cleans it).
     */
   def listBranches(spark: SparkSession, root: String): Seq[(String, Long, Long)] = {
     val fs = fileSystem(spark, root)
     val dir = new Path(root, BranchDirName)
     if (!fs.exists(dir)) return Nil
     fs.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath.getName).sorted
-      .flatMap { n =>
+      .map { n =>
         val br = new Path(dir, n).toString
-        for {
-          v <- latestVersion(spark, br)
-          b <- branchBase(fs, br)
-        } yield (n, b, v)
+        (n, branchBase(fs, br).getOrElse(-1L),
+          latestVersion(spark, br).getOrElse(-1L))
       }
   }
 
@@ -2669,12 +2730,17 @@ object SnapshotStore {
   }
 
   /** Abandon a branch: release the retention it holds on main and
-    * delete its directory. Idempotent.
+    * delete its directory. A crashed publish resolves first — its
+    * adoption rolls forward (commit landed: adopted dirs belong to
+    * main and must survive the branch) or back (they return to the
+    * branch and die with it). Idempotent.
     */
   def dropBranch(spark: SparkSession, root: String, name: String): Unit = {
     val br = branchRoot(root, name)
+    val fs = fileSystem(spark, root)
+    recoverPublish(spark, fs, root, br): Unit
     releaseClone(spark, br)
-    fileSystem(spark, root).delete(new Path(br), true): Unit
+    fs.delete(new Path(br), true): Unit
   }
 
   /** Publish a branch's state onto main as ONE atomic FAST-FORWARD
@@ -2705,6 +2771,13 @@ object SnapshotStore {
   def publishBranch(spark: SparkSession, root: String, name: String): Long = {
     val fs = fileSystem(spark, root)
     val br = branchRoot(root, name)
+    // a crashed earlier publish first resolves: roll FORWARD if its
+    // commit landed (the branch is consumed), roll its renames BACK
+    // otherwise (the branch is whole again and this attempt restarts)
+    recoverPublish(spark, fs, root, br).foreach { committedV =>
+      dropBranch(spark, root, name)
+      return committedV
+    }
     val bv = latestVersion(spark, br).getOrElse(
       throw new IllegalArgumentException(s"no branch '$name' on $root"))
     val base = branchBase(fs, br).getOrElse(
@@ -2718,9 +2791,21 @@ object SnapshotStore {
         s"cannot fast-forward branch '$name': $root advanced to v$cur past " +
           s"the fork base v$base — re-create the branch from the current " +
           "version and re-apply its changes")
+    // version-less metadata moves too: ALTER (constraints, defaults,
+    // dml.mode, generated/identity declarations) rewrites _props /
+    // _schema without committing a manifest — data audited under the
+    // fork-time contracts must not land past a contract change
+    if (readProps(spark, root) != readProps(spark, br) ||
+        smallFileText(fs, new Path(root, "_schema")) !=
+          smallFileText(fs, new Path(br, "_schema")))
+      throw new java.util.ConcurrentModificationException(
+        s"cannot fast-forward branch '$name': $root's declared contracts " +
+          "(_props/_schema) changed since the fork — re-create the branch " +
+          "under the current contracts and re-apply")
     if (bv == 0L) { dropBranch(spark, root, name); return cur } // unchanged
 
     val m = readManifest(spark, br, bv)
+    val mainM = readManifest(spark, root, cur)
     val pubV = base + 1
     val mainAbs = fs.makeQualified(new Path(root)).toString
     val brAbs = fs.makeQualified(new Path(br)).toString
@@ -2743,16 +2828,20 @@ object SnapshotStore {
       allDirs.filter(isLocal).map(localRel).map(verDirOf).distinct.map { vd =>
         vd -> s"v=$pubV-pub-$name-${vd.stripPrefix("v=")}"
       }.toMap
+    // the crash breadcrumb: which commit this publish is for and every
+    // rename it performs — written ATOMICALLY BEFORE the first rename,
+    // so recoverPublish can always roll the adoption wholly forward or
+    // wholly back; vacuum also treats the targets as referenced while
+    // the marker lives, closing the unreferenced-dir window between a
+    // competitor's commit of pubV and this publish's rollback
     if (mapping.nonEmpty)
       publishSmallFile(spark, br, PublishingMarker,
-        mapping.toSeq.sorted.map { case (o, n) => s"$o\t$n" }.mkString("\n") + "\n")
+        (s"pub:$pubV" +: mapping.toSeq.sorted.map {
+          case (o, n) => s"$o\t$n" }).mkString("", "\n", "\n"))
     mapping.toSeq.foreach { case (o, n) =>
       val src = new Path(br, o)
       val dst = new Path(root, n)
-      // idempotent under a publish re-run after a crash mid-adoption
-      if (fs.exists(src)) require(fs.rename(src, dst), s"could not adopt $src")
-      else require(fs.exists(dst),
-        s"branch dir $o is missing and was not adopted — branch corrupted")
+      require(fs.rename(src, dst), s"could not adopt $src")
     }
     def rehome(d: String): String =
       if (isLocal(d)) {
@@ -2764,8 +2853,13 @@ object SnapshotStore {
     val entries = m.buckets.map { case (b, e) =>
       b -> e.copy(dir = rehome(e.dir), tombstones = e.tombstones.map(rehome))
     }
+    // DELTA manifest against main's current one: a branch that touched
+    // 2 of 4096 buckets publishes 2 entries + del lines, not a full
+    // re-listing (bucket-count changes — a rebucketed branch — need
+    // the full base)
+    val deltaBase = if (m.numBuckets == mainM.numBuckets) Some(mainM) else None
     writeManifestAtomic(fs, root, pubV, m.numBuckets, m.statsCols, m.txns,
-        entries, keys = m.keys) match {
+        entries, base = deltaBase, keys = m.keys) match {
       case Some(cm) =>
         maybeCheckpoint(spark, root, cm)
         dropBranch(spark, root, name)
@@ -2782,6 +2876,57 @@ object SnapshotStore {
     }
   }
 
+  /** Resolve a crashed publish found via its `_publishing` breadcrumb:
+    * Some(version) when that publish's commit actually landed (the
+    * caller should consume the branch), None after rolling any partial
+    * adoption back (the branch is whole; the marker is cleared). "Our
+    * commit landed" is decided by the committed manifest at the
+    * marker's version REFERENCING the marker's target dirs — a
+    * competitor's commit of the same version references none of them.
+    */
+  private def recoverPublish(spark: SparkSession, fs: FileSystem,
+                             root: String, br: String): Option[Long] = {
+    val marker = new Path(br, PublishingMarker)
+    if (!fs.exists(marker)) return None
+    val in = new BufferedReader(new InputStreamReader(fs.open(marker),
+      StandardCharsets.UTF_8))
+    val lines = try Iterator.continually(in.readLine()).takeWhile(_ != null).toList
+    finally in.close()
+    val pubV = lines.headOption.filter(_.startsWith("pub:"))
+      .map(_.stripPrefix("pub:").toLong).getOrElse {
+        fs.delete(marker, false) // torn/legacy marker: nothing renamed yet
+        return None
+      }
+    val mapping = lines.tail.flatMap(_.split("\t") match {
+      case Array(o, n) => Some(o -> n)
+      case _ => None
+    })
+    val committed = readTerminator(fs, manifestPath(root, pubV)).isDefined && {
+      val entries = readManifest(spark, root, pubV).buckets.values
+        .flatMap(e => e.dir +: e.tombstones).toSet
+      mapping.exists { case (_, n) => entries.exists(_.startsWith(n)) }
+    }
+    if (committed) Some(pubV)
+    else {
+      mapping.foreach { case (o, n) =>
+        val dst = new Path(root, n)
+        if (fs.exists(dst)) fs.rename(dst, new Path(br, o)): Unit
+      }
+      fs.delete(marker, false)
+      None
+    }
+  }
+
+  /** Full text of a small metadata file, None when absent. */
+  private def smallFileText(fs: FileSystem, p: Path): Option[String] = {
+    if (!fs.exists(p)) return None
+    val in = new BufferedReader(new InputStreamReader(fs.open(p),
+      StandardCharsets.UTF_8))
+    try Some(Iterator.continually(in.readLine()).takeWhile(_ != null)
+      .mkString("\n"))
+    finally in.close()
+  }
+
   /** The branch ledger's reserved frontier for one identity column:
     * where the NEXT mint would start (last block's first + step·count).
     */
@@ -2790,15 +2935,23 @@ object SnapshotStore {
     val fs = fileSystem(spark, root)
     val dir = new Path(new Path(root, "_identity"), col)
     if (!fs.exists(dir)) return None
-    fs.listStatus(dir).toSeq.map(_.getPath.getName).flatMap(parseIdentityBlock)
-      .sortBy(_._1).lastOption.map { case (_, f, c) => f + spec.step * c }
+    var attempt = 0
+    while (attempt < 256) {
+      attempt += 1
+      ledgerFrontier(fs, dir, spec) match {
+        case Some((_, f)) => return Some(f)
+        case None => Thread.sleep(200) // tip payload in flight
+      }
+    }
+    throw new IllegalStateException(
+      s"identity ledger tip for '$col' at $root stayed unreadable")
   }
 
-  /** Advance main's identity ledger to at least `target` by writing a
-    * COUNT-ZERO block (pure frontier marker, reserves nothing new).
-    * No-op when main is already at or past the target in step
-    * direction; exclusive-create races re-list and retry like the
-    * allocator itself.
+  /** Advance main's identity ledger to at least `target`: an ORDINARY
+    * reservation of exactly the deficit, so the claim filename is the
+    * same one any concurrent writer would race for — exclusive create
+    * arbitrates, the loser (either side) re-lists and retries. No-op
+    * when main is already at or past the target in step direction.
     */
   private def syncIdentityFrontier(spark: SparkSession, root: String,
                                    col: String, spec: IdentitySpec,
@@ -2807,24 +2960,18 @@ object SnapshotStore {
     val dir = new Path(new Path(root, "_identity"), col)
     fs.mkdirs(dir)
     var attempt = 0
-    while (attempt < 64) {
+    while (attempt < 256) {
       attempt += 1
-      val blocks = fs.listStatus(dir).toSeq.map(_.getPath.getName)
-        .flatMap(parseIdentityBlock)
-      val (lastSeq, cur) = blocks.sortBy(_._1).lastOption match {
-        case None => (-1L, spec.start)
-        case Some((s, f, c)) => (s, f + spec.step * c)
+      ledgerFrontier(fs, dir, spec) match {
+        case None => Thread.sleep(200) // payload in flight
+        case Some((lastSeq, cur)) =>
+          val deficitUnits = (target - cur) / spec.step // lattice-aligned
+          if (deficitUnits <= 0L) return
+          if (claimBlock(fs, dir, lastSeq + 1, cur, deficitUnits)) return
       }
-      val ahead = if (spec.step > 0) cur >= target else cur <= target
-      if (ahead) return
-      val t = new Path(dir, f"block-${lastSeq + 1}%020d" + s"_${target}_0")
-      val created = try { fs.create(t, false).close(); true } catch {
-        case _: java.io.IOException => false
-      }
-      if (created) return
     }
     throw new IllegalStateException(
-      s"could not sync identity frontier for '$col' at $root after 64 attempts")
+      s"could not sync identity frontier for '$col' at $root after 256 attempts")
   }
 
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 1): Int = {
@@ -2867,8 +3014,23 @@ object SnapshotStore {
         .foreach(deleted += _)
     }
     vs.filter(_ < keepFrom).foreach { v => deleted += manifestPath(root, v) }
+    // an IN-FLIGHT branch publish has renamed its adopted dirs into
+    // this root under the publish version's name but not committed the
+    // manifest yet — while any live branch's `_publishing` marker
+    // names them, they are referenced state, not reclaim candidates
+    // (the publish either commits a manifest over them or renames
+    // them back; either way the marker resolves)
+    val publishing: Set[String] = listBranches(spark, root).flatMap {
+      case (n, _, _) =>
+        smallFileText(fs, new Path(branchRoot(root, n), PublishingMarker))
+          .toSeq.flatMap(_.linesIterator.drop(1).flatMap(_.split("\t") match {
+            case Array(_, tgt) => Some(tgt.takeWhile(_ != '/'))
+            case _ => None
+          }))
+    }.toSet
     fs.listStatus(new Path(root)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .filterNot(st => publishing.contains(st.getPath.getName))
       .foreach { st =>
         val dirName = st.getPath.getName // v=<n>-<token>
         val vNum = dirName.stripPrefix("v=").takeWhile(_.isDigit).toLong

@@ -108,6 +108,62 @@ class BranchSpec extends SparkSpec {
     assert(readKeys(root) == (1L to 22L).toSet)
   }
 
+  test("a crashed mid-adoption publish recovers: vacuum spares the renamed dirs, the branch rolls back whole") {
+    val root = freshTable("graft-wap-crash")
+    val base = SnapshotStore.createBranch(spark, root, "cr")
+    Seq((500L, "staged")).toDF("k", "v")
+      .write.format("graft").option("branch", "cr").mode("append").save(root)
+    // simulate the crash window: renames done, marker written, no
+    // manifest commit — then a competitor commits main's next version
+    val br = new java.io.File(root, "_branch/cr")
+    val staged = br.listFiles().filter(_.getName.startsWith("v=1-")).head
+    val target = s"v=${base + 1}-pub-cr-${staged.getName.stripPrefix("v=")}"
+    java.nio.file.Files.write(java.nio.file.Paths.get(br.toString, "_publishing"),
+      s"pub:${base + 1}\n${staged.getName}\t$target\n".getBytes)
+    assert(staged.renameTo(new java.io.File(root, target)))
+    Seq((600L, "competitor")).toDF("k", "v")
+      .write.format("graft").mode("append").save(root)
+    // the adopted-but-uncommitted dirs are now unreferenced AND at a
+    // version <= latest — only the marker protects them from vacuum
+    SnapshotStore.vacuum(spark, root, keepLast = 1)
+    assert(new java.io.File(root, target).exists(),
+      "vacuum reclaimed an in-flight publish's adopted dirs")
+    // publish resolves the crash: rolls the rename back, then refuses
+    // the stale fast-forward — with the branch whole again
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotStore.publishBranch(spark, root, "cr")
+    }
+    assert(readKeys(root, Some("cr")).contains(500L))
+    assert(!new java.io.File(root, target).exists())
+    SnapshotStore.dropBranch(spark, root, "cr")
+  }
+
+  test("publish refuses when main's declared contracts moved (version-less ALTER)") {
+    val root = freshTable("graft-wap-props")
+    SnapshotStore.createBranch(spark, root, "c")
+    Seq((700L, "x")).toDF("k", "v")
+      .write.format("graft").option("branch", "c").mode("append").save(root)
+    // a version-less metadata change on main (what ALTER TABLE does)
+    SnapshotStore.writeProps(spark, root,
+      Map("constraint.positive" -> "k > 0"))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      SnapshotStore.publishBranch(spark, root, "c")
+    }
+    assert(e.getMessage.contains("contracts"))
+    SnapshotStore.dropBranch(spark, root, "c")
+  }
+
+  test("a half-created branch still lists (it may pin vacuum) and drops clean") {
+    val root = freshTable("graft-wap-half", n = 10L)
+    SnapshotStore.createBranch(spark, root, "half")
+    // simulate the createBranch crash before the base marker landed
+    assert(new java.io.File(root, "_branch/half/_branch_base").delete())
+    val listed = SnapshotStore.listBranches(spark, root)
+    assert(listed == Seq(("half", -1L, 0L)))
+    SnapshotStore.dropBranch(spark, root, "half")
+    assert(SnapshotStore.listBranches(spark, root).isEmpty)
+  }
+
   test("identity frontiers minted on a branch never re-mint after publish") {
     val wh = Files.createTempDirectory("graft-wap-id").toString
     spark.conf.set("spark.sql.catalog.gwap", classOf[GraftCatalog].getName)
