@@ -116,7 +116,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * the pre-format-4 fallback) — the same resolution rule as Delta's.
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    val dir = tableDir(ident)
+    val dir = resolveReadDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val at = SnapshotStore.versionAt(spark, dir.toString, timestamp / 1000L)
       .getOrElse(throw new NoSuchTableException(ident))
@@ -124,11 +124,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private def loadAt(ident: Identifier, version: Option[Long]): Table = {
-    val dir = tableDir(ident)
+    val dir = resolveReadDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     new GraftTable(dir.toString, version,
       GraftTable.resolveSchema(spark, dir.toString, version),
       fromCatalog = true)
+  }
+
+  /** Identifier → directory for READ/WRITE resolution, recognizing the
+    * branch convention: `cat.ns.t.branch_<name>` addresses table
+    * `cat.ns.t`'s write-audit-publish branch `<name>` — SELECT, INSERT
+    * and row-level DML against the staged state from pure SQL (the
+    * audit step of WAP needs no Scala). A REAL table always wins the
+    * name; branches never list, create, drop, or rename through the
+    * identifier (the `system.branch*` procedures own their lifecycle).
+    */
+  private def resolveReadDir(ident: Identifier): Path = {
+    val direct = tableDir(ident)
+    if (isTable(direct)) return direct
+    if (ident.name().startsWith("branch_") && ident.namespace().nonEmpty) {
+      val parent = dirOf(ident.namespace().toSeq)
+      if (isTable(parent)) {
+        val br = new Path(SnapshotStore.branchRoot(parent.toString,
+          ident.name().stripPrefix("branch_")))
+        if (isTable(br)) return br
+      }
+    }
+    direct
   }
 
   /** SQL `CREATE TABLE` / CTAS. The merge-identity keys come from a

@@ -190,6 +190,35 @@ class BranchSpec extends SparkSpec {
       s"identity collision after publish: ${sks.mkString(",")}")
   }
 
+  test("pure-SQL WAP: SELECT / INSERT / MERGE on cat.ns.t.branch_<name>") {
+    val wh = Files.createTempDirectory("graft-wap-sql").toString
+    spark.conf.set("spark.sql.catalog.gwsq", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gwsq.root", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gwsq.b")
+    spark.sql("CREATE TABLE gwsq.b.t (k BIGINT, v STRING) USING graft " +
+      "TBLPROPERTIES ('keys'='k', 'numBuckets'='2')")
+    spark.sql("INSERT INTO gwsq.b.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("CALL gwsq.system.branch(table => 'b.t', name => 'stage')")
+
+    // stage via SQL INSERT and row-level MERGE against the branch name
+    spark.sql("INSERT INTO gwsq.b.t.branch_stage VALUES (3, 'c')")
+    spark.sql("""MERGE INTO gwsq.b.t.branch_stage tgt
+                 USING (SELECT 1 AS k, 'a2' AS v) src ON tgt.k = src.k
+                 WHEN MATCHED THEN UPDATE SET v = src.v""")
+    // audit from SQL: branch has the staged state, main is untouched
+    assert(spark.sql("SELECT v FROM gwsq.b.t.branch_stage WHERE k = 1")
+      .collect().head.getString(0) == "a2")
+    assert(spark.sql("SELECT count(*) FROM gwsq.b.t").collect()
+      .head.getLong(0) == 2)
+
+    spark.sql("CALL gwsq.system.publish_branch(table => 'b.t', name => 'stage')")
+    val fin = spark.sql("SELECT k, v FROM gwsq.b.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(fin == Seq((1L, "a2"), (2L, "b"), (3L, "c")))
+    // the branch identifier no longer resolves
+    intercept[Exception](spark.sql("SELECT * FROM gwsq.b.t.branch_stage").collect())
+  }
+
   test("CALL system.branches lists live branches; drop_branch removes") {
     val wh = Files.createTempDirectory("graft-wap-ls").toString
     spark.conf.set("spark.sql.catalog.gwls", classOf[GraftCatalog].getName)
