@@ -219,6 +219,40 @@ object Soak {
     runDml("odelta", deltaMode = true)
     dmlN("num_buckets") = nb.toLong
     dmlN("table_rows") = totalOrders
+
+    // ---------------- 3c. WAP branch cycle at scale ------------------
+    // The publish claim: fork is O(manifest) (zero-copy clone), and
+    // publish is O(branch-touched dirs) renames + one delta manifest —
+    // both independent of table size. Evidence: their wall times
+    // against the O(table) CTAS, plus the adopted-dir count.
+    val wapT = "owap"
+    dphase("wap_create") {
+      spark.sql(s"""CREATE TABLE soak.ns.$wapT USING graft
+        |TBLPROPERTIES('keys'='o_orderkey','numBuckets'='$nb')
+        |AS SELECT * FROM soak_orders""".stripMargin)
+    }
+    val wapRoot = s"$work/wh/ns/$wapT"
+    dphase("wap_branch") {
+      spark.sql(s"CALL soak.system.branch(table => 'ns.$wapT', name => 'stage')")
+    }
+    spark.table("soak_orders")
+      .where(col("o_orderkey") % 100000 === 0)
+      .createOrReplaceTempView("soak_wap_src")
+    dphase("wap_stage_merge") {
+      spark.sql(s"""MERGE INTO soak.ns.$wapT.branch_stage t
+        |USING soak_wap_src s ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET o_orderstatus = 'W'""".stripMargin)
+    }
+    val wapM0 = mfst(wapT)
+    dphase("wap_publish") {
+      spark.sql(
+        s"CALL soak.system.publish_branch(table => 'ns.$wapT', name => 'stage')")
+    }
+    dmlN("wap_publish_touched_buckets") = touched(wapT, wapM0)
+    dmlN("wap_publish_adopted_dirs") = mfst(wapT).buckets.values
+      .map(_.dir.takeWhile(_ != '/')).toSet.count(_.contains("-pub-")).toLong
+    require(spark.table(s"soak.ns.$wapT").count() == totalOrders,
+      "WAP publish changed the row count")
     dml.foreach { case (k, v) => println(f"[soak-dml] $k%-32s $v%8.3fs") }
     dmlN.foreach { case (k, v) => println(f"[soak-dml] $k%-32s $v%8d") }
 
