@@ -429,6 +429,51 @@ object QueriesStore {
       |SELECT status, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM fin GROUP BY 1""".stripMargin
 
+  // =====================================================================
+  // w10 — atomic REPLACE TABLE AS SELECT under the DuckDB gate: CTAS
+  // an order-grain table, atomically REPLACE it with a customer-grain
+  // rollup of ITSELF (different keys, different bucket count — one
+  // zero-copy adoption commit through StagingTableCatalog), aggregate
+  // the replaced table. The oracle recomputes the rollup-of-rollup
+  // relationally from raw orders — a hash match proves the staged
+  // write, the adoption commit, and the post-replace scan (new layout,
+  // new keys) end to end.
+  // =====================================================================
+  val w10: Q = (s, d) => {
+    catalogInit(s)
+    val t = "t" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    Tables.orders(s, d).createOrReplaceTempView("w10_orders_src")
+    s.sql(
+      s"""CREATE TABLE graft_w03.sales.$t USING graft
+         |TBLPROPERTIES ('keys'='o_orderkey', 'numBuckets'='8')
+         |AS SELECT o_orderkey, o_custkey,
+         |  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+         |FROM w10_orders_src""".stripMargin)
+    s.sql(
+      s"""REPLACE TABLE graft_w03.sales.$t USING graft
+         |TBLPROPERTIES ('keys'='o_custkey', 'numBuckets'='4')
+         |AS SELECT o_custkey, count(*) AS n_orders,
+         |  CAST(sum(cents) AS BIGINT) AS cents
+         |FROM graft_w03.sales.$t GROUP BY o_custkey""".stripMargin)
+    s.sql(
+      s"""SELECT o_custkey % 10 AS cohort, count(*) AS customers,
+         |  CAST(sum(n_orders) AS BIGINT) AS orders,
+         |  CAST(sum(cents) AS BIGINT) AS cents
+         |FROM graft_w03.sales.$t GROUP BY o_custkey % 10""".stripMargin)
+  }
+
+  val w10Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |cust AS (
+      |  SELECT o_custkey, count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS cents
+      |  FROM base GROUP BY 1)
+      |SELECT o_custkey % 10 AS cohort, count(*) AS customers,
+      |  CAST(sum(n_orders) AS BIGINT) AS orders, CAST(sum(cents) AS BIGINT) AS cents
+      |FROM cust GROUP BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
     "w01_table_roundtrip" -> w01,
     "w02_change_feed" -> w02,
@@ -438,7 +483,8 @@ object QueriesStore {
     "w06_sql_delete_update" -> w06,
     "w07_sql_merge_delta" -> w07,
     "w08_sql_generated" -> w08,
-    "w09_wap_publish" -> w09)
+    "w09_wap_publish" -> w09,
+    "w10_sql_rtas" -> w10)
 
   val oracles: Map[String, String] = Map(
     "w01_table_roundtrip" -> w01Sql,
@@ -449,5 +495,6 @@ object QueriesStore {
     "w06_sql_delete_update" -> w06Sql,
     "w07_sql_merge_delta" -> w07Sql,
     "w08_sql_generated" -> w08Sql,
-    "w09_wap_publish" -> w09Sql)
+    "w09_wap_publish" -> w09Sql,
+    "w10_sql_rtas" -> w10Sql)
 }

@@ -38,6 +38,7 @@ import graft.store.SnapshotStore
   * guidance rather than half-supported.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
     with ProcedureCatalog with FunctionCatalog {
 
   private var catalogName: String = _
@@ -166,11 +167,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {
+    createAt(tableDir(ident), ident, schema, partitions, properties)
+    loadTable(ident)
+  }
+
+  /** The CREATE TABLE body against an explicit directory — shared by
+    * the direct path (`dir` = the table's real home) and the staging
+    * path (`dir` = a hidden `_staging/` location the staged commit
+    * later adopts; see [[stageCreate]]).
+    */
+  private def createAt(dir: Path, ident: Identifier, schema: StructType,
+                       partitions: Array[Transform],
+                       properties: JMap[String, String]): Unit = {
     require(partitions.isEmpty,
       "graft tables are hash-bucketed by their merge keys (the 'keys' " +
         "property); PARTITIONED BY is not supported")
     require(schema.nonEmpty, "graft CREATE TABLE needs a column list (or AS SELECT)")
-    val dir = tableDir(ident)
     val props = new CaseInsensitiveStringMap(properties)
     def prop(k: String): Option[String] =
       Option(props.get(k)).orElse(Option(props.get(TableCatalog.OPTION_PREFIX + k)))
@@ -257,7 +269,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     GraftTable.writeSchemaFile(spark, dir.toString, schema)
     if (allProps.nonEmpty) SnapshotStore.writeProps(spark, dir.toString, allProps)
-    loadTable(ident)
   }
 
   /** `CREATE TABLE ... CONSTRAINT ...` — the TableInfo overload carries
@@ -268,6 +279,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * accepted CHECK, so no data validation is needed).
     */
   override def createTable(ident: Identifier, info: TableInfo): Table = {
+    createInfoAt(tableDir(ident), ident, info)
+    loadTable(ident)
+  }
+
+  private def createInfoAt(dir: Path, ident: Identifier, info: TableInfo): Unit = {
     val cs = info.constraints()
     val constraintProps =
       if (cs.isEmpty) Map.empty[String, String]
@@ -281,14 +297,79 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // base create so a refused contract leaves no orphan table
     val colProps = columnContractProps(info.columns(),
       keysFromProperties(info.properties()))
-    createTable(ident, info.schema(), info.partitions(), info.properties())
+    createAt(dir, ident, info.schema(), info.partitions(), info.properties())
     val extraProps = constraintProps ++ colProps
     if (extraProps.nonEmpty) {
-      val dir = tableDir(ident).toString
-      SnapshotStore.writeProps(spark, dir,
-        SnapshotStore.readProps(spark, dir) ++ extraProps)
+      SnapshotStore.writeProps(spark, dir.toString,
+        SnapshotStore.readProps(spark, dir.toString) ++ extraProps)
     }
-    loadTable(ident)
+  }
+
+  // ------------------------------------------------------------------
+  // staged (atomic) CTAS / RTAS — StagingTableCatalog
+  // ------------------------------------------------------------------
+
+  /** Atomic `CREATE TABLE … AS SELECT`: the SELECT's output is written
+    * to a hidden staging table under `<ns>/_staging/`; commit is ONE
+    * directory rename into the real name. A failed or aborted CTAS
+    * leaves nothing visible — no half-created table blocking the
+    * corrected retry (which is exactly what the non-staged path risks:
+    * createTable committed an empty v0 before the first data row).
+    */
+  override def stageCreate(ident: Identifier,
+                           info: TableInfo): org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident.toString)
+    stage(ident, info, GraftStagedTable.Create)
+  }
+
+  /** Atomic `REPLACE TABLE … AS SELECT`: stage the new content, then
+    * commit it as ONE new version of the existing table
+    * ([[SnapshotStore.adoptAsReplace]] — zero-copy rename adoption,
+    * history preserved for time travel, layout/keys/schema free to
+    * change). The old content stays readable until the commit instant;
+    * a failed SELECT leaves the table untouched.
+    */
+  override def stageReplace(ident: Identifier,
+                            info: TableInfo): org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    stage(ident, info, GraftStagedTable.Replace)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+                                    info: TableInfo): org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, info, GraftStagedTable.CreateOrReplace)
+
+  private def stage(ident: Identifier, info: TableInfo,
+                    mode: GraftStagedTable.Mode): GraftStagedTable = {
+    if (!namespaceExists(ident.namespace()))
+      throw new NoSuchNamespaceException(name() +: ident.namespace())
+    val stagingParent = new Path(dirOf(ident.namespace().toSeq), "_staging")
+    sweepStaleStaging(stagingParent, ident.name())
+    val staged = new Path(stagingParent, validPart(ident.name()) + "-" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12))
+    createInfoAt(staged, ident, info)
+    new GraftStagedTable(spark, ident, staged, tableDir(ident), mode,
+      GraftTable.resolveSchema(spark, staged.toString, None))
+  }
+
+  /** A crashed CTAS/RTAS (driver died between stage and commit/abort)
+    * orphans its staging directory. Nothing ever revisits it by name,
+    * so the next stage of the SAME table sweeps siblings older than
+    * `spark.graft.staging.ttlHours` (default 24) — old enough that no
+    * live statement can still own them; a concurrent CTAS of the same
+    * name is hours younger and untouched.
+    */
+  private def sweepStaleStaging(stagingParent: Path, table: String): Unit = {
+    if (!fs.exists(stagingParent)) return
+    val ttlMs = spark.conf.getOption("spark.graft.staging.ttlHours")
+      .map(_.toDouble).getOrElse(24.0) * 3600 * 1000
+    val cutoff = System.currentTimeMillis() - ttlMs.toLong
+    fs.listStatus(stagingParent).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(table + "-"))
+      .filter(_.getModificationTime < cutoff)
+      .foreach(st => fs.delete(st.getPath, true))
   }
 
   /** `generated.<col>` / `identity.<col>` props from the CREATE
@@ -380,6 +461,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * (fixed at creation), the rest are Spark-reserved metadata.
     */
   private val ReservedProps = Set("keys", "numbuckets", "statscols", "version",
+    "graft.schema.epoch", // stamped by REPLACE TABLE, never user-set
     TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
     TableCatalog.PROP_COMMENT, TableCatalog.PROP_OWNER,
     TableCatalog.PROP_EXTERNAL, "transient_lastddltime")

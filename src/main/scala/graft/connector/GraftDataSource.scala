@@ -255,9 +255,20 @@ object GraftTable {
     // session-conf-driven: a conf can't retroactively make existing
     // data null-free, so marking on conf would lie to the optimizer
     // for ordinary reads (IS NULL folded to false).
+    // REPLACE TABLE swaps the declared contracts wholesale and stamps
+    // the commit version as `graft.schema.epoch`: a time-travel read
+    // BELOW the epoch must not inherit the replacement's declared
+    // columns/metadata (the additive-evolution null-fill overlay is
+    // for columns ADDED to the same table, not a different table that
+    // took the name's history slot) — pre-epoch versions resolve from
+    // their own footers alone
+    val props = SnapshotStore.readProps(spark, root)
+    val preReplace = versionAsOf.exists(v =>
+      props.get("graft.schema.epoch").map(_.toLong).exists(v < _))
+    if (preReplace) return base
     val schema = withEvolvedColumns(spark, root,
       withDeclaredMetadata(spark, root, base))
-    if (m.keys.nonEmpty && SnapshotStore.deltaModeDeclared(spark, root))
+    if (m.keys.nonEmpty && props.get("dml.mode").contains("delta"))
       StructType(schema.fields.toSeq.map(f =>
         if (m.keys.contains(f.name)) f.copy(nullable = false) else f))
     else schema

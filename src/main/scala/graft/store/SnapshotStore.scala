@@ -2917,6 +2917,112 @@ object SnapshotStore {
     }
   }
 
+  // ------------------------------------------------------------------
+  // atomic RTAS adoption (StagingTableCatalog commit)
+  // ------------------------------------------------------------------
+
+  /** Commit a fully-written STAGED table as the next version of an
+    * existing one — the atomic half of SQL `REPLACE TABLE … AS SELECT`
+    * (the staged table is the CTAS output the planner wrote off to the
+    * side; this call is its `commitStagedChanges`). One manifest
+    * commit flips readers from the old content to the new; history is
+    * PRESERVED (`VERSION AS OF` on pre-replace versions keeps working,
+    * vacuum reclaims them on the normal schedule), and the replacement
+    * may change keys, bucket count, statsCols and schema — each
+    * manifest carries its own layout, exactly as `rebucket` already
+    * relies on.
+    *
+    * Zero-copy: the staged version directories RENAME into the
+    * target's namespace as `v=<pubV>-rtas-…` — O(touched dirs) at any
+    * size, never a data copy. The renames happen BEFORE the manifest
+    * commit (readers must never resolve a manifest whose dirs are
+    * still moving), under the same exposure window as any ordinary
+    * write's `v=<n>-<token>` attempt dir: vacuum skips version dirs
+    * above the committed latest. A lost commit race re-renames to the
+    * next version's name and retries — REPLACE has no fast-forward
+    * precondition to refuse on.
+    *
+    * Declared contracts (`_props`, `_schema`, identity ledger,
+    * `_colstats`) are REPLACED from the staged table after the commit
+    * lands — unlike a WAP branch publish (data-only by design), a
+    * REPLACE's whole point is a new contract. A crash between the
+    * commit and the swap leaves the new data under the old breadcrumbs
+    * until the statement is retried; data reads are unaffected (the
+    * read schema is footer-merged).
+    */
+  private[graft] def adoptAsReplace(spark: SparkSession, root: String,
+                                    staged: String): Long = {
+    val fs = fileSystem(spark, root)
+    val sv = latestVersion(spark, staged).getOrElse(
+      throw new IllegalStateException(s"staged table at $staged has no committed version"))
+    val m = readManifest(spark, staged, sv)
+    val stagedAbs = fs.makeQualified(new Path(staged)).toString
+    def isLocal(d: String) = {
+      val p = new Path(d)
+      !p.isAbsolute || d.startsWith(stagedAbs + "/")
+    }
+    def localRel(d: String) =
+      if (new Path(d).isAbsolute) d.stripPrefix(stagedAbs + "/") else d
+    def verDirOf(rel: String) = rel.takeWhile(_ != '/')
+    val allDirs = m.buckets.values.toSeq.flatMap(e => e.dir +: e.tombstones)
+    val localVds = allDirs.filter(isLocal).map(localRel).map(verDirOf).distinct
+    // retries re-rename the already-adopted dirs; first attempt moves
+    // them out of the staged table
+    var adopted = Map.empty[String, String]
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      val cur = latestVersion(spark, root).getOrElse(
+        throw new IllegalStateException(s"no committed graft table at $root"))
+      val pubV = cur + 1
+      val mapping = localVds.map(vd =>
+        vd -> s"v=$pubV-rtas-${vd.stripPrefix("v=")}").toMap
+      localVds.foreach { vd =>
+        val src = adopted.get(vd).map(n => new Path(root, n))
+          .getOrElse(new Path(staged, vd))
+        val dst = new Path(root, mapping(vd))
+        require(fs.rename(src, dst), s"could not adopt $src into $root")
+      }
+      adopted = mapping
+      def rehome(d: String): String =
+        if (isLocal(d)) {
+          val rel = localRel(d)
+          val vd = verDirOf(rel)
+          mapping(vd) + rel.stripPrefix(vd)
+        } else d // absolute into a third table: the usual clone caveats
+      val entries = m.buckets.map { case (b, e) =>
+        b -> e.copy(dir = rehome(e.dir), tombstones = e.tombstones.map(rehome))
+      }
+      // always a FULL manifest: the new content is unrelated to the
+      // replaced version, so a delta would be all-del + all-add anyway
+      writeManifestAtomic(fs, root, pubV, m.numBuckets, m.statsCols, m.txns,
+          entries, base = None, keys = m.keys) match {
+        case Some(cm) =>
+          maybeCheckpoint(spark, root, cm)
+          // contract swap (see scaladoc: after the data flip); the
+          // schema EPOCH stamp keeps time travel honest — versions
+          // below it resolve from their own footers, not the
+          // replacement's declared schema
+          writeProps(spark, root, readProps(spark, staged) +
+            ("graft.schema.epoch" -> pubV.toString))
+          smallFileText(fs, new Path(staged, "_schema")) match {
+            case Some(t) => publishSmallFile(spark, root, "_schema", t)
+            case None => fs.delete(new Path(root, "_schema"), false): Unit
+          }
+          fs.delete(new Path(root, ColStatsFile), false): Unit
+          fs.delete(new Path(root, "_identity"), true): Unit
+          val stagedLedger = new Path(staged, "_identity")
+          if (fs.exists(stagedLedger))
+            fs.rename(stagedLedger, new Path(root, "_identity")): Unit
+          return pubV
+        case None => () // raced: loop re-renames under the next version
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"could not commit REPLACE at $root after 5 attempts — " +
+        "concurrent writers kept taking the next version")
+  }
+
   /** Full text of a small metadata file, None when absent. */
   private def smallFileText(fs: FileSystem, p: Path): Option[String] = {
     if (!fs.exists(p)) return None

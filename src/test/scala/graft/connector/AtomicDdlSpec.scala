@@ -1,0 +1,141 @@
+package graft.connector
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException
+
+import graft.SparkSpec
+import graft.store.SnapshotStore
+
+/** Atomic CTAS / RTAS through `StagingTableCatalog`: a failed CREATE
+  * TABLE AS SELECT must leave NOTHING behind (no half-created table
+  * blocking the retry), and REPLACE TABLE AS SELECT must swap content
+  * in one commit — old data readable until the instant the new data
+  * is, history preserved for time travel, layout free to change.
+  */
+class AtomicDdlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val warehouse = Files.createTempDirectory("graft-atomic").toString
+  spark.conf.set("spark.sql.catalog.gatm", classOf[GraftCatalog].getName)
+  spark.conf.set("spark.sql.catalog.gatm.root", warehouse)
+  spark.sql("CREATE NAMESPACE IF NOT EXISTS gatm.a")
+
+  private def fs = new Path(warehouse)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def stagingLeftovers: Seq[String] = {
+    val p = new Path(s"$warehouse/a/_staging")
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+
+  test("CTAS is atomic: a mid-write failure leaves no table and no staging debris") {
+    val bad = intercept[Exception] {
+      spark.sql("""CREATE TABLE gatm.a.ctas_fail TBLPROPERTIES ('keys'='k') AS
+                   SELECT id AS k, assert_true(id < 5, 'boom') AS v FROM range(10)""")
+    }
+    assert(bad.toString.toLowerCase.contains("boom") ||
+      bad.getCause != null, s"unexpected failure shape: $bad")
+    assert(!spark.catalog.tableExists("gatm.a.ctas_fail"))
+    assert(stagingLeftovers.isEmpty, s"staging debris: $stagingLeftovers")
+    // the corrected retry works — nothing is blocking the name
+    spark.sql("""CREATE TABLE gatm.a.ctas_fail TBLPROPERTIES ('keys'='k') AS
+                 SELECT id AS k, id * 2 AS v FROM range(10)""")
+    assert(spark.table("gatm.a.ctas_fail").count() == 10)
+    assert(stagingLeftovers.isEmpty)
+  }
+
+  test("RTAS swaps content atomically, preserves history, and may change layout") {
+    spark.sql("""CREATE TABLE gatm.a.r (k BIGINT, v STRING)
+                 USING graft TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO gatm.a.r SELECT id, CAST(id AS STRING) FROM range(6)")
+    val dir = s"$warehouse/a/r"
+    val vBefore = SnapshotStore.latestVersion(spark, dir).get
+
+    spark.sql("""REPLACE TABLE gatm.a.r TBLPROPERTIES ('keys'='g', 'numBuckets'='4') AS
+                 SELECT k % 2 AS g, COUNT(*) AS n FROM gatm.a.r GROUP BY k % 2""")
+    val after = spark.table("gatm.a.r").as[(Long, Long)].collect().toMap
+    assert(after == Map(0L -> 3L, 1L -> 3L))
+    // ONE new version — history before the replace still reads
+    val vAfter = SnapshotStore.latestVersion(spark, dir).get
+    assert(vAfter == vBefore + 1)
+    val old = spark.sql(s"SELECT * FROM gatm.a.r VERSION AS OF $vBefore")
+    assert(old.count() == 6 && old.columns.toSeq == Seq("k", "v"))
+    // the new layout took: manifest carries the replacement's keys + buckets
+    val m = SnapshotStore.readManifest(spark, dir, vAfter)
+    assert(m.keys == Seq("g") && m.numBuckets == 4)
+    // zero-copy adoption: the new content lives in rename-adopted dirs
+    val adopted = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+      .filter(_.contains("-rtas-"))
+    assert(adopted.nonEmpty, "expected rename-adopted v=*-rtas-* dirs")
+    assert(stagingLeftovers.isEmpty)
+  }
+
+  test("RTAS failure leaves the target untouched") {
+    spark.sql("""CREATE TABLE gatm.a.rf (k BIGINT, v BIGINT)
+                 USING graft TBLPROPERTIES ('keys'='k')""")
+    spark.sql("INSERT INTO gatm.a.rf VALUES (1, 10), (2, 20)")
+    intercept[Exception] {
+      spark.sql("""REPLACE TABLE gatm.a.rf TBLPROPERTIES ('keys'='k') AS
+                   SELECT id AS k, assert_true(id < 1, 'rtas-boom') AS v FROM range(3)""")
+    }
+    assert(spark.table("gatm.a.rf").as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L)))
+    assert(stagingLeftovers.isEmpty)
+  }
+
+  test("REPLACE refuses a missing table; CREATE OR REPLACE creates it") {
+    val e = intercept[Exception] {
+      spark.sql("""REPLACE TABLE gatm.a.nope TBLPROPERTIES ('keys'='k') AS
+                   SELECT id AS k FROM range(3)""")
+    }
+    assert(e.toString.toLowerCase.contains("table") &&
+      (e.toString.contains("nope") || e.getMessage.contains("nope")))
+    spark.sql("""CREATE OR REPLACE TABLE gatm.a.nope TBLPROPERTIES ('keys'='k') AS
+                 SELECT id AS k FROM range(3)""")
+    assert(spark.table("gatm.a.nope").count() == 3)
+    // and on an EXISTING table it replaces
+    spark.sql("""CREATE OR REPLACE TABLE gatm.a.nope TBLPROPERTIES ('keys'='k') AS
+                 SELECT id AS k FROM range(5)""")
+    assert(spark.table("gatm.a.nope").count() == 5)
+  }
+
+  test("REPLACE swaps declared contracts: new props in, old props gone") {
+    spark.sql("""CREATE TABLE gatm.a.p (k BIGINT, v BIGINT) USING graft
+                 TBLPROPERTIES ('keys'='k', 'team'='old', 'dml.mode'='delta')""")
+    spark.sql("INSERT INTO gatm.a.p VALUES (1, 1)")
+    spark.sql("""REPLACE TABLE gatm.a.p TBLPROPERTIES ('keys'='k', 'steward'='new') AS
+                 SELECT id AS k, id AS v FROM range(4)""")
+    val props = SnapshotStore.readProps(spark, s"$warehouse/a/p")
+    assert(props.get("steward").contains("new"))
+    assert(!props.contains("team") && !props.contains("dml.mode"))
+  }
+
+  test("a create race is detected and withdrawn: the winner's table survives intact") {
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("a"), "raced")
+    val cat = spark.sessionState.catalogManager.catalog("gatm")
+      .asInstanceOf[GraftCatalog]
+    val cols = Array(
+      org.apache.spark.sql.connector.catalog.Column.create("k",
+        org.apache.spark.sql.types.LongType))
+    val info = new org.apache.spark.sql.connector.catalog.TableInfo.Builder()
+      .withColumns(cols)
+      .withPartitions(Array.empty)
+      .withProperties(java.util.Map.of("keys", "k"))
+      .build()
+    val staged = cat.stageCreate(ident, info)
+    // a competitor lands the table between stage and commit
+    spark.sql("""CREATE TABLE gatm.a.raced (k BIGINT) USING graft
+                 TBLPROPERTIES ('keys'='k')""")
+    spark.sql("INSERT INTO gatm.a.raced VALUES (42)")
+    intercept[TableAlreadyExistsException] { staged.commitStagedChanges() }
+    // winner intact, loser fully withdrawn (no nested staged dir)
+    assert(spark.table("gatm.a.raced").as[Long].collect().toSeq == Seq(42L))
+    val nested = fs.listStatus(new Path(s"$warehouse/a/raced"))
+      .map(_.getPath.getName).filter(_.startsWith("raced-"))
+    assert(nested.isEmpty, s"staged dir nested inside winner: ${nested.toSeq}")
+    assert(stagingLeftovers.isEmpty)
+  }
+}
