@@ -106,9 +106,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = loadAt(ident, None)
 
-  /** SQL `VERSION AS OF <v>` lands here. */
+  /** SQL `VERSION AS OF <v>` lands here — a non-numeric value resolves
+    * as a TAG name (`VERSION AS OF 'stable'`), the release-bookmark
+    * read (`CALL system.tag` creates one).
+    */
   override def loadTable(ident: Identifier, version: String): Table =
-    loadAt(ident, Some(version.toLong))
+    version.toLongOption match {
+      case Some(v) => loadAt(ident, Some(v))
+      case None =>
+        val dir = resolveReadDir(ident)
+        if (!isTable(dir)) throw new NoSuchTableException(ident)
+        val v = SnapshotStore.tagVersion(spark, dir.toString, version)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no version or tag '$version' on $ident — " +
+              s"tags: ${SnapshotStore.listTags(spark, dir.toString)
+                .map(_._1).mkString(", ")}"))
+        loadAt(ident, Some(v))
+    }
 
   /** SQL `TIMESTAMP AS OF <ts>` (micros since epoch): the newest
     * version whose manifest was committed at or before the instant,
@@ -126,7 +140,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def loadAt(ident: Identifier, version: Option[Long]): Table = {
     val dir = resolveReadDir(ident)
-    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    if (!isTable(dir)) {
+      // `cat.ns.t.tag_<name>`: table `cat.ns.t` pinned at tag <name> —
+      // the read-only sibling of the branch_ convention (writes refuse
+      // through the versioned table's own guards). A REAL table always
+      // wins the name; tags never list/create/drop through identifiers.
+      if (ident.name().startsWith("tag_") && ident.namespace().nonEmpty) {
+        val parent = dirOf(ident.namespace().toSeq)
+        if (isTable(parent)) {
+          SnapshotStore.tagVersion(spark, parent.toString,
+              ident.name().stripPrefix("tag_")).foreach { tv =>
+            require(version.isEmpty,
+              s"cannot combine VERSION/TIMESTAMP AS OF with tag identifier $ident")
+            return new GraftTable(parent.toString, Some(tv),
+              GraftTable.resolveSchema(spark, parent.toString, Some(tv)),
+              fromCatalog = true)
+          }
+        }
+      }
+      throw new NoSuchTableException(ident)
+    }
     new GraftTable(dir.toString, version,
       GraftTable.resolveSchema(spark, dir.toString, version),
       fromCatalog = true)

@@ -199,6 +199,11 @@ object GraftTable {
                                        options: CaseInsensitiveStringMap,
                                        root: String): Option[Long] =
     Option(options.get(VersionAsOf)).map(_.toLong).orElse(
+      // `option("tagAsOf", name)`: the path-door read of a named tag
+      Option(options.get("tagAsOf")).map { name =>
+        SnapshotStore.tagVersion(spark, root, name).getOrElse(
+          throw new IllegalArgumentException(s"no tag '$name' at $root"))
+      }).orElse(
       Option(options.get(TimestampAsOf)).map { raw =>
         val millis = raw.trim match {
           case ms if ms.nonEmpty && ms.forall(_.isDigit) => ms.toLong

@@ -48,7 +48,8 @@ object GraftProcedures {
 
   private val names = Seq("compact", "vacuum", "restore", "checkpoint",
     "clone", "rebucket", "materialize", "detail", "history", "analyze",
-    "branch", "publish_branch", "drop_branch", "branches")
+    "branch", "publish_branch", "drop_branch", "branches",
+    "tag", "drop_tag", "tags")
 
   def list(catalog: GraftCatalog, namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Namespace))
@@ -86,6 +87,9 @@ object GraftProcedures {
       case "publish_branch" => "land a branch's state on main as ONE atomic fast-forward commit (refuses if main advanced); adopts data dirs by rename"
       case "drop_branch" => "abandon a branch: release its retention hold on main and delete it"
       case "branches"   => "one row per live branch: name, fork base version, branch's own current version"
+      case "tag"        => "name a retained version (immutable ref): VERSION AS OF '<name>' and t.tag_<name> read it; vacuum keeps history from the oldest tag"
+      case "drop_tag"   => "delete a tag, releasing the history it pins"
+      case "tags"       => "one row per tag: name, pinned version (-1 for a torn create)"
     }
     override def bind(inputType: StructType): BoundProcedure = new Bound(catalog, proc)
   }
@@ -132,6 +136,15 @@ object GraftProcedures {
         in("name", StringType))
       case "branches" => Array(
         in("table", StringType))
+      case "tag" => Array(
+        in("table", StringType),
+        in("name", StringType),
+        in("version", LongType, "-1")) // -1 = the current version
+      case "drop_tag" => Array(
+        in("table", StringType),
+        in("name", StringType))
+      case "tags" => Array(
+        in("table", StringType))
     }
 
     private def outSchema: StructType = proc match {
@@ -160,6 +173,11 @@ object GraftProcedures {
       case "branch"         => new StructType().add("base_version", LongType)
       case "publish_branch" => new StructType().add("version", LongType)
       case "drop_branch"    => new StructType().add("dropped", BooleanType)
+      case "tag"      => new StructType().add("version", LongType)
+      case "drop_tag" => new StructType().add("dropped", BooleanType)
+      case "tags" => new StructType()
+        .add("name", StringType)
+        .add("version", LongType)
       case "branches" => new StructType()
         .add("name", StringType)
         .add("base_version", LongType)
@@ -180,6 +198,15 @@ object GraftProcedures {
         val rows = SnapshotStore.listBranches(spark, root).map {
           case (n, b, v) => new GenericInternalRow(Array[Any](
             org.apache.spark.unsafe.types.UTF8String.fromString(n), b, v))
+            : InternalRow
+        }
+        return java.util.Collections.singletonList[Scan](
+          new ResultScan(outSchema, rows.toArray)).iterator()
+      }
+      if (proc == "tags") {
+        val rows = SnapshotStore.listTags(spark, root).map {
+          case (n, v) => new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(n), v))
             : InternalRow
         }
         return java.util.Collections.singletonList[Scan](
@@ -223,6 +250,11 @@ object GraftProcedures {
           SnapshotStore.publishBranch(spark, root, branchName(input))
         case "drop_branch" =>
           SnapshotStore.dropBranch(spark, root, branchName(input)); true
+        case "tag" =>
+          SnapshotStore.createTag(spark, root, branchName(input),
+            Some(input.getLong(2)).filter(_ >= 0))
+        case "drop_tag" =>
+          SnapshotStore.dropTag(spark, root, branchName(input)); true
       }
       val row = new GenericInternalRow(Array[Any](result))
       java.util.Collections.singletonList[Scan](

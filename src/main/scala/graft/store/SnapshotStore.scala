@@ -3023,6 +3023,74 @@ object SnapshotStore {
         "concurrent writers kept taking the next version")
   }
 
+  // ------------------------------------------------------------------
+  // tags (named immutable version refs)
+  // ------------------------------------------------------------------
+
+  private val TagDirName = "_tags"
+
+  private def tagPath(root: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9_-]{1,64}"),
+      s"invalid tag name '$name' (letters, digits, _ and - only)")
+    new Path(new Path(root, TagDirName), name)
+  }
+
+  /** Name a RETAINED version: `<root>/_tags/<name>` holds the version
+    * id, and [[vacuum]] keeps history from the oldest tag forward —
+    * the release/audit bookmark pattern (a branch is a movable write
+    * head; a tag is an immutable read pin). Exclusive create is the
+    * arbiter: a tag can never be silently re-pointed (every reader of
+    * `VERSION AS OF 'stable'` would move with it) — drop and re-create
+    * to move one, explicitly.
+    */
+  def createTag(spark: SparkSession, root: String, name: String,
+                version: Option[Long] = None): Long = {
+    val fs = fileSystem(spark, root)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed graft table at $root")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v),
+      s"cannot tag version $v at $root: not a retained version " +
+        s"(have ${vs.head}..${vs.last})")
+    val p = tagPath(root, name)
+    fs.mkdirs(p.getParent)
+    val out =
+      try fs.create(p, false)
+      catch {
+        case _: java.io.IOException => throw new IllegalStateException(
+          s"tag '$name' already exists at $root — tags are immutable; " +
+            "drop_tag first to re-point it")
+      }
+    try out.write(s"$v\n".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    v
+  }
+
+  /** The tagged version, None when the tag does not exist. A torn tag
+    * (create crashed before the payload) reads as None too — it lists
+    * with -1 via [[listTags]] so an operator can find and drop it.
+    */
+  def tagVersion(spark: SparkSession, root: String, name: String): Option[Long] = {
+    val fs = fileSystem(spark, root)
+    smallFileText(fs, tagPath(root, name))
+      .map(_.trim).filter(_.nonEmpty).map(_.toLong)
+  }
+
+  /** (name, version) per tag, -1 for a torn create. */
+  def listTags(spark: SparkSession, root: String): Seq[(String, Long)] = {
+    val fs = fileSystem(spark, root)
+    val dir = new Path(root, TagDirName)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.filter(_.isFile).map(_.getPath.getName).sorted
+      .map(n => n -> tagVersion(spark, root, n).getOrElse(-1L))
+  }
+
+  /** Idempotent: dropping an absent tag is a no-op. */
+  def dropTag(spark: SparkSession, root: String, name: String): Unit = {
+    val fs = fileSystem(spark, root)
+    fs.delete(tagPath(root, name), false): Unit
+  }
+
   /** Full text of a small metadata file, None when absent. */
   private def smallFileText(fs: FileSystem, p: Path): Option[String] = {
     if (!fs.exists(p)) return None
@@ -3091,8 +3159,14 @@ object SnapshotStore {
     // going stale under it (drop abandoned consumers via
     // [[ChangeFeed.dropConsumer]] to release their history)
     val minConsumer = ChangeFeed.minConsumerOffset(spark, root)
+    // a TAG pins its version (and, in this suffix-retention model,
+    // everything after it): retention stretches to the oldest tag the
+    // same way it stretches to the slowest feed consumer — drop_tag
+    // releases the history
+    val minTag = listTags(spark, root).map(_._2).filter(_ >= 0)
+      .minOption.getOrElse(Long.MaxValue)
     val keepFrom = math.min(vs.takeRight(keepLast).head,
-      minConsumer.getOrElse(Long.MaxValue))
+      math.min(minConsumer.getOrElse(Long.MaxValue), minTag))
     val keep = vs.filter(_ >= keepFrom)
     val latest = vs.last
     val referenced: Set[String] =

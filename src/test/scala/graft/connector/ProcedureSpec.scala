@@ -108,7 +108,8 @@ class ProcedureSpec extends SparkSpec {
     assert(cat.listProcedures(Array("system")).map(_.name()).toSet ==
       Set("compact", "vacuum", "restore", "checkpoint",
         "clone", "rebucket", "materialize", "detail", "history", "analyze",
-        "branch", "publish_branch", "drop_branch", "branches"))
+        "branch", "publish_branch", "drop_branch", "branches",
+        "tag", "drop_tag", "tags"))
   }
 
   test("CALL system.history lists retained versions with in-commit timestamps") {
