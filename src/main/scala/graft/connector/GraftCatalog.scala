@@ -145,6 +145,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // the read-only sibling of the branch_ convention (writes refuse
       // through the versioned table's own guards). A REAL table always
       // wins the name; tags never list/create/drop through identifiers.
+      // `cat.ns.t.meta_<kind>`: inspection views (history / detail /
+      // files / tags / branches / props) as SELECT-able relations —
+      // the composable form of CALL system.<kind>
+      if (ident.name().startsWith("meta_") && ident.namespace().nonEmpty) {
+        val parent = dirOf(ident.namespace().toSeq)
+        val kind = ident.name().stripPrefix("meta_")
+        if (isTable(parent) && GraftMetadataTable.Kinds(kind)) {
+          require(version.isEmpty,
+            s"metadata view $ident reflects the CURRENT table state — " +
+              "VERSION/TIMESTAMP AS OF does not apply")
+          return new GraftMetadataTable(parent.toString, kind)
+        }
+      }
       if (ident.name().startsWith("tag_") && ident.namespace().nonEmpty) {
         val parent = dirOf(ident.namespace().toSeq)
         if (isTable(parent)) {

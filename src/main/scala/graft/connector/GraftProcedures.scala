@@ -155,17 +155,8 @@ object GraftProcedures {
       case "clone"      => new StructType().add("version", LongType)
       case "rebucket"   => new StructType().add("version", LongType)
       case "materialize" => new StructType().add("version", LongType)
-      case "detail" => new StructType()
-        .add("bucket", IntegerType)
-        .add("files", IntegerType)
-        .add("bytes", LongType)
-        .add("rows", LongType) // null = pre-format-4 entry (not recorded)
-        .add("tombstone_dirs", IntegerType)
-        .add("tombstone_bytes", LongType)
-      case "history" => new StructType()
-        .add("version", LongType)
-        .add("committed_at", TimestampType)
-        .add("is_current", BooleanType)
+      case "detail"  => GraftMetadataTable.schemaOf("detail")
+      case "history" => GraftMetadataTable.schemaOf("history")
       case "analyze" => new StructType()
         .add("version", LongType)
         .add("analyzed_columns", IntegerType)
@@ -175,13 +166,8 @@ object GraftProcedures {
       case "drop_branch"    => new StructType().add("dropped", BooleanType)
       case "tag"      => new StructType().add("version", LongType)
       case "drop_tag" => new StructType().add("dropped", BooleanType)
-      case "tags" => new StructType()
-        .add("name", StringType)
-        .add("version", LongType)
-      case "branches" => new StructType()
-        .add("name", StringType)
-        .add("base_version", LongType)
-        .add("branch_version", LongType)
+      case "tags"     => GraftMetadataTable.schemaOf("tags")
+      case "branches" => GraftMetadataTable.schemaOf("branches")
     }
 
     private def csv(s: String): Seq[String] =
@@ -192,26 +178,12 @@ object GraftProcedures {
       val table = Option(input.getUTF8String(0)).map(_.toString).getOrElse(
         throw new IllegalArgumentException(s"$proc: 'table' must not be NULL"))
       val root = catalog.resolveTableDir(table)
-      if (proc == "detail") return detailRows(spark, root)
-      if (proc == "history") return historyRows(spark, root)
-      if (proc == "branches") {
-        val rows = SnapshotStore.listBranches(spark, root).map {
-          case (n, b, v) => new GenericInternalRow(Array[Any](
-            org.apache.spark.unsafe.types.UTF8String.fromString(n), b, v))
-            : InternalRow
-        }
+      // the row-SET procedures share their schema and row builders with
+      // the `t.meta_<kind>` relations (GraftMetadataTable) — one truth
+      if (Set("detail", "history", "tags", "branches")(proc))
         return java.util.Collections.singletonList[Scan](
-          new ResultScan(outSchema, rows.toArray)).iterator()
-      }
-      if (proc == "tags") {
-        val rows = SnapshotStore.listTags(spark, root).map {
-          case (n, v) => new GenericInternalRow(Array[Any](
-            org.apache.spark.unsafe.types.UTF8String.fromString(n), v))
-            : InternalRow
-        }
-        return java.util.Collections.singletonList[Scan](
-          new ResultScan(outSchema, rows.toArray)).iterator()
-      }
+          new ResultScan(outSchema,
+            GraftMetadataTable.rowsOf(spark, root, proc))).iterator()
       if (proc == "analyze") {
         val ts = SnapshotStore.analyze(spark, root,
           csv(input.getUTF8String(1).toString))
@@ -264,48 +236,6 @@ object GraftProcedures {
     private def branchName(input: InternalRow): String =
       Option(input.getUTF8String(1)).map(_.toString).getOrElse(
         throw new IllegalArgumentException(s"$proc: 'name' must not be NULL"))
-
-    /** One row per bucket from manifest + a driver file listing
-      * (O(files) metadata, the same census `compact` runs): the view
-      * an operator sizes compaction and tombstone folding from.
-      */
-    private def detailRows(spark: SparkSession, root: String): JIterator[Scan] = {
-      val m = GraftTable.manifestAt(spark, root, None)
-      val fs = new org.apache.hadoop.fs.Path(root)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      def dataFiles(rel: String) =
-        fs.listStatus(SnapshotStore.dataPath(root, rel)).toSeq
-          .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
-            && !st.getPath.getName.startsWith("."))
-      val rows = m.buckets.toSeq.sortBy(_._1).map { case (b, e) =>
-        val files = dataFiles(e.dir)
-        val tombBytes = e.tombstones.flatMap(dataFiles).map(_.getLen).sum
-        new GenericInternalRow(Array[Any](
-          b, files.length, files.map(_.getLen).sum,
-          e.rows.map(java.lang.Long.valueOf).orNull,
-          e.tombstones.size, tombBytes)): InternalRow
-      }
-      java.util.Collections.singletonList[Scan](
-        new ResultScan(outSchema, rows.toArray)).iterator()
-    }
-
-    /** One row per RETAINED version (vacuum prunes history), newest
-      * last: the version id and its in-commit timestamp — exactly what
-      * `VERSION AS OF` / `TIMESTAMP AS OF` and `restore` resolve
-      * against. O(versions) manifest HEADER reads, no data I/O.
-      */
-    private def historyRows(spark: SparkSession, root: String): JIterator[Scan] = {
-      val vs = SnapshotStore.versions(spark, root)
-      val cur = vs.lastOption.getOrElse(
-        throw new IllegalStateException(s"no committed graft table at $root"))
-      val rows = vs.map { v =>
-        new GenericInternalRow(Array[Any](
-          v, SnapshotStore.commitTimeMillis(spark, root, v) * 1000L,
-          v == cur)): InternalRow
-      }
-      java.util.Collections.singletonList[Scan](
-        new ResultScan(outSchema, rows.toArray)).iterator()
-    }
 
     /** The table's manifest-persisted merge keys (rebucket/materialize
       * rewrite by them; SQL has no channel to re-supply them — exactly

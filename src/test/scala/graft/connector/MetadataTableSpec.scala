@@ -1,0 +1,79 @@
+package graft.connector
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** `cat.ns.t.meta_<kind>` inspection relations: the composable form of
+  * `CALL system.detail/history/tags/branches` (a CALL's output is
+  * terminal; a relation joins, filters, aggregates) plus the
+  * CALL-less `meta_files` / `meta_props` views.
+  */
+class MetadataTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val warehouse = Files.createTempDirectory("graft-meta").toString
+  spark.conf.set("spark.sql.catalog.gmeta", classOf[GraftCatalog].getName)
+  spark.conf.set("spark.sql.catalog.gmeta.root", warehouse)
+  spark.sql("CREATE NAMESPACE IF NOT EXISTS gmeta.a")
+  spark.sql("""CREATE TABLE gmeta.a.t (k BIGINT, v STRING) USING graft
+               TBLPROPERTIES ('keys'='k', 'numBuckets'='2', 'team'='core')""")
+  spark.sql("INSERT INTO gmeta.a.t VALUES (1, 'a'), (2, 'b')")
+  spark.sql("INSERT INTO gmeta.a.t VALUES (1, 'a2')")
+
+  test("meta_history composes in SQL: aggregate over versions, and it matches CALL") {
+    val hist = spark.sql(
+      "SELECT version, is_current FROM gmeta.a.t.meta_history ORDER BY version")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(hist == Seq((0L, false), (1L, false), (2L, true)))
+    // the composable read the CALL form cannot do
+    val newest = spark.sql(
+      """SELECT max(version) FROM gmeta.a.t.meta_history
+         WHERE NOT is_current""").as[Long].head()
+    assert(newest == 1L)
+    val viaCall = spark.sql("CALL gmeta.system.history(table => 'a.t')")
+    assert(viaCall.columns.toSeq ==
+      spark.table("gmeta.a.t.meta_history").columns.toSeq)
+    assert(viaCall.count() == 3)
+  }
+
+  test("meta_detail + meta_files agree on bytes; meta_files names real files") {
+    val detailBytes = spark.sql(
+      "SELECT CAST(sum(bytes) AS BIGINT) FROM gmeta.a.t.meta_detail")
+      .as[Long].head()
+    val fileBytes = spark.sql(
+      "SELECT CAST(sum(bytes) AS BIGINT) FROM gmeta.a.t.meta_files WHERE kind = 'data'")
+      .as[Long].head()
+    assert(detailBytes == fileBytes && fileBytes > 0)
+    val paths = spark.sql("SELECT path FROM gmeta.a.t.meta_files")
+      .as[String].collect()
+    assert(paths.nonEmpty && paths.forall(_.contains("bucket=")))
+  }
+
+  test("meta_tags, meta_branches, meta_props surface the refs and contracts") {
+    spark.sql("CALL gmeta.system.tag(table => 'a.t', name => 'rel')")
+    assert(spark.sql("SELECT name, version FROM gmeta.a.t.meta_tags")
+      .as[(String, Long)].head() == (("rel", 2L)))
+    spark.sql("CALL gmeta.system.branch(table => 'a.t', name => 'wip')")
+    val br = spark.sql(
+      "SELECT name, base_version FROM gmeta.a.t.meta_branches")
+      .as[(String, Long)].head()
+    assert(br == (("wip", 2L)))
+    spark.sql("CALL gmeta.system.drop_branch(table => 'a.t', name => 'wip')")
+    val team = spark.sql(
+      "SELECT value FROM gmeta.a.t.meta_props WHERE key = 'team'")
+      .as[String].head()
+    assert(team == "core")
+    // unknown kinds and time travel over views refuse with guidance
+    val bad = intercept[Exception] {
+      spark.sql("SELECT * FROM gmeta.a.t.meta_nope").collect()
+    }
+    assert(bad.getMessage.contains("meta_nope") ||
+      bad.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
+    val tt = intercept[Exception] {
+      spark.sql("SELECT * FROM gmeta.a.t.meta_history VERSION AS OF 1").collect()
+    }
+    assert(tt.getMessage.contains("CURRENT table state") ||
+      tt.getMessage.toLowerCase.contains("not found"), tt.getMessage)
+  }
+}
