@@ -100,6 +100,19 @@ object ChangeFeed {
             s"manifest ${v - 1} was vacuumed — register a consumer " +
             "(consumeChanges) to hold retention, or read from a newer version")
         else Some(SnapshotStore.readManifest(spark, root, v - 1))
+      // REPLACE TABLE commits unrelated content (possibly under new
+      // merge keys) as the next version: a keyed diff across that
+      // boundary would emit garbage I/U/D rows — refuse with the
+      // re-sync recipe instead
+      mOld.foreach { om =>
+        if (om.keys.nonEmpty && mNew.keys.nonEmpty && om.keys != mNew.keys)
+          throw new IllegalStateException(
+            s"change feed at $root crosses a REPLACE TABLE boundary at " +
+              s"version $v (merge keys ${om.keys.mkString(",")} -> " +
+              s"${mNew.keys.mkString(",")}): a keyed diff across unrelated " +
+              "contents is meaningless — re-sync the consumer from the " +
+              s"replaced table's full state and continue from version $v")
+      }
       diffStep(spark, root, keys, mOld, mNew, v)
     }
     def union(dfs: Seq[DataFrame]): DataFrame =

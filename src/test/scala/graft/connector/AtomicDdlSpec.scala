@@ -112,6 +112,27 @@ class AtomicDdlSpec extends SparkSpec {
     assert(!props.contains("team") && !props.contains("dml.mode"))
   }
 
+  test("the change feed refuses to diff across a keys-changing REPLACE boundary") {
+    spark.sql("""CREATE TABLE gatm.a.cf (k BIGINT, v STRING) USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO gatm.a.cf VALUES (1, 'a'), (2, 'b')")
+    val dir = s"$warehouse/a/cf"
+    val vBefore = SnapshotStore.latestVersion(spark, dir).get
+    spark.sql("""REPLACE TABLE gatm.a.cf TBLPROPERTIES ('keys'='g') AS
+                 SELECT k % 2 AS g, count(*) AS n FROM gatm.a.cf GROUP BY k % 2""")
+    val e = intercept[IllegalStateException] {
+      graft.store.ChangeFeed.readChanges(spark, dir, Seq("g"),
+        vBefore, vBefore + 1).collect()
+    }
+    assert(e.getMessage.contains("REPLACE TABLE boundary"))
+    // diffs strictly AFTER the boundary work under the new keys
+    spark.sql("INSERT INTO gatm.a.cf VALUES (0, 99)")
+    val post = graft.store.ChangeFeed.readChanges(spark, dir, Seq("g"),
+      vBefore + 1, vBefore + 2)
+    assert(post.where("_change_type like 'update%' or _change_type = 'insert'")
+      .count() > 0)
+  }
+
   test("a create race is detected and withdrawn: the winner's table survives intact") {
     val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
       Array("a"), "raced")
