@@ -253,6 +253,46 @@ object Soak {
       .map(_.dir.takeWhile(_ != '/')).toSet.count(_.contains("-pub-")).toLong
     require(spark.table(s"soak.ns.$wapT").count() == totalOrders,
       "WAP publish changed the row count")
+
+    // ---------------- 3d. atomic RTAS + tag retention at scale -------
+    // The claim: REPLACE TABLE AS SELECT costs the staged write of the
+    // NEW content plus an O(adopted-dirs) rename commit — never a copy
+    // of the old table. Evidence: replacing the scale-10 order table
+    // with its ~handful-row status rollup takes rollup-write time, not
+    // table-copy time (compare wap_create, the O(table) CTAS of the
+    // same source). A tag pins the pre-replace history through vacuum;
+    // dropping it releases the old versions.
+    val rtasV0 = graft.store.SnapshotStore.latestVersion(spark, wapRoot).get
+    dphase("rtas_replace") {
+      spark.sql(s"""REPLACE TABLE soak.ns.$wapT
+        |TBLPROPERTIES('keys'='o_orderstatus','numBuckets'='4')
+        |AS SELECT o_orderstatus, count(*) AS n
+        |FROM soak.ns.$wapT GROUP BY o_orderstatus""".stripMargin)
+    }
+    val rtasM = mfst(wapT)
+    require(rtasM.version == rtasV0 + 1, "RTAS must commit exactly one version")
+    dmlN("rtas_adopted_dirs") = rtasM.buckets.values
+      .map(_.dir.takeWhile(_ != '/')).toSet.count(_.contains("-rtas-")).toLong
+    require(spark.table(s"soak.ns.$wapT")
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+      == totalOrders, "RTAS rollup lost rows")
+    spark.sql(s"CALL soak.system.tag(table => 'ns.$wapT', " +
+      s"name => 'prereplace', version => $rtasV0)")
+    dphase("rtas_vacuum_tag_pinned") {
+      spark.sql(s"CALL soak.system.vacuum(table => 'ns.$wapT', keep_last => 1)")
+    }
+    require(spark.sql(
+      s"SELECT count(*) FROM soak.ns.$wapT VERSION AS OF 'prereplace'")
+      .head().getLong(0) == totalOrders,
+      "tag failed to pin the pre-replace history through vacuum")
+    spark.sql(s"CALL soak.system.drop_tag(table => 'ns.$wapT', name => 'prereplace')")
+    dphase("rtas_vacuum_released") {
+      spark.sql(s"CALL soak.system.vacuum(table => 'ns.$wapT', keep_last => 1)")
+    }
+    require(graft.store.SnapshotStore.versions(spark, wapRoot)
+      .forall(_ >= rtasM.version),
+      "drop_tag + vacuum should have reclaimed the replaced history")
+
     dml.foreach { case (k, v) => println(f"[soak-dml] $k%-32s $v%8.3fs") }
     dmlN.foreach { case (k, v) => println(f"[soak-dml] $k%-32s $v%8d") }
 
