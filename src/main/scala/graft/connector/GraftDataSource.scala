@@ -967,6 +967,41 @@ class GraftScan(spark: SparkSession, root: String, m: Manifest,
     StructType(required.fields.filterNot(_.name == SnapshotStore.BucketCol).toSeq)
 
   override def toBatch: Batch = this
+
+  /** Pruning observability in the Spark UI (SQL node metrics): how
+    * many buckets/files the manifest held vs how many this scan will
+    * actually read, and the tombstone debt it subtracts in-scan. At
+    * warehouse scale "did the filter prune?" must be readable off the
+    * executed plan, not re-derived by explaining the query — these are
+    * driver-side planning facts, so they report through
+    * `reportDriverMetrics`, not per-task accumulation.
+    */
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] = Array(
+    new GraftSumMetric("graftBucketsRead", "graft: buckets read"),
+    new GraftSumMetric("graftBucketsPruned", "graft: buckets pruned"),
+    new GraftSumMetric("graftFilesRead", "graft: files read"),
+    new GraftSumMetric("graftPlannedBytes", "graft: planned bytes"),
+    new GraftSumMetric("graftTombstoneBuckets", "graft: buckets with delete sidecars"))
+
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val files = plannedFiles
+    val read = files.map(_._2).distinct.size.toLong
+    def metric(n: String, v: Long) =
+      new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+        override def name(): String = n
+        override def value(): Long = v
+      }
+    Array(
+      metric("graftBucketsRead", read),
+      metric("graftBucketsPruned", m.buckets.size.toLong - read),
+      metric("graftFilesRead", files.size.toLong),
+      metric("graftPlannedBytes", files.map(_._3).sum),
+      metric("graftTombstoneBuckets",
+        m.buckets.values.count(_.tombstones.nonEmpty).toLong))
+  }
+
   override def description(): String =
     s"graft $root v${m.version} buckets=${plannedFiles.map(_._2).distinct.size} " +
       s"files=${plannedFiles.size} prunedBy=[${filters.mkString(", ")}]" +
@@ -1247,4 +1282,11 @@ class GraftReaderFactory(readFunc: PartitionedFile => Iterator[InternalRow],
       override def close(): Unit = ()
     }
   }
+}
+
+/** A sum-aggregated custom metric (driver-reported planning facts). */
+private[connector] final class GraftSumMetric(n: String, desc: String)
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = n
+  override def description(): String = desc
 }
