@@ -291,9 +291,12 @@ object GraftTable {
       case Some(declared) if base.nonEmpty =>
         val overlaid = base.fields.toSeq.map { f =>
           declared.fields.find(_.name.equalsIgnoreCase(f.name)) match {
-            case Some(d) if d.metadata !=
-                org.apache.spark.sql.types.Metadata.empty =>
-              f.copy(metadata = d.metadata)
+            case Some(d) =>
+              val md = if (d.metadata != org.apache.spark.sql.types.Metadata.empty)
+                d.metadata else f.metadata
+              // a declared NOT NULL is truthful: every write door runs
+              // the writeVersionData null guard from the table's birth
+              f.copy(metadata = md, nullable = f.nullable && d.nullable)
             case _ => f
           }
         }

@@ -210,6 +210,19 @@ object SnapshotStore {
   private[graft] def deltaModeDeclared(spark: SparkSession, root: String): Boolean =
     readProps(spark, root).get("dml.mode").contains("delta")
 
+  /** The catalog-declared schema (`_schema` breadcrumb, written at
+    * CREATE and evolved by ALTER) — the carrier of declarations data
+    * footers cannot hold: column order, NOT NULL, DEFAULT metadata.
+    * None for path-created tables, which have no declarations.
+    */
+  private[graft] def declaredSchema(spark: SparkSession, root: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val fs = fileSystem(spark, root)
+    smallFileText(fs, new Path(root, "_schema")).map(s =>
+      org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
   /** `_props` values are one-per-line TSV, so control whitespace must
     * be escaped — generation expressions arrive with the user's DDL
     * formatting (newlines) intact. Reversible percent-encoding of
@@ -1685,6 +1698,21 @@ object SnapshotStore {
           s"null merge key '$k' rejected: the table at $root declares " +
             "dml.mode=delta, whose row-identity contract requires " +
             "non-null merge keys"))).otherwise(col(k))))
+    // ANSI NOT NULL (declared at CREATE, recorded in the `_schema`
+    // breadcrumb): fused into the same projection, so EVERY write door
+    // rejects a null in a declared non-nullable column — which is what
+    // makes the non-nullable read schema truthful. SQL writes also get
+    // Spark's own ANSI store-assignment runtime check; this guard
+    // covers the library/path/streaming doors that never pass the
+    // analyzer. A source frame MISSING the column is caught too: the
+    // upsert merge null-fills its rows before this projection runs.
+    val notNullGuarded = declaredSchema(df.sparkSession, root)
+      .map(_.fields.toSeq.filter(!_.nullable).map(_.name)).getOrElse(Nil)
+      .filter(c => checked.columns.contains(c))
+      .foldLeft(checked)((d, c) => d.withColumn(c,
+        when(col(c).isNull, raise_error(lit(
+          s"NOT NULL column '$c' rejected a null value on the table at " +
+            root)).cast(d.schema(c).dataType)).otherwise(col(c))))
     // ANSI CHECK constraints (`constraint.check.<name>` props, recorded
     // by the catalog's ADD CONSTRAINT after validating existing data):
     // fused into the same projection — ANY write path (SQL, library,
@@ -1694,7 +1722,7 @@ object SnapshotStore {
     val constrained = props.toSeq.sortBy(_._1).collect {
       case (k, sql) if k.startsWith("constraint.check.") =>
         (k.stripPrefix("constraint.check."), sql)
-    }.foldLeft(checked) { case (d, (cname, sql)) =>
+    }.foldLeft(notNullGuarded) { case (d, (cname, sql)) =>
       val anchor = d.columns.head
       d.withColumn(anchor,
         when(coalesce(expr(sql), lit(true)) === false, raise_error(lit(
