@@ -49,7 +49,8 @@ class GraftChangeFeedSource(spark: SparkSession, root: String,
                             keys: Seq[String], consumerId: Option[String],
                             initialVersion: Long,
                             maxVersionsPerBatch: Option[Long],
-                            metadataPath: Option[String]) extends Source {
+                            metadataPath: Option[String]) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   override val schema: StructType = GraftChangeFeedSource.feedSchema(spark, root)
 
@@ -112,6 +113,31 @@ class GraftChangeFeedSource(spark: SparkSession, root: String,
   @volatile private var highWater: Long =
     math.max(initialVersion, persistedOffer.getOrElse(Long.MinValue))
 
+  /** `Trigger.AvailableNow` end-of-data latch. Without this trait the
+    * engine falls back to single-batch Trigger.Once semantics for the
+    * source — which, under `maxVersionsPerBatch` pacing, DRAINS ONE
+    * PACED BATCH and stops, silently leaving committed versions
+    * unprocessed (caught by AvailableNowSpec). With it, getOffset
+    * paces toward the version latched here and plateaus, so the run
+    * terminates exactly when everything available at query start has
+    * been processed — commits landing after the latch wait for the
+    * next run, the AvailableNow contract.
+    */
+  @volatile private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowTarget = SnapshotStore.latestVersion(spark, root)
+  }
+
+  /** Admission control rides the SAME pacing [[getOffset]] already
+    * implements (`highWater + maxVersionsPerBatch`, durable offers) —
+    * the engine calls this form when the trait is present.
+    */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    getOffset.orNull
+
   /** The available offset is the table's latest version (floored at
     * the start point so a fresh query's first batch is empty rather
     * than unconstructible; capped at `highWater + maxVersionsPerBatch`
@@ -123,7 +149,8 @@ class GraftChangeFeedSource(spark: SparkSession, root: String,
     */
   override def getOffset: Option[Offset] =
     SnapshotStore.latestVersion(spark, root).map { v =>
-      val floored = math.max(v, initialVersion)
+      val vEff = availableNowTarget.fold(v)(t => math.min(v, t))
+      val floored = math.max(vEff, initialVersion)
       val offered = maxVersionsPerBatch
         .fold(floored)(n => math.min(floored, highWater + n))
       if (offered > highWater) {
