@@ -265,14 +265,23 @@ object GraftTable {
     // BELOW the epoch must not inherit the replacement's declared
     // columns/metadata (the additive-evolution null-fill overlay is
     // for columns ADDED to the same table, not a different table that
-    // took the name's history slot) — pre-epoch versions resolve from
-    // their own footers alone
+    // took the name's history slot). Each REPLACE archives the schema
+    // it displaces (`_schema_upto_<v>`), so a pre-epoch version reads
+    // under its OWN epoch's declarations; with no archive it resolves
+    // from footers alone.
     val props = SnapshotStore.readProps(spark, root)
     val preReplace = versionAsOf.exists(v =>
       props.get("graft.schema.epoch").map(_.toLong).exists(v < _))
-    if (preReplace) return base
-    val schema = withEvolvedColumns(spark, root,
-      withDeclaredMetadata(spark, root, base))
+    if (preReplace) {
+      val archived = SnapshotStore.archivedSchemaFor(spark, root, versionAsOf.get)
+      // delta-key non-null marking deliberately NOT applied: the
+      // current dml.mode property says nothing about a replaced epoch
+      return withEvolvedColumns(archived,
+        withDeclaredMetadata(archived, base))
+    }
+    val declared = readSchemaFile(spark, root)
+    val schema = withEvolvedColumns(declared,
+      withDeclaredMetadata(declared, base))
     if (m.keys.nonEmpty && props.get("dml.mode").contains("delta"))
       StructType(schema.fields.toSeq.map(f =>
         if (m.keys.contains(f.name)) f.copy(nullable = false) else f))
@@ -285,9 +294,9 @@ object GraftTable {
     * footer-derived fields so `INSERT` default resolution keeps
     * working after the first data lands (types stay the footers').
     */
-  private def withDeclaredMetadata(spark: SparkSession, root: String,
+  private def withDeclaredMetadata(declaredOpt: Option[StructType],
                                    base: StructType): StructType =
-    readSchemaFile(spark, root) match {
+    declaredOpt match {
       case Some(declared) if base.nonEmpty =>
         val overlaid = base.fields.toSeq.map { f =>
           declared.fields.find(_.name.equalsIgnoreCase(f.name)) match {
@@ -319,9 +328,9 @@ object GraftTable {
     * them) so reads null-fill immediately, the additive-evolution
     * rule the write path already applies.
     */
-  private def withEvolvedColumns(spark: SparkSession, root: String,
+  private def withEvolvedColumns(declaredOpt: Option[StructType],
                                  base: StructType): StructType =
-    readSchemaFile(spark, root) match {
+    declaredOpt match {
       case Some(declared) if base.nonEmpty =>
         val extra = declared.fields.toSeq
           .filterNot(f => base.fieldNames.exists(_.equalsIgnoreCase(f.name)))
@@ -341,21 +350,13 @@ object GraftTable {
     finally out.close()
   }
 
+  /** One parser of the `_schema` breadcrumb: the store's (the write
+    * guard reads the same declarations this overlay presents — two
+    * parsers would drift).
+    */
   private[connector] def readSchemaFile(spark: SparkSession,
-                                        root: String): Option[StructType] = {
-    val p = new Path(root, SchemaFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val body = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-        buf.toString("UTF-8")
-      } finally in.close()
-      Some(org.apache.spark.sql.types.DataType.fromJson(body).asInstanceOf[StructType])
-    }
-  }
+                                        root: String): Option[StructType] =
+    SnapshotStore.declaredSchema(spark, root)
 }
 
 /** One graft table resolved for reading and writing. The manifest is

@@ -223,8 +223,12 @@ object GraftProcedures {
         case "drop_branch" =>
           SnapshotStore.dropBranch(spark, root, branchName(input)); true
         case "tag" =>
+          // an explicit NULL version means "current", same as the -1
+          // default (getLong on a null slot would silently read 0 —
+          // pinning the empty CREATE commit forever)
           SnapshotStore.createTag(spark, root, branchName(input),
-            Some(input.getLong(2)).filter(_ >= 0))
+            if (input.isNullAt(2)) None
+            else Some(input.getLong(2)).filter(_ >= 0))
         case "drop_tag" =>
           SnapshotStore.dropTag(spark, root, branchName(input)); true
       }

@@ -1706,9 +1706,22 @@ object SnapshotStore {
     // covers the library/path/streaming doors that never pass the
     // analyzer. A source frame MISSING the column is caught too: the
     // upsert merge null-fills its rows before this projection runs.
-    val notNullGuarded = declaredSchema(df.sparkSession, root)
+    val notNullCols = declaredSchema(df.sparkSession, root)
       .map(_.fields.toSeq.filter(!_.nullable).map(_.name)).getOrElse(Nil)
-      .filter(c => checked.columns.contains(c))
+    // a frame MISSING the column outright must refuse too: on the
+    // overwrite/init doors nothing merges a null in for the guard to
+    // catch — the files would simply lack the column, and reads would
+    // null-fill under a schema that promises non-null (silently wrong
+    // IS NULL folding). Append doors are unaffected: the upsert merge
+    // materializes the column before this projection runs.
+    locally {
+      val missing = notNullCols.filterNot(checked.columns.contains)
+      require(missing.isEmpty,
+        s"write to $root omits declared NOT NULL column(s) " +
+          s"${missing.mkString(", ")} — a null-filled history would " +
+          "violate the declaration")
+    }
+    val notNullGuarded = notNullCols
       .foldLeft(checked)((d, c) => d.withColumn(c,
         when(col(c).isNull, raise_error(lit(
           s"NOT NULL column '$c' rejected a null value on the table at " +
@@ -2998,13 +3011,28 @@ object SnapshotStore {
     // them out of the staged table
     var adopted = Map.empty[String, String]
     var attempt = 0
-    while (attempt < 5) {
+    val marker = "_rtas_adopting-" + newToken()
+    try while (attempt < 5) {
       attempt += 1
       val cur = latestVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed graft table at $root"))
       val pubV = cur + 1
       val mapping = localVds.map(vd =>
         vd -> s"v=$pubV-rtas-${vd.stripPrefix("v=")}").toMap
+      // adoption marker BEFORE the renames: during a lost-race retry
+      // the adopted dirs are named for a version that HAS committed
+      // (the competitor's) yet referenced by no manifest — without the
+      // marker a concurrent vacuum could reclaim the only copy of the
+      // staged data mid-statement (the _publishing pattern, vacuumed
+      // -side guard shared). Removed on every exit; a hard crash
+      // leaves it pinning only this statement's own dirs.
+      // the marker carries the PREVIOUS attempt's names too: a retry's
+      // renames are in flight between this write and their completion,
+      // and a vacuum in that window must see both generations
+      if (mapping.nonEmpty)
+        publishSmallFile(spark, root, marker,
+          (adopted.values ++ mapping.values).toSeq.distinct.sorted
+            .mkString("", "\n", "\n"))
       localVds.foreach { vd =>
         val src = adopted.get(vd).map(n => new Path(root, n))
           .getOrElse(new Path(staged, vd))
@@ -3021,16 +3049,25 @@ object SnapshotStore {
       val entries = m.buckets.map { case (b, e) =>
         b -> e.copy(dir = rehome(e.dir), tombstones = e.tombstones.map(rehome))
       }
-      // always a FULL manifest: the new content is unrelated to the
-      // replaced version, so a delta would be all-del + all-add anyway
-      writeManifestAtomic(fs, root, pubV, m.numBuckets, m.statsCols, m.txns,
-          entries, base = None, keys = m.keys) match {
+      // always a FULL manifest (the new content is unrelated to the
+      // replaced version, so a delta would be all-del + all-add
+      // anyway); the TARGET's txn high-water marks merge in — the
+      // table identity its streaming writers checkpoint against
+      // survives the replace, so a redelivered micro-batch stays a
+      // no-op instead of re-applying pre-replace rows on top of the
+      // replacement (staged marks win a collision: they are newer)
+      val mainM = readManifest(spark, root, cur)
+      writeManifestAtomic(fs, root, pubV, m.numBuckets, m.statsCols,
+          mainM.txns ++ m.txns, entries, base = None, keys = m.keys) match {
         case Some(cm) =>
           maybeCheckpoint(spark, root, cm)
           // contract swap (see scaladoc: after the data flip); the
           // schema EPOCH stamp keeps time travel honest — versions
-          // below it resolve from their own footers, not the
-          // replacement's declared schema
+          // below it resolve against the ARCHIVED declared schema of
+          // their own epoch (`_schema_upto_<v>`), or plain footers
+          // when none exists
+          smallFileText(fs, new Path(root, "_schema")).foreach(t =>
+            publishSmallFile(spark, root, f"_schema_upto_$cur%020d", t))
           writeProps(spark, root, readProps(spark, staged) +
             ("graft.schema.epoch" -> pubV.toString))
           smallFileText(fs, new Path(staged, "_schema")) match {
@@ -3045,10 +3082,31 @@ object SnapshotStore {
           return pubV
         case None => () // raced: loop re-renames under the next version
       }
-    }
+    } finally fs.delete(new Path(root, marker), false)
     throw new java.util.ConcurrentModificationException(
       s"could not commit REPLACE at $root after 5 attempts — " +
         "concurrent writers kept taking the next version")
+  }
+
+  /** The declared schema in force for time travel at `v` on a table
+    * whose contracts were later REPLACEd: the archived
+    * `_schema_upto_<n>` with the smallest n ≥ v (each REPLACE archives
+    * the schema it displaces under the last version it governed).
+    * None = no archive covers v (pre-archival table, or the breadcrumb
+    * never existed) — callers fall back to footers.
+    */
+  private[graft] def archivedSchemaFor(spark: SparkSession, root: String,
+                                       v: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val fs = fileSystem(spark, root)
+    val prefix = "_schema_upto_"
+    if (!fs.exists(new Path(root))) return None
+    fs.listStatus(new Path(root)).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(prefix) && n.stripPrefix(prefix).forall(_.isDigit))
+      .map(n => n.stripPrefix(prefix).toLong -> n)
+      .filter(_._1 >= v).sortBy(_._1).headOption
+      .flatMap { case (_, name) => smallFileText(fs, new Path(root, name)) }
+      .map(s => org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
   // ------------------------------------------------------------------
@@ -3085,9 +3143,14 @@ object SnapshotStore {
     val out =
       try fs.create(p, false)
       catch {
-        case _: java.io.IOException => throw new IllegalStateException(
-          s"tag '$name' already exists at $root — tags are immutable; " +
-            "drop_tag first to re-point it")
+        // only an actually-existing tag means "immutable, drop first" —
+        // a transient I/O failure must surface as itself, not as
+        // misleading drop_tag guidance
+        case e: java.io.IOException =>
+          if (fs.exists(p)) throw new IllegalStateException(
+            s"tag '$name' already exists at $root — tags are immutable; " +
+              "drop_tag first to re-point it")
+          else throw e
       }
     try out.write(s"$v\n".getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -3235,7 +3298,15 @@ object SnapshotStore {
             case Array(_, tgt) => Some(tgt.takeWhile(_ != '/'))
             case _ => None
           }))
-    }.toSet
+    }.toSet ++
+      // same window for an in-flight REPLACE: its rename-adopted
+      // v=<n>-rtas-* dirs are referenced state while the statement's
+      // `_rtas_adopting-*` marker lives (lost-race retries re-rename
+      // them under the next version before any manifest names them)
+      fs.listStatus(new Path(root)).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith("_rtas_adopting-"))
+        .flatMap(st => smallFileText(fs, st.getPath).toSeq
+          .flatMap(_.linesIterator.filter(_.nonEmpty)))
     fs.listStatus(new Path(root)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
       .filterNot(st => publishing.contains(st.getPath.getName))

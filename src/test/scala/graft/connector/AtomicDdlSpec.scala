@@ -133,6 +133,55 @@ class AtomicDdlSpec extends SparkSpec {
       .count() > 0)
   }
 
+  test("REPLACE carries the target's streaming txn marks; history reads under its own epoch schema") {
+    spark.sql("""CREATE TABLE gatm.a.tx (k BIGINT, v STRING) USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    val dir = s"$warehouse/a/tx"
+    // a streaming writer's exactly-once mark on the pre-replace table
+    SnapshotStore.commitDelta(spark, dir,
+      Seq((1L, "a")).toDF("k", "v"), Seq("k"),
+      (cur, delta) => delta.unionByName(cur.join(delta, Seq("k"), "left_anti")),
+      txn = Some(("sinkA", 7L)))
+    // first-epoch evolution: a declared column history null-fills
+    spark.sql("ALTER TABLE gatm.a.tx ADD COLUMN note STRING")
+    val vBefore = SnapshotStore.latestVersion(spark, dir).get
+    assert(spark.table("gatm.a.tx").columns.contains("note"))
+
+    spark.sql("""REPLACE TABLE gatm.a.tx TBLPROPERTIES ('keys'='k') AS
+                 SELECT 9 AS k, 99 AS m""")
+    val m = SnapshotStore.readManifest(spark, dir,
+      SnapshotStore.latestVersion(spark, dir).get)
+    // the redelivery guard survives the replace: batch 7 stays a no-op
+    assert(m.txns.get("sinkA").contains(7L), s"txns lost: ${m.txns}")
+    // pre-replace versions read under their OWN epoch's declarations —
+    // the evolved `note` column still null-fills, and the replacement's
+    // `m` column does not leak in
+    val old = spark.sql(s"SELECT * FROM gatm.a.tx VERSION AS OF $vBefore")
+    assert(old.columns.toSeq == Seq("k", "v", "note"), old.columns.toSeq)
+    assert(old.count() == 1)
+  }
+
+  test("an in-flight REPLACE's adopted dirs are vacuum-safe while its marker lives") {
+    spark.sql("""CREATE TABLE gatm.a.vm (k BIGINT) USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO gatm.a.vm VALUES (1), (2)")
+    val dir = s"$warehouse/a/vm"
+    // simulate the lost-race window: an adopted dir named for an
+    // ALREADY-COMMITTED version, referenced by no manifest
+    val orphan = new Path(dir, "v=1-rtas-stuck")
+    fs.mkdirs(new Path(orphan, "bucket=0"))
+    fs.create(new Path(orphan, "bucket=0/part-0.parquet"), true).close()
+    val marker = new Path(dir, "_rtas_adopting-test")
+    val out = fs.create(marker, true)
+    out.write("v=1-rtas-stuck\n".getBytes("UTF-8")); out.close()
+    SnapshotStore.vacuum(spark, dir, keepLast = 1)
+    assert(fs.exists(orphan), "marker-protected adopted dir was vacuumed")
+    // marker gone → the orphan is ordinary reclaim food
+    fs.delete(marker, false)
+    SnapshotStore.vacuum(spark, dir, keepLast = 1)
+    assert(!fs.exists(orphan), "unmarked orphan should be reclaimed")
+  }
+
   test("a create race is detected and withdrawn: the winner's table survives intact") {
     val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
       Array("a"), "raced")

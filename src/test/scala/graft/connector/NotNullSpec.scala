@@ -56,5 +56,13 @@ class NotNullSpec extends SparkSpec {
     }
     assert(omit.getMessage.toLowerCase.contains("null"), omit.getMessage)
     assert(spark.read.format("graft").load(root).count() == 1)
+    // the OVERWRITE door has no merge to materialize the null — the
+    // write must refuse up front rather than land files lacking the
+    // column (reads would null-fill under a non-nullable schema)
+    val over = intercept[Exception] {
+      Seq(4L).toDF("k").write.format("graft").mode("overwrite").save(root)
+    }
+    assert(over.getMessage.contains("omits declared NOT NULL"), over.getMessage)
+    assert(spark.read.format("graft").load(root).count() == 1)
   }
 }
