@@ -1679,7 +1679,20 @@ object SnapshotStore {
       case (k, sql) if k.startsWith("generated.") =>
         (k.stripPrefix("generated."), decPropValue(sql))
     }.foldLeft(minted) { case (d, (gname, sql)) =>
-      if (!d.columns.contains(gname)) d
+      if (!d.columns.contains(gname)) {
+        // a frame OMITTING the column outright (path/library door —
+        // SQL resolves every column) gets it COMPUTED, not silently
+        // absent: files lacking the column would null-fill on read
+        // under a contract that promises the generated value. The
+        // declared type comes from the `_schema` breadcrumb; without
+        // one (path-created table carrying generated props — not a
+        // reachable state today) the expression's natural type stands.
+        val declType = declaredSchema(d.sparkSession, root)
+          .flatMap(_.fields.find(_.name.equalsIgnoreCase(gname)))
+          .map(_.dataType)
+        val e = declType.fold(expr(sql))(t => expr(sql).cast(t))
+        d.withColumn(gname, e)
+      }
       else {
         val e = expr(sql).cast(d.schema(gname).dataType)
         d.withColumn(gname,

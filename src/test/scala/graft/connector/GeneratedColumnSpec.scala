@@ -133,5 +133,12 @@ class GeneratedColumnSpec extends SparkSpec {
       c = c.getCause
     }
     assert(found)
+    // an OVERWRITE whose frame omits the column entirely (no merge to
+    // null-fill it) gets the value COMPUTED, never files lacking the
+    // column that would null-fill on read under the contract
+    Seq((20L, 1234L)).toDF("k", "cents")
+      .write.format("graft").mode("overwrite").save(root)
+    assert(spark.table("gen.ns.t4").as[(Long, Long, Long)].collect().toSet ==
+      Set((20L, 1234L, 12L)))
   }
 }
