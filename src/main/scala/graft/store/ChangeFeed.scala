@@ -412,6 +412,30 @@ object ChangeFeed {
         s"target $targetRoot exists but consumer $id is unregistered on " +
           s"$sourceRoot — was the consumer dropped while the target lived on?"))
     if (from >= latest) return None
+    // a keys-changing REPLACE TABLE in the range makes a keyed diff
+    // meaningless (readChanges refuses it); for a DERIVED table the
+    // well-defined recovery is exactly the bootstrap: rebuild from the
+    // source's full current state as ONE atomic replace (the target's
+    // own keys are the transform's, unchanged by the source replace),
+    // then continue incrementally from here
+    val crossesReplace = SnapshotStore.versions(spark, sourceRoot)
+      .filter(v => v > from && v <= latest)
+      .exists { v =>
+        try {
+          val kNew = SnapshotStore.readManifest(spark, sourceRoot, v).keys
+          val kOld = SnapshotStore.readManifest(spark, sourceRoot, v - 1).keys
+          kNew.nonEmpty && kOld.nonEmpty && kNew != kOld
+        } catch { case _: Exception => false } // stale base: readChanges reports it
+      }
+    if (crossesReplace) {
+      val snap = transform(SnapshotStore.read(spark, sourceRoot))
+      keys.foreach(k => require(snap.columns.contains(k),
+        s"transform must preserve key column $k"))
+      SnapshotStore.replaceAll(spark, targetRoot, snap, keys,
+        txn = Some(s"graft.sync.$id" -> latest))
+      seedConsumer(spark, sourceRoot, id, latest)
+      return Some((from, latest))
+    }
     val changes = readChanges(spark, sourceRoot, keys, from, latest)
     // final state per key across the range: the last insert/postimage/
     // delete wins (a version holds at most one non-preimage row per

@@ -182,6 +182,39 @@ class AtomicDdlSpec extends SparkSpec {
     assert(!fs.exists(orphan), "unmarked orphan should be reclaimed")
   }
 
+  test("syncDerived recovers from a keys-changing REPLACE with a full refresh, then resumes incrementally") {
+    spark.sql("""CREATE TABLE gatm.a.sd (k BIGINT, status STRING) USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO gatm.a.sd VALUES (1, 'A'), (2, 'B'), (3, 'A')")
+    val src = s"$warehouse/a/sd"
+    val tgt = Files.createTempDirectory("graft-sd-tgt").toString + "/t"
+    def onlyA(df: org.apache.spark.sql.DataFrame) = df.where("status = 'A'")
+    def derived = spark.read.format("graft").load(tgt)
+      .as[(Long, String)].collect().toSet
+    // bootstrap + one incremental step (keys = the source's, preserved)
+    graft.store.ChangeFeed.syncDerived(spark, src, tgt, "sd", Seq("k"),
+      numBuckets = 2, transform = onlyA)
+    spark.sql("INSERT INTO gatm.a.sd VALUES (4, 'A')")
+    graft.store.ChangeFeed.syncDerived(spark, src, tgt, "sd", Seq("k"),
+      numBuckets = 2, transform = onlyA)
+    assert(derived == Set((1L, "A"), (3L, "A"), (4L, "A")))
+    // the source is atomically REPLACEd under NEW keys — the keyed
+    // diff is meaningless; the sync must rebuild the target from the
+    // full state (re-keying it to the new identity), not throw forever
+    spark.sql("""REPLACE TABLE gatm.a.sd TBLPROPERTIES ('keys'='id') AS
+                 SELECT k + 100 AS id, status FROM gatm.a.sd""")
+    val r = graft.store.ChangeFeed.syncDerived(spark, src, tgt, "sd",
+      Seq("id"), numBuckets = 2, transform = onlyA)
+    assert(r.isDefined)
+    assert(derived == Set((101L, "A"), (103L, "A"), (104L, "A")), derived)
+    // and the NEXT change syncs incrementally again under the new keys
+    spark.sql("INSERT INTO gatm.a.sd VALUES (999, 'A')")
+    graft.store.ChangeFeed.syncDerived(spark, src, tgt, "sd", Seq("id"),
+      numBuckets = 2, transform = onlyA)
+    assert(derived == Set((101L, "A"), (103L, "A"), (104L, "A"), (999L, "A")),
+      derived)
+  }
+
   test("a create race is detected and withdrawn: the winner's table survives intact") {
     val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
       Array("a"), "raced")
