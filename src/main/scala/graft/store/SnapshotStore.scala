@@ -3315,11 +3315,28 @@ object SnapshotStore {
       // same window for an in-flight REPLACE: its rename-adopted
       // v=<n>-rtas-* dirs are referenced state while the statement's
       // `_rtas_adopting-*` marker lives (lost-race retries re-rename
-      // them under the next version before any manifest names them)
+      // them under the next version before any manifest names them).
+      // A marker whose statement hard-crashed would pin its dirs
+      // forever, so one older than the staging TTL (default 24h — no
+      // live statement runs that long) is resolved here: if ANY of its
+      // dirs is referenced by a retained manifest the commit landed
+      // (marker cleanup alone crashed — drop just the marker), else
+      // the whole adoption is dead and dirs fall through to the
+      // ordinary unreferenced-dir sweep below.
       fs.listStatus(new Path(root)).toSeq
         .filter(st => st.isFile && st.getPath.getName.startsWith("_rtas_adopting-"))
-        .flatMap(st => smallFileText(fs, st.getPath).toSeq
-          .flatMap(_.linesIterator.filter(_.nonEmpty)))
+        .flatMap { st =>
+          val ttlMs = (spark.conf.getOption("spark.graft.staging.ttlHours")
+            .map(_.toDouble).getOrElse(24.0) * 3600 * 1000).toLong
+          val dirs = smallFileText(fs, st.getPath).toSeq
+            .flatMap(_.linesIterator.filter(_.nonEmpty))
+          if (st.getModificationTime >= System.currentTimeMillis() - ttlMs) dirs
+          else {
+            fs.delete(st.getPath, false)
+            if (dirs.exists(d => referenced.exists(_.startsWith(d + "/")))) dirs
+            else Nil
+          }
+        }
     fs.listStatus(new Path(root)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
       .filterNot(st => publishing.contains(st.getPath.getName))

@@ -176,10 +176,12 @@ class AtomicDdlSpec extends SparkSpec {
     out.write("v=1-rtas-stuck\n".getBytes("UTF-8")); out.close()
     SnapshotStore.vacuum(spark, dir, keepLast = 1)
     assert(fs.exists(orphan), "marker-protected adopted dir was vacuumed")
-    // marker gone → the orphan is ordinary reclaim food
-    fs.delete(marker, false)
+    // a STALE marker (hard-crashed statement, older than the staging
+    // TTL) is resolved by vacuum itself: marker removed, dirs reclaimed
+    fs.setTimes(marker, System.currentTimeMillis() - 48L * 3600 * 1000, -1)
     SnapshotStore.vacuum(spark, dir, keepLast = 1)
-    assert(!fs.exists(orphan), "unmarked orphan should be reclaimed")
+    assert(!fs.exists(marker), "stale adoption marker should be resolved")
+    assert(!fs.exists(orphan), "stale-marked orphan should be reclaimed")
   }
 
   test("syncDerived recovers from a keys-changing REPLACE with a full refresh, then resumes incrementally") {
