@@ -409,9 +409,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   private def sweepStaleStaging(stagingParent: Path, table: String): Unit = {
     if (!fs.exists(stagingParent)) return
-    val ttlMs = spark.conf.getOption("spark.graft.staging.ttlHours")
-      .map(_.toDouble).getOrElse(24.0) * 3600 * 1000
-    val cutoff = System.currentTimeMillis() - ttlMs.toLong
+    val cutoff = System.currentTimeMillis() - SnapshotStore.stagingTtlMs(spark)
     fs.listStatus(stagingParent).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(table + "-"))
       .filter(_.getModificationTime < cutoff)

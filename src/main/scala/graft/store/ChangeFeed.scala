@@ -80,6 +80,14 @@ object ChangeFeed {
     * or under `maxPlanSteps` (every tight consumer loop) stay fully
     * lazy and plan exactly as before.
     */
+  /** ONE definition of "this step is a keys-changing REPLACE" —
+    * [[readChanges]] refuses on it and [[syncDerived]] full-refreshes
+    * on it; two copies of the predicate would let the refusal and the
+    * recovery drift apart.
+    */
+  private def replaceBoundary(mOld: Manifest, mNew: Manifest): Boolean =
+    mOld.keys.nonEmpty && mNew.keys.nonEmpty && mOld.keys != mNew.keys
+
   def readChanges(spark: SparkSession, root: String, keys: Seq[String],
                   fromVersion: Long, toVersion: Long,
                   maxPlanSteps: Int = 32): DataFrame = {
@@ -105,7 +113,7 @@ object ChangeFeed {
       // boundary would emit garbage I/U/D rows — refuse with the
       // re-sync recipe instead
       mOld.foreach { om =>
-        if (om.keys.nonEmpty && mNew.keys.nonEmpty && om.keys != mNew.keys)
+        if (replaceBoundary(om, mNew))
           throw new IllegalStateException(
             s"change feed at $root crosses a REPLACE TABLE boundary at " +
               s"version $v (merge keys ${om.keys.mkString(",")} -> " +
@@ -421,11 +429,10 @@ object ChangeFeed {
     val crossesReplace = SnapshotStore.versions(spark, sourceRoot)
       .filter(v => v > from && v <= latest)
       .exists { v =>
-        try {
-          val kNew = SnapshotStore.readManifest(spark, sourceRoot, v).keys
-          val kOld = SnapshotStore.readManifest(spark, sourceRoot, v - 1).keys
-          kNew.nonEmpty && kOld.nonEmpty && kNew != kOld
-        } catch { case _: Exception => false } // stale base: readChanges reports it
+        try replaceBoundary(
+          SnapshotStore.readManifest(spark, sourceRoot, v - 1),
+          SnapshotStore.readManifest(spark, sourceRoot, v))
+        catch { case _: Exception => false } // stale base: readChanges reports it
       }
     if (crossesReplace) {
       val snap = transform(SnapshotStore.read(spark, sourceRoot))

@@ -206,6 +206,14 @@ object SnapshotStore {
     }
   }
 
+  /** One TTL for everything a crashed statement can orphan (staging
+    * dirs, RTAS adoption markers): `spark.graft.staging.ttlHours`,
+    * default 24 — old enough that no live statement still owns it.
+    */
+  private[graft] def stagingTtlMs(spark: SparkSession): Long =
+    (spark.conf.getOption("spark.graft.staging.ttlHours")
+      .map(_.toDouble).getOrElse(24.0) * 3600 * 1000).toLong
+
   /** Does this table declare the delta-DML not-null-key contract? */
   private[graft] def deltaModeDeclared(spark: SparkSession, root: String): Boolean =
     readProps(spark, root).get("dml.mode").contains("delta")
@@ -1675,33 +1683,41 @@ object SnapshotStore {
     // changing a generation SOURCE must also SET the generated column
     // (to the new value, or to NULL to recompute); silently keeping
     // the stale derived value would corrupt the contract.
+    // read ONCE per write: the breadcrumb feeds both the generated-
+    // column type lookup and the NOT NULL list below (per-column
+    // re-reads would be N filesystem round-trips on the write path)
+    val declared = declaredSchema(df.sparkSession, root)
     val generatedFilled = props.toSeq.sortBy(_._1).collect {
       case (k, sql) if k.startsWith("generated.") =>
         (k.stripPrefix("generated."), decPropValue(sql))
     }.foldLeft(minted) { case (d, (gname, sql)) =>
-      if (!d.columns.contains(gname)) {
-        // a frame OMITTING the column outright (path/library door —
-        // SQL resolves every column) gets it COMPUTED, not silently
-        // absent: files lacking the column would null-fill on read
-        // under a contract that promises the generated value. The
-        // declared type comes from the `_schema` breadcrumb; without
-        // one (path-created table carrying generated props — not a
-        // reachable state today) the expression's natural type stands.
-        val declType = declaredSchema(d.sparkSession, root)
-          .flatMap(_.fields.find(_.name.equalsIgnoreCase(gname)))
-          .map(_.dataType)
-        val e = declType.fold(expr(sql))(t => expr(sql).cast(t))
-        d.withColumn(gname, e)
-      }
-      else {
-        val e = expr(sql).cast(d.schema(gname).dataType)
-        d.withColumn(gname,
-          when(d(gname).isNull, e)
-            .when(!(d(gname) <=> e), raise_error(lit(
-              s"generated column '$gname' (GENERATED ALWAYS AS $sql): a " +
-                "written row supplies a value that differs from the " +
-                s"generation expression on the table at $root")))
-            .otherwise(d(gname)))
+      // CASE-INSENSITIVE membership (Spark's default resolution): a
+      // frame supplying "Dollars" for declared "dollars" must flow
+      // into the validating branch — the exact-match test would take
+      // the omitted branch and silently REPLACE the supplied values
+      d.columns.find(_.equalsIgnoreCase(gname)) match {
+        case None =>
+          // a frame OMITTING the column outright (path/library door —
+          // SQL resolves every column) gets it COMPUTED, not silently
+          // absent: files lacking the column would null-fill on read
+          // under a contract that promises the generated value. The
+          // declared type comes from the `_schema` breadcrumb; without
+          // one (path-created table carrying generated props — not a
+          // reachable state today) the expression's natural type stands.
+          val declType = declared
+            .flatMap(_.fields.find(_.name.equalsIgnoreCase(gname)))
+            .map(_.dataType)
+          val e = declType.fold(expr(sql))(t => expr(sql).cast(t))
+          d.withColumn(gname, e)
+        case Some(actual) =>
+          val e = expr(sql).cast(d.schema(actual).dataType)
+          d.withColumn(actual,
+            when(d(actual).isNull, e)
+              .when(!(d(actual) <=> e), raise_error(lit(
+                s"generated column '$gname' (GENERATED ALWAYS AS $sql): a " +
+                  "written row supplies a value that differs from the " +
+                  s"generation expression on the table at $root")))
+              .otherwise(d(actual)))
       }
     }
     val checked =
@@ -1719,7 +1735,7 @@ object SnapshotStore {
     // covers the library/path/streaming doors that never pass the
     // analyzer. A source frame MISSING the column is caught too: the
     // upsert merge null-fills its rows before this projection runs.
-    val notNullCols = declaredSchema(df.sparkSession, root)
+    val notNullCols = declared
       .map(_.fields.toSeq.filter(!_.nullable).map(_.name)).getOrElse(Nil)
     // a frame MISSING the column outright must refuse too: on the
     // overwrite/init doors nothing merges a null in for the guard to
@@ -3326,15 +3342,22 @@ object SnapshotStore {
       fs.listStatus(new Path(root)).toSeq
         .filter(st => st.isFile && st.getPath.getName.startsWith("_rtas_adopting-"))
         .flatMap { st =>
-          val ttlMs = (spark.conf.getOption("spark.graft.staging.ttlHours")
-            .map(_.toDouble).getOrElse(24.0) * 3600 * 1000).toLong
           val dirs = smallFileText(fs, st.getPath).toSeq
             .flatMap(_.linesIterator.filter(_.nonEmpty))
-          if (st.getModificationTime >= System.currentTimeMillis() - ttlMs) dirs
+          if (st.getModificationTime >=
+              System.currentTimeMillis() - stagingTtlMs(spark)) dirs
           else {
             fs.delete(st.getPath, false)
             if (dirs.exists(d => referenced.exists(_.startsWith(d + "/")))) dirs
-            else Nil
+            else {
+              // the whole adoption is dead (no retained manifest names
+              // any of its dirs). Its dirs sit at latest+1 — ABOVE the
+              // in-flight-writer guard of the sweep below, where they
+              // would otherwise leak forever on a quiescent table — so
+              // reclaim them here, directly
+              dirs.foreach(d => fs.delete(new Path(root, d), true))
+              Nil
+            }
           }
         }
     fs.listStatus(new Path(root)).toSeq

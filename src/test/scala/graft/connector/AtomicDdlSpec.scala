@@ -101,6 +101,25 @@ class AtomicDdlSpec extends SparkSpec {
     assert(spark.table("gatm.a.nope").count() == 5)
   }
 
+  test("REPLACE TABLE without AS SELECT empties atomically; CTAS IF NOT EXISTS is a no-op on existing") {
+    spark.sql("""CREATE TABLE gatm.a.re (k BIGINT, v STRING) USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO gatm.a.re VALUES (1, 'a'), (2, 'b')")
+    val vBefore = SnapshotStore.latestVersion(spark, s"$warehouse/a/re").get
+    // bare REPLACE = new empty definition, one commit, history intact
+    spark.sql("""REPLACE TABLE gatm.a.re (k BIGINT, n BIGINT) USING graft
+                 TBLPROPERTIES ('keys'='k')""")
+    assert(spark.table("gatm.a.re").count() == 0)
+    assert(spark.table("gatm.a.re").columns.toSeq == Seq("k", "n"))
+    assert(spark.sql(s"SELECT * FROM gatm.a.re VERSION AS OF $vBefore")
+      .count() == 2)
+    // IF NOT EXISTS CTAS on an existing table: no-op, nothing staged
+    spark.sql("""CREATE TABLE IF NOT EXISTS gatm.a.re
+                 TBLPROPERTIES ('keys'='k') AS SELECT id AS k FROM range(9)""")
+    assert(spark.table("gatm.a.re").count() == 0)
+    assert(stagingLeftovers.isEmpty)
+  }
+
   test("REPLACE swaps declared contracts: new props in, old props gone") {
     spark.sql("""CREATE TABLE gatm.a.p (k BIGINT, v BIGINT) USING graft
                  TBLPROPERTIES ('keys'='k', 'team'='old', 'dml.mode'='delta')""")
@@ -166,14 +185,15 @@ class AtomicDdlSpec extends SparkSpec {
                  TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
     spark.sql("INSERT INTO gatm.a.vm VALUES (1), (2)")
     val dir = s"$warehouse/a/vm"
-    // simulate the lost-race window: an adopted dir named for an
-    // ALREADY-COMMITTED version, referenced by no manifest
-    val orphan = new Path(dir, "v=1-rtas-stuck")
+    // simulate the canonical hard-crash shape: adopted dirs named for
+    // latest+1 (adoptAsReplace always targets cur+1), referenced by no
+    // manifest — ABOVE the sweep's in-flight-writer guard
+    val orphan = new Path(dir, "v=2-rtas-stuck")
     fs.mkdirs(new Path(orphan, "bucket=0"))
     fs.create(new Path(orphan, "bucket=0/part-0.parquet"), true).close()
     val marker = new Path(dir, "_rtas_adopting-test")
     val out = fs.create(marker, true)
-    out.write("v=1-rtas-stuck\n".getBytes("UTF-8")); out.close()
+    out.write("v=2-rtas-stuck\n".getBytes("UTF-8")); out.close()
     SnapshotStore.vacuum(spark, dir, keepLast = 1)
     assert(fs.exists(orphan), "marker-protected adopted dir was vacuumed")
     // a STALE marker (hard-crashed statement, older than the staging

@@ -140,5 +140,18 @@ class GeneratedColumnSpec extends SparkSpec {
       .write.format("graft").mode("overwrite").save(root)
     assert(spark.table("gen.ns.t4").as[(Long, Long, Long)].collect().toSet ==
       Set((20L, 1234L, 12L)))
+    // a CASE-VARIANT supplied column is the SAME column under Spark's
+    // default resolution: a lying value must refuse, never be treated
+    // as "omitted" and silently replaced by the computed one
+    val caseLie = intercept[Throwable] {
+      Seq((21L, 100L, 77L)).toDF("k", "cents", "Dollars")
+        .write.format("graft").mode("append").save(root)
+    }
+    var cc: Throwable = caseLie; var cfound = false
+    while (cc != null && !cfound) {
+      cfound = Option(cc.getMessage).exists(_.contains("generated column"))
+      cc = cc.getCause
+    }
+    assert(cfound, s"case-variant lying value must refuse: $caseLie")
   }
 }
