@@ -74,7 +74,7 @@ object GraftProcedures {
     override def name(): String = proc
     override def description(): String = proc match {
       case "compact"    => "rewrite fragmented buckets to one file each, fold delete sidecars, optionally cluster/z-order"
-      case "vacuum"     => "delete data versions older than the newest keep_last (respecting feed/clone retention)"
+      case "vacuum"     => "delete data versions older than the newest keep_last (respecting feed/clone/tag retention); dry_run => true reports without deleting"
       case "restore"    => "commit a new version whose content is a past version (roll back without losing history)"
       case "checkpoint" => "write a manifest checkpoint so cold reads replay O(1) deltas"
       case "clone"      => "zero-copy clone: the target's v0 points at the source's data; O(manifest) at any size"
@@ -110,7 +110,8 @@ object GraftProcedures {
         in("tombstone_fold_bytes", LongType, "0"))
       case "vacuum" => Array(
         in("table", StringType),
-        in("keep_last", IntegerType, "1"))
+        in("keep_last", IntegerType, "1"),
+        in("dry_run", BooleanType, "false"))
       case "restore" => Array(
         in("table", StringType),
         in("version", LongType))
@@ -201,7 +202,8 @@ object GraftProcedures {
             maxRecordsPerFile = input.getLong(4),
             tombstoneFoldBytes = input.getLong(5))
         case "vacuum" =>
-          SnapshotStore.vacuum(spark, root, keepLast = input.getInt(1))
+          SnapshotStore.vacuum(spark, root, keepLast = input.getInt(1),
+            dryRun = !input.isNullAt(2) && input.getBoolean(2))
         case "restore" =>
           SnapshotStore.restore(spark, root, toVersion = input.getLong(1))
         case "checkpoint" =>

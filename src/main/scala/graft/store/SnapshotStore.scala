@@ -3268,7 +3268,13 @@ object SnapshotStore {
       s"could not sync identity frontier for '$col' at $root after 256 attempts")
   }
 
-  def vacuum(spark: SparkSession, root: String, keepLast: Int = 1): Int = {
+  /** @param dryRun report what WOULD be reclaimed without touching
+    *   anything (no deletions, no retention-floor checkpoint, and
+    *   stale adoption markers stay unresolved — their dirs count as
+    *   protected, so a real run may reclaim slightly more)
+    */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int = 1,
+             dryRun: Boolean = false): Int = {
     require(keepLast >= 1, "must keep at least the latest version")
     val fs = fileSystem(spark, root)
     val vs = versions(spark, root)
@@ -3294,7 +3300,7 @@ object SnapshotStore {
         .flatMap(e => e.dir +: e.tombstones)).toSet
     val deleted = mutable.ArrayBuffer.empty[Path]
 
-    if (vs.exists(_ < keepFrom)) {
+    if (!dryRun && vs.exists(_ < keepFrom)) {
       // kept versions must reconstruct WITHOUT the manifests below the
       // floor: the floor version needs a standalone full base — either
       // its own manifest is full, or a verified checkpoint exists (the
@@ -3344,7 +3350,7 @@ object SnapshotStore {
         .flatMap { st =>
           val dirs = smallFileText(fs, st.getPath).toSeq
             .flatMap(_.linesIterator.filter(_.nonEmpty))
-          if (st.getModificationTime >=
+          if (dryRun || st.getModificationTime >=
               System.currentTimeMillis() - stagingTtlMs(spark)) dirs
           else {
             fs.delete(st.getPath, false)
@@ -3376,7 +3382,7 @@ object SnapshotStore {
           else dead.foreach(b => deleted += b.getPath)
         }
       }
-    deleted.foreach(p => fs.delete(p, true))
+    if (!dryRun) deleted.foreach(p => fs.delete(p, true))
     deleted.size
   }
 
