@@ -237,6 +237,54 @@ class AtomicDdlSpec extends SparkSpec {
       derived)
   }
 
+  test("two racing REPLACEs both commit: last writer wins, each is one atomic version") {
+    spark.sql("""CREATE TABLE gatm.a.rr (k BIGINT, v BIGINT) USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO gatm.a.rr VALUES (1, 0)")
+    val dir = s"$warehouse/a/rr"
+    val v0 = SnapshotStore.latestVersion(spark, dir).get
+    val cat = spark.sessionState.catalogManager.catalog("gatm")
+      .asInstanceOf[GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("a"), "rr")
+    def stagedReplace(payload: Long): org.apache.spark.sql.connector.catalog.StagedTable = {
+      val cols = Array(
+        org.apache.spark.sql.connector.catalog.Column.create("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.connector.catalog.Column.create("v",
+          org.apache.spark.sql.types.LongType))
+      val info = new org.apache.spark.sql.connector.catalog.TableInfo.Builder()
+        .withColumns(cols).withPartitions(Array.empty)
+        .withProperties(java.util.Map.of("keys", "k")).build()
+      val before = stagingLeftovers.toSet
+      val st = cat.stageReplace(ident, info)
+      // write the replacement content into the staged table directly
+      // (the new _staging child is this call's)
+      val stagedName = (stagingLeftovers.toSet -- before).head
+      Seq((payload, payload)).toDF("k", "v").write.format("graft")
+        .mode("overwrite").save(s"$warehouse/a/_staging/$stagedName")
+      st
+    }
+    // both stage BEFORE either commits — the second commit must lose
+    // the race at its first version attempt and retry cleanly
+    val first = stagedReplace(100L)
+    val second = stagedReplace(200L)
+    first.commitStagedChanges()
+    second.commitStagedChanges()
+    assert(spark.table("gatm.a.rr").as[(Long, Long)].collect().toSet ==
+      Set((200L, 200L)))
+    val latest = SnapshotStore.latestVersion(spark, dir).get
+    assert(latest == v0 + 2, s"expected two REPLACE commits, at v${latest}")
+    // every intermediate state is a real version: the loser's content
+    // is the middle one
+    assert(spark.sql(s"SELECT v FROM gatm.a.rr VERSION AS OF ${v0 + 1}")
+      .as[Long].head() == 100L)
+    assert(stagingLeftovers.isEmpty)
+    // no leaked adoption markers
+    assert(!fs.listStatus(new Path(dir)).exists(
+      _.getPath.getName.startsWith("_rtas_adopting-")))
+  }
+
   test("a create race is detected and withdrawn: the winner's table survives intact") {
     val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
       Array("a"), "raced")
