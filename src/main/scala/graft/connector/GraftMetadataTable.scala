@@ -28,7 +28,7 @@ import graft.store.SnapshotStore
   */
 object GraftMetadataTable {
   val Kinds: Set[String] =
-    Set("history", "detail", "files", "tags", "branches", "props")
+    Set("history", "detail", "files", "tags", "branches", "props", "stats")
 
   private def str(s: String) = UTF8String.fromString(s)
 
@@ -59,6 +59,17 @@ object GraftMetadataTable {
     case "props" => new StructType()
       .add("key", StringType)
       .add("value", StringType)
+    case "stats" => new StructType() // last ANALYZE; empty = never ran
+      .add("column", StringType)
+      .add("analyzed_version", LongType)
+      .add("is_fresh", BooleanType) // analyzed version == current
+      .add("rows", LongType)
+      .add("ndv", LongType)
+      .add("null_count", LongType)
+      .add("min", StringType) // catalyst-internal rendering (ANALYZE doc)
+      .add("max", StringType)
+      .add("avg_len", LongType)
+      .add("max_len", LongType)
     case other => throw new IllegalArgumentException(
       s"unknown graft metadata view '$other' — available: " +
         Kinds.toSeq.sorted.map("meta_" + _).mkString(", "))
@@ -110,6 +121,18 @@ object GraftMetadataTable {
       case "props" =>
         SnapshotStore.readProps(spark, root).toSeq.sortBy(_._1).map {
           case (k, v) => new GenericInternalRow(Array[Any](str(k), str(v)))
+        }
+      case "stats" =>
+        val cur = SnapshotStore.latestVersion(spark, root)
+        SnapshotStore.readColStats(spark, root).toSeq.flatMap { ts =>
+          ts.cols.toSeq.sortBy(_._1).map { case (c, st) =>
+            new GenericInternalRow(Array[Any](
+              str(c), ts.version, cur.contains(ts.version), ts.rows,
+              st.ndv, st.nullCount,
+              st.min.map(str).orNull, st.max.map(str).orNull,
+              st.avgLen.map(java.lang.Long.valueOf).orNull,
+              st.maxLen.map(java.lang.Long.valueOf).orNull))
+          }
         }
     }
     rows.toArray

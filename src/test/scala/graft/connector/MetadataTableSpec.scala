@@ -64,6 +64,22 @@ class MetadataTableSpec extends SparkSpec {
       "SELECT value FROM gmeta.a.t.meta_props WHERE key = 'team'")
       .as[String].head()
     assert(team == "core")
+    // meta_stats: empty before ANALYZE; after it, per-column facts
+    // with the freshness flag the scan's reporting guard uses
+    assert(spark.sql("SELECT * FROM gmeta.a.t.meta_stats").count() == 0)
+    spark.sql("CALL gmeta.system.analyze(table => 'a.t')")
+    val stats = spark.sql(
+      """SELECT column, is_fresh, ndv, null_count
+         FROM gmeta.a.t.meta_stats ORDER BY column""")
+      .as[(String, Boolean, Long, Long)].collect()
+    assert(stats.map(_._1).toSeq == Seq("k", "v"))
+    assert(stats.forall(_._2), "fresh ANALYZE must flag is_fresh")
+    assert(stats.find(_._1 == "v").get._3 == 2L) // ndv of {a2, b}
+    // a new commit stales the stats — visible in the view
+    spark.sql("INSERT INTO gmeta.a.t VALUES (9, 'z')")
+    assert(spark.sql(
+      "SELECT count(*) FROM gmeta.a.t.meta_stats WHERE is_fresh").as[Long]
+      .head() == 0L)
     // unknown kinds and time travel over views refuse with guidance
     val bad = intercept[Exception] {
       spark.sql("SELECT * FROM gmeta.a.t.meta_nope").collect()
