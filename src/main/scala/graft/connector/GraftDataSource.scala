@@ -390,10 +390,12 @@ class GraftTable(root: String, versionAsOf: Option[Long],
     */
   /** Read once per table resolution, not once per columns() call —
     * analysis invokes columns() repeatedly and each read is an FS
-    * round-trip on object stores.
+    * round-trip on object stores. A time-travel resolution BELOW a
+    * REPLACE epoch reports its own epoch's archived contracts
+    * ([[SnapshotStore.propsAsOf]]), not the replacement's.
     */
   @transient private lazy val contractProps: Map[String, String] =
-    SnapshotStore.readProps(SparkSession.active, root)
+    SnapshotStore.propsAsOf(SparkSession.active, root, versionAsOf)
 
   override def columns(): Array[org.apache.spark.sql.connector.catalog.Column] = {
     import org.apache.spark.sql.connector.catalog.{Column => V2Column}
@@ -464,7 +466,8 @@ class GraftTable(root: String, versionAsOf: Option[Long],
     val spark = SparkSession.active
     val m = GraftTable.manifestAt(spark, root, versionAsOf)
     val props = new java.util.HashMap[String, String]()
-    SnapshotStore.readProps(spark, root).foreach { case (k, v) => props.put(k, v) }
+    SnapshotStore.propsAsOf(spark, root, versionAsOf)
+      .foreach { case (k, v) => props.put(k, v) }
     props.put("keys", m.keys.mkString(","))
     props.put("numBuckets", m.numBuckets.toString)
     props.put("statsCols", m.statsCols.map(_._1).mkString(","))
@@ -484,7 +487,7 @@ class GraftTable(root: String, versionAsOf: Option[Long],
       : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
     import org.apache.spark.sql.connector.catalog.constraints.Constraint
     val spark = SparkSession.active
-    SnapshotStore.readProps(spark, root).toSeq.sortBy(_._1).flatMap {
+    SnapshotStore.propsAsOf(spark, root, versionAsOf).toSeq.sortBy(_._1).flatMap {
       case (k, v) if k.startsWith("constraint.check.") =>
         Some(Constraint.check(k.stripPrefix("constraint.check."))
           .predicateSql(v).enforced(true).build(): Constraint)

@@ -1743,18 +1743,29 @@ object SnapshotStore {
     // null-fill under a schema that promises non-null (silently wrong
     // IS NULL folding). Append doors are unaffected: the upsert merge
     // materializes the column before this projection runs.
+    // case-INSENSITIVE matching, like the generated-column block above:
+    // a library/path-door frame supplying 'ID' for declared NOT NULL
+    // 'id' resolves fine everywhere else in Spark (default resolver),
+    // so a case-sensitive presence check would spuriously reject it as
+    // omitting the column — and the guard below must address the
+    // frame's ACTUAL column name (StructType.apply is exact-match)
     locally {
-      val missing = notNullCols.filterNot(checked.columns.contains)
+      val missing = notNullCols.filterNot(n =>
+        checked.columns.exists(_.equalsIgnoreCase(n)))
       require(missing.isEmpty,
         s"write to $root omits declared NOT NULL column(s) " +
           s"${missing.mkString(", ")} — a null-filled history would " +
           "violate the declaration")
     }
     val notNullGuarded = notNullCols
-      .foldLeft(checked)((d, c) => d.withColumn(c,
-        when(col(c).isNull, raise_error(lit(
-          s"NOT NULL column '$c' rejected a null value on the table at " +
-            root)).cast(d.schema(c).dataType)).otherwise(col(c))))
+      .foldLeft(checked) { (d, declaredName) =>
+        val c = d.columns.find(_.equalsIgnoreCase(declaredName))
+          .getOrElse(declaredName)
+        d.withColumn(c,
+          when(col(c).isNull, raise_error(lit(
+            s"NOT NULL column '$c' rejected a null value on the table at " +
+              root)).cast(d.schema(c).dataType)).otherwise(col(c)))
+      }
     // ANSI CHECK constraints (`constraint.check.<name>` props, recorded
     // by the catalog's ADD CONSTRAINT after validating existing data):
     // fused into the same projection — ANY write path (SQL, library,
@@ -2573,6 +2584,22 @@ object SnapshotStore {
     * rolled-back version, so consumers see the reversion as ordinary
     * I/U/D rows and [[ChangeFeed.syncDerived]] mirrors roll back
     * automatically (spec'd).
+    *
+    * KEYS revert with the data too (the restored manifest declares the
+    * TARGET version's merge keys, never the current head's): across a
+    * keys-changing REPLACE, declaring old-keyed buckets under the
+    * replacement's keys would hash subsequent upserts into the wrong
+    * buckets — silently duplicating logical keys. And a restore BELOW
+    * a `graft.schema.epoch` boundary is a contract swap, not just a
+    * data swap: the current `_schema`/`_props`/identity ledger archive
+    * under `_*_upto_<base>` (exactly as the REPLACE that created the
+    * boundary did), the restored version's own epoch's contracts
+    * re-install as current, and the epoch re-stamps at the new head —
+    * so the restored head reads/writes/reports under the contracts its
+    * data was written with, while every pre-restore version keeps
+    * resolving its own epoch's archives. `_colstats` are dropped on a
+    * cross-epoch restore (they describe the replaced content), as at
+    * REPLACE.
     */
   def restore(spark: SparkSession, root: String, toVersion: Long,
               maxAttempts: Int = 5): Long = {
@@ -2587,16 +2614,65 @@ object SnapshotStore {
       if (base == toVersion) return base
       val target = readManifest(spark, root, toVersion)
       val cur = readManifest(spark, root, base)
+      // a keyed→UNKEYED restore cannot ride a delta manifest (a delta
+      // with no keys line INHERITS the base's keys — Nil is
+      // inexpressible there); write a full manifest for that one case
+      val baseOpt = if (target.keys.isEmpty && cur.keys.nonEmpty) None
+                    else Some(cur)
       writeManifestAtomic(fs, root, base + 1, target.numBuckets,
-          target.statsCols, cur.txns, target.buckets, base = Some(cur)) match {
+          target.statsCols, cur.txns, target.buckets, base = baseOpt,
+          keys = target.keys) match {
         case Some(cm) =>
           maybeCheckpoint(spark, root, cm)
+          restoreContractEpoch(spark, root, toVersion, base, base + 1)
           return base + 1
         case None => // lost the race — re-census and retry
       }
     }
     throw new IllegalStateException(
       s"restore lost $maxAttempts consecutive commit races at $root")
+  }
+
+  /** The contract half of a [[restore]] that crosses a
+    * `graft.schema.epoch` boundary (no-op within an epoch): archive
+    * the displaced current contracts under `base` — the last version
+    * they governed — install the restored version's own epoch's
+    * archived contracts as current, and re-stamp the epoch at the new
+    * head. Runs AFTER the manifest commit, in the same (documented)
+    * non-atomic small-file window every REPLACE has.
+    */
+  private def restoreContractEpoch(spark: SparkSession, root: String,
+                                   toVersion: Long, base: Long,
+                                   newHead: Long): Unit = {
+    val fs = fileSystem(spark, root)
+    val curProps = readProps(spark, root)
+    if (!curProps.get("graft.schema.epoch").map(_.toLong).exists(toVersion < _))
+      return // same epoch: current contracts already govern the target
+    // archive the displaced epoch's contracts, REPLACE-style
+    smallFileText(fs, new Path(root, "_schema")).foreach(t =>
+      publishSmallFile(spark, root, f"_schema_upto_$base%020d", t))
+    publishSmallFile(spark, root, f"_props_upto_$base%020d", propsText(curProps))
+    val curLedger = new Path(root, "_identity")
+    if (fs.exists(curLedger))
+      fs.rename(curLedger, new Path(root, f"_identity_upto_$base%020d")): Unit
+    // install the restored epoch's own contracts; the epoch re-stamp at
+    // the new head keeps every pre-restore version resolving its own
+    // epoch's archives (smallest-n≥v picks `_*_upto_<base>` for the
+    // replaced-away epoch, earlier archives for earlier epochs)
+    val restored = archivedPropsFor(spark, root, toVersion).getOrElse(Map.empty)
+    writeProps(spark, root,
+      restored + ("graft.schema.epoch" -> newHead.toString))
+    archivedFileFor(fs, root, "_schema_upto_", toVersion)
+      .flatMap(n => smallFileText(fs, new Path(root, n))) match {
+      case Some(t) => publishSmallFile(spark, root, "_schema", t)
+      case None => fs.delete(new Path(root, "_schema"), false): Unit
+    }
+    archivedFileFor(fs, root, "_identity_upto_", toVersion).foreach { n =>
+      // the live allocator frontier moves back to the epoch whose data
+      // is now current — ids the restored rows hold are never re-minted
+      fs.rename(new Path(root, n), new Path(root, "_identity")): Unit
+    }
+    fs.delete(new Path(root, ColStatsFile), false): Unit
   }
 
   /** Zero-copy clone (the flagship capability of the reference's
@@ -3040,6 +3116,7 @@ object SnapshotStore {
     // them out of the staged table
     var adopted = Map.empty[String, String]
     var attempt = 0
+    var committed = false
     val marker = "_rtas_adopting-" + newToken()
     try while (attempt < 5) {
       attempt += 1
@@ -3097,6 +3174,14 @@ object SnapshotStore {
           // when none exists
           smallFileText(fs, new Path(root, "_schema")).foreach(t =>
             publishSmallFile(spark, root, f"_schema_upto_$cur%020d", t))
+          // the displaced PROPS archive alongside the schema
+          // (`_props_upto_<cur>`, written even when empty): contract
+          // time travel below this epoch — DESCRIBE/SHOW CREATE/
+          // meta_props/constraints under VERSION AS OF — resolves the
+          // constraints/defaults/identity declarations that actually
+          // governed those versions, not the replacement's
+          publishSmallFile(spark, root, f"_props_upto_$cur%020d",
+            propsText(readProps(spark, root)))
           writeProps(spark, root, readProps(spark, staged) +
             ("graft.schema.epoch" -> pubV.toString))
           smallFileText(fs, new Path(staged, "_schema")) match {
@@ -3104,38 +3189,112 @@ object SnapshotStore {
             case None => fs.delete(new Path(root, "_schema"), false): Unit
           }
           fs.delete(new Path(root, ColStatsFile), false): Unit
-          fs.delete(new Path(root, "_identity"), true): Unit
+          // the displaced identity LEDGER archives instead of deleting:
+          // a later [[restore]] across this epoch re-installs it, so
+          // the allocator frontier always matches the LIVE epoch's
+          // data — deleting would let a post-restore write re-mint ids
+          // the restored rows already hold
+          val oldLedger = new Path(root, "_identity")
+          if (fs.exists(oldLedger))
+            fs.rename(oldLedger, new Path(root, f"_identity_upto_$cur%020d")): Unit
           val stagedLedger = new Path(staged, "_identity")
           if (fs.exists(stagedLedger))
             fs.rename(stagedLedger, new Path(root, "_identity")): Unit
+          committed = true
           return pubV
         case None => () // raced: loop re-renames under the next version
       }
-    } finally fs.delete(new Path(root, marker), false)
+    } finally {
+      // the marker is the ONLY thing that lets vacuum reclaim adopted
+      // v=*-rtas-* dirs after an abnormal exit (rename failure, race
+      // exhaustion, crash): they sit at latest+1, above the sweep's
+      // in-flight-writer guard, so without the marker they leak until
+      // an unrelated commit advances latest. Delete it only once the
+      // commit landed (the manifest now references the dirs); on any
+      // other exit leave it for the TTL resolution path, exactly as a
+      // hard crash would.
+      if (committed) fs.delete(new Path(root, marker), false): Unit
+    }
     throw new java.util.ConcurrentModificationException(
       s"could not commit REPLACE at $root after 5 attempts — " +
         "concurrent writers kept taking the next version")
   }
 
+  /** Name of the `<prefix><n>` archive file covering version `v` — the
+    * one with the smallest n ≥ v (each REPLACE, and each restore
+    * across an epoch, archives the contract file it displaces under
+    * the LAST version that contract governed). None = no archive
+    * covers v.
+    */
+  private def archivedFileFor(fs: FileSystem, root: String, prefix: String,
+                              v: Long): Option[String] = {
+    if (!fs.exists(new Path(root))) return None
+    fs.listStatus(new Path(root)).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(prefix) && n.stripPrefix(prefix).nonEmpty &&
+        n.stripPrefix(prefix).forall(_.isDigit))
+      .map(n => n.stripPrefix(prefix).toLong -> n)
+      .filter(_._1 >= v).sortBy(_._1).headOption.map(_._2)
+  }
+
   /** The declared schema in force for time travel at `v` on a table
-    * whose contracts were later REPLACEd: the archived
-    * `_schema_upto_<n>` with the smallest n ≥ v (each REPLACE archives
-    * the schema it displaces under the last version it governed).
-    * None = no archive covers v (pre-archival table, or the breadcrumb
-    * never existed) — callers fall back to footers.
+    * whose contracts were later REPLACEd ([[archivedFileFor]] over
+    * `_schema_upto_<n>`). None = no archive covers v (pre-archival
+    * table, or the breadcrumb never existed) — callers fall back to
+    * footers.
     */
   private[graft] def archivedSchemaFor(spark: SparkSession, root: String,
                                        v: Long): Option[org.apache.spark.sql.types.StructType] = {
     val fs = fileSystem(spark, root)
-    val prefix = "_schema_upto_"
-    if (!fs.exists(new Path(root))) return None
-    fs.listStatus(new Path(root)).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith(prefix) && n.stripPrefix(prefix).forall(_.isDigit))
-      .map(n => n.stripPrefix(prefix).toLong -> n)
-      .filter(_._1 >= v).sortBy(_._1).headOption
-      .flatMap { case (_, name) => smallFileText(fs, new Path(root, name)) }
+    archivedFileFor(fs, root, "_schema_upto_", v)
+      .flatMap(name => smallFileText(fs, new Path(root, name)))
       .map(s => org.apache.spark.sql.types.DataType.fromJson(s)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  private def propsText(props: Map[String, String]): String =
+    props.toSeq.sortBy(_._1).map { case (k, v) => s"$k\t$v" }.mkString("\n")
+
+  private def parsePropsText(text: String, where: String): Map[String, String] =
+    text.linesIterator.filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('\t')
+      require(i > 0, s"malformed archived props line at $where: '$line'")
+      line.substring(0, i) -> line.substring(i + 1)
+    }.toMap
+
+  /** The table properties (CHECK constraints, defaults, generated /
+    * identity declarations, dml.mode) in force at `v` on a table whose
+    * contracts were later REPLACEd — `_props_upto_<n>` with the
+    * smallest n ≥ v, the `_props` analog of [[archivedSchemaFor]].
+    * Written even when the displaced epoch had NO props ("no
+    * contracts" is an answer, distinct from "no archive"). None = no
+    * archive covers v (pre-archival table) — callers fall back to the
+    * current props, the pre-R12 behavior.
+    */
+  private[graft] def archivedPropsFor(spark: SparkSession, root: String,
+                                      v: Long): Option[Map[String, String]] = {
+    val fs = fileSystem(spark, root)
+    archivedFileFor(fs, root, "_props_upto_", v).map { name =>
+      smallFileText(fs, new Path(root, name))
+        .map(parsePropsText(_, s"$root/$name")).getOrElse(Map.empty)
+    }
+  }
+
+  /** The props honest for a read pinned at `versionAsOf`: below the
+    * current schema epoch, the pinned version's OWN epoch's archived
+    * props; otherwise (or unpinned) the current `_props`. DESCRIBE /
+    * SHOW CREATE / constraint reporting / `meta_props` under
+    * `VERSION AS OF` resolve through this — an auditor asking "what
+    * CHECK constraint held at v" must not be answered with the
+    * replacement's contracts.
+    */
+  def propsAsOf(spark: SparkSession, root: String,
+                versionAsOf: Option[Long]): Map[String, String] = {
+    val cur = readProps(spark, root)
+    versionAsOf match {
+      case Some(v) if cur.get("graft.schema.epoch").map(_.toLong).exists(v < _) =>
+        archivedPropsFor(spark, root, v).getOrElse(cur)
+      case _ => cur
+    }
   }
 
   // ------------------------------------------------------------------
@@ -3147,6 +3306,13 @@ object SnapshotStore {
   private def tagPath(root: String, name: String): Path = {
     require(name.matches("[A-Za-z0-9_-]{1,64}"),
       s"invalid tag name '$name' (letters, digits, _ and - only)")
+    // all-digit names are reserved for version ids: `VERSION AS OF`
+    // resolves a numeric string as a version FIRST, so a tag named
+    // '123' could never be read by name and might silently resolve to
+    // an unrelated version — refuse the shadow at create time
+    require(!name.forall(_.isDigit),
+      s"invalid tag name '$name': all-digit names are reserved for " +
+        "version ids (VERSION AS OF resolves numbers as versions first)")
     new Path(new Path(root, TagDirName), name)
   }
 

@@ -65,4 +65,23 @@ class NotNullSpec extends SparkSpec {
     assert(over.getMessage.contains("omits declared NOT NULL"), over.getMessage)
     assert(spark.read.format("graft").load(root).count() == 1)
   }
+
+  test("the presence check matches case-insensitively, like every other resolution") {
+    spark.sql("""CREATE TABLE gnn.a.ci (id BIGINT, v BIGINT NOT NULL)
+                 USING graft TBLPROPERTIES ('keys'='id', 'numBuckets'='2')""")
+    val root = s"$warehouse/a/ci"
+    // a library frame supplying 'ID'/'V' for declared 'id'/'v' resolves
+    // fine under Spark's default resolver — the guard must not
+    // spuriously reject it as OMITTING the NOT NULL column...
+    Seq((1L, 10L)).toDF("ID", "V")
+      .write.format("graft").mode("append").save(root)
+    assert(spark.read.format("graft").load(root).count() == 1)
+    // ...and must still ENFORCE through the differently-cased name
+    val e = intercept[Exception] {
+      Seq((2L, null.asInstanceOf[java.lang.Long])).toDF("ID", "V")
+        .write.format("graft").mode("append").save(root)
+    }
+    assert(e.getMessage.toLowerCase.contains("null"), e.getMessage)
+    assert(spark.read.format("graft").load(root).count() == 1)
+  }
 }

@@ -94,4 +94,19 @@ class TagSpec extends SparkSpec {
       .load(s"$warehouse/a/g").as[(Long, String)].collect().toSet
     assert(viaOption == Set((1L, "a")))
   }
+
+  test("all-digit tag names refuse: VERSION AS OF resolves numbers as versions first") {
+    spark.sql("""CREATE TABLE gtag.a.d (k BIGINT) USING graft
+                 TBLPROPERTIES ('keys'='k')""")
+    spark.sql("INSERT INTO gtag.a.d VALUES (1)")
+    // a tag named '123' could never be read by name — and might
+    // silently resolve to an unrelated version number
+    val e = intercept[Exception] {
+      spark.sql("CALL gtag.system.tag(table => 'a.d', name => '123')")
+    }
+    assert(e.getMessage.contains("reserved for version ids"), e.getMessage)
+    // a digit-CONTAINING name is fine
+    spark.sql("CALL gtag.system.tag(table => 'a.d', name => 'v123')")
+    assert(spark.sql("SELECT * FROM gtag.a.d VERSION AS OF 'v123'").count() == 1)
+  }
 }
