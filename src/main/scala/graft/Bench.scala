@@ -32,6 +32,31 @@ object Bench {
       .get(0).split("\\s+")(0).toDouble
     catch { case _: Exception => -1.0 }
 
+  /** (all-CPU busy seconds since boot, THIS JVM's CPU seconds) — the
+    * pair whose windowed delta isolates EXTERNAL load: loadavg cannot
+    * flag mid-run contention because the bench itself loads the box
+    * (32 query threads push the 1-minute average regardless of
+    * neighbors), but `busyΔ - selfΔ` counts only other processes'
+    * cycles. r11's driver artifact passed the entry gate then degraded
+    * mid-run (loadavg 3.2→8.1; one key reported 6.9× its quiet truth)
+    * — this is the per-key detector that catches it. None where /proc
+    * is absent (detection disabled, never a false flag).
+    */
+  private val osBean = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+  private def cpuTotals(): Option[(Double, Double)] =
+    try {
+      val parts = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
+      val v = parts.drop(1).map(_.toDouble)
+      val idle = v(3) + (if (v.length > 4) v(4) else 0.0)
+      val busySec = (v.sum - idle) / 100.0 // USER_HZ jiffies
+      osBean.map(b => (busySec, b.getProcessCpuTime / 1e9))
+    } catch { case _: Exception => None }
+
   def main(args: Array[String]): Unit = {
     // Load gate (r10 verdict item #2: two rounds shipped contended
     // artifacts that misstated the engine ~2×): if the box is busy at
@@ -75,31 +100,83 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    /** Time one key's reps and the average EXTERNAL cores busy during
+      * its window (0 where /proc/stat or the com.sun bean is absent).
+      */
+    def timeKey(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Seq[Double], Double) = {
+      val w0 = System.nanoTime()
+      val c0 = cpuTotals()
       val times = (1 to reps).map { _ =>
         spark.catalog.clearCache(); graft.Caching.unpersistAll()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> (median(times), times.min)
+      val wall = math.max((System.nanoTime() - w0) / 1e9, 1e-3)
+      val ext = (for ((b1, s1) <- cpuTotals(); (b0, s0) <- c0)
+        yield math.max(((b1 - b0) - (s1 - s0)) / wall, 0.0)).getOrElse(0.0)
+      (times, ext)
     }
+    // In-run contention detection (r11 verdict item #4): a key whose
+    // measurement window had sustained external CPU above the gate is
+    // RE-RUN solo after the pass (after a short quiet wait); the rerun
+    // replaces the numbers when its own window is clean. Keys still
+    // dirty after the retry are stamped in `contended_keys` — the
+    // artifact explains its own outliers instead of needing a round of
+    // adjudication.
+    val extGate = sys.env.getOrElse("SPARK_GRAFT_EXT_GATE",
+      math.max(1.0, Runtime.getRuntime.availableProcessors() / 8.0).toString).toDouble
+    val firstPass = SparkEntry.queries.map { case (name, fn) =>
+      val (times, ext) = timeKey(fn)
+      name -> ((median(times), times.min, ext))
+    }
+    val retryDeadline = System.nanoTime() + 300L * 1000000000L
+    val results = firstPass.map { case (name, first @ (med1, min1, ext1)) =>
+      name -> {
+        if (ext1 <= extGate) first
+        else {
+          System.err.println(f"[bench] $name window had $ext1%.1f external " +
+            f"cores (> gate $extGate%.1f) — re-running solo")
+          def externalNow(): Double = {
+            val c0 = cpuTotals(); Thread.sleep(1000); val c1 = cpuTotals()
+            (for ((b0, s0) <- c0; (b1, s1) <- c1)
+              yield math.max((b1 - b0) - (s1 - s0), 0.0)).getOrElse(0.0)
+          }
+          while (externalNow() > extGate && System.nanoTime() < retryDeadline) ()
+          val (times2, ext2) = timeKey(SparkEntry.queries(name))
+          val (med2, min2) = (median(times2), times2.min)
+          if (ext2 <= extGate) (med2, min2, ext2)
+          // both windows dirty: keep the faster (less-disturbed) one
+          else if (med2 < med1) (med2, min2, ext2)
+          else (med1, min1, ext1)
+        }
+      }
+    }
+    val contendedKeys = results.collect {
+      case (n, (_, _, ext)) if ext > extGate => n }.toSeq.sorted
+    val retriedKeys = firstPass.collect {
+      case (n, (_, _, ext)) if ext > extGate => n }.toSeq.sorted
     // ms-rounded so the full per-query map stays small enough for a
     // tail capture, and the compact total-only line goes FIRST so a
     // truncated capture still yields a parseable headline number
     // (r4 verdict item #3: four rounds of bench-artifact disputes).
     def ms(v: Double): Double = math.round(v * 1000) / 1000.0
-    def fmt(sel: ((Double, Double)) => Double): String = results
+    def fmt(sel: ((Double, Double, Double)) => Double): String = results
       .map { case (k, v) => "\"" + k + "\":" + ms(sel(v)) }.mkString("{", ",", "}")
+    def lst(ks: Seq[String]): String = ks.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ms(results.values.map(_._1).sum)
     val totalMin = ms(results.values.map(_._2).sum)
     val load1 = loadavg()
     val headline =
       s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,""" +
         s""""reps":$reps,"nqueries":${results.size},"contended":$contended,""" +
+        s""""contended_keys":${lst(contendedKeys)},"retried_keys":${lst(retriedKeys)},""" +
         s""""loadavg_start":$load0,"loadavg_end":$load1,"sf":"$sfDir"}"""
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"reps":$reps,""" +
       s""""loadavg_start":$load0,"loadavg_end":$load1,""" +
+      s""""contended_keys":${lst(contendedKeys)},"retried_keys":${lst(retriedKeys)},""" +
+      s""""ext_cores":${fmt(_._3)},""" +
       s""""queries":${fmt(_._1)},"queries_min":${fmt(_._2)},"sf":"$sfDir"}"""
     println(headline)
     println(detail)

@@ -36,6 +36,15 @@ import graft.store.{ChangeFeed, SnapshotStore}
   *     so retention never runs ahead of the checkpoint), and a fresh
   *     query without `startingVersion` resumes from the consumer's
   *     offset.
+  *   - `replaceBoundary`: what to do when a batch's version range
+  *     crosses a keys-changing REPLACE TABLE. `refuse` (default) fails
+  *     loudly with the re-sync recipe; `refresh` delivers the recovery
+  *     in-band as ONE full-refresh batch (retraction `delete` rows for
+  *     the state at the range start, `insert` rows for the state at
+  *     the range end — [[ChangeFeed.fullRefreshChanges]]) and resumes
+  *     incrementally, so a long-running ingest survives the
+  *     reference's recreate-with-the-table pattern
+  *     (`02 Location Entity.sql:29,79`) without operator surgery.
   *   - `maxVersionsPerBatch`: rate limit — each offered batch spans at
   *     most this many table versions (the maxFilesPerTrigger analog: a
   *     commit burst drains in bounded transactions instead of one
@@ -49,7 +58,8 @@ class GraftChangeFeedSource(spark: SparkSession, root: String,
                             keys: Seq[String], consumerId: Option[String],
                             initialVersion: Long,
                             maxVersionsPerBatch: Option[Long],
-                            metadataPath: Option[String]) extends Source
+                            metadataPath: Option[String],
+                            refreshOnReplace: Boolean = false) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   override val schema: StructType = GraftChangeFeedSource.feedSchema(spark, root)
@@ -173,7 +183,20 @@ class GraftChangeFeedSource(spark: SparkSession, root: String,
     if (from >= to)
       return org.apache.spark.sql.graft.GraftSqlShims.streamingDataFrame(
         spark, spark.sparkContext.emptyRDD, schema)
-    val raw = ChangeFeed.readChanges(spark, root, keys, from, to)
+    // a keys-changing REPLACE inside the range: a keyed diff across
+    // unrelated contents is meaningless. Default refuses loudly with
+    // the re-sync recipe (readChanges' own error); with
+    // `replaceBoundary=refresh` the batch instead delivers the
+    // syncDerived recovery IN-BAND — a full refresh expressed as
+    // ordinary change rows (retraction deletes at `from`, state
+    // inserts at `to`) — and the query resumes incrementally from `to`
+    // with no operator surgery. Exactly-once is untouched: the batch
+    // is still the deterministic function of (start, end] the
+    // checkpoint replays.
+    val raw =
+      if (refreshOnReplace && ChangeFeed.crossesReplaceBoundary(spark, root, from, to))
+        ChangeFeed.fullRefreshChanges(spark, root, from, to)
+      else ChangeFeed.readChanges(spark, root, keys, from, to)
     // dataset-resolved columns (a literal dot in a name is not field
     // access), null-filling columns a pre-evolution range lacks
     val changes = raw.select(schema.fields.toSeq.map { f =>
@@ -243,10 +266,14 @@ object GraftChangeFeedSource {
           .getOrElse(latest)
       case Some(v) => v.trim.toLong
     }
+    val onReplace = parameters.getOrElse("replaceBoundary", "refuse")
+    require(onReplace == "refuse" || onReplace == "refresh",
+      s"replaceBoundary must be 'refuse' (default) or 'refresh', got '$onReplace'")
     new GraftChangeFeedSource(spark, root, keys, consumerId, initial,
       parameters.get("maxVersionsPerBatch").map(_.trim.toLong).map { n =>
         require(n >= 1, s"maxVersionsPerBatch must be >= 1, got $n"); n
       },
-      metadataPath)
+      metadataPath,
+      refreshOnReplace = onReplace == "refresh")
   }
 }

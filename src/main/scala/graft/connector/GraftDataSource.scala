@@ -127,13 +127,23 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       case None => -1L
     }
     val pinnedTo = parameters.get("endingVersion").map(_.trim.toLong)
+    // same contract as the streaming source's option: `refresh` turns
+    // a range crossing a keys-changing REPLACE into the in-band full
+    // refresh (retraction deletes + state inserts) instead of refusing
+    val onReplace = parameters.getOrElse("replaceBoundary", "refuse")
+    require(onReplace == "refuse" || onReplace == "refresh",
+      s"replaceBoundary must be 'refuse' (default) or 'refresh', got '$onReplace'")
     new BaseRelation with TableScan {
       override def sqlContext: org.apache.spark.sql.SQLContext = sqlCtx
       override val schema: StructType = GraftChangeFeedSource.feedSchema(sp, root)
       override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
         val to = pinnedTo.getOrElse(latest)
         if (from >= to) return sp.sparkContext.emptyRDD
-        val changes = graft.store.ChangeFeed.readChanges(sp, root, keys, from, to)
+        val changes =
+          if (onReplace == "refresh" &&
+              graft.store.ChangeFeed.crossesReplaceBoundary(sp, root, from, to))
+            graft.store.ChangeFeed.fullRefreshChanges(sp, root, from, to)
+          else graft.store.ChangeFeed.readChanges(sp, root, keys, from, to)
         // align to the declared (latest) schema: a range that predates
         // additive evolution lacks the newer columns — null-fill them,
         // exactly like the snapshot read path does for old buckets.

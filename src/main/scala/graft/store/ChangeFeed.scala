@@ -88,6 +88,47 @@ object ChangeFeed {
   private def replaceBoundary(mOld: Manifest, mNew: Manifest): Boolean =
     mOld.keys.nonEmpty && mNew.keys.nonEmpty && mOld.keys != mNew.keys
 
+  /** Whether any step in `(fromVersion, toVersion]` is a keys-changing
+    * REPLACE — the one predicate [[readChanges]] refuses on,
+    * [[syncDerived]] full-refreshes on, and the streaming source's
+    * opt-in `replaceBoundary=refresh` recovers through.
+    */
+  def crossesReplaceBoundary(spark: SparkSession, root: String,
+                             fromVersion: Long, toVersion: Long): Boolean =
+    SnapshotStore.versions(spark, root)
+      .filter(v => v > fromVersion && v <= toVersion)
+      .exists { v =>
+        try replaceBoundary(
+          SnapshotStore.readManifest(spark, root, v - 1),
+          SnapshotStore.readManifest(spark, root, v))
+        catch { case _: Exception => false } // stale base: readChanges reports it
+      }
+
+  /** A FULL REFRESH of `(fromVersion, toVersion]` expressed in the
+    * ordinary change-row contract: a `delete` row for every row of the
+    * state at `fromVersion` (stamped `fromVersion`) plus an `insert`
+    * row for every row of the state at `toVersion` (stamped
+    * `toVersion`) — so any merge-applying consumer (apply deletes,
+    * upsert inserts; or collapse last-non-preimage-per-key by commit
+    * version, where the insert outranks the retraction) converges to
+    * exactly the rebuilt state, with no key semantics assumed across
+    * the range. This is how a stream survives a keys-changing REPLACE:
+    * a keyed diff across unrelated contents is meaningless, but
+    * "retract what you saw, here is the new state" is not.
+    * `fromVersion < 0` (initial-snapshot start) emits inserts only.
+    */
+  def fullRefreshChanges(spark: SparkSession, root: String,
+                         fromVersion: Long, toVersion: Long): DataFrame = {
+    val neu = SnapshotStore.readVersion(spark, root, toVersion)
+      .withColumn(ChangeType, lit(Insert))
+      .withColumn(CommitVersion, lit(toVersion))
+    if (fromVersion < 0) neu
+    else SnapshotStore.readVersion(spark, root, fromVersion)
+      .withColumn(ChangeType, lit(Delete))
+      .withColumn(CommitVersion, lit(fromVersion))
+      .unionByName(neu, allowMissingColumns = true)
+  }
+
   def readChanges(spark: SparkSession, root: String, keys: Seq[String],
                   fromVersion: Long, toVersion: Long,
                   maxPlanSteps: Int = 32): DataFrame = {
@@ -426,15 +467,7 @@ object ChangeFeed {
     // source's full current state as ONE atomic replace (the target's
     // own keys are the transform's, unchanged by the source replace),
     // then continue incrementally from here
-    val crossesReplace = SnapshotStore.versions(spark, sourceRoot)
-      .filter(v => v > from && v <= latest)
-      .exists { v =>
-        try replaceBoundary(
-          SnapshotStore.readManifest(spark, sourceRoot, v - 1),
-          SnapshotStore.readManifest(spark, sourceRoot, v))
-        catch { case _: Exception => false } // stale base: readChanges reports it
-      }
-    if (crossesReplace) {
+    if (crossesReplaceBoundary(spark, sourceRoot, from, latest)) {
       val snap = transform(SnapshotStore.read(spark, sourceRoot))
       keys.foreach(k => require(snap.columns.contains(k),
         s"transform must preserve key column $k"))

@@ -296,6 +296,147 @@ object Soak {
     dml.foreach { case (k, v) => println(f"[soak-dml] $k%-32s $v%8.3fs") }
     dmlN.foreach { case (k, v) => println(f"[soak-dml] $k%-32s $v%8d") }
 
+    // ---------------- 3e. concurrent-writer OCC at scale -------------
+    // SOAK_r11 proved single-writer O(delta); this section soaks the
+    // OCC surface itself (r11 verdict item #5). Claims under test:
+    // (a) N writers racing on DISJOINT buckets all commit, and every
+    //     lost version race resolves by REBASE (rename + re-point, no
+    //     merge recompute) — the merge-callback invocation count is
+    //     the direct observable;
+    // (b) a branch publish racing a main-table commit has exactly one
+    //     winner; the loser's retry path is the documented one
+    //     (publish: re-create the branch and re-apply);
+    // (c) two racing RTAS both land as single atomic versions, last
+    //     writer wins.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    val occ = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val occN = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def ophase[A](name: String)(body: => A): A = {
+      val (a, t) = timed(body); occ(name) = t; a
+    }
+    val nWriters = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nWriters + 2)
+    implicit val occEc: ExecutionContext = ExecutionContext.fromExecutor(pool)
+
+    // (a) disjoint-bucket writer fleet
+    val occRoot = s"$work/occ_orders"
+    val occNb = 64
+    ophase("occ_init") {
+      SnapshotStore.init(spark, occRoot,
+        spark.read.parquet(s"$work/orders.parquet"),
+        Seq("o_orderkey"), numBuckets = occNb,
+        statsCols = Seq("o_orderkey")): Unit
+    }
+    val v0occ = SnapshotStore.latestVersion(spark, occRoot).get
+    // writer i owns ~200 keys that all hash to bucket i: every racing
+    // pair's touched sets are disjoint, so every lost race MUST rebase
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("b").orderBy("o_orderkey")
+    val perBucket: Map[Int, Array[Long]] = spark.table("soak_orders")
+      .select(col("o_orderkey"),
+        pmod(hash(col("o_orderkey")), lit(occNb)).as("b"))
+      .where(col("b") < nWriters)
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 200)
+      .select(col("b"), col("o_orderkey"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .groupBy(_._1).map { case (b, ks) => b -> ks.map(_._2) }
+    val mergeRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+    val startGate = new java.util.concurrent.CountDownLatch(1)
+    val writerFuts = (0 until nWriters).map { i =>
+      Future {
+        startGate.await()
+        val ks = perBucket(i)
+        val delta = spark.read.parquet(s"$work/orders.parquet")
+          .where(col("o_orderkey").isin(ks.map(Long.box).toSeq: _*))
+          .withColumn("o_orderstatus", lit(s"W$i"))
+        SnapshotStore.commitDelta(spark, occRoot, delta, Seq("o_orderkey"),
+          (cur, d) => {
+            mergeRuns.incrementAndGet()
+            SnapshotStore.upsertMerge(Seq("o_orderkey"))(cur, d)
+          }, maxAttempts = 4 * nWriters)
+      }
+    }
+    val writerVersions = ophase("occ_disjoint_fleet") {
+      startGate.countDown()
+      Await.result(Future.sequence(writerFuts), 1200.seconds)
+    }
+    require(writerVersions.toSet.size == nWriters &&
+      SnapshotStore.latestVersion(spark, occRoot).get == v0occ + nWriters,
+      s"OCC fleet: expected $nWriters distinct commits, got $writerVersions")
+    val occState = SnapshotStore.read(spark, occRoot)
+    (0 until nWriters).foreach { i =>
+      val got = occState.where(col("o_orderstatus") === s"W$i").count()
+      require(got == perBucket(i).length,
+        s"writer $i lost rows: $got != ${perBucket(i).length}")
+    }
+    require(occState.count() == totalOrders, "OCC fleet changed row count")
+    occN("occ_writers") = nWriters.toLong
+    occN("occ_commits") = writerVersions.toSet.size.toLong
+    // every writer merges exactly once <=> all lost races REBASED
+    occN("occ_merge_recomputes") = (mergeRuns.get() - nWriters).toLong
+
+    // (b) publish racing a main commit — exactly one winner
+    spark.sql(s"CALL soak.system.branch(table => 'ns.ocow', name => 'race')")
+    spark.sql(s"""MERGE INTO soak.ns.ocow.branch_race t
+      |USING soak_wap_src s ON t.o_orderkey = s.o_orderkey
+      |WHEN MATCHED THEN UPDATE SET o_orderstatus = 'R'""".stripMargin)
+    val cowRoot = s"$work/wh/ns/ocow"
+    val raceBase = SnapshotStore.latestVersion(spark, cowRoot).get
+    val pubFut = Future {
+      try Right(spark.sql(
+        s"CALL soak.system.publish_branch(table => 'ns.ocow', name => 'race')")
+        .collect()): Either[Throwable, Any]
+      catch { case e: Throwable => Left(e) }
+    }
+    val commitFut = Future {
+      try Right(SnapshotStore.commitDelta(spark, cowRoot,
+        spark.read.parquet(s"$work/orders.parquet")
+          .where(col("o_orderkey") % 100000 === 1)
+          .withColumn("o_orderstatus", lit("M")),
+        Seq("o_orderkey"),
+        SnapshotStore.upsertMerge(Seq("o_orderkey")))): Either[Throwable, Any]
+      catch { case e: Throwable => Left(e) }
+    }
+    val (pubRes, comRes) = ophase("occ_publish_race") {
+      (Await.result(pubFut, 600.seconds), Await.result(commitFut, 600.seconds))
+    }
+    require(comRes.isRight, s"plain main commit must always land: $comRes")
+    pubRes match {
+      case Right(_) => // publish won its version; commit rebased after
+        occN("occ_publish_race_publish_won") = 1L
+        require(SnapshotStore.latestVersion(spark, cowRoot).get == raceBase + 2,
+          "publish + commit must be two versions")
+      case Left(e) => // commit won: publish refuses with the retry recipe
+        occN("occ_publish_race_publish_won") = 0L
+        require(e.toString.contains("re-create the branch") ||
+          (e.getCause != null && e.getCause.toString.contains("re-create the branch")),
+          s"publish loser must carry the documented retry path, got: $e")
+    }
+
+    // (c) two racing RTAS: both land atomically, last writer wins
+    val rtasResults = ophase("occ_rtas_race") {
+      val fa = Future(spark.sql(
+        s"""REPLACE TABLE soak.ns.ocow TBLPROPERTIES('keys'='o_orderstatus')
+           |AS SELECT o_orderstatus, count(*) AS n
+           |FROM soak_orders GROUP BY o_orderstatus""".stripMargin))
+      val fb = Future(spark.sql(
+        s"""REPLACE TABLE soak.ns.ocow TBLPROPERTIES('keys'='o_orderpriority')
+           |AS SELECT o_orderpriority, count(*) AS n
+           |FROM soak_orders GROUP BY o_orderpriority""".stripMargin))
+      Await.result(Future.sequence(Seq(fa, fb)), 600.seconds)
+    }
+    require(rtasResults.size == 2, "both racing RTAS must complete")
+    val rtasCols = spark.table("soak.ns.ocow").columns.toSeq
+    require(rtasCols == Seq("o_orderstatus", "n") ||
+      rtasCols == Seq("o_orderpriority", "n"),
+      s"racing RTAS end state must be one replacement exactly: $rtasCols")
+    occN("occ_rtas_both_landed") = 1L
+    pool.shutdown()
+
+    occ.foreach { case (k, v) => println(f"[soak-occ] $k%-32s $v%8.3fs") }
+    occN.foreach { case (k, v) => println(f"[soak-occ] $k%-32s $v%8d") }
+
     // ---------------- 4. artifact ------------------------------------
     def jmap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
@@ -309,6 +450,9 @@ object Soak {
         s""""maintenance":${jmap(maint)},"pruned_range_rows":$pruned,""" +
         s""""sql_dml":${jmap(dml)},""" +
         s""""sql_dml_counts":${dmlN.map { case (k, v) =>
+          "\"" + k + "\":" + v }.mkString("{", ",", "}")},""" +
+        s""""occ":${jmap(occ)},""" +
+        s""""occ_counts":${occN.map { case (k, v) =>
           "\"" + k + "\":" + v }.mkString("{", ",", "}")},""" +
         s""""final_rows":$finalRows}"""
     println(json)
