@@ -114,8 +114,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     version.toLongOption match {
       case Some(v) => loadAt(ident, Some(v))
       case None =>
-        val dir = resolveReadDir(ident)
-        if (!isTable(dir)) throw new NoSuchTableException(ident)
+        // tags resolve against the table the identifier addresses —
+        // for `t.meta_<kind>` that is the PARENT table (the view pins
+        // wherever a data read can pin)
+        val dir = metaParentDir(ident).getOrElse {
+          val d = resolveReadDir(ident)
+          if (!isTable(d)) throw new NoSuchTableException(ident)
+          d
+        }
         val v = SnapshotStore.tagVersion(spark, dir.toString, version)
           .getOrElse(throw new IllegalArgumentException(
             s"no version or tag '$version' on $ident — " +
@@ -124,6 +130,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         loadAt(ident, Some(v))
     }
 
+  /** The parent table's directory when `ident` is a `meta_<kind>` view
+    * identifier over a real table; None otherwise.
+    */
+  private def metaParentDir(ident: Identifier): Option[Path] =
+    if (ident.name().startsWith("meta_") && ident.namespace().nonEmpty &&
+        GraftMetadataTable.Kinds(ident.name().stripPrefix("meta_")) &&
+        !isTable(tableDir(ident))) {
+      Some(dirOf(ident.namespace().toSeq)).filter(isTable)
+    } else None
+
   /** SQL `TIMESTAMP AS OF <ts>` (micros since epoch): the newest
     * version whose manifest was committed at or before the instant,
     * resolved from the manifests' own in-commit `ts:` timestamps
@@ -131,8 +147,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * the pre-format-4 fallback) — the same resolution rule as Delta's.
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    val dir = resolveReadDir(ident)
-    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val dir = metaParentDir(ident).getOrElse {
+      val d = resolveReadDir(ident)
+      if (!isTable(d)) throw new NoSuchTableException(ident)
+      d
+    }
     val at = SnapshotStore.versionAt(spark, dir.toString, timestamp / 1000L)
       .getOrElse(throw new NoSuchTableException(ident))
     loadAt(ident, Some(at))
@@ -152,10 +171,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val parent = dirOf(ident.namespace().toSeq)
         val kind = ident.name().stripPrefix("meta_")
         if (isTable(parent) && GraftMetadataTable.Kinds(kind)) {
-          require(version.isEmpty,
+          // table-STATE views pin like the table itself (meta_props
+          // resolves the pinned version's own epoch's contracts);
+          // ref/ANALYZE views refuse — rowsOf owns both rules
+          require(version.isEmpty || GraftMetadataTable.VersionableKinds(kind),
             s"metadata view $ident reflects the CURRENT table state — " +
               "VERSION/TIMESTAMP AS OF does not apply")
-          return new GraftMetadataTable(parent.toString, kind)
+          return new GraftMetadataTable(parent.toString, kind, version)
         }
       }
       if (ident.name().startsWith("tag_") && ident.namespace().nonEmpty) {

@@ -30,6 +30,21 @@ object GraftMetadataTable {
   val Kinds: Set[String] =
     Set("history", "detail", "files", "tags", "branches", "props", "stats")
 
+  /** Kinds that answer under `VERSION AS OF` / `TIMESTAMP AS OF`: the
+    * table-state views, pinned to what the table WAS at the version —
+    * `history` (versions up to the pin, `is_current` = the pin),
+    * `props` (the contracts that GOVERNED the pinned version, resolved
+    * through the same `propsAsOf` epoch logic as DESCRIBE — below a
+    * REPLACE epoch an auditor gets that epoch's CHECK/DEFAULT/IDENTITY
+    * declarations, never the replacement's), `detail`/`files` (the
+    * pinned manifest's physical census). `tags`/`branches` are REFS
+    * (they point AT versions, they don't live inside one) and `stats`
+    * is the last ANALYZE (already version-stamped in its own rows) —
+    * pinning those would be an answer to a question nobody asked, so
+    * they keep the loud refusal.
+    */
+  val VersionableKinds: Set[String] = Set("history", "props", "detail", "files")
+
   private def str(s: String) = UTF8String.fromString(s)
 
   def schemaOf(kind: String): StructType = kind match {
@@ -82,16 +97,26 @@ object GraftMetadataTable {
         && !st.getPath.getName.startsWith("."))
   }
 
-  def rowsOf(spark: SparkSession, root: String, kind: String): Array[InternalRow] = {
+  def rowsOf(spark: SparkSession, root: String, kind: String,
+             versionAsOf: Option[Long] = None): Array[InternalRow] = {
+    versionAsOf.foreach { v =>
+      require(VersionableKinds(kind),
+        s"metadata view meta_$kind reflects the CURRENT table state — " +
+          "VERSION/TIMESTAMP AS OF does not apply")
+      val vs = SnapshotStore.versions(spark, root)
+      require(vs.contains(v),
+        s"version $v is not in $root's retained history " +
+          s"(have: ${vs.headOption.getOrElse("-")}..${vs.lastOption.getOrElse("-")})")
+    }
     val rows: Seq[InternalRow] = kind match {
       case "history" =>
         val vs = SnapshotStore.versions(spark, root)
-        val cur = vs.lastOption.getOrElse(
+        val cur = versionAsOf.orElse(vs.lastOption).getOrElse(
           throw new IllegalStateException(s"no committed graft table at $root"))
-        vs.map(v => new GenericInternalRow(Array[Any](
+        vs.filter(_ <= cur).map(v => new GenericInternalRow(Array[Any](
           v, SnapshotStore.commitTimeMillis(spark, root, v) * 1000L, v == cur)))
       case "detail" =>
-        val m = GraftTable.manifestAt(spark, root, None)
+        val m = GraftTable.manifestAt(spark, root, versionAsOf)
         m.buckets.toSeq.sortBy(_._1).map { case (b, e) =>
           val files = dataFiles(spark, root, e.dir)
           val tombBytes = e.tombstones.flatMap(dataFiles(spark, root, _))
@@ -102,7 +127,7 @@ object GraftMetadataTable {
             e.tombstones.size, tombBytes))
         }
       case "files" =>
-        val m = GraftTable.manifestAt(spark, root, None)
+        val m = GraftTable.manifestAt(spark, root, versionAsOf)
         m.buckets.toSeq.sortBy(_._1).flatMap { case (b, e) =>
           dataFiles(spark, root, e.dir).map(st => new GenericInternalRow(
             Array[Any](b, str(st.getPath.toString), st.getLen, str("data")))) ++
@@ -119,9 +144,13 @@ object GraftMetadataTable {
           new GenericInternalRow(Array[Any](str(n), b, v))
         }
       case "props" =>
-        SnapshotStore.readProps(spark, root).toSeq.sortBy(_._1).map {
-          case (k, v) => new GenericInternalRow(Array[Any](str(k), str(v)))
-        }
+        // epoch-honest: below a REPLACE epoch, the pinned version's own
+        // epoch's archived contracts — the same resolution DESCRIBE /
+        // SHOW CREATE / constraints() use for pinned reads
+        SnapshotStore.propsAsOf(spark, root, versionAsOf).toSeq.sortBy(_._1)
+          .map {
+            case (k, v) => new GenericInternalRow(Array[Any](str(k), str(v)))
+          }
       case "stats" =>
         val cur = SnapshotStore.latestVersion(spark, root)
         SnapshotStore.readColStats(spark, root).toSeq.flatMap { ts =>
@@ -139,9 +168,12 @@ object GraftMetadataTable {
   }
 }
 
-final class GraftMetadataTable(root: String, kind: String)
+final class GraftMetadataTable(root: String, kind: String,
+                               versionAsOf: Option[Long] = None)
     extends Table with SupportsRead {
-  override def name(): String = s"graft.`$root`.meta_$kind"
+  override def name(): String =
+    s"graft.`$root`.meta_$kind" +
+      versionAsOf.map(v => s" VERSION AS OF $v").getOrElse("")
   override def schema(): StructType = GraftMetadataTable.schemaOf(kind)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
@@ -151,7 +183,7 @@ final class GraftMetadataTable(root: String, kind: String)
       // built at scan time, not table-resolution time: repeated
       // queries over a cached relation still observe fresh metadata
       private val out =
-        GraftMetadataTable.rowsOf(SparkSession.active, root, kind)
+        GraftMetadataTable.rowsOf(SparkSession.active, root, kind, versionAsOf)
       override def readSchema(): StructType = GraftMetadataTable.schemaOf(kind)
       override def rows(): Array[InternalRow] = out
     }

@@ -2648,6 +2648,19 @@ object SnapshotStore {
     val curProps = readProps(spark, root)
     if (!curProps.get("graft.schema.epoch").map(_.toLong).exists(toVersion < _))
       return // same epoch: current contracts already govern the target
+    // Resolve the restored epoch's archived contracts BEFORE publishing
+    // the displaced epoch's `_*_upto_<base>` archives: those archives
+    // also cover toVersion (base > toVersion), so a lookup run after
+    // archival would — whenever no earlier archive exists for a kind
+    // (e.g. a library-created epoch that never had a `_schema`
+    // breadcrumb, or one with no identity columns) — pick the file this
+    // very restore just wrote and install the REPLACEMENT epoch's
+    // contract on the restored old-epoch head instead of none.
+    val restoredProps =
+      archivedPropsFor(spark, root, toVersion).getOrElse(Map.empty)
+    val restoredSchema = archivedFileFor(fs, root, "_schema_upto_", toVersion)
+      .flatMap(n => smallFileText(fs, new Path(root, n)))
+    val restoredLedger = archivedFileFor(fs, root, "_identity_upto_", toVersion)
     // archive the displaced epoch's contracts, REPLACE-style
     smallFileText(fs, new Path(root, "_schema")).foreach(t =>
       publishSmallFile(spark, root, f"_schema_upto_$base%020d", t))
@@ -2659,18 +2672,23 @@ object SnapshotStore {
     // the new head keeps every pre-restore version resolving its own
     // epoch's archives (smallest-n≥v picks `_*_upto_<base>` for the
     // replaced-away epoch, earlier archives for earlier epochs)
-    val restored = archivedPropsFor(spark, root, toVersion).getOrElse(Map.empty)
     writeProps(spark, root,
-      restored + ("graft.schema.epoch" -> newHead.toString))
-    archivedFileFor(fs, root, "_schema_upto_", toVersion)
-      .flatMap(n => smallFileText(fs, new Path(root, n))) match {
+      restoredProps + ("graft.schema.epoch" -> newHead.toString))
+    restoredSchema match {
       case Some(t) => publishSmallFile(spark, root, "_schema", t)
       case None => fs.delete(new Path(root, "_schema"), false): Unit
     }
-    archivedFileFor(fs, root, "_identity_upto_", toVersion).foreach { n =>
+    restoredLedger.foreach { n =>
       // the live allocator frontier moves back to the epoch whose data
-      // is now current — ids the restored rows hold are never re-minted
-      fs.rename(new Path(root, n), new Path(root, "_identity")): Unit
+      // is now current — ids the restored rows hold are never re-minted.
+      // Install by recursive COPY, leaving `_identity_upto_<n>` in
+      // place: the archive must keep answering smallest-n≥v for its
+      // whole epoch, or a SECOND cross-epoch restore into this epoch
+      // would resolve to a LATER epoch's archive and install the wrong
+      // frontier (silent identity re-mints).
+      org.apache.hadoop.fs.FileUtil.copy(fs, new Path(root, n),
+        fs, new Path(root, "_identity"), false,
+        spark.sparkContext.hadoopConfiguration): Unit
     }
     fs.delete(new Path(root, ColStatsFile), false): Unit
   }
@@ -3306,13 +3324,6 @@ object SnapshotStore {
   private def tagPath(root: String, name: String): Path = {
     require(name.matches("[A-Za-z0-9_-]{1,64}"),
       s"invalid tag name '$name' (letters, digits, _ and - only)")
-    // all-digit names are reserved for version ids: `VERSION AS OF`
-    // resolves a numeric string as a version FIRST, so a tag named
-    // '123' could never be read by name and might silently resolve to
-    // an unrelated version — refuse the shadow at create time
-    require(!name.forall(_.isDigit),
-      s"invalid tag name '$name': all-digit names are reserved for " +
-        "version ids (VERSION AS OF resolves numbers as versions first)")
     new Path(new Path(root, TagDirName), name)
   }
 
@@ -3333,6 +3344,15 @@ object SnapshotStore {
     require(vs.contains(v),
       s"cannot tag version $v at $root: not a retained version " +
         s"(have ${vs.head}..${vs.last})")
+    // all-digit names are reserved for version ids: `VERSION AS OF`
+    // resolves a numeric string as a version FIRST, so a tag named
+    // '123' could never be read by name and might silently resolve to
+    // an unrelated version. Refuse the shadow on CREATE only — resolve
+    // and drop must keep accepting pre-existing all-digit tags, or a
+    // stale one becomes both unreadable and un-droppable.
+    require(!name.forall(_.isDigit),
+      s"invalid tag name '$name': all-digit names are reserved for " +
+        "version ids (VERSION AS OF resolves numbers as versions first)")
     val p = tagPath(root, name)
     fs.mkdirs(p.getParent)
     val out =

@@ -155,4 +155,150 @@ class EpochContractsSpec extends SparkSpec {
     val oldT = tableAt("e", vBefore)
     assert(oldT.constraints().map(_.name()).toSet == Set("pos"))
   }
+
+  test("a SECOND cross-epoch restore still finds its epoch's ledger (install by copy)") {
+    // Epoch A reserves two identity blocks (one per insert); epoch B
+    // (the REPLACE) has its OWN ledger, whose frontier sits exactly
+    // where A's SECOND block starts (both advanced by one `n<<33`
+    // span from the same START). The first cross-epoch restore must
+    // install A's archived ledger WITHOUT consuming the archive: a
+    // second restore into epoch A re-enters the cross-epoch path, and
+    // if A's archive is gone, smallest-n≥v resolves to B's (later)
+    // archive — installing B's frontier, so the next insert re-mints
+    // the very ids A's second block already handed to the restored
+    // rows (silent duplicates).
+    spark.sql("""CREATE TABLE gep.ns.dd (
+                   sk BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1 INCREMENT BY 1),
+                   k BIGINT)
+                 USING graft TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO gep.ns.dd (k) SELECT id FROM range(10)")
+    val dir = s"$warehouse/ns/dd"
+    spark.sql("INSERT INTO gep.ns.dd (k) SELECT id + 10 FROM range(10)")
+    val v2 = SnapshotStore.latestVersion(spark, dir).get
+
+    spark.sql("""REPLACE TABLE gep.ns.dd (
+                   sk BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1 INCREMENT BY 1),
+                   k BIGINT)
+                 USING graft TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO gep.ns.dd (k) SELECT id + 100 FROM range(10)")
+
+    spark.sql(s"CALL gep.system.restore(table => 'ns.dd', version => $v2)")
+    spark.sql("INSERT INTO gep.ns.dd (k) VALUES (200)") // A's third block
+    val afterFirst = spark.table("gep.ns.dd").select("sk").as[Long].collect()
+    assert(afterFirst.length == 21 && afterFirst.toSet.size == 21,
+      s"first restore re-minted: ${afterFirst.sorted.toSeq}")
+
+    spark.sql(s"CALL gep.system.restore(table => 'ns.dd', version => $v2)")
+    // head again holds v2's 20 rows, whose second half minted from A's
+    // second block. This insert repeats the second insert's row
+    // distribution: under B's frontier it would reproduce those exact
+    // ids — base + (partition<<33) + row — colliding with live rows
+    spark.sql("INSERT INTO gep.ns.dd (k) SELECT id + 30 FROM range(10)")
+    val sks = spark.table("gep.ns.dd").select("sk").as[Long].collect()
+    assert(sks.length == 30 && sks.toSet.size == 30,
+      s"second cross-epoch restore re-minted ids: ${sks.length} rows, ${sks.toSet.size} distinct")
+  }
+
+  test("cross-epoch restore into a no-ledger epoch installs NO ledger (lookup precedes archival)") {
+    // Epoch A has no identity column (no ledger); epoch B does. The
+    // restore back to A archives B's live ledger under the displaced
+    // base — if the install lookup ran AFTER that archival, it would
+    // pick the file this very restore just wrote (no earlier archive
+    // exists for A) and install B's allocator on a head whose schema
+    // has no identity columns at all.
+    spark.sql("""CREATE TABLE gep.ns.nl (k BIGINT, v STRING) USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO gep.ns.nl VALUES (1, 'a'), (2, 'b')")
+    val dir = s"$warehouse/ns/nl"
+    val vA = SnapshotStore.latestVersion(spark, dir).get
+
+    spark.sql("""REPLACE TABLE gep.ns.nl (
+                   sk BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1 INCREMENT BY 1),
+                   k BIGINT)
+                 USING graft TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO gep.ns.nl (k) VALUES (10), (11)") // B's live ledger
+    val vB = SnapshotStore.latestVersion(spark, dir).get
+
+    spark.sql(s"CALL gep.system.restore(table => 'ns.nl', version => $vA)")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_identity")),
+      "restored no-identity epoch must carry no live ledger")
+    // B's ledger is archived, not lost: travel to the replaced-away
+    // epoch still reports its identity declaration and data
+    val midRows = spark.sql(s"SELECT sk FROM gep.ns.nl VERSION AS OF $vB")
+      .as[Long].collect().toSet
+    assert(midRows.size == 2, s"epoch B rows under VERSION AS OF: $midRows")
+    // and the restored head is plain epoch-A data
+    assert(spark.table("gep.ns.nl").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
+
+  test("a tag pinned ABOVE a cross-epoch restore target keeps resolving its own epoch") {
+    // Tag a version in the REPLACEMENT epoch, then restore BELOW the
+    // epoch: the tag must keep reading the replacement's data AND
+    // reporting the replacement's contracts — the restore displaced
+    // that epoch to the archives, it did not rewrite history.
+    spark.sql("""CREATE TABLE gep.ns.tg (k BIGINT, cents BIGINT,
+                   CONSTRAINT a_pos CHECK (cents >= 0))
+                 USING graft TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO gep.ns.tg VALUES (1, 5)")
+    val dir = s"$warehouse/ns/tg"
+    val vA = SnapshotStore.latestVersion(spark, dir).get
+
+    spark.sql("""REPLACE TABLE gep.ns.tg (k BIGINT, cents BIGINT,
+                   CONSTRAINT b_cap CHECK (cents <= 100))
+                 USING graft TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO gep.ns.tg VALUES (7, 70), (8, 80)")
+    val vB = SnapshotStore.latestVersion(spark, dir).get
+    spark.sql(s"CALL gep.system.tag(table => 'ns.tg', name => 'brel', version => $vB)")
+
+    spark.sql(s"CALL gep.system.restore(table => 'ns.tg', version => $vA)")
+    // head is epoch A again (contracts + data)
+    val headChecks = cat.loadTable(Identifier.of(Array("ns"), "tg"))
+      .constraints().map(_.name()).toSet
+    assert(headChecks == Set("a_pos"), s"restored head constraints: $headChecks")
+    assert(spark.table("gep.ns.tg").as[(Long, Long)].collect().toSet ==
+      Set((1L, 5L)))
+    // the tag still reads epoch B's data through every door...
+    assert(spark.sql("SELECT k FROM gep.ns.tg VERSION AS OF 'brel'")
+      .as[Long].collect().toSet == Set(7L, 8L))
+    assert(spark.sql("SELECT k FROM gep.ns.tg.tag_brel")
+      .as[Long].collect().toSet == Set(7L, 8L))
+    // ... and reports epoch B's CONTRACTS (vB is below the re-stamped
+    // epoch, so resolution goes through B's `_props_upto_` archive)
+    val tagChecks = tableAt("tg", vB).constraints().map(_.name()).toSet
+    assert(tagChecks == Set("b_cap"),
+      s"tag above the restore target leaked contracts: $tagChecks")
+  }
+
+  test("publishing a branch forked below an epoch refuses after the main REPLACE") {
+    // A WAP branch audits data under the fork-time contracts; a
+    // REPLACE of main both advances the version AND swaps the contract
+    // epoch, so the publish must refuse with the re-create recipe
+    // rather than land pre-epoch data onto the replacement.
+    spark.sql("""CREATE TABLE gep.ns.bw (k BIGINT, v STRING) USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO gep.ns.bw VALUES (1, 'a'), (2, 'b')")
+    spark.sql("CALL gep.system.branch(table => 'ns.bw', name => 'audit')")
+    spark.sql("INSERT INTO gep.ns.bw.branch_audit VALUES (3, 'c')")
+
+    spark.sql("""REPLACE TABLE gep.ns.bw TBLPROPERTIES ('keys'='g') AS
+                 SELECT CAST(1 AS BIGINT) AS g, 'z' AS w""")
+    val e = intercept[Exception] {
+      spark.sql("CALL gep.system.publish_branch(table => 'ns.bw', name => 'audit')")
+    }
+    assert(e.toString.contains("re-create the branch") ||
+      (e.getCause != null && e.getCause.toString.contains("re-create the branch")),
+      s"publish across a REPLACE must carry the retry recipe: $e")
+    // main is untouched by the refused publish
+    assert(spark.table("gep.ns.bw").columns.toSeq == Seq("g", "w"))
+    // the documented recovery works: re-create under the new contracts
+    spark.sql("CALL gep.system.drop_branch(table => 'ns.bw', name => 'audit')")
+    spark.sql("CALL gep.system.branch(table => 'ns.bw', name => 'audit')")
+    spark.sql("INSERT INTO gep.ns.bw.branch_audit VALUES (9, 'y')")
+    spark.sql("CALL gep.system.publish_branch(table => 'ns.bw', name => 'audit')")
+    assert(spark.table("gep.ns.bw").as[(Long, String)].collect().toSet ==
+      Set((1L, "z"), (9L, "y")))
+  }
 }

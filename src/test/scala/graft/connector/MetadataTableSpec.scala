@@ -80,16 +80,78 @@ class MetadataTableSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT count(*) FROM gmeta.a.t.meta_stats WHERE is_fresh").as[Long]
       .head() == 0L)
-    // unknown kinds and time travel over views refuse with guidance
+    // unknown kinds refuse with guidance; REF views (tags/branches)
+    // and ANALYZE state refuse time travel — they point AT versions,
+    // they don't live inside one
     val bad = intercept[Exception] {
       spark.sql("SELECT * FROM gmeta.a.t.meta_nope").collect()
     }
     assert(bad.getMessage.contains("meta_nope") ||
       bad.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
     val tt = intercept[Exception] {
-      spark.sql("SELECT * FROM gmeta.a.t.meta_history VERSION AS OF 1").collect()
+      spark.sql("SELECT * FROM gmeta.a.t.meta_tags VERSION AS OF 1").collect()
     }
     assert(tt.getMessage.contains("CURRENT table state") ||
       tt.getMessage.toLowerCase.contains("not found"), tt.getMessage)
+  }
+
+  test("meta_history/meta_props/meta_files pin under VERSION AS OF, epoch-honest") {
+    spark.sql("""CREATE TABLE gmeta.a.vv (k BIGINT, cents BIGINT,
+                   CONSTRAINT pos CHECK (cents >= 0))
+                 USING graft TBLPROPERTIES ('keys'='k', 'numBuckets'='2',
+                   'steward'='old-team')""")
+    spark.sql("INSERT INTO gmeta.a.vv VALUES (1, 5), (2, 7)")
+    val vA = spark.sql("SELECT max(version) FROM gmeta.a.vv.meta_history")
+      .as[Long].head()
+    spark.sql("CALL gmeta.system.tag(table => 'a.vv', name => 'pin')")
+    spark.sql("INSERT INTO gmeta.a.vv VALUES (3, 9)")
+
+    // history pinned at vA: versions stop there, is_current moves
+    val hist = spark.sql(
+      s"""SELECT version, is_current FROM gmeta.a.vv.meta_history
+          VERSION AS OF $vA ORDER BY version""")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(hist.map(_._1).max == vA && hist.last._2,
+      s"pinned history: $hist")
+    // ... and the TAG door resolves the same pin
+    assert(spark.sql(
+      """SELECT max(version) FROM gmeta.a.vv.meta_history
+         VERSION AS OF 'pin'""").as[Long].head() == vA)
+    // files pinned at vA census the OLD manifest (fewer data files)
+    val filesThen = spark.sql(
+      s"SELECT count(*) FROM gmeta.a.vv.meta_files VERSION AS OF $vA")
+      .as[Long].head()
+    val filesNow = spark.sql(
+      "SELECT count(*) FROM gmeta.a.vv.meta_files").as[Long].head()
+    assert(filesThen < filesNow, s"$filesThen !< $filesNow")
+    // TIMESTAMP AS OF resolves through the same door
+    val future = new java.sql.Timestamp(System.currentTimeMillis() + 60000)
+    assert(spark.sql(
+      s"""SELECT max(version) FROM gmeta.a.vv.meta_history
+          TIMESTAMP AS OF '$future'""").as[Long].head() > vA)
+
+    // REPLACE starts a new contract epoch; the pinned props view must
+    // answer with the OLD epoch's contracts, the unpinned with the new
+    spark.sql("""REPLACE TABLE gmeta.a.vv TBLPROPERTIES ('keys'='k',
+                   'steward'='new-team') AS
+                 SELECT CAST(1 AS BIGINT) AS k, CAST(-50 AS BIGINT) AS cents""")
+    val propsThen = spark.sql(
+      s"""SELECT key, value FROM gmeta.a.vv.meta_props VERSION AS OF $vA""")
+      .as[(String, String)].collect().toMap
+    assert(propsThen.get("steward").contains("old-team") &&
+      propsThen.contains("constraint.check.pos"),
+      s"pinned props lost the governing epoch: $propsThen")
+    val propsNow = spark.table("gmeta.a.vv.meta_props")
+      .as[(String, String)].collect().toMap
+    assert(propsNow.get("steward").contains("new-team") &&
+      !propsNow.contains("constraint.check.pos"),
+      s"current props: $propsNow")
+    // an unretained version refuses loudly
+    val bad = intercept[Exception] {
+      spark.sql("SELECT * FROM gmeta.a.vv.meta_history VERSION AS OF 999")
+        .collect()
+    }
+    assert(bad.getMessage.contains("not in") ||
+      bad.getMessage.contains("retained"), bad.getMessage)
   }
 }

@@ -114,6 +114,61 @@ class ReplaceBoundaryStreamSpec extends SparkSpec {
       s"redelivery after restart: ${batches.drop(before)}")
   }
 
+  test("an offset range spanning TWO replace boundaries delivers ONE combined refresh") {
+    // A consumer that was down across two REPLACEs must not see two
+    // stacked refreshes (retract, insert, retract, insert) — the
+    // recovery is a function of the range ENDPOINTS only: one
+    // retraction set at `from`, one insert set at `to`.
+    spark.sql("""CREATE TABLE grbs.ns.two (k BIGINT, v STRING) USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO grbs.ns.two SELECT id, concat('a', id) FROM range(4)")
+    val root = s"$warehouse/ns/two"
+    val ckpt = Files.createTempDirectory("graft-rbs-two").toString
+
+    val mirror = scala.collection.mutable.Map.empty[Long, String]
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("path", root).option("keys", "k")
+        .option("startingVersion", "-1")
+        .option("consumerId", "two-mirror")
+        .option("replaceBoundary", "refresh")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          val rows = b.select(col("k"),
+            col("v"), col(ChangeFeed.ChangeType), col(ChangeFeed.CommitVersion))
+            .as[(Long, Option[String], String, Long)].collect().toSeq
+          mirror.synchronized {
+            applyBatch(mirror, rows)
+            batches += rows.size
+          }: Unit
+        }
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow query did not stop")
+    }
+
+    drain()
+    assert(mirror.toMap == (0L until 4L).map(k => k -> s"a$k").toMap)
+
+    // two keys-changing REPLACEs while the consumer is down — the
+    // middle epoch must be invisible to the recovery
+    spark.sql("""REPLACE TABLE grbs.ns.two TBLPROPERTIES ('keys'='id') AS
+                 SELECT id + 100 AS id, id AS k, concat('mid', id) AS v
+                 FROM range(9)""")
+    spark.sql("""REPLACE TABLE grbs.ns.two TBLPROPERTIES ('keys'='g') AS
+                 SELECT id + 200 AS g, id AS k, concat('b', id) AS v
+                 FROM range(2)""")
+    drain()
+    assert(mirror.toMap == Map(0L -> "b0", 1L -> "b1"),
+      s"mirror after double-replace refresh: ${mirror.toMap}")
+    // ONE combined batch: 4 retractions + 2 inserts — never the middle
+    // epoch's 9 rows
+    assert(batches.last == 6, s"batch sizes: $batches")
+  }
+
   test("batch CDF honors the same option: refresh batch instead of the refusal") {
     spark.sql("""CREATE TABLE grbs.ns.cdf (k BIGINT, v STRING) USING graft
                  TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")

@@ -109,4 +109,28 @@ class TagSpec extends SparkSpec {
     spark.sql("CALL gtag.system.tag(table => 'a.d', name => 'v123')")
     assert(spark.sql("SELECT * FROM gtag.a.d VERSION AS OF 'v123'").count() == 1)
   }
+
+  test("a pre-existing all-digit tag stays listable and droppable (guard is create-only)") {
+    spark.sql("""CREATE TABLE gtag.a.stale (k BIGINT) USING graft
+                 TBLPROPERTIES ('keys'='k')""")
+    spark.sql("INSERT INTO gtag.a.stale VALUES (1)")
+    // simulate a tag created before the all-digit reservation existed:
+    // write the tag file directly, as the old createTag would have
+    val tagsDir = java.nio.file.Paths.get(warehouse, "a", "stale", "_tags")
+    java.nio.file.Files.createDirectories(tagsDir)
+    java.nio.file.Files.write(tagsDir.resolve("123"), "1\n".getBytes)
+    // it must list and drop — a guard in the resolve/delete path would
+    // make the stale tag both unreadable and un-droppable
+    val listed = spark.sql("CALL gtag.system.tags(table => 'a.stale')")
+      .as[(String, Long)].collect().toSeq
+    assert(listed == Seq(("123", 1L)), s"listed: $listed")
+    assert(spark.sql("CALL gtag.system.drop_tag(table => 'a.stale', name => '123')")
+      .as[Boolean].head())
+    assert(spark.sql("CALL gtag.system.tags(table => 'a.stale')").count() == 0)
+    // creating a NEW all-digit tag still refuses
+    val e = intercept[Exception] {
+      spark.sql("CALL gtag.system.tag(table => 'a.stale', name => '123')")
+    }
+    assert(e.getMessage.contains("reserved for version ids"), e.getMessage)
+  }
 }
