@@ -814,6 +814,15 @@ object SnapshotStore {
     *   fstats:<bucket>\t<fileName>\t<min>,<max>,...   (0..many, after their bucket line)
     *   rows:<bucket>\t<n>           (format 4: bucket row count, exact
     *                                 as of the bucket's last rewrite)
+    *   epoch:1                      (format 5: this version STARTS a
+    *                                 contract epoch — a REPLACE or a
+    *                                 cross-epoch restore; its committer
+    *                                 swaps `_schema`/`_props`/ledger
+    *                                 after the manifest commit and
+    *                                 stamps `graft.schema.epoch` to
+    *                                 this version as the swap's LAST
+    *                                 step, so flag+stamp together
+    *                                 certify the swap completed)
     *   tomb:<bucket>\t<dir>         (0..many, one per unfolded delete sidecar)
     *   del:<bucket>                 (delta manifests: bucket removed vs base)
     *   end:<token>:<lineCount>
@@ -830,6 +839,8 @@ object SnapshotStore {
     * (a columnar CHECKPOINT — parquet snapshot of the whole state
     * written every [[checkpointInterval]] commits — or a full
     * manifest, v0 at worst) plus the delta chain above it.
+    * Format 5 adds the `epoch:` line (a new line TYPE, so every
+    * manifest declares format 5 going forward).
     *
     * The `format:` marker exists so any backward-incompatible change
     * is detectable instead of silently misread: readers reject
@@ -841,7 +852,7 @@ object SnapshotStore {
     * would misread as bucket entries), so every manifest carrying them
     * — full and delta alike — declares format 4.
     */
-  private val ManifestFormat = 4
+  private val ManifestFormat = 5
 
   /** Write a full-state checkpoint every this-many commits (the
     * Delta-parquet-checkpoint cadence knob).
@@ -857,7 +868,8 @@ object SnapshotStore {
                                        deleted: Set[Int],
                                        deltaBase: Option[Long],
                                        keys: Seq[String] = Nil,
-                                       commitTsMillis: Long = -1L)
+                                       commitTsMillis: Long = -1L,
+                                       epochStart: Boolean = false)
 
   private[store] def parseStats(s: String): Seq[Option[(String, String)]] =
     if (s.isEmpty) Seq.empty
@@ -877,6 +889,7 @@ object SnapshotStore {
       var deltaBase: Option[Long] = None
       var keys = Seq.empty[String]
       var commitTs = -1L
+      var epochStart = false
       val txns = mutable.Map.empty[String, Long]
       val entries = mutable.Map.empty[Int, BucketEntry]
       val deleted = mutable.Set.empty[Int]
@@ -898,6 +911,8 @@ object SnapshotStore {
               .filter(_.nonEmpty).map(dec)
           case l if l.startsWith("ts:") =>
             commitTs = l.stripPrefix("ts:").trim.toLong
+          case l if l.startsWith("epoch:") =>
+            epochStart = l.stripPrefix("epoch:").trim == "1"
           case l if l.startsWith("rows:") =>
             val Array(b, n) = l.stripPrefix("rows:").split("\t", 2)
             rowCounts(b.toInt) = n.toLong
@@ -937,7 +952,7 @@ object SnapshotStore {
           rows = rowCounts.get(b))
       }
       RawManifest(v, numBuckets, statsCols, txns.toMap, withF.toMap,
-        deleted.toSet, deltaBase, keys, commitTs)
+        deleted.toSet, deltaBase, keys, commitTs, epochStart)
     } finally in.close()
   }
 
@@ -1221,7 +1236,8 @@ object SnapshotStore {
                                   txns: Map[String, Long],
                                   buckets: Map[Int, BucketEntry],
                                   base: Option[Manifest] = None,
-                                  keys: Seq[String] = Nil): Option[Manifest] = {
+                                  keys: Seq[String] = Nil,
+                                  epochStart: Boolean = false): Option[Manifest] = {
     base.foreach(b => require(b.version == v - 1,
       s"delta manifest for $v must base on ${v - 1}, got ${b.version}"))
     val target = manifestPath(root, v)
@@ -1256,8 +1272,9 @@ object SnapshotStore {
       val tombs = e.tombstones.map(d => s"tomb:$b\t$d")
       (main +: files) ++ rows ++ tombs
     }
+    val epochLine = if (epochStart) Seq("epoch:1") else Seq.empty
     val bodyLines = Seq(s"buckets:$numBuckets", s"format:$ManifestFormat",
-      s"ts:$commitTs") ++
+      s"ts:$commitTs") ++ epochLine ++
       deltaLine ++ keysLine ++ statsLine ++ txnLines ++ bucketLines ++ delLines
     val body = bodyLines.mkString("", "\n", "\n") + s"end:$token:${bodyLines.size}\n"
 
@@ -2614,6 +2631,16 @@ object SnapshotStore {
       if (base == toVersion) return base
       val target = readManifest(spark, root, toVersion)
       val cur = readManifest(spark, root, base)
+      // serialize behind any in-flight REPLACE swap at/below the head,
+      // THEN decide whether this restore crosses an epoch — deciding
+      // from a mid-swap props file could read the wrong epoch stamp.
+      // The decision is made BEFORE the commit so the manifest can
+      // carry the `epoch:` flag (flag + final stamp = swap-completed
+      // protocol; see [[awaitContractQuiescence]]); if the commit
+      // loses the race, the next attempt re-decides from fresh state.
+      awaitContractQuiescence(spark, root, base)
+      val crosses = readProps(spark, root)
+        .get("graft.schema.epoch").map(_.toLong).exists(toVersion < _)
       // a keyed→UNKEYED restore cannot ride a delta manifest (a delta
       // with no keys line INHERITS the base's keys — Nil is
       // inexpressible there); write a full manifest for that one case
@@ -2621,10 +2648,11 @@ object SnapshotStore {
                     else Some(cur)
       writeManifestAtomic(fs, root, base + 1, target.numBuckets,
           target.statsCols, cur.txns, target.buckets, base = baseOpt,
-          keys = target.keys) match {
+          keys = target.keys, epochStart = crosses) match {
         case Some(cm) =>
           maybeCheckpoint(spark, root, cm)
-          restoreContractEpoch(spark, root, toVersion, base, base + 1)
+          if (crosses)
+            restoreContractEpoch(spark, root, toVersion, base, base + 1)
           return base + 1
         case None => // lost the race — re-census and retry
       }
@@ -2645,9 +2673,10 @@ object SnapshotStore {
                                    toVersion: Long, base: Long,
                                    newHead: Long): Unit = {
     val fs = fileSystem(spark, root)
+    // the caller decided cross-epoch (and flagged its manifest) BEHIND
+    // [[awaitContractQuiescence]], and competitors above `newHead`
+    // wait for OUR stamp — the live contracts are stable here
     val curProps = readProps(spark, root)
-    if (!curProps.get("graft.schema.epoch").map(_.toLong).exists(toVersion < _))
-      return // same epoch: current contracts already govern the target
     // Resolve the restored epoch's archived contracts BEFORE publishing
     // the displaced epoch's `_*_upto_<base>` archives: those archives
     // also cover toVersion (base > toVersion), so a lookup run after
@@ -2668,12 +2697,7 @@ object SnapshotStore {
     val curLedger = new Path(root, "_identity")
     if (fs.exists(curLedger))
       fs.rename(curLedger, new Path(root, f"_identity_upto_$base%020d")): Unit
-    // install the restored epoch's own contracts; the epoch re-stamp at
-    // the new head keeps every pre-restore version resolving its own
-    // epoch's archives (smallest-n≥v picks `_*_upto_<base>` for the
-    // replaced-away epoch, earlier archives for earlier epochs)
-    writeProps(spark, root,
-      restoredProps + ("graft.schema.epoch" -> newHead.toString))
+    // install the restored epoch's own contracts
     restoredSchema match {
       case Some(t) => publishSmallFile(spark, root, "_schema", t)
       case None => fs.delete(new Path(root, "_schema"), false): Unit
@@ -2691,6 +2715,13 @@ object SnapshotStore {
         spark.sparkContext.hadoopConfiguration): Unit
     }
     fs.delete(new Path(root, ColStatsFile), false): Unit
+    // the epoch re-stamp at the new head keeps every pre-restore
+    // version resolving its own epoch's archives (smallest-n≥v picks
+    // `_*_upto_<base>` for the replaced-away epoch, earlier archives
+    // for earlier epochs); it goes LAST as the swap-completed marker
+    // [[awaitContractQuiescence]] waits on
+    writeProps(spark, root,
+      restoredProps + ("graft.schema.epoch" -> newHead.toString))
   }
 
   /** Zero-copy clone (the flagship capability of the reference's
@@ -3114,6 +3145,64 @@ object SnapshotStore {
     * until the statement is retried; data reads are unaffected (the
     * read schema is footer-merged).
     */
+  /** Test-only interleave hook: invoked by [[adoptAsReplace]] right
+    * after its manifest commit wins and before the contract swap —
+    * the window a racing second REPLACE's swap must serialize behind.
+    */
+  @volatile private[graft] var replaceSwapHook: (String, Long) => Unit =
+    (_, _) => ()
+
+  /** Block until the most recent epoch-starting version at or below
+    * `upTo` has COMPLETED its post-commit contract swap (its
+    * `graft.schema.epoch` stamp — the swap's last step — has reached
+    * that version). Contract-swapping committers call this after
+    * winning their own manifest commit and BEFORE reading the live
+    * `_schema`/`_props`/identity files: the displaced head's swap may
+    * still be in flight (the manifest commit is atomic; the small-file
+    * swap after it is not), and archiving mid-swap state would
+    * install/archive the WRONG epoch's contracts — the earlier winner,
+    * finishing last, then clobbers the later epoch's live files
+    * outright. Waiting for the stamp serializes the swaps without a
+    * lock; a competitor that crashed mid-swap surfaces as a LOUD
+    * timeout here (the table needs repair) instead of silent contract
+    * corruption.
+    */
+  private def awaitContractQuiescence(spark: SparkSession, root: String,
+                                      upTo: Long): Unit = {
+    val fs = fileSystem(spark, root)
+    def stamped: Long = readProps(spark, root)
+      .get("graft.schema.epoch").map(_.toLong).getOrElse(-1L)
+    // the greatest flagged version in (floor, upTo]; versions at or
+    // below the stamp are quiesced by definition (stamps are the
+    // swap's last write and strictly increase). The scan is bounded:
+    // a flagged version is stamped within its own statement, so one
+    // more than a few commits below the head is either long quiesced
+    // (stamp ≥ it — the floor cut) or the table is already torn and
+    // the next contract op inside the window will surface it.
+    val floor = math.max(stamped, upTo - 64)
+    var v = upTo
+    var flagged = -1L
+    while (v > floor && flagged < 0) {
+      if (fs.exists(manifestPath(root, v)) &&
+          parseManifestFile(fs, root, v).epochStart) flagged = v
+      else v -= 1
+    }
+    if (flagged < 0) return
+    val timeoutMs = sys.props.get("graft.snapshot.contractSwapTimeoutMs")
+      .map(_.toLong).getOrElse(30000L)
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (stamped < flagged) {
+      if (System.currentTimeMillis() > deadline)
+        throw new IllegalStateException(
+          s"version $flagged at $root is a REPLACE/restore whose contract " +
+            s"swap has not completed after ${timeoutMs}ms — its committer " +
+            "likely crashed between the manifest commit and the " +
+            "_schema/_props swap; the table's live contracts need repair " +
+            "before another contract-changing commit can proceed")
+      Thread.sleep(25)
+    }
+  }
+
   private[graft] def adoptAsReplace(spark: SparkSession, root: String,
                                     staged: String): Long = {
     val fs = fileSystem(spark, root)
@@ -3182,9 +3271,18 @@ object SnapshotStore {
       // replacement (staged marks win a collision: they are newer)
       val mainM = readManifest(spark, root, cur)
       writeManifestAtomic(fs, root, pubV, m.numBuckets, m.statsCols,
-          mainM.txns ++ m.txns, entries, base = None, keys = m.keys) match {
+          mainM.txns ++ m.txns, entries, base = None, keys = m.keys,
+          epochStart = true) match {
         case Some(cm) =>
           maybeCheckpoint(spark, root, cm)
+          replaceSwapHook(root, pubV)
+          // a RACING replace may have committed `cur` and still be
+          // mid-swap — its manifest is atomic, its small-file swap is
+          // not. Reading the live contracts before that swap lands
+          // would archive the WRONG epoch's schema/props under <cur>
+          // and let the earlier winner, finishing last, clobber this
+          // epoch's live files. Wait for its completion stamp.
+          awaitContractQuiescence(spark, root, cur)
           // contract swap (see scaladoc: after the data flip); the
           // schema EPOCH stamp keeps time travel honest — versions
           // below it resolve against the ARCHIVED declared schema of
@@ -3198,10 +3296,9 @@ object SnapshotStore {
           // meta_props/constraints under VERSION AS OF — resolves the
           // constraints/defaults/identity declarations that actually
           // governed those versions, not the replacement's
+          val displacedProps = readProps(spark, root)
           publishSmallFile(spark, root, f"_props_upto_$cur%020d",
-            propsText(readProps(spark, root)))
-          writeProps(spark, root, readProps(spark, staged) +
-            ("graft.schema.epoch" -> pubV.toString))
+            propsText(displacedProps))
           smallFileText(fs, new Path(staged, "_schema")) match {
             case Some(t) => publishSmallFile(spark, root, "_schema", t)
             case None => fs.delete(new Path(root, "_schema"), false): Unit
@@ -3218,6 +3315,11 @@ object SnapshotStore {
           val stagedLedger = new Path(staged, "_identity")
           if (fs.exists(stagedLedger))
             fs.rename(stagedLedger, new Path(root, "_identity")): Unit
+          // the epoch stamp goes LAST: it is the swap's completion
+          // marker — [[awaitContractQuiescence]] takes stamp == flagged
+          // version to mean every other contract file is in place
+          writeProps(spark, root, readProps(spark, staged) +
+            ("graft.schema.epoch" -> pubV.toString))
           committed = true
           return pubV
         case None => () // raced: loop re-renames under the next version

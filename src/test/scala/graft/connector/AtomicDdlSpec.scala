@@ -285,6 +285,96 @@ class AtomicDdlSpec extends SparkSpec {
       _.getPath.getName.startsWith("_rtas_adopting-")))
   }
 
+  test("racing REPLACE contract swaps SERIALIZE: the later winner archives the " +
+      "earlier winner's schema, never a torn mid-swap state") {
+    // The manifest commit is atomic; the _schema/_props/ledger swap
+    // after it is not. This pins the adversarial interleave the r13
+    // scale-10 OCC soak caught live: REPLACE-A commits v+1, is
+    // suspended BEFORE its contract swap; REPLACE-B commits v+2, and
+    // must WAIT for A's completion stamp instead of (a) archiving the
+    // pre-race schema under v+1 and (b) having A, finishing last,
+    // clobber B's live _schema/_props with v+1's epoch — the torn end
+    // state was a head whose data and declared schema disagreed.
+    spark.sql("""CREATE TABLE gatm.a.rsw (k BIGINT, v BIGINT) USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO gatm.a.rsw VALUES (1, 0)")
+    val dir = s"$warehouse/a/rsw"
+    val v0 = SnapshotStore.latestVersion(spark, dir).get
+    val cat = spark.sessionState.catalogManager.catalog("gatm")
+      .asInstanceOf[GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("a"), "rsw")
+    def stagedReplace(colName: String, payload: String)
+        : org.apache.spark.sql.connector.catalog.StagedTable = {
+      val cols = Array(
+        org.apache.spark.sql.connector.catalog.Column.create(colName,
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.connector.catalog.Column.create("n",
+          org.apache.spark.sql.types.LongType))
+      val info = new org.apache.spark.sql.connector.catalog.TableInfo.Builder()
+        .withColumns(cols).withPartitions(Array.empty)
+        .withProperties(java.util.Map.of("keys", colName)).build()
+      val before = stagingLeftovers.toSet
+      val st = cat.stageReplace(ident, info)
+      val stagedName = (stagingLeftovers.toSet -- before).head
+      Seq((payload, 1L)).toDF(colName, "n").write.format("graft")
+        .mode("overwrite").save(s"$warehouse/a/_staging/$stagedName")
+      st
+    }
+    val first = stagedReplace("a", "x")   // epoch v0+1: schema (a, n)
+    val second = stagedReplace("b", "y")  // epoch v0+2: schema (b, n)
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val firedForA = new java.util.concurrent.atomic.AtomicBoolean(false)
+    SnapshotStore.replaceSwapHook = (root, _) =>
+      if (root.endsWith("/a/rsw") && firedForA.compareAndSet(false, true)) {
+        entered.countDown()
+        gate.await(60, java.util.concurrent.TimeUnit.SECONDS): Unit
+      }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fa = Future(first.commitStagedChanges())
+      assert(entered.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "REPLACE-A never reached its post-commit window")
+      // A has committed v0+1 and is suspended pre-swap
+      assert(SnapshotStore.latestVersion(spark, dir).contains(v0 + 1))
+      val fb = Future(second.commitStagedChanges())
+      // B commits v0+2, then must BLOCK awaiting A's swap stamp
+      val deadline = System.currentTimeMillis() + 30000
+      while (!SnapshotStore.latestVersion(spark, dir).contains(v0 + 2) &&
+             System.currentTimeMillis() < deadline) Thread.sleep(10)
+      assert(SnapshotStore.latestVersion(spark, dir).contains(v0 + 2))
+      Thread.sleep(200) // give B rope: it must be WAITING, not swapping
+      assert(!fb.isCompleted,
+        "REPLACE-B ran its contract swap while A's was still in flight")
+      gate.countDown()
+      Await.result(fa, 60.seconds)
+      Await.result(fb, 60.seconds)
+    } finally {
+      SnapshotStore.replaceSwapHook = (_, _) => ()
+      gate.countDown()
+      pool.shutdown()
+    }
+    // coherent end state: head carries B's schema, data, keys and epoch
+    assert(spark.table("gatm.a.rsw").columns.toSeq == Seq("b", "n"))
+    assert(spark.table("gatm.a.rsw").as[(String, Long)].collect().toSet ==
+      Set(("y", 1L)))
+    assert(SnapshotStore.readProps(spark, dir)("graft.schema.epoch").toLong
+      == v0 + 2)
+    // A's epoch is time-travelable with A's OWN schema — B archived
+    // A's contract, not the pre-race table's
+    assert(spark.sql(s"SELECT * FROM gatm.a.rsw VERSION AS OF ${v0 + 1}")
+      .columns.toSeq == Seq("a", "n"))
+    assert(spark.sql(s"SELECT * FROM gatm.a.rsw VERSION AS OF ${v0 + 1}")
+      .as[(String, Long)].collect().toSet == Set(("x", 1L)))
+    // and the pre-race epoch still resolves below both
+    assert(spark.sql(s"SELECT * FROM gatm.a.rsw VERSION AS OF $v0")
+      .columns.toSeq == Seq("k", "v"))
+  }
+
   test("a create race is detected and withdrawn: the winner's table survives intact") {
     val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
       Array("a"), "raced")
