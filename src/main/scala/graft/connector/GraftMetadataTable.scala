@@ -52,6 +52,10 @@ object GraftMetadataTable {
       .add("version", LongType)
       .add("committed_at", TimestampType)
       .add("is_current", BooleanType)
+      // this version STARTED a contract epoch (REPLACE / cross-epoch
+      // restore) — the boundary change-feed consumers must re-sync
+      // across; "where do I refresh from" is a SQL query, not a log dig
+      .add("is_epoch_start", BooleanType)
     case "detail" => new StructType()
       .add("bucket", IntegerType)
       .add("files", IntegerType)
@@ -114,7 +118,8 @@ object GraftMetadataTable {
         val cur = versionAsOf.orElse(vs.lastOption).getOrElse(
           throw new IllegalStateException(s"no committed graft table at $root"))
         vs.filter(_ <= cur).map(v => new GenericInternalRow(Array[Any](
-          v, SnapshotStore.commitTimeMillis(spark, root, v) * 1000L, v == cur)))
+          v, SnapshotStore.commitTimeMillis(spark, root, v) * 1000L, v == cur,
+          SnapshotStore.isEpochStart(spark, root, v))))
       case "detail" =>
         val m = GraftTable.manifestAt(spark, root, versionAsOf)
         m.buckets.toSeq.sortBy(_._1).map { case (b, e) =>

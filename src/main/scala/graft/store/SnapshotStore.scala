@@ -570,8 +570,25 @@ object SnapshotStore {
                         baseM: Manifest, touched: Set[Int],
                         v: Long, token: String)
       : Option[(Long, Manifest)] = {
-    val latest = latestVersion(spark, root).getOrElse(return None)
-    if (latest < v) return None // arbiter lost for another reason
+    val latest = {
+      var l = latestVersion(spark, root).getOrElse(return None)
+      // we lost the create at v, so a manifest FILE for v exists — but
+      // an unterminated one is not yet a committed version, and
+      // [[versions]] rightly refuses to count it. The winner is
+      // mid-write with its terminator one flush away: wait a beat for
+      // it instead of discarding the whole attempt into a merge
+      // RECOMPUTE (touched-bucket reread + rewrite — the expensive
+      // path rebase exists to avoid) over a millisecond race. The
+      // scale-10 OCC soak measured 3/8 disjoint writers falling into
+      // recompute exactly here before this wait.
+      val deadline = System.currentTimeMillis() + 2000
+      while (l < v && System.currentTimeMillis() < deadline) {
+        Thread.sleep(10)
+        l = latestVersion(spark, root).getOrElse(return None)
+      }
+      l
+    }
+    if (latest < v) return None // competitor crashed mid-write; recompute
     val winners = readManifest(spark, root, latest)
     val winnerTouched = (baseM.buckets.keySet ++ winners.buckets.keySet)
       .filter(b => baseM.buckets.get(b) != winners.buckets.get(b))
@@ -3201,6 +3218,18 @@ object SnapshotStore {
             "before another contract-changing commit can proceed")
       Thread.sleep(25)
     }
+  }
+
+  /** Whether version `v` STARTS a contract epoch (committed by a
+    * REPLACE or a cross-epoch restore — its manifest carries the
+    * format-5 `epoch:` flag). Reads the version's own manifest FILE:
+    * the flag is a per-commit fact, deliberately not folded through
+    * delta/checkpoint reconstruction. False for pre-format-5 history.
+    */
+  def isEpochStart(spark: SparkSession, root: String, v: Long): Boolean = {
+    val fs = fileSystem(spark, root)
+    fs.exists(manifestPath(root, v)) &&
+      parseManifestFile(fs, root, v).epochStart
   }
 
   private[graft] def adoptAsReplace(spark: SparkSession, root: String,

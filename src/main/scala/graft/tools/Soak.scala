@@ -374,7 +374,13 @@ object Soak {
     occN("occ_writers") = nWriters.toLong
     occN("occ_commits") = writerVersions.toSet.size.toLong
     // every writer merges exactly once <=> all lost races REBASED
+    // (r13: requires tryRebase's await of a mid-write winner's
+    // terminator — without it, losers probing during the winner's
+    // flush window fell into full merge recomputes, 3/8 measured)
     occN("occ_merge_recomputes") = (mergeRuns.get() - nWriters).toLong
+    require(mergeRuns.get() == nWriters,
+      s"disjoint-bucket fleet must resolve every lost race by REBASE: " +
+        s"${mergeRuns.get() - nWriters} merge recomputes")
 
     // (b) publish racing a main commit — exactly one winner
     spark.sql(s"CALL soak.system.branch(table => 'ns.ocow', name => 'race')")

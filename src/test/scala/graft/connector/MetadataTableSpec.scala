@@ -37,6 +37,29 @@ class MetadataTableSpec extends SparkSpec {
     assert(viaCall.count() == 3)
   }
 
+  test("meta_history flags epoch starts: REPLACE and cross-epoch restore " +
+      "boundaries are a SQL query") {
+    spark.sql("""CREATE TABLE gmeta.a.eh (k BIGINT, v STRING) USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO gmeta.a.eh VALUES (1, 'a')")      // v1
+    spark.sql("""REPLACE TABLE gmeta.a.eh TBLPROPERTIES ('keys'='g') AS
+                 SELECT 1 AS g, 2 AS n""")                   // v2: epoch
+    spark.sql("INSERT INTO gmeta.a.eh VALUES (3, 4)")        // v3
+    // restore BELOW the replace epoch = itself an epoch start (v4);
+    // the plain insert and the pre-replace versions are not
+    graft.store.SnapshotStore.restore(spark, s"$warehouse/a/eh", 1L)
+    val flagged = spark.sql(
+      """SELECT version FROM gmeta.a.eh.meta_history
+         WHERE is_epoch_start ORDER BY version""").as[Long].collect().toSeq
+    assert(flagged == Seq(2L, 4L),
+      s"expected the REPLACE (v2) and cross-epoch restore (v4), got $flagged")
+    // the operator question the column exists for: "latest boundary a
+    // change-feed consumer must refresh across"
+    assert(spark.sql(
+      """SELECT max(version) FROM gmeta.a.eh.meta_history
+         WHERE is_epoch_start""").as[Long].head() == 4L)
+  }
+
   test("meta_detail + meta_files agree on bytes; meta_files names real files") {
     val detailBytes = spark.sql(
       "SELECT CAST(sum(bytes) AS BIGINT) FROM gmeta.a.t.meta_detail")
