@@ -1254,11 +1254,16 @@ object SnapshotStore {
                                   buckets: Map[Int, BucketEntry],
                                   base: Option[Manifest] = None,
                                   keys: Seq[String] = Nil,
-                                  epochStart: Boolean = false): Option[Manifest] = {
+                                  epochStart: Boolean = false,
+                                  commitToken: Option[String] = None)
+      : Option[Manifest] = {
     base.foreach(b => require(b.version == v - 1,
       s"delta manifest for $v must base on ${v - 1}, got ${b.version}"))
     val target = manifestPath(root, v)
-    val token = UUID.randomUUID().toString
+    // contract-swapping commits pass their own token so the terminator
+    // binds the committed version to its `_pending_contracts-<v>-<tok>`
+    // write-ahead bundle (the roll-forward lookup key)
+    val token = commitToken.getOrElse(UUID.randomUUID().toString)
     val effKeys = if (keys.nonEmpty) keys else base.map(_.keys).getOrElse(Nil)
     // monotonic per table even under wall-clock skew (the Delta
     // in-commit-timestamp rule): TIMESTAMP AS OF binary-searches this
@@ -2656,8 +2661,31 @@ object SnapshotStore {
       // protocol; see [[awaitContractQuiescence]]); if the commit
       // loses the race, the next attempt re-decides from fresh state.
       awaitContractQuiescence(spark, root, base)
-      val crosses = readProps(spark, root)
+      val liveProps = readProps(spark, root)
+      val crosses = liveProps
         .get("graft.schema.epoch").map(_.toLong).exists(toVersion < _)
+      // a cross-epoch restore is a contract swap: build its WRITE-AHEAD
+      // bundle now (stable if we win). Install lookups resolve from the
+      // archives BEFORE this restore publishes its own `_*_upto_<base>`
+      // files (which also cover toVersion — a post-archival lookup
+      // would install the REPLACEMENT's contract when the target epoch
+      // had none); the restored ledger installs by COPY from its
+      // archive, which stays in place for the next cross-epoch restore.
+      val ctok = newToken()
+      val bundle = if (!crosses) None else Some(ContractBundle(
+        v = base + 1, cur = base,
+        archSchema = smallFileText(fs, new Path(root, "_schema")),
+        archProps = propsText(liveProps),
+        liveSchema = archivedFileFor(fs, root, "_schema_upto_", toVersion)
+          .flatMap(n => smallFileText(fs, new Path(root, n))),
+        livePropsFinal = propsText(
+          archivedPropsFor(spark, root, toVersion).getOrElse(Map.empty) +
+            ("graft.schema.epoch" -> (base + 1).toString)),
+        ledgerArchive = fs.exists(new Path(root, "_identity")),
+        ledgerSrc = archivedFileFor(fs, root, "_identity_upto_", toVersion),
+        ledgerByRename = false))
+      bundle.foreach(b => publishSmallFile(spark, root,
+        pendingContractsName(base + 1, ctok), bundleText(b)))
       // a keyed→UNKEYED restore cannot ride a delta manifest (a delta
       // with no keys line INHERITS the base's keys — Nil is
       // inexpressible there); write a full manifest for that one case
@@ -2665,80 +2693,23 @@ object SnapshotStore {
                     else Some(cur)
       writeManifestAtomic(fs, root, base + 1, target.numBuckets,
           target.statsCols, cur.txns, target.buckets, base = baseOpt,
-          keys = target.keys, epochStart = crosses) match {
+          keys = target.keys, epochStart = crosses,
+          commitToken = Some(ctok)) match {
         case Some(cm) =>
           maybeCheckpoint(spark, root, cm)
-          if (crosses)
-            restoreContractEpoch(spark, root, toVersion, base, base + 1)
+          bundle.foreach { b =>
+            executeContractSwap(spark, root, b)
+            fs.delete(new Path(root,
+              pendingContractsName(base + 1, ctok)), false): Unit
+          }
           return base + 1
-        case None => // lost the race — re-census and retry
+        case None => // lost the race — withdraw the intent and retry
+          bundle.foreach(_ => fs.delete(new Path(root,
+            pendingContractsName(base + 1, ctok)), false): Unit)
       }
     }
     throw new IllegalStateException(
       s"restore lost $maxAttempts consecutive commit races at $root")
-  }
-
-  /** The contract half of a [[restore]] that crosses a
-    * `graft.schema.epoch` boundary (no-op within an epoch): archive
-    * the displaced current contracts under `base` — the last version
-    * they governed — install the restored version's own epoch's
-    * archived contracts as current, and re-stamp the epoch at the new
-    * head. Runs AFTER the manifest commit, in the same (documented)
-    * non-atomic small-file window every REPLACE has.
-    */
-  private def restoreContractEpoch(spark: SparkSession, root: String,
-                                   toVersion: Long, base: Long,
-                                   newHead: Long): Unit = {
-    val fs = fileSystem(spark, root)
-    // the caller decided cross-epoch (and flagged its manifest) BEHIND
-    // [[awaitContractQuiescence]], and competitors above `newHead`
-    // wait for OUR stamp — the live contracts are stable here
-    val curProps = readProps(spark, root)
-    // Resolve the restored epoch's archived contracts BEFORE publishing
-    // the displaced epoch's `_*_upto_<base>` archives: those archives
-    // also cover toVersion (base > toVersion), so a lookup run after
-    // archival would — whenever no earlier archive exists for a kind
-    // (e.g. a library-created epoch that never had a `_schema`
-    // breadcrumb, or one with no identity columns) — pick the file this
-    // very restore just wrote and install the REPLACEMENT epoch's
-    // contract on the restored old-epoch head instead of none.
-    val restoredProps =
-      archivedPropsFor(spark, root, toVersion).getOrElse(Map.empty)
-    val restoredSchema = archivedFileFor(fs, root, "_schema_upto_", toVersion)
-      .flatMap(n => smallFileText(fs, new Path(root, n)))
-    val restoredLedger = archivedFileFor(fs, root, "_identity_upto_", toVersion)
-    // archive the displaced epoch's contracts, REPLACE-style
-    smallFileText(fs, new Path(root, "_schema")).foreach(t =>
-      publishSmallFile(spark, root, f"_schema_upto_$base%020d", t))
-    publishSmallFile(spark, root, f"_props_upto_$base%020d", propsText(curProps))
-    val curLedger = new Path(root, "_identity")
-    if (fs.exists(curLedger))
-      fs.rename(curLedger, new Path(root, f"_identity_upto_$base%020d")): Unit
-    // install the restored epoch's own contracts
-    restoredSchema match {
-      case Some(t) => publishSmallFile(spark, root, "_schema", t)
-      case None => fs.delete(new Path(root, "_schema"), false): Unit
-    }
-    restoredLedger.foreach { n =>
-      // the live allocator frontier moves back to the epoch whose data
-      // is now current — ids the restored rows hold are never re-minted.
-      // Install by recursive COPY, leaving `_identity_upto_<n>` in
-      // place: the archive must keep answering smallest-n≥v for its
-      // whole epoch, or a SECOND cross-epoch restore into this epoch
-      // would resolve to a LATER epoch's archive and install the wrong
-      // frontier (silent identity re-mints).
-      org.apache.hadoop.fs.FileUtil.copy(fs, new Path(root, n),
-        fs, new Path(root, "_identity"), false,
-        spark.sparkContext.hadoopConfiguration): Unit
-    }
-    fs.delete(new Path(root, ColStatsFile), false): Unit
-    // the epoch re-stamp at the new head keeps every pre-restore
-    // version resolving its own epoch's archives (smallest-n≥v picks
-    // `_*_upto_<base>` for the replaced-away epoch, earlier archives
-    // for earlier epochs); it goes LAST as the swap-completed marker
-    // [[awaitContractQuiescence]] waits on
-    writeProps(spark, root,
-      restoredProps + ("graft.schema.epoch" -> newHead.toString))
   }
 
   /** Zero-copy clone (the flagship capability of the reference's
@@ -3165,9 +3136,105 @@ object SnapshotStore {
   /** Test-only interleave hook: invoked by [[adoptAsReplace]] right
     * after its manifest commit wins and before the contract swap —
     * the window a racing second REPLACE's swap must serialize behind.
+    * A hook that THROWS simulates a committer crashing post-commit,
+    * pre-swap (the window [[executeContractSwap]] roll-forward heals).
     */
   @volatile private[graft] var replaceSwapHook: (String, Long) => Unit =
     (_, _) => ()
+
+  /** The WRITE-AHEAD INTENT of a contract swap: everything the
+    * post-commit `_schema`/`_props`/identity swap will write, resolved
+    * BEFORE the manifest commit (reads of live state are stable then —
+    * the committer has awaited contract quiescence, and any competitor
+    * commit in between makes this attempt LOSE and re-resolve).
+    * Published as `_pending_contracts-<v>-<token>` (token = the
+    * manifest's own terminator token, the unique binding to the
+    * committed version) so that a committer crashing between its
+    * atomic manifest commit and the small-file swap leaves a
+    * ROLL-FORWARD recipe instead of a torn table: the next
+    * contract-swapping committer completes the crashed swap from the
+    * bundle ([[awaitContractQuiescence]]) — every write is
+    * deterministic from the bundle, so concurrent healers (or a
+    * slow-but-alive committer finishing alongside one) converge on
+    * identical bytes.
+    */
+  private final case class ContractBundle(v: Long, cur: Long,
+                                          archSchema: Option[String],
+                                          archProps: String,
+                                          liveSchema: Option[String],
+                                          livePropsFinal: String,
+                                          ledgerArchive: Boolean,
+                                          ledgerSrc: Option[String],
+                                          ledgerByRename: Boolean)
+
+  private def pendingContractsName(v: Long, token: String): String =
+    f"_pending_contracts-$v%020d-$token"
+
+  private def bundleText(b: ContractBundle): String = {
+    def line(k: String, v: String) = s"$k\t${enc(v)}"
+    (Seq(line("v", b.v.toString), line("cur", b.cur.toString),
+      line("arch_props", b.archProps),
+      line("live_props", b.livePropsFinal),
+      line("ledger_archive", if (b.ledgerArchive) "1" else "0"),
+      line("ledger_by_rename", if (b.ledgerByRename) "1" else "0")) ++
+      b.archSchema.map(line("arch_schema", _)).toSeq ++
+      b.liveSchema.map(line("live_schema", _)).toSeq ++
+      b.ledgerSrc.map(line("ledger_src", _)).toSeq).mkString("", "\n", "\n")
+  }
+
+  private def parseBundle(text: String): ContractBundle = {
+    val kv = text.linesIterator.filter(_.nonEmpty).map { l =>
+      val Array(k, v) = l.split("\t", 2); k -> dec(v)
+    }.toMap
+    ContractBundle(kv("v").toLong, kv("cur").toLong,
+      kv.get("arch_schema"), kv("arch_props"),
+      kv.get("live_schema"), kv("live_props"),
+      kv("ledger_archive") == "1", kv.get("ledger_src"),
+      kv("ledger_by_rename") == "1")
+  }
+
+  /** Execute (or COMPLETE, after a crash) a contract swap from its
+    * write-ahead bundle. Idempotent and convergent: every write's
+    * content is fixed by the bundle, archives publish only if absent,
+    * ledger moves are exists-guarded, and the epoch stamp — the
+    * completion certificate [[awaitContractQuiescence]] waits on —
+    * goes LAST. Entry guard: a stamp already at/above `b.v` means this
+    * swap was completed by a healer while this (zombie) committer was
+    * suspended — touching anything now could clobber a LATER epoch's
+    * contracts, so return without writing.
+    */
+  private def executeContractSwap(spark: SparkSession, root: String,
+                                  b: ContractBundle): Unit = {
+    val fs = fileSystem(spark, root)
+    val stamped = readProps(spark, root)
+      .get("graft.schema.epoch").map(_.toLong).getOrElse(-1L)
+    if (stamped >= b.v) return
+    b.archSchema.foreach { t =>
+      val n = f"_schema_upto_${b.cur}%020d"
+      if (!fs.exists(new Path(root, n))) publishSmallFile(spark, root, n, t)
+    }
+    val pn = f"_props_upto_${b.cur}%020d"
+    if (!fs.exists(new Path(root, pn)))
+      publishSmallFile(spark, root, pn, b.archProps)
+    b.liveSchema match {
+      case Some(t) => publishSmallFile(spark, root, "_schema", t)
+      case None => fs.delete(new Path(root, "_schema"), false): Unit
+    }
+    val live = new Path(root, "_identity")
+    val archLedger = new Path(root, f"_identity_upto_${b.cur}%020d")
+    if (b.ledgerArchive && !fs.exists(archLedger) && fs.exists(live))
+      fs.rename(live, archLedger): Unit
+    b.ledgerSrc.foreach { srcName =>
+      val src = new Path(root, srcName)
+      if (!fs.exists(live) && fs.exists(src)) {
+        if (b.ledgerByRename) fs.rename(src, live): Unit
+        else org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, live, false,
+          spark.sparkContext.hadoopConfiguration): Unit
+      }
+    }
+    fs.delete(new Path(root, ColStatsFile), false): Unit
+    publishSmallFile(spark, root, "_props", b.livePropsFinal)
+  }
 
   /** Block until the most recent epoch-starting version at or below
     * `upTo` has COMPLETED its post-commit contract swap (its
@@ -3205,17 +3272,41 @@ object SnapshotStore {
       else v -= 1
     }
     if (flagged < 0) return
+    // a LIVE committer finishes its swap in milliseconds — give it a
+    // generous grace before concluding it crashed, because completing
+    // its swap FOR it (roll-forward) makes this waiter a second writer
+    // of the same files, and a pathologically-suspended-then-resumed
+    // committer is only fenced by the bundle's determinism + the
+    // stamp entry guard, not by a lock
+    val graceMs = sys.props.get("graft.snapshot.contractSwapGraceMs")
+      .map(_.toLong).getOrElse(10000L)
     val timeoutMs = sys.props.get("graft.snapshot.contractSwapTimeoutMs")
-      .map(_.toLong).getOrElse(30000L)
-    val deadline = System.currentTimeMillis() + timeoutMs
+      .map(_.toLong).getOrElse(60000L)
+    val start = System.currentTimeMillis()
     while (stamped < flagged) {
-      if (System.currentTimeMillis() > deadline)
+      val elapsed = System.currentTimeMillis() - start
+      if (elapsed > graceMs) {
+        // the committer of `flagged` looks dead: ROLL ITS SWAP FORWARD
+        // from the write-ahead bundle it published before committing
+        // (named by its manifest's terminator token — the unique
+        // binding). Every write is deterministic from the bundle, so
+        // racing healers — or the committer waking mid-heal — converge.
+        readTerminator(fs, manifestPath(root, flagged)).foreach { tok =>
+          val pend = new Path(root, pendingContractsName(flagged, tok))
+          smallFileText(fs, pend).foreach { text =>
+            executeContractSwap(spark, root, parseBundle(text))
+            fs.delete(pend, false)
+            return
+          }
+        }
+      }
+      if (elapsed > timeoutMs)
         throw new IllegalStateException(
           s"version $flagged at $root is a REPLACE/restore whose contract " +
-            s"swap has not completed after ${timeoutMs}ms — its committer " +
-            "likely crashed between the manifest commit and the " +
-            "_schema/_props swap; the table's live contracts need repair " +
-            "before another contract-changing commit can proceed")
+            s"swap has not completed after ${timeoutMs}ms and whose " +
+            "write-ahead contract bundle is gone — the table's live " +
+            "contracts need manual repair before another " +
+            "contract-changing commit can proceed")
       Thread.sleep(25)
     }
   }
@@ -3258,6 +3349,12 @@ object SnapshotStore {
       attempt += 1
       val cur = latestVersion(spark, root).getOrElse(
         throw new IllegalStateException(s"no committed graft table at $root"))
+      // serialize behind any in-flight (or crashed — roll-forward)
+      // predecessor swap BEFORE reading the displaced live contracts
+      // for the bundle below: winning the manifest race then certifies
+      // those reads (any competitor commit in between makes this
+      // attempt lose and re-read)
+      awaitContractQuiescence(spark, root, cur)
       val pubV = cur + 1
       val mapping = localVds.map(vd =>
         vd -> s"v=$pubV-rtas-${vd.stripPrefix("v=")}").toMap
@@ -3299,59 +3396,56 @@ object SnapshotStore {
       // no-op instead of re-applying pre-replace rows on top of the
       // replacement (staged marks win a collision: they are newer)
       val mainM = readManifest(spark, root, cur)
+      // WRITE-AHEAD contract bundle: everything the post-commit swap
+      // will write, resolved NOW (stable if we win — see the await
+      // above). The displaced contracts archive under <cur> for
+      // contract time travel (`_schema_upto_`/`_props_upto_`, written
+      // even when empty: "no contracts" is an answer); the displaced
+      // identity LEDGER archives instead of deleting so a later
+      // [[restore]] across this epoch re-installs the allocator
+      // frontier that matches its data; the staged ledger is COPIED to
+      // a crash-safe pending location so roll-forward works even after
+      // the staging dir is reclaimed.
+      val ctok = newToken()
+      val pendLedgerName = f"_pending_identity-$pubV%020d-$ctok"
+      val stagedLedger = new Path(staged, "_identity")
+      val hasStagedLedger = fs.exists(stagedLedger)
+      if (hasStagedLedger)
+        org.apache.hadoop.fs.FileUtil.copy(fs, stagedLedger,
+          fs, new Path(root, pendLedgerName), false,
+          spark.sparkContext.hadoopConfiguration): Unit
+      val bundle = ContractBundle(
+        v = pubV, cur = cur,
+        archSchema = smallFileText(fs, new Path(root, "_schema")),
+        archProps = propsText(readProps(spark, root)),
+        liveSchema = smallFileText(fs, new Path(staged, "_schema")),
+        livePropsFinal = propsText(readProps(spark, staged) +
+          ("graft.schema.epoch" -> pubV.toString)),
+        ledgerArchive = fs.exists(new Path(root, "_identity")),
+        ledgerSrc = if (hasStagedLedger) Some(pendLedgerName) else None,
+        ledgerByRename = true)
+      val pendName = pendingContractsName(pubV, ctok)
+      publishSmallFile(spark, root, pendName, bundleText(bundle))
       writeManifestAtomic(fs, root, pubV, m.numBuckets, m.statsCols,
           mainM.txns ++ m.txns, entries, base = None, keys = m.keys,
-          epochStart = true) match {
+          epochStart = true, commitToken = Some(ctok)) match {
         case Some(cm) =>
           maybeCheckpoint(spark, root, cm)
           replaceSwapHook(root, pubV)
-          // a RACING replace may have committed `cur` and still be
-          // mid-swap — its manifest is atomic, its small-file swap is
-          // not. Reading the live contracts before that swap lands
-          // would archive the WRONG epoch's schema/props under <cur>
-          // and let the earlier winner, finishing last, clobber this
-          // epoch's live files. Wait for its completion stamp.
-          awaitContractQuiescence(spark, root, cur)
-          // contract swap (see scaladoc: after the data flip); the
-          // schema EPOCH stamp keeps time travel honest — versions
-          // below it resolve against the ARCHIVED declared schema of
-          // their own epoch (`_schema_upto_<v>`), or plain footers
-          // when none exists
-          smallFileText(fs, new Path(root, "_schema")).foreach(t =>
-            publishSmallFile(spark, root, f"_schema_upto_$cur%020d", t))
-          // the displaced PROPS archive alongside the schema
-          // (`_props_upto_<cur>`, written even when empty): contract
-          // time travel below this epoch — DESCRIBE/SHOW CREATE/
-          // meta_props/constraints under VERSION AS OF — resolves the
-          // constraints/defaults/identity declarations that actually
-          // governed those versions, not the replacement's
-          val displacedProps = readProps(spark, root)
-          publishSmallFile(spark, root, f"_props_upto_$cur%020d",
-            propsText(displacedProps))
-          smallFileText(fs, new Path(staged, "_schema")) match {
-            case Some(t) => publishSmallFile(spark, root, "_schema", t)
-            case None => fs.delete(new Path(root, "_schema"), false): Unit
-          }
-          fs.delete(new Path(root, ColStatsFile), false): Unit
-          // the displaced identity LEDGER archives instead of deleting:
-          // a later [[restore]] across this epoch re-installs it, so
-          // the allocator frontier always matches the LIVE epoch's
-          // data — deleting would let a post-restore write re-mint ids
-          // the restored rows already hold
-          val oldLedger = new Path(root, "_identity")
-          if (fs.exists(oldLedger))
-            fs.rename(oldLedger, new Path(root, f"_identity_upto_$cur%020d")): Unit
-          val stagedLedger = new Path(staged, "_identity")
-          if (fs.exists(stagedLedger))
-            fs.rename(stagedLedger, new Path(root, "_identity")): Unit
-          // the epoch stamp goes LAST: it is the swap's completion
-          // marker — [[awaitContractQuiescence]] takes stamp == flagged
-          // version to mean every other contract file is in place
-          writeProps(spark, root, readProps(spark, staged) +
-            ("graft.schema.epoch" -> pubV.toString))
+          // the swap itself: executed from the bundle — the SAME
+          // idempotent recipe a healer would roll forward after a
+          // crash here; the epoch stamp lands last as the completion
+          // certificate [[awaitContractQuiescence]] serializes on
+          executeContractSwap(spark, root, bundle)
+          fs.delete(new Path(root, pendName), false): Unit
+          fs.delete(new Path(root, pendLedgerName), true): Unit
           committed = true
           return pubV
-        case None => () // raced: loop re-renames under the next version
+        case None =>
+          // raced: withdraw this attempt's intent; the loop re-renames
+          // and re-resolves under the next version
+          fs.delete(new Path(root, pendName), false): Unit
+          fs.delete(new Path(root, pendLedgerName), true): Unit
       }
     } finally {
       // the marker is the ONLY thing that lets vacuum reclaim adopted
@@ -3683,6 +3777,32 @@ object SnapshotStore {
             }
           }
         }
+    // write-ahead contract bundles / pending-ledger copies: reclaim an
+    // aged one only when it is demonstrably DEAD — its version's swap
+    // completed (stamp >= v) or its attempt never won (terminator
+    // token differs). A crashed WINNER's bundle is the roll-forward
+    // recipe [[awaitContractQuiescence]] heals from; reclaiming it
+    // would downgrade that self-heal to a manual-repair timeout.
+    if (!dryRun) {
+      val stamped = readProps(spark, root)
+        .get("graft.schema.epoch").map(_.toLong).getOrElse(-1L)
+      fs.listStatus(new Path(root)).toSeq
+        .filter { st =>
+          val n = st.getPath.getName
+          (n.startsWith("_pending_contracts-") || n.startsWith("_pending_identity-")) &&
+            st.getModificationTime <
+              System.currentTimeMillis() - stagingTtlMs(spark)
+        }
+        .foreach { st =>
+          val parts = st.getPath.getName.split("-", 3)
+          if (parts.length == 3 && parts(1).forall(_.isDigit)) {
+            val v = parts(1).toLong
+            val dead = stamped >= v ||
+              !readTerminator(fs, manifestPath(root, v)).contains(parts(2))
+            if (dead) fs.delete(st.getPath, true): Unit
+          }
+        }
+    }
     fs.listStatus(new Path(root)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
       .filterNot(st => publishing.contains(st.getPath.getName))

@@ -335,6 +335,10 @@ class AtomicDdlSpec extends SparkSpec {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.DurationInt
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // pin PURE serialization: a long roll-forward grace so B treats
+    // latched A as alive and WAITS (the crash spec below pins the
+    // heal-after-grace path)
+    System.setProperty("graft.snapshot.contractSwapGraceMs", "60000")
     try {
       val fa = Future(first.commitStagedChanges())
       assert(entered.await(60, java.util.concurrent.TimeUnit.SECONDS),
@@ -342,18 +346,19 @@ class AtomicDdlSpec extends SparkSpec {
       // A has committed v0+1 and is suspended pre-swap
       assert(SnapshotStore.latestVersion(spark, dir).contains(v0 + 1))
       val fb = Future(second.commitStagedChanges())
-      // B commits v0+2, then must BLOCK awaiting A's swap stamp
-      val deadline = System.currentTimeMillis() + 30000
-      while (!SnapshotStore.latestVersion(spark, dir).contains(v0 + 2) &&
-             System.currentTimeMillis() < deadline) Thread.sleep(10)
-      assert(SnapshotStore.latestVersion(spark, dir).contains(v0 + 2))
-      Thread.sleep(200) // give B rope: it must be WAITING, not swapping
+      // B must BLOCK at contract quiescence BEFORE even committing its
+      // own version: the displaced contracts it will archive are not
+      // readable until A's swap lands
+      Thread.sleep(1500)
       assert(!fb.isCompleted,
-        "REPLACE-B ran its contract swap while A's was still in flight")
+        "REPLACE-B ran while A's contract swap was still in flight")
+      assert(SnapshotStore.latestVersion(spark, dir).contains(v0 + 1),
+        "REPLACE-B committed its version before A's swap completed")
       gate.countDown()
       Await.result(fa, 60.seconds)
       Await.result(fb, 60.seconds)
     } finally {
+      System.clearProperty("graft.snapshot.contractSwapGraceMs")
       SnapshotStore.replaceSwapHook = (_, _) => ()
       gate.countDown()
       pool.shutdown()
@@ -373,6 +378,63 @@ class AtomicDdlSpec extends SparkSpec {
     // and the pre-race epoch still resolves below both
     assert(spark.sql(s"SELECT * FROM gatm.a.rsw VERSION AS OF $v0")
       .columns.toSeq == Seq("k", "v"))
+  }
+
+  test("a REPLACE crashing between manifest commit and contract swap is " +
+      "ROLLED FORWARD by the next contract op from its write-ahead bundle") {
+    // The manifest commit is atomic; the contract swap after it is
+    // not. A committer dying in between used to leave the table torn
+    // until manual repair. Now every contract-swapping commit
+    // publishes a write-ahead bundle (_pending_contracts-<v>-<token>,
+    // token = the manifest terminator) BEFORE committing, and the next
+    // contract op completes the crashed swap from it.
+    spark.sql("""CREATE TABLE gatm.a.rcr (k BIGINT, v BIGINT) USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO gatm.a.rcr VALUES (1, 0)")
+    val dir = s"$warehouse/a/rcr"
+    val v0 = SnapshotStore.latestVersion(spark, dir).get
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    SnapshotStore.replaceSwapHook = (root, _) =>
+      if (root.endsWith("/a/rcr") && crashed.compareAndSet(false, true))
+        throw new RuntimeException("simulated crash post-commit pre-swap")
+    try {
+      val boom = intercept[Exception] {
+        spark.sql("""REPLACE TABLE gatm.a.rcr TBLPROPERTIES ('keys'='a') AS
+                     SELECT 'x' AS a, 1 AS n""")
+      }
+      assert(boom.toString.contains("simulated crash") ||
+        (boom.getCause != null && boom.getCause.toString.contains("simulated crash")))
+    } finally SnapshotStore.replaceSwapHook = (_, _) => ()
+    // torn state on disk: the replacement's manifest committed (v0+1),
+    // but the epoch stamp never landed and the bundle is still there
+    assert(SnapshotStore.latestVersion(spark, dir).contains(v0 + 1))
+    assert(!SnapshotStore.readProps(spark, dir).get("graft.schema.epoch")
+      .exists(_.toLong >= v0 + 1), "swap should NOT have completed")
+    assert(fs.listStatus(new Path(dir)).exists(
+      _.getPath.getName.startsWith("_pending_contracts-")))
+    // the next REPLACE heals the crashed swap, then does its own
+    System.setProperty("graft.snapshot.contractSwapGraceMs", "200")
+    try {
+      spark.sql("""REPLACE TABLE gatm.a.rcr TBLPROPERTIES ('keys'='b') AS
+                   SELECT 'z' AS b, CAST(3 AS BIGINT) AS n""")
+    } finally System.clearProperty("graft.snapshot.contractSwapGraceMs")
+    // fully coherent: head is the second replacement...
+    assert(spark.table("gatm.a.rcr").columns.toSeq == Seq("b", "n"))
+    assert(SnapshotStore.readProps(spark, dir)("graft.schema.epoch").toLong
+      == v0 + 2)
+    // ...the CRASHED epoch was completed exactly as its bundle said:
+    // its schema governs v0+1 under time travel (the healer installed
+    // it, then archived it under v0+1 when its own swap displaced it)
+    assert(spark.sql(s"SELECT * FROM gatm.a.rcr VERSION AS OF ${v0 + 1}")
+      .columns.toSeq == Seq("a", "n"))
+    assert(spark.sql(s"SELECT * FROM gatm.a.rcr VERSION AS OF ${v0 + 1}")
+      .as[(String, Long)].collect().toSet == Set(("x", 1L)))
+    // and the pre-crash epoch still resolves below both
+    assert(spark.sql(s"SELECT * FROM gatm.a.rcr VERSION AS OF $v0")
+      .columns.toSeq == Seq("k", "v"))
+    // bundles consumed
+    assert(!fs.listStatus(new Path(dir)).exists(
+      _.getPath.getName.startsWith("_pending_contracts-")))
   }
 
   test("a create race is detected and withdrawn: the winner's table survives intact") {
