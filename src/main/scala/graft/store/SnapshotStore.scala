@@ -2698,6 +2698,7 @@ object SnapshotStore {
         case Some(cm) =>
           maybeCheckpoint(spark, root, cm)
           bundle.foreach { b =>
+            replaceSwapHook(root, base + 1)
             executeContractSwap(spark, root, b)
             fs.delete(new Path(root,
               pendingContractsName(base + 1, ctok)), false): Unit
@@ -3133,11 +3134,12 @@ object SnapshotStore {
     * until the statement is retried; data reads are unaffected (the
     * read schema is footer-merged).
     */
-  /** Test-only interleave hook: invoked by [[adoptAsReplace]] right
-    * after its manifest commit wins and before the contract swap —
-    * the window a racing second REPLACE's swap must serialize behind.
-    * A hook that THROWS simulates a committer crashing post-commit,
-    * pre-swap (the window [[executeContractSwap]] roll-forward heals).
+  /** Test-only interleave hook: invoked by [[adoptAsReplace]] and a
+    * cross-epoch [[restore]] right after their manifest commit wins
+    * and before the contract swap — the window a racing swap must
+    * serialize behind. A hook that THROWS simulates a committer
+    * crashing post-commit, pre-swap (the window
+    * [[executeContractSwap]] roll-forward heals).
     */
   @volatile private[graft] var replaceSwapHook: (String, Long) => Unit =
     (_, _) => ()

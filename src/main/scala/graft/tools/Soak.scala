@@ -438,6 +438,47 @@ object Soak {
       rtasCols == Seq("o_orderpriority", "n"),
       s"racing RTAS end state must be one replacement exactly: $rtasCols")
     occN("occ_rtas_both_landed") = 1L
+
+    // (d) a cross-epoch RESTORE racing a REPLACE — both are contract
+    // swaps; the epoch flag + completion-stamp protocol must serialize
+    // their swaps in commit order, leaving a coherent head whichever
+    // lands last (r13: the swap-serialization + roll-forward round)
+    val restoreTargetCols =
+      spark.sql(s"SELECT * FROM soak.ns.ocow VERSION AS OF $raceBase")
+        .columns.toSeq
+    val preRaceV = SnapshotStore.latestVersion(spark, cowRoot).get
+    val (resR, repR) = ophase("occ_restore_replace_race") {
+      val fr = Future(
+        try Right(SnapshotStore.restore(spark, cowRoot, raceBase))
+          : Either[Throwable, Long]
+        catch { case e: Throwable => Left(e) })
+      val fp = Future(
+        try Right(spark.sql(
+          """REPLACE TABLE soak.ns.ocow TBLPROPERTIES('keys'='o_orderpriority')
+            |AS SELECT o_orderpriority, count(*) AS n
+            |FROM soak_orders GROUP BY o_orderpriority""".stripMargin))
+          : Either[Throwable, Any]
+        catch { case e: Throwable => Left(e) })
+      (Await.result(fr, 600.seconds), Await.result(fp, 600.seconds))
+    }
+    require(resR.isRight && repR.isRight,
+      s"restore and REPLACE must BOTH land through OCC retries: $resR / $repR")
+    val rrHead = SnapshotStore.latestVersion(spark, cowRoot).get
+    require(rrHead == preRaceV + 2,
+      s"restore + REPLACE must be two committed versions, head at $rrHead")
+    val restoreWonLast = resR.toOption.contains(rrHead)
+    // the head's live contracts must match whichever swap landed last
+    val headCols = spark.table("soak.ns.ocow").columns.toSeq
+    val expectCols =
+      if (restoreWonLast) restoreTargetCols
+      else Seq("o_orderpriority", "n")
+    require(headCols == expectCols,
+      s"post-race head must carry the LAST swap's schema: got $headCols, " +
+        s"expected $expectCols (restoreWonLast=$restoreWonLast)")
+    require(SnapshotStore.readProps(spark, cowRoot)("graft.schema.epoch").toLong
+      == rrHead, "epoch stamp must sit at the last contract swap's version")
+    occN("occ_restore_replace_both_landed") = 1L
+    occN("occ_restore_won_last") = if (restoreWonLast) 1L else 0L
     pool.shutdown()
 
     occ.foreach { case (k, v) => println(f"[soak-occ] $k%-32s $v%8.3fs") }

@@ -234,6 +234,68 @@ class EpochContractsSpec extends SparkSpec {
       Set((1L, "a"), (2L, "b")))
   }
 
+  test("a cross-epoch restore crashing mid-swap is healed by the next " +
+      "contract op from its write-ahead bundle") {
+    spark.sql("""CREATE TABLE gep.ns.f (
+                   sk BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1 INCREMENT BY 1),
+                   k BIGINT,
+                   CONSTRAINT pos CHECK (k > 0))
+                 USING graft TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO gep.ns.f (k) SELECT id + 1 FROM range(10)")
+    val dir = s"$warehouse/ns/f"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vBefore = SnapshotStore.latestVersion(spark, dir).get
+    spark.sql("""REPLACE TABLE gep.ns.f TBLPROPERTIES ('keys'='k') AS
+                 SELECT CAST(-1 AS BIGINT) AS k""")
+    val vReplaced = SnapshotStore.latestVersion(spark, dir).get
+
+    // the restore commits its manifest, then "crashes" before its swap
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    SnapshotStore.replaceSwapHook = (root, _) =>
+      if (root.endsWith("/ns/f") && crashed.compareAndSet(false, true))
+        throw new RuntimeException("simulated crash post-commit pre-swap")
+    try {
+      val boom = intercept[Exception] {
+        spark.sql(s"CALL gep.system.restore(table => 'ns.f', version => $vBefore)")
+      }
+      assert(boom.toString.contains("simulated crash") ||
+        (boom.getCause != null && boom.getCause.toString.contains("simulated crash")))
+    } finally SnapshotStore.replaceSwapHook = (_, _) => ()
+    val vRestored = SnapshotStore.latestVersion(spark, dir).get
+    assert(vRestored == vReplaced + 1, "the restore's manifest DID commit")
+    // torn: data rolled back, contracts still the replacement epoch's
+    assert(SnapshotStore.readProps(spark, dir)("graft.schema.epoch").toLong
+      == vReplaced)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir)).exists(
+      _.getPath.getName.startsWith("_pending_contracts-")))
+
+    // the next contract op (a REPLACE) heals the crashed restore's
+    // swap from its bundle, then completes its own
+    System.setProperty("graft.snapshot.contractSwapGraceMs", "200")
+    try {
+      spark.sql("""REPLACE TABLE gep.ns.f TBLPROPERTIES ('keys'='g') AS
+                   SELECT CAST(7 AS BIGINT) AS g""")
+    } finally System.clearProperty("graft.snapshot.contractSwapGraceMs")
+
+    // head is the new replacement...
+    assert(spark.table("gep.ns.f").columns.toSeq == Seq("g"))
+    assert(SnapshotStore.readProps(spark, dir)("graft.schema.epoch").toLong
+      == vRestored + 1)
+    // ...and the healed restore head (vRestored) time-travels under the
+    // ORIGINAL epoch's contracts — the heal installed them per the
+    // bundle, and the healer's own REPLACE archived them under vRestored
+    assert(tableAt("f", vRestored).constraints().map(_.name()).toSet
+      == Set("pos"), "healed restore head must carry its epoch's CHECK")
+    assert(spark.sql(s"SELECT count(*) FROM gep.ns.f VERSION AS OF $vRestored")
+      .as[Long].head() == 10L)
+    assert(tableAt("f", vReplaced).constraints().isEmpty,
+      "the replaced-away middle epoch stays contract-free")
+    // bundles consumed
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(dir)).exists(
+      _.getPath.getName.startsWith("_pending_contracts-")))
+  }
+
   test("a tag pinned ABOVE a cross-epoch restore target keeps resolving its own epoch") {
     // Tag a version in the REPLACEMENT epoch, then restore BELOW the
     // epoch: the tag must keep reading the replacement's data AND
