@@ -3208,9 +3208,9 @@ object SnapshotStore {
   private def executeContractSwap(spark: SparkSession, root: String,
                                   b: ContractBundle): Unit = {
     val fs = fileSystem(spark, root)
-    val stamped = readProps(spark, root)
-      .get("graft.schema.epoch").map(_.toLong).getOrElse(-1L)
-    if (stamped >= b.v) return
+    def superseded: Boolean = readProps(spark, root)
+      .get("graft.schema.epoch").map(_.toLong).getOrElse(-1L) >= b.v
+    if (superseded) return
     b.archSchema.foreach { t =>
       val n = f"_schema_upto_${b.cur}%020d"
       if (!fs.exists(new Path(root, n))) publishSmallFile(spark, root, n, t)
@@ -3218,6 +3218,12 @@ object SnapshotStore {
     val pn = f"_props_upto_${b.cur}%020d"
     if (!fs.exists(new Path(root, pn)))
       publishSmallFile(spark, root, pn, b.archProps)
+    // re-check the fence immediately before each LIVE-file write: a
+    // zombie committer suspended past the entry guard while a healer
+    // completed this swap AND a later epoch's must not clobber that
+    // later epoch — the re-read shrinks the unfenced window from the
+    // whole swap to the instants between check and publish
+    if (superseded) return
     b.liveSchema match {
       case Some(t) => publishSmallFile(spark, root, "_schema", t)
       case None => fs.delete(new Path(root, "_schema"), false): Unit
@@ -3235,6 +3241,7 @@ object SnapshotStore {
       }
     }
     fs.delete(new Path(root, ColStatsFile), false): Unit
+    if (superseded) return
     publishSmallFile(spark, root, "_props", b.livePropsFinal)
   }
 
@@ -3258,19 +3265,22 @@ object SnapshotStore {
     val fs = fileSystem(spark, root)
     def stamped: Long = readProps(spark, root)
       .get("graft.schema.epoch").map(_.toLong).getOrElse(-1L)
-    // the greatest flagged version in (floor, upTo]; versions at or
+    // the greatest flagged version in (stamped, upTo]; versions at or
     // below the stamp are quiesced by definition (stamps are the
-    // swap's last write and strictly increase). The scan is bounded:
-    // a flagged version is stamped within its own statement, so one
-    // more than a few commits below the head is either long quiesced
-    // (stamp ≥ it — the floor cut) or the table is already torn and
-    // the next contract op inside the window will surface it.
-    val floor = math.max(stamped, upTo - 64)
+    // swap's last write and strictly increase). The scan must reach
+    // the stamp floor UNCAPPED: a REPLACE that crashed pre-swap stays
+    // flagged-unstamped while any number of plain commits (which never
+    // stamp) land above it, and missing it here would make this
+    // committer archive the WRONG epoch's contracts and stamp past the
+    // crash — silently forfeiting the heal (and letting vacuum's
+    // stamped>=v dead-check reclaim the bundle). [[isEpochStart]] is a
+    // header-only read, so even the one-time full-history scan of a
+    // never-replaced table's first REPLACE is O(versions) header reads.
+    val floor = stamped
     var v = upTo
     var flagged = -1L
     while (v > floor && flagged < 0) {
-      if (fs.exists(manifestPath(root, v)) &&
-          parseManifestFile(fs, root, v).epochStart) flagged = v
+      if (isEpochStart(spark, root, v)) flagged = v
       else v -= 1
     }
     if (flagged < 0) return
@@ -3315,14 +3325,31 @@ object SnapshotStore {
 
   /** Whether version `v` STARTS a contract epoch (committed by a
     * REPLACE or a cross-epoch restore — its manifest carries the
-    * format-5 `epoch:` flag). Reads the version's own manifest FILE:
-    * the flag is a per-commit fact, deliberately not folded through
-    * delta/checkpoint reconstruction. False for pre-format-5 history.
+    * format-5 `epoch:` flag). The flag is a per-commit fact,
+    * deliberately not folded through delta/checkpoint reconstruction,
+    * and it sits in the manifest HEADER (line 4 at deepest), so this
+    * is an O(1)-lines read like [[commitTimeMillis]] — `meta_history`
+    * calls it per version, and [[awaitContractQuiescence]] scans with
+    * it. False for pre-format-5 history and missing manifests.
     */
   def isEpochStart(spark: SparkSession, root: String, v: Long): Boolean = {
     val fs = fileSystem(spark, root)
-    fs.exists(manifestPath(root, v)) &&
-      parseManifestFile(fs, root, v).epochStart
+    val p = manifestPath(root, v)
+    try {
+      if (!fs.exists(p)) return false
+      val in = new BufferedReader(new InputStreamReader(fs.open(p),
+        StandardCharsets.UTF_8))
+      try {
+        var i = 0
+        var line = in.readLine()
+        while (line != null && i < 8) {
+          if (line.startsWith("epoch:"))
+            return line.stripPrefix("epoch:").trim == "1"
+          i += 1; line = in.readLine()
+        }
+        false
+      } finally in.close()
+    } catch { case _: java.io.IOException => false }
   }
 
   private[graft] def adoptAsReplace(spark: SparkSession, root: String,
@@ -3799,8 +3826,14 @@ object SnapshotStore {
           val parts = st.getPath.getName.split("-", 3)
           if (parts.length == 3 && parts(1).forall(_.isDigit)) {
             val v = parts(1).toLong
+            // strict terminator read: a TRANSIENT read error (Left)
+            // says nothing about disk state and must KEEP the bundle —
+            // it may be the only heal recipe for a crashed winner;
+            // Right(None) (manifest gone/unterminated past TTL) and a
+            // definitive different token are genuinely dead attempts
             val dead = stamped >= v ||
-              !readTerminator(fs, manifestPath(root, v)).contains(parts(2))
+              readTerminatorEither(fs, manifestPath(root, v))
+                .exists(!_.contains(parts(2)))
             if (dead) fs.delete(st.getPath, true): Unit
           }
         }

@@ -437,6 +437,55 @@ class AtomicDdlSpec extends SparkSpec {
       _.getPath.getName.startsWith("_pending_contracts-")))
   }
 
+  test("a crashed swap BURIED under dozens of plain commits is still found " +
+      "and healed (the quiescence scan reaches the stamp floor uncapped)") {
+    // plain commits never stamp the epoch, so a crashed REPLACE's
+    // flagged-unstamped version can sink arbitrarily deep below the
+    // head; the next contract op must still scan down to it — missing
+    // it would archive the wrong epoch AND let vacuum reclaim the heal
+    // bundle once the wrong stamp passes it
+    spark.sql("""CREATE TABLE gatm.a.deep (k BIGINT, v BIGINT) USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO gatm.a.deep VALUES (1, 0)")
+    val dir = s"$warehouse/a/deep"
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    SnapshotStore.replaceSwapHook = (root, _) =>
+      if (root.endsWith("/a/deep") && crashed.compareAndSet(false, true))
+        throw new RuntimeException("simulated crash post-commit pre-swap")
+    try intercept[Exception] {
+      spark.sql("""REPLACE TABLE gatm.a.deep TBLPROPERTIES ('keys'='a') AS
+                   SELECT 'x' AS a, CAST(1 AS BIGINT) AS n""")
+    } finally SnapshotStore.replaceSwapHook = (_, _) => ()
+    val vCrashed = SnapshotStore.latestVersion(spark, dir).get
+    // bury it: 70 plain keyed commits on the (replaced) table — they
+    // read/write under the torn contracts but never touch the stamp
+    import spark.implicits._
+    (1 to 70).foreach { i =>
+      SnapshotStore.commitDelta(spark, dir,
+        Seq((s"b$i", i.toLong)).toDF("a", "n"), Seq("a"),
+        SnapshotStore.upsertMerge(Seq("a")))
+    }
+    assert(SnapshotStore.latestVersion(spark, dir).contains(vCrashed + 70))
+    System.setProperty("graft.snapshot.contractSwapGraceMs", "200")
+    try {
+      spark.sql("""REPLACE TABLE gatm.a.deep TBLPROPERTIES ('keys'='b') AS
+                   SELECT 'z' AS b, CAST(3 AS BIGINT) AS n""")
+    } finally System.clearProperty("graft.snapshot.contractSwapGraceMs")
+    // the heal installed the crashed epoch's schema, and THIS replace
+    // archived it under its own cur — so the buried epoch (vCrashed
+    // through vCrashed+70) time-travels under its own columns
+    assert(spark.table("gatm.a.deep").columns.toSeq == Seq("b", "n"))
+    assert(SnapshotStore.readProps(spark, dir)("graft.schema.epoch").toLong
+      == vCrashed + 71)
+    assert(spark.sql(s"SELECT * FROM gatm.a.deep VERSION AS OF $vCrashed")
+      .columns.toSeq == Seq("a", "n"))
+    assert(spark.sql(
+      s"SELECT * FROM gatm.a.deep VERSION AS OF ${vCrashed + 70}")
+      .columns.toSeq == Seq("a", "n"))
+    assert(!fs.listStatus(new Path(dir)).exists(
+      _.getPath.getName.startsWith("_pending_contracts-")))
+  }
+
   test("a create race is detected and withdrawn: the winner's table survives intact") {
     val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
       Array("a"), "raced")
