@@ -569,6 +569,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val root = dir.toString
+    // serialize behind an in-flight REPLACE/restore contract swap (and
+    // HEAL a crashed one) before the read-modify-write below: reading
+    // `_schema`/`_props` mid-swap would compose this ALTER against a
+    // torn half-epoch and persist the wrong base. (An ALTER racing a
+    // swap that starts AFTER this wait remains last-writer-wins on the
+    // props file — ALTER commits no manifest to arbitrate with.)
+    SnapshotStore.latestVersion(spark, root)
+      .foreach(v => SnapshotStore.awaitContractQuiescence(spark, root, v))
     // TWO-PHASE: every change validates and composes against PENDING
     // in-memory state; nothing persists until the whole statement
     // validated — a multi-change ALTER that fails partway must not

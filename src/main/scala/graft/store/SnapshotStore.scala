@@ -3260,9 +3260,22 @@ object SnapshotStore {
     * timeout here (the table needs repair) instead of silent contract
     * corruption.
     */
-  private def awaitContractQuiescence(spark: SparkSession, root: String,
-                                      upTo: Long): Unit = {
+  /** Versions this JVM has already scanned and found flag-free, per
+    * table: manifests are immutable once committed, so a version seen
+    * unflagged stays unflagged forever — the scan below only ever
+    * needs to cover versions committed SINCE the last clean scan.
+    * Without this, every contract op (and every ALTER) on a
+    * never-replaced table would re-scan its whole history (nothing
+    * stamps an epoch floor there). Process restart just resets to one
+    * full header-only scan per table.
+    */
+  private val cleanThrough =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
+
+  private[graft] def awaitContractQuiescence(spark: SparkSession, root: String,
+                                             upTo: Long): Unit = {
     val fs = fileSystem(spark, root)
+    val rootKey = fs.makeQualified(new Path(root)).toString
     def stamped: Long = readProps(spark, root)
       .get("graft.schema.epoch").map(_.toLong).getOrElse(-1L)
     // the greatest flagged version in (stamped, upTo]; versions at or
@@ -3276,14 +3289,29 @@ object SnapshotStore {
     // stamped>=v dead-check reclaim the bundle). [[isEpochStart]] is a
     // header-only read, so even the one-time full-history scan of a
     // never-replaced table's first REPLACE is O(versions) header reads.
-    val floor = stamped
+    // the watermark is only trusted if the manifest it was taken at is
+    // STILL the same file (length+mtime fingerprint, as manifestCache
+    // does): a table dropped and recreated at the same path restarts
+    // version numbering, and a stale watermark would skip scanning the
+    // NEW table's early versions entirely
+    val cachedClean = Option(cleanThrough.get(rootKey))
+      .collect { case (w, len, mtime)
+        if manifestFingerprint(fs, root, w).contains((len, mtime)) => w }
+      .getOrElse(-1L)
+    val floor = math.max(stamped, cachedClean)
     var v = upTo
     var flagged = -1L
     while (v > floor && flagged < 0) {
       if (isEpochStart(spark, root, v)) flagged = v
       else v -= 1
     }
-    if (flagged < 0) return
+    if (flagged < 0) {
+      manifestFingerprint(fs, root, upTo).foreach { case (len, mtime) =>
+        cleanThrough.merge(rootKey, (upTo, len, mtime),
+          (a, b) => if (a._1 >= b._1) a else b)
+      }
+      return
+    }
     // a LIVE committer finishes its swap in milliseconds — give it a
     // generous grace before concluding it crashed, because completing
     // its swap FOR it (roll-forward) makes this waiter a second writer

@@ -486,6 +486,42 @@ class AtomicDdlSpec extends SparkSpec {
       _.getPath.getName.startsWith("_pending_contracts-")))
   }
 
+  test("ALTER TABLE heals a crashed swap before composing its own change") {
+    // ALTER is a read-modify-write of _schema/_props with no manifest
+    // commit of its own — composed against a torn mid-crash state it
+    // would persist the WRONG epoch's contracts with its change glued
+    // on. It must serialize behind (and, for a crashed committer,
+    // roll forward) the pending swap first.
+    spark.sql("""CREATE TABLE gatm.a.alt (k BIGINT, v BIGINT) USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO gatm.a.alt VALUES (1, 0)")
+    val dir = s"$warehouse/a/alt"
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    SnapshotStore.replaceSwapHook = (root, _) =>
+      if (root.endsWith("/a/alt") && crashed.compareAndSet(false, true))
+        throw new RuntimeException("simulated crash post-commit pre-swap")
+    try intercept[Exception] {
+      spark.sql("""REPLACE TABLE gatm.a.alt TBLPROPERTIES ('keys'='a') AS
+                   SELECT 'x' AS a, CAST(1 AS BIGINT) AS n""")
+    } finally SnapshotStore.replaceSwapHook = (_, _) => ()
+    val vCrashed = SnapshotStore.latestVersion(spark, dir).get
+    // still torn: live props lack the replacement's keys + stamp
+    assert(!SnapshotStore.readProps(spark, dir).get("graft.schema.epoch")
+      .exists(_.toLong >= vCrashed))
+    System.setProperty("graft.snapshot.contractSwapGraceMs", "200")
+    try {
+      spark.sql("ALTER TABLE gatm.a.alt SET TBLPROPERTIES ('team'='ops')")
+    } finally System.clearProperty("graft.snapshot.contractSwapGraceMs")
+    // the ALTER healed the swap first, THEN composed on the healed
+    // epoch: replacement schema + stamp present, new prop glued on
+    val props = SnapshotStore.readProps(spark, dir)
+    assert(props("graft.schema.epoch").toLong == vCrashed)
+    assert(props.get("team").contains("ops"))
+    assert(spark.table("gatm.a.alt").columns.toSeq == Seq("a", "n"))
+    assert(!fs.listStatus(new Path(dir)).exists(
+      _.getPath.getName.startsWith("_pending_contracts-")))
+  }
+
   test("a create race is detected and withdrawn: the winner's table survives intact") {
     val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
       Array("a"), "raced")
