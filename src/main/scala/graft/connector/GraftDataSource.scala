@@ -257,9 +257,9 @@ object GraftTable {
     val m = manifestAt(spark, root, versionAsOf)
     val dirs = m.buckets.values.map(e =>
       SnapshotStore.dataPath(root, e.dir).toString).toSeq
-    val base =
-      if (dirs.isEmpty) readSchemaFile(spark, root).getOrElse(new StructType())
-      else spark.read.option("mergeSchema", "true").parquet(dirs: _*).schema
+    val footerBase =
+      if (dirs.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true").parquet(dirs: _*).schema)
     // a table declaring `dml.mode=delta` (TBLPROPERTIES, recorded at
     // creation) carries the not-null-merge-key contract — every write
     // path REJECTS null key values ([[SnapshotStore.writeVersionData]])
@@ -284,11 +284,20 @@ object GraftTable {
       props.get("graft.schema.epoch").map(_.toLong).exists(v < _))
     if (preReplace) {
       val archived = SnapshotStore.archivedSchemaFor(spark, root, versionAsOf.get)
+      // an EMPTY pinned version (no data dirs — e.g. the CREATE
+      // commit) must fall back to its OWN epoch's archived schema,
+      // never the live `_schema` breadcrumb: that belongs to the
+      // replacement epoch, and merging it in would present a
+      // cross-epoch column union for a version that never held those
+      // columns (found by ContractFuzzSpec at version 0)
+      val base = footerBase.orElse(archived).getOrElse(new StructType())
       // delta-key non-null marking deliberately NOT applied: the
       // current dml.mode property says nothing about a replaced epoch
       return withEvolvedColumns(archived,
         withDeclaredMetadata(archived, base))
     }
+    val base = footerBase
+      .orElse(readSchemaFile(spark, root)).getOrElse(new StructType())
     val declared = readSchemaFile(spark, root)
     val schema = withEvolvedColumns(declared,
       withDeclaredMetadata(declared, base))
@@ -1301,9 +1310,16 @@ class GraftReaderFactory(readFunc: PartitionedFile => Iterator[InternalRow],
   }
 }
 
-/** A sum-aggregated custom metric (driver-reported planning facts). */
+/** A sum-aggregated custom metric (driver-reported planning facts).
+  * The zero-arg constructor is REQUIRED: Spark's SQLAppStatusListener
+  * re-instantiates the metric class reflectively (zero-arg or
+  * SparkConf ctor only) to aggregate values for the SQL UI — without
+  * it every execution end logs a loadExtensions error and the UI
+  * shows no aggregated value for these metrics.
+  */
 private[connector] final class GraftSumMetric(n: String, desc: String)
     extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  def this() = this("", "")
   override def name(): String = n
   override def description(): String = desc
 }
