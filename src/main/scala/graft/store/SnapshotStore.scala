@@ -1392,12 +1392,41 @@ object SnapshotStore {
   private[store] def readBuckets(spark: SparkSession, root: String, m: Manifest,
                                  which: Set[Int]): DataFrame = {
     val dirs = m.buckets.collect { case (b, e) if which(b) => dataPath(root, e.dir).toString }
-    if (dirs.isEmpty) spark.emptyDataFrame
+    // a pruned selection that matched no EXISTING buckets keeps the
+    // cheap zero-column frame (callers align from their delta side);
+    // only a manifest with NO buckets at all recovers the schema
+    if (dirs.isEmpty && m.buckets.isEmpty) emptyWithSchema(spark, root, m)
+    else if (dirs.isEmpty) spark.emptyDataFrame
     // mergeSchema: after additive evolution a snapshot legitimately
     // spans pre- and post-evolution version dirs until every bucket
     // has been rewritten once; old rows null-fill the new columns
     else antiJoinTombstones(spark, root, m, which,
       spark.read.option("mergeSchema", "true").parquet(dirs.toSeq: _*))
+  }
+
+  /** An empty snapshot that still ANSWERS for the table's schema — a
+    * zero-column `emptyDataFrame` would fail every downstream
+    * projection (`SELECT k FROM t` on a table whose rows were all
+    * deleted and folded away is legal SQL). Schema sources, in order:
+    * the `_schema` breadcrumb (catalog tables), then the newest prior
+    * version that still references data files (path tables after an
+    * all-empty fold; footers-only read). A table with no schema
+    * anywhere (born empty, path-created) keeps the zero-column frame.
+    */
+  private def emptyWithSchema(spark: SparkSession, root: String, m: Manifest): DataFrame = {
+    def parquetSchema(mf: Manifest) =
+      spark.read.option("mergeSchema", "true")
+        .parquet(mf.buckets.values.map(e => dataPath(root, e.dir).toString).toSeq: _*)
+        .schema
+    val schema = declaredSchema(spark, root).orElse {
+      Iterator.iterate(m.version - 1)(_ - 1).takeWhile(_ >= 0)
+        .map(v => scala.util.Try(readManifest(spark, root, v)).toOption)
+        .collectFirst { case Some(pm) if pm.buckets.nonEmpty =>
+          scala.util.Try(parquetSchema(pm)).toOption }
+        .flatten
+    }
+    schema.fold(spark.emptyDataFrame)(s =>
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s))
   }
 
   /** Merge-on-read: subtract the unfolded delete sidecars of the
@@ -1875,10 +1904,19 @@ object SnapshotStore {
     * vectorized reader answers from footer row counts alone (no data
     * pages) — O(files) metadata, not O(rows). Feeds the manifest's
     * format-4 `rows:` lines (COUNT(*) pushdown / reported statistics).
+    * An attempt dir with NO bucket partitions (a tombstone fold that
+    * emptied every rewritten bucket writes only _SUCCESS) counts as
+    * empty — `read.parquet` on it would fail schema inference.
     */
-  private def bucketRowCounts(spark: SparkSession, vdir: String): Map[Int, Long] =
-    spark.read.parquet(vdir).groupBy(col(BucketCol)).count()
+  private def bucketRowCounts(spark: SparkSession, vdir: String): Map[Int, Long] = {
+    val p = new Path(vdir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val anyBucket = fs.exists(p) && fs.listStatus(p)
+      .exists(_.getPath.getName.startsWith(s"$BucketCol="))
+    if (!anyBucket) Map.empty
+    else spark.read.parquet(vdir).groupBy(col(BucketCol)).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+  }
 
   /** Merge a delta in and commit a new version. `merge(current, delta)`
     * receives the CURRENT rows of only the buckets the delta touches
@@ -2475,10 +2513,16 @@ object SnapshotStore {
       // folded bucket must re-tighten). A pure file-merge rewrite
       // keeps carrying stats at zero cost (data unchanged = exact).
       val foldedAny = frag.exists(b => m.buckets(b).tombstones.nonEmpty)
+      // a fold can empty EVERY rewritten bucket (only _SUCCESS lands) —
+      // read.parquet on that dir would fail schema inference
+      val anyBucketWritten = fs.exists(new Path(root, rel)) &&
+        fs.listStatus(new Path(root, rel))
+          .exists(_.getPath.getName.startsWith(s"$BucketCol="))
       val (freshBucketStats, freshFileStats)
           : (Map[Int, Seq[Option[(String, String)]]],
              Map[Int, Map[String, Seq[Option[(String, String)]]]]) =
-        if (m.statsCols.nonEmpty && (maxRecordsPerFile > 0 || foldedAny))
+        if (anyBucketWritten && m.statsCols.nonEmpty &&
+            (maxRecordsPerFile > 0 || foldedAny))
           collectStats(spark.read.parquet(new Path(root, rel).toString), m.statsCols)
         else (Map.empty, Map.empty)
       // fresh physical counts for the rewritten buckets (folding

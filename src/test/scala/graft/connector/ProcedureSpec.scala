@@ -164,6 +164,27 @@ class ProcedureSpec extends SparkSpec {
     assert(spark.table("gproc.trn.t").count() == 1)
   }
 
+  test("DELETE every row then CALL compact: the empty table still answers projections") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gproc.emp")
+    spark.sql("""CREATE TABLE gproc.emp.t (k BIGINT, v STRING)
+                 USING graft TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO gproc.emp.t SELECT id, CAST(id AS STRING) FROM range(0, 20)")
+    spark.sql("DELETE FROM gproc.emp.t WHERE k >= 0")
+    // the fold empties EVERY bucket — the attempt dir holds only _SUCCESS
+    spark.sql("CALL gproc.system.compact(table => 'emp.t')")
+    val m = graft.store.SnapshotStore.readManifest(spark, s"$warehouse/emp/t",
+      graft.store.SnapshotStore.latestVersion(spark, s"$warehouse/emp/t").get)
+    assert(m.buckets.isEmpty, "all-empty fold must drop every bucket")
+    // legal SQL on the empty table: projection, count, and the path API
+    assert(spark.sql("SELECT k FROM gproc.emp.t").count() == 0)
+    assert(spark.table("gproc.emp.t").columns.toSeq == Seq("k", "v"))
+    val direct = graft.store.SnapshotStore.read(spark, s"$warehouse/emp/t")
+    assert(direct.columns.toSeq == Seq("k", "v") && direct.count() == 0)
+    // and the table stays writable
+    spark.sql("INSERT INTO gproc.emp.t VALUES (7, 'back')")
+    assert(spark.table("gproc.emp.t").count() == 1)
+  }
+
   test("CALL system.detail reports per-bucket layout, rows, and tombstone debt") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gproc.det")
     spark.sql("""CREATE TABLE gproc.det.t (k BIGINT, v STRING, ts BIGINT)

@@ -640,6 +640,25 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(rows(SnapshotStore.read(spark, root)).size == 100 - victimKeys.length)
   }
 
+  test("deleting EVERY row then compacting folds to an empty table (stats path included)") {
+    val root = tmpDir("mor-empty-all")
+    val v0 = (1L to 40L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts")
+    // statsCols set: the fold rewrite re-tightens stats from the
+    // attempt dir, which here holds ONLY _SUCCESS (every bucket
+    // emptied) — read.parquet on it would fail schema inference
+    SnapshotStore.init(spark, root, v0, Seq("k"), numBuckets = 4, statsCols = Seq("ts"))
+    SnapshotStore.commitDeletes(spark, root, (1L to 40L).toDF("k"), Seq("k"))
+    assert(rows(SnapshotStore.read(spark, root)).isEmpty)
+    val v2 = SnapshotStore.compact(spark, root)
+    val m2 = SnapshotStore.readManifest(spark, root, v2)
+    assert(m2.buckets.isEmpty, "every bucket must drop out")
+    assert(rows(SnapshotStore.read(spark, root)).isEmpty)
+    // the table stays writable after the all-empty fold
+    SnapshotStore.commitDelta(spark, root,
+      Seq((7L, "back", 7L)).toDF("k", "v", "ts"), Seq("k"), (_, delta) => delta)
+    assert(rows(SnapshotStore.read(spark, root)).size == 1)
+  }
+
   test("commitDeletes txn idempotence: a redelivered delete batch is a no-op") {
     val root = tmpDir("mor-txn")
     val v0 = (1L to 50L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts")
