@@ -5,28 +5,38 @@ import java.nio.file.Files
 import scala.collection.mutable
 
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.SparkSpec
 import graft.store.SnapshotStore
 
 /** Seeded fuzz over the contract-swap protocol: random sequences of
   * keyed upsert-inserts, merge-on-read DELETEs, schema-changing
-  * REPLACEs, restores (same- and cross-epoch), compactions, tags,
-  * WAP branch fork→write→publish cycles, on-demand checkpoints, and
-  * INJECTED CRASHES (the swap hook throws after the manifest commit,
-  * before the contract swap — the exact window the write-ahead bundles
-  * heal). The model tracks, per committed version, both the column set
-  * that epoch's schema declares AND the exact row content (a key→value
-  * map — keyed inserts are latest-wins merges, deletes are removals);
-  * after a final clean REPLACE forces quiescence (healing any
-  * outstanding crash) and a vacuum prunes history under tag-stretched
-  * retention, EVERY retained version must time-travel to its
-  * model-predicted columns and rows through BOTH doors (VERSION AS OF
-  * and its manifest-recorded commit timestamp), every tag must read
-  * its pinned version's content by name, the epoch stamp must sit at
-  * the last contract swap, and no pending bundle may remain. One wrong
-  * archive, one missed heal, one clobbered live file, one dropped or
-  * duplicated row anywhere in the interleave fails the sweep.
+  * REPLACEs, ALTER ADD COLUMN contract evolution, restores (same- and
+  * cross-epoch), compactions, tags, WAP branch fork→write→publish
+  * cycles, on-demand checkpoints, and INJECTED CRASHES (the swap hook
+  * throws after the manifest commit, before the contract swap — the
+  * exact window the write-ahead bundles heal).
+  *
+  * The model tracks EPOCH INSTANCES — one column list per contract
+  * epoch, where the LIVE instance grows via ALTER (contract evolution
+  * is version-less: every version of an instance reads under the
+  * instance's FINAL columns — the list archived by the ending REPLACE
+  * for frozen instances, the live `_schema` for the current one; a
+  * cross-epoch restore REVIVES a frozen instance as a new live copy) —
+  * and, per committed version, the exact row content (key → column →
+  * value; keyed inserts are latest-wins merges, deletes are removals,
+  * columns a row predates read back null). After a final clean REPLACE
+  * forces quiescence (healing any outstanding crash) and a vacuum
+  * prunes history under tag-stretched retention, EVERY retained
+  * version must time-travel to its instance's columns and its
+  * model-predicted rows through BOTH doors (VERSION AS OF and its
+  * manifest-recorded commit timestamp), every tag must read its pinned
+  * version's content by name, the epoch stamp must sit at the last
+  * contract swap, and no pending bundle may remain. One wrong archive,
+  * one missed heal, one clobbered live file, one dropped, duplicated,
+  * or mis-filled row anywhere in the interleave fails the sweep.
   */
 class ContractFuzzSpec extends SparkSpec {
   import spark.implicits._
@@ -47,18 +57,26 @@ class ContractFuzzSpec extends SparkSpec {
                   TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
     spark.sql(s"INSERT INTO gfz.ns.$tbl VALUES (1, 0)")
     def head: Long = SnapshotStore.latestVersion(spark, dir).get
-    // model: per committed version, the epoch's declared columns and
-    // the exact content (key → value, both as strings)
-    val cols = mutable.Map[Long, Seq[String]]()
-    val rows = mutable.Map[Long, Map[String, String]]()
-    var curCols = Seq("k", "v")
-    var curRows = Map("1" -> "0")
-    def snap(): Unit = { cols(head) = curCols; rows(head) = curRows }
-    cols(0L) = curCols; rows(0L) = Map.empty // the CREATE commit
+
+    // ---- the model -------------------------------------------------
+    // epoch instances: column list per epoch; only the live one grows
+    val instCols = mutable.ArrayBuffer(mutable.ArrayBuffer("k", "v"))
+    var liveInst = 0
+    val instOf = mutable.Map[Long, Int]()
+    // content per version: key → (colName → value-as-string); columns
+    // a row never carried are absent and must read back as null
+    val rows = mutable.Map[Long, Map[String, Map[String, String]]]()
+    var curRows = Map("1" -> Map("v" -> "0"))
+    def curCols: Seq[String] = instCols(liveInst).toSeq
+    def numericKey: Boolean = curCols.head == "k"
+    def snap(): Unit = { instOf(head) = liveInst; rows(head) = curRows }
+    instOf(0L) = 0; rows(0L) = Map.empty // the CREATE commit
     snap()
     val tags = mutable.ArrayBuffer.empty[(String, Long)]
     var epoch = 0
     var tagN = 0
+    var addN = 0
+    var addsLeft = 2
     var crashesLeft = 2
     var torn = false // a crashed swap is outstanding (unhealed)
     // a torn table reads/writes under stale contracts (the documented
@@ -68,20 +86,22 @@ class ContractFuzzSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE gfz.ns.$tbl SET TBLPROPERTIES ('fz'='1')")
       torn = false
     }
-    def numericEpoch: Boolean = curCols == Seq("k", "v")
+    def randKey(): String =
+      if (numericKey) rnd.nextInt(50).toString else s"r${rnd.nextInt(50)}"
+    def sqlKey(key: String): String = if (numericKey) key else s"'$key'"
+
     System.setProperty("graft.snapshot.contractSwapGraceMs", "100")
     try {
       (1 to 20).foreach { i =>
-        rnd.nextInt(10) match {
-          case 0 | 1 => // keyed insert (latest-wins merge on the key)
+        rnd.nextInt(11) match {
+          case 0 | 1 => // full-row keyed insert (latest-wins on the key)
             heal()
-            val value = rnd.nextInt(100)
-            val key =
-              if (numericEpoch) rnd.nextInt(50).toString else s"r${rnd.nextInt(50)}"
-            spark.sql(s"INSERT INTO gfz.ns.$tbl (${curCols.head}, " +
-              s"${curCols(1)}) VALUES " +
-              (if (numericEpoch) s"($key, $value)" else s"('$key', $value)"))
-            curRows = curRows.updated(key, value.toString)
+            val key = randKey()
+            val vals = curCols.tail.map(_ => rnd.nextInt(100))
+            spark.sql(s"INSERT INTO gfz.ns.$tbl (${curCols.mkString(", ")}) " +
+              s"VALUES (${sqlKey(key)}${vals.map(v => s", $v").mkString})")
+            curRows = curRows.updated(key,
+              curCols.tail.zip(vals.map(_.toString)).toMap)
             snap()
           case 2 | 3 => // REPLACE to a fresh schema, maybe crashing mid-swap
             epoch += 1
@@ -105,8 +125,11 @@ class ContractFuzzSpec extends SparkSpec {
                   e.getCause.toString.contains("fuzz crash") => }
             } finally SnapshotStore.replaceSwapHook = (_, _) => ()
             torn = crash // a clean REPLACE also HEALS any prior crash
-            curCols = Seq(c, "n") // committed either way; heal restores this
-            curRows = Map("x" -> "1")
+            // committed either way; heal restores the contract swap.
+            // The displaced instance FREEZES at its current columns.
+            instCols += mutable.ArrayBuffer(c, "n")
+            liveInst = instCols.size - 1
+            curRows = Map("x" -> Map("n" -> "1"))
             snap()
           case 4 => // restore to a random retained version (any epoch)
             val vs = SnapshotStore.versions(spark, dir)
@@ -114,7 +137,14 @@ class ContractFuzzSpec extends SparkSpec {
             if (target != head) {
               SnapshotStore.restore(spark, dir, target)
               torn = false // restore awaited quiescence (healing) first
-              curCols = cols(target); curRows = rows(target)
+              val ti = instOf(target)
+              if (ti != liveInst) {
+                // cross-epoch: the frozen instance REVIVES as a new
+                // live copy (its archive stays in place — r13 ADVICE)
+                instCols += instCols(ti).clone()
+                liveInst = instCols.size - 1
+              }
+              curRows = rows(target)
               snap()
             }
           case 5 => // merge-on-read DELETE of one key (hit or miss)
@@ -122,10 +152,9 @@ class ContractFuzzSpec extends SparkSpec {
             val key =
               if (curRows.nonEmpty && rnd.nextBoolean())
                 curRows.keys.toSeq.sorted.apply(rnd.nextInt(curRows.size))
-              else if (numericEpoch) rnd.nextInt(50).toString
-              else s"r${rnd.nextInt(50)}"
+              else randKey()
             spark.sql(s"DELETE FROM gfz.ns.$tbl WHERE ${curCols.head} = " +
-              (if (numericEpoch) key else s"'$key'"))
+              sqlKey(key))
             curRows = curRows - key
             snap()
           case 6 => // compact: folds tombstones, content-preserving
@@ -143,24 +172,36 @@ class ContractFuzzSpec extends SparkSpec {
             val bn = s"b${seed}n$i"
             SnapshotStore.createBranch(spark, dir, bn)
             val br = SnapshotStore.branchRoot(dir, bn)
-            val value = rnd.nextInt(100)
-            val delta =
-              if (numericEpoch) {
-                val key = rnd.nextInt(50)
-                curRows = curRows.updated(key.toString, value.toString)
-                Seq((key.toLong, value.toLong)).toDF(curCols: _*)
-              } else {
-                val key = s"r${rnd.nextInt(50)}"
-                curRows = curRows.updated(key, value.toString)
-                Seq((key, value.toLong)).toDF(curCols: _*)
-              }
+            val key = randKey()
+            val vals = curCols.tail.map(_ => rnd.nextInt(100))
+            val keyVal: Any = if (numericKey) key.toLong else key
+            val schema = StructType(
+              StructField(curCols.head,
+                if (numericKey) LongType else StringType) +:
+              curCols.tail.map(c => StructField(c, LongType)))
+            val delta = spark.createDataFrame(
+              java.util.List.of(Row.fromSeq(keyVal +: vals.map(_.toLong))),
+              schema)
             SnapshotStore.commitDelta(spark, br, delta, Seq(curCols.head),
               SnapshotStore.upsertMerge(Seq(curCols.head)))
             SnapshotStore.publishBranch(spark, dir, bn)
+            curRows = curRows.updated(key,
+              curCols.tail.zip(vals.map(_.toString)).toMap)
             snap() // the publish commit is a new version on main
           case 9 => // on-demand checkpoint: metadata only, no version
             heal()
             SnapshotStore.checkpoint(spark, dir): Unit
+          case 10 => // ALTER ADD COLUMN: version-less contract evolution
+            if (addsLeft > 0) {
+              addsLeft -= 1
+              addN += 1
+              // ALTER serializes behind (and heals) pending swaps
+              spark.sql(s"ALTER TABLE gfz.ns.$tbl ADD COLUMN w$addN BIGINT")
+              torn = false
+              // the LIVE instance widens — retroactively for every
+              // version it governs (history null-fills, no rewrite)
+              instCols(liveInst) += s"w$addN"
+            }
         }
       }
       // final clean REPLACE: heals any outstanding crashed swap, then
@@ -168,7 +209,9 @@ class ContractFuzzSpec extends SparkSpec {
       epoch += 1
       spark.sql(s"""REPLACE TABLE gfz.ns.$tbl TBLPROPERTIES ('keys'='zz') AS
                     SELECT 'end' AS zz, CAST(1 AS BIGINT) AS n""")
-      curCols = Seq("zz", "n"); curRows = Map("end" -> "1")
+      instCols += mutable.ArrayBuffer("zz", "n")
+      liveInst = instCols.size - 1
+      curRows = Map("end" -> Map("n" -> "1"))
       snap()
       // vacuum under tag-stretched retention: keeps the suffix from
       // the oldest tag (or last 3) and auto-checkpoints the floor
@@ -180,36 +223,45 @@ class ContractFuzzSpec extends SparkSpec {
     assert(SnapshotStore.readProps(spark, dir)("graft.schema.epoch").toLong
       == finalHead, s"seed $seed: epoch stamp must sit at the final REPLACE")
     assert(spark.table(s"gfz.ns.$tbl").columns.toSeq == Seq("zz", "n"))
-    def contentOf(sql: String): Map[String, String] =
-      spark.sql(sql).collect()
-        .map(r => (String.valueOf(r.get(0)), String.valueOf(r.get(1)))).toMap
+    // expected state of version v: its instance's FINAL columns;
+    // stored cells, with never-carried columns null-filled
+    def expect(v: Long): (Seq[String], Map[String, Map[String, String]]) = {
+      val cs = instCols(instOf(v)).toSeq
+      (cs, rows(v).map { case (k, m) =>
+        k -> cs.tail.map(c => c -> m.getOrElse(c, "null")).toMap })
+    }
+    def contentOf(df: DataFrame, cs: Seq[String])
+        : Map[String, Map[String, String]] =
+      df.collect().map { r =>
+        String.valueOf(r.get(0)) -> cs.tail.zipWithIndex.map { case (c, j) =>
+          c -> String.valueOf(r.get(j + 1)) }.toMap
+      }.toMap
     val retained = SnapshotStore.versions(spark, dir)
     retained.foreach { v =>
-      val got = spark.sql(s"SELECT * FROM gfz.ns.$tbl VERSION AS OF $v")
-        .columns.toSeq
-      assert(got == cols(v),
-        s"seed $seed: version $v must read under its own epoch's " +
-          s"columns ${cols(v)}, got $got")
-      val content = contentOf(s"SELECT * FROM gfz.ns.$tbl VERSION AS OF $v")
-      assert(content == rows(v),
+      val (cs, exp) = expect(v)
+      val byV = spark.sql(s"SELECT * FROM gfz.ns.$tbl VERSION AS OF $v")
+      assert(byV.columns.toSeq == cs,
+        s"seed $seed: version $v must read under its own instance's " +
+          s"columns $cs, got ${byV.columns.toSeq}")
+      val content = contentOf(byV, cs)
+      assert(content == exp,
         s"seed $seed: version $v content drifted from the model: " +
-          s"expected ${rows(v)}, got $content")
+          s"expected $exp, got $content")
       // the TIMESTAMP door must resolve to the same pin: commit
       // timestamps are manifest-recorded and strictly increasing, so
       // v's own timestamp names exactly v
       val ts = SnapshotStore.commitTimeMillis(spark, dir, v)
       val byTs = spark.read.format("graft")
-        .option("timestampAsOf", ts.toString).load(dir).collect()
-        .map(r => (String.valueOf(r.get(0)), String.valueOf(r.get(1)))).toMap
-      assert(byTs == rows(v),
-        s"seed $seed: TIMESTAMP AS OF v$v's commit ts must read v$v: " +
-          s"expected ${rows(v)}, got $byTs")
+        .option("timestampAsOf", ts.toString).load(dir)
+      assert(contentOf(byTs, cs) == exp,
+        s"seed $seed: TIMESTAMP AS OF v$v's commit ts must read v$v")
     }
     tags.foreach { case (name, v) =>
       assert(retained.contains(v),
         s"seed $seed: tag $name pins version $v — vacuum must retain it")
-      val content = contentOf(s"SELECT * FROM gfz.ns.$tbl VERSION AS OF '$name'")
-      assert(content == rows(v),
+      val (cs, exp) = expect(v)
+      val byTag = spark.sql(s"SELECT * FROM gfz.ns.$tbl VERSION AS OF '$name'")
+      assert(contentOf(byTag, cs) == exp,
         s"seed $seed: tag $name must read version $v's content")
     }
     assert(!fs.listStatus(new Path(s"$warehouse/ns/$tbl")).exists(
@@ -217,7 +269,7 @@ class ContractFuzzSpec extends SparkSpec {
       s"seed $seed: all write-ahead bundles must be consumed")
   }
 
-  Seq(1, 2, 3, 4).foreach { seed =>
+  Seq(1, 2, 3, 4, 5, 6).foreach { seed =>
     test(s"seeded op/crash interleave keeps every version contract-coherent (seed $seed)") {
       runSeed(seed)
     }
