@@ -15,9 +15,13 @@ import graft.store.SnapshotStore
   * keyed upsert-inserts, merge-on-read DELETEs, schema-changing
   * REPLACEs, ALTER ADD COLUMN contract evolution, restores (same- and
   * cross-epoch), compactions, tags, WAP branch fork→write→publish
-  * cycles, on-demand checkpoints, and INJECTED CRASHES (the swap hook
-  * throws after the manifest commit, before the contract swap — the
-  * exact window the write-ahead bundles heal).
+  * cycles, on-demand checkpoints, change-feed syncs of a DERIVED
+  * mirror table (incremental keyed diff within an epoch, the atomic
+  * full-refresh door across REPLACE/cross-epoch-restore boundaries —
+  * checked against the source's exact content after every sync), and
+  * INJECTED CRASHES (the swap hook throws after the manifest commit,
+  * before the contract swap — the exact window the write-ahead bundles
+  * heal).
   *
   * The model tracks EPOCH INSTANCES — one column list per contract
   * epoch, where the LIVE instance grows via ALTER (contract evolution
@@ -90,10 +94,43 @@ class ContractFuzzSpec extends SparkSpec {
       if (numericKey) rnd.nextInt(50).toString else s"r${rnd.nextInt(50)}"
     def sqlKey(key: String): String = if (numericKey) key else s"'$key'"
 
+    // a DERIVED table maintained through the change feed across the
+    // whole interleave: incremental keyed sync within an epoch, the
+    // atomic full-refresh door across REPLACE/cross-epoch-restore
+    // boundaries. After every sync it must mirror the source exactly.
+    val dRoot = s"$warehouse/ns/derived_$tbl"
+    def syncAndCheckDerived(): Unit = {
+      graft.store.ChangeFeed.syncDerived(spark, dir, dRoot, s"fz$seed",
+        keys = Seq(curCols.head), numBuckets = 4): Unit
+      val df = SnapshotStore.read(spark, dRoot)
+      val gotCols = df.columns.toSeq
+      // columns only appear in the target once some synced file carries
+      // them (an ALTER-declared column no row ever valued may lag), and
+      // they reset at each full refresh — but never exceed the source's
+      assert(gotCols.toSet.subsetOf(curCols.toSet) &&
+        gotCols.head == curCols.head,
+        s"seed $seed: derived columns $gotCols must be a prefix-keyed " +
+          s"subset of source columns $curCols")
+      val got = df.collect().map { r =>
+        String.valueOf(r.get(0)) -> gotCols.tail.zipWithIndex.map {
+          case (c, j) => c -> String.valueOf(r.get(j + 1)) }.toMap
+      }.toMap
+      assert(got.keySet == curRows.keySet,
+        s"seed $seed: derived key set ${got.keySet} must equal the " +
+          s"source's ${curRows.keySet}")
+      got.foreach { case (k, m) =>
+        m.foreach { case (c, value) =>
+          val exp = curRows(k).getOrElse(c, "null")
+          assert(value == exp,
+            s"seed $seed: derived $k.$c = $value, source has $exp")
+        }
+      }
+    }
+
     System.setProperty("graft.snapshot.contractSwapGraceMs", "100")
     try {
       (1 to 20).foreach { i =>
-        rnd.nextInt(11) match {
+        rnd.nextInt(12) match {
           case 0 | 1 => // full-row keyed insert (latest-wins on the key)
             heal()
             val key = randKey()
@@ -202,6 +239,9 @@ class ContractFuzzSpec extends SparkSpec {
               // version it governs (history null-fills, no rewrite)
               instCols(liveInst) += s"w$addN"
             }
+          case 11 => // change-feed sync of the derived mirror + check
+            heal()
+            syncAndCheckDerived()
         }
       }
       // final clean REPLACE: heals any outstanding crashed swap, then
@@ -213,6 +253,9 @@ class ContractFuzzSpec extends SparkSpec {
       liveInst = instCols.size - 1
       curRows = Map("end" -> Map("n" -> "1"))
       snap()
+      // the final sync ALWAYS crosses a keys-changing REPLACE — the
+      // full-refresh door runs deterministically every seed
+      syncAndCheckDerived()
       // vacuum under tag-stretched retention: keeps the suffix from
       // the oldest tag (or last 3) and auto-checkpoints the floor
       SnapshotStore.vacuum(spark, dir, keepLast = 3): Unit
