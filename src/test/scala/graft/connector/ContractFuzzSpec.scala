@@ -77,6 +77,9 @@ class ContractFuzzSpec extends SparkSpec {
     instOf(0L) = 0; rows(0L) = Map.empty // the CREATE commit
     snap()
     val tags = mutable.ArrayBuffer.empty[(String, Long)]
+    // at most one zero-copy clone per seed: (root, fork cols, fork rows)
+    var clone: Option[(String, Seq[String], Map[String, Map[String, String]])] =
+      None
     var epoch = 0
     var tagN = 0
     var addN = 0
@@ -104,25 +107,34 @@ class ContractFuzzSpec extends SparkSpec {
         keys = Seq(curCols.head), numBuckets = 4): Unit
       val df = SnapshotStore.read(spark, dRoot)
       val gotCols = df.columns.toSeq
-      // columns only appear in the target once some synced file carries
-      // them (an ALTER-declared column no row ever valued may lag), and
-      // they reset at each full refresh — but never exceed the source's
-      assert(gotCols.toSet.subsetOf(curCols.toSet) &&
-        gotCols.head == curCols.head,
-        s"seed $seed: derived columns $gotCols must be a prefix-keyed " +
-          s"subset of source columns $curCols")
-      val got = df.collect().map { r =>
-        String.valueOf(r.get(0)) -> gotCols.tail.zipWithIndex.map {
-          case (c, j) => c -> String.valueOf(r.get(j + 1)) }.toMap
-      }.toMap
-      assert(got.keySet == curRows.keySet,
-        s"seed $seed: derived key set ${got.keySet} must equal the " +
-          s"source's ${curRows.keySet}")
-      got.foreach { case (k, m) =>
-        m.foreach { case (c, value) =>
-          val exp = curRows(k).getOrElse(c, "null")
-          assert(value == exp,
-            s"seed $seed: derived $k.$c = $value, source has $exp")
+      // a mirror bootstrapped from an EMPTY source is a path table
+      // with no schema anywhere (no data files, no _schema breadcrumb)
+      // — zero columns is correct exactly when the source is empty
+      if (gotCols.isEmpty) {
+        assert(curRows.isEmpty,
+          s"seed $seed: schema-less empty mirror but source has $curRows")
+      } else {
+        // columns only appear in the target once some synced file
+        // carries them (an ALTER-declared column no row ever valued may
+        // lag), and they reset at each full refresh — but never exceed
+        // the source's
+        assert(gotCols.toSet.subsetOf(curCols.toSet) &&
+          gotCols.head == curCols.head,
+          s"seed $seed: derived columns $gotCols must be a prefix-keyed " +
+            s"subset of source columns $curCols")
+        val got = df.collect().map { r =>
+          String.valueOf(r.get(0)) -> gotCols.tail.zipWithIndex.map {
+            case (c, j) => c -> String.valueOf(r.get(j + 1)) }.toMap
+        }.toMap
+        assert(got.keySet == curRows.keySet,
+          s"seed $seed: derived key set ${got.keySet} must equal the " +
+            s"source's ${curRows.keySet}")
+        got.foreach { case (k, m) =>
+          m.foreach { case (c, value) =>
+            val exp = curRows(k).getOrElse(c, "null")
+            assert(value == exp,
+              s"seed $seed: derived $k.$c = $value, source has $exp")
+          }
         }
       }
     }
@@ -130,7 +142,7 @@ class ContractFuzzSpec extends SparkSpec {
     System.setProperty("graft.snapshot.contractSwapGraceMs", "100")
     try {
       (1 to 20).foreach { i =>
-        rnd.nextInt(12) match {
+        rnd.nextInt(13) match {
           case 0 | 1 => // full-row keyed insert (latest-wins on the key)
             heal()
             val key = randKey()
@@ -242,6 +254,13 @@ class ContractFuzzSpec extends SparkSpec {
           case 11 => // change-feed sync of the derived mirror + check
             heal()
             syncAndCheckDerived()
+          case 12 => // zero-copy clone: freezes fork-time columns+content
+            if (clone.isEmpty) {
+              heal()
+              val cRoot = s"$warehouse/ns/clone_$tbl"
+              SnapshotStore.cloneTable(spark, dir, cRoot): Unit
+              clone = Some((cRoot, curCols, curRows))
+            }
         }
       }
       // final clean REPLACE: heals any outstanding crashed swap, then
@@ -306,6 +325,21 @@ class ContractFuzzSpec extends SparkSpec {
       val byTag = spark.sql(s"SELECT * FROM gfz.ns.$tbl VERSION AS OF '$name'")
       assert(contentOf(byTag, cs) == exp,
         s"seed $seed: tag $name must read version $v's content")
+    }
+    // the zero-copy clone froze at fork time: it must still read its
+    // fork-time columns and content — through the source's later
+    // REPLACEs, ALTERs, restores, and the closing vacuum (clone
+    // retention pins the absolute dirs it references)
+    clone.foreach { case (_, cCols, cRows) =>
+      val df = spark.table(s"gfz.ns.clone_$tbl")
+      assert(df.columns.toSeq == cCols,
+        s"seed $seed: clone must keep its fork-time columns $cCols, " +
+          s"got ${df.columns.toSeq}")
+      val exp = cRows.map { case (k, m) =>
+        k -> cCols.tail.map(c => c -> m.getOrElse(c, "null")).toMap }
+      val got = contentOf(df, cCols)
+      assert(got == exp,
+        s"seed $seed: clone content drifted: expected $exp, got $got")
     }
     assert(!fs.listStatus(new Path(s"$warehouse/ns/$tbl")).exists(
       _.getPath.getName.startsWith("_pending_contracts-")),
