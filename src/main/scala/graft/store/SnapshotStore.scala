@@ -465,9 +465,10 @@ object SnapshotStore {
   private def claimBlock(fs: FileSystem, dir: Path, seq: Long, first: Long,
                          count: Long): Boolean = {
     val target = new Path(dir, f"block-$seq%020d" + s"_$first")
-    val created = try Some(fs.create(target, false)) catch {
-      case _: java.io.IOException => None // lost the race — re-list
-    }
+    // atomic claim ([[createExclusive]]): a local check-then-act create
+    // would let two allocators both "win" the same (seq, first) and
+    // mint overlapping identity ranges
+    val created = createExclusive(fs, target)
     created match {
       case Some(out) =>
         try out.write(s"$count\tend".getBytes(StandardCharsets.UTF_8))
@@ -1213,12 +1214,60 @@ object SnapshotStore {
       case e: java.io.IOException => Left(e)
     }
 
+  /** Exclusive-create arbitration primitive: a stream is returned ONLY
+    * to the one caller that atomically claimed `target`; every loser
+    * gets None. The correctness of every arbitration below (manifest
+    * commits, identity block claims, tag creation) rests on this being
+    * genuinely atomic.
+    *
+    * On cluster filesystems (HDFS, ABFS, GCS) `create(overwrite=false)`
+    * IS atomic (lease / precondition) and is used directly. On the
+    * LOCAL filesystem it is CHECK-THEN-ACT (RawLocalFileSystem tests
+    * existence, then opens a plain FileOutputStream): two racing
+    * threads can BOTH pass the check and open the same path, and the
+    * later writer silently clobbers the earlier one AFTER its
+    * successful terminator readback — a reported-committed manifest
+    * vanishes (the scale-10 OCC soak reproduced it: two writers
+    * "won" the same version, one fleet commit lost). Local claims
+    * therefore go through java.nio `Files.createFile` — O_CREAT|O_EXCL,
+    * atomic at the syscall — before opening the Hadoop stream over the
+    * claimed path. S3A has no atomic create-no-overwrite by default:
+    * deploy the commit log on a filesystem that has one (or enable S3
+    * conditional writes).
+    */
+  private[store] def createExclusive(fs: FileSystem, target: Path)
+      : Option[org.apache.hadoop.fs.FSDataOutputStream] = {
+    // some FileSystem impls (test doubles, older adapters) leave
+    // getScheme unimplemented — the authority URI always answers
+    val scheme =
+      try fs.getScheme
+      catch { case _: UnsupportedOperationException => fs.getUri.getScheme }
+    if (scheme == "file") {
+      val local = java.nio.file.Paths.get(target.toUri.getPath)
+      def claim(): Option[org.apache.hadoop.fs.FSDataOutputStream] = {
+        java.nio.file.Files.createFile(local)
+        Some(fs.create(target, true)) // we own the path; truncate-open
+      }
+      try claim()
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => None
+        case _: java.nio.file.NoSuchFileException => // parent missing
+          fs.mkdirs(target.getParent)
+          try claim()
+          catch { case _: java.nio.file.FileAlreadyExistsException => None }
+      }
+    } else {
+      try Some(fs.create(target, false))
+      catch { case _: java.io.IOException if fs.exists(target) => None }
+    }
+  }
+
   /** Atomically publish version `v`. Returns false when another writer
     * already committed `v`.
     *
     * The commit arbiter is EXCLUSIVE CREATE of the manifest file
-    * (`fs.create(target, overwrite = false)` — the loser of a race
-    * fails to create), not check-then-rename: POSIX/RawLocalFileSystem
+    * ([[createExclusive]] — the loser of a race fails to create), not
+    * check-then-rename: POSIX/RawLocalFileSystem
     * rename OVERWRITES an existing destination, so two concurrent
     * committers of the same version could both pass an exists check
     * and both "succeed", silently replacing one manifest (and its txn
@@ -1301,8 +1350,7 @@ object SnapshotStore {
     val body = bodyLines.mkString("", "\n", "\n") + s"end:$token:${bodyLines.size}\n"
 
     def tryCreate(): Option[org.apache.hadoop.fs.FSDataOutputStream] =
-      try Some(fs.create(target, false))
-      catch { case _: java.io.IOException if fs.exists(target) => None }
+      createExclusive(fs, target)
 
     var out = tryCreate()
     if (out.isEmpty) {
@@ -3681,18 +3729,11 @@ object SnapshotStore {
         "version ids (VERSION AS OF resolves numbers as versions first)")
     val p = tagPath(root, name)
     fs.mkdirs(p.getParent)
-    val out =
-      try fs.create(p, false)
-      catch {
-        // only an actually-existing tag means "immutable, drop first" —
-        // a transient I/O failure must surface as itself, not as
-        // misleading drop_tag guidance
-        case e: java.io.IOException =>
-          if (fs.exists(p)) throw new IllegalStateException(
-            s"tag '$name' already exists at $root — tags are immutable; " +
-              "drop_tag first to re-point it")
-          else throw e
-      }
+    // atomic claim ([[createExclusive]]): two racing createTag calls of
+    // the same name must not both succeed (tags are immutable)
+    val out = createExclusive(fs, p).getOrElse(throw new IllegalStateException(
+      s"tag '$name' already exists at $root — tags are immutable; " +
+        "drop_tag first to re-point it"))
     try out.write(s"$v\n".getBytes(StandardCharsets.UTF_8))
     finally out.close()
     v

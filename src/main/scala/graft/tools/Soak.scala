@@ -483,6 +483,86 @@ object Soak {
       == rrHead, "epoch stamp must sit at the last contract swap's version")
     occN("occ_restore_replace_both_landed") = 1L
     occN("occ_restore_won_last") = if (restoreWonLast) 1L else 0L
+
+    // ---------------- 3f. overlapping-bucket chaos fleet -------------
+    // §3e(a)'s fleet is bucket-DISJOINT by construction, so every lost
+    // race rebases and the merge never re-runs. This fleet inverts the
+    // geometry: every writer's keys hash across the SAME four buckets
+    // (disjoint KEYS, shared buckets), so lost races CANNOT rebase —
+    // each must take the documented re-merge path. The invariant is
+    // exactness: each writer's keys must end at that writer's LAST op
+    // (upsert value, or gone if deleted), and bystander rows owned by
+    // nobody must pass through every re-merge untouched — a re-merge
+    // that reads a stale snapshot, drops a competitor's committed row,
+    // or resurrects a deleted key fails the accounting.
+    {
+      import spark.implicits._
+      val chaosRoot = s"$work/occ_chaos"
+      val nChaos = 4
+      val opsPer = 6
+      ophase("chaos_init") {
+        SnapshotStore.init(spark, chaosRoot,
+          spark.range(1000000L, 1000100L)
+            .select(col("id").as("k"), lit(-1L).as("val")),
+          Seq("k"), numBuckets = 4): Unit
+      }
+      val chaosMerges = new java.util.concurrent.atomic.AtomicInteger(0)
+      val chaosUpserts = new java.util.concurrent.atomic.AtomicInteger(0)
+      val chaosDeletes = new java.util.concurrent.atomic.AtomicInteger(0)
+      val chaosGate = new java.util.concurrent.CountDownLatch(1)
+      val chaosFuts = (0 until nChaos).map { i =>
+        Future {
+          chaosGate.await()
+          val rnd = new scala.util.Random(1000 + i)
+          val myKeys = (i * 100L until i * 100L + 20L).toList
+          val last = scala.collection.mutable.Map.empty[Long, Option[Long]]
+          (1 to opsPer).foreach { op =>
+            val subset = rnd.shuffle(myKeys).take(1 + rnd.nextInt(8))
+            if (rnd.nextInt(4) == 0) {
+              SnapshotStore.commitDeletes(spark, chaosRoot,
+                subset.toDF("k"), Seq("k"), maxAttempts = 8 * nChaos)
+              chaosDeletes.incrementAndGet()
+              subset.foreach(k => last(k) = None)
+            } else {
+              val v = i * 1000L + op
+              SnapshotStore.commitDelta(spark, chaosRoot,
+                subset.toDF("k").withColumn("val", lit(v)),
+                Seq("k"), (cur, d) => {
+                  chaosMerges.incrementAndGet()
+                  SnapshotStore.upsertMerge(Seq("k"))(cur, d)
+                }, maxAttempts = 8 * nChaos)
+              chaosUpserts.incrementAndGet()
+              subset.foreach(k => last(k) = Some(v))
+            }
+          }
+          (i, last.toMap)
+        }
+      }
+      val chaosModels = ophase("chaos_fleet") {
+        chaosGate.countDown()
+        Await.result(Future.sequence(chaosFuts), 1800.seconds)
+      }
+      val endState = SnapshotStore.read(spark, chaosRoot)
+        .select("k", "val").as[(Long, Long)].collect().toMap
+      chaosModels.foreach { case (i, model) =>
+        model.foreach {
+          case (k, Some(v)) => require(endState.get(k).contains(v),
+            s"chaos writer $i: key $k must read $v, got ${endState.get(k)}")
+          case (k, None) => require(!endState.contains(k),
+            s"chaos writer $i: key $k was deleted last, but survives")
+        }
+      }
+      require((1000000L until 1000100L).forall(k =>
+        endState.get(k).contains(-1L)),
+        "chaos fleet must not disturb bystander rows")
+      occN("chaos_commits") = (chaosUpserts.get() + chaosDeletes.get()).toLong
+      occN("chaos_delete_commits") = chaosDeletes.get().toLong
+      // recomputes are EXPECTED here (shared buckets make rebases
+      // impossible) — recorded, not bounded: the invariant is that
+      // every recompute was LOSSLESS, which the accounting above pins
+      occN("chaos_merge_recomputes") =
+        (chaosMerges.get() - chaosUpserts.get()).toLong
+    }
     pool.shutdown()
 
     occ.foreach { case (k, v) => println(f"[soak-occ] $k%-32s $v%8.3fs") }

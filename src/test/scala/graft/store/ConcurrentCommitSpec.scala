@@ -164,4 +164,73 @@ class ConcurrentCommitSpec extends SparkSpec {
     val now = rows(root)
     assert(!now.exists(_._1 == kDel) && now((kB, "from-B", 100L)) && now.size == 49)
   }
+
+  test("createExclusive: exactly one winner per path under a 16-thread hammer") {
+    // the arbitration PRIMITIVE itself: local-FS create(overwrite=false)
+    // is check-then-act, so two racers could both open one manifest
+    // path and the later writer clobbered the earlier one AFTER its
+    // successful readback (the scale-10 OCC soak reproduced a lost
+    // fleet commit). createExclusive claims via O_EXCL — this hammer
+    // pins exactly-one-winner per round.
+    val root = tmpDir("excl")
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nThreads = 16
+    (1 to 50).foreach { round =>
+      val target = new org.apache.hadoop.fs.Path(root, f"m-$round%05d")
+      val gate = new CountDownLatch(1)
+      val futs = (0 until nThreads).map { i =>
+        Future {
+          gate.await()
+          SnapshotStore.createExclusive(hfs, target) match {
+            case Some(out) =>
+              try out.write(s"winner-$i".getBytes("UTF-8")) finally out.close()
+              1
+            case None => 0
+          }
+        }
+      }
+      gate.countDown()
+      val winners = Await.result(Future.sequence(futs), 60.seconds).sum
+      assert(winners == 1, s"round $round: $winners winners claimed one path")
+    }
+  }
+
+  test("shared-bucket commit fleet: every reported version is distinct and every write survives") {
+    // end-to-end regression net over the arbiter: writers with disjoint
+    // KEYS but fully shared BUCKETS hammer one table; a double-granted
+    // version (the pre-createExclusive clobber) would surface as two
+    // writers reporting the same version, a lost manifest, or a
+    // dropped row
+    val root = tmpDir("fleet")
+    SnapshotStore.init(spark, root,
+      Seq((1000000L, "seed", 0L)).toDF("k", "v", "ts"), Seq("k"), numBuckets = 2)
+    val nWriters = 6
+    val opsPer = 3
+    val gate = new CountDownLatch(1)
+    val futs = (0 until nWriters).map { i =>
+      Future {
+        gate.await()
+        (1 to opsPer).map { op =>
+          SnapshotStore.commitDelta(spark, root,
+            Seq((i.toLong, s"w$i-op$op", op.toLong)).toDF("k", "v", "ts"),
+            Seq("k"), SnapshotStore.upsertMerge(Seq("k")),
+            maxAttempts = 8 * nWriters)
+        }
+      }
+    }
+    gate.countDown()
+    val versions = Await.result(Future.sequence(futs), 300.seconds).flatten
+    assert(versions.size == nWriters * opsPer &&
+      versions.toSet.size == versions.size,
+      s"every commit must be granted a DISTINCT version: $versions")
+    assert(SnapshotStore.latestVersion(spark, root).get ==
+      (nWriters * opsPer).toLong)
+    val end = rows(root)
+    (0 until nWriters).foreach { i =>
+      assert(end((i.toLong, s"w$i-op$opsPer", opsPer.toLong)),
+        s"writer $i's final upsert must survive the contention")
+    }
+    assert(end((1000000L, "seed", 0L)) && end.size == nWriters + 1)
+  }
 }
