@@ -662,9 +662,9 @@ class GraftTableWriteBuilder(root: String, info: LogicalWriteInfo)
         override def insert(rawData: org.apache.spark.sql.DataFrame,
                             overwrite: Boolean): Unit = {
           val spark = rawData.sparkSession
-          val exists = SnapshotStore.latestVersion(spark, root).isDefined
-          require(exists, s"no committed graft table at $root")
-          val keys = GraftWrite.resolveKeys(spark, root, Nil, exists)
+          val planned = SnapshotStore.latestVersion(spark, root)
+          require(planned.isDefined, s"no committed graft table at $root")
+          val keys = GraftWrite.resolveKeys(spark, root, Nil, planned.isDefined)
           val data = GraftWrite.identityInsertGuard(spark, root, rawData)
           scoped match {
             case Some(cond) =>
@@ -676,7 +676,8 @@ class GraftTableWriteBuilder(root: String, info: LogicalWriteInfo)
                 SnapshotStore.replaceAll(spark, root, data, keys): Unit
               else
                 SnapshotStore.commitDelta(spark, root, data, keys,
-                  GraftWrite.doorMerge(spark, root, keys, data)): Unit
+                  GraftWrite.doorMerge(spark, root, keys, data),
+                  plannedVersion = planned): Unit
           }
         }
       }

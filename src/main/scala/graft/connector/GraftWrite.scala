@@ -108,7 +108,8 @@ private[connector] object GraftWrite {
       case SaveMode.Append =>
         if (exists) SnapshotStore.commitDelta(spark, w.root,
           identityInsertGuard(spark, w.root, data), keys,
-          doorMerge(spark, w.root, keys, data)): Unit
+          doorMerge(spark, w.root, keys, data),
+          plannedVersion = SnapshotStore.latestVersion(spark, w.root)): Unit
         else SnapshotStore.init(spark, w.root, data, keys, w.numBuckets, w.statsCols): Unit
     }
   }
@@ -191,14 +192,15 @@ class GraftSink(spark: SparkSession, parameters: Map[String, String])
       spark, data.queryExecution.toRdd, data.schema).localCheckpoint(true)
     try {
       val txn = Some(txnId -> batchId)
-      val exists = SnapshotStore.latestVersion(spark, w.root).isDefined
-      val keys = GraftWrite.resolveKeys(spark, w.root, w.keys, exists)
-      if (!exists)
+      val planned = SnapshotStore.latestVersion(spark, w.root)
+      val keys = GraftWrite.resolveKeys(spark, w.root, w.keys, planned.isDefined)
+      if (planned.isEmpty)
         SnapshotStore.init(spark, w.root, fresh, keys, w.numBuckets,
           w.statsCols, txn): Unit
       else
         SnapshotStore.commitDelta(spark, w.root, fresh, keys,
-          SnapshotStore.upsertMerge(keys), txn = txn): Unit
+          SnapshotStore.upsertMerge(keys), txn = txn,
+          plannedVersion = planned): Unit
     } finally fresh.unpersist()
   }
 
@@ -247,16 +249,17 @@ class GraftStreamingWrite(root: String, schema: StructType, queryId: String)
         .localCheckpoint(true)
       try {
         val txn = Some(s"stw:$queryId" -> epochId)
-        val exists = SnapshotStore.latestVersion(spark, root).isDefined
-        require(exists, s"no committed graft table at $root — create it " +
-          "(CREATE TABLE ... USING graft TBLPROPERTIES('keys'=...)) " +
-          "before streaming into it")
-        val keys = GraftWrite.resolveKeys(spark, root, Nil, exists)
+        val planned = SnapshotStore.latestVersion(spark, root)
+        require(planned.isDefined, s"no committed graft table at $root — " +
+          "create it (CREATE TABLE ... USING graft TBLPROPERTIES" +
+          "('keys'=...)) before streaming into it")
+        val keys = GraftWrite.resolveKeys(spark, root, Nil, planned.isDefined)
         // the stream is a user door like SQL INSERT: ALWAYS-mode
         // identity supplies refuse, surrogates carry across upserts
         val guarded = GraftWrite.identityInsertGuard(spark, root, batch)
         SnapshotStore.commitDelta(spark, root, guarded, keys,
-          GraftWrite.doorMerge(spark, root, keys, batch), txn = txn): Unit
+          GraftWrite.doorMerge(spark, root, keys, batch), txn = txn,
+          plannedVersion = planned): Unit
       } finally batch.unpersist()
     } finally cleanup(epochId)
   }

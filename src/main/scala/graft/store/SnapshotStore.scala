@@ -1083,6 +1083,42 @@ object SnapshotStore {
     * the one exception and verifies its own write.
     */
   private[store] def writeCheckpoint(spark: SparkSession, root: String, m: Manifest): Unit = {
+    val fs = fileSystem(spark, root)
+    val done = new Path(checkpointDir(root, m.version), "_SUCCESS")
+    // a checkpoint's content is a pure function of the manifest, so
+    // one completed write answers for every caller
+    if (fs.exists(done)) return
+    // serialize writers of the SAME version's checkpoint: two
+    // FileOutputCommitter jobs sharing one output dir clobber each
+    // other's _temporary attempts (a restore's auto-checkpoint racing
+    // an explicit CALL system.checkpoint — the contract-op chaos soak
+    // crashed exactly there). The claim is the atomic
+    // [[createExclusive]]; a crashed claimer's leftover ages past the
+    // reclaim grace and is taken over.
+    val claim = new Path(commitsDir(root), f"claim-cp-${m.version}%020d")
+    val deadline = System.currentTimeMillis() + 4 * ReclaimGraceMs
+    while (System.currentTimeMillis() < deadline) {
+      if (fs.exists(done)) return
+      createExclusive(fs, claim) match {
+        case Some(out) =>
+          out.close()
+          try writeCheckpointData(spark, root, m)
+          finally fs.delete(claim, false)
+          return
+        case None =>
+          val stale =
+            try System.currentTimeMillis() -
+              fs.getFileStatus(claim).getModificationTime > ReclaimGraceMs
+            catch { case _: java.io.FileNotFoundException => false }
+          if (stale) fs.delete(claim, false): Unit
+          else Thread.sleep(50)
+      }
+    }
+    throw new IllegalStateException(
+      s"checkpoint of v${m.version} at $root could not claim its write slot")
+  }
+
+  private def writeCheckpointData(spark: SparkSession, root: String, m: Manifest): Unit = {
     val meta = Seq(
       ("meta", -1, "numBuckets", m.numBuckets.toString, ""),
       ("meta", -1, "statsCols",
@@ -1966,6 +2002,22 @@ object SnapshotStore {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
   }
 
+  /** True when any retained version in `(sinceV, upToV]` is an epoch
+    * start — a REPLACE TABLE or cross-epoch restore landed there. The
+    * boundary a write planned at `sinceV` must refuse to commit
+    * across: its schema, layout, and key semantics belong to the
+    * displaced epoch. Header-flag manifest reads over an OCC retry
+    * window (normally zero or one version) — metadata-cheap.
+    */
+  private def epochCrossedSince(spark: SparkSession, root: String,
+                                sinceV: Long, upToV: Long): Boolean = {
+    val fs = fileSystem(spark, root)
+    versions(spark, root).filter(v => v > sinceV && v <= upToV).exists { v =>
+      try parseManifestFile(fs, root, v).epochStart
+      catch { case _: Exception => false } // checkpoint-only floor: not a boundary
+    }
+  }
+
   /** Merge a delta in and commit a new version. `merge(current, delta)`
     * receives the CURRENT rows of only the buckets the delta touches
     * and must return the full replacement state for those buckets
@@ -2001,9 +2053,11 @@ object SnapshotStore {
                   txn: Option[(String, Long)] = None,
                   failRules: Seq[graft.pipeline.Expectations.Expectation] = Nil,
                   alsoTouch: Manifest => Set[Int] = _ => Set.empty,
-                  recomputeOnOverlap: Boolean = true): Long = {
+                  recomputeOnOverlap: Boolean = true,
+                  plannedVersion: Option[Long] = None): Long = {
     val fs = fileSystem(spark, root)
     var attempt = 0
+    var firstBase = -1L
     while (attempt < maxAttempts) {
       attempt += 1
       val base = latestVersion(spark, root)
@@ -2012,6 +2066,31 @@ object SnapshotStore {
       txn.foreach { case (id, batchId) =>
         if (m.txns.get(id).exists(_ >= batchId)) return base // already applied
       }
+      if (firstBase < 0) firstBase = base
+      // LOST-GENERATION guard: a REPLACE TABLE (or cross-epoch restore)
+      // that landed after this write was planned displaced the table's
+      // whole contract epoch — its schema, key layout, and contents.
+      // Committing the old-shape delta anyway would pollute the fresh
+      // epoch with rows of the displaced shape (a 4-column footer
+      // union under time travel — found live by the contract-op chaos
+      // soak). Two detectors, both surfacing the documented
+      // concurrent-modification conflict: the manifest's persisted
+      // merge keys moved away from the caller's (keys-changing
+      // REPLACE), or an epoch-flagged version exists between the
+      // version the write was planned against (the door's snapshot,
+      // else this loop's first base) and the current base. Zero cost
+      // on the uncontended path (base == planned → no scan).
+      if (keys.nonEmpty && m.keys.nonEmpty && keys != m.keys)
+        throw new java.util.ConcurrentModificationException(
+          s"commit at $root planned for merge keys (${keys.mkString(", ")}) " +
+            s"but the table now declares (${m.keys.mkString(", ")}) — it was " +
+            "REPLACED concurrently; re-run the statement")
+      val sinceV = plannedVersion.fold(firstBase)(math.min(_, firstBase))
+      if (base > sinceV && epochCrossedSince(spark, root, sinceV, base))
+        throw new java.util.ConcurrentModificationException(
+          s"commit at $root crosses a contract-epoch boundary: the table " +
+            s"was REPLACED after this write was planned (v$sinceV) — " +
+            "re-run the statement")
       val v = base + 1
       val token = newToken()
 

@@ -563,6 +563,121 @@ object Soak {
       occN("chaos_merge_recomputes") =
         (chaosMerges.get() - chaosUpserts.get()).toLong
     }
+
+    // ---------------- 3g. contract-op chaos -------------------------
+    // §3e races contract swaps PAIRWISE with a deterministic winner
+    // count; this section races them RANDOMLY: three threads each run
+    // a seeded stream of inserts, MoR deletes, schema-changing
+    // REPLACEs, restores to random retained versions, compactions,
+    // tags, and checkpoints on ONE catalog table. No content model is
+    // possible (the serialization order is whatever OCC produced), so
+    // the invariants are the protocol's own: every op either lands or
+    // throws a DOCUMENTED conflict (concurrent-modification, or an
+    // analysis error from a schema that changed between an op's plan
+    // and its execution); after quiescence the epoch stamp sits at the
+    // newest epoch-flagged version, every retained version time-travels
+    // to a readable two-column frame, and no write-ahead bundle
+    // remains. Any other exception type anywhere fails the soak.
+    {
+      spark.sql(s"""CREATE TABLE soak.ns.chaos (k BIGINT, v BIGINT)
+                    USING graft TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+      spark.sql("INSERT INTO soak.ns.chaos VALUES (1, 0)")
+      val cRoot = s"$work/wh/ns/chaos"
+      val landed = new java.util.concurrent.atomic.AtomicInteger(0)
+      val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+      val analysisErrs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val epochN = new java.util.concurrent.atomic.AtomicInteger(0)
+      val cgate = new java.util.concurrent.CountDownLatch(1)
+      def documented(e: Throwable): Boolean = {
+        val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .take(6).toSeq
+        chain.exists {
+          case _: java.util.ConcurrentModificationException => true
+          case x => x.getClass.getName.contains("AnalysisException") ||
+            // a racer's schema moved between plan and execution
+            x.getMessage != null &&
+              (x.getMessage.contains("UNRESOLVED_COLUMN") ||
+               x.getMessage.contains("cannot be resolved") ||
+               x.getMessage.contains("not enough data columns") ||
+               x.getMessage.contains("lost") && x.getMessage.contains("race"))
+        }
+      }
+      val cfuts = (0 until 3).map { t =>
+        Future {
+          cgate.await()
+          val rnd = new scala.util.Random(4000 + t)
+          var ok = 0
+          (1 to 6).foreach { _ =>
+            try {
+              rnd.nextInt(7) match {
+                case 0 =>
+                  val cols = spark.table("soak.ns.chaos").columns
+                  val key =
+                    if (cols.head == "k") rnd.nextInt(40).toString
+                    else s"'x${rnd.nextInt(40)}'"
+                  spark.sql(s"INSERT INTO soak.ns.chaos (${cols.mkString(", ")}) " +
+                    s"VALUES ($key, ${rnd.nextInt(100)})")
+                case 1 =>
+                  val cols = spark.table("soak.ns.chaos").columns
+                  spark.sql(s"DELETE FROM soak.ns.chaos WHERE ${cols.head} = " +
+                    (if (cols.head == "k") rnd.nextInt(40).toString
+                     else s"'x${rnd.nextInt(40)}'"))
+                case 2 =>
+                  val c = s"e${epochN.incrementAndGet()}t$t"
+                  spark.sql(s"""REPLACE TABLE soak.ns.chaos
+                    TBLPROPERTIES ('keys'='$c')
+                    AS SELECT 'r' AS $c, CAST(1 AS BIGINT) AS n""")
+                case 3 =>
+                  val vs = SnapshotStore.versions(spark, cRoot)
+                  SnapshotStore.restore(spark, cRoot,
+                    vs(rnd.nextInt(vs.length))): Unit
+                case 4 => SnapshotStore.compact(spark, cRoot): Unit
+                case 5 => SnapshotStore.createTag(spark, cRoot,
+                  s"chaos-t$t-${rnd.nextInt(1000000)}"): Unit
+                case 6 => SnapshotStore.checkpoint(spark, cRoot): Unit
+              }
+              ok += 1
+            } catch {
+              case e: Throwable if documented(e) =>
+                (if (Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+                    .take(6).exists(
+                      _.isInstanceOf[java.util.ConcurrentModificationException]))
+                  conflicts else analysisErrs).incrementAndGet(): Unit
+              case e: Throwable =>
+                throw new IllegalStateException(
+                  s"contract chaos thread $t hit an UNDOCUMENTED failure", e)
+            }
+          }
+          ok
+        }
+      }
+      val chaosOks = ophase("contract_chaos") {
+        cgate.countDown()
+        Await.result(Future.sequence(cfuts), 1800.seconds)
+      }
+      landed.set(chaosOks.sum)
+      // quiesce (any contract op heals stragglers), then sweep
+      spark.sql("ALTER TABLE soak.ns.chaos SET TBLPROPERTIES ('cq'='1')")
+      val stamped = SnapshotStore.readProps(spark, cRoot)("graft.schema.epoch").toLong
+      val newestEpoch = spark.sql(
+        """SELECT max(version) FROM soak.ns.chaos.meta_history
+           WHERE is_epoch_start""").collect().head.getLong(0)
+      require(stamped == newestEpoch,
+        s"epoch stamp $stamped must sit at the newest flagged version $newestEpoch")
+      val retained = SnapshotStore.versions(spark, cRoot)
+      retained.foreach { v =>
+        val df = spark.sql(s"SELECT * FROM soak.ns.chaos VERSION AS OF $v")
+        require(df.columns.length == 2 && df.count() >= 0L,
+          s"version $v must time-travel to a readable two-column frame")
+      }
+      require(!new java.io.File(cRoot).listFiles().exists(
+        _.getName.startsWith("_pending_contracts-")),
+        "all write-ahead bundles must be consumed after quiescence")
+      occN("contract_chaos_landed") = landed.get().toLong
+      occN("contract_chaos_conflicts") = conflicts.get().toLong
+      occN("contract_chaos_analysis_errs") = analysisErrs.get().toLong
+      occN("contract_chaos_retained_versions") = retained.size.toLong
+    }
     pool.shutdown()
 
     occ.foreach { case (k, v) => println(f"[soak-occ] $k%-32s $v%8.3fs") }

@@ -548,4 +548,51 @@ class AtomicDdlSpec extends SparkSpec {
     assert(nested.isEmpty, s"staged dir nested inside winner: ${nested.toSeq}")
     assert(stagingLeftovers.isEmpty)
   }
+
+  test("a write planned before a REPLACE refuses the new epoch (lost generation)") {
+    // the contract-op chaos soak caught a SQL INSERT planned against
+    // the pre-REPLACE table landing (k, v)-shaped rows INSIDE the
+    // replacement epoch — VERSION AS OF then presented a four-column
+    // cross-epoch union. Both detectors must fire as documented
+    // concurrent-modification conflicts, and the polluted commit must
+    // never land.
+    spark.sql("""CREATE TABLE gatm.a.lostgen (k BIGINT, v BIGINT) USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO gatm.a.lostgen VALUES (1, 10)")
+    val root = s"$warehouse/a/lostgen"
+    val planned = SnapshotStore.latestVersion(spark, root)
+
+    // (a) keys-changing REPLACE → the manifest-keys detector
+    spark.sql("""REPLACE TABLE gatm.a.lostgen TBLPROPERTIES ('keys'='c') AS
+                 SELECT 'x' AS c, CAST(1 AS BIGINT) AS n""")
+    val eA = intercept[java.util.ConcurrentModificationException] {
+      SnapshotStore.commitDelta(spark, root, Seq((2L, 20L)).toDF("k", "v"),
+        Seq("k"), SnapshotStore.upsertMerge(Seq("k")),
+        plannedVersion = planned)
+    }
+    assert(eA.getMessage.contains("REPLACED"))
+
+    // (b) SAME-keys REPLACE (schema changed, key name kept) → the
+    // epoch-flag detector; the keys comparison alone cannot see it
+    spark.sql("""REPLACE TABLE gatm.a.lostgen TBLPROPERTIES ('keys'='k') AS
+                 SELECT CAST(7 AS BIGINT) AS k, CAST(1 AS BIGINT) AS n""")
+    val planned2 = planned // still the pre-REPLACE snapshot
+    val eB = intercept[java.util.ConcurrentModificationException] {
+      SnapshotStore.commitDelta(spark, root, Seq((2L, 20L)).toDF("k", "v"),
+        Seq("k"), SnapshotStore.upsertMerge(Seq("k")),
+        plannedVersion = planned2)
+    }
+    assert(eB.getMessage.contains("epoch boundary"))
+
+    // nothing polluted: the head reads the replacement exactly, and a
+    // FRESH write (planned at the current version) lands normally
+    assert(spark.table("gatm.a.lostgen").columns.toSeq == Seq("k", "n"))
+    spark.sql("INSERT INTO gatm.a.lostgen VALUES (8, 2)")
+    assert(spark.table("gatm.a.lostgen").count() == 2)
+    // every retained version still presents exactly two columns
+    SnapshotStore.versions(spark, root).foreach { v =>
+      assert(spark.sql(s"SELECT * FROM gatm.a.lostgen VERSION AS OF $v")
+        .columns.length == 2, s"version $v leaked a cross-epoch union")
+    }
+  }
 }

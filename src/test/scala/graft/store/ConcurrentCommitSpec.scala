@@ -176,7 +176,7 @@ class ConcurrentCommitSpec extends SparkSpec {
     val hfs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val nThreads = 16
-    (1 to 50).foreach { round =>
+    (1 to 25).foreach { round =>
       val target = new org.apache.hadoop.fs.Path(root, f"m-$round%05d")
       val gate = new CountDownLatch(1)
       val futs = (0 until nThreads).map { i =>

@@ -132,4 +132,30 @@ class ManifestCheckpointSpec extends SparkSpec {
         Seq(Seq(1L), Seq(5L)))) == Set((1L, "x", 100L)))
     }
   }
+
+  test("concurrent checkpoints of one version serialize through the claim") {
+    // two FileOutputCommitter jobs sharing cp-<v> clobber each other's
+    // _temporary attempts (a restore's auto-checkpoint racing CALL
+    // system.checkpoint — the contract-op chaos soak crashed there);
+    // the createExclusive claim admits one writer, the rest await the
+    // deterministic _SUCCESS
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val root = tmpDir("cp-race")
+    val v0 = (1L to 50L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts")
+    SnapshotStore.init(spark, root, v0, Seq("k"), numBuckets = 4)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val futs = (0 until 8).map { _ =>
+      Future { gate.await(); SnapshotStore.checkpoint(spark, root) }
+    }
+    gate.countDown()
+    val vs = Await.result(Future.sequence(futs), 120.seconds)
+    assert(vs.forall(_ == 0L))
+    assert(new java.io.File(s"$root/_commits/cp-${"%020d".format(0)}/_SUCCESS").exists())
+    // the claim is consumed; the checkpointed state reads back intact
+    assert(!new java.io.File(s"$root/_commits").listFiles()
+      .exists(_.getName.startsWith("claim-cp-")))
+    assert(rows(SnapshotStore.read(spark, root)).size == 50)
+  }
 }
