@@ -664,6 +664,7 @@ class GraftTableWriteBuilder(root: String, info: LogicalWriteInfo)
           val spark = rawData.sparkSession
           val planned = SnapshotStore.latestVersion(spark, root)
           require(planned.isDefined, s"no committed graft table at $root")
+          GraftWrite.staleShapeGuard(spark, root, rawData)
           val keys = GraftWrite.resolveKeys(spark, root, Nil, planned.isDefined)
           val data = GraftWrite.identityInsertGuard(spark, root, rawData)
           scoped match {

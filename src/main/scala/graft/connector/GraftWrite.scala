@@ -106,10 +106,13 @@ private[connector] object GraftWrite {
         if (exists) SnapshotStore.replaceAll(spark, w.root, data, keys): Unit
         else SnapshotStore.init(spark, w.root, data, keys, w.numBuckets, w.statsCols): Unit
       case SaveMode.Append =>
-        if (exists) SnapshotStore.commitDelta(spark, w.root,
-          identityInsertGuard(spark, w.root, data), keys,
-          doorMerge(spark, w.root, keys, data),
-          plannedVersion = SnapshotStore.latestVersion(spark, w.root)): Unit
+        if (exists) {
+          staleShapeGuard(spark, w.root, data) // no-op without a _schema
+          SnapshotStore.commitDelta(spark, w.root,
+            identityInsertGuard(spark, w.root, data), keys,
+            doorMerge(spark, w.root, keys, data),
+            plannedVersion = SnapshotStore.latestVersion(spark, w.root)): Unit
+        }
         else SnapshotStore.init(spark, w.root, data, keys, w.numBuckets, w.statsCols): Unit
     }
   }
@@ -137,6 +140,31 @@ private[connector] object GraftWrite {
           .otherwise(d(c)))
       }
   }
+
+  /** Execution-time stale-plan guard for the catalog write doors: a
+    * statement ANALYZED against one epoch's schema must not EXECUTE
+    * against another's (a REPLACE TABLE — or a restore that
+    * re-instated an earlier epoch — landing between analysis and
+    * execution). Version- and key-based detectors cannot see the
+    * restore-re-instated case (the table's keys and epoch look current
+    * again by execution), so the incoming FRAME's columns are the
+    * witness: a column the table no longer declares is a displaced
+    * epoch's shape, and committing it would pollute the current epoch
+    * with a cross-epoch union (found live by the contract-op chaos
+    * hunt). Fewer columns than declared stay legal (partial INSERT
+    * column lists, additive evolution).
+    */
+  def staleShapeGuard(spark: SparkSession, root: String, df: DataFrame): Unit =
+    SnapshotStore.declaredSchema(spark, root).foreach { declared =>
+      val declaredNames = declared.fields.map(_.name.toLowerCase).toSet
+      val stray = df.columns.filterNot(c => declaredNames(c.toLowerCase))
+      if (stray.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"write at $root carries column(s) ${stray.mkString(", ")} the " +
+            "table no longer declares — it was REPLACED (or restored " +
+            "across an epoch) after this statement was planned; re-run " +
+            "the statement")
+    }
 
   /** The user-door merge for keyed appends: identity surrogates carry
     * forward across upserts of an existing key
@@ -193,6 +221,7 @@ class GraftSink(spark: SparkSession, parameters: Map[String, String])
     try {
       val txn = Some(txnId -> batchId)
       val planned = SnapshotStore.latestVersion(spark, w.root)
+      GraftWrite.staleShapeGuard(spark, w.root, fresh)
       val keys = GraftWrite.resolveKeys(spark, w.root, w.keys, planned.isDefined)
       if (planned.isEmpty)
         SnapshotStore.init(spark, w.root, fresh, keys, w.numBuckets,
@@ -253,6 +282,7 @@ class GraftStreamingWrite(root: String, schema: StructType, queryId: String)
         require(planned.isDefined, s"no committed graft table at $root — " +
           "create it (CREATE TABLE ... USING graft TBLPROPERTIES" +
           "('keys'=...)) before streaming into it")
+        GraftWrite.staleShapeGuard(spark, root, batch)
         val keys = GraftWrite.resolveKeys(spark, root, Nil, planned.isDefined)
         // the stream is a user door like SQL INSERT: ALWAYS-mode
         // identity supplies refuse, surrogates carry across upserts

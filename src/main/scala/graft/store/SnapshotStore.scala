@@ -534,23 +534,57 @@ object SnapshotStore {
   /** Write-to-temp + atomic overwrite-rename publish of a small
     * metadata file — the `_props` torn-read guarantee, shared.
     */
+  /** Republish a mutable small file (`_props`, `_schema`, branch and
+    * consumer markers) atomically in place.
+    *
+    * On a CHECKSUMMED local filesystem, a rename-with-OVERWRITE moves
+    * the file and its `.crc` sidecar as TWO separate steps, so a
+    * concurrent reader can pair fresh bytes with a stale checksum
+    * (`ChecksumException` — found live by the contract-op chaos hunt),
+    * and two racing publishers can interleave their file/crc renames
+    * into a persistently mismatched pair. Local publishes therefore
+    * write the temp file RAW (no sidecar), delete any stale sidecar a
+    * pre-raw publish left at the destination, and swap in with one
+    * POSIX `rename(2)` — atomic for every reader; a missing checksum
+    * is skipped by readers, never mismatched.
+    */
   private def publishSmallFile(spark: SparkSession, root: String,
                                name: String, body: String): Unit = {
     val p = new Path(root, name)
     val fs = fileSystem(spark, root)
+    val scheme =
+      try fs.getScheme
+      catch { case _: UnsupportedOperationException => fs.getUri.getScheme }
     val tmp = new Path(root, name + ".tmp-" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12))
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        p.toUri, spark.sparkContext.hadoopConfiguration)
-      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
-      case _: UnsupportedOperationException =>
-        fs.delete(p, false)
-        require(fs.rename(tmp, p), s"could not publish $name at $root")
+    if (scheme == "file") {
+      val writeFs = fs match {
+        case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+        case f => f
+      }
+      val out = writeFs.create(tmp, true)
+      try out.write(body.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      val crc = new Path(p.getParent, s".${p.getName}.crc")
+      if (writeFs.exists(crc)) writeFs.delete(crc, false): Unit
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(p.toUri.getPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          p.toUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: UnsupportedOperationException =>
+          fs.delete(p, false)
+          require(fs.rename(tmp, p), s"could not publish $name at $root")
+      }
     }
   }
 
@@ -590,6 +624,14 @@ object SnapshotStore {
       l
     }
     if (latest < v) return None // competitor crashed mid-write; recompute
+    // a winner that STARTED a contract epoch (REPLACE, cross-epoch
+    // restore) displaced the whole table — bucket disjointness is
+    // meaningless across it, and re-pointing the loser's old-epoch
+    // data onto the replacement's manifest would mint a MIXED-epoch
+    // version (the contract-op chaos hunt caught exactly that
+    // three-column union). Refuse; the recompute path's
+    // lost-generation guard then surfaces the documented conflict.
+    if (epochCrossedSince(spark, root, baseM.version, latest)) return None
     val winners = readManifest(spark, root, latest)
     val winnerTouched = (baseM.buckets.keySet ++ winners.buckets.keySet)
       .filter(b => baseM.buckets.get(b) != winners.buckets.get(b))
@@ -2435,6 +2477,7 @@ object SnapshotStore {
                     basedOnVersion: Option[Long] = None): Long = {
     val fs = fileSystem(spark, root)
     var attempt = 0
+    var firstBase = -1L
     while (attempt < maxAttempts) {
       attempt += 1
       val base = latestVersion(spark, root)
@@ -2443,6 +2486,21 @@ object SnapshotStore {
       txn.foreach { case (id, batchId) =>
         if (m.txns.get(id).exists(_ >= batchId)) return base // already applied
       }
+      if (firstBase < 0) firstBase = base
+      // lost-generation guard, as in [[commitDelta]]: tombstones keyed
+      // for the displaced epoch must not silently "succeed" against a
+      // replacement's content
+      if (keys.nonEmpty && m.keys.nonEmpty && keys != m.keys)
+        throw new java.util.ConcurrentModificationException(
+          s"delete at $root planned for merge keys (${keys.mkString(", ")}) " +
+            s"but the table now declares (${m.keys.mkString(", ")}) — it was " +
+            "REPLACED concurrently; re-run the statement")
+      val sinceDel = basedOnVersion.fold(firstBase)(math.min(_, firstBase))
+      if (base > sinceDel && epochCrossedSince(spark, root, sinceDel, base))
+        throw new java.util.ConcurrentModificationException(
+          s"delete at $root crosses a contract-epoch boundary: the table " +
+            s"was REPLACED after this delete was planned (v$sinceDel) — " +
+            "re-run the statement")
       val v = base + 1
       val token = newToken()
       val rel = attemptDir(v, token)

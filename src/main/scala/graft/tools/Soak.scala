@@ -599,6 +599,9 @@ object Soak {
               (x.getMessage.contains("UNRESOLVED_COLUMN") ||
                x.getMessage.contains("cannot be resolved") ||
                x.getMessage.contains("not enough data columns") ||
+               // a stale plan executing across an epoch flip fails the
+               // ANSI cast of the old epoch's literals — loud, documented
+               x.getMessage.contains("CAST_INVALID_INPUT") ||
                x.getMessage.contains("lost") && x.getMessage.contains("race"))
         }
       }

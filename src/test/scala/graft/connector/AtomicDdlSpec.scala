@@ -584,9 +584,22 @@ class AtomicDdlSpec extends SparkSpec {
     }
     assert(eB.getMessage.contains("epoch boundary"))
 
-    // nothing polluted: the head reads the replacement exactly, and a
+    // (c) restore RE-INSTATES the first epoch: version- and key-based
+    // detectors see a current-looking table again, so the execution-
+    // time SHAPE guard is the one that must catch a plan analyzed
+    // against the replacement epoch (stray column = displaced shape)
+    SnapshotStore.restore(spark, root, planned.get)
+    val eC = intercept[java.util.ConcurrentModificationException] {
+      GraftWrite.staleShapeGuard(spark, root,
+        Seq(("x", 1L)).toDF("c", "n")) // the REPLACED epoch's shape
+    }
+    assert(eC.getMessage.contains("no longer declares"))
+    // a SUBSET frame stays legal (partial INSERT column lists)
+    GraftWrite.staleShapeGuard(spark, root, Seq(Tuple1(5L)).toDF("k"))
+
+    // nothing polluted: the head reads under the restored epoch, and a
     // FRESH write (planned at the current version) lands normally
-    assert(spark.table("gatm.a.lostgen").columns.toSeq == Seq("k", "n"))
+    assert(spark.table("gatm.a.lostgen").columns.toSeq == Seq("k", "v"))
     spark.sql("INSERT INTO gatm.a.lostgen VALUES (8, 2)")
     assert(spark.table("gatm.a.lostgen").count() == 2)
     // every retained version still presents exactly two columns

@@ -1,0 +1,138 @@
+package graft.connector
+
+import java.nio.file.Files
+import java.util.concurrent.CountDownLatch
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.concurrent.duration._
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+import graft.store.SnapshotStore
+
+/** Contract-op chaos: four seeded rounds of four threads racing random
+  * streams of inserts, MoR deletes, schema-changing REPLACEs, restores,
+  * compactions, tags, and checkpoints on one catalog table — the
+  * suite-resident twin of the soak's §3g (thread interleaves are real,
+  * so outcomes vary run to run; the INVARIANTS may not). Documented
+  * conflicts only (concurrent-modification, stale-plan
+  * analysis/cast errors); after quiescence the epoch stamp sits at the
+  * newest flagged version, every retained version time-travels to a
+  * readable two-column frame (a three-column read = a cross-epoch
+  * union leaked), and every write-ahead bundle is consumed. This hunt
+  * found, in one session: the lost-generation commit hole, the
+  * rebase-across-epoch manifest mixing, the concurrent same-version
+  * checkpoint clobber, the checksummed small-file rename tear, and the
+  * restore-re-instated stale-shape window — each now guarded and
+  * separately spec-pinned.
+  */
+class ChaosHuntSpec extends SparkSpec {
+
+  private val warehouse = Files.createTempDirectory("graft-chaoshunt").toString
+  spark.conf.set("spark.sql.catalog.gch", classOf[GraftCatalog].getName)
+  spark.conf.set("spark.sql.catalog.gch.root", warehouse)
+  spark.sql("CREATE NAMESPACE IF NOT EXISTS gch.ns")
+
+  private def fs = new Path(warehouse)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def hunt(round: Int, nThreads: Int, opsPer: Int): Unit = {
+    val tbl = s"h$round"
+    val root = s"$warehouse/ns/$tbl"
+    spark.sql(s"""CREATE TABLE gch.ns.$tbl (k BIGINT, v BIGINT) USING graft
+                  TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql(s"INSERT INTO gch.ns.$tbl VALUES (1, 0)")
+    val epochN = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new CountDownLatch(1)
+    def documented(e: Throwable): Boolean = {
+      val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .take(6).toSeq
+      chain.exists {
+        case _: java.util.ConcurrentModificationException => true
+        case x => x.getClass.getName.contains("AnalysisException") ||
+          x.getMessage != null &&
+            (x.getMessage.contains("UNRESOLVED_COLUMN") ||
+             x.getMessage.contains("cannot be resolved") ||
+             x.getMessage.contains("not enough data columns") ||
+             // a stale plan executing across an epoch flip fails the
+             // ANSI cast of the old epoch's literals — loud, documented
+             x.getMessage.contains("CAST_INVALID_INPUT") ||
+             x.getMessage.contains("lost") && x.getMessage.contains("race"))
+      }
+    }
+    val futs = (0 until nThreads).map { t =>
+      Future {
+        gate.await()
+        val rnd = new scala.util.Random(round * 100 + t)
+        var landed, conflicted = 0
+        (1 to opsPer).foreach { _ =>
+          try {
+            rnd.nextInt(7) match {
+              case 0 =>
+                val cols = spark.table(s"gch.ns.$tbl").columns
+                val key =
+                  if (cols.head == "k") rnd.nextInt(40).toString
+                  else s"'x${rnd.nextInt(40)}'"
+                spark.sql(s"INSERT INTO gch.ns.$tbl (${cols.mkString(", ")}) " +
+                  s"VALUES ($key, ${rnd.nextInt(100)})")
+              case 1 =>
+                val cols = spark.table(s"gch.ns.$tbl").columns
+                spark.sql(s"DELETE FROM gch.ns.$tbl WHERE ${cols.head} = " +
+                  (if (cols.head == "k") rnd.nextInt(40).toString
+                   else s"'x${rnd.nextInt(40)}'"))
+              case 2 =>
+                val c = s"e${epochN.incrementAndGet()}t$t"
+                spark.sql(s"""REPLACE TABLE gch.ns.$tbl
+                  TBLPROPERTIES ('keys'='$c')
+                  AS SELECT 'r' AS $c, CAST(1 AS BIGINT) AS n""")
+              case 3 =>
+                val vs = SnapshotStore.versions(spark, root)
+                SnapshotStore.restore(spark, root,
+                  vs(rnd.nextInt(vs.length))): Unit
+              case 4 => SnapshotStore.compact(spark, root): Unit
+              case 5 => SnapshotStore.createTag(spark, root,
+                s"h$round-t$t-${rnd.nextInt(1000000)}"): Unit
+              case 6 => SnapshotStore.checkpoint(spark, root): Unit
+            }
+            landed += 1
+          } catch {
+            case e: Throwable if documented(e) => conflicted += 1
+            case e: Throwable =>
+              throw new IllegalStateException(
+                s"round $round thread $t UNDOCUMENTED failure", e)
+          }
+        }
+        (landed, conflicted)
+      }
+    }
+    gate.countDown()
+    val outcomes = Await.result(Future.sequence(futs), 1800.seconds)
+    // quiesce, then sweep
+    spark.sql(s"ALTER TABLE gch.ns.$tbl SET TBLPROPERTIES ('cq'='1')")
+    val stamped = SnapshotStore.readProps(spark, root)("graft.schema.epoch").toLong
+    val newestEpoch = spark.sql(
+      s"""SELECT max(version) FROM gch.ns.$tbl.meta_history
+         WHERE is_epoch_start""").collect().head.getLong(0)
+    assert(stamped == newestEpoch,
+      s"round $round: stamp $stamped vs newest flagged $newestEpoch")
+    SnapshotStore.versions(spark, root).foreach { v =>
+      val df = spark.sql(s"SELECT * FROM gch.ns.$tbl VERSION AS OF $v")
+      assert(df.columns.length == 2 && df.count() >= 0L,
+        s"round $round: version $v not a readable two-column frame " +
+          s"(${df.columns.toSeq})")
+    }
+    assert(!fs.listStatus(new Path(root)).exists(
+      _.getPath.getName.startsWith("_pending_contracts-")),
+      s"round $round: unconsumed bundles")
+    info(s"round $round: ${outcomes.map(_._1).sum} landed, " +
+      s"${outcomes.map(_._2).sum} documented conflicts")
+  }
+
+  (1 to 4).foreach { round =>
+    test(s"contract-op chaos hunt round $round (4 threads x 10 ops)") {
+      hunt(round, nThreads = 4, opsPer = 10)
+    }
+  }
+}
