@@ -14,7 +14,8 @@ import graft.store.SnapshotStore
 
 /** Contract-op chaos: four seeded rounds of four threads racing random
   * streams of inserts, MoR deletes, schema-changing REPLACEs, restores,
-  * compactions, tags, and checkpoints on one catalog table — the
+  * compactions, tags, checkpoints, and WAP branch fork→write→publish
+  * cycles on one catalog table — the
   * suite-resident twin of the soak's §3g (thread interleaves are real,
   * so outcomes vary run to run; the INVARIANTS may not). Documented
   * conflicts only (concurrent-modification, stale-plan
@@ -69,7 +70,7 @@ class ChaosHuntSpec extends SparkSpec {
         var landed, conflicted = 0
         (1 to opsPer).foreach { _ =>
           try {
-            rnd.nextInt(7) match {
+            rnd.nextInt(8) match {
               case 0 =>
                 val cols = spark.table(s"gch.ns.$tbl").columns
                 val key =
@@ -95,6 +96,34 @@ class ChaosHuntSpec extends SparkSpec {
               case 5 => SnapshotStore.createTag(spark, root,
                 s"h$round-t$t-${rnd.nextInt(1000000)}"): Unit
               case 6 => SnapshotStore.checkpoint(spark, root): Unit
+              case 7 => // WAP under chaos: fork, one-row write, publish
+                val bn = s"b$round-$t-${rnd.nextInt(1000000)}"
+                SnapshotStore.createBranch(spark, root, bn)
+                try {
+                  val br = SnapshotStore.branchRoot(root, bn)
+                  val schema = SnapshotStore.read(spark, br).schema
+                  if (schema.nonEmpty) {
+                    val vals: Seq[Any] = schema.fields.toSeq.map { f =>
+                      if (f.dataType ==
+                          org.apache.spark.sql.types.LongType)
+                        Long.box(rnd.nextInt(100).toLong)
+                      else s"w${rnd.nextInt(40)}"
+                    }
+                    val delta = spark.createDataFrame(
+                      java.util.List.of(org.apache.spark.sql.Row.fromSeq(vals)),
+                      schema)
+                    SnapshotStore.commitDelta(spark, br, delta,
+                      Seq(schema.fields.head.name),
+                      SnapshotStore.upsertMerge(Seq(schema.fields.head.name)))
+                  }
+                  SnapshotStore.publishBranch(spark, root, bn): Unit
+                } catch { case e: Throwable =>
+                  // a refused publish (main advanced / contracts moved)
+                  // leaves the branch — release its retention pin
+                  try SnapshotStore.dropBranch(spark, root, bn)
+                  catch { case _: Throwable => () }
+                  throw e
+                }
             }
             landed += 1
           } catch {
