@@ -39,6 +39,27 @@ class ChaosHuntSpec extends SparkSpec {
   private def fs = new Path(warehouse)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private def documented(e: Throwable): Boolean = {
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .take(6).toSeq
+    chain.exists {
+      case _: java.util.ConcurrentModificationException => true
+      case x => x.getClass.getName.contains("AnalysisException") ||
+        x.getMessage != null &&
+          (x.getMessage.contains("UNRESOLVED_COLUMN") ||
+           x.getMessage.contains("cannot be resolved") ||
+           x.getMessage.contains("not enough data columns") ||
+           // a stale plan executing across an epoch flip fails the
+           // ANSI cast of the old epoch's literals — loud, documented
+           x.getMessage.contains("CAST_INVALID_INPUT") ||
+           // a restore landing between a mutator's versions() listing
+           // and its own restore call prunes nothing, but a racer's
+           // restore target can vanish from the retained list
+           x.getMessage.contains("not in") ||
+           x.getMessage.contains("lost") && x.getMessage.contains("race"))
+    }
+  }
+
   private def hunt(round: Int, nThreads: Int, opsPer: Int): Unit = {
     val tbl = s"h$round"
     val root = s"$warehouse/ns/$tbl"
@@ -47,22 +68,6 @@ class ChaosHuntSpec extends SparkSpec {
     spark.sql(s"INSERT INTO gch.ns.$tbl VALUES (1, 0)")
     val epochN = new java.util.concurrent.atomic.AtomicInteger(0)
     val gate = new CountDownLatch(1)
-    def documented(e: Throwable): Boolean = {
-      val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
-        .take(6).toSeq
-      chain.exists {
-        case _: java.util.ConcurrentModificationException => true
-        case x => x.getClass.getName.contains("AnalysisException") ||
-          x.getMessage != null &&
-            (x.getMessage.contains("UNRESOLVED_COLUMN") ||
-             x.getMessage.contains("cannot be resolved") ||
-             x.getMessage.contains("not enough data columns") ||
-             // a stale plan executing across an epoch flip fails the
-             // ANSI cast of the old epoch's literals — loud, documented
-             x.getMessage.contains("CAST_INVALID_INPUT") ||
-             x.getMessage.contains("lost") && x.getMessage.contains("race"))
-      }
-    }
     val futs = (0 until nThreads).map { t =>
       Future {
         gate.await()
@@ -163,5 +168,97 @@ class ChaosHuntSpec extends SparkSpec {
     test(s"contract-op chaos hunt round $round (4 threads x 10 ops)") {
       hunt(round, nThreads = 4, opsPer = 10)
     }
+  }
+
+  test("syncDerived converges under concurrent source chaos") {
+    // two mutator threads churn the source (inserts, deletes,
+    // REPLACEs, restores) while a third runs incremental change-feed
+    // syncs the whole time — any sync may hit a documented conflict or
+    // boundary refusal, but after quiescence ONE final sync must leave
+    // the mirror exactly equal to the source, column for column
+    val tbl = "sy"
+    val root = s"$warehouse/ns/$tbl"
+    val dRoot = s"$warehouse/ns/sy_mirror"
+    spark.sql(s"""CREATE TABLE gch.ns.$tbl (k BIGINT, v BIGINT) USING graft
+                  TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql(s"INSERT INTO gch.ns.$tbl SELECT id, id * 2 FROM range(0, 30)")
+    def srcKeys(): Seq[String] = SnapshotStore.readManifest(spark, root,
+      SnapshotStore.latestVersion(spark, root).get).keys
+    def documentedSync(e: Throwable): Boolean =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(6).exists { x =>
+        x.isInstanceOf[java.util.ConcurrentModificationException] ||
+          (x.getMessage != null &&
+            (x.getMessage.contains("REPLACE") ||
+             x.getMessage.contains("refuses") ||
+             x.getMessage.contains("not in") || // restored past a version
+             x.getMessage.contains("cannot be resolved")))
+      }
+    val epochN = new java.util.concurrent.atomic.AtomicInteger(100)
+    val gate = new CountDownLatch(1)
+    val muts = (0 until 2).map { t =>
+      Future {
+        gate.await()
+        val rnd = new scala.util.Random(7000 + t)
+        (1 to 8).foreach { _ =>
+          try {
+            rnd.nextInt(5) match {
+              case 0 | 1 =>
+                val cols = spark.table(s"gch.ns.$tbl").columns
+                val key =
+                  if (cols.head == "k") rnd.nextInt(40).toString
+                  else s"'x${rnd.nextInt(40)}'"
+                spark.sql(s"INSERT INTO gch.ns.$tbl (${cols.mkString(", ")}) " +
+                  s"VALUES ($key, ${rnd.nextInt(100)})")
+              case 2 =>
+                val cols = spark.table(s"gch.ns.$tbl").columns
+                spark.sql(s"DELETE FROM gch.ns.$tbl WHERE ${cols.head} = " +
+                  (if (cols.head == "k") rnd.nextInt(40).toString
+                   else s"'x${rnd.nextInt(40)}'"))
+              case 3 =>
+                val c = s"e${epochN.incrementAndGet()}s$t"
+                spark.sql(s"""REPLACE TABLE gch.ns.$tbl
+                  TBLPROPERTIES ('keys'='$c')
+                  AS SELECT 'r' AS $c, CAST(1 AS BIGINT) AS n""")
+              case 4 =>
+                val vs = SnapshotStore.versions(spark, root)
+                SnapshotStore.restore(spark, root,
+                  vs(new scala.util.Random().nextInt(vs.length))): Unit
+            }
+          } catch {
+            case e: Throwable if documented(e) => ()
+            case e: Throwable => throw new IllegalStateException(
+              s"sync-chaos mutator $t UNDOCUMENTED failure", e)
+          }
+        }
+      }
+    }
+    val syncer = Future {
+      gate.await()
+      (1 to 10).foreach { _ =>
+        try graft.store.ChangeFeed.syncDerived(spark, root, dRoot, "cs",
+          keys = srcKeys(), numBuckets = 4): Unit
+        catch {
+          case e: Throwable if documentedSync(e) => ()
+          case e: Throwable => throw new IllegalStateException(
+            "sync-chaos syncer UNDOCUMENTED failure", e)
+        }
+        Thread.sleep(30)
+      }
+    }
+    gate.countDown()
+    Await.result(Future.sequence(muts :+ syncer), 1800.seconds)
+    // quiescence, then one clean final sync must converge exactly
+    graft.store.ChangeFeed.syncDerived(spark, root, dRoot, "cs",
+      keys = srcKeys(), numBuckets = 4): Unit
+    def byName(df: org.apache.spark.sql.DataFrame)
+        : Set[Map[String, String]] = {
+      val cols = df.columns
+      df.collect().map(r => cols.zipWithIndex.map { case (c, i) =>
+        c -> String.valueOf(r.get(i)) }.toMap).toSet
+    }
+    val src = byName(spark.table(s"gch.ns.$tbl").toDF())
+    val mir = byName(SnapshotStore.read(spark, dRoot))
+    assert(mir == src,
+      s"mirror diverged after quiescent sync: source $src, mirror $mir")
   }
 }
