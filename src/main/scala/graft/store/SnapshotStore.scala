@@ -67,6 +67,19 @@ object SnapshotStore {
   private val ReclaimGraceMs: Long =
     sys.props.get("graft.snapshot.reclaimGraceMs").map(_.toLong).getOrElse(600000L)
 
+  /** How long a checkpoint writer defers to another writer's live
+    * `claim-cp-<v>` before writing its own attempt anyway. Checkpoint
+    * DATA writes take seconds (one metadata-sized parquet task), so
+    * this is deliberately much shorter than the 10-minute manifest
+    * lease [[ReclaimGraceMs]] — a claimer that crashed mid-write must
+    * not stall every cadence-commit writer of that version for
+    * minutes. The claim is work-dedup only (see [[writeCheckpoint]]);
+    * correctness rides on each attempt's private tmp dir + atomic
+    * publish rename, so giving up on a claim early is always safe.
+    */
+  private val CheckpointClaimGraceMs: Long =
+    sys.props.get("graft.snapshot.checkpointClaimGraceMs").map(_.toLong).getOrElse(15000L)
+
   /** One bucket's current files + per-column data-skipping stats.
     * `stats(i)` is the (min, max) of the i-th declared stats column
     * over this bucket's rows, string-encoded per its type tag; None =
@@ -1130,34 +1143,40 @@ object SnapshotStore {
     // a checkpoint's content is a pure function of the manifest, so
     // one completed write answers for every caller
     if (fs.exists(done)) return
-    // serialize writers of the SAME version's checkpoint: two
-    // FileOutputCommitter jobs sharing one output dir clobber each
-    // other's _temporary attempts (a restore's auto-checkpoint racing
-    // an explicit CALL system.checkpoint — the contract-op chaos soak
-    // crashed exactly there). The claim is the atomic
-    // [[createExclusive]]; a crashed claimer's leftover ages past the
-    // reclaim grace and is taken over.
+    // The claim ([[createExclusive]] on `claim-cp-<v>`) is WORK DEDUP
+    // only: in the common case one Spark job computes the bytes while
+    // racers wait. It is no longer a correctness gate — every attempt
+    // writes its own private `cp-<v>.tmp-<token>` dir and atomically
+    // RENAMES it into place ([[writeCheckpointData]]), so two writers
+    // can never share a FileOutputCommitter output dir (the r13 chaos
+    // crash), and no waiter ever DELETES another's claim — the old
+    // reclaim had a TOCTOU where the stale-check/delete pair could
+    // remove a freshly re-created claim and admit two claimers. A
+    // crashed claimer now costs at most [[CheckpointClaimGraceMs]] of
+    // deferral, after which waiters simply write their own attempt;
+    // the orphaned claim file is swept by [[vacuum]].
     val claim = new Path(commitsDir(root), f"claim-cp-${m.version}%020d")
-    val deadline = System.currentTimeMillis() + 4 * ReclaimGraceMs
-    while (System.currentTimeMillis() < deadline) {
+    val start = System.currentTimeMillis()
+    var defer = true
+    while (defer) {
       if (fs.exists(done)) return
       createExclusive(fs, claim) match {
         case Some(out) =>
           out.close()
-          try writeCheckpointData(spark, root, m)
+          try { writeCheckpointData(spark, root, m); return }
           finally fs.delete(claim, false)
-          return
         case None =>
-          val stale =
-            try System.currentTimeMillis() -
-              fs.getFileStatus(claim).getModificationTime > ReclaimGraceMs
-            catch { case _: java.io.FileNotFoundException => false }
-          if (stale) fs.delete(claim, false): Unit
+          val claimAge =
+            try System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime
+            catch { case _: java.io.FileNotFoundException => 0L } // holder just finished or failed; re-loop
+          if (claimAge > CheckpointClaimGraceMs ||
+            System.currentTimeMillis() - start > CheckpointClaimGraceMs) defer = false
           else Thread.sleep(50)
       }
     }
-    throw new IllegalStateException(
-      s"checkpoint of v${m.version} at $root could not claim its write slot")
+    // claim stale or deferral budget spent: write our own attempt —
+    // safe at any concurrency thanks to the tmp-dir + rename publish
+    writeCheckpointData(spark, root, m)
   }
 
   private def writeCheckpointData(spark: SparkSession, root: String, m: Manifest): Unit = {
@@ -1180,11 +1199,30 @@ object SnapshotStore {
     }
     // one writer task: the checkpoint is metadata-sized relative to
     // the data (≤ files + buckets + txns rows), and one file reads
-    // back with one task
-    spark.createDataFrame(meta ++ txns ++ buckets)
-      .toDF("kind", "bucket", "name", "value", "stats")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(checkpointDir(root, m.version).toString)
+    // back with one task. Written to a PRIVATE tmp dir, then published
+    // by one atomic rename — concurrent attempts (a reclaimed claim, a
+    // restore auto-checkpoint racing CALL system.checkpoint) each hold
+    // their own output dir, and the first completed rename wins. The
+    // bytes are a pure function of the manifest, so even the benign
+    // race where a late publisher replaces an already-complete dir
+    // converges to equivalent content; readers that catch the swap
+    // window just walk back (checkpoints are best-effort by contract).
+    val fs = fileSystem(spark, root)
+    val dest = checkpointDir(root, m.version)
+    val tmp = new Path(commitsDir(root), f"cp-${m.version}%020d.tmp-${newToken()}")
+    try {
+      spark.createDataFrame(meta ++ txns ++ buckets)
+        .toDF("kind", "bucket", "name", "value", "stats")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.exists(new Path(dest, "_SUCCESS"))) {
+        // a torn prior attempt (dir present, no _SUCCESS) would make
+        // rename nest tmp INSIDE dest — clear it first
+        if (fs.exists(dest)) fs.delete(dest, true)
+        fs.rename(tmp, dest): Unit
+      }
+    } finally {
+      if (fs.exists(tmp)) fs.delete(tmp, true): Unit // lost the publish race
+    }
   }
 
   private def maybeCheckpoint(spark: SparkSession, root: String, m: Manifest): Unit = {
@@ -1544,7 +1582,16 @@ object SnapshotStore {
       spark.read.option("mergeSchema", "true")
         .parquet(mf.buckets.values.map(e => dataPath(root, e.dir).toString).toSeq: _*)
         .schema
-    val schema = declaredSchema(spark, root).orElse {
+    // A pinned PRE-REPLACE version answers under its OWN epoch's
+    // archived schema, never the live `_schema` — that breadcrumb
+    // belongs to the replacement epoch (the programmatic-read twin of
+    // the connector's cross-epoch guard in GraftDataSource.schema; an
+    // all-empty old-epoch version read via readVersion hit the leak).
+    val declared = readProps(spark, root).get("graft.schema.epoch").map(_.toLong) match {
+      case Some(epoch) if m.version < epoch => archivedSchemaFor(spark, root, m.version)
+      case _ => declaredSchema(spark, root)
+    }
+    val schema = declared.orElse {
       Iterator.iterate(m.version - 1)(_ - 1).takeWhile(_ >= 0)
         .map(v => scala.util.Try(readManifest(spark, root, v)).toOption)
         .collectFirst { case Some(pm) if pm.buckets.nonEmpty =>
@@ -2056,7 +2103,15 @@ object SnapshotStore {
     val fs = fileSystem(spark, root)
     versions(spark, root).filter(v => v > sinceV && v <= upToV).exists { v =>
       try parseManifestFile(fs, root, v).epochStart
-      catch { case _: Exception => false } // checkpoint-only floor: not a boundary
+      // ONLY a vanished manifest (vacuumed to its checkpoint between
+      // the listing and this read — provably ancient relative to an
+      // OCC retry window) is "not a boundary". Every other failure
+      // (torn read, IO error) propagates: the unreadable manifest
+      // could BE the boundary, and answering `false` would fail this
+      // guard OPEN — letting a stale-planned delta land old-shape rows
+      // inside a replacement epoch, the exact corruption it exists to
+      // stop. Mirrors vacuum's strict readTerminatorEither handling.
+      catch { case _: java.io.FileNotFoundException => false }
     }
   }
 
@@ -4056,6 +4111,22 @@ object SnapshotStore {
             }
           }
         }
+    // checkpoint-claim hygiene: a claimer that crashed holding
+    // `claim-cp-<v>` leaves the file forever if that version is never
+    // checkpointed again, and a crashed attempt leaves its private
+    // `cp-<v>.tmp-<token>` dir. Both are pure work-dedup artifacts
+    // (correctness rides on the atomic publish rename), so sweeping an
+    // aged one is always safe — worst case a live writer redoes a
+    // seconds-long metadata write.
+    if (!dryRun && fs.exists(commitsDir(root))) {
+      fs.listStatus(commitsDir(root)).toSeq
+        .filter { st =>
+          val n = st.getPath.getName
+          (n.startsWith("claim-cp-") || (n.startsWith("cp-") && n.contains(".tmp-"))) &&
+            st.getModificationTime < System.currentTimeMillis() - ReclaimGraceMs
+        }
+        .foreach(st => fs.delete(st.getPath, true): Unit)
+    }
     // write-ahead contract bundles / pending-ledger copies: reclaim an
     // aged one only when it is demonstrably DEAD — its version's swap
     // completed (stamp >= v) or its attempt never won (terminator

@@ -81,6 +81,28 @@ class EpochContractsSpec extends SparkSpec {
       s"cents metadata below the epoch: ${centsOld.metadata}")
   }
 
+  test("an ALL-EMPTY pre-epoch version answers with its own archived schema on the programmatic read path") {
+    // GraftTable.schema already resolved pinned pre-epoch reads through
+    // the archive (r13, found at version 0 by ContractFuzzSpec) — but
+    // SnapshotStore.readVersion of an all-empty old-epoch version went
+    // through emptyWithSchema, which consulted the LIVE `_schema`
+    // first: the replacement epoch's columns leaked into a version that
+    // never held them. The store path must consult archivedSchemaFor
+    // whenever the pinned manifest predates the live schema epoch.
+    spark.sql("""CREATE TABLE gep.ns.es (a BIGINT, b STRING) USING graft
+                 TBLPROPERTIES ('keys'='a', 'numBuckets'='2')""") // v0: empty
+    spark.sql("""REPLACE TABLE gep.ns.es
+                 TBLPROPERTIES ('keys'='c', 'numBuckets'='2') AS
+                 SELECT CAST(1 AS BIGINT) AS c, CAST(2 AS BIGINT) AS d""")
+    val dir = s"$warehouse/ns/es"
+    val v0 = SnapshotStore.readVersion(spark, dir, 0L)
+    assert(v0.schema.fieldNames.toSeq == Seq("a", "b"),
+      s"empty pre-epoch version leaked the replacement's schema: ${v0.schema.treeString}")
+    assert(v0.count() == 0L)
+    // the live head still answers under the replacement's declarations
+    assert(SnapshotStore.read(spark, dir).schema.fieldNames.toSeq == Seq("c", "d"))
+  }
+
   test("restore across a keys-changing REPLACE reverts keys: upserts keep deduping") {
     spark.sql("""CREATE TABLE gep.ns.r (k BIGINT, v STRING) USING graft
                  TBLPROPERTIES ('keys'='k', 'numBuckets'='4')""")

@@ -233,4 +233,35 @@ class ConcurrentCommitSpec extends SparkSpec {
     }
     assert(end((1000000L, "seed", 0L)) && end.size == nWriters + 1)
   }
+
+  test("an unreadable manifest inside the epoch-guard window fails the commit CLOSED") {
+    // The lost-generation guard scans (planned, base] for epoch-flagged
+    // manifests. r13 swallowed EVERY read failure as "no boundary" — a
+    // transient IO error (or a torn byte) in the window silently waved
+    // a stale-planned delta across a possible REPLACE boundary. Only a
+    // VANISHED manifest (vacuumed to its checkpoint) may answer false;
+    // anything else must surface, not commit.
+    val root = tmpDir("guard-closed")
+    SnapshotStore.init(spark, root,
+      (1L to 20L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts"),
+      Seq("k"), numBuckets = 4)
+    SnapshotStore.commitDelta(spark, root,
+      Seq((1L, "u1", 100L)).toDF("k", "v", "ts"), Seq("k"), plainMerge) // v1
+    SnapshotStore.commitDelta(spark, root,
+      Seq((2L, "u2", 101L)).toDF("k", "v", "ts"), Seq("k"), plainMerge) // v2
+    // checkpoint v2 so base-manifest reads never walk through v1 —
+    // isolates the corruption to the guard's own scan
+    assert(SnapshotStore.checkpoint(spark, root) == 2L)
+    val m1 = java.nio.file.Paths.get(root, "_commits", f"${1L}%020d")
+    val lines = java.nio.file.Files.readAllLines(m1)
+    lines.set(0, "buckets:garbage") // header unparseable; terminator intact
+    java.nio.file.Files.write(m1, lines)
+    intercept[Exception] {
+      SnapshotStore.commitDelta(spark, root,
+        Seq((3L, "u3", 102L)).toDF("k", "v", "ts"), Seq("k"), plainMerge,
+        plannedVersion = Some(0L)) // forces the guard to scan (0, 2]
+    }
+    assert(SnapshotStore.latestVersion(spark, root).contains(2L),
+      "the stale-planned commit must NOT have landed past an unreadable window")
+  }
 }

@@ -158,4 +158,43 @@ class ManifestCheckpointSpec extends SparkSpec {
       .exists(_.getName.startsWith("claim-cp-")))
     assert(rows(SnapshotStore.read(spark, root)).size == 50)
   }
+
+  test("a crashed claimer's stale claim defers a writer briefly, never for the manifest lease; vacuum sweeps the orphans") {
+    // r13's reclaim had a TOCTOU (stale-check then delete could remove a
+    // claim a fresh claimer just re-created → two FileOutputCommitter
+    // jobs on one dir) and a liveness hole (a crashed claimer stalled
+    // every cadence writer for the 10-min manifest lease). Now the claim
+    // is work-dedup only: past the SHORT checkpoint grace a waiter
+    // writes its own private tmp attempt and atomically renames it into
+    // place — it never deletes the foreign claim; vacuum sweeps it.
+    val root = tmpDir("stale-claim")
+    SnapshotStore.init(spark, root,
+      (1L to 20L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts"),
+      Seq("k"), numBuckets = 4)
+    val commits = new java.io.File(s"$root/_commits")
+    val claim = new java.io.File(commits, f"claim-cp-${0L}%020d")
+    assert(claim.createNewFile())
+    // aged past the checkpoint claim grace (15 s default) but far
+    // inside the 10-min manifest lease — the old code would spin here
+    assert(claim.setLastModified(System.currentTimeMillis() - 30000L))
+    val t0 = System.nanoTime()
+    assert(SnapshotStore.checkpoint(spark, root) == 0L)
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    assert(elapsedSec < 14.0, s"writer stalled ${elapsedSec}s behind a dead claim")
+    assert(new java.io.File(s"$root/_commits/cp-${"%020d".format(0)}/_SUCCESS").exists())
+    // the foreign claim was NOT deleted by the takeover (no TOCTOU window)
+    assert(claim.exists())
+    // …and a crashed attempt's private tmp dir is equally inert
+    val strayTmp = new java.io.File(commits, s"cp-${"%020d".format(0)}.tmp-deadbeef")
+    assert(strayTmp.mkdir())
+    // vacuum reclaims both once aged past the manifest lease
+    Seq(claim, strayTmp).foreach(f =>
+      assert(f.setLastModified(System.currentTimeMillis() - 11 * 60 * 1000L)))
+    SnapshotStore.vacuum(spark, root, keepLast = 1)
+    assert(!claim.exists(), "vacuum left the orphaned claim")
+    assert(!strayTmp.exists(), "vacuum left the orphaned tmp attempt")
+    // the published checkpoint itself is untouched
+    assert(new java.io.File(s"$root/_commits/cp-${"%020d".format(0)}/_SUCCESS").exists())
+    assert(rows(SnapshotStore.read(spark, root)).size == 20)
+  }
 }
