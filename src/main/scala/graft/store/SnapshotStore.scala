@@ -135,6 +135,30 @@ object SnapshotStore {
   private def fileSystem(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Schemes treated as rename-less OBJECT STORES: a key becomes
+    * visible atomically when its PUT completes, but "rename" is a
+    * client-side copy+delete with observable intermediate states.
+    * Store paths branch on this in two ways: (1) mutable small files
+    * publish as one direct PUT instead of tmp+rename (the PUT is the
+    * atomic swap; the rename dance would add a vanish window);
+    * (2) optimizations whose correctness leans on atomic directory
+    * rename (rebase-by-rename) are skipped in favor of their always
+    * -correct fallbacks. `osim` is the in-repo simulator
+    * (ObjectStoreSemanticsSpec); extend via
+    * `-Dgraft.store.objectStoreSchemes=scheme1,scheme2`.
+    */
+  private val ObjectStoreSchemes: Set[String] =
+    Set("s3", "s3a", "s3n", "oss", "cos", "osim") ++
+      sys.props.get("graft.store.objectStoreSchemes")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+
+  private[store] def isObjectStore(fs: FileSystem): Boolean = {
+    val scheme =
+      try fs.getScheme
+      catch { case _: UnsupportedOperationException => fs.getUri.getScheme }
+    ObjectStoreSchemes.contains(scheme)
+  }
+
   private def commitsDir(root: String) = new Path(root, "_commits")
   private def manifestPath(root: String, v: Long) =
     new Path(commitsDir(root), f"$v%020d")
@@ -484,9 +508,17 @@ object SnapshotStore {
     val created = createExclusive(fs, target)
     created match {
       case Some(out) =>
-        try out.write(s"$count\tend".getBytes(StandardCharsets.UTF_8))
-        finally out.close()
-        blockCount(fs, target).contains(count)
+        // a write/close failure is a definitive LOSS, not a readback
+        // question: on conditional-PUT stores close() is where the
+        // lost race surfaces, and the content readback alone cannot
+        // arbitrate — a racing claimer of the same (seq, first) writes
+        // the SAME count, so "payload matches" would declare both
+        // winners and mint overlapping identity ranges
+        val landed =
+          try { try out.write(s"$count\tend".getBytes(StandardCharsets.UTF_8))
+                finally out.close(); true }
+          catch { case _: java.io.IOException => false }
+        landed && blockCount(fs, target).contains(count)
       case None => false
     }
   }
@@ -585,6 +617,16 @@ object SnapshotStore {
         java.nio.file.Paths.get(p.toUri.getPath),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else if (isObjectStore(fs)) {
+      // one direct PUT: an object store makes the key visible
+      // atomically when the upload completes, so the overwrite create
+      // IS the publish — readers observe the old bytes or the new,
+      // never a mix. The tmp+rename dance would be strictly worse
+      // here: rename is copy+delete, giving every reader a window
+      // where the file is GONE (readProps → empty, epoch stamp
+      // invisible) and a crash strands the delete half-done.
+      val out = fs.create(p, true)
+      try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
     } else {
       val out = fs.create(tmp, true)
       try out.write(body.getBytes(StandardCharsets.UTF_8))
@@ -650,6 +692,13 @@ object SnapshotStore {
       .filter(b => baseM.buckets.get(b) != winners.buckets.get(b))
     if (winners.numBuckets != baseM.numBuckets ||
         winnerTouched.intersect(touched).nonEmpty) return None
+    // rebase rides on ATOMIC directory rename twice over: the rename
+    // must either fully move the attempt or fully fail (a racing
+    // vacuum taking the dir makes it fail — never half-move), and the
+    // failure signal is what demotes this path to a recompute. An
+    // object store's copy+delete "rename" gives neither; fall back to
+    // the always-correct re-merge there (same result, more work).
+    if (isObjectStore(fs)) return None
     val newV = latest + 1
     if (!fs.rename(new Path(root, attemptDir(v, token)),
         new Path(root, attemptDir(newV, token)))) return None
@@ -816,7 +865,22 @@ object SnapshotStore {
       .map(_.getPath.getName).filter(_.forall(_.isDigit)).map(_.toLong).sorted
     val lastComplete = all.lastIndexWhere(v =>
       readTerminator(fs, manifestPath(root, v)).isDefined)
-    all.take(lastComplete + 1)
+    val listed = all.take(lastComplete + 1)
+    if (!isObjectStore(fs)) return listed
+    // An eventually-consistent LIST (legacy object stores) can hide
+    // the NEWEST manifests; per-key GET/HEAD stays consistent even
+    // there. Version numbers are allocated densely, so the true tip is
+    // recoverable by probing successive numbers past the listed tail
+    // until the first absent (or unterminated) one — on modern
+    // strongly-consistent stores this costs exactly one extra HEAD per
+    // listing (the probe of tip+1 that comes back absent).
+    val ext = mutable.ArrayBuffer(listed: _*)
+    var tip = listed.lastOption.getOrElse(-1L)
+    while (readTerminator(fs, manifestPath(root, tip + 1)).isDefined) {
+      tip += 1
+      ext += tip
+    }
+    ext.toSeq
   }
 
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
@@ -1162,9 +1226,14 @@ object SnapshotStore {
       if (fs.exists(done)) return
       createExclusive(fs, claim) match {
         case Some(out) =>
-          out.close()
-          try { writeCheckpointData(spark, root, m); return }
-          finally fs.delete(claim, false)
+          // conditional-PUT stores surface a lost claim at close();
+          // a loser just rejoins the waiters
+          val claimed = try { out.close(); true }
+            catch { case _: java.io.IOException => false }
+          if (claimed) {
+            try { writeCheckpointData(spark, root, m); return }
+            finally fs.delete(claim, false)
+          } else Thread.sleep(50)
         case None =>
           val claimAge =
             try System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime
@@ -1215,10 +1284,26 @@ object SnapshotStore {
         .toDF("kind", "bucket", "name", "value", "stats")
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       if (!fs.exists(new Path(dest, "_SUCCESS"))) {
-        // a torn prior attempt (dir present, no _SUCCESS) would make
-        // rename nest tmp INSIDE dest — clear it first
-        if (fs.exists(dest)) fs.delete(dest, true)
-        fs.rename(tmp, dest): Unit
+        if (isObjectStore(fs)) {
+          // no atomic dir rename on an object store (copy+delete could
+          // surface _SUCCESS before the data objects it vouches for —
+          // copy order is listing order). Publish in reader-safe
+          // order instead: PUT every data object first, the _SUCCESS
+          // marker strictly LAST — a reader that sees the marker sees
+          // complete data (read-after-write consistency per key).
+          fs.listStatus(tmp).filter(_.isFile)
+            .filterNot(_.getPath.getName == "_SUCCESS")
+            .foreach { st =>
+              org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+                new Path(dest, st.getPath.getName), false, true, fs.getConf): Unit
+            }
+          fs.create(new Path(dest, "_SUCCESS"), true).close()
+        } else {
+          // a torn prior attempt (dir present, no _SUCCESS) would make
+          // rename nest tmp INSIDE dest — clear it first
+          if (fs.exists(dest)) fs.delete(dest, true)
+          fs.rename(tmp, dest): Unit
+        }
       }
     } finally {
       if (fs.exists(tmp)) fs.delete(tmp, true): Unit // lost the publish race
@@ -1486,7 +1571,16 @@ object SnapshotStore {
       out = tryCreate()
       if (out.isEmpty) return None
     }
-    try out.get.write(body.getBytes(StandardCharsets.UTF_8)) finally out.get.close()
+    // On conditional-PUT object stores the create-if-absent condition
+    // is evaluated when the upload COMPLETES, so a lost race surfaces
+    // as an exception from close(), not from create(). Ownership is
+    // decided by the terminator readback below in every case — so a
+    // write/close failure must fall THROUGH to it, never abort: the
+    // readback classifies it as a clean loss (another token / no
+    // file), a win (our token — e.g. a spurious close error after the
+    // bytes landed), or indeterminate.
+    try { try out.get.write(body.getBytes(StandardCharsets.UTF_8)) finally out.get.close() }
+    catch { case _: java.io.IOException => () }
     // Post-write ownership check (see scaladoc): success only if OUR
     // terminator survived any concurrent reclaim of the same version.
     // A definitive readback of a DIFFERENT token (or a vanished file)
@@ -3923,11 +4017,20 @@ object SnapshotStore {
     fs.mkdirs(p.getParent)
     // atomic claim ([[createExclusive]]): two racing createTag calls of
     // the same name must not both succeed (tags are immutable)
-    val out = createExclusive(fs, p).getOrElse(throw new IllegalStateException(
+    def alreadyExists() = new IllegalStateException(
       s"tag '$name' already exists at $root — tags are immutable; " +
-        "drop_tag first to re-point it"))
-    try out.write(s"$v\n".getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+        "drop_tag first to re-point it")
+    val out = createExclusive(fs, p).getOrElse(throw alreadyExists())
+    // conditional-PUT stores arbitrate at close(): a lost race there
+    // must report the same immutable-tag conflict as a lost create —
+    // any other failure (no competing tag on disk) propagates as the
+    // IO error it is
+    try { try out.write(s"$v\n".getBytes(StandardCharsets.UTF_8))
+          finally out.close() }
+    catch {
+      case e: java.io.IOException =>
+        if (fs.exists(p)) throw alreadyExists() else throw e
+    }
     v
   }
 
