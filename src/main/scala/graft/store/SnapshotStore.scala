@@ -3522,6 +3522,20 @@ object SnapshotStore {
   @volatile private[graft] var replaceSwapHook: (String, Long) => Unit =
     (_, _) => ()
 
+  /** The per-directory completion certificate a ledger MOVE writes
+    * last (content = the installing swap's version) — see
+    * [[executeContractSwap]]'s scaladoc for the torn-copy hole it
+    * closes.
+    */
+  private val LedgerCert = "_installed_by"
+
+  /** Test hook: runs after a ledger move's block files are copied and
+    * BEFORE its completion certificate is written — throwing here
+    * simulates a committer crashing mid-move, leaving a full-looking
+    * but UNCERTIFIED directory a healer must redo, not accept.
+    */
+  @volatile private[graft] var ledgerMoveHook: Path => Unit = _ => ()
+
   /** The WRITE-AHEAD INTENT of a contract swap: everything the
     * post-commit `_schema`/`_props`/identity swap will write, resolved
     * BEFORE the manifest commit (reads of live state are stable then —
@@ -3576,12 +3590,34 @@ object SnapshotStore {
   /** Execute (or COMPLETE, after a crash) a contract swap from its
     * write-ahead bundle. Idempotent and convergent: every write's
     * content is fixed by the bundle, archives publish only if absent,
-    * ledger moves are exists-guarded, and the epoch stamp — the
-    * completion certificate [[awaitContractQuiescence]] waits on —
-    * goes LAST. Entry guard: a stamp already at/above `b.v` means this
-    * swap was completed by a healer while this (zombie) committer was
-    * suspended — touching anything now could clobber a LATER epoch's
-    * contracts, so return without writing.
+    * ledger moves carry per-directory completion certificates (below),
+    * and the epoch stamp — the completion certificate
+    * [[awaitContractQuiescence]] waits on — goes LAST. Entry guard: a
+    * stamp already at/above `b.v` means this swap was completed by a
+    * healer while this (zombie) committer was suspended — touching
+    * anything now could clobber a LATER epoch's contracts, so return
+    * without writing.
+    *
+    * The identity-ledger moves are MULTI-FILE directory operations —
+    * the one part of the swap a single atomic write cannot cover, so a
+    * bare exists() guard (the pre-R14 shape) could not tell a finished
+    * move from a crash-mid-copy prefix: a healer would accept the torn
+    * directory as complete, and a torn ARCHIVE later re-installed by a
+    * cross-epoch restore would resurrect an allocator frontier BELOW
+    * ids already minted — re-minting them. Each moved directory now
+    * gets a `_installed_by` certificate file holding this swap's
+    * version, written strictly LAST; only a matching certificate
+    * counts as done, anything else is redone from its source. Rename
+    * is never used for these moves (even where it is atomic): rename
+    * CONSUMES the source, so a crash between rename and certificate
+    * would leave the healer with neither a certified directory nor a
+    * source to redo from. Sources outlive the bundle (the RTAS pending
+    * ledger is vacuum-reclaimed only after the bundle is consumed;
+    * archives are permanent), so redo is always possible. The
+    * certificate lives beside the per-column subdirectories and is
+    * invisible to the allocator (block listings scan
+    * `_identity/<col>/block-*`); clones carry it along harmlessly (a
+    * later swap at the clone compares against its OWN version).
     */
   private def executeContractSwap(spark: SparkSession, root: String,
                                   b: ContractBundle): Unit = {
@@ -3608,14 +3644,39 @@ object SnapshotStore {
     }
     val live = new Path(root, "_identity")
     val archLedger = new Path(root, f"_identity_upto_${b.cur}%020d")
-    if (b.ledgerArchive && !fs.exists(archLedger) && fs.exists(live))
-      fs.rename(live, archLedger): Unit
+    def certified(dir: Path): Boolean =
+      smallFileText(fs, new Path(dir, LedgerCert)).exists(_.trim == b.v.toString)
+    def copyLedger(src: Path, dst: Path): Unit = {
+      fs.mkdirs(dst)
+      fs.listStatus(src).filterNot(_.getPath.getName == LedgerCert)
+        .foreach { st =>
+          org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+            new Path(dst, st.getPath.getName), false, true,
+            spark.sparkContext.hadoopConfiguration): Unit
+        }
+      ledgerMoveHook(dst)
+      val out = fs.create(new Path(dst, LedgerCert), true)
+      try out.write(s"${b.v}\n".getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    // archive the DISPLACED live ledger (one whose certificate is not
+    // this swap's — a certified live is already the incoming one)
+    if (b.ledgerArchive && !certified(archLedger) &&
+        fs.exists(live) && !certified(live)) {
+      if (fs.exists(archLedger)) fs.delete(archLedger, true) // torn prior copy
+      copyLedger(live, archLedger)
+    }
+    // clear a live dir that is not this swap's certified install — the
+    // displaced ledger (now safely archived above) or a torn prior
+    // install attempt; either must not mix with the incoming blocks
+    if (fs.exists(live) && !certified(live) &&
+        (!b.ledgerArchive || certified(archLedger)))
+      fs.delete(live, true): Unit
     b.ledgerSrc.foreach { srcName =>
       val src = new Path(root, srcName)
-      if (!fs.exists(live) && fs.exists(src)) {
-        if (b.ledgerByRename) fs.rename(src, live): Unit
-        else org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, live, false,
-          spark.sparkContext.hadoopConfiguration): Unit
+      if (!certified(live) && fs.exists(src)) {
+        if (fs.exists(live)) fs.delete(live, true) // torn prior install
+        copyLedger(src, live)
       }
     }
     fs.delete(new Path(root, ColStatsFile), false): Unit

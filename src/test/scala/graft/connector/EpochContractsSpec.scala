@@ -318,6 +318,84 @@ class EpochContractsSpec extends SparkSpec {
       _.getPath.getName.startsWith("_pending_contracts-")))
   }
 
+  test("a ledger install crashing MID-COPY is redone by the healer, not " +
+      "accepted: the completion certificate closes the torn-directory window") {
+    // The ledger install is a MULTI-FILE copy — the one swap step a
+    // single atomic write cannot cover. Pre-R14 the heal guard was
+    // fs.exists(live): a crash mid-copy left a full-LOOKING directory
+    // missing some blocks, the healer accepted it, and the allocator
+    // frontier fell below already-minted ids — the next INSERT would
+    // re-mint them. The per-directory certificate (written strictly
+    // last) makes the healer REDO the torn install from its source.
+    spark.sql("""CREATE TABLE gep.ns.lt (
+                   sk BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1 INCREMENT BY 1),
+                   k BIGINT)
+                 USING graft TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO gep.ns.lt (k) SELECT id + 1 FROM range(20)")
+    val dir = s"$warehouse/ns/lt"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vBefore = SnapshotStore.latestVersion(spark, dir).get
+    val maxSkBefore = spark.table("gep.ns.lt").agg("sk" -> "max").as[Long].head()
+    spark.sql("""REPLACE TABLE gep.ns.lt TBLPROPERTIES ('keys'='k') AS
+                 SELECT CAST(-1 AS BIGINT) AS k""")
+
+    // cross-epoch restore: its swap re-installs the archived ledger by
+    // copy; the hook tears the copy (drops one block file) and crashes
+    // before the certificate lands — exactly a mid-copy process death
+    val live = new org.apache.hadoop.fs.Path(dir, "_identity")
+    val torn = new java.util.concurrent.atomic.AtomicBoolean(false)
+    SnapshotStore.ledgerMoveHook = dst =>
+      if (dst.toString.endsWith("/ns/lt/_identity") &&
+          torn.compareAndSet(false, true)) {
+        val blocks = fs.listStatus(new org.apache.hadoop.fs.Path(dst, "sk"))
+          .map(_.getPath).filter(_.getName.startsWith("block-"))
+        assert(blocks.nonEmpty, "expected copied block files to tear")
+        fs.delete(blocks.maxBy(_.getName), false)
+        throw new RuntimeException("simulated crash mid-ledger-copy")
+      }
+    try {
+      val boom = intercept[Exception] {
+        spark.sql(s"CALL gep.system.restore(table => 'ns.lt', version => $vBefore)")
+      }
+      assert(boom.toString.contains("mid-ledger-copy") ||
+        (boom.getCause != null && boom.getCause.toString.contains("mid-ledger-copy")))
+    } finally SnapshotStore.ledgerMoveHook = _ => ()
+    val vRestored = SnapshotStore.latestVersion(spark, dir).get
+    // torn state: live ledger EXISTS (the exists-guard trap) but is
+    // uncertified and missing a block; the bundle is still on disk
+    assert(fs.exists(live) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(live, "_installed_by")))
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir)).exists(
+      _.getPath.getName.startsWith("_pending_contracts-")))
+
+    // any contract op heals the crashed swap first; the torn install
+    // must be REDONE from the archive, not accepted
+    System.setProperty("graft.snapshot.contractSwapGraceMs", "200")
+    try spark.sql("ALTER TABLE gep.ns.lt SET TBLPROPERTIES ('healed'='1')")
+    finally System.clearProperty("graft.snapshot.contractSwapGraceMs")
+    assert(SnapshotStore.readProps(spark, dir)("graft.schema.epoch").toLong
+      == vRestored, "heal must complete the restore's swap")
+    // certificate present and naming the restore's version
+    val cert = new org.apache.hadoop.fs.Path(live, "_installed_by")
+    assert(fs.exists(cert), "healed install must be certified")
+    // the dropped block is back: live block set == archived block set
+    val arch = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.startsWith("_identity_upto_"))
+      .minBy(_.getName)
+    def blockSet(p: org.apache.hadoop.fs.Path): Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(p, "sk"))
+        .map(_.getPath.getName).filter(_.startsWith("block-")).toSet
+    assert(blockSet(live) == blockSet(arch),
+      s"healed ledger incomplete: live ${blockSet(live)} vs archive ${blockSet(arch)}")
+    // and the allocator never re-mints: fresh ids land strictly above
+    spark.sql("INSERT INTO gep.ns.lt (k) VALUES (777)")
+    val sks = spark.table("gep.ns.lt").select("sk").as[Long].collect()
+    assert(sks.length == 21 && sks.toSet.size == 21,
+      s"identity re-minted after torn-install heal: ${sks.length} rows, ${sks.toSet.size} ids")
+    assert(sks.max > maxSkBefore)
+  }
+
   test("a tag pinned ABOVE a cross-epoch restore target keeps resolving its own epoch") {
     // Tag a version in the REPLACEMENT epoch, then restore BELOW the
     // epoch: the tag must keep reading the replacement's data AND
