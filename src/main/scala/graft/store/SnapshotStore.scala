@@ -3403,7 +3403,16 @@ object SnapshotStore {
     mapping.toSeq.foreach { case (o, n) =>
       val src = new Path(br, o)
       val dst = new Path(root, n)
-      require(fs.rename(src, dst), s"could not adopt $src")
+      if (isObjectStore(fs)) {
+        // adopt by COPY, never consuming the source: an object-store
+        // "rename" is copy+delete, so a crash can leave a partial dst
+        // beside a partial src — unrecoverable for a rollback that
+        // must restore the branch WHOLE. With the source untouched,
+        // rollback is a delete of the (possibly partial) copy, and a
+        // committed publish's leftover source dies with dropBranch.
+        require(org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst,
+          false, fs.getConf), s"could not adopt $src")
+      } else require(fs.rename(src, dst), s"could not adopt $src")
     }
     def rehome(d: String): String =
       if (isLocal(d)) {
@@ -3427,10 +3436,7 @@ object SnapshotStore {
         dropBranch(spark, root, name)
         pubV
       case None =>
-        mapping.toSeq.foreach { case (o, n) =>
-          val dst = new Path(root, n)
-          if (fs.exists(dst)) fs.rename(dst, new Path(br, o)): Unit
-        }
+        mapping.toSeq.foreach { case (o, n) => undoAdoption(fs, br, root, o, n) }
         fs.delete(new Path(br, PublishingMarker), false)
         throw new java.util.ConcurrentModificationException(
           s"cannot fast-forward branch '$name': $root committed v$pubV " +
@@ -3470,13 +3476,27 @@ object SnapshotStore {
     }
     if (committed) Some(pubV)
     else {
-      mapping.foreach { case (o, n) =>
-        val dst = new Path(root, n)
-        if (fs.exists(dst)) fs.rename(dst, new Path(br, o)): Unit
-      }
+      mapping.foreach { case (o, n) => undoAdoption(fs, br, root, o, n) }
       fs.delete(marker, false)
       None
     }
+  }
+
+  /** Undo one adoption mapping entry of a rolled-back branch publish.
+    * If the branch-side source still exists, the adoption was
+    * COPY-based (object store) or never ran — the destination is a
+    * discardable, possibly PARTIAL copy, and "renaming it back" would
+    * nest that partial dir INSIDE the intact source (S3A rename onto
+    * an existing directory moves into it), silently corrupting the
+    * branch the rollback exists to preserve. Only a source-consumed
+    * (atomic POSIX rename) adoption renames back.
+    */
+  private def undoAdoption(fs: FileSystem, br: String, root: String,
+                           o: String, n: String): Unit = {
+    val dst = new Path(root, n)
+    if (!fs.exists(dst)) return
+    if (fs.exists(new Path(br, o))) fs.delete(dst, true): Unit
+    else fs.rename(dst, new Path(br, o)): Unit
   }
 
   // ------------------------------------------------------------------

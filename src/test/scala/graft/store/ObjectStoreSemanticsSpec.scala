@@ -299,6 +299,52 @@ class ObjectStoreSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("a publish crashed MID-ADOPTION rolls back by DISCARDING the partial copy — never nesting it into the intact branch") {
+    // On an object store the adoption "rename" is copy+delete, so a
+    // crash can leave the destination a PARTIAL copy while the branch
+    // source is still whole. The pre-R14 rollback renamed the partial
+    // BACK — S3A rename onto an existing directory moves INTO it, so
+    // the junk nested inside the branch dir the rollback exists to
+    // preserve. Adoption now copies without consuming the source, and
+    // rollback discards the destination whenever the source survives.
+    withSim {
+      val root = osimRoot("pubcrash")
+      SnapshotStore.init(spark, root,
+        (1L to 12L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts"),
+        Seq("k"), numBuckets = 2)
+      SnapshotStore.createBranch(spark, root, "a")
+      val br = SnapshotStore.branchRoot(root, "a")
+      SnapshotStore.commitDelta(spark, br,
+        Seq((99L, "branchrow", 500L)).toDF("k", "v", "ts"), Seq("k"), merge)
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // manufacture the crashed publish: breadcrumb written, one
+      // adoption copy started and torn, process died before commit
+      val bm = SnapshotStore.readManifest(spark, br,
+        SnapshotStore.latestVersion(spark, br).get)
+      val vd = bm.buckets.values.flatMap(e => e.dir +: e.tombstones)
+        .filter(!new Path(_).isAbsolute).map(_.takeWhile(_ != '/')).head
+      val pubV = SnapshotStore.latestVersion(spark, root).get + 1
+      val n = s"v=$pubV-pub-a-${vd.stripPrefix("v=")}"
+      val out = fs.create(new Path(br, "_publishing"), true)
+      out.write(s"pub:$pubV\n$vd\t$n\n".getBytes("UTF-8")); out.close()
+      org.apache.hadoop.fs.FileUtil.copy(fs, new Path(br, vd),
+        fs, new Path(root, n), false, fs.getConf)
+      def leafFiles(p: Path): Seq[Path] = fs.listStatus(p).toSeq.flatMap(st =>
+        if (st.isDirectory) leafFiles(st.getPath) else Seq(st.getPath))
+      fs.delete(leafFiles(new Path(root, n)).head, false) // the tear
+      // recovery runs inside the next publish: rollback must DISCARD
+      // the partial, leave the branch whole, then publish cleanly
+      val got = SnapshotStore.publishBranch(spark, root, "a")
+      assert(got == pubV)
+      val end = rows(root)
+      assert(end((99L, "branchrow", 500L)) && end.size == 13,
+        s"published state wrong: $end")
+      // the adopted dir is whole (no nested junk, no missing file):
+      // re-read through the committed manifest round-trips
+      assert(SnapshotStore.readVersion(spark, root, pubV).count() == 13L)
+    }
+  }
+
   test("REPLACE contract swap + cross-epoch time travel hold on osim") {
     // the epoch protocol's moving parts — write-ahead contract bundle,
     // schema/props archival, live-file swap, epoch stamp — are all
