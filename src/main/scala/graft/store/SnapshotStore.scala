@@ -1291,6 +1291,12 @@ object SnapshotStore {
           // order instead: PUT every data object first, the _SUCCESS
           // marker strictly LAST — a reader that sees the marker sees
           // complete data (read-after-write consistency per key).
+          // A torn prior attempt's leftovers must go FIRST: its part
+          // files carry different (uuid) names, and a whole-dir read
+          // after this publish would consume both generations. An
+          // incomplete dest was never reader-visible (no _SUCCESS), so
+          // the delete closes no window.
+          if (fs.exists(dest)) fs.delete(dest, true)
           fs.listStatus(tmp).filter(_.isFile)
             .filterNot(_.getPath.getName == "_SUCCESS")
             .foreach { st =>

@@ -232,6 +232,27 @@ class ObjectStoreSemanticsSpec extends SparkSpec {
         assert(SnapshotStore.readVersion(spark, root, v).select("k", "v", "ts")
           .as[(Long, String, Long)].collect().toSet == expect, s"version $v")
       }
+      // a checkpoint TORN mid-publish (data objects landed, _SUCCESS
+      // did not — the crash window of the reader-safe order) is dead
+      // weight, not poison: readers ignore it, and the next writer of
+      // the same version completes it in place
+      val cp9 = new Path(root, f"_commits/cp-${9L}%020d")
+      fs.mkdirs(cp9)
+      fs.create(new Path(cp9, "part-torn.parquet"), true).close()
+      (8L to 9L).foreach { i =>
+        SnapshotStore.commitDelta(spark, root,
+          Seq((i, s"u$i", 100L + i)).toDF("k", "v", "ts"), Seq("k"), merge)
+      }
+      assert(fs.exists(new Path(cp9, "_SUCCESS")),
+        "cadence checkpoint at 9 must complete the torn attempt")
+      assert(!fs.exists(new Path(cp9, "part-torn.parquet")),
+        "the torn attempt's stale part file must be cleared, not merged " +
+          "into the completed checkpoint (a whole-dir read would consume both)")
+      val expect9 = (1L to 16L).map { k =>
+        if (k <= 9L) (k, s"u$k", 100L + k) else (k, s"v$k", k)
+      }.toSet
+      assert(SnapshotStore.readVersion(spark, root, 9L).select("k", "v", "ts")
+        .as[(Long, String, Long)].collect().toSet == expect9)
     } finally {
       prev.fold { sys.props.remove("graft.snapshot.checkpointInterval"): Unit } {
         v => sys.props("graft.snapshot.checkpointInterval") = v }
