@@ -415,6 +415,28 @@ class ObjectStoreSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("change-feed syncDerived mirrors an osim source onto an osim target through upserts and deletes") {
+    // the feed consumer's offset registration, manifest diffs and the
+    // mirror's own commits all ride the same conditional-PUT protocols
+    withSim {
+      val src = osimRoot("cfsrc")
+      val dst = osimRoot("cfdst")
+      SnapshotStore.init(spark, src,
+        (1L to 20L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts"),
+        Seq("k"), numBuckets = 2)
+      ChangeFeed.syncDerived(spark, src, dst, "m", Seq("k"), numBuckets = 2): Unit
+      SnapshotStore.commitDelta(spark, src,
+        Seq((1L, "x", 100L), (21L, "new", 101L)).toDF("k", "v", "ts"),
+        Seq("k"), merge)
+      SnapshotStore.commitDeletes(spark, src, Seq(2L).toDF("k"), Seq("k"))
+      ChangeFeed.syncDerived(spark, src, dst, "m", Seq("k"), numBuckets = 2): Unit
+      assert(rows(dst) == rows(src) && rows(dst).size == 20)
+      // redelivery is a no-op (offset consumed)
+      ChangeFeed.syncDerived(spark, src, dst, "m", Seq("k"), numBuckets = 2): Unit
+      assert(rows(dst) == rows(src))
+    }
+  }
+
   test("commits and reads converge under legacy eventually-consistent listings (dense-version probe)") {
     withSim {
       val root = osimRoot("lag")
