@@ -1,0 +1,75 @@
+package graft.store
+
+/** External commit-log arbiter for object stores WITHOUT conditional
+  * writes (plain-PUT S3 before If-None-Match, or S3-compatible stores
+  * that never added it). On such a store `create(overwrite = false)`
+  * degrades to a client-side existence CHECK followed by an
+  * unconditional last-writer-wins PUT, and the manifest commit log
+  * cannot be made safe above it: two committers of the same version
+  * can both pass the check and the later PUT silently replaces an
+  * ALREADY-ACKNOWLEDGED manifest (reproduced on demand by
+  * ObjectStoreSemanticsSpec's "DOCUMENTED DANGER" test; SURVEY §5
+  * matrix row 1).
+  *
+  * The fix deployed by every public lakehouse on that store class is a
+  * small external mutex table — DynamoDB conditional puts, a ZooKeeper
+  * znode, a Postgres row — keyed by the object path. This trait is
+  * that seam: [[SnapshotStore]] routes MANIFEST claims through it when
+  * one is configured (`SnapshotStore.manifestArbiter`, or
+  * `-Dgraft.store.manifestArbiter=<class with zero-arg ctor>`), and
+  * the rest of the commit protocol is unchanged — the arbiter only
+  * SERIALIZES the create; ownership of a committed manifest is still
+  * decided by the terminator readback, so a pathologically suspended
+  * claimer that resumes writing is fenced by the token check exactly
+  * as on POSIX.
+  *
+  * Contract:
+  *  - [[claim]] must be ATOMIC across all processes sharing the store:
+  *    of N concurrent claimers of one path, exactly one returns true.
+  *  - A claim whose holder died must become supersedable after a
+  *    staleness grace (crash reclaim) — atomically, so two reclaimers
+  *    cannot both win.
+  *  - Re-claiming with the SAME token must stay a win (idempotent
+  *    retry by the owner).
+  *  - Rows are PERMANENT while their version can still be contended —
+  *    which is forever, protocol-wise: a laggard in its OCC retry loop
+  *    can re-attempt any version at any time, and a released row would
+  *    let it claim a path whose committed manifest its overwrite PUT
+  *    then silently replaces (the readback would bless the laggard's
+  *    own token — the exact lost-commit this arbiter exists to stop;
+  *    observed live when a release-on-confirm optimization was tried).
+  *    One row per committed version is the honest cost — the same
+  *    shape as the public DynamoDB commit-table deployments, which
+  *    expire rows only on a TTL of days, far beyond any retry horizon.
+  */
+trait ClaimArbiter {
+  /** Atomically claim `path` for `token`; true = this caller owns the
+    * write to that path.
+    */
+  def claim(path: String, token: String): Boolean
+}
+
+/** JVM-local reference implementation: one CAS'd row per path, claims
+  * supersedable after `staleMs`. These are exactly the semantics a
+  * DynamoDB conditional-put implementation provides across machines
+  * (put-if-absent-or-expired with the old row's token in the
+  * condition); ObjectStoreSemanticsSpec runs the plain-PUT commit
+  * fleet against this to prove the protocol whole with an arbiter
+  * plugged in. Default staleness mirrors the store's torn-manifest
+  * reclaim grace.
+  */
+final class InMemoryClaimArbiter(
+    staleMs: Long = sys.props.get("graft.snapshot.reclaimGraceMs")
+      .map(_.toLong).getOrElse(600000L)) extends ClaimArbiter {
+  private val rows =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  override def claim(path: String, token: String): Boolean = {
+    val now = System.currentTimeMillis()
+    val winner = rows.compute(path, (_, cur) =>
+      if (cur == null || cur._1 == token || now - cur._2 > staleMs)
+        (token, now)
+      else cur)
+    winner._1 == token
+  }
+}

@@ -159,6 +159,22 @@ object SnapshotStore {
     ObjectStoreSchemes.contains(scheme)
   }
 
+  /** Optional external arbiter for MANIFEST commit claims — required
+    * on object stores without conditional writes, where exclusive
+    * create cannot exist above a last-writer-wins PUT (see
+    * [[ClaimArbiter]] and the SURVEY §5 matrix). Configure
+    * programmatically or via
+    * `-Dgraft.store.manifestArbiter=<class with zero-arg ctor>`.
+    * Unset (the default), the store's own exclusive-create primitive
+    * arbitrates — correct on POSIX, HDFS, ABFS, GCS and every
+    * conditional-PUT store.
+    */
+  @volatile private[graft] var manifestArbiter: Option[ClaimArbiter] =
+    sys.props.get("graft.store.manifestArbiter").map { cn =>
+      Class.forName(cn).getDeclaredConstructor().newInstance()
+        .asInstanceOf[ClaimArbiter]
+    }
+
   private def commitsDir(root: String) = new Path(root, "_commits")
   private def manifestPath(root: String, v: Long) =
     new Path(commitsDir(root), f"$v%020d")
@@ -1556,8 +1572,28 @@ object SnapshotStore {
       deltaLine ++ keysLine ++ statsLine ++ txnLines ++ bucketLines ++ delLines
     val body = bodyLines.mkString("", "\n", "\n") + s"end:$token:${bodyLines.size}\n"
 
+    // With an external arbiter configured (plain-PUT stores — see
+    // [[ClaimArbiter]]), the claim row serializes the create where the
+    // store cannot, and the file itself opens as an overwrite PUT (the
+    // arbiter granted exclusivity). Everything downstream is shared:
+    // torn-leftover reclaim, terminator readback, token ownership.
+    // The claim is gated on the target being ABSENT: a stale-row
+    // supersede must never race an already-landed PUT (the torn-file
+    // reclaim path below deletes a demonstrably-stale leftover FIRST,
+    // then re-claims an absent key). Residual window: a claimer
+    // suspended past the arbiter's staleness grace BEFORE its PUT —
+    // the same grace-defying-suspension tradeoff as the POSIX
+    // torn-file reclaim, fenced the same way (only the token that
+    // survives the readback reports success).
+    val qualified = fs.makeQualified(target).toString
     def tryCreate(): Option[org.apache.hadoop.fs.FSDataOutputStream] =
-      createExclusive(fs, target)
+      manifestArbiter match {
+        case Some(arb) =>
+          if (fs.exists(target)) None
+          else if (arb.claim(qualified, token)) Some(fs.create(target, true))
+          else None
+        case None => createExclusive(fs, target)
+      }
 
     var out = tryCreate()
     if (out.isEmpty) {
@@ -1571,7 +1607,12 @@ object SnapshotStore {
       // period and is reclaimed then; until that, this committer
       // simply loses and retries through the normal OCC path.
       if (readTerminator(fs, target).isDefined) return None
-      val age = System.currentTimeMillis() - fs.getFileStatus(target).getModificationTime
+      // under an arbiter a lost claim can precede any PUT (the winner
+      // uploads on close): no file on disk = an in-flight rival, a
+      // plain loss — the arbiter's own staleness grace governs reclaim
+      val age =
+        try System.currentTimeMillis() - fs.getFileStatus(target).getModificationTime
+        catch { case _: java.io.FileNotFoundException => return None }
       if (age < ReclaimGraceMs) return None
       fs.delete(target, false)
       out = tryCreate()

@@ -155,6 +155,70 @@ class ObjectStoreSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("an external claim arbiter restores exactly-one-winner on a PLAIN-PUT store") {
+    // the documented remedy for matrix row 1: on a store with no
+    // conditional writes, a DynamoDB-style mutex table serializes the
+    // manifest create. Re-run the double-win interleave AND the OCC
+    // fleet with the arbiter plugged in — the lost commit is gone.
+    withSim {
+      ObjectStoreSim.conditionalCreate = false
+      SnapshotStore.manifestArbiter = Some(new InMemoryClaimArbiter())
+      try {
+        val root = osimRoot("arb")
+        SnapshotStore.init(spark, root,
+          (1L to 8L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts"),
+          Seq("k"), numBuckets = 2)
+        val nWriters = 4
+        val gate = new CountDownLatch(1)
+        val futs = (0 until nWriters).map { i =>
+          Future {
+            gate.await()
+            (1 to 2).map { op =>
+              SnapshotStore.commitDelta(spark, root,
+                Seq((100L + i, s"w$i-op$op", op.toLong)).toDF("k", "v", "ts"),
+                Seq("k"), SnapshotStore.upsertMerge(Seq("k")),
+                maxAttempts = 8 * nWriters)
+            }
+          }
+        }
+        gate.countDown()
+        val versions = Await.result(Future.sequence(futs), 300.seconds).flatten
+        assert(versions.toSet.size == versions.size && versions.size == 8,
+          s"every commit must be granted a DISTINCT version: $versions")
+        assert(SnapshotStore.latestVersion(spark, root).contains(8L))
+        val end = rows(root)
+        (0 until nWriters).foreach { i =>
+          assert(end((100L + i, s"w$i-op2", 2L)), s"writer $i's write lost")
+        }
+        assert(end.size == 8 + nWriters)
+      } finally SnapshotStore.manifestArbiter = None
+    }
+  }
+
+  test("a crashed claimer's arbiter row is superseded past its staleness grace") {
+    withSim {
+      ObjectStoreSim.conditionalCreate = false
+      val arb = new InMemoryClaimArbiter(staleMs = 150L)
+      SnapshotStore.manifestArbiter = Some(arb)
+      try {
+        val root = osimRoot("arbstale")
+        SnapshotStore.init(spark, root,
+          Seq((1L, "a", 1L)).toDF("k", "v", "ts"), Seq("k"), numBuckets = 2)
+        // a dead claimer holds v1's row and wrote NOTHING (crash before
+        // its PUT completed — the key is absent, only the claim lives)
+        val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val p = fs.makeQualified(new Path(root, "_commits/" + f"${1L}%020d")).toString
+        assert(arb.claim(p, "dead-claimer-token"))
+        Thread.sleep(200) // age the row past staleMs
+        val v = SnapshotStore.commitDelta(spark, root,
+          Seq((2L, "b", 2L)).toDF("k", "v", "ts"), Seq("k"), merge,
+          maxAttempts = 8)
+        assert(v == 1L, s"stale claim must be superseded, got version $v")
+        assert(rows(root)((2L, "b", 2L)))
+      } finally SnapshotStore.manifestArbiter = None
+    }
+  }
+
   test("conditional PUT turns the same interleave into a clean loss at close()") {
     withSim {
       val root = osimRoot("condput")
