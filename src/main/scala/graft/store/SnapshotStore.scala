@@ -1313,13 +1313,21 @@ object SnapshotStore {
           // incomplete dest was never reader-visible (no _SUCCESS), so
           // the delete closes no window.
           if (fs.exists(dest)) fs.delete(dest, true)
-          fs.listStatus(tmp).filter(_.isFile)
+          val copied = fs.listStatus(tmp).filter(_.isFile)
             .filterNot(_.getPath.getName == "_SUCCESS")
-            .foreach { st =>
+            .map { st =>
               org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
                 new Path(dest, st.getPath.getName), false, true, fs.getConf): Unit
+              st.getPath.getName
             }
-          fs.create(new Path(dest, "_SUCCESS"), true).close()
+          // marker carries the exact file set it vouches for: a MIXED
+          // dir (two same-version writers interleaving where the dedup
+          // claim is check-then-act) fails readCheckpoint's validation
+          // instead of double-counting both generations
+          val out = fs.create(new Path(dest, "_SUCCESS"), true)
+          try out.write(copied.sorted.mkString("", "\n", "\n")
+            .getBytes(StandardCharsets.UTF_8))
+          finally out.close()
         } else {
           // a torn prior attempt (dir present, no _SUCCESS) would make
           // rename nest tmp INSIDE dest — clear it first
@@ -1364,6 +1372,21 @@ object SnapshotStore {
     val dir = checkpointDir(root, v)
     val fs = fileSystem(spark, root)
     if (!fs.exists(new Path(dir, "_SUCCESS"))) return None
+    // an object-store publish stamps the marker with the exact file
+    // set it copied (the POSIX path's marker is Spark's empty
+    // _SUCCESS — its dir renamed into place atomically). A non-empty
+    // marker that disagrees with the directory means a MIXED dir: two
+    // same-version writers interleaving their delete+copy (possible
+    // where the work-dedup claim is check-then-act — plain-PUT
+    // stores), or a torn overwrite. Both generations carry identical
+    // logical rows under different (uuid) file names, so a whole-dir
+    // read would double-count — ignore the checkpoint (manifests
+    // reconstruct) and let the next cadence write repair it.
+    smallFileText(fs, new Path(dir, "_SUCCESS")).filter(_.nonEmpty).foreach { manifest =>
+      val listed = fs.listStatus(dir).filter(_.isFile)
+        .map(_.getPath.getName).filterNot(_ == "_SUCCESS").toSet
+      if (listed != manifest.linesIterator.filter(_.nonEmpty).toSet) return None
+    }
     val rows = spark.read.parquet(dir.toString).collect()
     def kind(k: String) = rows.filter(_.getString(0) == k)
     val metas = kind("meta").map(r => r.getString(2) -> r.getString(3)).toMap

@@ -479,6 +479,28 @@ class ObjectStoreSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("the full contract-op chaos mix holds on a PLAIN-PUT store with the arbiter in") {
+    // the hardest combination the matrix allows: no conditional
+    // writes at all, every manifest commit arbitrated externally,
+    // REPLACE/restore/WAP/compaction/checkpoint chaos on top
+    withSim {
+      ObjectStoreSim.conditionalCreate = false
+      SnapshotStore.manifestArbiter = Some(new InMemoryClaimArbiter())
+      val warehouse = "osim://" + Files.createTempDirectory("graft-osim-arbch").toString
+      spark.conf.set("spark.sql.catalog.goscp", classOf[graft.connector.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.goscp.root", warehouse)
+      try {
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS goscp.ns")
+        graft.connector.ChaosOps.hunt(spark, "goscp", warehouse, "hap",
+          seed = 43, nThreads = 3, opsPer = 8, info = info(_)): Unit
+      } finally {
+        SnapshotStore.manifestArbiter = None
+        spark.conf.unset("spark.sql.catalog.goscp")
+        spark.conf.unset("spark.sql.catalog.goscp.root")
+      }
+    }
+  }
+
   test("change-feed syncDerived mirrors an osim source onto an osim target through upserts and deletes") {
     // the feed consumer's offset registration, manifest diffs and the
     // mirror's own commits all ride the same conditional-PUT protocols
