@@ -3649,6 +3649,10 @@ object SnapshotStore {
                                           livePropsFinal: String,
                                           ledgerArchive: Boolean,
                                           ledgerSrc: Option[String],
+                                          // bundle-format compatibility only: since the
+                                          // certified-move protocol (R14) every ledger
+                                          // move COPIES — rename would consume the redo
+                                          // source a torn move's healer needs
                                           ledgerByRename: Boolean)
 
   private def pendingContractsName(v: Long, token: String): String =

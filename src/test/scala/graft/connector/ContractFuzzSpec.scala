@@ -346,7 +346,19 @@ class ContractFuzzSpec extends SparkSpec {
       s"seed $seed: all write-ahead bundles must be consumed")
   }
 
-  Seq(1, 2, 3, 4, 5, 6).foreach { seed =>
+  // resident seeds run every suite; rounds sweep FRESH ranges with
+  // e.g. `set Test/javaOptions += "-Dgraft.fuzz.seeds=17-26"` —
+  // r13 swept 7-16, r14 swept 17-26 (both green)
+  private val extraSeeds: Seq[Int] = sys.props.get("graft.fuzz.seeds")
+    .toSeq.flatMap(_.split(",").toSeq.flatMap { tok =>
+      tok.trim.split("-") match {
+        case Array(a, b) => a.trim.toInt to b.trim.toInt
+        case Array(a) if a.trim.nonEmpty => Seq(a.trim.toInt)
+        case _ => Seq.empty
+      }
+    })
+
+  (Seq(1, 2, 3, 4, 5, 6) ++ extraSeeds).distinct.foreach { seed =>
     test(s"seeded op/crash interleave keeps every version contract-coherent (seed $seed)") {
       runSeed(seed)
     }
