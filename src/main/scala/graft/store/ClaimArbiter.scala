@@ -47,6 +47,19 @@ trait ClaimArbiter {
     * write to that path.
     */
   def claim(path: String, token: String): Boolean
+
+  /** Read the current claim holder without mutating anything. Used as
+    * the ZOMBIE FENCE: a committer re-verifies it still holds the row
+    * after its write lands and BEFORE it reports success — a claimer
+    * suspended past the staleness grace whose upload completes after a
+    * superseder's acknowledged commit sees the superseder's token here
+    * and must report INDETERMINATE (its unconditional PUT may have
+    * clobbered the acknowledged manifest; a clean-loss report would
+    * hide that). The conditional-PUT close-fence and the POSIX
+    * unlink-fence kill this zombie at the store; plain PUT cannot, so
+    * the row is the fence.
+    */
+  def owner(path: String): Option[String]
 }
 
 /** JVM-local reference implementation: one CAS'd row per path, claims
@@ -72,4 +85,7 @@ final class InMemoryClaimArbiter(
       else cur)
     winner._1 == token
   }
+
+  override def owner(path: String): Option[String] =
+    Option(rows.get(path)).map(_._1)
 }

@@ -1619,6 +1619,7 @@ object SnapshotStore {
       }
 
     var out = tryCreate()
+    if (out.isDefined) manifestWriteHook(root, v)
     if (out.isEmpty) {
       // target exists: a complete manifest means a genuine loss; an
       // incomplete one is a crashed committer's leftover — reclaim it,
@@ -1670,9 +1671,29 @@ object SnapshotStore {
     }
     verdict match {
       case Right(t) =>
-        if (t.contains(token))
+        if (t.contains(token)) {
+          // ZOMBIE FENCE (arbiter mode): a claimer suspended past the
+          // arbiter's staleness grace can complete its unconditional
+          // PUT after a superseder's acknowledged commit — its
+          // readback then sees its OWN token (it clobbered the rival),
+          // and without this check BOTH would report success for one
+          // version. The row outlives the race: a superseded token
+          // must report INDETERMINATE, never success and never a clean
+          // loss (its PUT may have replaced acknowledged bytes — the
+          // table needs the superseder's commit re-driven or manual
+          // repair, loudly).
+          manifestArbiter.foreach { arb =>
+            val holder = arb.owner(qualified)
+            if (!holder.contains(token)) throw new IllegalStateException(
+              s"commit of version $v at $root is INDETERMINATE: this " +
+                s"committer was superseded (claim now held by " +
+                s"${holder.getOrElse("nobody")}) while suspended, and its " +
+                "late upload may have replaced the superseder's " +
+                "acknowledged manifest — repair by re-driving the " +
+                "superseding commit; do NOT treat as a clean loss")
+          }
           Some(Manifest(v, numBuckets, statsCols, txns, buckets, effKeys, commitTs))
-        else None
+        } else None
       case Left(e) => throw new IllegalStateException(
         s"commit of version $v at $root is INDETERMINATE: the manifest " +
           "was written but its readback keeps failing — do NOT treat as " +
@@ -3625,6 +3646,14 @@ object SnapshotStore {
     * but UNCERTIFIED directory a healer must redo, not accept.
     */
   @volatile private[graft] var ledgerMoveHook: Path => Unit = _ => ()
+
+  /** Test hook: runs after a manifest claim is WON (stream open) and
+    * before its body writes — blocking here simulates a committer
+    * suspended mid-upload past the arbiter's staleness grace (the
+    * zombie schedule the post-readback owner fence exists for).
+    */
+  @volatile private[graft] var manifestWriteHook: (String, Long) => Unit =
+    (_, _) => ()
 
   /** The WRITE-AHEAD INTENT of a contract swap: everything the
     * post-commit `_schema`/`_props`/identity swap will write, resolved

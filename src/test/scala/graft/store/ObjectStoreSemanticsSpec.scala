@@ -195,6 +195,62 @@ class ObjectStoreSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("ZOMBIE FENCE: a superseded claimer that completes its late upload reports INDETERMINATE, never a second success") {
+    // the one schedule plain PUT cannot kill at the store: claimer A
+    // wins the row, suspends mid-upload past the staleness grace,
+    // superseder B lands + ACKNOWLEDGES version v; A's unconditional
+    // PUT then completes, clobbering B's manifest — and A's readback
+    // sees A's own token. Without the post-readback owner fence BOTH
+    // report success for v and B's acknowledged commit is silently
+    // replaced. With it, A throws INDETERMINATE (loud repair signal).
+    withSim {
+      ObjectStoreSim.conditionalCreate = false
+      SnapshotStore.manifestArbiter = Some(new InMemoryClaimArbiter(staleMs = 150L))
+      val root = osimRoot("zombie")
+      SnapshotStore.init(spark, root,
+        (1L to 8L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts"),
+        Seq("k"), numBuckets = 2)
+      val suspended = new CountDownLatch(1) // A is inside its upload window
+      val resume = new CountDownLatch(1)
+      val first = new java.util.concurrent.atomic.AtomicBoolean(true)
+      SnapshotStore.manifestWriteHook = (r, v) =>
+        if (r == root && v == 1L && first.getAndSet(false)) {
+          suspended.countDown()
+          resume.await(120, TimeUnit.SECONDS): Unit
+        }
+      try {
+        val a = Future {
+          try Right(SnapshotStore.commitDelta(spark, root,
+            Seq((1L, "fromA", 100L)).toDF("k", "v", "ts"), Seq("k"), merge))
+          catch { case e: Throwable => Left(e) }
+        }
+        assert(suspended.await(120, TimeUnit.SECONDS), "A never claimed v1")
+        Thread.sleep(200) // age A's row past staleMs
+        // B supersedes, commits v1 end-to-end and is ACKNOWLEDGED
+        val bV = SnapshotStore.commitDelta(spark, root,
+          Seq((2L, "fromB", 200L)).toDF("k", "v", "ts"), Seq("k"), merge)
+        assert(bV == 1L)
+        assert(rows(root).contains((2L, "fromB", 200L)))
+        // A wakes and finishes its upload — the clobber happens, but A
+        // must NOT report success (nor a clean loss)
+        resume.countDown()
+        val aRes = Await.result(a, 120.seconds)
+        aRes match {
+          case Left(e) =>
+            val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+              .take(5).map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+            assert(chain.contains("INDETERMINATE") && chain.contains("superseded"),
+              s"zombie must surface the INDETERMINATE repair signal, got: $chain")
+          case Right(v) => fail(
+            s"zombie reported SUCCESS for version $v — double-acknowledged commit")
+        }
+      } finally {
+        SnapshotStore.manifestWriteHook = (_, _) => ()
+        SnapshotStore.manifestArbiter = None
+      }
+    }
+  }
+
   test("a crashed claimer's arbiter row is superseded past its staleness grace") {
     withSim {
       ObjectStoreSim.conditionalCreate = false
