@@ -1635,12 +1635,25 @@ object SnapshotStore {
       // uploads on close): no file on disk = an in-flight rival, a
       // plain loss — the arbiter's own staleness grace governs reclaim
       val age =
-        try System.currentTimeMillis() - fs.getFileStatus(target).getModificationTime
-        catch { case _: java.io.FileNotFoundException => return None }
-      if (age < ReclaimGraceMs) return None
-      fs.delete(target, false)
-      out = tryCreate()
-      if (out.isEmpty) return None
+        try Some(System.currentTimeMillis() - fs.getFileStatus(target).getModificationTime)
+        catch { case _: java.io.FileNotFoundException => None }
+      if (age.exists(_ >= ReclaimGraceMs)) {
+        fs.delete(target, false)
+        out = tryCreate()
+        if (out.isEmpty) return None
+      } else {
+        // the winner is still WRITING (young file, or no file yet —
+        // arbiter-held upload). Its manifest is un-listable until the
+        // terminator lands, so an immediate loss would send the
+        // caller's retry at the SAME version — re-deriving the whole
+        // delta each lap until attempts run out. Await the terminator
+        // briefly (the bounded await tryRebase already uses), then
+        // lose: the retry now probes the winner's version.
+        val deadline = System.currentTimeMillis() + 2000L
+        while (readTerminator(fs, target).isEmpty &&
+               System.currentTimeMillis() < deadline) Thread.sleep(25)
+        return None
+      }
     }
     // On conditional-PUT object stores the create-if-absent condition
     // is evaluated when the upload COMPLETES, so a lost race surfaces
@@ -3995,7 +4008,15 @@ object SnapshotStore {
         val src = adopted.get(vd).map(n => new Path(root, n))
           .getOrElse(new Path(staged, vd))
         val dst = new Path(root, mapping(vd))
-        require(fs.rename(src, dst), s"could not adopt $src into $root")
+        // a retry can recompute the SAME publish version (the race
+        // winner's manifest is un-listable until its upload completes,
+        // so latestVersion has not advanced) — the re-rename is then
+        // src onto itself: a no-op on POSIX, but an object store's
+        // copy+delete "rename" would try to copy the directory into
+        // its own subdirectory. Skip the move; the dirs are already
+        // where this attempt needs them.
+        if (src != dst)
+          require(fs.rename(src, dst), s"could not adopt $src into $root")
       }
       adopted = mapping
       def rehome(d: String): String =

@@ -547,8 +547,14 @@ class ObjectStoreSemanticsSpec extends SparkSpec {
       spark.conf.set("spark.sql.catalog.goscp.root", warehouse)
       try {
         spark.sql("CREATE NAMESPACE IF NOT EXISTS goscp.ns")
+        // 6×15 @ seed 1001 is the configuration whose thread pressure
+        // reliably drove a racing REPLACE's retry back onto the SAME
+        // un-listable publish version — the schedule that exposed the
+        // rename-onto-itself adoption explosion on object stores
+        // (fixed: self-moves skip; losers await the in-flight
+        // terminator so retries probe the winner's version)
         graft.connector.ChaosOps.hunt(spark, "goscp", warehouse, "hap",
-          seed = 43, nThreads = 3, opsPer = 8, info = info(_)): Unit
+          seed = 1001, nThreads = 6, opsPer = 15, info = info(_)): Unit
       } finally {
         SnapshotStore.manifestArbiter = None
         spark.conf.unset("spark.sql.catalog.goscp")
