@@ -73,6 +73,17 @@ object ObjectStoreSim {
   }
 
   private[store] val StagingPrefix = ".osim-put-"
+
+  /** In-flight uploads live here, OUTSIDE any table's keyspace — an
+    * object store's multipart staging is not a key (prefix deletes
+    * neither list nor kill it). Same mount as /tmp table roots so the
+    * completion move stays an atomic rename(2).
+    */
+  private[store] val stagingRoot: java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory("osim-staging")
+    d.toFile.deleteOnExit()
+    d
+  }
 }
 
 class ObjectStoreSim extends RawLocalFileSystem {
@@ -86,37 +97,58 @@ class ObjectStoreSim extends RawLocalFileSystem {
   /** The staged upload + atomic completion that every create routes
     * through. `failIfExists`: evaluate the If-None-Match condition at
     * completion (close), under the store's mutex.
+    *
+    * The staging file lives OUTSIDE the keyspace (a sim-global temp
+    * dir): an object store's in-flight multipart upload is not a key,
+    * so a concurrent "delete the prefix" must neither kill it nor see
+    * it — whereas staging inside the destination's parent made an
+    * in-flight PUT die with ENOENT when a racing same-version writer
+    * recursively deleted that "directory" (a local-FS artifact; keys
+    * need no parents). Completion re-materializes the parent path the
+    * local backing requires and retries the move briefly against a
+    * still-racing recursive delete — on a real store the PUT would
+    * simply land.
     */
   private def putStream(f: Path, permission: FsPermission, bufferSize: Int,
                         replication: Short, blockSize: Long,
                         progress: Progressable,
                         failIfExists: Boolean): FSDataOutputStream = {
-    val staged = new Path(f.getParent,
+    val staged = ObjectStoreSim.stagingRoot.resolve(
       StagingPrefix + f.getName + "-" + java.util.UUID.randomUUID().toString.take(8))
-    mkdirsPlain(f.getParent)
-    val inner = super.create(staged, permission, true, bufferSize,
-      replication, blockSize, progress)
+    val inner = super.create(new Path(staged.toString), permission, true,
+      bufferSize, replication, blockSize, progress)
     val commit: () => Unit = () => {
-      val src = java.nio.file.Paths.get(key(staged))
       val dst = java.nio.file.Paths.get(key(f))
       putLock.synchronized {
         if (failIfExists && java.nio.file.Files.exists(dst)) {
-          java.nio.file.Files.deleteIfExists(src)
+          java.nio.file.Files.deleteIfExists(staged)
           throw new FileAlreadyExistsException(
             s"PUT of $f failed its if-none-match precondition")
         }
-        java.nio.file.Files.move(src, dst,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        var attempts = 0
+        var done = false
+        while (!done) {
+          attempts += 1
+          java.nio.file.Files.createDirectories(dst.getParent)
+          try {
+            java.nio.file.Files.move(staged, dst,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            done = true
+          } catch {
+            case e: java.nio.file.NoSuchFileException =>
+              // a racing recursive delete tore the just-made parent
+              // out again — keys have no parents on a real store, so
+              // the PUT must still land; retry briefly
+              if (attempts >= 5) throw e
+          }
+        }
       }
       if (listingLagMs > 0)
         visibleAt.put(key(f), System.currentTimeMillis() + listingLagMs): Unit
     }
     new FSDataOutputStream(new CommitOnClose(inner, commit), null)
   }
-
-  private def mkdirsPlain(p: Path): Unit =
-    if (p != null && !superExists(p)) { super.mkdirs(p, FsPermission.getDirDefault): Unit }
 
   private def superExists(p: Path): Boolean =
     try { super.getFileStatus(p); true }
