@@ -29,13 +29,18 @@ import graft.store.{ObjectStoreSim, SnapshotStore}
   *    publish rolls back by discarding its partial copies — the branch
   *    must stay whole either way.
   *
-  * Usage: Test/runMain graft.tools.SoakOsim [scale] [outJson]
-  * (test scope: the simulator and the shared chaos body live there).
+  * Usage: Test/runMain graft.tools.SoakOsim [scale] [outJson] [mode]
+  * — mode `conditional` (default) is a conditional-PUT store; mode
+  * `plainput-arb` turns conditional creates OFF and plugs in the
+  * [[graft.store.InMemoryClaimArbiter]]: the hardest personality the
+  * §5 matrix allows, at scale. (Test scope: the simulator and the
+  * shared chaos body live there.)
   */
 object SoakOsim {
   def main(args: Array[String]): Unit = {
     val scale = args.headOption.map(_.toInt).getOrElse(10)
     val outJson = if (args.length > 1) args(1) else "SOAK_r14b.json"
+    val mode = if (args.length > 2) args(2) else "conditional"
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -47,6 +52,12 @@ object SoakOsim {
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.hadoopConfiguration.set(
       "fs.osim.impl", classOf[ObjectStoreSim].getName)
+    if (mode == "plainput-arb") {
+      ObjectStoreSim.conditionalCreate = false
+      SnapshotStore.manifestArbiter =
+        Some(new graft.store.InMemoryClaimArbiter())
+      println("[soak-osim] mode: PLAIN-PUT store + external claim arbiter")
+    }
 
     def loadavg(): Double =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").head.toDouble
@@ -235,8 +246,10 @@ object SoakOsim {
     val loadN = loadavg()
     def jmap[A](m: Iterable[(String, A)])(f: A => String): String =
       m.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    ObjectStoreSim.reset()
+    SnapshotStore.manifestArbiter = None
     val json =
-      s"""{"metric":"soak_osim","scale":$scale,"unit":"sec","base_sf":"$baseDir",""" +
+      s"""{"metric":"soak_osim","mode":"$mode","scale":$scale,"unit":"sec","base_sf":"$baseDir",""" +
         s""""loadavg_start":$load0,"loadavg_end":$loadN,""" +
         s""""times":${jmap(times)(v => ms(v).toString)},""" +
         s""""counts":${jmap(counts)(_.toString)}}"""
