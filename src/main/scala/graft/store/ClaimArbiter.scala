@@ -14,14 +14,17 @@ package graft.store
   * The fix deployed by every public lakehouse on that store class is a
   * small external mutex table — DynamoDB conditional puts, a ZooKeeper
   * znode, a Postgres row — keyed by the object path. This trait is
-  * that seam: [[SnapshotStore]] routes MANIFEST claims through it when
-  * one is configured (`SnapshotStore.manifestArbiter`, or
-  * `-Dgraft.store.manifestArbiter=<class with zero-arg ctor>`), and
-  * the rest of the commit protocol is unchanged — the arbiter only
-  * SERIALIZES the create; ownership of a committed manifest is still
-  * decided by the terminator readback, so a pathologically suspended
-  * claimer that resumes writing is fenced by the token check exactly
-  * as on POSIX.
+  * that seam: when one is configured (`SnapshotStore.manifestArbiter`,
+  * or `-Dgraft.store.manifestArbiter=<class with zero-arg ctor>`),
+  * [[SnapshotStore]] routes EVERY exclusive-create claim through it —
+  * manifest commits, identity-block claims (an overlapping identity
+  * range is silent corruption of the same severity as a lost
+  * manifest), tag creates (double winners would silently re-point an
+  * immutable tag), and checkpoint work-dedup claims — and the rest of
+  * each protocol is unchanged: the arbiter only SERIALIZES the create;
+  * ownership of a committed payload is still decided by its readback,
+  * and a pathologically suspended claimer that resumes writing is
+  * fenced by the per-site post-write owner re-check.
   *
   * Contract:
   *  - [[claim]] must be ATOMIC across all processes sharing the store:
@@ -71,16 +74,23 @@ trait ClaimArbiter {
   * plugged in. Default staleness mirrors the store's torn-manifest
   * reclaim grace.
   */
-final class InMemoryClaimArbiter(
-    staleMs: Long = sys.props.get("graft.snapshot.reclaimGraceMs")
-      .map(_.toLong).getOrElse(600000L)) extends ClaimArbiter {
+final class InMemoryClaimArbiter(staleMs: Long = -1L) extends ClaimArbiter {
   private val rows =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  /** Default (-1) = the store's own loaded reclaim grace, read through
+    * the shared accessor so the two can never diverge: a claim must
+    * become supersedable at exactly the moment the store considers the
+    * matching torn leftover reclaimable (see
+    * [[SnapshotStore.reclaimGraceMs]]).
+    */
+  private def grace: Long =
+    if (staleMs >= 0) staleMs else SnapshotStore.reclaimGraceMs
 
   override def claim(path: String, token: String): Boolean = {
     val now = System.currentTimeMillis()
     val winner = rows.compute(path, (_, cur) =>
-      if (cur == null || cur._1 == token || now - cur._2 > staleMs)
+      if (cur == null || cur._1 == token || now - cur._2 > grace)
         (token, now)
       else cur)
     winner._1 == token

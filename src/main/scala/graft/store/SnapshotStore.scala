@@ -67,6 +67,15 @@ object SnapshotStore {
   private val ReclaimGraceMs: Long =
     sys.props.get("graft.snapshot.reclaimGraceMs").map(_.toLong).getOrElse(600000L)
 
+  /** The store's torn-claim reclaim grace, shared so cooperating
+    * components (notably [[InMemoryClaimArbiter]]'s default staleness)
+    * read the SAME loaded value instead of re-parsing the system
+    * property at a different time — an arbiter whose staleness
+    * diverged from the manifest reclaim grace could supersede a claim
+    * the store still considers unreclaimable, or vice versa.
+    */
+  private[graft] def reclaimGraceMs: Long = ReclaimGraceMs
+
   /** How long a checkpoint writer defers to another writer's live
     * `claim-cp-<v>` before writing its own attempt anyway. Checkpoint
     * DATA writes take seconds (one metadata-sized parquet task), so
@@ -159,11 +168,13 @@ object SnapshotStore {
     ObjectStoreSchemes.contains(scheme)
   }
 
-  /** Optional external arbiter for MANIFEST commit claims — required
-    * on object stores without conditional writes, where exclusive
-    * create cannot exist above a last-writer-wins PUT (see
-    * [[ClaimArbiter]] and the SURVEY §5 matrix). Configure
-    * programmatically or via
+  /** Optional external arbiter for EVERY exclusive-create claim the
+    * store makes — manifest commits, identity-block claims, tag
+    * creates, and checkpoint work-dedup claims — required on object
+    * stores without conditional writes, where exclusive create cannot
+    * exist above a last-writer-wins PUT (see [[ClaimArbiter]] and the
+    * SURVEY §5 matrix; the name predates the widening and is kept for
+    * the stable `-D` config key). Configure programmatically or via
     * `-Dgraft.store.manifestArbiter=<class with zero-arg ctor>`.
     * Unset (the default), the store's own exclusive-create primitive
     * arbitrates — correct on POSIX, HDFS, ABFS, GCS and every
@@ -491,6 +502,15 @@ object SnapshotStore {
     * become gaps — AUTOINCREMENT promises uniqueness and per-writer
     * monotonicity, never density (Snowflake documents the same).
     */
+  /** Spec/tooling seam for the allocator protocol below — production
+    * minting rides the write path ([[writeBuckets]]); specs exercise
+    * the claim/reclaim/fence schedules directly through this.
+    */
+  private[graft] def reserveIdentity(spark: SparkSession, root: String,
+                                     col: String, count: Long): Long =
+    reserveIdentityBlock(spark, root, col,
+      IdentitySpec(1L, 1L, allowExplicit = false), count)
+
   private def reserveIdentityBlock(spark: SparkSession, root: String,
                                    col: String, spec: IdentitySpec,
                                    count: Long): Long = {
@@ -518,24 +538,57 @@ object SnapshotStore {
   private def claimBlock(fs: FileSystem, dir: Path, seq: Long, first: Long,
                          count: Long): Boolean = {
     val target = new Path(dir, f"block-$seq%020d" + s"_$first")
-    // atomic claim ([[createExclusive]]): a local check-then-act create
-    // would let two allocators both "win" the same (seq, first) and
-    // mint overlapping identity ranges
-    val created = createExclusive(fs, target)
+    // atomic claim ([[arbitratedCreate]]): a local check-then-act
+    // create would let two allocators both "win" the same (seq, first)
+    // and mint overlapping identity ranges. On plain-PUT stores the
+    // configured [[ClaimArbiter]] row serializes the create for the
+    // same reason (SURVEY §5 matrix row 2 — an overlapping identity
+    // range is silent data corruption, same severity as a lost
+    // manifest).
+    val token = newToken()
+    val created = arbitratedCreate(fs, target, token)
     created match {
       case Some(out) =>
+        claimWriteHook("identity", target)
         // a write/close failure is a definitive LOSS, not a readback
         // question: on conditional-PUT stores close() is where the
         // lost race surfaces, and the content readback alone cannot
-        // arbitrate — a racing claimer of the same (seq, first) writes
-        // the SAME count, so "payload matches" would declare both
-        // winners and mint overlapping identity ranges
+        // arbitrate — a racing claimer of the same (seq, first) may
+        // write the same count, so "payload matches" would declare
+        // both winners and mint overlapping identity ranges
         val landed =
           try { try out.write(s"$count\tend".getBytes(StandardCharsets.UTF_8))
                 finally out.close(); true }
           catch { case _: java.io.IOException => false }
-        landed && blockCount(fs, target).contains(count)
-      case None => false
+        val won = landed && blockCount(fs, target).contains(count)
+        // ZOMBIE FENCE (arbiter mode): a claimer suspended past the
+        // staleness grace whose late PUT completes after a superseder
+        // acknowledged this (seq, first) clobbers the superseder's
+        // payload — and if the counts DIFFER, the ledger frontier now
+        // advances by the zombie's count while the superseder already
+        // minted per its own: overlapping ranges. The payload readback
+        // cannot see this (it reads the zombie's own bytes back), so
+        // the row is the fence — a superseded claimer must fail LOUDLY
+        // (its clobber may have corrupted the chain tip), never report
+        // a win or a clean loss.
+        if (won) supersededBy(fs, target, token).foreach { holder =>
+          throw new IllegalStateException(
+            s"identity block claim (seq=$seq, first=$first) under $dir " +
+              s"is INDETERMINATE: this claimer was superseded (claim " +
+              s"now held by $holder) while suspended, and its late " +
+              "write may have replaced the superseding allocator's " +
+              "payload with a different count — verify the block file " +
+              "against minted ids before further allocation; do NOT " +
+              "treat as a clean loss")
+        }
+        won
+      case None =>
+        // under an arbiter a lost row can belong to a crashed claimer
+        // that never PUT anything (no file to age-check) — pace the
+        // retry loop so waiters don't burn their attempt budget inside
+        // one staleness grace
+        if (manifestArbiter.isDefined && !fs.exists(target)) Thread.sleep(50)
+        false
     }
   }
 
@@ -1236,11 +1289,20 @@ object SnapshotStore {
     // deferral, after which waiters simply write their own attempt;
     // the orphaned claim file is swept by [[vacuum]].
     val claim = new Path(commitsDir(root), f"claim-cp-${m.version}%020d")
+    // On a plain-PUT store the exclusive create below is check-then-act
+    // and two claimers can both "win" — never a correctness hole (the
+    // self-validating publish turns a mixed dir into a walked-back
+    // checkpoint), but double work and a degraded read until the next
+    // cadence. With the arbiter configured the claim row restores
+    // single-writer dedup; the marker file still PUTs (overwrite) so
+    // waiters' mtime-age deferral works unchanged. One token per call:
+    // a same-caller retry re-wins its own row.
+    val claimToken = newToken()
     val start = System.currentTimeMillis()
     var defer = true
     while (defer) {
       if (fs.exists(done)) return
-      createExclusive(fs, claim) match {
+      arbitratedCreate(fs, claim, claimToken) match {
         case Some(out) =>
           // conditional-PUT stores surface a lost claim at close();
           // a loser just rejoins the waiters
@@ -1332,7 +1394,21 @@ object SnapshotStore {
           // a torn prior attempt (dir present, no _SUCCESS) would make
           // rename nest tmp INSIDE dest — clear it first
           if (fs.exists(dest)) fs.delete(dest, true)
-          fs.rename(tmp, dest): Unit
+          checkpointRenameHook(dest)
+          // Two same-version writers can interleave their delete+rename
+          // here (the claim is work-dedup, not a correctness gate):
+          // Hadoop's rename onto a dest a rival re-created in this
+          // window moves tmp INSIDE it — and still returns true. The
+          // rival's publish is complete and correct; only OUR stray
+          // `cp-<v>.tmp-<token>` subdir pollutes it (vacuum sweeps only
+          // direct children of _commits, and a whole-dir parquet read
+          // would trip over or double-count it). Detect the nest and
+          // remove the stray. A false return (dest vanished under a
+          // concurrent delete) just abandons tmp to the finally-delete.
+          if (fs.rename(tmp, dest)) {
+            val nested = new Path(dest, tmp.getName)
+            if (fs.exists(nested)) fs.delete(nested, true): Unit
+          }
         }
       }
     } finally {
@@ -1508,6 +1584,46 @@ object SnapshotStore {
     }
   }
 
+  /** [[createExclusive]] with the external [[ClaimArbiter]] (when one
+    * is configured) serializing the create where the store cannot —
+    * plain-PUT object stores, where `create(overwrite=false)` is only
+    * a client-side check before a clobbering PUT. The claim is gated
+    * on the target being ABSENT (a stale-row supersede must never race
+    * an already-landed object), and the file then opens as an
+    * overwrite PUT: the arbiter granted exclusivity. Used by EVERY
+    * exclusive-claim site — manifest commits, identity-block claims,
+    * tag creates, checkpoint work-dedup claims — because each is the
+    * same broken primitive on such a store (SURVEY §5 matrix row 2).
+    */
+  private def arbitratedCreate(fs: FileSystem, target: Path, token: String)
+      : Option[org.apache.hadoop.fs.FSDataOutputStream] =
+    manifestArbiter match {
+      case Some(arb) =>
+        if (fs.exists(target)) None
+        else if (arb.claim(fs.makeQualified(target).toString, token))
+          Some(fs.create(target, true))
+        else None
+      case None => createExclusive(fs, target)
+    }
+
+  /** The ZOMBIE FENCE's question, shared by every arbitrated claim
+    * site: does `token` still hold the arbiter row for `target`?
+    * Returns the superseding holder when it does not. A claimer
+    * suspended past the arbiter's staleness grace whose unconditional
+    * PUT completes AFTER a superseder's acknowledged write clobbers it
+    * — and a readback of its own payload would bless the zombie. The
+    * row is the only fence plain PUT leaves standing, so a superseded
+    * token must report INDETERMINATE, never success and never a clean
+    * loss. Always None without an arbiter (the store-level fences —
+    * POSIX O_EXCL, conditional-PUT close — already killed the zombie).
+    */
+  private def supersededBy(fs: FileSystem, target: Path, token: String)
+      : Option[String] =
+    manifestArbiter.flatMap { arb =>
+      val holder = arb.owner(fs.makeQualified(target).toString)
+      if (holder.contains(token)) None else Some(holder.getOrElse("nobody"))
+    }
+
   /** Atomically publish version `v`. Returns false when another writer
     * already committed `v`.
     *
@@ -1610,13 +1726,7 @@ object SnapshotStore {
     // survives the readback reports success).
     val qualified = fs.makeQualified(target).toString
     def tryCreate(): Option[org.apache.hadoop.fs.FSDataOutputStream] =
-      manifestArbiter match {
-        case Some(arb) =>
-          if (fs.exists(target)) None
-          else if (arb.claim(qualified, token)) Some(fs.create(target, true))
-          else None
-        case None => createExclusive(fs, target)
-      }
+      arbitratedCreate(fs, target, token)
 
     var out = tryCreate()
     if (out.isDefined) manifestWriteHook(root, v)
@@ -1662,9 +1772,13 @@ object SnapshotStore {
     // write/close failure must fall THROUGH to it, never abort: the
     // readback classifies it as a clean loss (another token / no
     // file), a win (our token — e.g. a spurious close error after the
-    // bytes landed), or indeterminate.
+    // bytes landed), or indeterminate. The exception is KEPT: when the
+    // readback shows no rival terminator either, nothing arbitrated
+    // this commit away — the write itself failed (disk full, quota)
+    // and the root cause must surface instead of a silent clean loss.
+    var writeErr: Option[java.io.IOException] = None
     try { try out.get.write(body.getBytes(StandardCharsets.UTF_8)) finally out.get.close() }
-    catch { case _: java.io.IOException => () }
+    catch { case e: java.io.IOException => writeErr = Some(e) }
     // Post-write ownership check (see scaladoc): success only if OUR
     // terminator survived any concurrent reclaim of the same version.
     // A definitive readback of a DIFFERENT token (or a vanished file)
@@ -1695,17 +1809,36 @@ object SnapshotStore {
           // loss (its PUT may have replaced acknowledged bytes — the
           // table needs the superseder's commit re-driven or manual
           // repair, loudly).
-          manifestArbiter.foreach { arb =>
-            val holder = arb.owner(qualified)
-            if (!holder.contains(token)) throw new IllegalStateException(
+          supersededBy(fs, target, token).foreach { holder =>
+            throw new IllegalStateException(
               s"commit of version $v at $root is INDETERMINATE: this " +
-                s"committer was superseded (claim now held by " +
-                s"${holder.getOrElse("nobody")}) while suspended, and its " +
-                "late upload may have replaced the superseder's " +
-                "acknowledged manifest — repair by re-driving the " +
-                "superseding commit; do NOT treat as a clean loss")
+                s"committer was superseded (claim now held by $holder) " +
+                "while suspended, and its late upload may have replaced " +
+                "the superseder's acknowledged manifest — repair by " +
+                "re-driving the superseding commit; do NOT treat as a " +
+                "clean loss")
           }
           Some(Manifest(v, numBuckets, statsCols, txns, buckets, effKeys, commitTs))
+        } else if (t.isEmpty && writeErr.isDefined &&
+            { try fs.exists(target) catch { case _: java.io.IOException => false } }) {
+          // no terminator anywhere, our write threw, and the target
+          // exists TORN: on every store whose writes are unconditional
+          // for us (POSIX/HDFS after a won O_EXCL create, arbiter mode
+          // after a won claim) that torn file is OURS — a genuine
+          // write failure, not a lost race. Reported as a clean loss
+          // it would bury the root cause AND block this version for
+          // the reclaim grace while the caller burns OCC retries
+          // against its own leftover. Clear the leftover (no rival can
+          // be writing this file — we won its create) and rethrow.
+          // A lost CONDITIONAL put leaves the target ABSENT (nothing
+          // of ours ever became visible; the rival arbitrated us away
+          // at close) and keeps taking the clean-loss branch below.
+          fs.delete(target, false): Unit
+          throw new IllegalStateException(
+            s"commit of version $v at $root failed writing the manifest " +
+              "(no rival terminator present — a write failure, not a " +
+              "lost race); the torn leftover was cleared so a retry may " +
+              "proceed", writeErr.get)
         } else None
       case Left(e) => throw new IllegalStateException(
         s"commit of version $v at $root is INDETERMINATE: the manifest " +
@@ -3668,6 +3801,21 @@ object SnapshotStore {
   @volatile private[graft] var manifestWriteHook: (String, Long) => Unit =
     (_, _) => ()
 
+  /** Test hook: runs after a NON-manifest arbitrated claim (identity
+    * block, tag) is won and before its payload writes — the suspension
+    * window the per-site zombie fences cover. First arg names the
+    * site: "identity" | "tag".
+    */
+  @volatile private[graft] var claimWriteHook: (String, Path) => Unit =
+    (_, _) => ()
+
+  /** Test hook: runs in a POSIX checkpoint publish between the
+    * clear-torn-dest delete and the tmp→dest rename — the window where
+    * a rival same-version publisher can re-create dest and turn the
+    * rename into a nest-inside move.
+    */
+  @volatile private[graft] var checkpointRenameHook: Path => Unit = _ => ()
+
   /** The WRITE-AHEAD INTENT of a contract swap: everything the
     * post-commit `_schema`/`_props`/identity swap will write, resolved
     * BEFORE the manifest commit (reads of live state are stable then —
@@ -4220,12 +4368,18 @@ object SnapshotStore {
         "version ids (VERSION AS OF resolves numbers as versions first)")
     val p = tagPath(root, name)
     fs.mkdirs(p.getParent)
-    // atomic claim ([[createExclusive]]): two racing createTag calls of
-    // the same name must not both succeed (tags are immutable)
+    // atomic claim ([[arbitratedCreate]]): two racing createTag calls
+    // of the same name must not both succeed (tags are immutable). On
+    // plain-PUT stores the configured [[ClaimArbiter]] row serializes
+    // the create — a lost row is the same immutable-tag conflict as a
+    // lost exclusive create (either an existing tag or a live rival
+    // mid-upload whose PUT will land).
     def alreadyExists() = new IllegalStateException(
       s"tag '$name' already exists at $root — tags are immutable; " +
         "drop_tag first to re-point it")
-    val out = createExclusive(fs, p).getOrElse(throw alreadyExists())
+    val token = newToken()
+    val out = arbitratedCreate(fs, p, token).getOrElse(throw alreadyExists())
+    claimWriteHook("tag", p)
     // conditional-PUT stores arbitrate at close(): a lost race there
     // must report the same immutable-tag conflict as a lost create —
     // any other failure (no competing tag on disk) propagates as the
@@ -4235,6 +4389,20 @@ object SnapshotStore {
     catch {
       case e: java.io.IOException =>
         if (fs.exists(p)) throw alreadyExists() else throw e
+    }
+    // ZOMBIE FENCE (arbiter mode): a creator suspended past the
+    // staleness grace whose late PUT completes after a superseding
+    // creator's acknowledged tag CLOBBERS that tag's version with its
+    // own — readers would silently time-travel to the wrong snapshot.
+    // The row is the only fence plain PUT leaves; a superseded creator
+    // must fail loudly with the repair recipe, never report success.
+    supersededBy(fs, p, token).foreach { holder =>
+      throw new IllegalStateException(
+        s"tag '$name' at $root is INDETERMINATE: this creator was " +
+          s"superseded (claim now held by $holder) while suspended, " +
+          s"and its late write may have replaced the superseding " +
+          s"creator's version with $v — drop_tag and re-create to " +
+          "repair; do NOT treat the tag as committed")
     }
     v
   }
