@@ -59,10 +59,16 @@ class GraftChangeFeedSource(spark: SparkSession, root: String,
                             initialVersion: Long,
                             maxVersionsPerBatch: Option[Long],
                             metadataPath: Option[String],
-                            refreshOnReplace: Boolean = false) extends Source
+                            refreshOnReplace: Boolean = false,
+                            pinnedSchema: Option[StructType] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  override val schema: StructType = GraftChangeFeedSource.feedSchema(spark, root)
+  // when the provider resolved the relation schema already, REUSE it:
+  // the engine asserts every batch against the relation's attributes,
+  // so a second resolution racing a REPLACE swap would kill the query
+  // with an engine-internal assertion (see GraftDataSource.sourceSchema)
+  override val schema: StructType =
+    pinnedSchema.getOrElse(GraftChangeFeedSource.feedSchema(spark, root))
 
   // retention floor from the start: versions after `initialVersion`
   // must survive vacuum until this stream's batches commit past them
@@ -225,6 +231,22 @@ class GraftChangeFeedSource(spark: SparkSession, root: String,
 
 object GraftChangeFeedSource {
 
+  /** sourceSchema → createSource consistency pin (see
+    * [[GraftDataSource.sourceSchema]]): Spark calls the two provider
+    * methods on DIFFERENT instances, so the per-root pin lives here.
+    * Last-write-wins per root — each `readStream.load()` re-pins
+    * immediately before its own `start()` reads it back.
+    */
+  private val schemaPins =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  private[connector] def pinSchema(root: String, s: StructType): Unit = {
+    schemaPins.put(root, s): Unit
+  }
+
+  private[connector] def pinnedSchemaFor(root: String): Option[StructType] =
+    Option(schemaPins.get(root))
+
   private[connector] def rootOf(parameters: Map[String, String]): String = {
     val p = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft streaming reads need a table root: .option(\"path\", <root>) " +
@@ -252,7 +274,8 @@ object GraftChangeFeedSource {
       .add(ChangeFeed.CommitVersion, LongType)
 
   def apply(spark: SparkSession, parameters: Map[String, String],
-            metadataPath: Option[String] = None): GraftChangeFeedSource = {
+            metadataPath: Option[String] = None,
+            pinnedSchema: Option[StructType] = None): GraftChangeFeedSource = {
     val root = rootOf(parameters)
     val keys = keysOf(parameters)
     val consumerId = parameters.get("consumerId").filter(_.nonEmpty)
@@ -274,6 +297,7 @@ object GraftChangeFeedSource {
         require(n >= 1, s"maxVersionsPerBatch must be >= 1, got $n"); n
       },
       metadataPath,
-      refreshOnReplace = onReplace == "refresh")
+      refreshOnReplace = onReplace == "refresh",
+      pinnedSchema = pinnedSchema)
   }
 }

@@ -162,17 +162,39 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   // V1 streaming source (change feed) — see GraftChangeFeedSource
   // ------------------------------------------------------------------
 
+  /** One schema resolution per query start: [[sourceSchema]] feeds the
+    * StreamingExecutionRelation the engine asserts EVERY batch's
+    * attributes against, and [[createSource]] must hand those SAME
+    * fields to the running source — re-resolving there lets a
+    * concurrent REPLACE contract swap land between the two calls, and
+    * the engine then kills the query with an internal
+    * `Invalid batch: ... != ...` assertion instead of the documented
+    * boundary shape (found live by StreamChaosSpec, seed 15: a 10 ms
+    * window, hit twice in two runs). Spark instantiates SEPARATE
+    * provider instances for the two calls (measured), so the pin lives
+    * in the [[GraftChangeFeedSource]] companion, keyed by root,
+    * last-write-wins: every `readStream.load()` re-pins immediately
+    * before its own `start()` consumes it. A query re-started from a
+    * STALE DataFrame (load() long ago, a REPLACE in between) may still
+    * get a fresher pin than its relation — that residual window stays
+    * a LOUD engine assertion, never silent corruption.
+    */
   override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
                             schema: Option[StructType], providerName: String,
-                            parameters: Map[String, String]): (String, StructType) =
-    (shortName(), GraftChangeFeedSource.feedSchema(
-      sqlContext.sparkSession, GraftChangeFeedSource.rootOf(parameters)))
+                            parameters: Map[String, String]): (String, StructType) = {
+    val root = GraftChangeFeedSource.rootOf(parameters)
+    val resolved = GraftChangeFeedSource.feedSchema(sqlContext.sparkSession, root)
+    GraftChangeFeedSource.pinSchema(root, resolved)
+    (shortName(), resolved)
+  }
 
   override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
                             metadataPath: String, schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
-    GraftChangeFeedSource(sqlContext.sparkSession, parameters, Some(metadataPath))
+    GraftChangeFeedSource(sqlContext.sparkSession, parameters, Some(metadataPath),
+      pinnedSchema = GraftChangeFeedSource.pinnedSchemaFor(
+        GraftChangeFeedSource.rootOf(parameters)))
 
   // ------------------------------------------------------------------
   // V1 write paths — see GraftWrite / GraftSink
@@ -296,9 +318,20 @@ object GraftTable {
       return withEvolvedColumns(archived,
         withDeclaredMetadata(archived, base))
     }
-    val base = footerBase
-      .orElse(readSchemaFile(spark, root)).getOrElse(new StructType())
-    val declared = readSchemaFile(spark, root)
+    // mid-swap epoch guard: a pinned manifest flagged `epoch:` whose
+    // version is NEWER than the stamped graft.schema.epoch means the
+    // contract swap is still IN FLIGHT (the stamp is the swap's last
+    // step) — the live `_schema` breadcrumb still belongs to the
+    // DISPLACED epoch. Overlaying it onto the new epoch's footers
+    // would present a transient cross-epoch column union (a
+    // frankenschema with a null-filled phantom column — caught live by
+    // StreamChaosSpec racing a REPLACE); until the stamp lands,
+    // resolve the new epoch from its own footers alone.
+    val swapInFlight =
+      props.get("graft.schema.epoch").map(_.toLong).forall(_ < m.version) &&
+        SnapshotStore.isEpochStart(spark, root, m.version)
+    val declared = if (swapInFlight) None else readSchemaFile(spark, root)
+    val base = footerBase.orElse(declared).getOrElse(new StructType())
     val schema = withEvolvedColumns(declared,
       withDeclaredMetadata(declared, base))
     if (m.keys.nonEmpty && props.get("dml.mode").contains("delta"))

@@ -67,13 +67,25 @@ class ChaosHuntSpec extends SparkSpec {
       }
     val epochN = new java.util.concurrent.atomic.AtomicInteger(100)
     val gate = new CountDownLatch(1)
+    // self-diagnosing (r14 flake-ledger lesson): every op and outcome
+    // is journaled, and any failure — undocumented mid-chaos throw or
+    // final divergence — persists the journal + both states via
+    // ChaosOps.dumpDiagnostics before the assert fires
+    val opsLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def dump(reason: String, extra: Seq[String]): String =
+      ChaosOps.dumpDiagnostics("syncderived",
+        s"reason: $reason" +:
+          s"versions: ${scala.util.Try(SnapshotStore.versions(spark, root)).toOption}" +:
+          (opsLog.toArray(Array.empty[String]).toSeq.map("op: " + _) ++ extra))
     val muts = (0 until 2).map { t =>
       Future {
         gate.await()
         val rnd = new scala.util.Random(7000 + t)
-        (1 to 8).foreach { _ =>
+        (1 to 8).foreach { i =>
+          val op = rnd.nextInt(5)
+          opsLog.add(s"mut$t#$i op$op begin"): Unit
           try {
-            rnd.nextInt(5) match {
+            op match {
               case 0 | 1 =>
                 val cols = spark.table(s"gch.ns.$tbl").columns
                 val key =
@@ -93,26 +105,39 @@ class ChaosHuntSpec extends SparkSpec {
                   AS SELECT 'r' AS $c, CAST(1 AS BIGINT) AS n""")
               case 4 =>
                 val vs = SnapshotStore.versions(spark, root)
-                SnapshotStore.restore(spark, root,
-                  vs(new scala.util.Random().nextInt(vs.length))): Unit
+                val target = vs(rnd.nextInt(vs.length))
+                opsLog.add(s"mut$t#$i restore -> $target"): Unit
+                SnapshotStore.restore(spark, root, target): Unit
             }
+            opsLog.add(s"mut$t#$i op$op landed"): Unit
           } catch {
-            case e: Throwable if ChaosOps.documented(e) => ()
-            case e: Throwable => throw new IllegalStateException(
-              s"sync-chaos mutator $t UNDOCUMENTED failure", e)
+            case e: Throwable if ChaosOps.documented(e) =>
+              opsLog.add(s"mut$t#$i op$op documented conflict: " +
+                s"${e.getClass.getSimpleName}: ${e.getMessage}"): Unit
+            case e: Throwable =>
+              val p = dump(s"mutator $t op$op UNDOCUMENTED",
+                ChaosOps.renderChain(e))
+              throw new IllegalStateException(
+                s"sync-chaos mutator $t UNDOCUMENTED failure (diag: $p)", e)
           }
         }
       }
     }
     val syncer = Future {
       gate.await()
-      (1 to 10).foreach { _ =>
-        try graft.store.ChangeFeed.syncDerived(spark, root, dRoot, "cs",
-          keys = srcKeys(), numBuckets = 4): Unit
-        catch {
-          case e: Throwable if documentedSync(e) => ()
-          case e: Throwable => throw new IllegalStateException(
-            "sync-chaos syncer UNDOCUMENTED failure", e)
+      (1 to 10).foreach { i =>
+        try {
+          graft.store.ChangeFeed.syncDerived(spark, root, dRoot, "cs",
+            keys = srcKeys(), numBuckets = 4): Unit
+          opsLog.add(s"sync#$i landed"): Unit
+        } catch {
+          case e: Throwable if documentedSync(e) =>
+            opsLog.add(s"sync#$i documented conflict: " +
+              s"${e.getClass.getSimpleName}: ${e.getMessage}"): Unit
+          case e: Throwable =>
+            val p = dump(s"syncer#$i UNDOCUMENTED", ChaosOps.renderChain(e))
+            throw new IllegalStateException(
+              s"sync-chaos syncer UNDOCUMENTED failure (diag: $p)", e)
         }
         Thread.sleep(30)
       }
@@ -130,7 +155,12 @@ class ChaosHuntSpec extends SparkSpec {
     }
     val src = byName(spark.table(s"gch.ns.$tbl").toDF())
     val mir = byName(SnapshotStore.read(spark, dRoot))
-    assert(mir == src,
-      s"mirror diverged after quiescent sync: source $src, mirror $mir")
+    if (mir != src) {
+      val p = dump("final divergence",
+        Seq(s"source-only: ${src -- mir}", s"mirror-only: ${mir -- src}",
+          s"source: $src", s"mirror: $mir"))
+      fail(s"mirror diverged after quiescent sync (diag: $p): " +
+        s"source-only ${src -- mir}, mirror-only ${mir -- src}")
+    }
   }
 }

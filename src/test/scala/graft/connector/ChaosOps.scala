@@ -24,6 +24,32 @@ import graft.store.SnapshotStore
   */
 object ChaosOps {
 
+  /** Persist a chaos-failure diagnostic bundle (op log, states,
+    * exception chains) under `target/chaos-diag/` and return its path —
+    * the flake-ledger lesson: a convergence test that fails once
+    * WITHOUT capturing its diff is undiagnosable on recurrence, so
+    * every chaos assert routes its evidence through here before
+    * failing.
+    */
+  def dumpDiagnostics(tag: String, lines: Seq[String]): String = {
+    val dir = java.nio.file.Paths.get("target", "chaos-diag")
+    java.nio.file.Files.createDirectories(dir)
+    val f = dir.resolve(s"$tag-${System.nanoTime()}.txt")
+    java.nio.file.Files.write(f,
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    f.toAbsolutePath.toString
+  }
+
+  /** Render a throwable chain (messages + the failure site frames) for
+    * the diagnostic bundle.
+    */
+  def renderChain(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).toSeq
+      .flatMap { x =>
+        s"${x.getClass.getName}: ${x.getMessage}" +:
+          x.getStackTrace.take(6).map("    at " + _).toSeq
+      }
+
   def documented(e: Throwable): Boolean = {
     val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .take(6).toSeq

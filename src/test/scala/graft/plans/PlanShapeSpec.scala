@@ -1,0 +1,93 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec, Tables}
+
+/** Mechanical plan-shape pins for the headline keys (r14 verdict item
+  * #4): the scale-critical plan properties previously audited only in
+  * PLANS.md prose — broadcast dims, no cartesian products, the
+  * WindowGroupLimit stratified-sample shape — asserted against the
+  * EXECUTED (post-AQE) physical plan at sf0.001, so a regression (a
+  * lost broadcast hint, a new exchange, a join-order flip into a
+  * cartesian) fails the suite instead of surfacing as bench drift.
+  *
+  * The other two shapes the verdict names are already mechanically
+  * pinned where their machinery lives: SPJ's zero-Exchange graft⋈graft
+  * join in SpjSpec (ShuffleExchange count == 0) and w07's
+  * DynamicPruningExpression on the MERGE target scan in
+  * DeltaRuntimeFilterSpec (`planStr.contains("dynamicpruning")`).
+  *
+  * The de-optimized negative control proves the detector discriminates:
+  * the same join rebuilt WITHOUT hints under broadcast thresholds -1
+  * must show SortMergeJoin and no BroadcastHashJoin.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Execute, then render the FINAL (post-AQE) physical plan. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect(): Unit
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  private def count(plan: String, node: String): Int =
+    plan.sliding(node.length).count(_ == node)
+
+  test("q05 orders fact: geo dims broadcast, no cartesian product") {
+    val plan = finalPlan(SparkEntry.queries("q05_orders_fact")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q05 lost its broadcast dim joins:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"q05 plans a cartesian product:\n$plan")
+  }
+
+  test("q18 region revenue: supplier/nation/region broadcast, no cartesian product") {
+    val plan = finalPlan(SparkEntry.queries("q18_region_revenue")(spark, sf))
+    assert(count(plan, "BroadcastHashJoin") >= 3,
+      s"q18 must broadcast supplier+nation+region " +
+        s"(found ${count(plan, "BroadcastHashJoin")}):\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"q18 plans a cartesian product:\n$plan")
+  }
+
+  test("t11 stratified sample: per-stratum top-k plans WindowGroupLimit, not a full sort") {
+    val plan = finalPlan(SparkEntry.queries("t11_stratified_sample")(spark, sf))
+    assert(plan.contains("WindowGroupLimit"),
+      s"t11 lost the WindowGroupLimit push-down (full window sort per " +
+        s"stratum at 100 TB):\n$plan")
+  }
+
+  test("negative control: the de-optimized twin is detected (no broadcast under threshold -1, no hints)") {
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => conf.set(k, "-1") }
+      // q18's join chain, hint-free: with broadcasts disabled this MUST
+      // de-optimize to shuffle joins — proving the positive asserts
+      // above cannot pass vacuously
+      val deopt = Tables.customer(spark, sf)
+        .join(Tables.orders(spark, sf), col("c_custkey") === col("o_custkey"))
+        .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(spark, sf), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name")).agg(sum(col("o_totalprice")).as("rev"))
+      val plan = finalPlan(deopt)
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"negative control still broadcasts — the detector cannot " +
+          s"discriminate:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"negative control lost its joins entirely:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+}
