@@ -114,7 +114,7 @@ object SoakScale {
 
       // ---- d10: SemDeDup intra-cluster pair work ----------------------
       val (pairWork, _) = timed {
-        occ.agg(sum(col("count") * (col("count") - 1) / 2))
+        occ.agg(sum(col("count") * (col("count") - 1) / 2).cast("long"))
           .first().getLong(0)
       }
       out("d10_pair_work") = pairWork.toDouble
