@@ -28,7 +28,11 @@ import graft.store.{ChangeFeed, SnapshotStore}
   *   - `keys` (required): comma-separated row-identity columns (the
   *     same contract as [[ChangeFeed.readChanges]])
   *   - `startingVersion`: first batch starts AFTER this version;
-  *     `-1` = include the initial snapshot as inserts; default
+  *     `-1` = include the initial snapshot as inserts (if the early
+  *     history was vacuumed before this consumer registered, the
+  *     bootstrap batch degrades to the net state at the range end as
+  *     inserts — merge-equivalent, never a wedged query; a NUMERIC
+  *     version below retention stays the loud STALE error); default
   *     `latest` = only changes committed after the query starts
   *   - `consumerId`: register under the table's named-consumer
   *     protocol — [[SnapshotStore.vacuum]] then retains every version
@@ -199,10 +203,35 @@ class GraftChangeFeedSource(spark: SparkSession, root: String,
     // with no operator surgery. Exactly-once is untouched: the batch
     // is still the deterministic function of (start, end] the
     // checkpoint replays.
+    // pre-history bootstrap (`startingVersion=-1`) on a table whose
+    // early history was already vacuumed: the replay needs manifest 0
+    // (the initial snapshot + every step's diff base), which retention
+    // never promised BEFORE this consumer registered — and since
+    // `from` stays -1 until a batch commits, the loud STALE error
+    // would wedge the query PERMANENTLY (found by StreamChaosBlast:
+    // three vacuums racing ahead of the first drain). A fresh mirror
+    // cannot observe vacuumed churn anyway, so the bootstrap batch
+    // degrades to the NET state at the range end as inserts —
+    // merge-equivalent to the replay, and the stream then proceeds
+    // incrementally under the now-registered consumer's retention
+    // floor. A NUMERIC startingVersion below retention stays the loud
+    // STALE error: the user named specific history that is gone. The
+    // in-flight race (versions listed healthy, vacuum deletes 0 before
+    // the read plans) is caught the same way.
+    def bootstrapLost: Boolean =
+      from < 0 && SnapshotStore.versions(spark, root).headOption.forall(_ > 0)
     val raw =
       if (refreshOnReplace && ChangeFeed.crossesReplaceBoundary(spark, root, from, to))
         ChangeFeed.fullRefreshChanges(spark, root, from, to)
-      else ChangeFeed.readChanges(spark, root, keys, from, to)
+      else if (bootstrapLost)
+        ChangeFeed.fullRefreshChanges(spark, root, from, to)
+      else
+        try ChangeFeed.readChanges(spark, root, keys, from, to)
+        catch {
+          case e: IllegalStateException
+              if from < 0 && e.getMessage != null && e.getMessage.contains("STALE") =>
+            ChangeFeed.fullRefreshChanges(spark, root, from, to)
+        }
     // dataset-resolved columns (a literal dot in a name is not field
     // access), null-filling columns a pre-evolution range lacks
     val changes = raw.select(schema.fields.toSeq.map { f =>

@@ -327,7 +327,12 @@ object GraftTable {
     // frankenschema with a null-filled phantom column — caught live by
     // StreamChaosSpec racing a REPLACE); until the stamp lands,
     // resolve the new epoch from its own footers alone.
-    val swapInFlight =
+    // only when footers EXIST: an empty new-epoch state (no data dirs
+    // yet) has nothing of its own to resolve from, and suppressing the
+    // breadcrumb there would present a ZERO-column frame — worse than
+    // the transiently stale columns (found by ChaosBlast: a mid-swap
+    // reader's `columns` came back empty)
+    val swapInFlight = footerBase.isDefined &&
       props.get("graft.schema.epoch").map(_.toLong).forall(_ < m.version) &&
         SnapshotStore.isEpochStart(spark, root, m.version)
     val declared = if (swapInFlight) None else readSchemaFile(spark, root)

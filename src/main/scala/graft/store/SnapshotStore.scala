@@ -4534,10 +4534,19 @@ object SnapshotStore {
           s"retention-floor checkpoint at $keepFrom failed to materialize — " +
             "aborting manifest cleanup (data dirs were not touched)")
       }
-      // superseded checkpoints below the floor go with their manifests
+      // superseded checkpoints below the floor go with their manifests.
+      // Name must be digits-only after the prefix: a RACING publish's
+      // private `cp-<v>.tmp-<token>` attempt dir also starts with
+      // `cp-` and used to blow the sweep up with NumberFormatException
+      // (found by StreamChaosBlast — vacuum racing an in-flight
+      // checkpoint); tmp attempts are the aged-hygiene block's job
       fs.listStatus(commitsDir(root)).toSeq
-        .map(_.getPath).filter(_.getName.startsWith("cp-"))
-        .filter(_.getName.stripPrefix("cp-").toLong < keepFrom)
+        .map(_.getPath)
+        .filter { p =>
+          val s = p.getName.stripPrefix("cp-")
+          p.getName.startsWith("cp-") && s.nonEmpty && s.forall(_.isDigit) &&
+            s.toLong < keepFrom
+        }
         .foreach(deleted += _)
     }
     vs.filter(_ < keepFrom).foreach { v => deleted += manifestPath(root, v) }
@@ -4635,6 +4644,22 @@ object SnapshotStore {
           }
         }
     }
+    // Dirs some manifest (kept OR dropped) has EVER referenced were
+    // written by a COMPLETED commit — superseded ones reclaim
+    // immediately. A dir NO manifest references is an attempt dir, and
+    // a young one may belong to a writer racing for a version a rival
+    // JUST WON: its vNum then equals `latest`, so the version-based
+    // in-flight guard below does not protect it, and sweeping it now
+    // rips data files out from under the loser's own census/stats read
+    // (found live by StreamChaosBlast: a same-version loser's insert
+    // died on FileNotFound of its own attempt file mid-write). Such
+    // dirs reclaim only past the torn-claim grace — a genuinely
+    // crashed attempt ages out; a live one keeps a fresh mtime.
+    val committedDirs: Set[String] = vs.flatMap { v =>
+      try readManifest(spark, root, v).buckets.values
+        .flatMap(e => (e.dir +: e.tombstones).map(_.split("/", 2)(0))).toSeq
+      catch { case _: Exception => Seq.empty } // racing vacuum took it: age-gate below
+    }.toSet
     fs.listStatus(new Path(root)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
       .filterNot(st => publishing.contains(st.getPath.getName))
@@ -4645,8 +4670,12 @@ object SnapshotStore {
           .filter(_.getPath.getName.startsWith(s"$BucketCol="))
         val dead = bucketDirs.filterNot(b =>
           referenced(s"$dirName/${b.getPath.getName}"))
-        // an in-flight writer's dir (version above latest) is not ours to touch
-        if (vNum <= latest) {
+        // an in-flight writer's dir (version above latest) is not ours
+        // to touch; at or below latest, never-committed dirs must also
+        // age past the grace (same-version loser still writing)
+        val reclaimable = committedDirs.contains(dirName) ||
+          st.getModificationTime < System.currentTimeMillis() - ReclaimGraceMs
+        if (vNum <= latest && reclaimable) {
           if (dead.size == bucketDirs.size) deleted += st.getPath
           else dead.foreach(b => deleted += b.getPath)
         }

@@ -86,16 +86,29 @@ object ChaosOps {
     spark.sql(s"INSERT INTO $catalog.ns.$tbl VALUES (1, 0)")
     val epochN = new java.util.concurrent.atomic.AtomicInteger(0)
     val gate = new CountDownLatch(1)
+    // self-diagnosing like StreamChaosOps: any failure — mid-chaos
+    // undocumented throw or quiescence-invariant breach — persists the
+    // op journal before the assert fires (the flake-ledger lesson)
+    val opsLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def dump(reason: String, extra: Seq[String]): String =
+      dumpDiagnostics(s"hunt-$tbl",
+        s"reason: $reason" +: s"seed: $seed" +:
+          s"versions: ${scala.util.Try(SnapshotStore.versions(spark, root)).toOption}" +:
+          (opsLog.toArray(Array.empty[String]).toSeq.map("op: " + _) ++ extra))
     val futs = (0 until nThreads).map { t =>
       Future {
         gate.await()
         val rnd = new scala.util.Random(seed * 100 + t)
         var landed, conflicted = 0
-        (1 to opsPer).foreach { _ =>
+        (1 to opsPer).foreach { i =>
+          val op = rnd.nextInt(8)
+          opsLog.add(s"t$t#$i op$op begin"): Unit
           try {
-            rnd.nextInt(8) match {
+            op match {
               case 0 =>
                 val cols = spark.table(s"$catalog.ns.$tbl").columns
+                if (cols.isEmpty) throw new java.util.ConcurrentModificationException(
+                  s"$tbl resolved mid-swap with no columns; re-run")
                 val key =
                   if (cols.head == "k") rnd.nextInt(40).toString
                   else s"'x${rnd.nextInt(40)}'"
@@ -103,6 +116,8 @@ object ChaosOps {
                   s"VALUES ($key, ${rnd.nextInt(100)})")
               case 1 =>
                 val cols = spark.table(s"$catalog.ns.$tbl").columns
+                if (cols.isEmpty) throw new java.util.ConcurrentModificationException(
+                  s"$tbl resolved mid-swap with no columns; re-run")
                 spark.sql(s"DELETE FROM $catalog.ns.$tbl WHERE ${cols.head} = " +
                   (if (cols.head == "k") rnd.nextInt(40).toString
                    else s"'x${rnd.nextInt(40)}'"))
@@ -149,11 +164,16 @@ object ChaosOps {
                 }
             }
             landed += 1
+            opsLog.add(s"t$t#$i op$op landed"): Unit
           } catch {
-            case e: Throwable if documented(e) => conflicted += 1
+            case e: Throwable if documented(e) =>
+              conflicted += 1
+              opsLog.add(s"t$t#$i op$op documented conflict: " +
+                s"${e.getClass.getSimpleName}: ${e.getMessage}"): Unit
             case e: Throwable =>
+              val p = dump(s"thread $t op$op UNDOCUMENTED", renderChain(e))
               throw new IllegalStateException(
-                s"hunt $tbl thread $t UNDOCUMENTED failure", e)
+                s"hunt $tbl thread $t UNDOCUMENTED failure (diag: $p)", e)
           }
         }
         (landed, conflicted)
@@ -167,17 +187,29 @@ object ChaosOps {
     val newestEpoch = spark.sql(
       s"""SELECT max(version) FROM $catalog.ns.$tbl.meta_history
          WHERE is_epoch_start""").collect().head.getLong(0)
-    assert(stamped == newestEpoch,
-      s"hunt $tbl: stamp $stamped vs newest flagged $newestEpoch")
+    if (stamped != newestEpoch) {
+      val p = dump("quiescence: stamp vs newest flagged", Seq(
+        s"stamped: $stamped", s"newestEpoch: $newestEpoch"))
+      assert(false,
+        s"hunt $tbl: stamp $stamped vs newest flagged $newestEpoch (diag: $p)")
+    }
     SnapshotStore.versions(spark, root).foreach { v =>
       val df = spark.sql(s"SELECT * FROM $catalog.ns.$tbl VERSION AS OF $v")
-      assert(df.columns.length == 2 && df.count() >= 0L,
-        s"hunt $tbl: version $v not a readable two-column frame " +
-          s"(${df.columns.toSeq})")
+      if (df.columns.length != 2) {
+        val p = dump(s"quiescence: version $v not two-column",
+          Seq(s"columns: ${df.columns.toSeq}"))
+        assert(false,
+          s"hunt $tbl: version $v not a readable two-column frame " +
+            s"(${df.columns.toSeq}) (diag: $p)")
+      }
+      assert(df.count() >= 0L)
     }
-    assert(!fs.listStatus(new Path(root)).exists(
-      _.getPath.getName.startsWith("_pending_contracts-")),
-      s"hunt $tbl: unconsumed bundles")
+    if (fs.listStatus(new Path(root)).exists(
+        _.getPath.getName.startsWith("_pending_contracts-"))) {
+      val p = dump("quiescence: unconsumed bundles",
+        fs.listStatus(new Path(root)).toSeq.map(_.getPath.getName))
+      assert(false, s"hunt $tbl: unconsumed bundles (diag: $p)")
+    }
     val (landed, conflicted) = (outcomes.map(_._1).sum, outcomes.map(_._2).sum)
     info(s"hunt $tbl: $landed landed, $conflicted documented conflicts")
     (landed, conflicted)

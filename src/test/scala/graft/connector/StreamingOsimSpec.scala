@@ -163,6 +163,76 @@ class StreamingOsimSpec extends SparkSpec {
   }
 
   // --------------------------------------------------------------
+  // scd1/scd2 snapshot sinks: crash-redelivery, stream ≡ batch
+  // --------------------------------------------------------------
+
+  personalityTest("scd1/scd2 snapshot sinks: redelivered batch suppressed, stream ≡ batch") { p =>
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val b0 = (1L to 4L).map(k => (k, s"a$k", 1L))
+    val b1 = Seq((1L, "b1", 2L), (2L, "b2", 2L))
+    val b2 = Seq((3L, "c3", 3L), (9L, "c9", 3L))
+    val all = (b0 ++ b1 ++ b2).toDF("k", "v", "ts")
+
+    // ---- SCD1 ----
+    val root1 = osimRoot(s"scd1-$p")
+    val ck1 = Files.createTempDirectory(s"graft-sosim-scd1-$p").toString
+    val mem1 = MemoryStream[(Long, String, Long)]
+    val q1 = SnapshotStore.scd1SnapshotSink(
+      mem1.toDF().toDF("k", "v", "ts"), root1, ck1,
+      Seq("k"), Seq(col("ts").desc), numBuckets = 2)
+    try {
+      mem1.addData(b0); q1.processAllAvailable()
+      // crash between the sink's commit for batch 1 and the checkpoint
+      // commit: pre-commit batch 1 under the sink's own txn id, then
+      // let the engine deliver batch 1 — the re-run must be suppressed
+      SnapshotStore.commitDelta(spark, root1, b1.toDF("k", "v", "ts"),
+        Seq("k"), (cur, delta) =>
+          graft.operators.Scd1.merge(cur, delta, Seq("k"), Seq(col("ts").desc)),
+        txn = Some(ck1 -> 1L))
+      val nV = SnapshotStore.versions(spark, root1).size
+      mem1.addData(b1); q1.processAllAvailable()
+      assert(SnapshotStore.versions(spark, root1).size == nV,
+        "redelivered scd1 batch minted a new version")
+      val compactor = Future {
+        try SnapshotStore.compact(spark, root1): Unit
+        catch { case e: Throwable if ChaosOps.documented(e) => () }
+      }
+      mem1.addData(b2); q1.processAllAvailable()
+      Await.result(compactor, 300.seconds): Unit
+    } finally { q1.stop(); q1.awaitTermination() }
+    val got1 = SnapshotStore.read(spark, root1)
+      .select("k", "v", "ts").as[(Long, String, Long)].collect().toSet
+    val want1 = graft.operators.Scd1.latestByKey(all, Seq("k"), Seq(col("ts").desc))
+      .select("k", "v", "ts").as[(Long, String, Long)].collect().toSet
+    assert(got1 == want1, s"scd1 stream ≠ batch: ${got1 -- want1} vs ${want1 -- got1}")
+
+    // ---- SCD2 ----
+    val root2 = osimRoot(s"scd2-$p")
+    val ck2 = Files.createTempDirectory(s"graft-sosim-scd2-$p").toString
+    val mem2 = MemoryStream[(Long, String, Long)]
+    val q2 = SnapshotStore.scd2SnapshotSink(
+      mem2.toDF().toDF("k", "v", "ts"), root2, ck2,
+      Seq("k"), ts = "ts", tiebreak = "v", numBuckets = 2)
+    try {
+      mem2.addData(b0); q2.processAllAvailable()
+      SnapshotStore.commitDelta(spark, root2, b1.toDF("k", "v", "ts"),
+        Seq("k"), (cur, delta) => graft.operators.Scd2.applyDelta(
+          cur, delta, Seq("k"), "ts", "v", None),
+        txn = Some(ck2 -> 1L))
+      val nV = SnapshotStore.versions(spark, root2).size
+      mem2.addData(b1); q2.processAllAvailable()
+      assert(SnapshotStore.versions(spark, root2).size == nV,
+        "redelivered scd2 batch minted a new version")
+      mem2.addData(b2); q2.processAllAvailable()
+    } finally { q2.stop(); q2.awaitTermination() }
+    val hist = SnapshotStore.read(spark, root2)
+    val want2 = graft.operators.Scd2.buildHistory(all, Seq("k"), "ts", "v")
+    val diff = hist.exceptAll(want2).count() + want2.exceptAll(hist).count()
+    assert(diff == 0, s"scd2 incremental stream ≠ batch buildHistory ($diff rows differ)")
+  }
+
+  // --------------------------------------------------------------
   // ivfIndexSink: maintenance sink crash-redelivery + racing compact
   // --------------------------------------------------------------
 

@@ -100,9 +100,19 @@ class SnapshotStoreSpec extends SparkSpec {
     SnapshotStore.init(spark, root, v0, Seq("k"), numBuckets = 4)
     SnapshotStore.commitDelta(spark, root,
       Seq((1L, "v1b", 2L)).toDF("k", "v", "ts"), Seq("k"), merge)
-    // orphan from a crashed writer at an old version
+    // orphan from a crashed writer at an old version — aged past the
+    // torn-claim grace (a YOUNG never-committed dir may be a
+    // same-version loser still writing and must survive the sweep;
+    // VacuumInFlightSpec pins that side)
     Seq((999L, "ghost", 9L)).toDF("k", "v", "ts")
       .write.parquet(Paths.get(root, "v=1", s"${SnapshotStore.BucketCol}=99").toString)
+    locally {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val old = System.currentTimeMillis() - SnapshotStore.reclaimGraceMs - 60000L
+      fs.setTimes(new org.apache.hadoop.fs.Path(
+        Paths.get(root, "v=1").toString), old, old)
+    }
 
     val expected = rows(SnapshotStore.read(spark, root))
     assert(SnapshotStore.vacuum(spark, root, keepLast = 1) > 0)
