@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // the harness opts out of vacuum's reader-protection age floor
+  // (production default 10 min): every spec/bench table is seconds
+  // old, so the floor would turn each vacuum into a no-op — and the
+  // chaos hunts NEED vacuum to actually reclaim to exercise the
+  // reader/writer race paths. The floor itself is spec-covered via
+  // the explicit minAgeMs parameter (VacuumMinAgeSpec).
+  "-Dgraft.snapshot.vacuumMinAgeMs=0",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

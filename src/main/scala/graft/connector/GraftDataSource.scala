@@ -276,6 +276,37 @@ object GraftTable {
     */
   private[connector] def resolveSchema(spark: SparkSession, root: String,
                                        versionAsOf: Option[Long]): StructType = {
+    // Stability-validated resolution: the `_schema` breadcrumb, the
+    // epoch stamp and the manifest are separate files read at
+    // different instants, so a REPLACE/restore contract swap racing
+    // this method can pair one epoch's breadcrumb with another epoch's
+    // footers — and a writer that resolves such a union PERSISTS it
+    // into its data files (found by the R15.2 widened chaos
+    // vocabulary: a mid-swap INSERT committed a parquet file carrying
+    // BOTH epochs' columns). Each attempt validates that no swap moved
+    // across its reads and retries on instability (a live swap
+    // completes in milliseconds); after persistent churn it resolves
+    // from footers alone — conservative but never a cross-epoch union.
+    var attempt = 0
+    while (attempt < 8) {
+      attempt += 1
+      resolveSchemaOnce(spark, root, versionAsOf, footersOnly = false) match {
+        case Some(s) => return s
+        case None => Thread.sleep(5L * attempt)
+      }
+    }
+    resolveSchemaOnce(spark, root, versionAsOf, footersOnly = true).get
+  }
+
+  /** One resolution attempt; None = a contract swap raced the reads
+    * and the caller must retry. `footersOnly` skips the breadcrumb
+    * overlay entirely (the always-safe fallback; footer-less empty
+    * states still use the breadcrumb — zero columns is worse than
+    * transiently stale ones).
+    */
+  private def resolveSchemaOnce(spark: SparkSession, root: String,
+                                versionAsOf: Option[Long],
+                                footersOnly: Boolean): Option[StructType] = {
     val m = manifestAt(spark, root, versionAsOf)
     val dirs = m.buckets.values.map(e =>
       SnapshotStore.dataPath(root, e.dir).toString).toSeq
@@ -314,35 +345,71 @@ object GraftTable {
       // columns (found by ContractFuzzSpec at version 0)
       val base = footerBase.orElse(archived).getOrElse(new StructType())
       // delta-key non-null marking deliberately NOT applied: the
-      // current dml.mode property says nothing about a replaced epoch
-      return withEvolvedColumns(archived,
-        withDeclaredMetadata(archived, base))
+      // current dml.mode property says nothing about a replaced epoch.
+      // No stability validation needed either — archives are immutable
+      // once written, and racing swaps only ADD newer ones.
+      return Some(withEvolvedColumns(archived,
+        withDeclaredMetadata(archived, base)))
     }
-    // mid-swap epoch guard: a pinned manifest flagged `epoch:` whose
-    // version is NEWER than the stamped graft.schema.epoch means the
-    // contract swap is still IN FLIGHT (the stamp is the swap's last
-    // step) — the live `_schema` breadcrumb still belongs to the
-    // DISPLACED epoch. Overlaying it onto the new epoch's footers
-    // would present a transient cross-epoch column union (a
-    // frankenschema with a null-filled phantom column — caught live by
-    // StreamChaosSpec racing a REPLACE); until the stamp lands,
-    // resolve the new epoch from its own footers alone.
+    // mid-swap epoch guard: an UNSTAMPED flagged epoch-start anywhere
+    // at/below the resolved head means a contract swap is still IN
+    // FLIGHT (the stamp is the swap's last step) — the live `_schema`
+    // breadcrumb still belongs to the DISPLACED epoch. Overlaying it
+    // onto the new epoch's footers would present a cross-epoch column
+    // union (a frankenschema with a null-filled phantom column —
+    // caught live by StreamChaosSpec racing a REPLACE); until the
+    // stamp lands, resolve the new epoch from its own footers alone.
+    // The probe scans DOWN TO the stamp, not just the head itself:
+    // plain commits are allowed to land inside the swap window, so the
+    // flagged version can sit several versions below the head — with
+    // the head-only check a mid-swap INSERT resolved the union and
+    // PERSISTED it into its data file (found by the R15.2 widened
+    // chaos vocabulary; VacuumMinAgeSpec's sibling EpochContractsSpec
+    // pins the window).
     // only when footers EXIST: an empty new-epoch state (no data dirs
     // yet) has nothing of its own to resolve from, and suppressing the
     // breadcrumb there would present a ZERO-column frame — worse than
     // the transiently stale columns (found by ChaosBlast: a mid-swap
     // reader's `columns` came back empty)
-    val swapInFlight = footerBase.isDefined &&
-      props.get("graft.schema.epoch").map(_.toLong).forall(_ < m.version) &&
-        SnapshotStore.isEpochStart(spark, root, m.version)
+    val swapInFlight = footerBase.isDefined && (footersOnly ||
+      SnapshotStore.unstampedEpochStart(spark, root, m.version) >= 0)
     val declared = if (swapInFlight) None else readSchemaFile(spark, root)
+    // overlay validation: pairing the breadcrumb with footers is only
+    // sound if no swap moved across these reads — the probe above sees
+    // a swap at/below the PINNED head, but a swap whose flagged commit
+    // landed AFTER the pin (its breadcrumb step racing readSchemaFile)
+    // is invisible to it. Re-check the stamp and probe up to the LIVE
+    // head; any movement → retry from scratch.
+    if (declared.isDefined && footerBase.isDefined) {
+      val stamp0 = props.get("graft.schema.epoch").map(_.toLong)
+      val latestNow = SnapshotStore.latestVersion(spark, root)
+        .getOrElse(m.version)
+      val stamp1 = SnapshotStore.readProps(spark, root)
+        .get("graft.schema.epoch").map(_.toLong)
+      // three ways the breadcrumb can belong to a different epoch than
+      // the pinned manifest m: the stamp moved between our two reads
+      // (a swap completed mid-resolution); a flagged-unstamped swap is
+      // in flight anywhere at/below the live head (breadcrumb already
+      // swapped, stamp pending); or the stamp sits ABOVE m.version —
+      // a swap completed entirely AFTER we pinned m but BEFORE we read
+      // the breadcrumb, so the breadcrumb is the NEW epoch's while m's
+      // footers are the OLD epoch's (this exact interleave persisted a
+      // cross-epoch union into a MERGE's data file — second find of
+      // the R15.2 hunt forensics: the file's column order proved
+      // old-epoch footers under a new-epoch breadcrumb).
+      if (stamp0 != stamp1 || stamp1.exists(_ > m.version) ||
+          SnapshotStore.unstampedEpochStart(spark, root,
+            math.max(latestNow, m.version)) >= 0)
+        return None
+    }
     val base = footerBase.orElse(declared).getOrElse(new StructType())
     val schema = withEvolvedColumns(declared,
       withDeclaredMetadata(declared, base))
-    if (m.keys.nonEmpty && props.get("dml.mode").contains("delta"))
-      StructType(schema.fields.toSeq.map(f =>
-        if (m.keys.contains(f.name)) f.copy(nullable = false) else f))
-    else schema
+    Some(
+      if (m.keys.nonEmpty && props.get("dml.mode").contains("delta"))
+        StructType(schema.fields.toSeq.map(f =>
+          if (m.keys.contains(f.name)) f.copy(nullable = false) else f))
+      else schema)
   }
 
   /** Footer schemas carry no field METADATA — column DEFAULT

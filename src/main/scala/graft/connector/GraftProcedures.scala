@@ -111,7 +111,10 @@ object GraftProcedures {
       case "vacuum" => Array(
         in("table", StringType),
         in("keep_last", IntegerType, "1"),
-        in("dry_run", BooleanType, "false"))
+        in("dry_run", BooleanType, "false"),
+        // reader-protection age floor (see SnapshotStore.VacuumMinAgeMs);
+        // -1 = the engine default sysprop
+        in("min_age_ms", LongType, "-1"))
       case "restore" => Array(
         in("table", StringType),
         in("version", LongType))
@@ -202,8 +205,13 @@ object GraftProcedures {
             maxRecordsPerFile = input.getLong(4),
             tombstoneFoldBytes = input.getLong(5))
         case "vacuum" =>
+          val minAge =
+            if (input.isNullAt(3) || input.getLong(3) < 0L)
+              SnapshotStore.VacuumMinAgeMs
+            else input.getLong(3)
           SnapshotStore.vacuum(spark, root, keepLast = input.getInt(1),
-            dryRun = !input.isNullAt(2) && input.getBoolean(2))
+            dryRun = !input.isNullAt(2) && input.getBoolean(2),
+            minAgeMs = minAge)
         case "restore" =>
           SnapshotStore.restore(spark, root, toVersion = input.getLong(1))
         case "checkpoint" =>

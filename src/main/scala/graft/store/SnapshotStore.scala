@@ -67,6 +67,22 @@ object SnapshotStore {
   private val ReclaimGraceMs: Long =
     sys.props.get("graft.snapshot.reclaimGraceMs").map(_.toLong).getOrElse(600000L)
 
+  /** Reader-protection age floor for [[vacuum]] (the Delta/Iceberg
+    * retention-window analog): versions whose manifest is younger than
+    * this are never reclaimed, because a RUNNING statement may still
+    * hold them as its read snapshot — a MERGE plans against the
+    * then-latest version and keeps reading that manifest and its data
+    * files until it commits, so reclaiming a fresh version breaks the
+    * statement mid-flight. Size it above the longest-running DML
+    * (Delta ships 7 days for the same knob; 10 minutes fits this
+    * engine's statement profile). 0 disables the floor — reads of a
+    * reclaimed snapshot then fail LOUDLY as documented
+    * concurrent-vacuum conflicts (see [[readManifest]]), never
+    * silently.
+    */
+  private[graft] val VacuumMinAgeMs: Long =
+    sys.props.get("graft.snapshot.vacuumMinAgeMs").map(_.toLong).getOrElse(600000L)
+
   /** The store's torn-claim reclaim grace, shared so cooperating
     * components (notably [[InMemoryClaimArbiter]]'s default staleness)
     * read the SAME loaded value instead of re-parsing the system
@@ -1220,10 +1236,28 @@ object SnapshotStore {
             val raw =
               try parseManifestFile(fs, root, w)
               catch {
-                case e: java.io.FileNotFoundException if w < v =>
-                  throw new IllegalStateException(
-                    s"manifest chain for version $v at $root is broken at $w — " +
-                      "history vacuumed without a checkpoint at the retention floor?", e)
+                case e: java.io.FileNotFoundException =>
+                  // distinguish a CONCURRENT vacuum (the missing
+                  // manifest is below the live retention floor — a
+                  // reader pinned a snapshot, a racing vacuum with a
+                  // short/zero age floor reclaimed it; documented,
+                  // re-runnable) from a genuinely broken chain (the
+                  // manifest is missing INSIDE retention — loud)
+                  val retained = versions(spark, root)
+                  if (retained.isEmpty || w < retained.head) {
+                    val cme = new java.util.ConcurrentModificationException(
+                      s"manifest $w (reading version $v) at $root was " +
+                        "reclaimed by a concurrent vacuum — the read " +
+                        "snapshot predates the retention floor" +
+                        retained.headOption.fold("")(f => s" $f") +
+                        "; re-run the statement")
+                    cme.initCause(e)
+                    throw cme
+                  } else if (w < v)
+                    throw new IllegalStateException(
+                      s"manifest chain for version $v at $root is broken at $w — " +
+                        "history vacuumed without a checkpoint at the retention floor?", e)
+                  else throw e
               }
             raw.deltaBase match {
               case Some(b) =>
@@ -1764,6 +1798,30 @@ object SnapshotStore {
                System.currentTimeMillis() < deadline) Thread.sleep(25)
         return None
       }
+    }
+    // STALE-CLAIM FENCE vs vacuumed history: winning the exclusive
+    // create is only authoritative while version numbers are never
+    // re-claimable — but vacuum deletes below-floor manifests, which
+    // makes a reclaimed version's NUMBER claimable again by a writer
+    // whose base snapshot is very stale. Without this fence such a
+    // writer "commits" v BEHIND the live head — a silently lost update
+    // plus resurrected history under a recycled version number
+    // (reachable live: the R15.2 widened chaos vocabulary produced the
+    // create). v's predecessor must exist as a TERMINATED manifest
+    // (terminators are immutable; only vacuum removes them), so its
+    // absence proves v-1 — and therefore v — is below the vacuum
+    // floor. Abort before any body bytes land; the abandoned arbiter
+    // row (if any) guards a version slot no legitimate writer targets
+    // again.
+    if (v > 0 && readTerminator(fs, manifestPath(root, v - 1)).isEmpty) {
+      try out.get.close() catch { case _: java.io.IOException => () }
+      try { fs.delete(target, false): Unit }
+      catch { case _: java.io.IOException => () }
+      throw new java.util.ConcurrentModificationException(
+        s"commit of version $v at $root raced a vacuum that reclaimed " +
+          s"version ${v - 1}: the table head has advanced past this " +
+          "writer's base snapshot and the version slot was recycled — " +
+          "re-run the statement")
     }
     // On conditional-PUT object stores the create-if-absent condition
     // is evaluated when the upload COMPLETES, so a lost race surfaces
@@ -3264,6 +3322,19 @@ object SnapshotStore {
       val vs = versions(spark, root)
       require(vs.contains(toVersion),
         s"version $toVersion is not in $root's history (have: $vs) — vacuumed?")
+      // floor check AFTER the listing (and re-checked every OCC lap): a
+      // vacuum that committed its floor advance may still be mid-sweep
+      // — its below-floor manifests can linger in the listing while
+      // their data dirs are already being reclaimed. Re-pointing at
+      // them would commit a retained but unreadable version (found by
+      // the R15.2 widened chaos vocabulary); the marker + the vacuum's
+      // serialization commit make this refusal race-free.
+      val floor = vacuumFloor(spark, root)
+      if (toVersion < floor)
+        throw new java.util.ConcurrentModificationException(
+          s"restore target $toVersion at $root is below the committed " +
+            s"vacuum floor $floor — its data files may already be " +
+            "reclaimed; re-run against a retained version")
       val base = vs.last
       if (base == toVersion) return base
       val target = readManifest(spark, root, toVersion)
@@ -3399,6 +3470,16 @@ object SnapshotStore {
         org.apache.hadoop.fs.FileUtil.copy(srcFs, s,
           dstFs, new Path(dstRoot, n), false, conf): Unit
     }
+    // ...but NOT the epoch stamp: `graft.schema.epoch` names a version
+    // in the SOURCE's numbering, while the clone restarts at 0 — a
+    // carried stamp makes every clone version look pre-epoch (archives
+    // were never copied) and trips the schema resolver's
+    // stamp-vs-pinned-manifest consistency check (found by
+    // ContractFuzzSpec after R15.2 tightened that check). The clone's
+    // v0 IS its own epoch 0.
+    val cloneProps = readProps(spark, dstRoot)
+    if (cloneProps.contains("graft.schema.epoch"))
+      writeProps(spark, dstRoot, cloneProps - "graft.schema.epoch")
     // breadcrumb for materialize/releaseClone: WHERE the retention
     // consumer was registered (best effort — the consumer itself is
     // the durable artifact; a missing marker just means manual release)
@@ -3593,8 +3674,13 @@ object SnapshotStore {
     // version-less metadata moves too: ALTER (constraints, defaults,
     // dml.mode, generated/identity declarations) rewrites _props /
     // _schema without committing a manifest — data audited under the
-    // fork-time contracts must not land past a contract change
-    if (readProps(spark, root) != readProps(spark, br) ||
+    // fork-time contracts must not land past a contract change.
+    // `graft.schema.epoch` is BOOKKEEPING, not a declared contract: it
+    // names a version in each root's OWN numbering (the branch
+    // restarts at 0 and drops the stamp at fork), so comparing it
+    // would refuse every publish on a replaced-then-forked table
+    if (readProps(spark, root) - "graft.schema.epoch" !=
+        readProps(spark, br) - "graft.schema.epoch" ||
         smallFileText(fs, new Path(root, "_schema")) !=
           smallFileText(fs, new Path(br, "_schema")))
       throw new java.util.ConcurrentModificationException(
@@ -3995,28 +4081,37 @@ object SnapshotStore {
   private val cleanThrough =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
 
-  private[graft] def awaitContractQuiescence(spark: SparkSession, root: String,
-                                             upTo: Long): Unit = {
+  /** The newest flagged-but-unstamped epoch-start in (floor, upTo], or
+    * -1 — the "is a contract swap in flight at/below upTo?" probe
+    * shared by [[awaitContractQuiescence]] (which then waits or heals)
+    * and the connector's schema resolution (which must suppress the
+    * displaced `_schema` breadcrumb while a swap is in flight ANYWHERE
+    * at/below the resolved head, not merely when the head itself is
+    * the flagged version: plain commits are allowed to land inside the
+    * swap window, so the flagged version can sit several versions
+    * below the head. Found by the R15.2 widened chaos vocabulary as a
+    * PERSISTED frankenschema — a mid-swap INSERT resolved the
+    * displaced-breadcrumb∪new-footers union and wrote a data file
+    * carrying BOTH epochs' columns).
+    *
+    * The scan must reach the stamp floor UNCAPPED: a REPLACE that
+    * crashed pre-swap stays flagged-unstamped while any number of
+    * plain commits (which never stamp) land above it, and missing it
+    * would archive the WRONG epoch's contracts / overlay the wrong
+    * breadcrumb. [[isEpochStart]] is a header-only read, and the
+    * clean-through watermark advances on every all-clear probe, so
+    * steady-state probes are O(1). The watermark is only trusted if
+    * the manifest it was taken at is STILL the same file (length+mtime
+    * fingerprint, as manifestCache does): a table dropped and
+    * recreated at the same path restarts version numbering, and a
+    * stale watermark would skip the NEW table's early versions.
+    */
+  private[graft] def unstampedEpochStart(spark: SparkSession, root: String,
+                                         upTo: Long): Long = {
     val fs = fileSystem(spark, root)
     val rootKey = fs.makeQualified(new Path(root)).toString
-    def stamped: Long = readProps(spark, root)
+    val stamped = readProps(spark, root)
       .get("graft.schema.epoch").map(_.toLong).getOrElse(-1L)
-    // the greatest flagged version in (stamped, upTo]; versions at or
-    // below the stamp are quiesced by definition (stamps are the
-    // swap's last write and strictly increase). The scan must reach
-    // the stamp floor UNCAPPED: a REPLACE that crashed pre-swap stays
-    // flagged-unstamped while any number of plain commits (which never
-    // stamp) land above it, and missing it here would make this
-    // committer archive the WRONG epoch's contracts and stamp past the
-    // crash — silently forfeiting the heal (and letting vacuum's
-    // stamped>=v dead-check reclaim the bundle). [[isEpochStart]] is a
-    // header-only read, so even the one-time full-history scan of a
-    // never-replaced table's first REPLACE is O(versions) header reads.
-    // the watermark is only trusted if the manifest it was taken at is
-    // STILL the same file (length+mtime fingerprint, as manifestCache
-    // does): a table dropped and recreated at the same path restarts
-    // version numbering, and a stale watermark would skip scanning the
-    // NEW table's early versions entirely
     val cachedClean = Option(cleanThrough.get(rootKey))
       .collect { case (w, len, mtime)
         if manifestFingerprint(fs, root, w).contains((len, mtime)) => w }
@@ -4028,13 +4123,21 @@ object SnapshotStore {
       if (isEpochStart(spark, root, v)) flagged = v
       else v -= 1
     }
-    if (flagged < 0) {
+    if (flagged < 0)
       manifestFingerprint(fs, root, upTo).foreach { case (len, mtime) =>
         cleanThrough.merge(rootKey, (upTo, len, mtime),
           (a, b) => if (a._1 >= b._1) a else b)
       }
-      return
-    }
+    flagged
+  }
+
+  private[graft] def awaitContractQuiescence(spark: SparkSession, root: String,
+                                             upTo: Long): Unit = {
+    val fs = fileSystem(spark, root)
+    def stamped: Long = readProps(spark, root)
+      .get("graft.schema.epoch").map(_.toLong).getOrElse(-1L)
+    val flagged = unstampedEpochStart(spark, root, upTo)
+    if (flagged < 0) return
     // a LIVE committer finishes its swap in milliseconds — give it a
     // generous grace before concluding it crashed, because completing
     // its swap FOR it (roll-forward) makes this waiter a second writer
@@ -4357,6 +4460,14 @@ object SnapshotStore {
     require(vs.contains(v),
       s"cannot tag version $v at $root: not a retained version " +
         s"(have ${vs.head}..${vs.last})")
+    // same floor discipline as [[restore]]: a below-floor tag would pin
+    // nothing — the version's files may already be mid-reclaim by the
+    // vacuum that committed the floor advance
+    val floor = vacuumFloor(spark, root)
+    if (v < floor)
+      throw new java.util.ConcurrentModificationException(
+        s"cannot tag version $v at $root: below the committed vacuum " +
+          s"floor $floor — its files may already be reclaimed")
     // all-digit names are reserved for version ids: `VERSION AS OF`
     // resolves a numeric string as a version FIRST, so a tag named
     // '123' could never be read by name and might silently resolve to
@@ -4495,7 +4606,27 @@ object SnapshotStore {
     *   protected, so a real run may reclaim slightly more)
     */
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 1,
-             dryRun: Boolean = false): Int = {
+             dryRun: Boolean = false,
+             minAgeMs: Long = VacuumMinAgeMs): Int =
+    vacuumAttempt(spark, root, keepLast, dryRun, minAgeMs, attempt = 1)
+
+  /** The floor marker under `_commits/`: the highest retention floor
+    * any vacuum has COMMITTED to advancing to. Written before the
+    * floor-advance serialization commit, so every committer basing on
+    * (or after) that commit observes it; [[restore]] and [[createTag]]
+    * refuse targets below it — the marker plus the OCC commit is what
+    * makes "re-point at an old version's dirs" vs "reclaim those dirs"
+    * a serialized decision instead of a filesystem race.
+    */
+  private val FloorMarkerName = "_floor"
+  private[graft] def vacuumFloor(spark: SparkSession, root: String): Long =
+    smallFileText(fileSystem(spark, root),
+      new Path(commitsDir(root), FloorMarkerName))
+      .flatMap(_.trim.toLongOption).getOrElse(-1L)
+
+  private def vacuumAttempt(spark: SparkSession, root: String, keepLast: Int,
+                            dryRun: Boolean, minAgeMs: Long,
+                            attempt: Int): Int = {
     require(keepLast >= 1, "must keep at least the latest version")
     val fs = fileSystem(spark, root)
     val vs = versions(spark, root)
@@ -4512,8 +4643,37 @@ object SnapshotStore {
     // releases the history
     val minTag = listTags(spark, root).map(_._2).filter(_ >= 0)
       .minOption.getOrElse(Long.MaxValue)
-    val keepFrom = math.min(vs.takeRight(keepLast).head,
-      math.min(minConsumer.getOrElse(Long.MaxValue), minTag))
+    // in-flight-READER protection ([[VacuumMinAgeMs]]): a version
+    // younger than the age floor may be a running statement's pinned
+    // read snapshot, so retention stretches to the oldest young
+    // version the same way it stretches to tags and slow consumers.
+    // A manifest a racing vacuum already reclaimed counts as old — it
+    // is gone either way.
+    val youngFrom =
+      if (minAgeMs <= 0L) Long.MaxValue
+      else {
+        val cutoff = System.currentTimeMillis() - minAgeMs
+        vs.find { v =>
+          scala.util.Try(fs.getFileStatus(manifestPath(root, v))
+            .getModificationTime).toOption.exists(_ > cutoff)
+        }.getOrElse(Long.MaxValue)
+      }
+    val keepFrom0 = math.min(youngFrom, math.min(vs.takeRight(keepLast).head,
+      math.min(minConsumer.getOrElse(Long.MaxValue), minTag)))
+    // Does this floor advance free DATA (some below-floor dir
+    // unreferenced by the kept suffix)? Decides whether the advance
+    // must be serialized through the commit log (see the floor block
+    // below) — manifests-only pruning is restore-safe without it.
+    val keepDirs0: Set[String] = vs.filter(_ >= keepFrom0).flatMap { v =>
+      readManifest(spark, root, v).buckets.values
+        .flatMap(e => e.dir +: e.tombstones)
+    }.toSet
+    val freesData = vs.filter(_ < keepFrom0).exists { v =>
+      try readManifest(spark, root, v).buckets.values
+        .exists(e => (e.dir +: e.tombstones).exists(!keepDirs0.contains(_)))
+      catch { case _: Exception => true } // unreadable below-floor chain: reclaim
+    }
+    val keepFrom = keepFrom0
     val keep = vs.filter(_ >= keepFrom)
     val latest = vs.last
     val referenced: Set[String] =
@@ -4534,6 +4694,39 @@ object SnapshotStore {
           s"retention-floor checkpoint at $keepFrom failed to materialize — " +
             "aborting manifest cleanup (data dirs were not touched)")
       }
+      // SERIALIZE a DATA-FREEING floor advance through the commit log
+      // — manifests-only pruning (freesData false: every below-floor
+      // dir lives on under the kept suffix) skips the commit, because
+      // a racing restore either re-points at dirs that stay alive
+      // (safe) or fails loudly on the pruned manifest (documented),
+      // and committing here would hand the NEXT run a fresh
+      // below-floor manifest forever: maintenance on an unchanged
+      // table must converge to a no-op, not churn versions.
+      // (found by
+      // the R15.2 widened chaos vocabulary: a RESTORE re-pointed its
+      // new version at an old version's dirs WHILE this sweep was
+      // reclaiming them — the restore committed a retained but
+      // unreadable version). Publish the new floor marker, then win an
+      // EMPTY delta commit: the OCC win proves no rival commit (in
+      // particular no restore) landed between this run's `versions()`
+      // listing and now, and every later committer bases on (or after)
+      // this commit — so it observes the marker, and [[restore]] /
+      // [[createTag]] refuse below-floor targets. A lost race restarts
+      // the whole computation; persistent contention defers the sweep
+      // (vacuum is maintenance — deferral is always safe).
+      if (freesData) {
+        val prevFloor = vacuumFloor(spark, root)
+        if (keepFrom > prevFloor)
+          publishSmallFile(spark, root, s"_commits/$FloorMarkerName", s"$keepFrom\n")
+        val head = readManifest(spark, root, vs.last)
+        val serialized = writeManifestAtomic(fs, root, vs.last + 1,
+          head.numBuckets, head.statsCols, head.txns, head.buckets,
+          base = Some(head))
+        if (serialized.isEmpty) {
+          return if (attempt >= 5) 0
+          else vacuumAttempt(spark, root, keepLast, dryRun, minAgeMs, attempt + 1)
+        }
+      }
       // superseded checkpoints below the floor go with their manifests.
       // Name must be digits-only after the prefix: a RACING publish's
       // private `cp-<v>.tmp-<token>` attempt dir also starts with
@@ -4549,7 +4742,20 @@ object SnapshotStore {
         }
         .foreach(deleted += _)
     }
-    vs.filter(_ < keepFrom).foreach { v => deleted += manifestPath(root, v) }
+    vs.filter(_ < keepFrom).foreach { v =>
+      val p = manifestPath(root, v)
+      // a TERMINATOR-LESS manifest below the floor can be a LIVE
+      // stale-OCC writer's in-flight attempt (versions() lists
+      // below-tip holes) — the manifest twin of the in-flight
+      // attempt-DIR guard: deleting it mid-create crashed the writer's
+      // own chmod/readback (found by the R15.2 widened chaos
+      // vocabulary). Reclaim those only past the torn-claim grace;
+      // terminated manifests keep immediate reclaim.
+      val liveAttempt = readTerminator(fs, p).isEmpty &&
+        scala.util.Try(fs.getFileStatus(p).getModificationTime).toOption
+          .exists(_ >= System.currentTimeMillis() - ReclaimGraceMs)
+      if (!liveAttempt) deleted += p
+    }
     // an IN-FLIGHT branch publish has renamed its adopted dirs into
     // this root under the publish version's name but not committed the
     // manifest yet — while any live branch's `_publishing` marker

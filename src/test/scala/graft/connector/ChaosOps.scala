@@ -13,14 +13,20 @@ import graft.store.SnapshotStore
 
 /** The contract-op chaos body shared by [[ChaosHuntSpec]] (POSIX
   * warehouse) and ObjectStoreSemanticsSpec (osim:// warehouse): N
-  * seeded threads racing random streams of inserts, MoR deletes,
-  * schema-changing REPLACEs, restores, compactions, tags, checkpoints,
-  * and WAP branch fork→write→publish cycles against ONE catalog table,
-  * then the quiescence invariants — epoch stamp at the newest flagged
-  * version, every retained version a readable two-column time-travel
-  * frame, zero unconsumed write-ahead bundles. Extracting it keeps the
-  * op vocabulary identical across filesystems, so an osim-only failure
+  * seeded threads racing random streams of inserts, MoR deletes, SQL
+  * UPDATEs and MERGEs, schema-changing REPLACEs, restores, compactions,
+  * tag create/drop, checkpoints, vacuums, rebuckets, and WAP branch
+  * fork→write→publish cycles against ONE catalog table, then the
+  * quiescence invariants — epoch stamp at the newest flagged version,
+  * every retained version a readable two-column time-travel frame,
+  * zero unconsumed write-ahead bundles. Extracting it keeps the op
+  * vocabulary identical across filesystems, so an osim-only failure
   * isolates an object-store-semantics hole, not a different workload.
+  *
+  * The R15.2 vocabulary widening (vacuum / drop-tag / UPDATE / MERGE /
+  * rebucket) follows the streaming hunt's lesson: vacuum-in-the-mix
+  * found three real bugs at intensities the vacuum-free mix had
+  * already passed.
   */
 object ChaosOps {
 
@@ -71,6 +77,32 @@ object ChaosOps {
     }
   }
 
+  /** A task/driver FileNotFound under `root` is a DOCUMENTED
+    * concurrent-vacuum loss IFF the missing file's version dir is no
+    * longer referenced by ANY retained manifest: a reader pinned a
+    * snapshot, rivals advanced the head, vacuum (running with the
+    * harness's zero age floor) legally reclaimed the pinned snapshot's
+    * files mid-scan. The check is exact, not a heuristic — a missing
+    * file whose dir IS still referenced stays UNDOCUMENTED, because
+    * that is vacuum deleting live data (the bug class the hunts
+    * exist to catch). Clone-style absolute-path references are not
+    * handled (no clone op in the mix).
+    */
+  def vacuumRace(spark: SparkSession, root: String, e: Throwable): Boolean = {
+    val text = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .flatMap(x => Option(x.getMessage)).mkString("\n")
+    val rx = """(v=[^/\s]+/[^/\s]+)/[^/\s]+\.parquet does not exist""".r
+    val rels = rx.findAllMatchIn(text).map(_.group(1)).toSeq
+    if (rels.isEmpty) return false
+    val referenced: Set[String] =
+      try SnapshotStore.versions(spark, root).flatMap { v =>
+        SnapshotStore.readManifest(spark, root, v).buckets.values
+          .flatMap(en => en.dir +: en.tombstones)
+      }.toSet
+      catch { case _: Throwable => return false }
+    rels.forall(r => !referenced.contains(r))
+  }
+
   /** Runs one hunt round; returns (landed, documented conflicts).
     * `catalog` must already be registered over `warehouse`; the table
     * `<catalog>.ns.<tbl>` is created here and chaosed in place.
@@ -101,7 +133,7 @@ object ChaosOps {
         val rnd = new scala.util.Random(seed * 100 + t)
         var landed, conflicted = 0
         (1 to opsPer).foreach { i =>
-          val op = rnd.nextInt(8)
+          val op = rnd.nextInt(12)
           opsLog.add(s"t$t#$i op$op begin"): Unit
           try {
             op match {
@@ -131,8 +163,16 @@ object ChaosOps {
                 SnapshotStore.restore(spark, root,
                   vs(rnd.nextInt(vs.length))): Unit
               case 4 => SnapshotStore.compact(spark, root): Unit
-              case 5 => SnapshotStore.createTag(spark, root,
-                s"$tbl-t$t-${rnd.nextInt(1000000)}"): Unit
+              case 5 =>
+                // tags pin retention (vacuum stretches to the oldest
+                // one), so the mix must also RELEASE them or op 8
+                // would degrade to a permanent no-op
+                val tags = SnapshotStore.listTags(spark, root)
+                if (tags.nonEmpty && rnd.nextBoolean())
+                  SnapshotStore.dropTag(spark, root,
+                    tags(rnd.nextInt(tags.length))._1)
+                else SnapshotStore.createTag(spark, root,
+                  s"$tbl-t$t-${rnd.nextInt(1000000)}"): Unit
               case 6 => SnapshotStore.checkpoint(spark, root): Unit
               case 7 => // WAP under chaos: fork, one-row write, publish
                 val bn = s"b$tbl-$t-${rnd.nextInt(1000000)}"
@@ -162,11 +202,46 @@ object ChaosOps {
                   catch { case _: Throwable => () }
                   throw e
                 }
+              case 8 =>
+                // vacuum IN the mix (the streaming hunt's vacuum ops
+                // found three real bugs in r15): reclaim while rivals
+                // restore / tag / publish / rewrite
+                SnapshotStore.vacuum(spark, root,
+                  keepLast = 1 + rnd.nextInt(3)): Unit
+              case 9 =>
+                val cols = spark.table(s"$catalog.ns.$tbl").columns
+                if (cols.length != 2) throw new java.util.ConcurrentModificationException(
+                  s"$tbl resolved mid-swap with ${cols.length} columns; re-run")
+                spark.sql(s"UPDATE $catalog.ns.$tbl SET ${cols(1)} = " +
+                  s"${rnd.nextInt(100)} WHERE ${cols.head} = " +
+                  (if (cols.head == "k") rnd.nextInt(40).toString
+                   else s"'x${rnd.nextInt(40)}'"))
+              case 10 =>
+                val cols = spark.table(s"$catalog.ns.$tbl").columns
+                if (cols.length != 2) throw new java.util.ConcurrentModificationException(
+                  s"$tbl resolved mid-swap with ${cols.length} columns; re-run")
+                val mk = if (cols.head == "k") rnd.nextInt(40).toString
+                         else s"'x${rnd.nextInt(40)}'"
+                spark.sql(
+                  s"""MERGE INTO $catalog.ns.$tbl t
+                     USING (SELECT $mk AS mk, CAST(${rnd.nextInt(100)} AS BIGINT) AS mv) s
+                     ON t.${cols.head} = s.mk
+                     WHEN MATCHED THEN UPDATE SET ${cols(1)} = s.mv
+                     WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
+                       VALUES (s.mk, s.mv)""")
+              case 11 =>
+                // bucket-count evolution racing everything else; keys
+                // come from the live props, so a REPLACE landing in
+                // between surfaces as a documented key/column conflict
+                val keys = SnapshotStore.readProps(spark, root)
+                  .getOrElse("keys", "k").split(",").map(_.trim).toSeq
+                SnapshotStore.rebucket(spark, root, keys,
+                  newNumBuckets = 1 + rnd.nextInt(4)): Unit
             }
             landed += 1
             opsLog.add(s"t$t#$i op$op landed"): Unit
           } catch {
-            case e: Throwable if documented(e) =>
+            case e: Throwable if documented(e) || vacuumRace(spark, root, e) =>
               conflicted += 1
               opsLog.add(s"t$t#$i op$op documented conflict: " +
                 s"${e.getClass.getSimpleName}: ${e.getMessage}"): Unit
@@ -184,14 +259,28 @@ object ChaosOps {
     // quiesce, then sweep
     spark.sql(s"ALTER TABLE $catalog.ns.$tbl SET TBLPROPERTIES ('cq'='1')")
     val stamped = SnapshotStore.readProps(spark, root)("graft.schema.epoch").toLong
-    val newestEpoch = spark.sql(
+    val epochRow = spark.sql(
       s"""SELECT max(version) FROM $catalog.ns.$tbl.meta_history
-         WHERE is_epoch_start""").collect().head.getLong(0)
-    if (stamped != newestEpoch) {
+         WHERE is_epoch_start""").collect().head
+    // vacuum in the mix means the newest flagged epoch-start version
+    // can be legally reclaimed: meta_history shows RETAINED versions
+    // only, and retention is a suffix — so either the newest flagged
+    // version is retained (stamp must equal it), or every flagged
+    // version is below the floor (stamp must be below the floor too)
+    if (epochRow.isNullAt(0)) {
+      val floor = SnapshotStore.versions(spark, root).head
+      if (stamped >= floor) {
+        val p = dump("quiescence: no retained flagged but stamp in retention",
+          Seq(s"stamped: $stamped", s"floor: $floor"))
+        assert(false,
+          s"hunt $tbl: no retained epoch-start yet stamp $stamped is at/above " +
+            s"the retention floor $floor (diag: $p)")
+      }
+    } else if (stamped != epochRow.getLong(0)) {
       val p = dump("quiescence: stamp vs newest flagged", Seq(
-        s"stamped: $stamped", s"newestEpoch: $newestEpoch"))
+        s"stamped: $stamped", s"newestEpoch: ${epochRow.getLong(0)}"))
       assert(false,
-        s"hunt $tbl: stamp $stamped vs newest flagged $newestEpoch (diag: $p)")
+        s"hunt $tbl: stamp $stamped vs newest flagged ${epochRow.getLong(0)} (diag: $p)")
     }
     SnapshotStore.versions(spark, root).foreach { v =>
       val df = spark.sql(s"SELECT * FROM $catalog.ns.$tbl VERSION AS OF $v")

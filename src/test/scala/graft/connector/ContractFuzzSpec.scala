@@ -277,13 +277,20 @@ class ContractFuzzSpec extends SparkSpec {
       syncAndCheckDerived()
       // vacuum under tag-stretched retention: keeps the suffix from
       // the oldest tag (or last 3) and auto-checkpoints the floor
+      val replaceHead = head
       SnapshotStore.vacuum(spark, dir, keepLast = 3): Unit
+      // a floor-advancing vacuum publishes an EMPTY serialization
+      // commit — model it (same instance, same content as its base)
+      if (head != replaceHead) snap()
     } finally System.clearProperty("graft.snapshot.contractSwapGraceMs")
 
     // ---- invariant sweep ------------------------------------------
-    val finalHead = head
-    assert(SnapshotStore.readProps(spark, dir)("graft.schema.epoch").toLong
-      == finalHead, s"seed $seed: epoch stamp must sit at the final REPLACE")
+    // the stamp sits at the final REPLACE; the head may be the vacuum's
+    // plain serialization commit above it
+    val stamped = SnapshotStore.readProps(spark, dir)("graft.schema.epoch").toLong
+    assert(SnapshotStore.isEpochStart(spark, dir, stamped) &&
+      (stamped to head).drop(1).forall(v => !SnapshotStore.isEpochStart(spark, dir, v)),
+      s"seed $seed: epoch stamp must sit at the final REPLACE")
     assert(spark.table(s"gfz.ns.$tbl").columns.toSeq == Seq("zz", "n"))
     // expected state of version v: its instance's FINAL columns;
     // stored cells, with never-carried columns null-filled

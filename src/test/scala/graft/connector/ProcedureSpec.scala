@@ -144,6 +144,8 @@ class ProcedureSpec extends SparkSpec {
     spark.sql("CALL gproc.system.vacuum(table => 'his.t', keep_last => 1)")
     val his2 = spark.sql("CALL gproc.system.history(table => 'his.t')")
       .collect().map(_.getLong(0))
+    // manifests-only pruning (the DELETE's dirs live on under v2):
+    // no serialization commit needed, history simply shrinks
     assert(his2.toSeq == Seq(2L))
   }
 

@@ -142,7 +142,8 @@ object StreamChaosOps {
             }
             opsLog.add(s"mut$t#$i op$op landed"): Unit
           } catch {
-            case e: Throwable if ChaosOps.documented(e) =>
+            case e: Throwable if ChaosOps.documented(e) ||
+                ChaosOps.vacuumRace(spark, root, e) =>
               opsLog.add(s"mut$t#$i op$op documented conflict: " +
                 s"${e.getClass.getSimpleName}: ${e.getMessage}"): Unit
             case e: Throwable =>

@@ -220,12 +220,17 @@ class WarehouseSpec extends SparkSpec {
     val (vAfter, deleted) = result(root)
     assert(vAfter == 2L)      // compaction committed a new version
     assert(deleted > 0)       // old versions vacuumed away
-    assert(SnapshotStore.versions(spark, root) == Seq(2L))
+    // v3 = the vacuum floor-advance's empty serialization commit
+    assert(SnapshotStore.versions(spark, root) == Seq(2L, 3L))
     assert(SnapshotStore.read(spark, root)
       .select("k", "v", "ts").as[(Long, String, Long)].collect().toSet == before)
 
-    // idempotent: nothing left to compact, nothing left to vacuum
+    // second pass prunes the serialization commit's predecessor
+    // (manifests-only — no new version), third is a true no-op
     val again = Warehouse.maintain(spark, Seq(root), keepVersions = 1)(root)
-    assert(again._1 == 2L)
+    assert(again._1 == 3L)
+    assert(SnapshotStore.versions(spark, root) == Seq(3L))
+    val third = Warehouse.maintain(spark, Seq(root), keepVersions = 1)(root)
+    assert(third == (3L, 0))
   }
 }

@@ -40,6 +40,25 @@ class PlanShapeSpec extends SparkSpec {
   private def count(plan: String, node: String): Int =
     plan.sliding(node.length).count(_ == node)
 
+  /** Run `body` with auto-broadcast disabled (threshold -1, both the
+    * static and the AQE knob). Explicit `broadcast()` hints still
+    * broadcast — so under this conf the plan looks like the 100 TB
+    * plan: hinted dims broadcast, everything unhinted must shuffle.
+    * Without it, AQE auto-broadcasts every join at sf0.001 and the
+    * shuffle-join asserts would be vacuous.
+    */
+  private def withAutoBroadcastOff[A](body: => A): A = {
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try { keys.foreach(conf.set(_, "-1")); body }
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("q05 orders fact: geo dims broadcast, no cartesian product") {
     val plan = finalPlan(SparkEntry.queries("q05_orders_fact")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"),
@@ -62,6 +81,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"t11 lost the WindowGroupLimit push-down (full window sort per " +
         s"stratum at 100 TB):\n$plan")
+  }
+
+  test("q06 order-item fact: ONE shuffle join (fact⋈fact), hinted dims stay broadcast at scale") {
+    // Under auto-broadcast-off the plan is the 100 TB plan: orders
+    // (unhinted — it never fits an executor at scale) shuffles against
+    // lineitem EXACTLY ONCE; part + supplier keep their explicit
+    // broadcast() hints. More than one shuffle join means a dim lost
+    // its hint — at 1000 executors that's two extra full-table
+    // exchanges of the largest table.
+    withAutoBroadcastOff {
+      val plan = finalPlan(SparkEntry.queries("q06_order_item_fact")(spark, sf))
+      val shuffleJoins = count(plan, "SortMergeJoin") + count(plan, "ShuffledHashJoin")
+      assert(shuffleJoins == 1,
+        s"q06 must shuffle-join ONLY lineitem⋈orders (found $shuffleJoins):\n$plan")
+      assert(count(plan, "BroadcastHashJoin") >= 2,
+        s"q06 lost a dim broadcast hint (part/supplier):\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"q06 plans a cartesian product:\n$plan")
+    }
+  }
+
+  test("q21 market basket: distributed top-k via TakeOrderedAndProject, self-join shuffles lineitem once") {
+    // The pair explosion is the quadratic hazard: the plan must (a)
+    // keep the final top-25 a distributed TakeOrderedAndProject — a
+    // global Sort of all pairs is the 100 TB killer; (b) shuffle the
+    // projected lineitem ONCE and reuse that exchange for both sides
+    // of the self-join (the two subtrees are canonically identical);
+    // (c) never degrade the a.ok = b.ok AND part_a < part_b join into
+    // a cartesian/BNLJ.
+    withAutoBroadcastOff {
+      val plan = finalPlan(SparkEntry.queries("q21_market_basket")(spark, sf))
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"q21 lost the distributed top-k (global sort over all pairs at " +
+          s"100 TB):\n$plan")
+      assert(count(plan, "SortMergeJoin") + count(plan, "ShuffledHashJoin") == 1,
+        s"q21 must have exactly the one self-join:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"q21 degraded to a cartesian/BNLJ:\n$plan")
+      assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+        s"q21 self-join recomputes the lineitem shuffle instead of " +
+          s"reusing one exchange:\n$plan")
+    }
   }
 
   test("negative control: the de-optimized twin is detected (no broadcast under threshold -1, no hints)") {

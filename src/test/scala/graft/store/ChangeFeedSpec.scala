@@ -156,7 +156,8 @@ class ChangeFeedSpec extends SparkSpec {
 
     ChangeFeed.dropConsumer(spark, root, "lagger")
     SnapshotStore.vacuum(spark, root, keepLast = 1)
-    assert(SnapshotStore.versions(spark, root) == Seq(2L))
+    // v3 = the floor-advance's empty serialization commit
+    assert(SnapshotStore.versions(spark, root) == Seq(2L, 3L))
     // now the feed is genuinely stale below the retained floor
     val ex = intercept[IllegalStateException](changes(root, 0L, 2L))
     assert(ex.getMessage.contains("STALE"))

@@ -83,7 +83,8 @@ class ManifestCheckpointSpec extends SparkSpec {
           Seq((i, s"u$i", 100L + i)).toDF("k", "v", "ts"), Seq("k"), merge)
       }
       assert(SnapshotStore.vacuum(spark, root, keepLast = 3) > 0)
-      assert(SnapshotStore.versions(spark, root) == Seq(7L, 8L, 9L))
+      // v10 = the floor-advance's empty serialization commit
+      assert(SnapshotStore.versions(spark, root) == Seq(7L, 8L, 9L, 10L))
       // the floor version's manifest is a delta, so vacuum must have
       // checkpointed it before dropping its chain
       assert(Files.exists(Paths.get(root, "_commits", f"cp-${7L}%020d", "_SUCCESS")))

@@ -359,6 +359,8 @@ class ObjectStoreSemanticsSpec extends SparkSpec {
       val cp9 = new Path(root, f"_commits/cp-${9L}%020d")
       fs.mkdirs(cp9)
       fs.create(new Path(cp9, "part-torn.parquet"), true).close()
+      // the floor-advance vacuum committed an empty serialization v8,
+      // so these land at v9 and v10 (v9 hits the cadence: interval 3)
       (8L to 9L).foreach { i =>
         SnapshotStore.commitDelta(spark, root,
           Seq((i, s"u$i", 100L + i)).toDF("k", "v", "ts"), Seq("k"), merge)
@@ -368,11 +370,13 @@ class ObjectStoreSemanticsSpec extends SparkSpec {
       assert(!fs.exists(new Path(cp9, "part-torn.parquet")),
         "the torn attempt's stale part file must be cleared, not merged " +
           "into the completed checkpoint (a whole-dir read would consume both)")
-      val expect9 = (1L to 16L).map { k =>
-        if (k <= 9L) (k, s"u$k", 100L + k) else (k, s"v$k", k)
+      def upTo(n: Long) = (1L to 16L).map { k =>
+        if (k <= n) (k, s"u$k", 100L + k) else (k, s"v$k", k)
       }.toSet
       assert(SnapshotStore.readVersion(spark, root, 9L).select("k", "v", "ts")
-        .as[(Long, String, Long)].collect().toSet == expect9)
+        .as[(Long, String, Long)].collect().toSet == upTo(8L))
+      assert(SnapshotStore.readVersion(spark, root, 10L).select("k", "v", "ts")
+        .as[(Long, String, Long)].collect().toSet == upTo(9L))
     } finally {
       prev.fold { sys.props.remove("graft.snapshot.checkpointInterval"): Unit } {
         v => sys.props("graft.snapshot.checkpointInterval") = v }

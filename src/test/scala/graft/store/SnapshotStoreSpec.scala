@@ -117,7 +117,8 @@ class SnapshotStoreSpec extends SparkSpec {
     val expected = rows(SnapshotStore.read(spark, root))
     assert(SnapshotStore.vacuum(spark, root, keepLast = 1) > 0)
     assert(rows(SnapshotStore.read(spark, root)) == expected)
-    assert(SnapshotStore.versions(spark, root) == Seq(1L))
+    // v2 = the floor-advance's empty serialization commit
+    assert(SnapshotStore.versions(spark, root) == Seq(1L, 2L))
     assert(!Files.exists(Paths.get(root, "v=1", s"${SnapshotStore.BucketCol}=99")))
     // v=0 bucket dirs still referenced by v1's manifest must survive
     val m1 = SnapshotStore.readManifest(spark, root, 1L)
