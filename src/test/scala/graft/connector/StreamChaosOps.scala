@@ -104,7 +104,7 @@ object StreamChaosOps {
         gate.await()
         val rnd = new scala.util.Random(seed * 1000 + t)
         (1 to opsPer).foreach { i =>
-          val op = rnd.nextInt(8)
+          val op = rnd.nextInt(11)
           opsLog.add(s"mut$t#$i op$op begin"): Unit
           try {
             op match {
@@ -139,6 +139,43 @@ object StreamChaosOps {
                 else SnapshotStore.checkpoint(spark, root): Unit
               case 7 =>
                 SnapshotStore.vacuum(spark, root): Unit
+              case 8 =>
+                // row-level SQL UPDATE: k and v exist in BOTH epoch
+                // shapes ((k,v) and (cN,k,v)) — the feed must emit the
+                // group rewrite as pre/post-image rows
+                spark.sql(s"UPDATE $catalog.ns.$tbl SET v = ${rnd.nextInt(100)} " +
+                  s"WHERE k = ${rnd.nextInt(40)}")
+              case 9 =>
+                // SQL MERGE keyed on k (k stays unique state-wide; the
+                // epoch key, when present, is the injective k + 1000)
+                val cols = spark.table(s"$catalog.ns.$tbl").columns.toSeq
+                val mk = rnd.nextInt(40)
+                val mv = rnd.nextInt(100)
+                if (cols == Seq("k", "v"))
+                  spark.sql(
+                    s"""MERGE INTO $catalog.ns.$tbl t
+                       USING (SELECT CAST($mk AS BIGINT) AS mk, CAST($mv AS BIGINT) AS mv) s
+                       ON t.k = s.mk
+                       WHEN MATCHED THEN UPDATE SET v = s.mv
+                       WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.mk, s.mv)""")
+                else if (cols.length == 3 && cols.takeRight(2) == Seq("k", "v"))
+                  spark.sql(
+                    s"""MERGE INTO $catalog.ns.$tbl t
+                       USING (SELECT CAST($mk AS BIGINT) AS mk, CAST($mv AS BIGINT) AS mv) s
+                       ON t.k = s.mk
+                       WHEN MATCHED THEN UPDATE SET v = s.mv
+                       WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
+                         VALUES (s.mk + 1000, s.mk, s.mv)""")
+                else throw new java.util.ConcurrentModificationException(
+                  s"$tbl resolved mid-swap with columns $cols; re-run")
+              case 10 =>
+                // bucket-count evolution UNDER the running consumer:
+                // the feed's diff is row-keyed, so a rebucket must
+                // surface as a ZERO-change step, never corruption
+                val keys = SnapshotStore.readProps(spark, root)
+                  .getOrElse("keys", "k").split(",").map(_.trim).toSeq
+                SnapshotStore.rebucket(spark, root, keys,
+                  newNumBuckets = 1 + rnd.nextInt(4)): Unit
             }
             opsLog.add(s"mut$t#$i op$op landed"): Unit
           } catch {
