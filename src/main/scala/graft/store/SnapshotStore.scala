@@ -3450,6 +3450,20 @@ object SnapshotStore {
     // the same window — an unprotected clone silently loses data,
     // a leaked consumer only over-retains until released
     ChangeFeed.seedConsumer(spark, srcRoot, cloneConsumerId(spark, dstRoot), base)
+    // POST-SEED floor check (the restore-vs-vacuum lesson applied to
+    // clones): a pin seeded after a racing vacuum's post-commit pin
+    // re-list is not honored by that sweep — but such a seed strictly
+    // follows the sweep's floor-marker write, so the marker is visible
+    // HERE. A base below the committed floor may already be mid-
+    // reclaim: abort cleanly (pin released) instead of committing a
+    // clone whose absolute references die under it.
+    if (base < vacuumFloor(spark, srcRoot) ||
+        !versions(spark, srcRoot).contains(base)) {
+      ChangeFeed.dropConsumer(spark, srcRoot, cloneConsumerId(spark, dstRoot))
+      throw new java.util.ConcurrentModificationException(
+        s"clone of $srcRoot at version $base raced a vacuum floor " +
+          "advance — the fork base may already be mid-reclaim; re-run")
+    }
     writeManifestAtomic(dstFs, dstRoot, 0L, m.numBuckets, m.statsCols,
         m.txns, entries, keys = m.keys) match {
       case Some(cm) => maybeCheckpoint(spark, dstRoot, cm)
@@ -4489,7 +4503,23 @@ object SnapshotStore {
       s"tag '$name' already exists at $root — tags are immutable; " +
         "drop_tag first to re-point it")
     val token = newToken()
-    val out = arbitratedCreate(fs, p, token).getOrElse(throw alreadyExists())
+    // a concurrent dropTag can unlink the file INSIDE the create
+    // (RawLocal creates then chmods — the chmod finds nothing): a
+    // serializable history exists (created, then dropped), but the
+    // creator cannot claim success for a tag that is already gone —
+    // surface the documented concurrent-modification conflict
+    val out =
+      try arbitratedCreate(fs, p, token).getOrElse(throw alreadyExists())
+      catch {
+        case e: java.io.IOException
+            if Option(e.getMessage).exists(m =>
+              m.contains(p.getName) && (m.contains("No such file") ||
+                m.contains("does not exist"))) =>
+          val cme = new java.util.ConcurrentModificationException(
+            s"tag '$name' at $root was dropped concurrently mid-create; re-run")
+          cme.initCause(e)
+          throw cme
+      }
     claimWriteHook("tag", p)
     // conditional-PUT stores arbitrate at close(): a lost race there
     // must report the same immutable-tag conflict as a lost create —
@@ -4514,6 +4544,20 @@ object SnapshotStore {
           s"and its late write may have replaced the superseding " +
           s"creator's version with $v — drop_tag and re-create to " +
           "repair; do NOT treat the tag as committed")
+    }
+    // POST-WRITE floor re-check (the restore-vs-vacuum lesson applied
+    // to tags): a tag published after a racing vacuum's post-commit
+    // pin re-list is not honored by that sweep — but such a publish
+    // strictly follows the sweep's floor-marker write, so the marker
+    // is visible HERE. A now-below-floor (or already-pruned) target
+    // means the tag may dangle: remove it and fail loudly instead of
+    // handing the caller a pin on reclaimed history.
+    if (v < vacuumFloor(spark, root) || !versions(spark, root).contains(v)) {
+      dropTag(spark, root, name)
+      throw new java.util.ConcurrentModificationException(
+        s"tag '$name' of version $v at $root raced a vacuum floor " +
+          "advance — the version may already be mid-reclaim; re-run " +
+          "against a retained version")
     }
     v
   }
@@ -4726,6 +4770,24 @@ object SnapshotStore {
           return if (attempt >= 5) 0
           else vacuumAttempt(spark, root, keepLast, dryRun, minAgeMs, attempt + 1)
         }
+        // RE-LIST retention pins after the win: clone-consumer seeds
+        // and tag creates are not commits, so the OCC win does not
+        // order them — a pin published between this run's first
+        // listing and now would lose its target mid-sweep. The
+        // handshake: any pin published AFTER this re-list was
+        // published after the floor MARKER too (marker precedes the
+        // commit precedes this re-list), so its own post-publish
+        // floor check (cloneTable / createTag) refuses a below-floor
+        // target; any pin published BEFORE it is honored here by
+        // restarting with fresh listings.
+        val minPin2 = math.min(
+          ChangeFeed.minConsumerOffset(spark, root).getOrElse(Long.MaxValue),
+          listTags(spark, root).map(_._2).filter(_ >= 0)
+            .minOption.getOrElse(Long.MaxValue))
+        if (minPin2 < keepFrom) {
+          return if (attempt >= 5) 0
+          else vacuumAttempt(spark, root, keepLast, dryRun, minAgeMs, attempt + 1)
+        }
       }
       // superseded checkpoints below the floor go with their manifests.
       // Name must be digits-only after the prefix: a RACING publish's
@@ -4872,8 +4934,13 @@ object SnapshotStore {
       .foreach { st =>
         val dirName = st.getPath.getName // v=<n>-<token>
         val vNum = dirName.stripPrefix("v=").takeWhile(_.isDigit).toLong
-        val bucketDirs = fs.listStatus(st.getPath).toSeq
-          .filter(_.getPath.getName.startsWith(s"$BucketCol="))
+        // a RIVAL vacuum can reclaim the whole dir between the outer
+        // root listing and this per-dir listing — already-gone is the
+        // outcome this sweep wanted, not an error
+        val bucketDirs =
+          (try fs.listStatus(st.getPath).toSeq
+           catch { case _: java.io.FileNotFoundException => Seq.empty })
+            .filter(_.getPath.getName.startsWith(s"$BucketCol="))
         val dead = bucketDirs.filterNot(b =>
           referenced(s"$dirName/${b.getPath.getName}"))
         // an in-flight writer's dir (version above latest) is not ours

@@ -133,7 +133,7 @@ object ChaosOps {
         val rnd = new scala.util.Random(seed * 100 + t)
         var landed, conflicted = 0
         (1 to opsPer).foreach { i =>
-          val op = rnd.nextInt(12)
+          val op = rnd.nextInt(13)
           opsLog.add(s"t$t#$i op$op begin"): Unit
           try {
             op match {
@@ -237,6 +237,21 @@ object ChaosOps {
                   .getOrElse("keys", "k").split(",").map(_.trim).toSeq
                 SnapshotStore.rebucket(spark, root, keys,
                   newNumBuckets = 1 + rnd.nextInt(4)): Unit
+              case 12 =>
+                // zero-copy clone under chaos: the fork must be
+                // internally coherent (a readable two-column frame) no
+                // matter what swaps/vacuums/rebuckets race the fork;
+                // the retention pin is released right after so vacuum
+                // coverage survives the hunt
+                val cRoot = s"$warehouse/ns/${tbl}_c$t${rnd.nextInt(1000000)}"
+                SnapshotStore.cloneTable(spark, root, cRoot): Unit
+                try {
+                  val df = SnapshotStore.read(spark, cRoot)
+                  if (df.columns.length != 2)
+                    throw new IllegalStateException(
+                      s"frankenclone at $cRoot: ${df.columns.toSeq}")
+                  df.count(): Unit
+                } finally SnapshotStore.releaseClone(spark, cRoot)
             }
             landed += 1
             opsLog.add(s"t$t#$i op$op landed"): Unit
