@@ -577,156 +577,175 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // props file — ALTER commits no manifest to arbitrate with.)
     SnapshotStore.latestVersion(spark, root)
       .foreach(v => SnapshotStore.awaitContractQuiescence(spark, root, v))
-    // TWO-PHASE: every change validates and composes against PENDING
-    // in-memory state; nothing persists until the whole statement
-    // validated — a multi-change ALTER that fails partway must not
-    // leave earlier changes applied (non-atomic DDL turns a reported
-    // failure into a half-applied schema the retry then trips over).
-    var pendingSchema: Option[StructType] = None
-    var pendingProps: Option[Map[String, String]] = None
-    // the FOOTER-MERGED schema (not just the breadcrumb): a column
-    // added by library-side additive evolution must be alterable too
-    def curSchema: StructType = pendingSchema.getOrElse(
-      GraftTable.resolveSchema(spark, root, None))
-    def curProps: Map[String, String] = pendingProps.getOrElse(
-      SnapshotStore.readProps(spark, root))
-    changes.foreach {
-      case add: TableChange.AddColumn =>
-        require(add.fieldNames().length == 1,
-          s"graft ALTER TABLE ADD COLUMN supports top-level columns only, " +
-            s"got nested '${add.fieldNames().mkString(".")}'")
-        val colName = add.fieldNames()(0)
-        require(add.isNullable,
-          s"new column '$colName' must be nullable: existing rows null-fill " +
-            "(additive evolution cannot conjure values for history)")
-        require(add.position() == null,
-          s"column position is not supported — new columns append " +
-            s"(column order is presentation, not layout)")
-        require(add.defaultValue() == null,
-          s"ADD COLUMN with DEFAULT would need a retroactive value for " +
-            "history, which additive evolution null-fills by contract — " +
-            "add the column, then ALTER TABLE ... ALTER COLUMN ... SET " +
-            "DEFAULT for FUTURE inserts")
-        val cur = curSchema
-        require(cur.nonEmpty, s"table $ident has no resolvable schema")
-        require(!cur.fieldNames.exists(_.equalsIgnoreCase(colName)),
-          s"column '$colName' already exists in $ident")
-        val field = {
-          val f = org.apache.spark.sql.types.StructField(colName,
-            add.dataType(), nullable = true)
-          if (add.comment() != null) f.withComment(add.comment()) else f
-        }
-        pendingSchema = Some(StructType(cur.fields.toSeq :+ field))
-      case upd: TableChange.UpdateColumnDefaultValue =>
-        // CURRENT default only: applies to FUTURE inserts (the analyzer
-        // materializes it into written rows); history keeps its real
-        // values / null-fill — no retroactive EXISTS_DEFAULT claims
-        require(upd.fieldNames().length == 1,
-          "SET DEFAULT supports top-level columns only")
-        val colName = upd.fieldNames()(0)
-        val cur = curSchema
-        require(cur.fieldNames.exists(_.equalsIgnoreCase(colName)),
-          s"no column '$colName' in $ident")
-        val updated = StructType(cur.fields.toSeq.map { f =>
-          if (!f.name.equalsIgnoreCase(colName)) f
-          else {
-            val mb = new org.apache.spark.sql.types.MetadataBuilder()
-              .withMetadata(f.metadata)
-            val sql = Option(upd.newCurrentDefault())
-              .flatMap(d => Option(d.getSql))
-              .orElse(Option(upd.newDefaultValue()))
-              .filter(_.nonEmpty)
-            sql match {
-              case Some(s) => f.copy(metadata =
-                mb.putString("CURRENT_DEFAULT", s).build())
-              case None => f.copy(metadata =
-                mb.remove("CURRENT_DEFAULT").build()) // DROP DEFAULT
+    // The contracts LOCK serializes this compose-and-write against
+    // rival ALTERs (previously last-writer-wins: one statement's
+    // changes could vanish silently) and against a swap's
+    // executeContractSwap (previously an ALTER landing mid-swap could
+    // re-instate the displaced epoch's breadcrumb over the new
+    // epoch's). Compose happens INSIDE the lock so it always reads the
+    // rival-complete state.
+    SnapshotStore.withContractsLock(spark, root) {
+      // a swap whose flagged commit landed AFTER the quiescence wait
+      // above writes its contracts under this same lock — composing
+      // now would pair this ALTER with a half-displaced epoch: refuse
+      // with the documented conflict instead
+      SnapshotStore.latestVersion(spark, root).foreach { v =>
+        if (SnapshotStore.unstampedEpochStart(spark, root, v) >= 0)
+          throw new java.util.ConcurrentModificationException(
+            s"ALTER TABLE at $root raced a REPLACE/restore contract " +
+              "swap — re-run against the new contract")
+      }
+      // TWO-PHASE: every change validates and composes against PENDING
+      // in-memory state; nothing persists until the whole statement
+      // validated — a multi-change ALTER that fails partway must not
+      // leave earlier changes applied (non-atomic DDL turns a reported
+      // failure into a half-applied schema the retry then trips over).
+      var pendingSchema: Option[StructType] = None
+      var pendingProps: Option[Map[String, String]] = None
+      // the FOOTER-MERGED schema (not just the breadcrumb): a column
+      // added by library-side additive evolution must be alterable too
+      def curSchema: StructType = pendingSchema.getOrElse(
+        GraftTable.resolveSchema(spark, root, None))
+      def curProps: Map[String, String] = pendingProps.getOrElse(
+        SnapshotStore.readProps(spark, root))
+      changes.foreach {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames().length == 1,
+            s"graft ALTER TABLE ADD COLUMN supports top-level columns only, " +
+              s"got nested '${add.fieldNames().mkString(".")}'")
+          val colName = add.fieldNames()(0)
+          require(add.isNullable,
+            s"new column '$colName' must be nullable: existing rows null-fill " +
+              "(additive evolution cannot conjure values for history)")
+          require(add.position() == null,
+            s"column position is not supported — new columns append " +
+              s"(column order is presentation, not layout)")
+          require(add.defaultValue() == null,
+            s"ADD COLUMN with DEFAULT would need a retroactive value for " +
+              "history, which additive evolution null-fills by contract — " +
+              "add the column, then ALTER TABLE ... ALTER COLUMN ... SET " +
+              "DEFAULT for FUTURE inserts")
+          val cur = curSchema
+          require(cur.nonEmpty, s"table $ident has no resolvable schema")
+          require(!cur.fieldNames.exists(_.equalsIgnoreCase(colName)),
+            s"column '$colName' already exists in $ident")
+          val field = {
+            val f = org.apache.spark.sql.types.StructField(colName,
+              add.dataType(), nullable = true)
+            if (add.comment() != null) f.withComment(add.comment()) else f
+          }
+          pendingSchema = Some(StructType(cur.fields.toSeq :+ field))
+        case upd: TableChange.UpdateColumnDefaultValue =>
+          // CURRENT default only: applies to FUTURE inserts (the analyzer
+          // materializes it into written rows); history keeps its real
+          // values / null-fill — no retroactive EXISTS_DEFAULT claims
+          require(upd.fieldNames().length == 1,
+            "SET DEFAULT supports top-level columns only")
+          val colName = upd.fieldNames()(0)
+          val cur = curSchema
+          require(cur.fieldNames.exists(_.equalsIgnoreCase(colName)),
+            s"no column '$colName' in $ident")
+          val updated = StructType(cur.fields.toSeq.map { f =>
+            if (!f.name.equalsIgnoreCase(colName)) f
+            else {
+              val mb = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+              val sql = Option(upd.newCurrentDefault())
+                .flatMap(d => Option(d.getSql))
+                .orElse(Option(upd.newDefaultValue()))
+                .filter(_.nonEmpty)
+              sql match {
+                case Some(s) => f.copy(metadata =
+                  mb.putString("CURRENT_DEFAULT", s).build())
+                case None => f.copy(metadata =
+                  mb.remove("CURRENT_DEFAULT").build()) // DROP DEFAULT
+              }
+            }
+          })
+          pendingSchema = Some(updated)
+        case add: TableChange.AddConstraint =>
+          // ENFORCED CHECKs were already validated against existing rows
+          // by Spark's AddCheckConstraintExec before this call; recording
+          // the property makes every write path enforce it from now on
+          val keys = SnapshotStore.readManifest(spark, root,
+            SnapshotStore.latestVersion(spark, root).getOrElse(
+              throw new NoSuchTableException(ident))).keys
+          val props = curProps
+          pendingProps = Some(props + constraintProp(add.constraint(), keys, props))
+        case drop: TableChange.DropConstraint =>
+          val props = curProps
+          ConstraintPrefixes.map(_ + drop.name()).find(props.contains) match {
+            case Some(k) => pendingProps = Some(props - k)
+            case None =>
+              require(drop.ifExists(),
+                s"no constraint named '${drop.name()}' on $ident")
+          }
+        case set: TableChange.SetProperty =>
+          // managed keys normalize to their canonical (lowercase) form —
+          // a case-variant 'DML.Mode' that silently skipped validation
+          // AND enforcement lookups would record a contract nothing honors
+          val k = canonicalProp(set.property())
+          require(!ReservedProps(k.toLowerCase(java.util.Locale.ROOT)),
+            s"property '$k' is layout/reserved metadata and cannot be set — " +
+              "bucket layout evolves via CALL system.rebucket")
+          require(!k.toLowerCase(java.util.Locale.ROOT).startsWith("constraint."),
+            s"constraints are managed via ALTER TABLE ADD/DROP CONSTRAINT " +
+              "(which validates existing data), not raw TBLPROPERTIES")
+          require(!k.toLowerCase(java.util.Locale.ROOT).startsWith("generated."),
+            s"generated columns are declared at CREATE via GENERATED ALWAYS " +
+              "AS (analyzer-validated), not raw TBLPROPERTIES")
+          require(!k.toLowerCase(java.util.Locale.ROOT).startsWith("identity."),
+            s"identity columns are declared at CREATE via GENERATED ... AS " +
+              "IDENTITY, not raw TBLPROPERTIES")
+          validManagedValue(k, set.value())
+          if (k == "dml.mode") {
+            if (set.value() == "delta") {
+              val keys = SnapshotStore.readManifest(spark, root,
+                SnapshotStore.latestVersion(spark, root).getOrElse(
+                  throw new NoSuchTableException(ident))).keys
+              require(keys.nonEmpty,
+                s"dml.mode=delta needs merge keys; $ident has none")
+              // the contract must hold for data already in the table —
+              // one column-pruned scan of the key columns, at ALTER time
+              val nullKeys = spark.read.format("graft").load(root)
+                .where(keys.map(org.apache.spark.sql.functions.col(_).isNull)
+                  .reduce(_ || _)).limit(1).count()
+              require(nullKeys == 0,
+                s"cannot set dml.mode=delta on $ident: existing rows hold " +
+                  "null merge keys — the delta row-identity contract " +
+                  "requires non-null keys; clean them first")
             }
           }
-        })
-        pendingSchema = Some(updated)
-      case add: TableChange.AddConstraint =>
-        // ENFORCED CHECKs were already validated against existing rows
-        // by Spark's AddCheckConstraintExec before this call; recording
-        // the property makes every write path enforce it from now on
-        val keys = SnapshotStore.readManifest(spark, root,
-          SnapshotStore.latestVersion(spark, root).getOrElse(
-            throw new NoSuchTableException(ident))).keys
-        val props = curProps
-        pendingProps = Some(props + constraintProp(add.constraint(), keys, props))
-      case drop: TableChange.DropConstraint =>
-        val props = curProps
-        ConstraintPrefixes.map(_ + drop.name()).find(props.contains) match {
-          case Some(k) => pendingProps = Some(props - k)
-          case None =>
-            require(drop.ifExists(),
-              s"no constraint named '${drop.name()}' on $ident")
-        }
-      case set: TableChange.SetProperty =>
-        // managed keys normalize to their canonical (lowercase) form —
-        // a case-variant 'DML.Mode' that silently skipped validation
-        // AND enforcement lookups would record a contract nothing honors
-        val k = canonicalProp(set.property())
-        require(!ReservedProps(k.toLowerCase(java.util.Locale.ROOT)),
-          s"property '$k' is layout/reserved metadata and cannot be set — " +
-            "bucket layout evolves via CALL system.rebucket")
-        require(!k.toLowerCase(java.util.Locale.ROOT).startsWith("constraint."),
-          s"constraints are managed via ALTER TABLE ADD/DROP CONSTRAINT " +
-            "(which validates existing data), not raw TBLPROPERTIES")
-        require(!k.toLowerCase(java.util.Locale.ROOT).startsWith("generated."),
-          s"generated columns are declared at CREATE via GENERATED ALWAYS " +
-            "AS (analyzer-validated), not raw TBLPROPERTIES")
-        require(!k.toLowerCase(java.util.Locale.ROOT).startsWith("identity."),
-          s"identity columns are declared at CREATE via GENERATED ... AS " +
-            "IDENTITY, not raw TBLPROPERTIES")
-        validManagedValue(k, set.value())
-        if (k == "dml.mode") {
-          if (set.value() == "delta") {
-            val keys = SnapshotStore.readManifest(spark, root,
-              SnapshotStore.latestVersion(spark, root).getOrElse(
-                throw new NoSuchTableException(ident))).keys
-            require(keys.nonEmpty,
-              s"dml.mode=delta needs merge keys; $ident has none")
-            // the contract must hold for data already in the table —
-            // one column-pruned scan of the key columns, at ALTER time
-            val nullKeys = spark.read.format("graft").load(root)
-              .where(keys.map(org.apache.spark.sql.functions.col(_).isNull)
-                .reduce(_ || _)).limit(1).count()
-            require(nullKeys == 0,
-              s"cannot set dml.mode=delta on $ident: existing rows hold " +
-                "null merge keys — the delta row-identity contract " +
-                "requires non-null keys; clean them first")
-          }
-        }
-        pendingProps = Some(curProps + (k -> set.value()))
-      case rm: TableChange.RemoveProperty =>
-        val k = canonicalProp(rm.property())
-        require(!ReservedProps(k.toLowerCase(java.util.Locale.ROOT)),
-          s"property '$k' is layout/reserved metadata")
-        require(!k.toLowerCase(java.util.Locale.ROOT)
-          .startsWith("constraint."),
-          s"constraints are dropped via ALTER TABLE DROP CONSTRAINT, " +
-            "not TBLPROPERTIES")
-        require(!k.toLowerCase(java.util.Locale.ROOT)
-          .startsWith("generated."),
-          s"a GENERATED ALWAYS AS contract cannot be dropped — readers " +
-            "and history rely on it")
-        require(!k.toLowerCase(java.util.Locale.ROOT)
-          .startsWith("identity."),
-          s"an IDENTITY contract cannot be dropped — minted ids and " +
-            "the reservation ledger rely on it")
-        pendingProps = Some(curProps - k)
-      case other =>
-        throw new UnsupportedOperationException(
-          s"graft ALTER TABLE supports ADD COLUMN (nullable, appended), " +
-            s"ALTER COLUMN SET/DROP DEFAULT, ADD/DROP CONSTRAINT, and " +
-            s"SET/UNSET TBLPROPERTIES; ${other.getClass.getSimpleName} would " +
-            "rewrite history (drop/rename/retype) or change fixed layout — " +
-            "refusing")
+          pendingProps = Some(curProps + (k -> set.value()))
+        case rm: TableChange.RemoveProperty =>
+          val k = canonicalProp(rm.property())
+          require(!ReservedProps(k.toLowerCase(java.util.Locale.ROOT)),
+            s"property '$k' is layout/reserved metadata")
+          require(!k.toLowerCase(java.util.Locale.ROOT)
+            .startsWith("constraint."),
+            s"constraints are dropped via ALTER TABLE DROP CONSTRAINT, " +
+              "not TBLPROPERTIES")
+          require(!k.toLowerCase(java.util.Locale.ROOT)
+            .startsWith("generated."),
+            s"a GENERATED ALWAYS AS contract cannot be dropped — readers " +
+              "and history rely on it")
+          require(!k.toLowerCase(java.util.Locale.ROOT)
+            .startsWith("identity."),
+            s"an IDENTITY contract cannot be dropped — minted ids and " +
+              "the reservation ledger rely on it")
+          pendingProps = Some(curProps - k)
+        case other =>
+          throw new UnsupportedOperationException(
+            s"graft ALTER TABLE supports ADD COLUMN (nullable, appended), " +
+              s"ALTER COLUMN SET/DROP DEFAULT, ADD/DROP CONSTRAINT, and " +
+              s"SET/UNSET TBLPROPERTIES; ${other.getClass.getSimpleName} would " +
+              "rewrite history (drop/rename/retype) or change fixed layout — " +
+              "refusing")
+      }
+      // every change validated — persist once
+      pendingSchema.foreach(s => GraftTable.writeSchemaFile(spark, root, s))
+      pendingProps.foreach(p => SnapshotStore.writeProps(spark, root, p))
     }
-    // every change validated — persist once
-    pendingSchema.foreach(s => GraftTable.writeSchemaFile(spark, root, s))
-    pendingProps.foreach(p => SnapshotStore.writeProps(spark, root, p))
     loadTable(ident)
   }
 

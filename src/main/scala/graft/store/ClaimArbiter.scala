@@ -63,6 +63,14 @@ trait ClaimArbiter {
     * the row is the fence.
     */
   def owner(path: String): Option[String]
+
+  /** Release `path` iff `token` still holds it — one conditional
+    * delete in a DynamoDB-style implementation. COMMIT claims are
+    * never released (the surviving row IS the zombie fence); short
+    * LOCK claims (the contracts lock) release on exit so the next
+    * acquirer need not wait out the staleness grace.
+    */
+  def release(path: String, token: String): Unit
 }
 
 /** JVM-local reference implementation: one CAS'd row per path, claims
@@ -98,4 +106,8 @@ final class InMemoryClaimArbiter(staleMs: Long = -1L) extends ClaimArbiter {
 
   override def owner(path: String): Option[String] =
     Option(rows.get(path)).map(_._1)
+
+  override def release(path: String, token: String): Unit =
+    rows.computeIfPresent(path,
+      (_, cur) => if (cur._1 == token) null else cur): Unit
 }

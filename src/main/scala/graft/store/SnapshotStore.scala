@@ -105,6 +105,75 @@ object SnapshotStore {
   private val CheckpointClaimGraceMs: Long =
     sys.props.get("graft.snapshot.checkpointClaimGraceMs").map(_.toLong).getOrElse(15000L)
 
+  /** How old an abandoned `_contracts_lock` must be before a waiter
+    * reclaims it. Contract writes are milliseconds (a handful of
+    * small-file publishes), so — like the checkpoint claim — a short
+    * grace beats stalling every DDL statement for the manifest lease.
+    */
+  private val ContractsLockGraceMs: Long =
+    sys.props.get("graft.snapshot.contractsLockGraceMs").map(_.toLong).getOrElse(15000L)
+
+  /** Contract-write mutual exclusion: version-less metadata writers —
+    * ALTER's `_schema`/`_props` writes and a swap's
+    * [[executeContractSwap]] — serialize on `_contracts_lock`. Without
+    * it two ALTERs are last-writer-wins (one change silently lost) and
+    * an ALTER racing a REPLACE/restore swap can overwrite the NEW
+    * epoch's just-installed breadcrumb with the displaced epoch's —
+    * the metadata-side door of the frankenschema class the R15.2
+    * resolver work closed on the read side. POSIX: O_EXCL create,
+    * deleted on exit, aged holders reclaimed
+    * ([[ContractsLockGraceMs]]); conditional-PUT object stores: the
+    * create arbitrates at close; plain-PUT: the configured
+    * [[ClaimArbiter]] row, RELEASED on exit (unlike commit claims,
+    * which the zombie fence keeps).
+    */
+  private[graft] def withContractsLock[A](spark: SparkSession, root: String)
+                                         (body: => A): A = {
+    val fs = fileSystem(spark, root)
+    val p = new Path(root, "_contracts_lock")
+    val key = fs.makeQualified(p).toString
+    val token = newToken()
+    val deadline = System.currentTimeMillis() + 120000L
+    var held = false
+    while (!held) {
+      manifestArbiter match {
+        case Some(arb) => held = arb.claim(key, token)
+        case None =>
+          createExclusive(fs, p) match {
+            case Some(out) =>
+              // conditional-PUT stores arbitrate at close(): a loss
+              // lands here as an IOException — treat as not-held
+              try {
+                try out.write(token.getBytes(StandardCharsets.UTF_8))
+                finally out.close()
+                held = true
+              } catch { case _: java.io.IOException => () }
+            case None => ()
+          }
+      }
+      if (!held) {
+        val age =
+          try Some(System.currentTimeMillis() -
+            fs.getFileStatus(p).getModificationTime)
+          catch { case _: java.io.FileNotFoundException => None }
+        if (age.exists(_ > ContractsLockGraceMs)) {
+          try { fs.delete(p, false): Unit }
+          catch { case _: java.io.IOException => () }
+        } else if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"contracts lock at $root has been held for over 120s — " +
+              "crashed holder past repair? delete _contracts_lock to recover")
+        else Thread.sleep(15)
+      }
+    }
+    try body
+    finally {
+      manifestArbiter.foreach(_.release(key, token))
+      try { fs.delete(p, false): Unit }
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
   /** One bucket's current files + per-column data-skipping stats.
     * `stats(i)` is the (min, max) of the i-th declared stats column
     * over this bucket's rows, string-encoded per its type tag; None =
@@ -4004,7 +4073,20 @@ object SnapshotStore {
     * later swap at the clone compares against its OWN version).
     */
   private def executeContractSwap(spark: SparkSession, root: String,
-                                  b: ContractBundle): Unit = {
+                                  b: ContractBundle): Unit =
+    // the contracts LOCK (see [[withContractsLock]]) serializes this
+    // swap's live-file writes against ALTER's: an ALTER landing inside
+    // the swap would otherwise re-instate the DISPLACED epoch's
+    // breadcrumb over the one this swap just installed. Racing healers
+    // of the SAME bundle stay correct as before (deterministic writes
+    // + the superseded fence); the lock adds the cross-WRITER ordering
+    // those fences cannot.
+    withContractsLock(spark, root) {
+      executeContractSwapLocked(spark, root, b)
+    }
+
+  private def executeContractSwapLocked(spark: SparkSession, root: String,
+                                        b: ContractBundle): Unit = {
     val fs = fileSystem(spark, root)
     def superseded: Boolean = readProps(spark, root)
       .get("graft.schema.epoch").map(_.toLong).getOrElse(-1L) >= b.v

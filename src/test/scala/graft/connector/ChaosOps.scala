@@ -133,7 +133,7 @@ object ChaosOps {
         val rnd = new scala.util.Random(seed * 100 + t)
         var landed, conflicted = 0
         (1 to opsPer).foreach { i =>
-          val op = rnd.nextInt(13)
+          val op = rnd.nextInt(14)
           opsLog.add(s"t$t#$i op$op begin"): Unit
           try {
             op match {
@@ -252,6 +252,12 @@ object ChaosOps {
                       s"frankenclone at $cRoot: ${df.columns.toSeq}")
                   df.count(): Unit
                 } finally SnapshotStore.releaseClone(spark, cRoot)
+              case 13 =>
+                // version-less DDL racing everything else: the
+                // contracts lock must keep SET TBLPROPERTIES both
+                // lossless vs rival ALTERs and serialized vs swaps
+                spark.sql(s"ALTER TABLE $catalog.ns.$tbl SET TBLPROPERTIES " +
+                  s"('cx${t}_${rnd.nextInt(1000000)}'='1')")
             }
             landed += 1
             opsLog.add(s"t$t#$i op$op landed"): Unit
@@ -273,7 +279,8 @@ object ChaosOps {
     val outcomes = Await.result(Future.sequence(futs), 1800.seconds)
     // quiesce, then sweep
     spark.sql(s"ALTER TABLE $catalog.ns.$tbl SET TBLPROPERTIES ('cq'='1')")
-    val stamped = SnapshotStore.readProps(spark, root)("graft.schema.epoch").toLong
+    val stampedOpt = SnapshotStore.readProps(spark, root)
+      .get("graft.schema.epoch").map(_.toLong)
     val epochRow = spark.sql(
       s"""SELECT max(version) FROM $catalog.ns.$tbl.meta_history
          WHERE is_epoch_start""").collect().head
@@ -281,21 +288,30 @@ object ChaosOps {
     // can be legally reclaimed: meta_history shows RETAINED versions
     // only, and retention is a suffix — so either the newest flagged
     // version is retained (stamp must equal it), or every flagged
-    // version is below the floor (stamp must be below the floor too)
-    if (epochRow.isNullAt(0)) {
-      val floor = SnapshotStore.versions(spark, root).head
-      if (stamped >= floor) {
-        val p = dump("quiescence: no retained flagged but stamp in retention",
-          Seq(s"stamped: $stamped", s"floor: $floor"))
+    // version is below the floor (stamp must be below the floor too).
+    // A seed that never drew a REPLACE/cross-restore has NO stamp at
+    // all — legal iff no retained version is flagged either.
+    (stampedOpt, if (epochRow.isNullAt(0)) None else Some(epochRow.getLong(0))) match {
+      case (None, None) => () // never swapped: nothing to check
+      case (None, Some(f)) =>
+        val p = dump("quiescence: flagged version but no stamp", Seq(s"flagged: $f"))
         assert(false,
-          s"hunt $tbl: no retained epoch-start yet stamp $stamped is at/above " +
-            s"the retention floor $floor (diag: $p)")
-      }
-    } else if (stamped != epochRow.getLong(0)) {
-      val p = dump("quiescence: stamp vs newest flagged", Seq(
-        s"stamped: $stamped", s"newestEpoch: ${epochRow.getLong(0)}"))
-      assert(false,
-        s"hunt $tbl: stamp $stamped vs newest flagged ${epochRow.getLong(0)} (diag: $p)")
+          s"hunt $tbl: retained epoch-start $f but no stamp in _props (diag: $p)")
+      case (Some(stamped), None) =>
+        val floor = SnapshotStore.versions(spark, root).head
+        if (stamped >= floor) {
+          val p = dump("quiescence: no retained flagged but stamp in retention",
+            Seq(s"stamped: $stamped", s"floor: $floor"))
+          assert(false,
+            s"hunt $tbl: no retained epoch-start yet stamp $stamped is at/above " +
+              s"the retention floor $floor (diag: $p)")
+        }
+      case (Some(stamped), Some(f)) if stamped != f =>
+        val p = dump("quiescence: stamp vs newest flagged", Seq(
+          s"stamped: $stamped", s"newestEpoch: $f"))
+        assert(false,
+          s"hunt $tbl: stamp $stamped vs newest flagged $f (diag: $p)")
+      case _ => ()
     }
     SnapshotStore.versions(spark, root).foreach { v =>
       val df = spark.sql(s"SELECT * FROM $catalog.ns.$tbl VERSION AS OF $v")

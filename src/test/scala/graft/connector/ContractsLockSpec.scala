@@ -1,0 +1,89 @@
+package graft.connector
+
+import java.nio.file.Files
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.concurrent.duration._
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+import graft.store.{InMemoryClaimArbiter, SnapshotStore}
+
+/** The contracts lock (R15.2): version-less metadata writers — ALTER's
+  * `_schema`/`_props` writes and a swap's contract installation —
+  * serialize on `_contracts_lock`. Before it, two concurrent ALTERs
+  * were last-writer-wins (one statement's changes silently vanished
+  * despite reporting success), and an ALTER racing a REPLACE's swap
+  * could re-instate the displaced epoch's breadcrumb — the
+  * metadata-side door of the frankenschema class.
+  */
+class ContractsLockSpec extends SparkSpec {
+
+  private val warehouse = Files.createTempDirectory("graft-clock-wh").toString
+  locally {
+    spark.conf.set("spark.sql.catalog.clk", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.clk.root", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS clk.ns")
+  }
+
+  test("concurrent ALTERs all land (no last-writer-wins lost updates)") {
+    spark.sql("""CREATE TABLE clk.ns.t1 (k BIGINT, v BIGINT) USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    val n = 8
+    val futs = (0 until n).map { i =>
+      Future(spark.sql(s"ALTER TABLE clk.ns.t1 SET TBLPROPERTIES ('p$i'='$i')"))
+    }
+    Await.result(Future.sequence(futs), 120.seconds): Unit
+    val props = SnapshotStore.readProps(spark, s"$warehouse/ns/t1")
+    (0 until n).foreach { i =>
+      assert(props.get(s"p$i").contains(i.toString),
+        s"ALTER #$i's property vanished — lost update (props: $props)")
+    }
+  }
+
+  test("concurrent ADD COLUMNs all land") {
+    spark.sql("""CREATE TABLE clk.ns.t2 (k BIGINT, v BIGINT) USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    val n = 4
+    val futs = (0 until n).map { i =>
+      Future(spark.sql(s"ALTER TABLE clk.ns.t2 ADD COLUMN c$i STRING"))
+    }
+    Await.result(Future.sequence(futs), 120.seconds): Unit
+    val cols = spark.table("clk.ns.t2").columns.toSet
+    (0 until n).foreach(i => assert(cols.contains(s"c$i"),
+      s"ADD COLUMN c$i vanished — lost update (cols: $cols)"))
+  }
+
+  test("an abandoned lock file is reclaimed past the grace") {
+    spark.sql("""CREATE TABLE clk.ns.t3 (k BIGINT, v BIGINT) USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    val root = s"$warehouse/ns/t3"
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(root, "_contracts_lock")
+    fs.create(p, true).close()
+    val old = System.currentTimeMillis() - 60000L // past the 15 s grace
+    fs.setTimes(p, old, old)
+    // a crashed holder must not wedge DDL: the waiter reclaims and lands
+    spark.sql("ALTER TABLE clk.ns.t3 SET TBLPROPERTIES ('x'='1')")
+    assert(SnapshotStore.readProps(spark, root).get("x").contains("1"))
+    assert(!fs.exists(p), "the lock must be released after the ALTER")
+  }
+
+  test("plain-PUT: the arbiter row is RELEASED, so back-to-back DDL never waits out the grace") {
+    SnapshotStore.manifestArbiter = Some(new InMemoryClaimArbiter(staleMs = 600000L))
+    try {
+      spark.sql("""CREATE TABLE clk.ns.t4 (k BIGINT, v BIGINT) USING graft
+                   TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+      val t0 = System.nanoTime()
+      spark.sql("ALTER TABLE clk.ns.t4 SET TBLPROPERTIES ('a'='1')")
+      spark.sql("ALTER TABLE clk.ns.t4 SET TBLPROPERTIES ('b'='2')")
+      val elapsedS = (System.nanoTime() - t0) / 1e9
+      assert(elapsedS < 60.0,
+        s"second ALTER waited ${elapsedS}s — the lock row was not released")
+      val props = SnapshotStore.readProps(spark, s"$warehouse/ns/t4")
+      assert(props.get("a").contains("1") && props.get("b").contains("2"))
+    } finally SnapshotStore.manifestArbiter = None
+  }
+}
