@@ -110,7 +110,14 @@ object StreamChaosOps {
             op match {
               case 0 | 1 | 2 =>
                 // upsert keeping k unique: the epoch key (when the
-                // current epoch renamed it) is always k + 1000
+                // current epoch renamed it) is always k + 1000.
+                // POSITIONAL values on purpose: a NAMED subset insert
+                // built from a stale pre-REPLACE shape would silently
+                // NULL-FILL the new epoch's merge key (SQL default
+                // semantics) and break k-uniqueness with a coexisting
+                // null-key row — found live by StreamChaosBlast; a
+                // stale positional arity instead fails loudly as the
+                // documented not-enough-columns conflict
                 val cols = spark.table(s"$catalog.ns.$tbl").columns.toSeq
                 if (cols.isEmpty) throw new java.util.ConcurrentModificationException(
                   s"$tbl resolved mid-swap with no columns; re-run")
@@ -118,8 +125,7 @@ object StreamChaosOps {
                 val row =
                   if (cols == Seq("k", "v")) s"($k, ${rnd.nextInt(100)})"
                   else s"(${k + 1000}, $k, ${rnd.nextInt(100)})"
-                spark.sql(s"INSERT INTO $catalog.ns.$tbl (${cols.mkString(", ")}) " +
-                  s"VALUES $row")
+                spark.sql(s"INSERT INTO $catalog.ns.$tbl VALUES $row")
               case 3 =>
                 spark.sql(s"DELETE FROM $catalog.ns.$tbl WHERE k = ${rnd.nextInt(40)}")
               case 4 =>
@@ -152,12 +158,16 @@ object StreamChaosOps {
                 val mk = rnd.nextInt(40)
                 val mv = rnd.nextInt(100)
                 if (cols == Seq("k", "v"))
+                  // update-only in the 2-col shape: a WHEN NOT MATCHED
+                  // INSERT (k, v) executed against a 3-col epoch the
+                  // REPLACE installed mid-statement would null-fill
+                  // the new merge key (same hazard as the named-subset
+                  // insert above) — matched-update can never mint rows
                   spark.sql(
                     s"""MERGE INTO $catalog.ns.$tbl t
                        USING (SELECT CAST($mk AS BIGINT) AS mk, CAST($mv AS BIGINT) AS mv) s
                        ON t.k = s.mk
-                       WHEN MATCHED THEN UPDATE SET v = s.mv
-                       WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.mk, s.mv)""")
+                       WHEN MATCHED THEN UPDATE SET v = s.mv""")
                 else if (cols.length == 3 && cols.takeRight(2) == Seq("k", "v"))
                   spark.sql(
                     s"""MERGE INTO $catalog.ns.$tbl t
@@ -221,6 +231,18 @@ object StreamChaosOps {
     // quiescence: one clean final drain must converge the mirror
     // exactly — no documented-conflict escape hatch here
     drain("final")
+    // k-uniqueness is the hunt's own precondition (mirror and source
+    // are compared as k→v maps): if it broke, the divergence message
+    // would mislead — diagnose the duplicate crisply instead
+    val dupes = spark.table(s"$catalog.ns.$tbl").groupBy("k").count()
+      .where(col("count") > 1).collect()
+    if (dupes.nonEmpty) {
+      val p = dump("k-uniqueness broken",
+        dupes.map(r => s"duplicate k: $r").toSeq)
+      throw new AssertionError(
+        s"key uniqueness broken — an op minted a duplicate/null-key row " +
+          s"(diag: $p): ${dupes.mkString(", ")}")
+    }
     val src = spark.table(s"$catalog.ns.$tbl").select(col("k"), col("v"))
       .as[(Long, Long)].collect().map { case (k, v) => k -> v }.toMap
     val mir = mirror.synchronized(mirror.toMap)
