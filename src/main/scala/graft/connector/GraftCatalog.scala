@@ -603,9 +603,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       var pendingSchema: Option[StructType] = None
       var pendingProps: Option[Map[String, String]] = None
       // the FOOTER-MERGED schema (not just the breadcrumb): a column
-      // added by library-side additive evolution must be alterable too
+      // added by library-side additive evolution must be alterable too.
+      // failOnDegraded: an ALTER based on a footers-only resolution
+      // would PERSIST a breadcrumb missing earlier ALTERs' columns —
+      // fail loudly instead (r15 advice #4)
       def curSchema: StructType = pendingSchema.getOrElse(
-        GraftTable.resolveSchema(spark, root, None))
+        GraftTable.resolveSchema(spark, root, None, failOnDegraded = true))
       def curProps: Map[String, String] = pendingProps.getOrElse(
         SnapshotStore.readProps(spark, root))
       changes.foreach {

@@ -262,19 +262,114 @@ object GraftChangeFeedSource {
 
   /** sourceSchema → createSource consistency pin (see
     * [[GraftDataSource.sourceSchema]]): Spark calls the two provider
-    * methods on DIFFERENT instances, so the per-root pin lives here.
-    * Last-write-wins per root — each `readStream.load()` re-pins
-    * immediately before its own `start()` reads it back.
+    * methods on DIFFERENT instances (`DataSource.providingInstance()`
+    * constructs a fresh provider per call), so the per-root pin lives
+    * here. R16 lifecycle (r15 "what's wrong" #2):
+    *
+    *  - each `readStream.load()` pins; the matching `start()` CONSUMES
+    *    the pin (removed on read) — an entry lives only for the
+    *    load()→start() window, so a long session streaming thousands
+    *    of ephemeral roots accumulates no JVM-lifetime state;
+    *  - a SECOND load() of the same root while an un-consumed pin with
+    *    a DIFFERENT shape is pending is REFUSED loudly. This is the
+    *    one gateway to the cross-pin hazard, and the engine does NOT
+    *    make it loud: its batch assertion checks attribute COUNT only
+    *    and rewrites attributes positionally, so a same-arity
+    *    cross-epoch pin delivers silently mis-bound rows (measured
+    *    while building ChangeFeedSchemaPinSpec — a LONG read over a
+    *    UTF8String field returns garbage, no exception). Refusing the
+    *    ambiguous load is the only place the hazard can be closed;
+    *    an abandoned pin (load() never started) ages out after
+    *    [[PinAbandonMs]] rather than wedging the root forever;
+    *  - at start, the resolved schema is persisted into the query's
+    *    own checkpoint ([[startSchema]]), so a RESTART — same
+    *    checkpoint, possibly a stale DataFrame, possibly a fresh JVM
+    *    with an empty pin map — runs with the schema the query was
+    *    CREATED with instead of a fresh resolution that may have
+    *    drifted across a REPLACE.
+    *
+    * Residual (documented): the same DataFrame started TWICE creates
+    * two queries from one pin — the second start has no pin and a
+    * fresh checkpoint, so it resolves fresh; a swap between its load
+    * and start can then mis-bind same-arity shapes. One relation, one
+    * start is the supported pattern.
     */
   private val schemaPins =
-    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+    new java.util.concurrent.ConcurrentHashMap[String, (StructType, Long)]()
+
+  /** How old an un-consumed pin must be before a new load() may
+    * replace (rather than refuse) a different-shape one — a loader
+    * that never started is abandoned, not ambiguous.
+    */
+  private val PinAbandonMs = 600000L
 
   private[connector] def pinSchema(root: String, s: StructType): Unit = {
-    schemaPins.put(root, s): Unit
+    val now = System.currentTimeMillis()
+    schemaPins.compute(root, (_, cur) =>
+      if (cur == null || cur._1 == s || now - cur._2 > PinAbandonMs) (s, now)
+      else throw new java.util.ConcurrentModificationException(
+        s"concurrent readStream.load() calls on $root straddled a " +
+          "contract swap (REPLACE/restore): an earlier load()'s schema " +
+          "pin is still pending with a different shape, and starting " +
+          "either stream would mis-bind its batches — start or discard " +
+          "the earlier streaming DataFrame, then re-create this one")): Unit
   }
 
+  /** Consumes (removes) the pin — see [[schemaPins]]. */
   private[connector] def pinnedSchemaFor(root: String): Option[StructType] =
-    Option(schemaPins.get(root))
+    Option(schemaPins.remove(root)).map(_._1)
+
+  /** Test visibility: live pin count (growth assertions). */
+  private[connector] def pinnedRootCount: Int = schemaPins.size()
+
+  private val StartSchemaFile = "_graft_feed_schema"
+
+  /** The schema a STARTING source must run with, durably tied to the
+    * query via its checkpoint `metadataPath`: a fresh start persists
+    * its pin (or fresh resolution) there; a RESTART reads it back —
+    * the checkpoint is the only identity that survives stale
+    * DataFrames and JVM restarts, and the schema it carries is by
+    * construction the one the query's relation was created with.
+    */
+  private[connector] def startSchema(spark: SparkSession,
+                                     metadataPath: Option[String],
+                                     root: String,
+                                     pinned: Option[StructType]): StructType = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val file = metadataPath.map(mp =>
+      new org.apache.hadoop.fs.Path(mp, StartSchemaFile))
+    def persist(s: StructType): Unit = file.foreach { f =>
+      val fs = f.getFileSystem(conf)
+      fs.mkdirs(f.getParent)
+      val out = fs.create(f, true)
+      try out.write(s.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    def persisted: Option[StructType] = file.flatMap { f =>
+      val fs = f.getFileSystem(conf)
+      if (!fs.exists(f)) None
+      else {
+        val in = fs.open(f)
+        val text = try {
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](4096)
+          var n = in.read(buf)
+          while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          bos.toString("UTF-8")
+        } finally in.close()
+        Some(org.apache.spark.sql.types.DataType.fromJson(text)
+          .asInstanceOf[StructType])
+      }
+    }
+    pinned match {
+      case Some(p) => persist(p); p
+      case None => persisted.getOrElse {
+        val fresh = feedSchema(spark, root)
+        persist(fresh)
+        fresh
+      }
+    }
+  }
 
   private[connector] def rootOf(parameters: Map[String, String]): String = {
     val p = parameters.getOrElse("path", throw new IllegalArgumentException(

@@ -172,12 +172,15 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     * boundary shape (found live by StreamChaosSpec, seed 15: a 10 ms
     * window, hit twice in two runs). Spark instantiates SEPARATE
     * provider instances for the two calls (measured), so the pin lives
-    * in the [[GraftChangeFeedSource]] companion, keyed by root,
-    * last-write-wins: every `readStream.load()` re-pins immediately
-    * before its own `start()` consumes it. A query re-started from a
-    * STALE DataFrame (load() long ago, a REPLACE in between) may still
-    * get a fresher pin than its relation — that residual window stays
-    * a LOUD engine assertion, never silent corruption.
+    * in the [[GraftChangeFeedSource]] companion, keyed by root: every
+    * `readStream.load()` pins, its `start()` CONSUMES the pin (no
+    * JVM-lifetime growth), a second load() colliding with a pending
+    * DIFFERENT-shape pin is refused loudly, and the start persists its
+    * schema into the query's checkpoint so restarts — stale DataFrame,
+    * fresh JVM — recover the query's own schema instead of resolving
+    * fresh. Full lifecycle + the measured same-arity silent-mis-bind
+    * hazard this closes: [[GraftChangeFeedSource.schemaPins]];
+    * spec: ChangeFeedSchemaPinSpec.
     */
   override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
                             schema: Option[StructType], providerName: String,
@@ -191,10 +194,15 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
                             metadataPath: String, schema: Option[StructType],
                             providerName: String,
-                            parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+                            parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val root = GraftChangeFeedSource.rootOf(parameters)
+    // pin if pending (consumed), else the checkpoint-persisted schema
+    // (restart), else fresh — see GraftChangeFeedSource.startSchema
+    val eff = GraftChangeFeedSource.startSchema(sqlContext.sparkSession,
+      Some(metadataPath), root, GraftChangeFeedSource.pinnedSchemaFor(root))
     GraftChangeFeedSource(sqlContext.sparkSession, parameters, Some(metadataPath),
-      pinnedSchema = GraftChangeFeedSource.pinnedSchemaFor(
-        GraftChangeFeedSource.rootOf(parameters)))
+      pinnedSchema = Some(eff))
+  }
 
   // ------------------------------------------------------------------
   // V1 write paths — see GraftWrite / GraftSink
@@ -275,7 +283,8 @@ object GraftTable {
     * breadcrumb the catalog wrote — once data exists, footers win.
     */
   private[connector] def resolveSchema(spark: SparkSession, root: String,
-                                       versionAsOf: Option[Long]): StructType = {
+                                       versionAsOf: Option[Long],
+                                       failOnDegraded: Boolean = false): StructType = {
     // Stability-validated resolution: the `_schema` breadcrumb, the
     // epoch stamp and the manifest are separate files read at
     // different instants, so a REPLACE/restore contract swap racing
@@ -287,16 +296,67 @@ object GraftTable {
     // across its reads and retries on instability (a live swap
     // completes in milliseconds); after persistent churn it resolves
     // from footers alone — conservative but never a cross-epoch union.
+    //
+    // Degradation is never silent (r15 advice #4): footers-only drops
+    // ALTER-declared breadcrumb columns, CURRENT_DEFAULT metadata and
+    // delta-key non-null marking — safe for a READ (transiently stale
+    // columns), dangerous for a WRITE (an INSERT planned without a
+    // just-added column persists its absence). The fallback logs a
+    // warning and records the root in [[resolutionDegraded]]; write
+    // builders refuse while the root's last resolution was degraded,
+    // and `failOnDegraded` callers (ALTER, whose result is itself
+    // persisted) fail loudly instead of degrading.
     var attempt = 0
     while (attempt < 8) {
       attempt += 1
       resolveSchemaOnce(spark, root, versionAsOf, footersOnly = false) match {
-        case Some(s) => return s
+        case Some(s) =>
+          degradedResolutions.remove(root): Unit
+          return s
         case None => Thread.sleep(5L * attempt)
       }
     }
+    if (failOnDegraded)
+      throw new java.util.ConcurrentModificationException(
+        s"schema resolution at $root stayed unstable across 8 attempts " +
+          "(sustained REPLACE/restore contract churn) — re-run this " +
+          "statement when the churn subsides")
+    log.warn("graft: schema resolution at {} degraded to footers-only " +
+      "after 8 unstable attempts (sustained contract churn) — " +
+      "ALTER-declared columns, defaults and delta-key non-null marking " +
+      "are absent from this resolution; writes against it are refused",
+      root)
+    degradedResolutions.put(root, System.currentTimeMillis()): Unit
     resolveSchemaOnce(spark, root, versionAsOf, footersOnly = true).get
   }
+
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.connector.GraftTable")
+
+  /** Roots whose LAST resolution degraded to footers-only, with the
+    * degradation instant. An entry is cleared by the next stable
+    * resolution of the root (every statement re-resolves, so this
+    * self-heals) and ignored after 10 minutes (no JVM-lifetime
+    * refusals from a root nothing resolves again).
+    */
+  private val degradedResolutions =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[connector] def resolutionDegraded(root: String): Boolean =
+    Option(degradedResolutions.get(root))
+      .exists(t => System.currentTimeMillis() - t <= 600000L)
+
+  /** WRITE-path gate (r15 advice #4): persisting from a degraded
+    * (footers-only) resolution can plan an INSERT or rewrite without a
+    * just-ALTERed column or its default — for a writer that is data
+    * loss, not staleness. Refuse loudly; the next stable resolution
+    * clears the gate.
+    */
+  private[connector] def refuseDegradedWrite(root: String): Unit =
+    if (resolutionDegraded(root))
+      throw new java.util.ConcurrentModificationException(
+        s"refusing to plan a write against $root: its last schema " +
+          "resolution degraded to footers-only under sustained contract " +
+          "churn (ALTER-declared columns/defaults may be missing) — " +
+          "re-run when the churn subsides")
 
   /** One resolution attempt; None = a contract swap raced the reads
     * and the caller must retry. `footersOnly` skips the breadcrumb
@@ -578,6 +638,7 @@ class GraftTable(root: String, versionAsOf: Option[Long],
     require(versionAsOf.isEmpty,
       s"cannot write to time-travel snapshot $name — writes land on the " +
         "table's latest version")
+    GraftTable.refuseDegradedWrite(root)
     new GraftTableWriteBuilder(root, info)
   }
 
@@ -695,6 +756,7 @@ class GraftTable(root: String, versionAsOf: Option[Long],
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(versionAsOf.isEmpty,
       s"cannot run ${info.command} against time-travel snapshot $name")
+    GraftTable.refuseDegradedWrite(root)
     // Mode policy: copy-on-write by default (runtime GROUP narrowing
     // reads only affected buckets; null-safe key semantics hold). A
     // table declaring TBLPROPERTIES('dml.mode'='delta') — the

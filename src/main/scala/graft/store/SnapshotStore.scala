@@ -109,8 +109,13 @@ object SnapshotStore {
     * reclaims it. Contract writes are milliseconds (a handful of
     * small-file publishes), so — like the checkpoint claim — a short
     * grace beats stalling every DDL statement for the manifest lease.
+    * A LIVE holder is never reclaimed regardless of how long its body
+    * runs: the holder heartbeats the lock's mtime (arbiter mode: its
+    * claim row) at grace/3 while held, so age only ever accumulates on
+    * a genuinely crashed holder. Read per call (a `def`) so specs can
+    * shrink the grace around a single test.
     */
-  private val ContractsLockGraceMs: Long =
+  private def ContractsLockGraceMs: Long =
     sys.props.get("graft.snapshot.contractsLockGraceMs").map(_.toLong).getOrElse(15000L)
 
   /** Contract-write mutual exclusion: version-less metadata writers —
@@ -142,11 +147,15 @@ object SnapshotStore {
           createExclusive(fs, p) match {
             case Some(out) =>
               // conditional-PUT stores arbitrate at close(): a loss
-              // lands here as an IOException — treat as not-held
+              // lands here as an IOException — treat as not-held.
+              // The readback also catches a racing reclaimer that
+              // deleted THIS fresh file between create and now (two
+              // waiters both saw the previous holder's lock as aged):
+              // hold only a lock the store confirms carries our token.
               try {
                 try out.write(token.getBytes(StandardCharsets.UTF_8))
                 finally out.close()
-                held = true
+                held = smallFileText(fs, p).map(_.trim).contains(token)
               } catch { case _: java.io.IOException => () }
             case None => ()
           }
@@ -157,8 +166,19 @@ object SnapshotStore {
             fs.getFileStatus(p).getModificationTime)
           catch { case _: java.io.FileNotFoundException => None }
         if (age.exists(_ > ContractsLockGraceMs)) {
-          try { fs.delete(p, false): Unit }
-          catch { case _: java.io.IOException => () }
+          // re-check IMMEDIATELY before the delete (r15 advice #1): a
+          // reclaimed-and-re-created lock is FRESH, and blindly
+          // deleting it here would admit a third writer alongside the
+          // reclaimer. A live holder's heartbeat keeps refreshing the
+          // mtime, so only a genuinely crashed holder ever ages out.
+          val stillAged =
+            try System.currentTimeMillis() -
+              fs.getFileStatus(p).getModificationTime > ContractsLockGraceMs
+            catch { case _: java.io.FileNotFoundException => false }
+          if (stillAged) {
+            try { fs.delete(p, false): Unit }
+            catch { case _: java.io.IOException => () }
+          }
         } else if (System.currentTimeMillis() > deadline)
           throw new IllegalStateException(
             s"contracts lock at $root has been held for over 120s — " +
@@ -166,11 +186,70 @@ object SnapshotStore {
         else Thread.sleep(15)
       }
     }
-    try body
+    // HEARTBEAT while held: the lock body can include long-running
+    // Spark jobs (ALTER's mergeSchema footer read; delta-mode null-key
+    // validation scans), and a live holder outliving the grace used to
+    // get its lock reclaimed by a waiter — re-opening the concurrent-
+    // contract-writer lost-update race this lock exists to close (r15
+    // advice #1). Refreshing the mtime (arbiter mode: the claim row's
+    // timestamp, via idempotent re-claim) at grace/3 keeps a live
+    // holder permanently fresh; the grace then only gates how fast a
+    // CRASHED holder's lock is reclaimed.
+    val hbStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val hb = new Thread({ () =>
+      while (!hbStop.get()) {
+        val next = System.currentTimeMillis() + math.max(ContractsLockGraceMs / 3, 50L)
+        while (!hbStop.get() && System.currentTimeMillis() < next) Thread.sleep(10)
+        if (!hbStop.get()) {
+          try {
+            manifestArbiter match {
+              case Some(arb) => arb.claim(key, token): Unit
+              case None =>
+                if (smallFileText(fs, p).map(_.trim).contains(token)) {
+                  val now = System.currentTimeMillis()
+                  fs.setTimes(p, now, -1)
+                }
+            }
+          } catch { case _: Throwable => () } // transient store error: skip a beat
+        }
+      }
+    }: Runnable, "graft-contracts-lock-heartbeat")
+    hb.setDaemon(true)
+    hb.start()
+    var bodyOk = false
+    try { val r = body; bodyOk = true; r }
     finally {
-      manifestArbiter.foreach(_.release(key, token))
-      try { fs.delete(p, false): Unit }
-      catch { case _: java.io.IOException => () }
+      hbStop.set(true)
+      hb.join(2000)
+      // TOKEN-COMPARED release (r15 advice #1): delete the lock file
+      // only when it still carries OUR token. An unconditional delete
+      // here let a slow holder (pre-heartbeat) remove the RECLAIMER's
+      // fresh lock and admit a third concurrent writer. If the lock is
+      // no longer ours, this holder was reclaimed while alive — its
+      // contract writes may have interleaved with the reclaimer's, so
+      // after a SUCCESSFUL body that must surface loudly, never as a
+      // silent success (a failed body propagates its own error).
+      val ownerNow: Option[String] = manifestArbiter match {
+        case Some(arb) => arb.owner(key)
+        case None =>
+          try smallFileText(fs, p).map(_.trim)
+          catch { case _: Throwable => Some(token) } // unreadable: assume ours
+      }
+      val stillMine = ownerNow.contains(token)
+      manifestArbiter match {
+        case Some(arb) => arb.release(key, token) // token-conditional by contract
+        case None =>
+          if (stillMine) {
+            try { fs.delete(p, false): Unit }
+            catch { case _: java.io.IOException => () }
+          }
+      }
+      if (!stillMine && bodyOk)
+        throw new IllegalStateException(
+          s"contracts lock at $root was reclaimed while this holder was " +
+            s"alive (now held by ${ownerNow.getOrElse("<nobody>")}): its " +
+            "version-less contract writes may have interleaved with the " +
+            "reclaimer's — re-verify and re-apply this DDL")
     }
   }
 
@@ -3985,6 +4064,14 @@ object SnapshotStore {
     */
   @volatile private[graft] var checkpointRenameHook: Path => Unit = _ => ()
 
+  /** Test hook: runs in a data-freeing vacuum between its floor
+    * serialization commit's OCC win and the retention-pin re-list —
+    * the window where a pin seeded after the sweep's FIRST listing
+    * forces the restart/deferral path (the path that used to leave the
+    * old `_floor` marker permanently overshooting; r15 advice #2).
+    */
+  @volatile private[graft] var vacuumPostCommitHook: String => Unit = _ => ()
+
   /** The WRITE-AHEAD INTENT of a contract swap: everything the
     * post-commit `_schema`/`_props`/identity swap will write, resolved
     * BEFORE the manifest commit (reads of live state are stable then —
@@ -4589,14 +4676,27 @@ object SnapshotStore {
     // (RawLocal creates then chmods — the chmod finds nothing): a
     // serializable history exists (created, then dropped), but the
     // creator cannot claim success for a tag that is already gone —
-    // surface the documented concurrent-modification conflict
+    // surface the documented concurrent-modification conflict.
+    // Classification (r15 advice #3): FileNotFoundException anywhere
+    // in the cause chain, or — because object-store FileSystem
+    // implementations word FNF-class errors their own way — a
+    // post-failure existence re-probe showing the path gone (the
+    // create made it exist; only an unlink explains its absence).
+    // The RawLocal/HDFS message sniff stays as a last resort for
+    // wrappers that neither type the cause nor leave the path absent.
+    def dropRacedMidCreate(e: java.io.IOException): Boolean = {
+      val chain = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(8).toSeq
+      chain.exists(_.isInstanceOf[java.io.FileNotFoundException]) ||
+        (try !fs.exists(p) catch { case _: java.io.IOException => false }) ||
+        chain.flatMap(x => Option(x.getMessage)).exists(m =>
+          m.contains(p.getName) && (m.contains("No such file") ||
+            m.contains("does not exist")))
+    }
     val out =
       try arbitratedCreate(fs, p, token).getOrElse(throw alreadyExists())
       catch {
-        case e: java.io.IOException
-            if Option(e.getMessage).exists(m =>
-              m.contains(p.getName) && (m.contains("No such file") ||
-                m.contains("does not exist"))) =>
+        case e: java.io.IOException if dropRacedMidCreate(e) =>
           val cme = new java.util.ConcurrentModificationException(
             s"tag '$name' at $root was dropped concurrently mid-create; re-run")
           cme.initCause(e)
@@ -4736,19 +4836,82 @@ object SnapshotStore {
              minAgeMs: Long = VacuumMinAgeMs): Int =
     vacuumAttempt(spark, root, keepLast, dryRun, minAgeMs, attempt = 1)
 
-  /** The floor marker under `_commits/`: the highest retention floor
-    * any vacuum has COMMITTED to advancing to. Written before the
-    * floor-advance serialization commit, so every committer basing on
-    * (or after) that commit observes it; [[restore]] and [[createTag]]
-    * refuse targets below it — the marker plus the OCC commit is what
-    * makes "re-point at an old version's dirs" vs "reclaim those dirs"
-    * a serialized decision instead of a filesystem race.
+  /** The floor markers under `_commits/`: the highest retention floor
+    * any vacuum has committed to advancing to. [[restore]] and
+    * [[createTag]] refuse targets below the effective floor — the
+    * marker plus the OCC serialization commit is what makes "re-point
+    * at an old version's dirs" vs "reclaim those dirs" a serialized
+    * decision instead of a filesystem race.
+    *
+    * Two marker classes (r15 advice #2 — the single overwritten
+    * `_floor` file, published BEFORE the serialization commit,
+    * permanently overshot the actually-enforced floor whenever the
+    * sweep restarted on a mid-sweep pin or lost all its OCC laps, and
+    * an overwrite by a suspended laggard could even REGRESS it):
+    *
+    *  - `_floor_intent-<token>`: the pre-commit INTENT, value inside,
+    *    one per in-flight sweep. Published before the serialization
+    *    commit (so every committer basing on/after that commit observes
+    *    it), DROPPED when the sweep restarts, defers, or confirms.
+    *    Readers ignore intents older than [[ReclaimGraceMs]] — a
+    *    crashed sweep over-restricts restore/tag targets for at most
+    *    the grace, never forever.
+    *  - `_floorv-<value>`: the DURABLE committed floor, written only
+    *    after the OCC win and the pin re-list confirm the sweep will
+    *    reclaim at that floor, and immediately before it does.
+    *    CREATE-ONLY (value in the name, one file per enforced floor) —
+    *    monotonic by construction, so a suspended laggard's late write
+    *    can never regress a rival's higher committed floor the way a
+    *    shared overwritten file could. Sub-max files are swept as
+    *    hygiene.
+    *
+    * The legacy single `_floor` file is still READ (pre-R16 tables)
+    * but no longer written; hygiene removes it once a `_floorv-` at or
+    * above its value exists.
     */
   private val FloorMarkerName = "_floor"
-  private[graft] def vacuumFloor(spark: SparkSession, root: String): Long =
-    smallFileText(fileSystem(spark, root),
-      new Path(commitsDir(root), FloorMarkerName))
+  private val FloorValuePrefix = "_floorv-"
+  private val FloorIntentPrefix = "_floor_intent-"
+
+  /** The durably COMMITTED floor only (legacy `_floor` + `_floorv-*`),
+    * without live intents — the monotonicity baseline a new sweep
+    * compares its keepFrom against to decide whether floor markers
+    * need writing at all.
+    */
+  private def durableVacuumFloor(fs: FileSystem, root: String): Long = {
+    val legacy = smallFileText(fs, new Path(commitsDir(root), FloorMarkerName))
       .flatMap(_.trim.toLongOption).getOrElse(-1L)
+    val durable =
+      (try fs.listStatus(commitsDir(root)).toSeq
+       catch { case _: java.io.FileNotFoundException => Nil })
+        .map(_.getPath.getName)
+        .filter(_.startsWith(FloorValuePrefix))
+        .flatMap(_.stripPrefix(FloorValuePrefix).toLongOption)
+        .maxOption.getOrElse(-1L)
+    math.max(legacy, durable)
+  }
+
+  /** The EFFECTIVE floor restore/tag/clone targets are checked against:
+    * the durable committed floor, stretched by any live (younger than
+    * [[ReclaimGraceMs]]) sweep intent — an in-flight data-freeing sweep
+    * has already published the floor it is committing to, and
+    * re-pointing below it would race the reclaim it is about to do.
+    */
+  private[graft] def vacuumFloor(spark: SparkSession, root: String): Long = {
+    val fs = fileSystem(spark, root)
+    val now = System.currentTimeMillis()
+    val intents =
+      (try fs.listStatus(commitsDir(root)).toSeq
+       catch { case _: java.io.FileNotFoundException => Nil })
+        .filter { st =>
+          st.getPath.getName.startsWith(FloorIntentPrefix) &&
+            !st.getPath.getName.contains(".tmp-") &&
+            now - st.getModificationTime <= ReclaimGraceMs
+        }
+        .flatMap(st => smallFileText(fs, st.getPath).flatMap(_.trim.toLongOption))
+        .maxOption.getOrElse(-1L)
+    math.max(durableVacuumFloor(fs, root), intents)
+  }
 
   private def vacuumAttempt(spark: SparkSession, root: String, keepLast: Int,
                             dryRun: Boolean, minAgeMs: Long,
@@ -4841,32 +5004,72 @@ object SnapshotStore {
       // the whole computation; persistent contention defers the sweep
       // (vacuum is maintenance — deferral is always safe).
       if (freesData) {
-        val prevFloor = vacuumFloor(spark, root)
-        if (keepFrom > prevFloor)
-          publishSmallFile(spark, root, s"_commits/$FloorMarkerName", s"$keepFrom\n")
-        val head = readManifest(spark, root, vs.last)
-        val serialized = writeManifestAtomic(fs, root, vs.last + 1,
-          head.numBuckets, head.statsCols, head.txns, head.buckets,
-          base = Some(head))
-        if (serialized.isEmpty) {
-          return if (attempt >= 5) 0
-          else vacuumAttempt(spark, root, keepLast, dryRun, minAgeMs, attempt + 1)
-        }
-        // RE-LIST retention pins after the win: clone-consumer seeds
-        // and tag creates are not commits, so the OCC win does not
-        // order them — a pin published between this run's first
-        // listing and now would lose its target mid-sweep. The
-        // handshake: any pin published AFTER this re-list was
-        // published after the floor MARKER too (marker precedes the
-        // commit precedes this re-list), so its own post-publish
-        // floor check (cloneTable / createTag) refuses a below-floor
-        // target; any pin published BEFORE it is honored here by
-        // restarting with fresh listings.
-        val minPin2 = math.min(
-          ChangeFeed.minConsumerOffset(spark, root).getOrElse(Long.MaxValue),
-          listTags(spark, root).map(_._2).filter(_ >= 0)
-            .minOption.getOrElse(Long.MaxValue))
-        if (minPin2 < keepFrom) {
+        // INTENT first, durable floor only on confirmation (r15 advice
+        // #2): the old single pre-commit marker permanently overshot
+        // the enforced floor whenever the sweep restarted (mid-sweep
+        // pin) or lost every OCC lap — restore/createTag/cloneTable
+        // then refused intact, retained versions for as long as the
+        // overshoot lived. The intent keeps the ordering invariant
+        // (published before the commit ⇒ observed by every later
+        // committer) but is DROPPED on every non-confirming exit, and
+        // ages out after [[ReclaimGraceMs]] if this sweep crashes.
+        val durableFloor = durableVacuumFloor(fs, root)
+        val needsFloorWrite = keepFrom > durableFloor
+        val itok = newToken()
+        val intentAt = System.currentTimeMillis()
+        if (needsFloorWrite)
+          publishSmallFile(spark, root,
+            s"_commits/$FloorIntentPrefix$itok", s"$keepFrom\n")
+        val confirmed =
+          try {
+            val head = readManifest(spark, root, vs.last)
+            val serialized = writeManifestAtomic(fs, root, vs.last + 1,
+              head.numBuckets, head.statsCols, head.txns, head.buckets,
+              base = Some(head))
+            if (serialized.nonEmpty) vacuumPostCommitHook(root)
+            // RE-LIST retention pins after the win: clone-consumer
+            // seeds and tag creates are not commits, so the OCC win
+            // does not order them — a pin published between this run's
+            // first listing and now would lose its target mid-sweep.
+            // The handshake: any pin published AFTER this re-list was
+            // published after the floor INTENT too (intent precedes
+            // the commit precedes this re-list), so its own
+            // post-publish floor check (cloneTable / createTag)
+            // refuses a below-floor target; any pin published BEFORE
+            // it is honored here by restarting with fresh listings.
+            serialized.nonEmpty && {
+              val minPin2 = math.min(
+                ChangeFeed.minConsumerOffset(spark, root).getOrElse(Long.MaxValue),
+                listTags(spark, root).map(_._2).filter(_ >= 0)
+                  .minOption.getOrElse(Long.MaxValue))
+              minPin2 >= keepFrom
+            } && {
+              // suspension guard: the intent ages out of readers'
+              // effective floor after ReclaimGraceMs, so a sweep
+              // suspended past HALF the grace between publishing it
+              // and confirming here restarts instead of reclaiming —
+              // a restore could have slipped under an expired intent.
+              !needsFloorWrite ||
+                System.currentTimeMillis() - intentAt <= ReclaimGraceMs / 2
+            } && {
+              // CONFIRMED: this sweep will reclaim at keepFrom. The
+              // durable floor is a CREATE-ONLY value-named file —
+              // monotonic by construction, so a suspended laggard can
+              // never regress a rival's higher committed floor.
+              if (needsFloorWrite)
+                publishSmallFile(spark, root,
+                  s"_commits/$FloorValuePrefix$keepFrom", s"$keepFrom\n")
+              true
+            }
+          } finally {
+            // the intent is dead on EVERY exit: confirmed (the durable
+            // _floorv- subsumes it), restarting, deferring, or throwing
+            if (needsFloorWrite)
+              try fs.delete(
+                new Path(commitsDir(root), s"$FloorIntentPrefix$itok"), false): Unit
+              catch { case _: java.io.IOException => () }
+          }
+        if (!confirmed) {
           return if (attempt >= 5) 0
           else vacuumAttempt(spark, root, keepLast, dryRun, minAgeMs, attempt + 1)
         }
@@ -4961,6 +5164,30 @@ object SnapshotStore {
             st.getModificationTime < System.currentTimeMillis() - ReclaimGraceMs
         }
         .foreach(st => fs.delete(st.getPath, true): Unit)
+      // floor-marker hygiene: sub-max `_floorv-` files are subsumed by
+      // the max (readers take the max, so removing a lower value can
+      // never lower the observed floor); a crashed sweep's aged intent
+      // is already ignored by readers (> ReclaimGraceMs) and reclaimed
+      // here; the legacy overwritten `_floor` file retires once a
+      // `_floorv-` at/above its value exists.
+      val floorSts = fs.listStatus(commitsDir(root)).toSeq
+      val floorVals = floorSts.map(_.getPath.getName)
+        .filter(_.startsWith(FloorValuePrefix))
+        .flatMap(_.stripPrefix(FloorValuePrefix).toLongOption)
+      val floorMax = floorVals.maxOption.getOrElse(-1L)
+      floorSts.foreach { st =>
+        val n = st.getPath.getName
+        val subMaxDurable = n.startsWith(FloorValuePrefix) &&
+          n.stripPrefix(FloorValuePrefix).toLongOption.exists(_ < floorMax)
+        val agedIntent = n.startsWith(FloorIntentPrefix) &&
+          st.getModificationTime < System.currentTimeMillis() - ReclaimGraceMs
+        val retiredLegacy = n == FloorMarkerName &&
+          smallFileText(fs, st.getPath).flatMap(_.trim.toLongOption)
+            .exists(_ <= floorMax)
+        if (subMaxDurable || agedIntent || retiredLegacy)
+          try { fs.delete(st.getPath, false): Unit }
+          catch { case _: java.io.IOException => () }
+      }
     }
     // write-ahead contract bundles / pending-ledger copies: reclaim an
     // aged one only when it is demonstrably DEAD — its version's swap

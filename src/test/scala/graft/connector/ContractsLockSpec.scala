@@ -71,6 +71,82 @@ class ContractsLockSpec extends SparkSpec {
     assert(!fs.exists(p), "the lock must be released after the ALTER")
   }
 
+  test("a LIVE holder outliving the grace is NOT reclaimed (heartbeat keeps it fresh)") {
+    // r15 advice #1: the lock body can include long-running Spark jobs
+    // (ALTER's mergeSchema footer read, delta-mode validation scans).
+    // Pre-fix, a holder whose body outlived the 15 s grace had its lock
+    // reclaimed by a waiter — re-opening the concurrent-contract-writer
+    // race. Shrink the grace so the spec stages "body ≫ grace" in
+    // milliseconds, then prove the waiter SERIALIZES behind the slow
+    // holder instead of reclaiming.
+    spark.sql("""CREATE TABLE clk.ns.t5 (k BIGINT, v BIGINT) USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    val root = s"$warehouse/ns/t5"
+    System.setProperty("graft.snapshot.contractsLockGraceMs", "300")
+    try {
+      val aInBody = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val aEntered = new java.util.concurrent.CountDownLatch(1)
+      val overlap = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val slow = Future {
+        SnapshotStore.withContractsLock(spark, root) {
+          aInBody.set(true); aEntered.countDown()
+          Thread.sleep(1500) // 5× the grace
+          aInBody.set(false)
+          "slow-done"
+        }
+      }
+      aEntered.await()
+      val waiter = Future {
+        SnapshotStore.withContractsLock(spark, root) {
+          if (aInBody.get()) overlap.set(true)
+          "waiter-done"
+        }
+      }
+      // the slow holder must finish CLEANLY (no "reclaimed while alive")
+      assert(Await.result(slow, 120.seconds) == "slow-done")
+      assert(Await.result(waiter, 120.seconds) == "waiter-done")
+      assert(!overlap.get(),
+        "the waiter entered the critical section while the live slow " +
+          "holder was still inside it — the lock was reclaimed from a " +
+          "live holder despite the heartbeat")
+    } finally System.clearProperty("graft.snapshot.contractsLockGraceMs")
+  }
+
+  test("a holder whose lock WAS stolen must not delete the thief's lock, and must fail loudly") {
+    // the token-compare release (r15 advice #1): pre-fix the finally
+    // block deleted `_contracts_lock` unconditionally, so a reclaimed
+    // slow holder's exit removed the RECLAIMER's fresh lock and
+    // admitted a third concurrent writer — and the holder reported
+    // success although its writes may have interleaved.
+    spark.sql("""CREATE TABLE clk.ns.t6 (k BIGINT, v BIGINT) USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    val root = s"$warehouse/ns/t6"
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(root, "_contracts_lock")
+    val stolen = new java.util.concurrent.CountDownLatch(1)
+    val e = intercept[IllegalStateException] {
+      SnapshotStore.withContractsLock(spark, root) {
+        // play the reclaimer: replace the holder's lock with a rival's
+        fs.delete(p, false)
+        val out = fs.create(p, true)
+        out.write("rival-token".getBytes("UTF-8")); out.close()
+        stolen.countDown()
+        "body-ok"
+      }
+    }
+    assert(e.getMessage.contains("reclaimed while this holder was alive"),
+      s"wrong failure: ${e.getMessage}")
+    // the rival's lock must survive the victim's exit
+    val content = {
+      val in = fs.open(p)
+      try { val b = new Array[Byte](64); val n = in.read(b); new String(b, 0, n, "UTF-8") }
+      finally in.close()
+    }
+    assert(content == "rival-token",
+      s"the victim's release deleted or replaced the thief's lock: '$content'")
+    fs.delete(p, false): Unit // unwedge the table for later suites
+  }
+
   test("plain-PUT: the arbiter row is RELEASED, so back-to-back DDL never waits out the grace") {
     SnapshotStore.manifestArbiter = Some(new InMemoryClaimArbiter(staleMs = 600000L))
     try {
