@@ -3617,6 +3617,20 @@ object SnapshotStore {
       case Some(cm) => maybeCheckpoint(spark, dstRoot, cm)
       case None =>
         ChangeFeed.dropConsumer(spark, srcRoot, cloneConsumerId(spark, dstRoot))
+        // On a plain-PUT store the claim arbiter's commit rows are
+        // PERMANENT (the anti-zombie fence — see [[ClaimArbiter]]), so
+        // a path that held a table DROPPED within the arbiter's
+        // staleness grace refuses its v0 re-commit: a suspended
+        // committer of the dropped table could still land a late PUT
+        // over the new table's manifest. Distinguish that fence
+        // (documented, self-resolving) from a genuine rival create.
+        if (manifestArbiter.nonEmpty &&
+            !dstFs.exists(manifestPath(dstRoot, 0L)))
+          throw new java.util.ConcurrentModificationException(
+            s"cannot initialize $dstRoot: its v0 commit slot is fenced " +
+              "by the plain-PUT claim arbiter (the path held a table " +
+              "dropped within the reclaim grace, or a rival create is " +
+              "mid-flight) — re-create after the grace or at a fresh path")
         throw new IllegalStateException(
           s"clone target $dstRoot was concurrently initialized")
     }
@@ -3739,9 +3753,26 @@ object SnapshotStore {
     val base = latestVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed graft table at $root"))
     cloneTable(spark, root, br)
-    publishSmallFile(spark, br, BranchBaseMarker, s"$base\n")
+    // line 2 = the branch INSTANCE token (R16): a publish holds it so
+    // its post-commit cleanup can tell "the branch I published" from a
+    // SUCCESSOR re-created under the same name — an instance-blind
+    // dropBranch deleted an acknowledged successor branch (and
+    // released the retention consumer it shares by path), letting
+    // main's vacuum reclaim directories the live successor still
+    // referenced (found by BranchChaosBlast seed 4001).
+    publishSmallFile(spark, br, BranchBaseMarker, s"$base\n${newToken()}\n")
     base
   }
+
+  /** The branch's instance token ([[createBranch]] line 2); None on a
+    * pre-R16 branch or a torn base marker (treated as "no successor
+    * check possible" — instance-scoped drops then behave like the
+    * unconditional drop).
+    */
+  private[graft] def branchInstance(fs: FileSystem, br: String): Option[String] =
+    smallFileText(fs, new Path(br, BranchBaseMarker))
+      .flatMap(_.linesIterator.drop(1).nextOption())
+      .map(_.trim).filter(_.nonEmpty)
 
   /** (name, fork base version on main, branch's own current version)
     * for every live branch. A branch directory with no version or no
@@ -3775,11 +3806,28 @@ object SnapshotStore {
     * delete its directory. A crashed publish resolves first — its
     * adoption rolls forward (commit landed: adopted dirs belong to
     * main and must survive the branch) or back (they return to the
-    * branch and die with it). Idempotent.
+    * branch and die with it; a LIVE publisher's young marker is never
+    * rolled back — see [[recoverPublish]]). Idempotent.
     */
-  def dropBranch(spark: SparkSession, root: String, name: String): Unit = {
+  def dropBranch(spark: SparkSession, root: String, name: String): Unit =
+    dropBranch(spark, root, name, expectInstance = None)
+
+  /** Instance-scoped variant (R16): `expectInstance` is the token of
+    * the branch instance the caller operated on — when a SUCCESSOR
+    * branch now owns the name (different token), the drop is a no-op:
+    * the directory, and the retention consumer row the two instances
+    * share by path, belong to the successor. A successor can only
+    * exist after this instance's directory was already removed
+    * ([[cloneTable]] refuses a non-empty target), so a matching token
+    * means this directory is still this caller's to delete.
+    */
+  private[graft] def dropBranch(spark: SparkSession, root: String,
+                                name: String,
+                                expectInstance: Option[String]): Unit = {
     val br = branchRoot(root, name)
     val fs = fileSystem(spark, root)
+    if (expectInstance.nonEmpty && branchInstance(fs, br) != expectInstance)
+      return // a successor owns the name: its dir, its consumer row
     recoverPublish(spark, fs, root, br): Unit
     releaseClone(spark, br)
     fs.delete(new Path(br), true): Unit
@@ -3813,11 +3861,18 @@ object SnapshotStore {
   def publishBranch(spark: SparkSession, root: String, name: String): Long = {
     val fs = fileSystem(spark, root)
     val br = branchRoot(root, name)
+    // the INSTANCE this publish operates on (see [[dropBranch]]'s
+    // instance-scoped variant): captured first so every cleanup this
+    // call performs is scoped to the branch it actually published,
+    // never a successor re-created under the same name
+    val instance = branchInstance(fs, br)
     // a crashed earlier publish first resolves: roll FORWARD if its
     // commit landed (the branch is consumed), roll its renames BACK
-    // otherwise (the branch is whole again and this attempt restarts)
+    // otherwise (the branch is whole again and this attempt restarts);
+    // a LIVE publisher's young marker throws the documented in-flight
+    // conflict instead (see [[recoverPublish]])
     recoverPublish(spark, fs, root, br).foreach { committedV =>
-      dropBranch(spark, root, name)
+      dropBranch(spark, root, name, expectInstance = instance)
       return committedV
     }
     val bv = latestVersion(spark, br).getOrElse(
@@ -3880,11 +3935,43 @@ object SnapshotStore {
     // so recoverPublish can always roll the adoption wholly forward or
     // wholly back; vacuum also treats the targets as referenced while
     // the marker lives, closing the unreferenced-dir window between a
-    // competitor's commit of pubV and this publish's rollback
-    if (mapping.nonEmpty)
-      publishSmallFile(spark, br, PublishingMarker,
-        (s"pub:$pubV" +: mapping.toSeq.sorted.map {
-          case (o, n) => s"$o\t$n" }).mkString("", "\n", "\n"))
+    // competitor's commit of pubV and this publish's rollback.
+    // EXCLUSIVE create (R16): the marker doubles as the publish MUTEX.
+    // Two live publishers of one branch used to interleave freely —
+    // the second's entry recovery could roll the first's adoption
+    // renames back mid-flight, leaving the first's committed manifest
+    // referencing directories that had been moved away (found by
+    // reading the recoverPublish/rename interleave while building the
+    // branch hunt). Plain-PUT stores route through the configured
+    // [[ClaimArbiter]] like every other exclusive-create site, with
+    // the usual post-write zombie fence.
+    val markerToken = newToken()
+    val markerPath = new Path(br, PublishingMarker)
+    def publishInFlight() = new java.util.ConcurrentModificationException(
+      s"another publish of branch '$name' on $root is in flight — re-run " +
+        "after it completes (a crashed one resolves after the reclaim grace)")
+    if (mapping.nonEmpty) {
+      val body = (s"pub:$pubV" +: mapping.toSeq.sorted.map {
+        case (o, n) => s"$o\t$n" }).mkString("", "\n", "\n")
+      val out = arbitratedCreate(fs, markerPath, markerToken)
+        .getOrElse(throw publishInFlight())
+      // conditional-PUT stores arbitrate at close(): a loss there is
+      // the same in-flight conflict as a lost create
+      try { try out.write(body.getBytes(StandardCharsets.UTF_8))
+            finally out.close() }
+      catch {
+        case e: java.io.IOException =>
+          if (fs.exists(markerPath)) throw publishInFlight() else throw e
+      }
+      supersededBy(fs, markerPath, markerToken).foreach { holder =>
+        throw new IllegalStateException(
+          s"publish of branch '$name' on $root is INDETERMINATE: this " +
+            s"publisher was superseded (marker claim now held by $holder) " +
+            "while suspended and its late marker write may have replaced " +
+            "the superseding publisher's — resolve the branch manually; " +
+            "do NOT treat the publish as committed or cleanly lost")
+      }
+    }
     mapping.toSeq.foreach { case (o, n) =>
       val src = new Path(br, o)
       val dst = new Path(root, n)
@@ -3918,11 +4005,18 @@ object SnapshotStore {
         entries, base = deltaBase, keys = m.keys) match {
       case Some(cm) =>
         maybeCheckpoint(spark, root, cm)
-        dropBranch(spark, root, name)
+        // instance-scoped: a successor branch re-created under this
+        // name between the commit and this cleanup keeps its directory
+        // and consumer row (R16 — see dropBranch)
+        dropBranch(spark, root, name, expectInstance = instance)
+        manifestArbiter.foreach(
+          _.release(fs.makeQualified(markerPath).toString, markerToken))
         pubV
       case None =>
         mapping.toSeq.foreach { case (o, n) => undoAdoption(fs, br, root, o, n) }
         fs.delete(new Path(br, PublishingMarker), false)
+        manifestArbiter.foreach(
+          _.release(fs.makeQualified(markerPath).toString, markerToken))
         throw new java.util.ConcurrentModificationException(
           s"cannot fast-forward branch '$name': $root committed v$pubV " +
             "during the publish — re-create the branch and re-apply")
@@ -3936,6 +4030,15 @@ object SnapshotStore {
     * commit landed" is decided by the committed manifest at the
     * marker's version REFERENCING the marker's target dirs — a
     * competitor's commit of the same version references none of them.
+    *
+    * The ROLLBACK path is age-gated (R16): a marker younger than the
+    * reclaim grace belongs to a publisher that may still be ALIVE
+    * between its renames and its commit — rolling its renames back
+    * would leave its about-to-land manifest referencing directories
+    * that were just moved away (silent corruption of main). A live
+    * marker throws the documented in-flight conflict instead; roll
+    * FORWARD (commit landed) stays age-free — a landed commit is a
+    * landed commit.
     */
   private def recoverPublish(spark: SparkSession, fs: FileSystem,
                              root: String, br: String): Option[Long] = {
@@ -3947,7 +4050,17 @@ object SnapshotStore {
     finally in.close()
     val pubV = lines.headOption.filter(_.startsWith("pub:"))
       .map(_.stripPrefix("pub:").toLong).getOrElse {
-        fs.delete(marker, false) // torn/legacy marker: nothing renamed yet
+        // headerless = torn (crashed before content) OR a LIVE
+        // publisher between exclusive create and content write — only
+        // an AGED one is safely dead (nothing renamed yet either way)
+        val age =
+          try System.currentTimeMillis() - fs.getFileStatus(marker).getModificationTime
+          catch { case _: java.io.FileNotFoundException => return None }
+        if (age < ReclaimGraceMs)
+          throw new java.util.ConcurrentModificationException(
+            s"a publish of the branch at $br appears to be IN FLIGHT " +
+              "(marker content not yet visible) — re-run after it completes")
+        fs.delete(marker, false)
         return None
       }
     val mapping = lines.tail.flatMap(_.split("\t") match {
@@ -3961,6 +4074,16 @@ object SnapshotStore {
     }
     if (committed) Some(pubV)
     else {
+      val age =
+        try System.currentTimeMillis() - fs.getFileStatus(marker).getModificationTime
+        catch { case _: java.io.FileNotFoundException =>
+          return None } // publisher finished its own cleanup meanwhile
+      if (age < ReclaimGraceMs)
+        throw new java.util.ConcurrentModificationException(
+          s"a publish of the branch at $br appears to be IN FLIGHT " +
+            s"(its _publishing marker is ${age} ms old): rolling back a " +
+            "live publisher's adoption renames would corrupt its commit " +
+            s"— re-run after it completes or ages past ${ReclaimGraceMs} ms")
       mapping.foreach { case (o, n) => undoAdoption(fs, br, root, o, n) }
       fs.delete(marker, false)
       None

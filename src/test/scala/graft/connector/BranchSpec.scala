@@ -120,6 +120,12 @@ class BranchSpec extends SparkSpec {
     val target = s"v=${base + 1}-pub-cr-${staged.getName.stripPrefix("v=")}"
     java.nio.file.Files.write(java.nio.file.Paths.get(br.toString, "_publishing"),
       s"pub:${base + 1}\n${staged.getName}\t$target\n".getBytes)
+    // age the marker past the reclaim grace: since R16 a YOUNG marker
+    // is a live publisher (rollback would corrupt its commit) and
+    // recovery refuses with the documented in-flight conflict; only an
+    // aged marker models a genuinely crashed publisher
+    assert(new java.io.File(br, "_publishing")
+      .setLastModified(System.currentTimeMillis() - 700000L))
     assert(staged.renameTo(new java.io.File(root, target)))
     Seq((600L, "competitor")).toDF("k", "v")
       .write.format("graft").mode("append").save(root)

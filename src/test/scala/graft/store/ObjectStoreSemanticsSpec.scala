@@ -472,6 +472,10 @@ class ObjectStoreSemanticsSpec extends SparkSpec {
       val n = s"v=$pubV-pub-a-${vd.stripPrefix("v=")}"
       val out = fs.create(new Path(br, "_publishing"), true)
       out.write(s"pub:$pubV\n$vd\t$n\n".getBytes("UTF-8")); out.close()
+      // age past the reclaim grace: a YOUNG marker is a live publisher
+      // since R16 and recovery refuses to roll it back (in-flight CME)
+      val oldT = System.currentTimeMillis() - 700000L
+      fs.setTimes(new Path(br, "_publishing"), oldT, oldT)
       org.apache.hadoop.fs.FileUtil.copy(fs, new Path(br, vd),
         fs, new Path(root, n), false, fs.getConf)
       def leafFiles(p: Path): Seq[Path] = fs.listStatus(p).toSeq.flatMap(st =>
