@@ -1427,8 +1427,31 @@ class GraftReaderFactory(readFunc: PartitionedFile => Iterator[InternalRow],
       SparkPath.fromUrlString(p.urlEncodedPath), p.start, p.length,
       Array.empty, 0L, p.fileSize)
     // returning_batch=false at build time: the format's own iterator
-    // yields plain rows (no smuggled ColumnarBatch to unwrap)
-    val rows: Iterator[InternalRow] = readFunc(file)
+    // yields plain rows (no smuggled ColumnarBatch to unwrap).
+    // A file missing a REQUIRED (non-nullable) column can only be a
+    // stale plan reading a different epoch's files: graft's write
+    // paths always materialize the declared non-null key columns
+    // (delta-mode row identity), and within an epoch evolution is
+    // additive-nullable (readers null-fill). So a REPLACE/restore
+    // contract swap raced this statement — surface the documented
+    // re-run conflict, not a raw reader IOException (found by the
+    // dml.mode=delta chaos personality, r16).
+    def epochRace(e: java.io.IOException) = {
+      val cme = new java.util.ConcurrentModificationException(
+        s"scan of ${p.urlEncodedPath} expects a non-nullable column the " +
+          "data file does not carry — a REPLACE/restore contract swap " +
+          "raced this statement (stale plan over a new epoch's files); " +
+          "re-run")
+      cme.initCause(e)
+      cme
+    }
+    val rows: Iterator[InternalRow] =
+      try readFunc(file)
+      catch {
+        case e: java.io.IOException if Option(e.getMessage)
+            .exists(_.contains("Required column is missing")) =>
+          throw epochRace(e)
+      }
     val deletedKeys: Set[Seq[Any]] =
       tombstones.map(_.value.getOrElse(p.bucket, Set.empty[Seq[Any]]))
         .getOrElse(Set.empty)

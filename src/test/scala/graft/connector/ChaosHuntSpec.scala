@@ -42,6 +42,14 @@ class ChaosHuntSpec extends SparkSpec {
     }
   }
 
+  test("contract-op chaos hunt, dml.mode=delta personality (4 threads x 10 ops)") {
+    // the delta row-ID path (w07's surface) under the same op mix:
+    // O(changed-rows) staging, runtime-filter narrowing and tombstone
+    // DELETEs racing vacuum / REPLACE / rebucket / restore
+    ChaosOps.hunt(spark, "gch", warehouse, "hd", seed = 5,
+      nThreads = 4, opsPer = 10, info = info(_), dmlMode = "delta"): Unit
+  }
+
   test("syncDerived converges under concurrent source chaos") {
     // two mutator threads churn the source (inserts, deletes,
     // REPLACEs, restores) while a third runs incremental change-feed

@@ -73,6 +73,12 @@ object ChaosOps {
            // and its own restore call prunes nothing, but a racer's
            // restore target can vanish from the retained list
            x.getMessage.contains("not in") ||
+           // a stale plan executing across an epoch flip on a DELTA
+           // table null-fills the vanished key column and trips the
+           // write-side non-null merge-key guard — the guard firing
+           // IS the documented loud behavior (r16 delta personality)
+           (x.getMessage.contains("null merge key") &&
+             x.getMessage.contains("rejected")) ||
            x.getMessage.contains("lost") && x.getMessage.contains("race"))
     }
   }
@@ -109,12 +115,18 @@ object ChaosOps {
     */
   def hunt(spark: SparkSession, catalog: String, warehouse: String,
            tbl: String, seed: Int, nThreads: Int, opsPer: Int,
-           info: String => Unit): (Int, Int) = {
+           info: String => Unit, dmlMode: String = "cow"): (Int, Int) = {
     val root = s"$warehouse/ns/$tbl"
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // `dmlMode = "delta"` is a table PERSONALITY for the whole hunt
+    // (r15 verdict item #2): the O(changed-rows) WriteDelta staging,
+    // runtime-filter bucket narrowing and tombstone DELETEs then take
+    // every UPDATE/DELETE/MERGE in the mix, racing the same vacuum /
+    // REPLACE / rebucket / restore vocabulary the CoW path survives.
+    val modeProps = if (dmlMode == "delta") ", 'dml.mode'='delta'" else ""
     spark.sql(s"""CREATE TABLE $catalog.ns.$tbl (k BIGINT, v BIGINT) USING graft
-                  TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+                  TBLPROPERTIES ('keys'='k', 'numBuckets'='2'$modeProps)""")
     spark.sql(s"INSERT INTO $catalog.ns.$tbl VALUES (1, 0)")
     val epochN = new java.util.concurrent.atomic.AtomicInteger(0)
     val gate = new CountDownLatch(1)
@@ -156,7 +168,7 @@ object ChaosOps {
               case 2 =>
                 val c = s"e${epochN.incrementAndGet()}t$t"
                 spark.sql(s"""REPLACE TABLE $catalog.ns.$tbl
-                  TBLPROPERTIES ('keys'='$c')
+                  TBLPROPERTIES ('keys'='$c'$modeProps)
                   AS SELECT 'r' AS $c, CAST(1 AS BIGINT) AS n""")
               case 3 =>
                 val vs = SnapshotStore.versions(spark, root)
@@ -279,6 +291,22 @@ object ChaosOps {
     val outcomes = Await.result(Future.sequence(futs), 1800.seconds)
     // quiesce, then sweep
     spark.sql(s"ALTER TABLE $catalog.ns.$tbl SET TBLPROPERTIES ('cq'='1')")
+    assertQuiescence(spark, catalog, tbl, root, dump)
+    val (landed, conflicted) = (outcomes.map(_._1).sum, outcomes.map(_._2).sum)
+    info(s"hunt $tbl: $landed landed, $conflicted documented conflicts")
+    (landed, conflicted)
+  }
+
+  /** The post-hunt quiescence invariants, shared with the branch hunt
+    * ([[BranchChaosOps]]): epoch stamp at the newest retained flagged
+    * version, every retained version a readable two-column time-travel
+    * frame, zero unconsumed write-ahead bundles.
+    */
+  def assertQuiescence(spark: SparkSession, catalog: String, tbl: String,
+                       root: String,
+                       dump: (String, Seq[String]) => String): Unit = {
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stampedOpt = SnapshotStore.readProps(spark, root)
       .get("graft.schema.epoch").map(_.toLong)
     val epochRow = spark.sql(
@@ -330,8 +358,5 @@ object ChaosOps {
         fs.listStatus(new Path(root)).toSeq.map(_.getPath.getName))
       assert(false, s"hunt $tbl: unconsumed bundles (diag: $p)")
     }
-    val (landed, conflicted) = (outcomes.map(_._1).sum, outcomes.map(_._2).sum)
-    info(s"hunt $tbl: $landed landed, $conflicted documented conflicts")
-    (landed, conflicted)
   }
 }

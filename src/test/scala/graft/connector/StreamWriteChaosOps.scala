@@ -37,12 +37,16 @@ object StreamWriteChaosOps {
     */
   def run(spark: SparkSession, catalog: String, warehouse: String,
           tbl: String, seed: Int, nMutators: Int = 2, opsPer: Int = 8,
-          info: String => Unit = _ => ()): (Int, Long) = {
+          info: String => Unit = _ => (), dmlMode: String = "cow"): (Int, Long) = {
     import spark.implicits._
     val root = s"$warehouse/ns/$tbl"
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $catalog.ns")
+    // delta personality (r15 verdict item #2): row-level SQL DML in
+    // the mutator mix takes the O(changed-rows) WriteDelta/tombstone
+    // paths while the stream writer commits epochs
+    val modeProps = if (dmlMode == "delta") ", 'dml.mode'='delta'" else ""
     spark.sql(s"""CREATE TABLE $catalog.ns.$tbl (k BIGINT, v BIGINT) USING graft
-                  TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+                  TBLPROPERTIES ('keys'='k', 'numBuckets'='2'$modeProps)""")
     spark.sql(s"INSERT INTO $catalog.ns.$tbl SELECT id, id * 2 FROM range(0, 30)")
     val mirror = scala.collection.mutable.Map((0L until 30L).map(k => k -> k * 2): _*)
 
@@ -67,7 +71,7 @@ object StreamWriteChaosOps {
         gate.await()
         val rnd = new scala.util.Random(seed * 1000 + t)
         (1 to opsPer).foreach { i =>
-          val op = rnd.nextInt(5)
+          val op = rnd.nextInt(6)
           opsLog.add(s"mut$t#$i op$op begin"): Unit
           try {
             op match {
@@ -87,6 +91,13 @@ object StreamWriteChaosOps {
                       s"frankenclone at $cRoot: ${df.columns.toSeq}")
                   df.count(): Unit
                 } finally SnapshotStore.releaseClone(spark, cRoot)
+              case 5 =>
+                // a LOGICAL no-op row-level UPDATE: physically it
+                // rewrites (CoW) or stages O(changed rows) + runtime
+                // filtering (delta) — racing the stream writer's
+                // epochs without perturbing the mirror invariant
+                spark.sql(s"UPDATE $catalog.ns.$tbl SET v = v " +
+                  s"WHERE k < ${5 + rnd.nextInt(10)}")
             }
             opsLog.add(s"mut$t#$i op$op landed"): Unit
           } catch {

@@ -23,6 +23,17 @@ class StreamWriteChaosSpec extends SparkSpec {
       nMutators = 2, opsPer = 6, info = info(_)): Unit
   }
 
+  test("toTable writer converges exactly-once under maintenance chaos (dml.mode=delta)") {
+    // the delta personality (r15 verdict item #2): the mutators' no-op
+    // row-level UPDATEs take the O(changed-rows) WriteDelta path with
+    // runtime bucket narrowing while the stream writer commits epochs
+    val warehouse = Files.createTempDirectory("graft-swchaos-dwh").toString
+    spark.conf.set("spark.sql.catalog.swcd", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.swcd.root", warehouse)
+    StreamWriteChaosOps.run(spark, "swcd", warehouse, "wd", seed = 13,
+      nMutators = 2, opsPer = 6, info = info(_), dmlMode = "delta"): Unit
+  }
+
   test("toTable writer converges exactly-once under maintenance chaos (osim conditional-PUT)") {
     spark.sparkContext.hadoopConfiguration.set(
       "fs.osim.impl", classOf[ObjectStoreSim].getName)

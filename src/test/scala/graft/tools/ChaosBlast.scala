@@ -40,12 +40,14 @@ object ChaosBlast {
       spark.conf.set(s"spark.sql.catalog.$cat.root", warehouse)
       spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
       try (0 until seeds).foreach { s =>
-        val t0 = System.nanoTime()
-        val (landed, conflicted) = ChaosOps.hunt(spark, cat, warehouse,
-          s"b$s", seed = 1000 + s, nThreads = threads, opsPer = ops,
-          info = _ => ())
-        println(f"[blast] $label%-22s seed ${1000 + s} " +
-          f"${(System.nanoTime() - t0) / 1e9}%6.1fs  $landed landed, $conflicted conflicts  OK")
+        Seq("cow", "delta").foreach { mode =>
+          val t0 = System.nanoTime()
+          val (landed, conflicted) = ChaosOps.hunt(spark, cat, warehouse,
+            s"b$s${if (mode == "delta") "d" else ""}", seed = 1000 + s,
+            nThreads = threads, opsPer = ops, info = _ => (), dmlMode = mode)
+          println(f"[blast] $label%-22s seed ${1000 + s} $mode%-5s " +
+            f"${(System.nanoTime() - t0) / 1e9}%6.1fs  $landed landed, $conflicted conflicts  OK")
+        }
       } finally {
         SnapshotStore.manifestArbiter = None
         ObjectStoreSim.reset()

@@ -36,11 +36,14 @@ object StreamWriteChaosBlast {
       spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$cat.root", warehouse)
       try (0 until seeds).foreach { s =>
-        val t0 = System.nanoTime()
-        val (epochs, rows) = StreamWriteChaosOps.run(spark, cat, warehouse,
-          s"s$s", seed = 3000 + s, nMutators = mutators, opsPer = ops)
-        println(f"[swrite-blast] $label%-22s seed ${3000 + s} " +
-          f"${(System.nanoTime() - t0) / 1e9}%6.1fs  $epochs epochs, $rows rows  OK")
+        Seq("cow", "delta").foreach { mode =>
+          val t0 = System.nanoTime()
+          val (epochs, rows) = StreamWriteChaosOps.run(spark, cat, warehouse,
+            s"s$s${if (mode == "delta") "d" else ""}", seed = 3000 + s,
+            nMutators = mutators, opsPer = ops, dmlMode = mode)
+          println(f"[swrite-blast] $label%-22s seed ${3000 + s} $mode%-5s " +
+            f"${(System.nanoTime() - t0) / 1e9}%6.1fs  $epochs epochs, $rows rows  OK")
+        }
       } finally {
         SnapshotStore.manifestArbiter = None
         ObjectStoreSim.reset()
