@@ -3487,6 +3487,34 @@ object SnapshotStore {
       if (base == toVersion) return base
       val target = readManifest(spark, root, toVersion)
       val cur = readManifest(spark, root, base)
+      // a RELEASED clone/branch (rebucket/materialize dropped its
+      // source-retention consumer) may restore to a PRE-materialization
+      // version whose absolute source references were since reclaimed —
+      // [[releaseClone]] documents the dangle as inherent. Probe the
+      // distinct out-of-root directories (numBuckets-bounded, only on
+      // marker-less roots with foreign refs) and refuse LOUDLY instead
+      // of committing a version that dangles; the residual (a source
+      // vacuum landing after this probe) keeps the documented
+      // FNF-at-read behavior (found by BranchChaosBlast 8×18: a branch
+      // rebucket released retention, a branch restore re-pointed at the
+      // fork-time main dirs, main's vacuum had reclaimed them).
+      val rootAbs = fs.makeQualified(new Path(root)).toString
+      if (cloneSourceOf(fs, root).isEmpty) {
+        val gone = target.buckets.values
+          .flatMap(e => e.dir +: e.tombstones)
+          .filter(d => new Path(d).isAbsolute && !d.startsWith(rootAbs + "/"))
+          .map(d => new Path(d).getParent.toString).toSeq.distinct
+          .filterNot(d => fs.exists(new Path(d)))
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"restore target $toVersion at $root references " +
+              s"${gone.size} source director${if (gone.size == 1) "y" else "ies"} " +
+              "that no longer exist (a pre-materialization version whose " +
+              "source history was vacuumed after this clone/branch " +
+              "released its retention) — re-clone from the source or " +
+              s"restore to a post-materialization version; first missing: " +
+              gone.head)
+      }
       // serialize behind any in-flight REPLACE swap at/below the head,
       // THEN decide whether this restore crosses an epoch — deciding
       // from a mid-swap props file could read the wrong epoch stamp.
@@ -3877,6 +3905,17 @@ object SnapshotStore {
     }
     val bv = latestVersion(spark, br).getOrElse(
       throw new IllegalArgumentException(s"no branch '$name' on $root"))
+    // serialize behind any in-flight BRANCH-side contract swap before
+    // comparing contracts: a branch REPLACE commits its manifest first
+    // and swaps `_schema`/`_props` after, so a publish in that window
+    // read the branch's PRE-swap breadcrumbs (still equal to main's),
+    // passed the contract check, and fast-forwarded the post-REPLACE
+    // DATA onto a main whose declared contracts still named the old
+    // columns — a frankenstate on main, head data disagreeing with the
+    // live `_schema` (found by BranchChaosBlast 8×18, seed 4002: main's
+    // head carried keys e1t5 under a k/v breadcrumb, and every clone
+    // resolved a 4-column union from then on)
+    awaitContractQuiescence(spark, br, bv)
     val base = branchBase(fs, br).getOrElse(
       throw new IllegalStateException(
         s"branch '$name' at $br carries no base marker — was it created " +

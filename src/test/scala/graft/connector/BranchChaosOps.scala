@@ -127,6 +127,8 @@ object BranchChaosOps {
         ChaosOps.vacuumRace(spark, root, e) ||
         ChaosOps.vacuumRace(spark, curBr, e) ||
         text.contains("no committed graft table") ||
+        text.contains("no table at") || // checkpoint/compact on a consumed branch
+        text.contains("nothing to clone") ||
         text.contains("no branch '") ||
         text.contains("NoSuchTableException") ||
         text.contains("TABLE_OR_VIEW_NOT_FOUND") ||
@@ -136,14 +138,22 @@ object BranchChaosOps {
         // op started on was consumed/re-forked under it (publish+drop
         // = DROP-TABLE-like consumption — loud at the statement)
         ((text.contains("does not exist") || text.contains("FileNotFound") ||
-          text.contains("No such file") ||
+          text.contains("No such file") || text.contains("NoSuchFile") ||
           // object-store rename is copy+delete: a dir consumed mid-op
           // surfaces as a failed task/job-commit rename, not an FNF
           text.contains("Failed to rename") ||
           text.contains("TASK_WRITE_FAILED")) &&
           (publishing.get() > 0 || branchGone() ||
             generation.get() != genAtStart ||
-            fs.exists(new Path(curBr, "_publishing")) || adoptedTwin(e)))
+            fs.exists(new Path(curBr, "_publishing")) || adoptedTwin(e) ||
+            // the RELEASED-retention dangle (documented on
+            // releaseClone): once a branch rebucket/materialize drops
+            // its `_clone_source` marker and consumer, reads of
+            // history that references fork-time source dirs may find
+            // them legally vacuumed — "that history belonged to the
+            // source". The restore-time probe converts most of this
+            // into a loud refusal; mid-read races keep the FNF.
+            !fs.exists(new Path(curBr, "_clone_source"))))
     }
 
     /** Re-fork a consumed branch; only one thread re-creates, rivals

@@ -2,6 +2,9 @@ package graft.connector
 
 import java.nio.file.Files
 
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SaveMode
 
@@ -114,6 +117,64 @@ class BranchLifecycleSpec extends SparkSpec {
     val pub = SnapshotStore.publishBranch(spark, root, "p")
     assert(pub == 1L)
     assert(SnapshotStore.read(spark, root).where("k = 500").count() == 1L)
+  }
+
+  test("publish refuses a branch whose REPLACE contract swap is mid-flight (never a frankenstate on main)") {
+    // found by BranchChaosBlast 8×18 (seed 4002): a branch REPLACE
+    // commits its manifest FIRST and swaps `_schema`/`_props` after; a
+    // publish in that window read the branch's pre-swap breadcrumbs
+    // (still equal to main's), passed the contract check, and
+    // fast-forwarded the post-REPLACE data onto main — main's head then
+    // carried foreign-epoch columns under the old declared schema, and
+    // every resolution from then on was a 4-column union. Publish now
+    // serializes behind the branch's in-flight swap
+    // (awaitContractQuiescence on the branch root) before comparing.
+    val warehouse = Files.createTempDirectory("graft-brswap-wh").toString
+    spark.conf.set("spark.sql.catalog.blw", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.blw.root", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS blw.ns")
+    spark.sql("""CREATE TABLE blw.ns.t (k BIGINT, v BIGINT) USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO blw.ns.t SELECT id, id FROM range(0, 8)")
+    val root = s"$warehouse/ns/t"
+    SnapshotStore.createBranch(spark, root, "f"): Unit
+    val br = SnapshotStore.branchRoot(root, "f")
+    spark.conf.set("spark.sql.catalog.blwb", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.blwb.root", root)
+    // pause the branch REPLACE in its commit→swap window; shrink the
+    // waiter grace so the publish self-heals the "crashed" swap fast
+    val gateIn = new java.util.concurrent.CountDownLatch(1)
+    val gateOut = new java.util.concurrent.CountDownLatch(1)
+    SnapshotStore.replaceSwapHook = (r, _) =>
+      if (r == br) {
+        gateIn.countDown()
+        gateOut.await(30, java.util.concurrent.TimeUnit.SECONDS): Unit
+      }
+    System.setProperty("graft.snapshot.contractSwapGraceMs", "400")
+    try {
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val rep = scala.concurrent.Future(spark.sql(
+        """REPLACE TABLE blwb.`_branch`.f TBLPROPERTIES ('keys'='c')
+           AS SELECT 'r' AS c, CAST(1 AS BIGINT) AS n"""))
+      gateIn.await()
+      // the branch head now carries the c/n manifest; its breadcrumbs
+      // are still k/v — pre-fix the publish landed HERE
+      val e = intercept[java.util.ConcurrentModificationException] {
+        SnapshotStore.publishBranch(spark, root, "f")
+      }
+      assert(e.getMessage.contains("contracts") ||
+        e.getMessage.contains("IN FLIGHT"), s"wrong refusal: ${e.getMessage}")
+      gateOut.countDown()
+      Await.result(rep, 120.seconds): Unit
+    } finally {
+      SnapshotStore.replaceSwapHook = (_, _) => ()
+      System.clearProperty("graft.snapshot.contractSwapGraceMs")
+      gateOut.countDown()
+    }
+    // main is UNTOUCHED: k/v contracts, k/v head, original rows
+    assert(spark.table("blw.ns.t").columns.toSeq == Seq("k", "v"),
+      s"frankenstate on main: ${spark.table("blw.ns.t").columns.toSeq}")
+    assert(spark.table("blw.ns.t").count() == 8L)
   }
 
   test("a rival publish bounces off an in-flight marker instead of interleaving (exclusive create)") {
