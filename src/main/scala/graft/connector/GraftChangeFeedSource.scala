@@ -371,6 +371,55 @@ object GraftChangeFeedSource {
     }
   }
 
+  private val StartIdentityFile = "_graft_feed_identity"
+
+  /** Fence a resumed stream against a DROPPED-AND-RE-CREATED table
+    * (found by BranchStreamChaosSpec): a successor instance at the
+    * same path restarts version numbering, so checkpointed offsets
+    * ALIAS the new history and a resumed consumer silently skips (or
+    * re-reads) rows — the feed twin of the recycled-version-slot
+    * class. The table's per-instance id
+    * ([[graft.store.SnapshotStore.tableInstanceId]]) persists into the
+    * query's checkpoint on first start; a resume whose current id
+    * differs refuses with the documented severed-lineage conflict.
+    */
+  private[connector] def verifyStartIdentity(spark: SparkSession,
+                                             metadataPath: Option[String],
+                                             root: String): Unit =
+    metadataPath.foreach { mp =>
+      val conf = spark.sparkContext.hadoopConfiguration
+      val f = new org.apache.hadoop.fs.Path(mp, StartIdentityFile)
+      val fs = f.getFileSystem(conf)
+      val cur = SnapshotStore.tableInstanceId(spark, root)
+      val stored: Option[String] =
+        if (!fs.exists(f)) None
+        else {
+          val in = fs.open(f)
+          try {
+            val bos = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](256)
+            var n = in.read(buf)
+            while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+            Some(bos.toString("UTF-8").trim).filter(_.nonEmpty)
+          } finally in.close()
+        }
+      stored match {
+        case None =>
+          fs.mkdirs(f.getParent)
+          val out = fs.create(f, true)
+          try out.write(cur.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        case Some(id) if id != cur =>
+          throw new java.util.ConcurrentModificationException(
+            s"the table at $root was dropped and re-created since this " +
+              s"stream's checkpoint was written (instance $id -> $cur): " +
+              "its version lineage was severed, and the checkpointed " +
+              "offsets would silently alias the new history — start a " +
+              "fresh stream with a new checkpoint")
+        case _ => ()
+      }
+    }
+
   private[connector] def rootOf(parameters: Map[String, String]): String = {
     val p = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft streaming reads need a table root: .option(\"path\", <root>) " +

@@ -196,6 +196,10 @@ class GraftDataSource extends TableProvider with DataSourceRegister
                             providerName: String,
                             parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
     val root = GraftChangeFeedSource.rootOf(parameters)
+    // refuse resuming across a dropped-and-re-created table instance
+    // (checkpointed offsets would alias the new history's versions)
+    GraftChangeFeedSource.verifyStartIdentity(sqlContext.sparkSession,
+      Some(metadataPath), root)
     // pin if pending (consumed), else the checkpoint-persisted schema
     // (restart), else fresh — see GraftChangeFeedSource.startSchema
     val eff = GraftChangeFeedSource.startSchema(sqlContext.sparkSession,

@@ -3694,6 +3694,40 @@ object SnapshotStore {
 
   private val CloneSourceMarker = "_clone_source"
 
+  /** Stable per-INSTANCE identity of a table root (`_table_id`),
+    * minted lazily on first request — exclusive create (arbiter-routed
+    * on plain-PUT), racers converge on the winner's token by re-read.
+    * Deliberately NOT copied by [[cloneTable]] (a clone is a different
+    * instance) and deleted with the directory on drop, so a table
+    * DROPPED and RE-CREATED at the same path gets a NEW identity even
+    * though its version numbers restart and can alias the old ones —
+    * the streaming change feed persists this id into each query's
+    * checkpoint and refuses a resume across an instance change
+    * (found by BranchStreamChaosSpec: a consumer resumed after a
+    * branch publish+re-fork silently skipped the successor's rows
+    * because the checkpointed offsets aliased the new history's
+    * version numbers — the feed twin of the r15 recycled-version-slot
+    * class). Survives vacuum (never swept) and restore (same table).
+    */
+  private val TableIdFile = "_table_id"
+  private[graft] def tableInstanceId(spark: SparkSession, root: String): String = {
+    val fs = fileSystem(spark, root)
+    val p = new Path(root, TableIdFile)
+    smallFileText(fs, p).map(_.trim).filter(_.nonEmpty).getOrElse {
+      val tok = newToken()
+      arbitratedCreate(fs, p, tok) match {
+        case Some(out) =>
+          // conditional-PUT stores arbitrate at close(): a loss means a
+          // rival's id landed — the re-read below converges on it
+          try { try out.write(tok.getBytes(StandardCharsets.UTF_8))
+                finally out.close() }
+          catch { case _: java.io.IOException => () }
+        case None => ()
+      }
+      smallFileText(fs, p).map(_.trim).filter(_.nonEmpty).getOrElse(tok)
+    }
+  }
+
   /** The retention consumer a clone at `dstRoot` registers on its
     * source: keyed by the clone's QUALIFIED root, so it is derivable
     * from the clone alone and two clones of one source never collide.
