@@ -196,14 +196,18 @@ class GraftDataSource extends TableProvider with DataSourceRegister
                             providerName: String,
                             parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
     val root = GraftChangeFeedSource.rootOf(parameters)
+    // consume the pin FIRST: a start that goes on to refuse (severed
+    // lineage below) must still retire its load()'s pin, or the entry
+    // leaks for the abandon window and trips rival loads
+    val pinned = GraftChangeFeedSource.pinnedSchemaFor(root)
     // refuse resuming across a dropped-and-re-created table instance
     // (checkpointed offsets would alias the new history's versions)
     GraftChangeFeedSource.verifyStartIdentity(sqlContext.sparkSession,
       Some(metadataPath), root)
-    // pin if pending (consumed), else the checkpoint-persisted schema
-    // (restart), else fresh — see GraftChangeFeedSource.startSchema
+    // pin if pending, else the checkpoint-persisted schema (restart),
+    // else fresh — see GraftChangeFeedSource.startSchema
     val eff = GraftChangeFeedSource.startSchema(sqlContext.sparkSession,
-      Some(metadataPath), root, GraftChangeFeedSource.pinnedSchemaFor(root))
+      Some(metadataPath), root, pinned)
     GraftChangeFeedSource(sqlContext.sparkSession, parameters, Some(metadataPath),
       pinnedSchema = Some(eff))
   }

@@ -130,6 +130,59 @@ class BranchStreamChaosSpec extends SparkSpec {
       "main-side inserts leaked into the BRANCH's change feed")
   }
 
+  test("toTable writer INTO a live branch converges exactly-once under branch+main chaos; a stale-base publish refuses with the recipe") {
+    // the streaming WRITER variant of the branch hunt: the full
+    // StreamWriteChaosOps body (epoch writer + compact/checkpoint/
+    // vacuum/rebucket/clone/no-op-UPDATE mutators) pointed at a BRANCH
+    // root, while a side loop churns MAIN (inserts + vacuum) — the
+    // fork pin must keep the branch's shared base dirs alive the whole
+    // time; afterwards, because main advanced under the fork, the
+    // publish must refuse with the documented re-fork recipe and leave
+    // the audited branch whole.
+    spark.sql("""CREATE TABLE bsw.ns.w (k BIGINT, v BIGINT) USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO bsw.ns.w SELECT id, id * 2 FROM range(0, 30)")
+    val root = s"$warehouse/ns/w"
+    SnapshotStore.createBranch(spark, root, "wb"): Unit
+    val br = SnapshotStore.branchRoot(root, "wb")
+    spark.conf.set("spark.sql.catalog.bswb", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.bswb.root", root)
+    val scratch = Files.createTempDirectory("graft-brstream-scratch").toString
+    @volatile var done = false
+    val mainChurn = Future {
+      val rnd = new scala.util.Random(71)
+      var i = 0
+      while (!done) {
+        i += 1
+        try {
+          if (rnd.nextBoolean())
+            spark.sql(s"INSERT INTO bsw.ns.w VALUES (${800 + i}, 1)")
+          else SnapshotStore.vacuum(spark, root): Unit
+        } catch { case e: Throwable if ChaosOps.documented(e) => () }
+        Thread.sleep(60)
+      }
+    }
+    try {
+      val (epochs, rows) = StreamWriteChaosOps.runOn(spark,
+        "bswb.`_branch`.wb", br, scratch, "wb", seed = 72,
+        nMutators = 2, opsPer = 5, info = info(_))
+      assert(epochs > 0 && rows > 0)
+    } finally done = true
+    Await.result(mainChurn, 120.seconds): Unit
+    // publish the audited branch — but main advanced (the churn), so
+    // the documented path is refuse → re-fork → re-apply; assert the
+    // REFUSAL recipe fires (the writer's data was audited on a stale
+    // base) rather than pretending the fast-forward can land
+    val e = intercept[java.util.ConcurrentModificationException] {
+      SnapshotStore.publishBranch(spark, root, "wb")
+    }
+    assert(e.getMessage.contains("advanced") ||
+      e.getMessage.contains("re-create"), s"wrong refusal: ${e.getMessage}")
+    // and the branch itself is still whole after the refusal
+    assert(SnapshotStore.read(spark, br).count() > 0L)
+    SnapshotStore.dropBranch(spark, root, "wb")
+  }
+
   test("a consumer whose branch was consumed and re-forked is loud or convergent, never silently wrong") {
     spark.sql("""CREATE TABLE bsw.ns.c (k BIGINT, v BIGINT) USING graft
                  TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")

@@ -64,6 +64,7 @@ class ChangeFeedSchemaPinSpec extends SparkSpec {
   }
 
   test("a second load() colliding with a pending different-shape pin is refused LOUDLY at load") {
+    val baseline = GraftChangeFeedSource.pinnedRootCount
     // the cross-pin hazard (r15 "what's wrong" #2): the engine's batch
     // assertion checks attribute COUNT only and rewrites positionally,
     // so a same-arity cross-epoch pin would deliver silently mis-bound
@@ -114,8 +115,8 @@ class ChangeFeedSchemaPinSpec extends SparkSpec {
       .foreachBatch((b: Dataset[Row], _: Long) => { b.count(): Unit })
       .start()
     assert(q2.awaitTermination(300000), "the re-created query must drain")
-    assert(GraftChangeFeedSource.pinnedRootCount == 0,
-      "all pins must be consumed at the end of the collision dance")
+    assert(GraftChangeFeedSource.pinnedRootCount == baseline,
+      "all of THIS dance's pins must be consumed at its end")
   }
 
   test("a restart — stale DataFrame, pin long consumed — recovers its schema from the checkpoint") {

@@ -38,7 +38,6 @@ object StreamWriteChaosOps {
   def run(spark: SparkSession, catalog: String, warehouse: String,
           tbl: String, seed: Int, nMutators: Int = 2, opsPer: Int = 8,
           info: String => Unit = _ => (), dmlMode: String = "cow"): (Int, Long) = {
-    import spark.implicits._
     val root = s"$warehouse/ns/$tbl"
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $catalog.ns")
     // delta personality (r15 verdict item #2): row-level SQL DML in
@@ -48,16 +47,31 @@ object StreamWriteChaosOps {
     spark.sql(s"""CREATE TABLE $catalog.ns.$tbl (k BIGINT, v BIGINT) USING graft
                   TBLPROPERTIES ('keys'='k', 'numBuckets'='2'$modeProps)""")
     spark.sql(s"INSERT INTO $catalog.ns.$tbl SELECT id, id * 2 FROM range(0, 30)")
-    val mirror = scala.collection.mutable.Map((0L until 30L).map(k => k -> k * 2): _*)
+    runOn(spark, s"$catalog.ns.$tbl", root, s"$warehouse/ns", tbl, seed,
+      nMutators, opsPer, info)
+  }
+
+  /** The body, against a PRE-CREATED (k,v)-keyed table — lets the
+    * branch hunt point the same writer+mutator mix at a live WAP
+    * branch root (`fqn` = the branch's catalog identifier, `root` =
+    * the branch directory, `scratch` = where clone cycles fork to).
+    */
+  def runOn(spark: SparkSession, fqn: String, root: String, scratch: String,
+            tag: String, seed: Int, nMutators: Int, opsPer: Int,
+            info: String => Unit): (Int, Long) = {
+    import spark.implicits._
+    val mirror = scala.collection.mutable.Map(
+      spark.table(fqn).select(col("k"), col("v"))
+        .as[(Long, Long)].collect().toSeq: _*)
 
     val opsLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     def dump(reason: String, extra: Seq[String]): String =
-      ChaosOps.dumpDiagnostics(s"streamwrite-$tbl",
+      ChaosOps.dumpDiagnostics(s"streamwrite-$tag",
         s"reason: $reason" +: s"seed: $seed" +:
           s"versions: ${scala.util.Try(SnapshotStore.versions(spark, root)).toOption}" +:
           (opsLog.toArray(Array.empty[String]).toSeq.map("op: " + _) ++ extra))
 
-    val ckpt = Files.createTempDirectory(s"graft-swchaos-$tbl").toString
+    val ckpt = Files.createTempDirectory(s"graft-swchaos-$tag").toString
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Long, Long)]
 
@@ -82,7 +96,7 @@ object StreamWriteChaosOps {
               case 3 => SnapshotStore.rebucket(spark, root, Seq("k"),
                 newNumBuckets = 1 + rnd.nextInt(4)): Unit
               case 4 =>
-                val cRoot = s"$warehouse/ns/${tbl}_c$t${rnd.nextInt(1000000)}"
+                val cRoot = s"$scratch/${tag}_c$t${rnd.nextInt(1000000)}"
                 SnapshotStore.cloneTable(spark, root, cRoot): Unit
                 try {
                   val df = SnapshotStore.read(spark, cRoot)
@@ -96,7 +110,7 @@ object StreamWriteChaosOps {
                 // rewrites (CoW) or stages O(changed rows) + runtime
                 // filtering (delta) — racing the stream writer's
                 // epochs without perturbing the mirror invariant
-                spark.sql(s"UPDATE $catalog.ns.$tbl SET v = v " +
+                spark.sql(s"UPDATE $fqn SET v = v " +
                   s"WHERE k < ${5 + rnd.nextInt(10)}")
             }
             opsLog.add(s"mut$t#$i op$op landed"): Unit
@@ -121,7 +135,7 @@ object StreamWriteChaosOps {
         .writeStream
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
-        .toTable(s"$catalog.ns.$tbl")
+        .toTable(fqn)
       assert(q.awaitTermination(300000), s"$label: AvailableNow did not stop")
     }
 
@@ -164,7 +178,7 @@ object StreamWriteChaosOps {
     writerDone = true
     Await.result(Future.sequence(muts), 1800.seconds): Unit
 
-    val src = spark.table(s"$catalog.ns.$tbl").select(col("k"), col("v"))
+    val src = spark.table(fqn).select(col("k"), col("v"))
       .as[(Long, Long)].collect().map { case (k, v) => k -> v }.toMap
     val mir = mirror.toMap
     if (src != mir) {
@@ -178,13 +192,13 @@ object StreamWriteChaosOps {
     }
     // every retained version still reads as a coherent two-column frame
     SnapshotStore.versions(spark, root).foreach { v =>
-      val df = spark.sql(s"SELECT * FROM $catalog.ns.$tbl VERSION AS OF $v")
+      val df = spark.sql(s"SELECT * FROM $fqn VERSION AS OF $v")
       if (df.columns.length != 2) {
         val p = dump(s"version $v not two-column", Seq(s"cols: ${df.columns.toSeq}"))
         throw new AssertionError(s"version $v not a two-column frame (diag: $p)")
       }
     }
-    info(s"$tbl: $epochs epochs, $rowsWritten rows, converged")
+    info(s"$tag: $epochs epochs, $rowsWritten rows, converged")
     (epochs, rowsWritten)
   }
 
