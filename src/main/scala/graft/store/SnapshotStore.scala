@@ -3950,10 +3950,17 @@ object SnapshotStore {
     // head carried keys e1t5 under a k/v breadcrumb, and every clone
     // resolved a 4-column union from then on)
     awaitContractQuiescence(spark, br, bv)
+    // no base marker = either a MID-CREATE branch (createBranch writes
+    // the marker after the clone's v0 commit — a racing publish lands
+    // in that millisecond window; found by BranchChaosBlast 8×22) or a
+    // crashed create. Both are the documented retry/repair conflict,
+    // not an invariant breach: re-run resolves the former; a stuck
+    // marker-less branch is dropBranch-able.
     val base = branchBase(fs, br).getOrElse(
-      throw new IllegalStateException(
-        s"branch '$name' at $br carries no base marker — was it created " +
-          "by createBranch?"))
+      throw new java.util.ConcurrentModificationException(
+        s"branch '$name' at $br carries no base marker yet — its create " +
+          "may still be in flight; re-run (a permanently marker-less " +
+          "branch is a crashed create: drop_branch it)"))
     val cur = latestVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed graft table at $root"))
     if (cur != base)
