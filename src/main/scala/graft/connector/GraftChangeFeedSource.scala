@@ -293,9 +293,18 @@ object GraftChangeFeedSource {
     * fresh checkpoint, so it resolves fresh; a swap between its load
     * and start can then mis-bind same-arity shapes. One relation, one
     * start is the supported pattern.
+    *
+    * Pins are COUNTED per root (r16 advice #1): two concurrent
+    * same-shape load()s of one root used to collapse into one entry,
+    * so the first start() consumed it and the second start() fell back
+    * to a fresh resolution — a REPLACE in that second query's
+    * load()→start() window re-opened the same-arity mis-bind this map
+    * exists to close. Each load() now increments the pin's count and
+    * each start() decrements it, so every load() gets exactly one
+    * consume; the entry is removed at count 0 (no lifetime growth).
     */
   private val schemaPins =
-    new java.util.concurrent.ConcurrentHashMap[String, (StructType, Long)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (StructType, Long, Int)]()
 
   /** How old an un-consumed pin must be before a new load() may
     * replace (rather than refuse) a different-shape one — a loader
@@ -306,7 +315,8 @@ object GraftChangeFeedSource {
   private[connector] def pinSchema(root: String, s: StructType): Unit = {
     val now = System.currentTimeMillis()
     schemaPins.compute(root, (_, cur) =>
-      if (cur == null || cur._1 == s || now - cur._2 > PinAbandonMs) (s, now)
+      if (cur == null || now - cur._2 > PinAbandonMs) (s, now, 1)
+      else if (cur._1 == s) (s, now, cur._3 + 1)
       else throw new java.util.ConcurrentModificationException(
         s"concurrent readStream.load() calls on $root straddled a " +
           "contract swap (REPLACE/restore): an earlier load()'s schema " +
@@ -315,9 +325,19 @@ object GraftChangeFeedSource {
           "the earlier streaming DataFrame, then re-create this one")): Unit
   }
 
-  /** Consumes (removes) the pin — see [[schemaPins]]. */
-  private[connector] def pinnedSchemaFor(root: String): Option[StructType] =
-    Option(schemaPins.remove(root)).map(_._1)
+  /** Consumes ONE count of the pin (entry removed at zero) — see
+    * [[schemaPins]].
+    */
+  private[connector] def pinnedSchemaFor(root: String): Option[StructType] = {
+    val got = new java.util.concurrent.atomic.AtomicReference[StructType]()
+    schemaPins.compute(root, (_, cur) =>
+      if (cur == null) null
+      else {
+        got.set(cur._1)
+        if (cur._3 <= 1) null else (cur._1, cur._2, cur._3 - 1)
+      }): Unit
+    Option(got.get())
+  }
 
   /** Test visibility: live pin count (growth assertions). */
   private[connector] def pinnedRootCount: Int = schemaPins.size()

@@ -54,6 +54,16 @@ import graft.operators.{Scd1, Scd2}
   */
 object SnapshotStore {
 
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.store.SnapshotStore")
+
+  /** FileSystem classes observed to reject setTimes — logged once each
+    * so an inoperative heartbeat (r16 advice #2) is visible, not
+    * silent; the heartbeat itself falls back to a content rewrite.
+    */
+  private val setTimesUnsupported =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Same stable hash-bucket column the streaming sinks use. */
   val BucketCol = "_graft_bucket"
 
@@ -171,11 +181,28 @@ object SnapshotStore {
           // deleting it here would admit a third writer alongside the
           // reclaimer. A live holder's heartbeat keeps refreshing the
           // mtime, so only a genuinely crashed holder ever ages out.
+          // Compare-content-then-delete (r16 advice #3): mtime alone
+          // leaves a TOCTOU — a rival waiter can reclaim and confirm
+          // its own FRESH lock between our re-check and our delete, and
+          // our delayed delete then removes the rival's live lock,
+          // admitting a third holder. Tokens are unique per holder, so
+          // requiring the content to still be the AGED holder's token
+          // makes a rival's fresh lock unmistakable however stale our
+          // mtime read was; the residual read→delete window is the
+          // irreducible one of mtime locks.
+          val agedToken =
+            try smallFileText(fs, p).map(_.trim)
+            catch { case _: java.io.IOException => None }
           val stillAged =
             try System.currentTimeMillis() -
               fs.getFileStatus(p).getModificationTime > ContractsLockGraceMs
             catch { case _: java.io.FileNotFoundException => false }
-          if (stillAged) {
+          contractsReclaimHook(p)
+          val sameHolder = agedToken.nonEmpty && {
+            try smallFileText(fs, p).map(_.trim) == agedToken
+            catch { case _: java.io.IOException => false }
+          }
+          if (stillAged && sameHolder) {
             try { fs.delete(p, false): Unit }
             catch { case _: java.io.IOException => () }
           }
@@ -207,7 +234,27 @@ object SnapshotStore {
               case None =>
                 if (smallFileText(fs, p).map(_.trim).contains(token)) {
                   val now = System.currentTimeMillis()
-                  fs.setTimes(p, now, -1)
+                  // setTimes is unsupported on several FileSystem
+                  // implementations (object-store adapters throw
+                  // UnsupportedOperationException) — swallowing that
+                  // permanently left the heartbeat inoperative there,
+                  // so a body longer than the grace was still
+                  // reclaimed (r16 advice #2). Fall back to re-writing
+                  // the lock content (same token — a whole-object PUT
+                  // on such stores, which bumps mtime); the write is
+                  // token-guarded by the contains-check above and the
+                  // release path re-verifies the token, so a racing
+                  // reclaimer still surfaces loudly, never silently.
+                  try fs.setTimes(p, now, -1)
+                  catch { case _: UnsupportedOperationException =>
+                    if (setTimesUnsupported.add(fs.getClass.getName))
+                      log.warn(s"contracts-lock heartbeat: setTimes " +
+                        s"unsupported on ${fs.getClass.getName} — " +
+                        "falling back to token-guarded content rewrite")
+                    val out = fs.create(p, true)
+                    try out.write(token.getBytes(StandardCharsets.UTF_8))
+                    finally out.close()
+                  }
                 }
             }
           } catch { case _: Throwable => () } // transient store error: skip a beat
@@ -3500,10 +3547,16 @@ object SnapshotStore {
       // fork-time main dirs, main's vacuum had reclaimed them).
       val rootAbs = fs.makeQualified(new Path(root)).toString
       if (cloneSourceOf(fs, root).isEmpty) {
+        // probe the referenced BUCKET dirs themselves, not their v=
+        // parents (r16 advice #5): vacuum reclaims at bucket-dir
+        // granularity when only some of a version's buckets are dead,
+        // so a partially-reclaimed source version keeps its parent dir
+        // and a parent-level probe passes while the restore still
+        // dangles. Still numBuckets-bounded per foreign version.
         val gone = target.buckets.values
           .flatMap(e => e.dir +: e.tombstones)
           .filter(d => new Path(d).isAbsolute && !d.startsWith(rootAbs + "/"))
-          .map(d => new Path(d).getParent.toString).toSeq.distinct
+          .toSeq.distinct
           .filterNot(d => fs.exists(new Path(d)))
         if (gone.nonEmpty)
           throw new java.util.ConcurrentModificationException(
@@ -3724,7 +3777,25 @@ object SnapshotStore {
           catch { case _: java.io.IOException => () }
         case None => ()
       }
-      smallFileText(fs, p).map(_.trim).filter(_.nonEmpty).getOrElse(tok)
+      // NEVER fabricate (r16 advice #4): returning our locally-minted
+      // token when the create lost AND the re-read finds nothing would
+      // hand callers an id that may never land on disk — a stream
+      // checkpoint persisting it would later mismatch the winner's
+      // durable id and falsely refuse a legitimate resume as "dropped
+      // and re-created". Retry the re-read briefly (the winner is
+      // mid-write), then fail loudly as indeterminate.
+      var read: Option[String] =
+        smallFileText(fs, p).map(_.trim).filter(_.nonEmpty)
+      val deadline = System.currentTimeMillis() + 2000L
+      while (read.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(20)
+        read = smallFileText(fs, p).map(_.trim).filter(_.nonEmpty)
+      }
+      read.getOrElse(throw new IllegalStateException(
+        s"table instance id at $root is indeterminate: this writer's " +
+          "exclusive create lost, but no rival id became readable " +
+          "within 2s — a rival create may be mid-flight or the store " +
+          "is misbehaving; retry the operation"))
     }
   }
 
@@ -4266,6 +4337,14 @@ object SnapshotStore {
     * rename into a nest-inside move.
     */
   @volatile private[graft] var checkpointRenameHook: Path => Unit = _ => ()
+
+  /** Test hook: runs in a contracts-lock waiter's reclaim path AFTER
+    * the stillAged re-check and BEFORE the compare-content-then-delete
+    * (r16 advice #3) — the TOCTOU window where a rival can reclaim the
+    * aged lock and confirm its OWN fresh one; the token compare must
+    * keep this waiter's delayed delete off the rival's live lock.
+    */
+  @volatile private[graft] var contractsReclaimHook: Path => Unit = _ => ()
 
   /** Test hook: runs in a data-freeing vacuum between its floor
     * serialization commit's OCC win and the retention-pin re-list —

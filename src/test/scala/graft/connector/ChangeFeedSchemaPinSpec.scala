@@ -63,6 +63,47 @@ class ChangeFeedSchemaPinSpec extends SparkSpec {
       "pins must not outlive their load()→start() window")
   }
 
+  test("two concurrent same-shape load()s each get their own consume (counted pins, r16 advice #1)") {
+    // pre-fix, same-shape load()s collapsed into ONE pin entry: the
+    // first start() consumed it and the second start() fell back to a
+    // fresh resolution — a REPLACE in that second query's
+    // load()→start() window re-opened the same-arity silent mis-bind.
+    // Pins are now counted per root: one consume per load().
+    val baseline = GraftChangeFeedSource.pinnedRootCount
+    spark.sql("""CREATE TABLE pns.ns.cc (k BIGINT, v BIGINT) USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO pns.ns.cc VALUES (1, 10)")
+    val root = s"$warehouse/ns/cc"
+    def load() = spark.readStream.format("graft")
+      .option("path", root).option("keys", "k").option("startingVersion", "-1")
+      .option("replaceBoundary", "refresh")
+      .load()
+    val df1 = load()
+    val df2 = load() // same shape: must COUNT, not collapse
+    assert(GraftChangeFeedSource.pinnedRootCount == baseline + 1,
+      "same-shape pins share one root entry")
+    def drain(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val q = df.writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory(s"graft-pin-$tag").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch((b: Dataset[Row], _: Long) => { b.count(): Unit })
+        .start()
+      assert(q.awaitTermination(300000), s"$tag did not drain")
+    }
+    drain(df1, "cc1")
+    assert(GraftChangeFeedSource.pinnedRootCount == baseline + 1,
+      "the first start() consumed BOTH loads' pins — the second query " +
+        "would fall back to a fresh resolution across any swap")
+    // a same-arity REPLACE lands in df2's load()→start() window — the
+    // exact hazard; df2's start must still run from ITS pin
+    spark.sql("""REPLACE TABLE pns.ns.cc TBLPROPERTIES ('keys'='c')
+                 AS SELECT 'r' AS c, CAST(1 AS BIGINT) AS n""")
+    drain(df2, "cc2")
+    assert(GraftChangeFeedSource.pinnedRootCount == baseline,
+      "both consumes must retire the entry (no lifetime growth)")
+  }
+
   test("a second load() colliding with a pending different-shape pin is refused LOUDLY at load") {
     val baseline = GraftChangeFeedSource.pinnedRootCount
     // the cross-pin hazard (r15 "what's wrong" #2): the engine's batch

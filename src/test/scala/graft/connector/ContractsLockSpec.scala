@@ -9,7 +9,7 @@ import scala.concurrent.duration._
 import org.apache.hadoop.fs.Path
 
 import graft.SparkSpec
-import graft.store.{InMemoryClaimArbiter, SnapshotStore}
+import graft.store.{InMemoryClaimArbiter, ObjectStoreSim, SnapshotStore}
 
 /** The contracts lock (R15.2): version-less metadata writers — ALTER's
   * `_schema`/`_props` writes and a swap's contract installation —
@@ -145,6 +145,106 @@ class ContractsLockSpec extends SparkSpec {
     assert(content == "rival-token",
       s"the victim's release deleted or replaced the thief's lock: '$content'")
     fs.delete(p, false): Unit // unwedge the table for later suites
+  }
+
+  test("heartbeat stays operative on stores that reject setTimes (content-rewrite fallback)") {
+    // r16 advice #2: the heartbeat refreshed liveness via fs.setTimes,
+    // which object-store adapters leave unsupported (keys have no
+    // mutable mtime) — and the catch-Throwable swallowed that
+    // PERMANENTLY, so on such stores a live holder outliving the grace
+    // was still reclaimed. The fallback re-PUTs the lock content
+    // (token-guarded), which bumps the key's mtime on any store.
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.osim.impl", classOf[ObjectStoreSim].getName)
+    val root = "osim://" +
+      Files.createTempDirectory("graft-clock-osim").toString
+    ObjectStoreSim.reset()
+    ObjectStoreSim.rejectSetTimes = true
+    System.setProperty("graft.snapshot.contractsLockGraceMs", "300")
+    try {
+      val aInBody = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val aEntered = new java.util.concurrent.CountDownLatch(1)
+      val overlap = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val slow = Future {
+        SnapshotStore.withContractsLock(spark, root) {
+          aInBody.set(true); aEntered.countDown()
+          Thread.sleep(1500) // 5x the grace
+          aInBody.set(false)
+          "slow-done"
+        }
+      }
+      aEntered.await()
+      val waiter = Future {
+        SnapshotStore.withContractsLock(spark, root) {
+          if (aInBody.get()) overlap.set(true)
+          "waiter-done"
+        }
+      }
+      // pre-fix: setTimes threw, the heartbeat silently did nothing,
+      // the waiter reclaimed at 300 ms and the slow holder exited with
+      // "reclaimed while alive" — both assertions below caught it
+      assert(Await.result(slow, 120.seconds) == "slow-done")
+      assert(Await.result(waiter, 120.seconds) == "waiter-done")
+      assert(!overlap.get(),
+        "the waiter entered while the live slow holder was inside the " +
+          "critical section — the heartbeat was inoperative on a " +
+          "setTimes-rejecting store")
+    } finally {
+      System.clearProperty("graft.snapshot.contractsLockGraceMs")
+      ObjectStoreSim.reset()
+    }
+  }
+
+  test("a waiter's delayed reclaim never deletes a rival's FRESH lock (compare-content-then-delete)") {
+    // r16 advice #3: between a waiter's stillAged re-check and its
+    // delete, a rival can reclaim the aged lock AND confirm its own
+    // fresh one — the waiter's delayed delete then removed the rival's
+    // live lock and admitted a third holder. The token compare makes
+    // the rival's fresh lock (different token) unmistakable.
+    spark.sql("""CREATE TABLE clk.ns.t7 (k BIGINT, v BIGINT) USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    val root = s"$warehouse/ns/t7"
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(root, "_contracts_lock")
+    // stage an abandoned holder's aged lock
+    val out0 = fs.create(p, true)
+    out0.write("dead-holder".getBytes("UTF-8")); out0.close()
+    val old = System.currentTimeMillis() - 60000L
+    fs.setTimes(p, old, old)
+    // grace well above the rival's 400 ms hold: the rival must stay
+    // FRESH for its whole tenure (a rival aging out mid-hold is the
+    // legitimate crashed-holder reclaim, not this TOCTOU)
+    System.setProperty("graft.snapshot.contractsLockGraceMs", "5000")
+    val rivalReleased = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    SnapshotStore.contractsReclaimHook = { lockPath =>
+      if (fired.compareAndSet(false, true)) {
+        // the rival wins the TOCTOU window: reclaims the aged lock and
+        // confirms its OWN fresh one...
+        fs.delete(lockPath, false)
+        val o = fs.create(lockPath, true)
+        o.write("rival-token".getBytes("UTF-8")); o.close()
+        // ...holds it live for a while, then releases cleanly
+        val t = new Thread({ () =>
+          Thread.sleep(400)
+          rivalReleased.set(true)
+          fs.delete(lockPath, false): Unit
+        }: Runnable)
+        t.setDaemon(true); t.start()
+      }
+    }
+    try {
+      SnapshotStore.withContractsLock(spark, root) {
+        assert(rivalReleased.get(),
+          "the waiter entered the critical section while the rival's " +
+            "FRESH lock was live — its delayed delete removed the " +
+            "rival's lock (the TOCTOU the token compare closes)")
+        "ok"
+      }: Unit
+    } finally {
+      SnapshotStore.contractsReclaimHook = _ => ()
+      System.clearProperty("graft.snapshot.contractsLockGraceMs")
+    }
   }
 
   test("plain-PUT: the arbiter row is RELEASED, so back-to-back DDL never waits out the grace") {

@@ -170,4 +170,40 @@ class CloneRestoreSpec extends SparkSpec {
     SnapshotStore.releaseClone(spark, dst)
     SnapshotStore.releaseClone(spark, src)
   }
+
+  test("restore refuses a pre-materialization version whose source was PARTIALLY reclaimed (bucket-dir probe)") {
+    // r16 advice #5: vacuum reclaims at BUCKET-dir granularity when
+    // only some of a version's buckets are dead, so probing each
+    // foreign ref's v= PARENT let a partially-reclaimed source version
+    // pass — restore then committed a version that dangles (FNF at
+    // read). The probe now checks the referenced bucket dirs
+    // themselves.
+    val src = tmpDir("pv-src")
+    val dst = tmpDir("pv-dst")
+    val v0 = (1L to 40L).map(k => (k, s"v$k", k)).toDF("k", "v", "ts")
+    SnapshotStore.init(spark, src, v0, Seq("k"), numBuckets = 4)
+    SnapshotStore.cloneTable(spark, src, dst)
+    // materialize re-homes the data and RELEASES the retention hold —
+    // from here the source owes the clone nothing
+    SnapshotStore.materialize(spark, dst, Seq("k"))
+    // a bucket-granular source sweep: ONE bucket dir of the fork-time
+    // version dies; its v= parent (and sibling buckets) live on
+    def rmRf(p: java.nio.file.Path): Unit =
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(q => { Files.delete(q); () })
+    val v0dir = Files.list(Paths.get(src)).toArray.map(_.toString)
+      .filter(_.split('/').last.startsWith("v=0")).head
+    val bucketDirs = Files.list(Paths.get(v0dir)).toArray.map(_.toString)
+      .filter(_.split('/').last.startsWith("_graft_bucket="))
+    assert(bucketDirs.length > 1, s"need sibling buckets: ${bucketDirs.toSeq}")
+    rmRf(Paths.get(bucketDirs.head))
+    // restoring the clone to its pre-materialization version must
+    // refuse LOUDLY — the parent still exists, but a referenced bucket
+    // is gone and the restored version would dangle
+    val e = intercept[java.util.ConcurrentModificationException] {
+      SnapshotStore.restore(spark, dst, 0L)
+    }
+    assert(e.getMessage.contains("no longer exist"),
+      s"wrong refusal: ${e.getMessage}")
+  }
 }

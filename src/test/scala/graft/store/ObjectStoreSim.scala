@@ -58,6 +58,14 @@ object ObjectStoreSim {
     */
   @volatile var betweenCheckAndAct: Path => Unit = _ => ()
 
+  /** When true, `setTimes` throws UnsupportedOperationException — the
+    * real posture of most object-store adapters (S3A et al. have no
+    * mutable mtime). Default false: many specs age markers via
+    * setTimes; flip it only around the test probing that assumption
+    * (the contracts-lock heartbeat fallback, r16 advice #2).
+    */
+  @volatile var rejectSetTimes: Boolean = false
+
   /** key (absolute path string) → epoch millis when it becomes listable. */
   private[store] val visibleAt = new ConcurrentHashMap[String, java.lang.Long]()
 
@@ -69,6 +77,7 @@ object ObjectStoreSim {
     listingLagMs = 0L
     listingLagPathFilter = _ => true
     betweenCheckAndAct = _ => ()
+    rejectSetTimes = false
     visibleAt.clear()
   }
 
@@ -205,6 +214,12 @@ class ObjectStoreSim extends RawLocalFileSystem {
   override def append(f: Path, bufferSize: Int,
                       progress: Progressable): FSDataOutputStream =
     throw new IOException("osim: object stores do not append")
+
+  override def setTimes(p: Path, mtime: Long, atime: Long): Unit =
+    if (rejectSetTimes)
+      throw new UnsupportedOperationException(
+        "osim: object keys have no mutable mtime")
+    else super.setTimes(p, mtime, atime)
 
   /** S3A-style rename: recursive client-side copy, then delete the
     * source — NOT atomic; a reader can observe any prefix of the copy,

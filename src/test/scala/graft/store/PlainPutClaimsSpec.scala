@@ -282,4 +282,33 @@ class PlainPutClaimsSpec extends SparkSpec {
         "checkpoint dir must contain no stray subdirectories")
     }
   }
+  // ------------------------------------------------------------------
+  // table instance id (r16 advice #4)
+  // ------------------------------------------------------------------
+
+  test("tableInstanceId never fabricates: an indeterminate id fails loudly, then converges on the winner") {
+    // pre-fix, a create that LOST while the winner's write was still
+    // in flight returned this caller's locally-minted token — an id
+    // that might never land on disk. A stream checkpoint persisting it
+    // would later mismatch the winner's durable id and falsely refuse
+    // a legitimate resume as "dropped and re-created".
+    withPlainPutArbiter() {
+      val root = osimRoot("tid")
+      initTable(root)
+      val fs = fsOf(root)
+      val p = new Path(root, "_table_id")
+      // a rival holds the claim but has not completed its write yet
+      val key = fs.makeQualified(p).toString
+      assert(SnapshotStore.manifestArbiter.get.claim(key, "rival-tok"))
+      val e = intercept[IllegalStateException] {
+        SnapshotStore.tableInstanceId(spark, root)
+      }
+      assert(e.getMessage.contains("indeterminate"),
+        s"wrong failure: ${e.getMessage}")
+      // the winner's id lands — every later caller converges on it
+      val out = fs.create(p, true)
+      out.write("winner-id".getBytes("UTF-8")); out.close()
+      assert(SnapshotStore.tableInstanceId(spark, root) == "winner-id")
+    }
+  }
 }
