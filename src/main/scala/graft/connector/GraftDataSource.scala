@@ -575,6 +575,45 @@ class GraftTable(root: String, versionAsOf: Option[Long],
     versionAsOf.fold("")(v => s"@v$v")
   override def schema(): StructType = tableSchema
 
+  /** Batch INSTANCE FENCE (generalizes the r16 `_table_id` feed fence,
+    * per the r16 verdict's top item): this relation's schema, version
+    * pin and plan were resolved against ONE table instance, but scan
+    * and write builders re-read the manifest at build time — a HELD
+    * DataFrame (or a cached catalog relation) executed after the table
+    * was DROPPED and RE-CREATED at the same path would read the
+    * SUCCESSOR's data under the predecessor's schema/version pin. The
+    * successor restarts version numbering, so `versionAsOf` aliases a
+    * different snapshot, and a same-arity schema change null-fills or
+    * mis-binds columns SILENTLY (the mergeSchema by-name read
+    * null-fills a renamed column — garbage, not an exception; the
+    * batch twin of the feed-offset aliasing BranchStreamChaosSpec
+    * found). The id is captured at relation resolution and re-checked
+    * at every scan/write/DML build; a mismatch refuses with the
+    * documented severed-lineage conflict. None (pre-r17 table never
+    * minted — ids are minted at init/clone from r17 on) disables the
+    * fence rather than false-positive it.
+    */
+  @transient private val boundInstance: Option[String] =
+    try SnapshotStore.tableInstanceIdIfAny(SparkSession.active, root)
+    catch { case _: Exception => None }
+
+  private def verifyInstance(): Unit = {
+    val cur =
+      try SnapshotStore.tableInstanceIdIfAny(SparkSession.active, root)
+      catch { case _: Exception => None }
+    (boundInstance, cur) match {
+      case (Some(a), Some(b)) if a != b =>
+        throw new java.util.ConcurrentModificationException(
+          s"the table at $root was dropped and re-created since this " +
+            s"relation was resolved (instance $a -> $b): its version " +
+            "lineage was severed, and this plan's schema/version pin " +
+            "would silently alias the new table's state — re-resolve " +
+            "the table (a fresh spark.table / read.load) and re-run")
+      case _ => () // unminted predecessor or dropped-not-recreated:
+                   // the manifest read downstream fails loudly itself
+    }
+  }
+
   /** Column-level contracts re-surfaced for introspection (DESCRIBE /
     * SHOW CREATE TABLE read these): generation expressions and
     * identity specs live in `_props` — the default `columns()` derives
@@ -638,14 +677,17 @@ class GraftTable(root: String, versionAsOf: Option[Long],
     }
     base
   }
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    verifyInstance()
     new GraftScanBuilder(SparkSession.active, root,
       GraftTable.manifestAt(SparkSession.active, root, versionAsOf), tableSchema)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(versionAsOf.isEmpty,
       s"cannot write to time-travel snapshot $name — writes land on the " +
         "table's latest version")
+    verifyInstance()
     GraftTable.refuseDegradedWrite(root)
     new GraftTableWriteBuilder(root, info)
   }
@@ -726,6 +768,7 @@ class GraftTable(root: String, versionAsOf: Option[Long],
   }
 
   override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    verifyInstance()
     val spark = SparkSession.active
     val cond = GraftFilters.toCondition(predicates).getOrElse(
       throw new UnsupportedOperationException(
@@ -764,6 +807,7 @@ class GraftTable(root: String, versionAsOf: Option[Long],
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(versionAsOf.isEmpty,
       s"cannot run ${info.command} against time-travel snapshot $name")
+    verifyInstance()
     GraftTable.refuseDegradedWrite(root)
     // Mode policy: copy-on-write by default (runtime GROUP narrowing
     // reads only affected buckets; null-safe key semantics hold). A

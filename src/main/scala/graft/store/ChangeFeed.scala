@@ -442,6 +442,41 @@ object ChangeFeed {
                   transform: DataFrame => DataFrame = identity): Option[(Long, Long)] = {
     val latest = SnapshotStore.latestVersion(spark, sourceRoot)
       .getOrElse(throw new IllegalStateException(s"no table at $sourceRoot"))
+    // txn marks are keyed by the SOURCE INSTANCE (r17, the batch-alias
+    // audit): a source dropped, re-created and RE-SEEDED restarts its
+    // version numbering, so its versions alias below the target's old
+    // high-water mark and every rebuild commit would skip as a txn
+    // no-op — silent data loss on the target, the write-side twin of
+    // the feed-offset aliasing. A successor's id differs, so its
+    // commits dedup under a fresh key; a key change mid-life (a
+    // pre-r17 source minting its id later) at worst redelivers one
+    // already-applied range — an idempotent keyed replace.
+    val txnId = s"graft.sync.$id" +
+      SnapshotStore.tableInstanceIdIfAny(spark, sourceRoot).fold("")("@" + _)
+    // distinguishes "the caller's transform genuinely dropped a key"
+    // (a programming error — IllegalArgument) from "the caller's keys
+    // raced a keys-changing REPLACE on the source" (a concurrency
+    // artifact — the documented CME, resolved by re-resolving the
+    // source keys and re-running): a snapshot read mid-churn that lost
+    // a key column while the source's CURRENT keys differ from the
+    // passed ones is the race, not the bug (found by ChaosHuntSpec
+    // once the r17 instance-id read widened the resolve→sync window).
+    def requireKeysPreserved(snap: DataFrame): Unit =
+      keys.foreach { k =>
+        if (!snap.columns.contains(k)) {
+          val curKeys = scala.util.Try(
+            SnapshotStore.readManifest(spark, sourceRoot,
+              SnapshotStore.latestVersion(spark, sourceRoot).get).keys)
+            .getOrElse(Nil)
+          if (curKeys.nonEmpty && curKeys != keys)
+            throw new java.util.ConcurrentModificationException(
+              s"syncDerived keys $keys raced a keys-changing REPLACE on " +
+                s"$sourceRoot (current keys: $curKeys) — re-resolve the " +
+                "source keys and re-run the sync")
+          require(snap.columns.contains(k),
+            s"transform must preserve key column $k")
+        }
+      }
     if (SnapshotStore.latestVersion(spark, targetRoot).isEmpty) {
       // consumer seeded BEFORE the init: a crash between the two
       // re-runs the bootstrap (no committed target yet), while the
@@ -450,10 +485,9 @@ object ChangeFeed {
       // overlap the offset re-delivers is an idempotent keyed replace.
       seedConsumer(spark, sourceRoot, id, latest)
       val snap = transform(SnapshotStore.read(spark, sourceRoot))
-      keys.foreach(k => require(snap.columns.contains(k),
-        s"transform must preserve key column $k"))
+      requireKeysPreserved(snap)
       SnapshotStore.init(spark, targetRoot, snap, keys, numBuckets,
-        txn = Some(s"graft.sync.$id" -> latest))
+        txn = Some(txnId -> latest))
       return Some((-1L, latest))
     }
     val from = consumerOffset(spark, sourceRoot, id).getOrElse(
@@ -469,10 +503,9 @@ object ChangeFeed {
     // then continue incrementally from here
     if (crossesReplaceBoundary(spark, sourceRoot, from, latest)) {
       val snap = transform(SnapshotStore.read(spark, sourceRoot))
-      keys.foreach(k => require(snap.columns.contains(k),
-        s"transform must preserve key column $k"))
+      requireKeysPreserved(snap)
       SnapshotStore.replaceAll(spark, targetRoot, snap, keys,
-        txn = Some(s"graft.sync.$id" -> latest))
+        txn = Some(txnId -> latest))
       seedConsumer(spark, sourceRoot, id, latest)
       return Some((from, latest))
     }
@@ -499,11 +532,11 @@ object ChangeFeed {
       // rows per key
       SnapshotStore.commitDelta(spark, targetRoot, upserts, keys,
         SnapshotStore.upsertMerge(keys),
-        txn = Some(s"graft.sync.$id" -> latest))
+        txn = Some(txnId -> latest))
     }
     if (!deletes.isEmpty) {
       SnapshotStore.commitDeletes(spark, targetRoot, deletes, keys,
-        txn = Some(s"graft.sync.$id#del" -> latest))
+        txn = Some((txnId + "#del") -> latest))
     }
     seedConsumer(spark, sourceRoot, id, latest)
     Some((from, latest))

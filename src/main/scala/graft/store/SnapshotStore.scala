@@ -2421,6 +2421,10 @@ object SnapshotStore {
         fs.delete(new Path(root, attemptDir(0L, token)), true)
         throw new IllegalStateException(s"concurrent init at $root")
     }
+    // identity from birth: the streaming AND batch instance fences
+    // compare against this — a DROP+re-CREATE at the same path gets a
+    // fresh id even though its version numbers restart and alias
+    mintTableInstanceId(spark, root)
     0L
   }
 
@@ -3742,6 +3746,9 @@ object SnapshotStore {
     // the durable artifact; a missing marker just means manual release)
     val out = dstFs.create(new Path(dstRoot, CloneSourceMarker), true)
     try out.write(srcAbs.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    // a clone is a NEW instance (`_table_id` deliberately not copied —
+    // see tableInstanceId): mint its own identity from birth
+    mintTableInstanceId(spark, dstRoot)
     0L
   }
 
@@ -3798,6 +3805,30 @@ object SnapshotStore {
           "is misbehaving; retry the operation"))
     }
   }
+
+  /** Read-only probe of the table's instance id — for READ-path fences
+    * that must never write to the table (a pure reader on a read-only
+    * mount). None = never minted (pre-r17 table whose feeds never
+    * started) — fences treat that as unfenceable, not as a mismatch.
+    */
+  private[graft] def tableInstanceIdIfAny(spark: SparkSession,
+                                          root: String): Option[String] = {
+    val fs = fileSystem(spark, root)
+    smallFileText(fs, new Path(root, TableIdFile)).map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Best-effort EAGER mint at the table-creation doors (init, clone,
+    * branch fork) so the instance fences — the streaming feed's and
+    * the batch relation's — have an identity from birth instead of
+    * from first stream start. Best-effort because a recycled path on
+    * the plain-PUT personality can refuse the mint inside the arbiter
+    * staleness grace (the documented anti-zombie posture); the fence
+    * then degrades to the lazy mint at first use, never blocks the
+    * create itself.
+    */
+  private[graft] def mintTableInstanceId(spark: SparkSession, root: String): Unit =
+    try { tableInstanceId(spark, root): Unit }
+    catch { case _: IllegalStateException | _: java.io.IOException => () }
 
   /** The retention consumer a clone at `dstRoot` registers on its
     * source: keyed by the clone's QUALIFIED root, so it is derivable

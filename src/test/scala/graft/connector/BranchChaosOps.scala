@@ -53,15 +53,25 @@ import graft.store.SnapshotStore
   */
 object BranchChaosOps {
 
-  /** Runs one branch hunt; returns (landed, documented conflicts). */
+  /** Runs one branch hunt; returns (landed, documented conflicts).
+    *
+    * `dmlMode = "delta"` composes the two r16 personalities for the
+    * first time (r16 verdict item 2): the table — and therefore the
+    * BRANCH fork, whose clone carries `_props` — declares
+    * `dml.mode=delta`, so every branch-interior UPDATE/DELETE/MERGE
+    * takes the WriteDelta staging + DeltaDmlRuntimeFiltering path
+    * while publish / re-fork / branch-REPLACE / vacuum race it.
+    */
   def hunt(spark: SparkSession, catalog: String, warehouse: String,
            tbl: String, seed: Int, nThreads: Int, opsPer: Int,
-           info: String => Unit, uniqueNames: Boolean = false): (Int, Int) = {
+           info: String => Unit, uniqueNames: Boolean = false,
+           dmlMode: String = "cow"): (Int, Int) = {
     val root = s"$warehouse/ns/$tbl"
     val fs = new Path(warehouse)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val modeProps = if (dmlMode == "delta") ", 'dml.mode'='delta'" else ""
     spark.sql(s"""CREATE TABLE $catalog.ns.$tbl (k BIGINT, v BIGINT) USING graft
-                  TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+                  TBLPROPERTIES ('keys'='k', 'numBuckets'='2'$modeProps)""")
     spark.sql(s"INSERT INTO $catalog.ns.$tbl SELECT id, id FROM range(0, 20)")
     // a second catalog rooted at the TABLE makes the branch SQL-able:
     // <tableRoot>/_branch/<name> is a full graft table root. The name
@@ -257,10 +267,11 @@ object BranchChaosOps {
                 else SnapshotStore.createTag(spark, br,
                   s"bt$t-${rnd.nextInt(1000000)}"): Unit
               case 10 => // branch REPLACE — a contract swap INSIDE the fork
+                // (keeps the hunt's dml-mode personality across epochs)
                 ensureBranch()
                 val c = s"e${epochN.incrementAndGet()}t$t"
                 spark.sql(s"""REPLACE TABLE $brTable
-                  TBLPROPERTIES ('keys'='$c')
+                  TBLPROPERTIES ('keys'='$c'$modeProps)
                   AS SELECT 'r' AS $c, CAST(1 AS BIGINT) AS n""")
               case 11 => // main DML under the branch's feet
                 val cols = spark.table(s"$catalog.ns.$tbl").columns

@@ -21,27 +21,33 @@ class BranchChaosSpec extends SparkSpec {
       "fs.osim.impl", classOf[ObjectStoreSim].getName)
   }
 
-  (1 to 2).foreach { round =>
-    test(s"branch-interior chaos hunt round $round (POSIX, 4 threads x 10 ops)") {
+  // round 1 = cow, round 2 = the COMPOSED delta-mode branch table (r16
+  // verdict item 2: WriteDelta staging + runtime filters INSIDE the
+  // fork racing publish/re-fork/branch-REPLACE/vacuum)
+  Seq(1 -> "cow", 2 -> "delta").foreach { case (round, mode) =>
+    test(s"branch-interior chaos hunt round $round ($mode, POSIX, 4 threads x 10 ops)") {
       val warehouse = Files.createTempDirectory(s"graft-branchchaos$round").toString
       val cat = s"gbc$round"
       spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$cat.root", warehouse)
       spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
       BranchChaosOps.hunt(spark, cat, warehouse, s"bh$round", seed = 40 + round,
-        nThreads = 4, opsPer = 10, info = info(_)): Unit
+        nThreads = 4, opsPer = 10, info = info(_), dmlMode = mode): Unit
     }
   }
 
-  test("branch-interior chaos hunt (osim:// conditional-PUT)") {
-    val warehouse =
-      "osim://" + Files.createTempDirectory("graft-branchchaos-osim").toString
-    val cat = "gbco"
-    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
-    spark.conf.set(s"spark.sql.catalog.$cat.root", warehouse)
-    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
-    try BranchChaosOps.hunt(spark, cat, warehouse, "bho", seed = 47,
-      nThreads = 4, opsPer = 10, info = info(_)): Unit
-    finally ObjectStoreSim.reset()
+  Seq("cow", "delta").foreach { mode =>
+    test(s"branch-interior chaos hunt (osim:// conditional-PUT, $mode)") {
+      val warehouse =
+        "osim://" + Files.createTempDirectory(s"graft-branchchaos-osim-$mode").toString
+      val cat = s"gbco${mode.head}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", warehouse)
+      spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+      try BranchChaosOps.hunt(spark, cat, warehouse, s"bho${mode.head}",
+        seed = if (mode == "cow") 47 else 48,
+        nThreads = 4, opsPer = 10, info = info(_), dmlMode = mode): Unit
+      finally ObjectStoreSim.reset()
+    }
   }
 }

@@ -293,8 +293,10 @@ class PlainPutClaimsSpec extends SparkSpec {
     // would later mismatch the winner's durable id and falsely refuse
     // a legitimate resume as "dropped and re-created".
     withPlainPutArbiter() {
+      // a BARE root (no init — init's r17 eager mint would already own
+      // the claim row): the id is still unminted, exactly the lazy
+      // first-use window the fabrication bug lived in
       val root = osimRoot("tid")
-      initTable(root)
       val fs = fsOf(root)
       val p = new Path(root, "_table_id")
       // a rival holds the claim but has not completed its write yet

@@ -2,18 +2,18 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-import graft.connector.{BranchChaosOps, GraftCatalog}
+import graft.connector.{GraftCatalog, IdentityChaosOps}
 import graft.store.{InMemoryClaimArbiter, ObjectStoreSim, SnapshotStore}
 
-/** One-off HIGH-INTENSITY branch-interior chaos shake (not
-  * suite-resident — the resident BranchChaosSpec keeps suite time
-  * bounded): runs [[BranchChaosOps]] at 6 threads × 15 ops across
-  * several seeds on all three store personalities — POSIX,
-  * conditional-PUT osim, and plain-PUT osim with the claim arbiter.
+/** One-off HIGH-INTENSITY identity-ledger chaos shake (r16 verdict
+  * item 3; the resident IdentityChaosSpec keeps suite time bounded):
+  * runs [[IdentityChaosOps]] across seeds × both dml modes on all
+  * three store personalities — POSIX, conditional-PUT osim, and
+  * plain-PUT osim with the claim arbiter.
   *
-  * Usage: Test/runMain graft.tools.BranchChaosBlast [seeds] [threads] [ops]
+  * Usage: Test/runMain graft.tools.IdentityChaosBlast [seeds] [threads] [ops]
   */
-object BranchChaosBlast {
+object IdentityChaosBlast {
   def main(args: Array[String]): Unit = {
     val seeds = args.headOption.map(_.toInt).getOrElse(3)
     val threads = if (args.length > 1) args(1).toInt else 6
@@ -34,19 +34,17 @@ object BranchChaosBlast {
       ObjectStoreSim.conditionalCreate = conditional
       SnapshotStore.manifestArbiter =
         if (arbiter) Some(new InMemoryClaimArbiter()) else None
-      val cat = s"bb${label.filter(_.isLetter)}"
+      val cat = s"ib${label.filter(_.isLetter)}"
       spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$cat.root", warehouse)
       spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
       try (0 until seeds).foreach { s =>
-        // both dml-mode personalities per seed (r16 ChaosBlast pattern;
-        // delta = the composed delta-branch hunt, r16 verdict item 2)
         Seq("cow", "delta").foreach { mode =>
           val t0 = System.nanoTime()
-          val (landed, conflicted) = BranchChaosOps.hunt(spark, cat, warehouse,
-            s"bb$s$mode", seed = 4000 + s, nThreads = threads, opsPer = ops,
+          val (landed, conflicted) = IdentityChaosOps.hunt(spark, cat, warehouse,
+            s"ib$s$mode", seed = 6000 + s, nThreads = threads, opsPer = ops,
             info = _ => (), uniqueNames = arbiter, dmlMode = mode)
-          println(f"[branch-blast] $label%-22s seed ${4000 + s} $mode%-5s " +
+          println(f"[identity-blast] $label%-22s seed ${6000 + s} $mode%-5s " +
             f"${(System.nanoTime() - t0) / 1e9}%6.1fs  $landed landed, $conflicted conflicts  OK")
         }
       } finally {
@@ -56,15 +54,15 @@ object BranchChaosBlast {
     }
 
     blast("posix", java.nio.file.Files
-      .createTempDirectory("graft-bblast-posix").toString,
+      .createTempDirectory("graft-iblast-posix").toString,
       arbiter = false, conditional = true)
     blast("osim-conditional", "osim://" + java.nio.file.Files
-      .createTempDirectory("graft-bblast-osim").toString,
+      .createTempDirectory("graft-iblast-osim").toString,
       arbiter = false, conditional = true)
     blast("osim-plainput-arb", "osim://" + java.nio.file.Files
-      .createTempDirectory("graft-bblast-arb").toString,
+      .createTempDirectory("graft-iblast-arb").toString,
       arbiter = true, conditional = false)
-    println("[branch-blast] ALL GREEN")
+    println("[identity-blast] ALL GREEN")
     spark.stop()
   }
 }
