@@ -597,6 +597,52 @@ class GraftTable(root: String, versionAsOf: Option[Long],
     try SnapshotStore.tableInstanceIdIfAny(SparkSession.active, root)
     catch { case _: Exception => None }
 
+  /** EPOCH FENCE for held CURRENT-state relations (found by the r17
+    * branch hunt's held-relation op on its first run): a REPLACE /
+    * cross-epoch restore is the SAME instance — the `_table_id` check
+    * passes — but a held relation's scan then reads the NEW epoch's
+    * manifest under the OLD epoch's schema, and the by-name parquet
+    * read null-fills the vanished columns SILENTLY (20 rows with an
+    * all-null key column, measured). The `graft.schema.epoch` stamp
+    * changes exactly at contract swaps, so a stamp captured at
+    * resolution and re-compared at scan build makes a post-swap held
+    * relation refuse loudly; a scan building while a swap is IN FLIGHT
+    * (flagged epoch-start above the stamp — the stamp lands last)
+    * can't attribute the manifest to either epoch and refuses the same
+    * way. Time-travel relations pin an archived version whose files a
+    * later swap never rewrites — exempt. -1 = no swap ever.
+    */
+  @transient private val boundEpoch: Long =
+    if (versionAsOf.nonEmpty) -1L
+    else try SnapshotStore.readProps(SparkSession.active, root)
+      .get("graft.schema.epoch").map(_.toLong).getOrElse(-1L)
+    catch { case _: Exception => -1L }
+
+  private def verifyEpoch(m: Manifest): Unit =
+    if (versionAsOf.isEmpty) {
+      val spark = SparkSession.active
+      val cur =
+        try SnapshotStore.readProps(spark, root)
+          .get("graft.schema.epoch").map(_.toLong).getOrElse(-1L)
+        catch { case _: Exception => boundEpoch }
+      if (cur != boundEpoch)
+        throw new java.util.ConcurrentModificationException(
+          s"the table at $root crossed a contract swap (REPLACE or " +
+            s"cross-epoch restore; epoch $boundEpoch -> $cur) since this " +
+            "relation was resolved — scanning the new epoch under the " +
+            "old schema would silently mis-bind columns; re-resolve the " +
+            "table and re-run")
+      val inFlight =
+        try SnapshotStore.unstampedEpochStart(spark, root, m.version)
+        catch { case _: Exception => -1L }
+      if (inFlight >= 0)
+        throw new java.util.ConcurrentModificationException(
+          s"a contract swap on $root is in flight (flagged epoch-start " +
+            s"v$inFlight, stamp not yet landed) — this scan cannot " +
+            "attribute the head manifest to an epoch; re-run when the " +
+            "swap completes")
+    }
+
   private def verifyInstance(): Unit = {
     val cur =
       try SnapshotStore.tableInstanceIdIfAny(SparkSession.active, root)
@@ -678,9 +724,20 @@ class GraftTable(root: String, versionAsOf: Option[Long],
     base
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // read the manifest FIRST, verify the instance AFTER: ids are
+    // minted BEFORE a creation's v0 commit (init/cloneTable), so a
+    // successor's manifest is never readable before the successor's id
+    // exists — a post-read id match therefore proves the manifest just
+    // read belonged to the bound instance (a recreate completing
+    // before the read would show the successor's id here and refuse;
+    // one completing after the read read OUR manifest — fine either
+    // way). Verify-then-read left a window where a recreate between
+    // the two handed the successor's manifest to the predecessor's
+    // schema pin.
+    val m = GraftTable.manifestAt(SparkSession.active, root, versionAsOf)
     verifyInstance()
-    new GraftScanBuilder(SparkSession.active, root,
-      GraftTable.manifestAt(SparkSession.active, root, versionAsOf), tableSchema)
+    verifyEpoch(m)
+    new GraftScanBuilder(SparkSession.active, root, m, tableSchema)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

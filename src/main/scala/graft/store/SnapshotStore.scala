@@ -2407,6 +2407,16 @@ object SnapshotStore {
            failRules: Seq[graft.pipeline.Expectations.Expectation] = Nil): Long = {
     val fs = fileSystem(spark, root)
     require(latestVersion(spark, root).isEmpty, s"table already exists at $root")
+    // identity BEFORE the v0 commit (r17 fence-bracketing): the batch
+    // instance fence verifies the id AFTER a successful manifest read,
+    // which proves the manifest belonged to the bound instance ONLY if
+    // every successor's manifest becomes readable strictly after the
+    // successor's id exists — mint-first makes that ordering true by
+    // construction (mint-after left a window where a stale relation
+    // could read the successor's v0 while the old id was simply gone).
+    // The streaming fence reads the same file; a failed init leaves at
+    // most a stray id file that dies with the directory.
+    mintTableInstanceId(spark, root)
     val tagged = tagStatsCols(df, statsCols)
     val token = newToken()
     val written = writeVersionData(df, root, 0L, token, keys, numBuckets, tagged, fs,
@@ -2421,10 +2431,6 @@ object SnapshotStore {
         fs.delete(new Path(root, attemptDir(0L, token)), true)
         throw new IllegalStateException(s"concurrent init at $root")
     }
-    // identity from birth: the streaming AND batch instance fences
-    // compare against this — a DROP+re-CREATE at the same path gets a
-    // fresh id even though its version numbers restart and alias
-    mintTableInstanceId(spark, root)
     0L
   }
 
@@ -3697,6 +3703,10 @@ object SnapshotStore {
         s"clone of $srcRoot at version $base raced a vacuum floor " +
           "advance — the fork base may already be mid-reclaim; re-run")
     }
+    // identity BEFORE the clone's v0 commit (fence-bracketing — same
+    // ordering argument as [[init]]): a clone is a NEW instance, and
+    // its manifest must never be readable before its own id exists
+    mintTableInstanceId(spark, dstRoot)
     writeManifestAtomic(dstFs, dstRoot, 0L, m.numBuckets, m.statsCols,
         m.txns, entries, keys = m.keys) match {
       case Some(cm) => maybeCheckpoint(spark, dstRoot, cm)
@@ -3746,9 +3756,6 @@ object SnapshotStore {
     // the durable artifact; a missing marker just means manual release)
     val out = dstFs.create(new Path(dstRoot, CloneSourceMarker), true)
     try out.write(srcAbs.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    // a clone is a NEW instance (`_table_id` deliberately not copied —
-    // see tableInstanceId): mint its own identity from birth
-    mintTableInstanceId(spark, dstRoot)
     0L
   }
 

@@ -178,6 +178,37 @@ class BatchAliasSpec extends SparkSpec {
       s"the rebuild was silently skipped (stale target state): $got")
   }
 
+  test("7. a held relation refuses after a SAME-instance REPLACE (epoch fence — never a silent null-filled mis-bind)") {
+    // found by the r17 branch hunt's held-relation op on its FIRST
+    // run: a REPLACE keeps the table's `_table_id` (same instance, the
+    // instance fence correctly passes), but a held relation's scan
+    // then read the NEW epoch's manifest under the OLD schema and the
+    // by-name parquet read null-filled the vanished key column — 20
+    // rows of silent garbage, no exception. The epoch stamp changes
+    // exactly at swaps; the relation now captures it at resolution and
+    // refuses the scan after any swap.
+    spark.sql("""CREATE TABLE bat.ns.e1 (k BIGINT, v BIGINT) USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO bat.ns.e1 VALUES (1, 10)")
+    val held = spark.table("bat.ns.e1")
+    assert(held.count() == 1)
+    // same-arity, different meaning — the hazard shape
+    spark.sql("""REPLACE TABLE bat.ns.e1 TBLPROPERTIES ('keys'='c')
+                 AS SELECT 'r' AS c, CAST(1 AS BIGINT) AS n""")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      held.collect()
+    }
+    assert(e.getMessage.contains("crossed a contract swap"),
+      s"wrong refusal: ${e.getMessage}")
+    // a fresh resolution reads the new epoch — the correct recovery
+    assert(spark.table("bat.ns.e1").columns.toSeq == Seq("c", "n"))
+    // and a held TIME-TRAVEL relation stays exempt: its pinned version's
+    // files belong to the archived epoch and are never rewritten
+    val tt = spark.read.format("graft").option("versionAsOf", "0")
+      .load(s"$warehouse/ns/e1")
+    assert(tt.columns.toSeq == Seq("k", "v") && tt.count() == 0)
+  }
+
   test("6. consumeChanges: recreate resets the consumer (documented), and subsequent changes flow") {
     val root = Files.createTempDirectory("graft-balias-cc").toString + "/t"
     SnapshotStore.init(spark, root,

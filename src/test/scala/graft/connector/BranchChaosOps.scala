@@ -152,7 +152,13 @@ object BranchChaosOps {
           // object-store rename is copy+delete: a dir consumed mid-op
           // surfaces as a failed task/job-commit rename, not an FNF
           text.contains("Failed to rename") ||
-          text.contains("TASK_WRITE_FAILED")) &&
+          text.contains("TASK_WRITE_FAILED") ||
+          // a write planning against a HALF-DELETED branch (publish's
+          // dropBranch is file-by-file on object stores) can catch a
+          // state whose readable manifest lacks the keys line and
+          // refuse with the persisted-keys message — loud, and only
+          // classified here when the consumption context is present
+          text.contains("predates persisted keys")) &&
           (publishing.get() > 0 || branchGone() ||
             generation.get() != genAtStart ||
             fs.exists(new Path(curBr, "_publishing")) || adoptedTwin(e) ||
@@ -204,7 +210,7 @@ object BranchChaosOps {
         val rnd = new scala.util.Random(seed * 100 + t)
         var landed, conflicted = 0
         (1 to opsPer).foreach { i =>
-          val op = rnd.nextInt(16)
+          val op = rnd.nextInt(17)
           val gen0 = generation.get()
           // snapshot the addressing for THIS op: a mid-op re-fork must
           // surface as the documented consumption conflict, not as the
@@ -295,6 +301,25 @@ object BranchChaosOps {
                   val pub = SnapshotStore.publishBranch(spark, root, bn)
                   opsLog.add(s"t$t#$i publish of $bn landed at v$pub"): Unit
                 } finally publishing.decrementAndGet()
+              case 16 => // HELD relation across the chaos (r17): the
+                // batch instance fence must make a stale DataFrame
+                // loud-or-correct across publish+re-fork — never a
+                // silent read of the successor under the predecessor's
+                // schema pin. A silent cross-instance/epoch mis-bind
+                // null-fills the by-name-missing key column; legit
+                // hunt data never has null keys.
+                ensureBranch()
+                val held = spark.table(brTable)
+                if (held.columns.length != 2)
+                  throw new java.util.ConcurrentModificationException(
+                    s"$brTable resolved mid-swap; re-run")
+                Thread.sleep(5 + rnd.nextInt(30).toLong)
+                val rows = held.collect()
+                if (rows.nonEmpty && rows.forall(_.isNullAt(0)))
+                  throw new IllegalStateException(
+                    s"held relation on $bn returned ${rows.length} rows " +
+                      "with an ALL-NULL key column — a silent " +
+                      "cross-instance/epoch mis-bind slipped past the fence")
             }
             landed += 1
             opsLog.add(s"t$t#$i op$op landed"): Unit
