@@ -195,9 +195,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
       throw new NoSuchTableException(ident)
     }
-    new GraftTable(dir.toString, version,
-      GraftTable.resolveSchema(spark, dir.toString, version),
-      fromCatalog = true)
+    val (resolved, boundEpoch) =
+      GraftTable.resolveSchemaBound(spark, dir.toString, version)
+    new GraftTable(dir.toString, version, resolved,
+      fromCatalog = true, boundEpochIn = boundEpoch)
   }
 
   /** Identifier → directory for READ/WRITE resolution, recognizing the

@@ -292,7 +292,20 @@ object GraftTable {
     */
   private[connector] def resolveSchema(spark: SparkSession, root: String,
                                        versionAsOf: Option[Long],
-                                       failOnDegraded: Boolean = false): StructType = {
+                                       failOnDegraded: Boolean = false): StructType =
+    resolveSchemaBound(spark, root, versionAsOf, failOnDegraded)._1
+
+  /** [[resolveSchema]] plus the `graft.schema.epoch` stamp read INSIDE
+    * the successful attempt (-1 = no swap ever) — the value a relation
+    * must bind for its epoch fence. Binding a stamp read AFTER the
+    * resolution returned left a skew window where a swap completing in
+    * between paired the NEW stamp with the OLD epoch's schema, letting
+    * a held relation's scan pass the fence and silently mis-bind
+    * (found by the r17 ChaosBlast held-relation op at seed 1001).
+    */
+  private[connector] def resolveSchemaBound(spark: SparkSession, root: String,
+                                       versionAsOf: Option[Long],
+                                       failOnDegraded: Boolean = false): (StructType, Long) = {
     // Stability-validated resolution: the `_schema` breadcrumb, the
     // epoch stamp and the manifest are separate files read at
     // different instants, so a REPLACE/restore contract swap racing
@@ -318,9 +331,9 @@ object GraftTable {
     while (attempt < 8) {
       attempt += 1
       resolveSchemaOnce(spark, root, versionAsOf, footersOnly = false) match {
-        case Some(s) =>
+        case Some(bound) =>
           degradedResolutions.remove(root): Unit
-          return s
+          return bound
         case None => Thread.sleep(5L * attempt)
       }
     }
@@ -374,7 +387,7 @@ object GraftTable {
     */
   private def resolveSchemaOnce(spark: SparkSession, root: String,
                                 versionAsOf: Option[Long],
-                                footersOnly: Boolean): Option[StructType] = {
+                                footersOnly: Boolean): Option[(StructType, Long)] = {
     val m = manifestAt(spark, root, versionAsOf)
     val dirs = m.buckets.values.map(e =>
       SnapshotStore.dataPath(root, e.dir).toString).toSeq
@@ -416,8 +429,9 @@ object GraftTable {
       // current dml.mode property says nothing about a replaced epoch.
       // No stability validation needed either — archives are immutable
       // once written, and racing swaps only ADD newer ones.
-      return Some(withEvolvedColumns(archived,
-        withDeclaredMetadata(archived, base)))
+      return Some((withEvolvedColumns(archived,
+        withDeclaredMetadata(archived, base)),
+        props.get("graft.schema.epoch").map(_.toLong).getOrElse(-1L)))
     }
     // mid-swap epoch guard: an UNSTAMPED flagged epoch-start anywhere
     // at/below the resolved head means a contract swap is still IN
@@ -473,11 +487,12 @@ object GraftTable {
     val base = footerBase.orElse(declared).getOrElse(new StructType())
     val schema = withEvolvedColumns(declared,
       withDeclaredMetadata(declared, base))
-    Some(
+    val out =
       if (m.keys.nonEmpty && props.get("dml.mode").contains("delta"))
         StructType(schema.fields.toSeq.map(f =>
           if (m.keys.contains(f.name)) f.copy(nullable = false) else f))
-      else schema)
+      else schema
+    Some((out, props.get("graft.schema.epoch").map(_.toLong).getOrElse(-1L)))
   }
 
   /** Footer schemas carry no field METADATA — column DEFAULT
@@ -568,7 +583,8 @@ object GraftTable {
   */
 class GraftTable(root: String, versionAsOf: Option[Long],
                  tableSchema: StructType,
-                 fromCatalog: Boolean = false) extends Table
+                 fromCatalog: Boolean = false,
+                 boundEpochIn: Long = Long.MinValue) extends Table
     with SupportsRead with SupportsWrite with SupportsMetadataColumns
     with SupportsRowLevelOperations with SupportsDeleteV2 {
   override def name(): String = s"graft.`$root`" +
@@ -614,6 +630,11 @@ class GraftTable(root: String, versionAsOf: Option[Long],
     */
   @transient private val boundEpoch: Long =
     if (versionAsOf.nonEmpty) -1L
+    // the stamp the RESOLUTION validated, when the caller has it
+    // (catalog loads via resolveSchemaBound): a constructor-time fresh
+    // read could pair a just-landed swap's stamp with the pre-swap
+    // schema — the skew the r17 ChaosBlast held-relation op measured
+    else if (boundEpochIn != Long.MinValue) boundEpochIn
     else try SnapshotStore.readProps(SparkSession.active, root)
       .get("graft.schema.epoch").map(_.toLong).getOrElse(-1L)
     catch { case _: Exception => -1L }

@@ -145,7 +145,7 @@ object ChaosOps {
         val rnd = new scala.util.Random(seed * 100 + t)
         var landed, conflicted = 0
         (1 to opsPer).foreach { i =>
-          val op = rnd.nextInt(14)
+          val op = rnd.nextInt(15)
           opsLog.add(s"t$t#$i op$op begin"): Unit
           try {
             op match {
@@ -270,6 +270,24 @@ object ChaosOps {
                 // lossless vs rival ALTERs and serialized vs swaps
                 spark.sql(s"ALTER TABLE $catalog.ns.$tbl SET TBLPROPERTIES " +
                   s"('cx${t}_${rnd.nextInt(1000000)}'='1')")
+              case 14 =>
+                // HELD relation across the chaos (r17): the batch
+                // EPOCH fence must make a stale DataFrame across a
+                // REPLACE/cross-epoch restore loud-or-correct — never
+                // a silent by-name read of the new epoch under the old
+                // schema (which null-fills the vanished key column;
+                // legit hunt data never has null keys)
+                val held = spark.table(s"$catalog.ns.$tbl")
+                if (held.columns.length != 2)
+                  throw new java.util.ConcurrentModificationException(
+                    s"$tbl resolved mid-swap; re-run")
+                Thread.sleep(5 + rnd.nextInt(30).toLong)
+                val rows = held.collect()
+                if (rows.nonEmpty && rows.forall(_.isNullAt(0)))
+                  throw new IllegalStateException(
+                    s"held relation on $tbl returned ${rows.length} rows " +
+                      "with an ALL-NULL key column — a silent cross-epoch " +
+                      "mis-bind slipped past the fence")
             }
             landed += 1
             opsLog.add(s"t$t#$i op$op landed"): Unit
