@@ -133,10 +133,47 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     val onReplace = parameters.getOrElse("replaceBoundary", "refuse")
     require(onReplace == "refuse" || onReplace == "refresh",
       s"replaceBoundary must be 'refuse' (default) or 'refresh', got '$onReplace'")
+    // instance + epoch binding (r17, the batch-alias audit's CDF leg):
+    // a HELD CDF relation re-resolves `latest` per scan, so across a
+    // DROP+re-CREATE the caller's version offsets silently alias the
+    // successor's restarted numbering, and across a REPLACE the
+    // relation's schema (fixed at creation) silently null-fills the
+    // new epoch's change rows. Both refuse at scan with the documented
+    // re-create recipe; plain commits change neither binding, so the
+    // documented long-lived-view pattern keeps observing new commits.
+    val boundInstance =
+      try SnapshotStore.tableInstanceIdIfAny(sp, root)
+      catch { case _: Exception => None }
+    val boundStamp =
+      try SnapshotStore.readProps(sp, root)
+        .get("graft.schema.epoch").map(_.toLong).getOrElse(-1L)
+      catch { case _: Exception => -1L }
     new BaseRelation with TableScan {
       override def sqlContext: org.apache.spark.sql.SQLContext = sqlCtx
       override val schema: StructType = GraftChangeFeedSource.feedSchema(sp, root)
       override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+        val curInstance =
+          try SnapshotStore.tableInstanceIdIfAny(sp, root)
+          catch { case _: Exception => None }
+        (boundInstance, curInstance) match {
+          case (Some(a), Some(b)) if a != b =>
+            throw new java.util.ConcurrentModificationException(
+              s"the table at $root was dropped and re-created since this " +
+                s"change-feed relation was resolved (instance $a -> $b): " +
+                "its version offsets would silently alias the new " +
+                "history — re-create the relation and re-read")
+          case _ => ()
+        }
+        val curStamp =
+          try SnapshotStore.readProps(sp, root)
+            .get("graft.schema.epoch").map(_.toLong).getOrElse(-1L)
+          catch { case _: Exception => boundStamp }
+        if (curStamp != boundStamp)
+          throw new java.util.ConcurrentModificationException(
+            s"the table at $root crossed a contract swap (epoch " +
+              s"$boundStamp -> $curStamp) since this change-feed relation " +
+              "was resolved — its fixed schema would silently null-fill " +
+              "the new epoch's change rows; re-create the relation")
         val to = pinnedTo.getOrElse(latest)
         if (from >= to) return sp.sparkContext.emptyRDD
         val changes =

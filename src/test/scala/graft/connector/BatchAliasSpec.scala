@@ -209,6 +209,54 @@ class BatchAliasSpec extends SparkSpec {
     assert(tt.columns.toSeq == Seq("k", "v") && tt.count() == 0)
   }
 
+  test("8. a held batch-CDF relation refuses across recreate AND across REPLACE (offset/schema aliasing)") {
+    // the V1 readChangeFeed relation re-resolves `latest` per scan, so
+    // a held relation across drop+recreate silently replayed the
+    // caller's offsets against the successor's restarted numbering,
+    // and across a REPLACE its creation-time schema silently
+    // null-filled the new epoch's change rows. Both now refuse.
+    val root = Files.createTempDirectory("graft-balias-cdf").toString + "/t"
+    SnapshotStore.init(spark, root,
+      Seq((1L, "a")).toDF("k", "v"), Seq("k"), numBuckets = 2)
+    def cdf() = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("keys", "k")
+      .option("startingVersion", "-1").load(root)
+    val held = cdf()
+    assert(held.count() > 0)
+    // same-instance REPLACE (library door: replaceAll with new keys is
+    // a REPLACE-shaped swap only via SQL; use the catalog)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS bat.ns")
+    spark.sql("""CREATE TABLE bat.ns.cdf (k BIGINT, v STRING) USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO bat.ns.cdf VALUES (1, 'a')")
+    val catRoot = s"$warehouse/ns/cdf"
+    def catCdf() = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("keys", "k")
+      .option("startingVersion", "-1")
+      .option("replaceBoundary", "refresh").load(catRoot)
+    val heldCat = catCdf()
+    assert(heldCat.count() > 0)
+    spark.sql("""REPLACE TABLE bat.ns.cdf TBLPROPERTIES ('keys'='g')
+                 AS SELECT 7 AS g, CAST(1 AS BIGINT) AS n""")
+    val e1 = intercept[java.util.ConcurrentModificationException] {
+      heldCat.collect()
+    }
+    assert(e1.getMessage.contains("crossed a contract swap"),
+      s"wrong refusal: ${e1.getMessage}")
+    // a FRESH relation still reads the refresh across the boundary —
+    // the long-lived-view contract is bound at creation, not forever
+    assert(catCdf().count() > 0)
+    // drop + recreate under the held library-door relation
+    fsOf(root).delete(new Path(root), true)
+    SnapshotStore.init(spark, root,
+      Seq((9L, "z")).toDF("k", "v"), Seq("k"), numBuckets = 2)
+    val e2 = intercept[java.util.ConcurrentModificationException] {
+      held.collect()
+    }
+    assert(e2.getMessage.contains("dropped and re-created"),
+      s"wrong refusal: ${e2.getMessage}")
+  }
+
   test("6. consumeChanges: recreate resets the consumer (documented), and subsequent changes flow") {
     val root = Files.createTempDirectory("graft-balias-cc").toString + "/t"
     SnapshotStore.init(spark, root,
