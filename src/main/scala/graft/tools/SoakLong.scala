@@ -99,6 +99,14 @@ object SoakLong {
     val gate = new java.util.concurrent.CountDownLatch(1)
     @volatile var writersDone = false
     val writerRetries = new java.util.concurrent.atomic.AtomicInteger(0)
+    // publish-pause gate: under constant writer churn every publish
+    // legally refuses the stale fast-forward (main advanced since the
+    // fork), which exercises the `_publishing` lifecycle but never the
+    // LANDED path at depth. The publisher raises the pause, waits for
+    // in-flight commits to drain (bounded), fork→write→publishes in
+    // the gap, then releases — so the soak measures BOTH outcomes.
+    val publishPause = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val commitsInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
 
     val writers = (0 until nWriters).map { i =>
       Future {
@@ -111,6 +119,11 @@ object SoakLong {
           var laps = 0
           while (!landed) {
             laps += 1
+            // yield to a pending publish (bounded: liveness over purity)
+            val pDeadline = System.currentTimeMillis() + 3000L
+            while (publishPause.get() &&
+                   System.currentTimeMillis() < pDeadline) Thread.sleep(20)
+            commitsInFlight.incrementAndGet()
             try {
               val (_, s) = timed {
                 SnapshotStore.commitDelta(spark, root, delta, Seq("o_orderkey"),
@@ -122,7 +135,7 @@ object SoakLong {
             } catch {
               case _: java.util.ConcurrentModificationException if laps < 20 =>
                 writerRetries.incrementAndGet(): Unit
-            }
+            } finally commitsInFlight.decrementAndGet()
           }
         }
       }
@@ -145,7 +158,10 @@ object SoakLong {
             case 1 =>
               val cRoot = s"$work/wh/ns/longsoak_c$t$i"
               SnapshotStore.cloneTable(spark, root, cRoot): Unit
-              require(SnapshotStore.read(spark, cRoot).count() == totalRows,
+              // landed publishes add their marker rows (keys >= 9e6);
+              // the base corpus must be whole regardless
+              require(SnapshotStore.read(spark, cRoot)
+                  .where(col("o_orderkey") < 9000000L).count() == totalRows,
                 "clone must read the full fleet state")
               SnapshotStore.releaseClone(spark, cRoot)
               bump("clone_cycle")
@@ -161,18 +177,26 @@ object SoakLong {
               bump("checkpoint")
             case 5 =>
               val bn = s"sb$t$i"
-              SnapshotStore.createBranch(spark, root, bn): Unit
-              try {
-                spark.sql(s"INSERT INTO $cat.ns.longsoak" +
-                  s".`_branch`.$bn (o_orderkey, o_custkey, o_orderstatus, " +
-                  s"o_totalprice) VALUES (${9000000 + i}, 1, 'B', 0.0)")
-                SnapshotStore.publishBranch(spark, root, bn): Unit
-                bump("publish_landed")
-              } catch {
-                case _: Throwable =>
-                  SnapshotStore.dropBranch(spark, root, bn)
-                  bump("publish_refused")
-              }
+              if (!publishPause.compareAndSet(false, true))
+                bump("publish_skipped_rival")
+              else try {
+                // drain in-flight commits (bounded), then fork in the gap
+                val drain = System.currentTimeMillis() + 5000L
+                while (commitsInFlight.get() > 0 &&
+                       System.currentTimeMillis() < drain) Thread.sleep(20)
+                SnapshotStore.createBranch(spark, root, bn): Unit
+                try {
+                  spark.sql(s"INSERT INTO $cat.ns.longsoak" +
+                    s".`_branch`.$bn (o_orderkey, o_custkey, o_orderstatus, " +
+                    s"o_totalprice) VALUES (${9000000 + i}, 1, 'B', 0.0)")
+                  SnapshotStore.publishBranch(spark, root, bn): Unit
+                  bump("publish_landed")
+                } catch {
+                  case _: Throwable =>
+                    SnapshotStore.dropBranch(spark, root, bn)
+                    bump("publish_refused")
+                }
+              } finally publishPause.set(false)
           } catch {
             case _: java.util.ConcurrentModificationException =>
               bump("documented_conflict")
