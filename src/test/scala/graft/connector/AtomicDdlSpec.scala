@@ -120,6 +120,42 @@ class AtomicDdlSpec extends SparkSpec {
     assert(stagingLeftovers.isEmpty)
   }
 
+  test("every REPLACE flavor is the SAME instance (id kept, epoch bumped, held relations refuse; DROP+CREATE severs)") {
+    // the r17 fences hinge on this split: REPLACE (bare or AS SELECT)
+    // preserves the table's `_table_id` — time travel works across,
+    // streams ride replaceBoundary, held relations refuse via the
+    // EPOCH fence — while DROP+CREATE severs lineage and mints a new
+    // id (held anything refuses via the INSTANCE fence)
+    spark.sql("""CREATE TABLE gatm.a.inst (k BIGINT, v STRING) USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO gatm.a.inst VALUES (1, 'a')")
+    val root = s"$warehouse/a/inst"
+    val id0 = SnapshotStore.tableInstanceId(spark, root)
+    val held1 = spark.table("gatm.a.inst")
+    spark.sql("""REPLACE TABLE gatm.a.inst (k BIGINT, n BIGINT) USING graft
+                 TBLPROPERTIES ('keys'='k')""")
+    assert(SnapshotStore.tableInstanceId(spark, root) == id0,
+      "bare REPLACE must keep the instance id")
+    val e1 = intercept[java.util.ConcurrentModificationException](held1.collect())
+    assert(e1.getMessage.contains("crossed a contract swap"))
+    val held2 = spark.table("gatm.a.inst")
+    spark.sql("""REPLACE TABLE gatm.a.inst TBLPROPERTIES ('keys'='g')
+                 AS SELECT 7 AS g, CAST(1 AS BIGINT) AS n""")
+    assert(SnapshotStore.tableInstanceId(spark, root) == id0,
+      "RTAS must keep the instance id")
+    val e2 = intercept[java.util.ConcurrentModificationException](held2.collect())
+    assert(e2.getMessage.contains("crossed a contract swap"))
+    // DROP+CREATE: a NEW instance — the other fence
+    val held3 = spark.table("gatm.a.inst")
+    spark.sql("DROP TABLE gatm.a.inst")
+    spark.sql("""CREATE TABLE gatm.a.inst (k BIGINT, v STRING) USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    assert(SnapshotStore.tableInstanceId(spark, root) != id0,
+      "DROP+CREATE must mint a new instance id")
+    val e3 = intercept[java.util.ConcurrentModificationException](held3.collect())
+    assert(e3.getMessage.contains("dropped and re-created"))
+  }
+
   test("REPLACE swaps declared contracts: new props in, old props gone") {
     spark.sql("""CREATE TABLE gatm.a.p (k BIGINT, v BIGINT) USING graft
                  TBLPROPERTIES ('keys'='k', 'team'='old', 'dml.mode'='delta')""")
