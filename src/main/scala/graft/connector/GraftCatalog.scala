@@ -187,18 +187,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               ident.name().stripPrefix("tag_")).foreach { tv =>
             require(version.isEmpty,
               s"cannot combine VERSION/TIMESTAMP AS OF with tag identifier $ident")
-            return new GraftTable(parent.toString, Some(tv),
-              GraftTable.resolveSchema(spark, parent.toString, Some(tv)),
-              fromCatalog = true)
+            val tagBound =
+              GraftTable.resolveSchemaBound(spark, parent.toString, Some(tv))
+            return new GraftTable(parent.toString, Some(tv), tagBound.schema,
+              fromCatalog = true, boundInstanceIn = Some(tagBound.instance))
           }
         }
       }
       throw new NoSuchTableException(ident)
     }
-    val (resolved, boundEpoch) =
-      GraftTable.resolveSchemaBound(spark, dir.toString, version)
-    new GraftTable(dir.toString, version, resolved,
-      fromCatalog = true, boundEpochIn = boundEpoch)
+    val bound = GraftTable.resolveSchemaBound(spark, dir.toString, version)
+    new GraftTable(dir.toString, version, bound.schema,
+      fromCatalog = true, boundEpochIn = bound.epoch,
+      boundInstanceIn = Some(bound.instance))
   }
 
   /** Identifier → directory for READ/WRITE resolution, recognizing the

@@ -79,8 +79,15 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     val root = GraftTable.rootOf(options)
     if (SnapshotStore.latestVersion(spark, root).isEmpty) new StructType()
     else if (isChangeFeed(options)) GraftChangeFeedSource.feedSchema(spark, root)
-    else GraftTable.resolveSchema(spark, root,
-      GraftTable.pinnedVersion(spark, options, root))
+    else {
+      // pin the WHOLE validated resolution for getTable (schema +
+      // epoch + instance from one attempt) — see
+      // GraftTable.resolutionPins for the window this closes
+      val pinned = GraftTable.pinnedVersion(spark, options, root)
+      val bound = GraftTable.resolveSchemaBound(spark, root, pinned)
+      GraftTable.pinResolution(root, pinned, bound)
+      bound.schema
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -98,8 +105,25 @@ class GraftDataSource extends TableProvider with DataSourceRegister
         override def capabilities(): java.util.Set[TableCapability] =
           java.util.Collections.emptySet()
       }
-    else new GraftTable(GraftTable.rootOf(opts),
-      GraftTable.pinnedVersion(spark, opts, GraftTable.rootOf(opts)), schema)
+    else {
+      val root = GraftTable.rootOf(opts)
+      val pinned = GraftTable.pinnedVersion(spark, opts, root)
+      // bind epoch+instance from inferSchema's OWN validated resolution
+      // (the pin); on a miss or a schema mismatch, re-resolve fresh —
+      // never pair the handed-back schema with constructor-time stamp
+      // reads (the inferSchema->getTable swap window, r17 advice #1).
+      // A table with no committed version yet stays unbound: that is
+      // the create-on-first-write path and has no identity to bind.
+      GraftTable.consumeResolution(root, pinned, schema).orElse {
+        if (SnapshotStore.latestVersion(spark, root).isEmpty) None
+        else Some(GraftTable.resolveSchemaBound(spark, root, pinned))
+      } match {
+        case Some(b) =>
+          new GraftTable(root, pinned, b.schema,
+            boundEpochIn = b.epoch, boundInstanceIn = Some(b.instance))
+        case None => new GraftTable(root, pinned, schema)
+      }
+    }
   }
 
   /** V1 fallback target for `option("readChangeFeed", "true")` batch
@@ -152,9 +176,25 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       override def sqlContext: org.apache.spark.sql.SQLContext = sqlCtx
       override val schema: StructType = GraftChangeFeedSource.feedSchema(sp, root)
       override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+        // fence re-reads REFUSE on store errors instead of assuming
+        // "unchanged" (r17 advice #4) — same rule as GraftTable's
+        // fenceRead; an unbound side stays unfenced (nothing to
+        // mis-compare)
+        def loud[A](what: String)(read: => A): A =
+          try read
+          catch {
+            case e: Exception =>
+              throw new java.util.ConcurrentModificationException(
+                s"could not re-read the table's $what at $root to verify " +
+                  s"this change-feed relation's binding " +
+                  s"(${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+                  "refusing the scan rather than assuming it unchanged; re-run")
+          }
         val curInstance =
-          try SnapshotStore.tableInstanceIdIfAny(sp, root)
-          catch { case _: Exception => None }
+          if (boundInstance.isEmpty)
+            try SnapshotStore.tableInstanceIdIfAny(sp, root)
+            catch { case _: Exception => None }
+          else loud("instance id")(SnapshotStore.tableInstanceIdIfAny(sp, root))
         (boundInstance, curInstance) match {
           case (Some(a), Some(b)) if a != b =>
             throw new java.util.ConcurrentModificationException(
@@ -164,10 +204,9 @@ class GraftDataSource extends TableProvider with DataSourceRegister
                 "history — re-create the relation and re-read")
           case _ => ()
         }
-        val curStamp =
-          try SnapshotStore.readProps(sp, root)
-            .get("graft.schema.epoch").map(_.toLong).getOrElse(-1L)
-          catch { case _: Exception => boundStamp }
+        val curStamp = loud("contract-swap stamp")(
+          SnapshotStore.readProps(sp, root)
+            .get("graft.schema.epoch").map(_.toLong).getOrElse(-1L))
         if (curStamp != boundStamp)
           throw new java.util.ConcurrentModificationException(
             s"the table at $root crossed a contract swap (epoch " +
@@ -302,6 +341,37 @@ object GraftTable {
             s"no graft version at $root committed at or before $raw"))
       })
 
+  /** Per-root resolution handoff for the PATH-BASED read door (r17
+    * advice #1, SURVEY §2c "Batch EPOCH fence" residual): Spark's
+    * TableProvider protocol resolves the schema in `inferSchema` and
+    * constructs the table in a SEPARATE `getTable` call, handing the
+    * schema back as a parameter — so the epoch/instance stamps a
+    * GraftTable must bind cannot be read at construction (a REPLACE or
+    * DROP+re-CREATE completing between the two calls would pair the
+    * NEW stamps with the OLD resolution's schema, and the fences would
+    * then pass at every scan: the seed-1001 bug class, re-opened on
+    * the path door). inferSchema therefore PINS its whole validated
+    * [[GraftTable.Bound]] here (keyed by root + version pin, like the
+    * feed-schema pins), and getTable CONSUMES the pin — accepting it
+    * only when the schema Spark handed back IS the pinned resolution's
+    * (a mismatch means a rival load consumed first, or Spark replayed
+    * an older schema: re-resolve fresh so stamp and schema still come
+    * from one validated attempt). Entries are overwritten per key and
+    * removed at consume; the only non-consuming caller is the V1
+    * write-path provider resolution (no version pin), so residency is
+    * bounded by distinct roots, not by call volume.
+    */
+  private val resolutionPins =
+    new java.util.concurrent.ConcurrentHashMap[String, Bound]()
+  private def pinKey(root: String, v: Option[Long]): String =
+    root + "@" + v.getOrElse(-1L)
+  private[connector] def pinResolution(root: String, v: Option[Long],
+                                       b: Bound): Unit =
+    resolutionPins.put(pinKey(root, v), b): Unit
+  private[connector] def consumeResolution(root: String, v: Option[Long],
+                                           schema: StructType): Option[Bound] =
+    Option(resolutionPins.remove(pinKey(root, v))).filter(_.schema == schema)
+
   private[connector] def rootOf(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
     require(p != null && p.nonEmpty,
@@ -330,7 +400,23 @@ object GraftTable {
   private[connector] def resolveSchema(spark: SparkSession, root: String,
                                        versionAsOf: Option[Long],
                                        failOnDegraded: Boolean = false): StructType =
-    resolveSchemaBound(spark, root, versionAsOf, failOnDegraded)._1
+    resolveSchemaBound(spark, root, versionAsOf, failOnDegraded).schema
+
+  /** One schema resolution with the identity facts a relation must
+    * bind for its fences, all read under the SAME validated attempt:
+    * the `graft.schema.epoch` stamp (-1 = no swap ever) and the
+    * `_table_id` instance id (None = never minted, pre-r17 table).
+    */
+  private[connector] final case class Bound(schema: StructType, epoch: Long,
+                                            instance: Option[String])
+
+  /** Test-only seam: invoked between an attempt's successful schema
+    * reads and its closing instance re-read, so a spec can land a
+    * DROP+re-CREATE inside the exact window the instance bracket
+    * exists to detect (schema already read under the predecessor, id
+    * about to be read under the successor).
+    */
+  @volatile private[connector] var resolutionRaceHook: String => Unit = _ => ()
 
   /** [[resolveSchema]] plus the `graft.schema.epoch` stamp read INSIDE
     * the successful attempt (-1 = no swap ever) — the value a relation
@@ -339,10 +425,19 @@ object GraftTable {
     * between paired the NEW stamp with the OLD epoch's schema, letting
     * a held relation's scan pass the fence and silently mis-bind
     * (found by the r17 ChaosBlast held-relation op at seed 1001).
+    *
+    * The table INSTANCE id is bracketed the same way (r17 advice #2):
+    * read before the attempt's schema reads and re-read after its
+    * validation — a DROP+re-CREATE completing mid-attempt would
+    * otherwise bind the SUCCESSOR's `_table_id` to the PREDECESSOR's
+    * schema/version pin, and the instance fence would then pass at
+    * every scan (the epoch fence can't catch it: a fresh table has no
+    * stamp, -1 on both sides). Any movement between the two reads is
+    * instability — retry like a contract swap.
     */
   private[connector] def resolveSchemaBound(spark: SparkSession, root: String,
                                        versionAsOf: Option[Long],
-                                       failOnDegraded: Boolean = false): (StructType, Long) = {
+                                       failOnDegraded: Boolean = false): Bound = {
     // Stability-validated resolution: the `_schema` breadcrumb, the
     // epoch stamp and the manifest are separate files read at
     // different instants, so a REPLACE/restore contract swap racing
@@ -367,10 +462,19 @@ object GraftTable {
     var attempt = 0
     while (attempt < 8) {
       attempt += 1
+      val inst0 = instanceProbe(spark, root)
       resolveSchemaOnce(spark, root, versionAsOf, footersOnly = false) match {
-        case Some(bound) =>
-          degradedResolutions.remove(root): Unit
-          return bound
+        case Some((schema, epoch)) =>
+          resolutionRaceHook(root)
+          val inst1 = instanceProbe(spark, root)
+          if (inst0 == inst1) {
+            degradedResolutions.remove(root): Unit
+            return Bound(schema, epoch, inst1)
+          }
+          // the instance moved across this attempt's reads — a
+          // DROP+re-CREATE raced the resolution; the schema/stamp just
+          // read can't be attributed to either instance. Retry.
+          Thread.sleep(5L * attempt)
         case None => Thread.sleep(5L * attempt)
       }
     }
@@ -385,8 +489,28 @@ object GraftTable {
       "are absent from this resolution; writes against it are refused",
       root)
     degradedResolutions.put(root, System.currentTimeMillis()): Unit
-    resolveSchemaOnce(spark, root, versionAsOf, footersOnly = true).get
+    val inst0 = instanceProbe(spark, root)
+    val (schema, epoch) =
+      resolveSchemaOnce(spark, root, versionAsOf, footersOnly = true).get
+    val inst1 = instanceProbe(spark, root)
+    if (inst0 != inst1)
+      throw new java.util.ConcurrentModificationException(
+        s"the table at $root was dropped and re-created while its schema " +
+          "was being resolved (instance " +
+          s"${inst0.getOrElse("<unminted>")} -> ${inst1.getOrElse("<unminted>")})" +
+          " — re-run this statement")
+    Bound(schema, epoch, inst1)
   }
+
+  /** Read-only instance probe for the resolution bracket: a read
+    * failure is indeterminate (None — same posture as an unminted
+    * pre-r17 table), never an error; two failures on one attempt
+    * compare equal, which only WIDENS the fence-disabled case the
+    * unminted posture already documents.
+    */
+  private def instanceProbe(spark: SparkSession, root: String): Option[String] =
+    try SnapshotStore.tableInstanceIdIfAny(spark, root)
+    catch { case _: Exception => None }
 
   private val log = org.slf4j.LoggerFactory.getLogger("graft.connector.GraftTable")
 
@@ -621,7 +745,8 @@ object GraftTable {
 class GraftTable(root: String, versionAsOf: Option[Long],
                  tableSchema: StructType,
                  fromCatalog: Boolean = false,
-                 boundEpochIn: Long = Long.MinValue) extends Table
+                 boundEpochIn: Long = Long.MinValue,
+                 boundInstanceIn: Option[Option[String]] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsMetadataColumns
     with SupportsRowLevelOperations with SupportsDeleteV2 {
   override def name(): String = s"graft.`$root`" +
@@ -644,11 +769,17 @@ class GraftTable(root: String, versionAsOf: Option[Long],
     * at every scan/write/DML build; a mismatch refuses with the
     * documented severed-lineage conflict. None (pre-r17 table never
     * minted — ids are minted at init/clone from r17 on) disables the
-    * fence rather than false-positive it.
+    * fence rather than false-positive it. Callers that resolved via
+    * [[GraftTable.resolveSchemaBound]] pass the id the resolution
+    * actually read under (`boundInstanceIn`) — a constructor-time
+    * fresh read could bind a mid-flight successor's id to the
+    * predecessor's schema pin (r17 advice #2), the skew twin of the
+    * epoch-stamp binding fixed the same round.
     */
   @transient private val boundInstance: Option[String] =
-    try SnapshotStore.tableInstanceIdIfAny(SparkSession.active, root)
-    catch { case _: Exception => None }
+    boundInstanceIn.getOrElse(
+      try SnapshotStore.tableInstanceIdIfAny(SparkSession.active, root)
+      catch { case _: Exception => None })
 
   /** EPOCH FENCE for held CURRENT-state relations (found by the r17
     * branch hunt's held-relation op on its first run): a REPLACE /
@@ -676,13 +807,29 @@ class GraftTable(root: String, versionAsOf: Option[Long],
       .get("graft.schema.epoch").map(_.toLong).getOrElse(-1L)
     catch { case _: Exception => -1L }
 
+  /** A fence that cannot re-read the CURRENT stamp refuses (r17 advice
+    * #4): falling back to the bound value treats "store error" as
+    * "unchanged" — a transient failure landing exactly when a swap
+    * completed would let the scan pass and null-fill the new epoch
+    * under the old schema, the silent mis-bind the fence exists to
+    * refuse. The CME is retry-able; a loud transient beats that.
+    */
+  private def fenceRead[A](what: String)(read: => A): A =
+    try read
+    catch {
+      case e: Exception =>
+        throw new java.util.ConcurrentModificationException(
+          s"could not re-read the table's $what at $root to verify this " +
+            s"plan's binding (${e.getClass.getSimpleName}: ${e.getMessage})" +
+            " — refusing the scan rather than assuming it unchanged; re-run")
+    }
+
   private def verifyEpoch(m: Manifest): Unit =
     if (versionAsOf.isEmpty) {
       val spark = SparkSession.active
-      val cur =
-        try SnapshotStore.readProps(spark, root)
-          .get("graft.schema.epoch").map(_.toLong).getOrElse(-1L)
-        catch { case _: Exception => boundEpoch }
+      val cur = fenceRead("contract-swap stamp")(
+        SnapshotStore.readProps(spark, root)
+          .get("graft.schema.epoch").map(_.toLong).getOrElse(-1L))
       if (cur != boundEpoch)
         throw new java.util.ConcurrentModificationException(
           s"the table at $root crossed a contract swap (REPLACE or " +
@@ -690,9 +837,8 @@ class GraftTable(root: String, versionAsOf: Option[Long],
             "relation was resolved — scanning the new epoch under the " +
             "old schema would silently mis-bind columns; re-resolve the " +
             "table and re-run")
-      val inFlight =
-        try SnapshotStore.unstampedEpochStart(spark, root, m.version)
-        catch { case _: Exception => -1L }
+      val inFlight = fenceRead("in-flight swap probe")(
+        SnapshotStore.unstampedEpochStart(spark, root, m.version))
       if (inFlight >= 0)
         throw new java.util.ConcurrentModificationException(
           s"a contract swap on $root is in flight (flagged epoch-start " +
@@ -702,9 +848,15 @@ class GraftTable(root: String, versionAsOf: Option[Long],
     }
 
   private def verifyInstance(): Unit = {
+    // same loudness rule as the epoch fence, but ONLY when an id is
+    // bound: an unfenced (never-minted) relation stays unfenced on a
+    // probe error — there is nothing to mis-compare against
     val cur =
-      try SnapshotStore.tableInstanceIdIfAny(SparkSession.active, root)
-      catch { case _: Exception => None }
+      if (boundInstance.isEmpty)
+        try SnapshotStore.tableInstanceIdIfAny(SparkSession.active, root)
+        catch { case _: Exception => None }
+      else fenceRead("instance id")(
+        SnapshotStore.tableInstanceIdIfAny(SparkSession.active, root))
     (boundInstance, cur) match {
       case (Some(a), Some(b)) if a != b =>
         throw new java.util.ConcurrentModificationException(

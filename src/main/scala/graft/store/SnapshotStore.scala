@@ -223,6 +223,13 @@ object SnapshotStore {
     // holder permanently fresh; the grace then only gates how fast a
     // CRASHED holder's lock is reclaimed.
     val hbStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // set when the heartbeat OBSERVES this holder reclaimed while alive
+    // (r17 advice #3): the release path fails on it even if the lock
+    // file happens to carry our token again by then (a rival cycle
+    // ending back on our clobbered content would otherwise read as a
+    // clean release — the one interleave the release-time readback
+    // alone cannot see).
+    val hbReclaimed = new java.util.concurrent.atomic.AtomicBoolean(false)
     val hb = new Thread({ () =>
       while (!hbStop.get()) {
         val next = System.currentTimeMillis() + math.max(ContractsLockGraceMs / 3, 50L)
@@ -254,6 +261,24 @@ object SnapshotStore {
                     val out = fs.create(p, true)
                     try out.write(token.getBytes(StandardCharsets.UTF_8))
                     finally out.close()
+                    // the rewrite is check-then-overwrite (r17 advice
+                    // #3): a waiter reclaiming between the contains
+                    // check and the create(overwrite) got its fresh
+                    // lock clobbered. Read back: if the file no longer
+                    // carries OUR token, a rival moved after/under the
+                    // rewrite — mark this holder reclaimed and STOP
+                    // heartbeating (never clobber the rival again);
+                    // the release path turns the flag into the loud
+                    // reclaimed-while-alive error. This shrinks the
+                    // silent window to the irreducible mtime-lock one.
+                    contractsHeartbeatHook(p)
+                    val back =
+                      try smallFileText(fs, p).map(_.trim)
+                      catch { case _: Throwable => Some(token) }
+                    if (!back.contains(token)) {
+                      hbReclaimed.set(true)
+                      hbStop.set(true)
+                    }
                   }
                 }
             }
@@ -282,7 +307,7 @@ object SnapshotStore {
           try smallFileText(fs, p).map(_.trim)
           catch { case _: Throwable => Some(token) } // unreadable: assume ours
       }
-      val stillMine = ownerNow.contains(token)
+      val stillMine = ownerNow.contains(token) && !hbReclaimed.get()
       manifestArbiter match {
         case Some(arb) => arb.release(key, token) // token-conditional by contract
         case None =>
@@ -4383,6 +4408,15 @@ object SnapshotStore {
     * keep this waiter's delayed delete off the rival's live lock.
     */
   @volatile private[graft] var contractsReclaimHook: Path => Unit = _ => ()
+
+  /** Test hook: runs in the heartbeat's content-rewrite fallback
+    * BETWEEN the overwrite and its readback (r17 advice #3) — the
+    * instant where a rival's reclaim is detectable; a spec swaps in a
+    * rival token here to pin that the holder marks itself reclaimed,
+    * stops heartbeating, and fails its release loudly even if the file
+    * later carries the holder's token again.
+    */
+  @volatile private[graft] var contractsHeartbeatHook: Path => Unit = _ => ()
 
   /** Test hook: runs in a data-freeing vacuum between its floor
     * serialization commit's OCC win and the retention-pin re-list —

@@ -257,6 +257,130 @@ class BatchAliasSpec extends SparkSpec {
       s"wrong refusal: ${e2.getMessage}")
   }
 
+  test("9. path read door: a REPLACE in Spark's inferSchema->getTable gap refuses at scan (the handoff pairs stamp and schema)") {
+    // r17 advice #1: supportsExternalMetadata is false, so Spark hands
+    // getTable the schema inferSchema resolved — in a SEPARATE call.
+    // Pre-fix, getTable's GraftTable read its epoch stamp fresh at
+    // construction, so a REPLACE completing in the gap paired the NEW
+    // stamp with the OLD resolution's schema: the fence then passed at
+    // every scan and the by-name read silently null-filled the vanished
+    // columns (the seed-1001 class, re-opened on the path door). The
+    // resolution pin hands inferSchema's validated (schema, stamp,
+    // instance) triple to getTable, so the held table refuses loudly.
+    spark.sql("""CREATE TABLE bat.ns.p1 (k BIGINT, v BIGINT) USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO bat.ns.p1 VALUES (1, 10)")
+    val root = s"$warehouse/ns/p1"
+    val provider = new GraftDataSource
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Collections.singletonMap("path", root))
+    val schema = provider.inferSchema(opts) // Spark's step 1
+    // the swap lands exactly in the protocol gap
+    spark.sql("""REPLACE TABLE bat.ns.p1 TBLPROPERTIES ('keys'='c')
+                 AS SELECT 'r' AS c, CAST(1 AS BIGINT) AS n""")
+    val t = provider.getTable(schema, Array.empty, opts.asCaseSensitiveMap())
+    val e = intercept[java.util.ConcurrentModificationException] {
+      t.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(opts)
+    }
+    assert(e.getMessage.contains("crossed a contract swap"),
+      s"wrong refusal: ${e.getMessage}")
+  }
+
+  test("10. path read door: a DROP+CREATE in the inferSchema->getTable gap refuses at scan (instance from the same resolution)") {
+    // r17 advice #2, the instance twin of test 9: pre-fix the
+    // `_table_id` was read at CONSTRUCTION, so a recreate completing in
+    // the gap bound the SUCCESSOR's id to the PREDECESSOR's schema pin
+    // and the instance fence passed at every scan — and the epoch fence
+    // cannot catch it (a fresh table has no stamp: -1 on both sides).
+    spark.sql("""CREATE TABLE bat.ns.p2 (k BIGINT, v BIGINT) USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO bat.ns.p2 VALUES (1, 10)")
+    val root = s"$warehouse/ns/p2"
+    val provider = new GraftDataSource
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Collections.singletonMap("path", root))
+    val schema = provider.inferSchema(opts)
+    spark.sql("DROP TABLE bat.ns.p2")
+    // SAME shape — nothing but the instance id distinguishes the
+    // successor, which is exactly why the silent alias was silent
+    spark.sql("""CREATE TABLE bat.ns.p2 (k BIGINT, v BIGINT) USING graft
+                 TBLPROPERTIES ('keys'='k', 'numBuckets'='2')""")
+    spark.sql("INSERT INTO bat.ns.p2 VALUES (99, 990)")
+    val t = provider.getTable(schema, Array.empty, opts.asCaseSensitiveMap())
+    val e = intercept[java.util.ConcurrentModificationException] {
+      t.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(opts)
+    }
+    assert(e.getMessage.contains("dropped and re-created"),
+      s"wrong refusal: ${e.getMessage}")
+  }
+
+  test("11. a recreate landing INSIDE one resolution attempt never pairs the successor's id with the predecessor's schema") {
+    // the bracket itself (r17 advice #2): the instance id is read
+    // before and after each attempt's schema reads; movement = retry.
+    // Pre-fix the id was read once, AFTER resolution — the hook below
+    // lands a recreate in that exact window, and the unbracketted read
+    // returned (predecessor schema, successor id): a pairing the
+    // instance fence then waves through forever.
+    val root = Files.createTempDirectory("graft-balias-br").toString + "/t"
+    SnapshotStore.init(spark, root,
+      Seq((1L, 10L)).toDF("k", "v"), Seq("k"), numBuckets = 2)
+    val pred = SnapshotStore.tableInstanceIdIfAny(spark, root)
+    assert(pred.nonEmpty)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    GraftTable.resolutionRaceHook = { r =>
+      if (r == root && fired.compareAndSet(false, true)) {
+        fsOf(root).delete(new Path(root), true)
+        SnapshotStore.init(spark, root,
+          Seq(("x", 1L)).toDF("a", "b"), Seq("a"), numBuckets = 2)
+      }
+    }
+    try {
+      val b = GraftTable.resolveSchemaBound(spark, root, None)
+      val succ = SnapshotStore.tableInstanceIdIfAny(spark, root)
+      assert(succ.nonEmpty && succ != pred, "the hook must have recreated")
+      assert(b.instance == succ,
+        s"bound instance ${b.instance} is not the successor's $succ — " +
+          "the resolution paired reads from two instances")
+      assert(b.schema.fieldNames.toSeq == Seq("a", "b"),
+        s"bound schema ${b.schema.fieldNames.toSeq} is not the successor's" +
+          " — the resolution paired reads from two instances")
+    } finally GraftTable.resolutionRaceHook = _ => ()
+  }
+
+  test("12. a fence that cannot re-read the stamp REFUSES the scan (a store error is never 'unchanged')") {
+    // r17 advice #4: pre-fix, verifyEpoch's catch fell back to the
+    // BOUND stamp — a transient GET failure landing exactly when a
+    // REPLACE completed let the fence pass and the scan null-fill the
+    // new epoch under the old schema, the silent mis-bind the fence
+    // exists to refuse. Now any fence that cannot re-read its stamp
+    // throws the retry-able CME.
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.osim.impl", classOf[graft.store.ObjectStoreSim].getName)
+    graft.store.ObjectStoreSim.reset()
+    val root = "osim://" +
+      Files.createTempDirectory("graft-balias-loud").toString + "/t"
+    try {
+      SnapshotStore.init(spark, root,
+        Seq((1L, "a")).toDF("k", "v"), Seq("k"), numBuckets = 2)
+      // materialize `_props` so the fence's re-read is a real GET
+      SnapshotStore.writeProps(spark, root, Map("note" -> "x"))
+      val held = spark.read.format("graft").load(root)
+      assert(held.count() == 1) // fences pass while the store is healthy
+      graft.store.ObjectStoreSim.failOpenPathFilter = _.endsWith("/_props")
+      val e = intercept[java.util.ConcurrentModificationException] {
+        held.collect()
+      }
+      assert(e.getMessage.contains("refusing the scan"),
+        s"wrong refusal: ${e.getMessage}")
+      // transient means transient: the same relation runs once the
+      // store recovers
+      graft.store.ObjectStoreSim.failOpenPathFilter = _ => false
+      assert(held.count() == 1)
+    } finally graft.store.ObjectStoreSim.reset()
+  }
+
   test("6. consumeChanges: recreate resets the consumer (documented), and subsequent changes flow") {
     val root = Files.createTempDirectory("graft-balias-cc").toString + "/t"
     SnapshotStore.init(spark, root,

@@ -195,6 +195,70 @@ class ContractsLockSpec extends SparkSpec {
     }
   }
 
+  test("content-rewrite heartbeat: a holder that observes itself reclaimed fails loudly even if the file carries its token again at release") {
+    // r17 advice #3: the heartbeat's content-rewrite fallback is
+    // check-then-overwrite — a waiter reclaiming between the contains
+    // check and the overwrite gets its fresh lock clobbered. The
+    // readback after the rewrite detects the rival, marks this holder
+    // reclaimed, STOPS heartbeating, and fails the release — EVEN IF
+    // by release time the lock file carries the holder's token again
+    // (a rival cycle ending back on the clobbered content), the one
+    // interleave the release-time token compare alone cannot see.
+    // Pre-fix that interleave released silently after the two holders'
+    // contract writes had already interleaved.
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.osim.impl", classOf[ObjectStoreSim].getName)
+    val root = "osim://" +
+      Files.createTempDirectory("graft-clock-hbrb").toString
+    ObjectStoreSim.reset()
+    ObjectStoreSim.rejectSetTimes = true // force the rewrite fallback
+    System.setProperty("graft.snapshot.contractsLockGraceMs", "300")
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lockPath = new Path(root, "_contracts_lock")
+    def readLock(): String = {
+      val in = fs.open(lockPath)
+      try {
+        val b = new Array[Byte](128)
+        val n = in.read(b)
+        new String(b, 0, math.max(n, 0), "UTF-8").trim
+      } finally in.close()
+    }
+    @volatile var holderToken: String = null
+    val clobbered = new java.util.concurrent.CountDownLatch(1)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    SnapshotStore.contractsHeartbeatHook = { p =>
+      if (fired.compareAndSet(false, true)) {
+        // the rival's reclaim lands between the holder's rewrite and
+        // its readback: capture the holder's token, then overwrite
+        holderToken = readLock()
+        val o = fs.create(p, true)
+        o.write("rival-token".getBytes("UTF-8")); o.close()
+        clobbered.countDown()
+      }
+    }
+    try {
+      val e = intercept[IllegalStateException] {
+        SnapshotStore.withContractsLock(spark, root) {
+          assert(clobbered.await(30, java.util.concurrent.TimeUnit.SECONDS),
+            "no heartbeat rewrite happened within 30s")
+          Thread.sleep(300) // let the readback run and the flag land
+          // the rival's cycle ends with the HOLDER's token back in the
+          // file — release-time comparison alone would read this as a
+          // clean release
+          val o = fs.create(lockPath, true)
+          o.write(holderToken.getBytes("UTF-8")); o.close()
+          "body-ok"
+        }
+      }
+      assert(e.getMessage.contains("reclaimed while this holder was alive"),
+        s"wrong failure: ${e.getMessage}")
+    } finally {
+      SnapshotStore.contractsHeartbeatHook = _ => ()
+      System.clearProperty("graft.snapshot.contractsLockGraceMs")
+      ObjectStoreSim.reset()
+    }
+  }
+
   test("a waiter's delayed reclaim never deletes a rival's FRESH lock (compare-content-then-delete)") {
     // r16 advice #3: between a waiter's stillAged re-check and its
     // delete, a rival can reclaim the aged lock AND confirm its own

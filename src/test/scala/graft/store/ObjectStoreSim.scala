@@ -66,6 +66,13 @@ object ObjectStoreSim {
     */
   @volatile var rejectSetTimes: Boolean = false
 
+  /** When a key matches, `open` throws IOException — a transient
+    * store-side GET failure, for specs pinning that the read-path
+    * fences REFUSE on an unreadable stamp instead of treating the
+    * failure as "unchanged" (r17 advice #4).
+    */
+  @volatile var failOpenPathFilter: String => Boolean = _ => false
+
   /** key (absolute path string) → epoch millis when it becomes listable. */
   private[store] val visibleAt = new ConcurrentHashMap[String, java.lang.Long]()
 
@@ -78,6 +85,7 @@ object ObjectStoreSim {
     listingLagPathFilter = _ => true
     betweenCheckAndAct = _ => ()
     rejectSetTimes = false
+    failOpenPathFilter = _ => false
     visibleAt.clear()
   }
 
@@ -214,6 +222,12 @@ class ObjectStoreSim extends RawLocalFileSystem {
   override def append(f: Path, bufferSize: Int,
                       progress: Progressable): FSDataOutputStream =
     throw new IOException("osim: object stores do not append")
+
+  override def open(f: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+    if (failOpenPathFilter(key(f)))
+      throw new IOException(s"osim: injected transient GET failure for $f")
+    super.open(f, bufferSize)
+  }
 
   override def setTimes(p: Path, mtime: Long, atime: Long): Unit =
     if (rejectSetTimes)
