@@ -752,18 +752,95 @@ object SnapshotStore {
                                    count: Long): Long = {
     val fs = fileSystem(spark, root)
     val dir = new Path(root, s"_identity/$col")
-    if (!fs.exists(dir)) fs.mkdirs(dir)
+    // SWAP-AWARE minting (r18 — found by the identity hunt's REPLACE op
+    // on its first blast): a REPLACE / cross-epoch restore ARCHIVES the
+    // live ledger and INSTALLS another (executeContractSwap: delete,
+    // per-block copy, certificate — the epoch stamp lands LAST). A mint
+    // racing that install can list a PARTIAL chain (frontier too low)
+    // or extend a chain about to be displaced, and the ids it hands out
+    // would be re-minted by the installed chain: silent duplicates. The
+    // commit-path epoch fence cannot cover the interleave where the
+    // write was planned AT the epoch-start version itself (base never
+    // advances past it), so the MINT is fenced: it refuses to run while
+    // a swap is in flight, verifies the caller's spec still IS the
+    // table's declaration, and brackets each claim with stamp reads —
+    // movement releases the unreturned block (a legal gap) and retries
+    // against the installed chain.
+    def swapState(): (Long, Boolean) = {
+      val stamp =
+        try readProps(spark, root).get("graft.schema.epoch")
+          .map(_.toLong).getOrElse(-1L)
+        catch { case _: Exception => -2L } // unreadable = indeterminate
+      val inFlight =
+        try latestVersion(spark, root)
+          .exists(h => unstampedEpochStart(spark, root, h) >= 0)
+        catch { case _: Exception => true }
+      (stamp, inFlight)
+    }
     var attempt = 0
     while (attempt < 256) {
       attempt += 1
-      ledgerFrontier(fs, dir, spec) match {
-        case None => Thread.sleep(200) // payload in flight — settle or age out
-        case Some((lastSeq, base)) =>
-          if (claimBlock(fs, dir, lastSeq + 1, base, count)) return base
+      val s0 = swapState()
+      if (s0._1 == -2L || s0._2) Thread.sleep(200) // install in flight — wait it out
+      else {
+        // a stale plan minting under a DIFFERENT current declaration
+        // would extend the installed chain with the old spec's
+        // arithmetic — refuse loudly (retry-able); the redeclared
+        // ledger restarts numbering by design. Only enforced when the
+        // table DECLARES the column (the allocator seam also runs on
+        // bare ledger dirs with no table props — nothing to mismatch).
+        val declared =
+          try identitySpecs(readProps(spark, root)).toMap.get(col)
+          catch { case _: Exception => None }
+        declared.foreach { d =>
+          if (d != spec)
+            throw new java.util.ConcurrentModificationException(
+              s"identity column '$col' at $root was re-declared " +
+                s"($d vs this write's $spec) — the table was REPLACED " +
+                "after this write was planned; re-run the statement")
+        }
+        if (!fs.exists(dir)) fs.mkdirs(dir)
+        val frontier =
+          try ledgerFrontier(fs, dir, spec)
+          catch { // the live dir deleted under us: the install's first step
+            case _: java.io.FileNotFoundException => None
+          }
+        frontier match {
+          case None => Thread.sleep(200) // payload in flight — settle or age out
+          case Some((lastSeq, base)) =>
+            val win = claimBlock(fs, dir, lastSeq + 1, base, count)
+            if (win.isDefined) {
+              if (swapState() == s0) return base
+              // a swap moved across this claim: the chain the block
+              // extends may be partial or displaced — release it
+              // (nothing was minted from it) and retry on the new
+              // chain. Release the arbiter ROW too: a freed name left
+              // claimed bricks any restarted chain that re-derives it
+              // for the whole staleness grace (plain-PUT stores)
+              val mine = new Path(dir, f"block-${lastSeq + 1}%020d" + s"_$base")
+              try { fs.delete(mine, false): Unit }
+              catch { case _: java.io.IOException => () }
+              manifestArbiter.foreach(
+                _.release(fs.makeQualified(mine).toString, win.get))
+              Thread.sleep(100)
+            } else
+              // jittered backoff on a lost tip race (see
+              // syncIdentityFrontier) — keeps a contended herd from
+              // burning the attempt budget inside one hot window
+              Thread.sleep(5L + java.util.concurrent.ThreadLocalRandom
+                .current().nextLong(35L))
+        }
       }
     }
-    throw new IllegalStateException(
-      s"could not reserve identity block for '$col' at $root after 256 attempts")
+    // the attempts were consumed WAITING on in-flight swaps / releasing
+    // bracket-raced claims — under sustained REPLACE/restore churn this
+    // is the documented retry-able conflict (same posture as schema
+    // resolution under churn), never a corruption
+    throw new java.util.ConcurrentModificationException(
+      s"identity block reservation for '$col' at $root stayed blocked " +
+        "across 256 attempts (sustained REPLACE/restore contract churn " +
+        "or allocator contention) — re-run the statement when the churn " +
+        "subsides")
   }
 
   /** One claim attempt at an exact (seq, first): exclusive create of
@@ -771,8 +848,16 @@ object SnapshotStore {
     * payload that survived on disk is a win (defense against a
     * grace-defying reclaim deleting the claim mid-write).
     */
+  /** Returns the winning claim TOKEN (None = lost): a caller that
+    * RELEASES a won block (the swap bracket in
+    * [[reserveIdentityBlock]]) must also release its arbiter row, or
+    * on plain-PUT stores the freed (seq, first) name stays claimed for
+    * the whole staleness grace and a restarted chain re-deriving the
+    * same name is bricked (found by IdentityChaosBlast's plain-PUT
+    * personality on the REPLACE op's first sweep).
+    */
   private def claimBlock(fs: FileSystem, dir: Path, seq: Long, first: Long,
-                         count: Long): Boolean = {
+                         count: Long): Option[String] = {
     val target = new Path(dir, f"block-$seq%020d" + s"_$first")
     // atomic claim ([[arbitratedCreate]]): a local check-then-act
     // create would let two allocators both "win" the same (seq, first)
@@ -817,14 +902,14 @@ object SnapshotStore {
               "against minted ids before further allocation; do NOT " +
               "treat as a clean loss")
         }
-        won
+        if (won) Some(token) else None
       case None =>
         // under an arbiter a lost row can belong to a crashed claimer
         // that never PUT anything (no file to age-check) — pace the
         // retry loop so waiters don't burn their attempt budget inside
         // one staleness grace
         if (manifestArbiter.isDefined && !fs.exists(target)) Thread.sleep(50)
-        false
+        None
     }
   }
 
@@ -3303,7 +3388,22 @@ object SnapshotStore {
               maxAttempts: Int = 5, clusterBy: Seq[String] = Nil,
               zOrderBy: Seq[String] = Nil, zOrderBits: Int = 8,
               maxRecordsPerFile: Long = 0L,
-              tombstoneFoldBytes: Long = 0L): Long = {
+              tombstoneFoldBytes: Long = 0L): Long =
+    compactWithStatus(spark, root, minFiles, maxAttempts, clusterBy,
+      zOrderBy, zOrderBits, maxRecordsPerFile, tombstoneFoldBytes)._1
+
+  /** [[compact]], also reporting whether THIS call committed the
+    * returned version (`true`) or found nothing fragmented and
+    * returned the pre-existing head (`false`). The head a no-op
+    * returns can be ANY rival's commit — a caller asserting on the
+    * layout compact produces (sorted files, carried stats) must only
+    * do so when the rewrite was its own.
+    */
+  def compactWithStatus(spark: SparkSession, root: String, minFiles: Int = 2,
+              maxAttempts: Int = 5, clusterBy: Seq[String] = Nil,
+              zOrderBy: Seq[String] = Nil, zOrderBits: Int = 8,
+              maxRecordsPerFile: Long = 0L,
+              tombstoneFoldBytes: Long = 0L): (Long, Boolean) = {
     require(minFiles >= 2, "minFiles < 2 would rewrite already-compact buckets")
     require(clusterBy.isEmpty || zOrderBy.isEmpty,
       "clusterBy and zOrderBy are mutually exclusive cluster layouts")
@@ -3335,7 +3435,7 @@ object SnapshotStore {
             .count(st => st.isFile && !st.getPath.getName.startsWith("_")) >= minFiles
         }
       }.keys.toSeq.sorted
-      if (frag.isEmpty) return base
+      if (frag.isEmpty) return (base, false)
       val v = base + 1
       val token = newToken()
       val rel = attemptDir(v, token)
@@ -3421,7 +3521,7 @@ object SnapshotStore {
         case Some(cm) =>
           maybeCheckpoint(spark, root, cm)
           repinColStats(spark, root, base, v)
-          return v
+          return (v, true)
         case None =>
           // lost to a concurrent committer: drop our attempt, re-census
           fs.delete(new Path(root, rel), true)
@@ -4553,13 +4653,40 @@ object SnapshotStore {
     val archLedger = new Path(root, f"_identity_upto_${b.cur}%020d")
     def certified(dir: Path): Boolean =
       smallFileText(fs, new Path(dir, LedgerCert)).exists(_.trim == b.v.toString)
+    // plain-PUT stores: block claims leave PERMANENT arbiter rows keyed
+    // by file path, and a displaced epoch's chain restarts numbering —
+    // the successor chain re-derives the SAME block names, so a row
+    // left behind for a file this swap DELETES bricks every mint for
+    // the staleness grace (found by IdentityChaosBlast's plain-PUT
+    // personality, quiescent publish never landing). Releasing rows of
+    // deleted files is safe: the path holds no acknowledged payload
+    // anymore, a pre-swap zombie resuming later fails its
+    // supersededBy readback loudly, and the r18 swap-bracketed mint
+    // releases any claim a swap moved across.
+    def releaseLedgerClaims(d: Path): Unit = manifestArbiter.foreach { arb =>
+      def walk(p: Path): Unit =
+        try fs.listStatus(p).foreach { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else {
+            val key = fs.makeQualified(st.getPath).toString
+            arb.owner(key).foreach(t => arb.release(key, t))
+          }
+        } catch { case _: java.io.IOException => () }
+      walk(d)
+    }
     def copyLedger(src: Path, dst: Path): Unit = {
       fs.mkdirs(dst)
       fs.listStatus(src).filterNot(_.getPath.getName == LedgerCert)
         .foreach { st =>
-          org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          // a block can legally vanish between the listing and its
+          // copy: a swap-bracketed mint (reserveIdentityBlock) RELEASES
+          // a claim it won while this swap moved across it — nothing
+          // was minted from a released block, so skipping it loses
+          // nothing (it was a gap either way)
+          try org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
             new Path(dst, st.getPath.getName), false, true,
             spark.sparkContext.hadoopConfiguration): Unit
+          catch { case _: java.io.FileNotFoundException => () }
         }
       ledgerMoveHook(dst)
       val out = fs.create(new Path(dst, LedgerCert), true)
@@ -4577,12 +4704,17 @@ object SnapshotStore {
     // displaced ledger (now safely archived above) or a torn prior
     // install attempt; either must not mix with the incoming blocks
     if (fs.exists(live) && !certified(live) &&
-        (!b.ledgerArchive || certified(archLedger)))
+        (!b.ledgerArchive || certified(archLedger))) {
+      releaseLedgerClaims(live)
       fs.delete(live, true): Unit
+    }
     b.ledgerSrc.foreach { srcName =>
       val src = new Path(root, srcName)
       if (!certified(live) && fs.exists(src)) {
-        if (fs.exists(live)) fs.delete(live, true) // torn prior install
+        if (fs.exists(live)) { // torn prior install
+          releaseLedgerClaims(live)
+          fs.delete(live, true): Unit
+        }
         copyLedger(src, live)
       }
     }
@@ -5173,11 +5305,24 @@ object SnapshotStore {
         case Some((lastSeq, cur)) =>
           val deficitUnits = (target - cur) / spec.step // lattice-aligned
           if (deficitUnits <= 0L) return
-          if (claimBlock(fs, dir, lastSeq + 1, cur, deficitUnits)) return
+          if (claimBlock(fs, dir, lastSeq + 1, cur, deficitUnits).isDefined)
+            return
+          // jittered backoff on a lost claim: a publish burning a large
+          // frontier races EVERY live minter for the chain tip, and a
+          // hot retry loop can lose the tip race hundreds of times in a
+          // row against a thundering herd (seen at blast intensity) —
+          // a few ms of jitter de-synchronizes the contenders
+          Thread.sleep(5L + java.util.concurrent.ThreadLocalRandom
+            .current().nextLong(35L))
       }
     }
-    throw new IllegalStateException(
-      s"could not sync identity frontier for '$col' at $root after 256 attempts")
+    // exhausted attempts = contention/churn, not corruption — the
+    // documented retry-able conflict (the branch is untouched: frontier
+    // burns run before the publish marker and any rename)
+    throw new java.util.ConcurrentModificationException(
+      s"could not sync identity frontier for '$col' at $root after 256 " +
+        "attempts (sustained allocator contention or contract churn) — " +
+        "re-run the publish when the churn subsides")
   }
 
   /** @param dryRun report what WOULD be reclaimed without touching

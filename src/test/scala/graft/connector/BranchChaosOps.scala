@@ -143,6 +143,12 @@ object BranchChaosOps {
         text.contains("NoSuchTableException") ||
         text.contains("TABLE_OR_VIEW_NOT_FOUND") ||
         text.contains("being re-created") ||
+        // the batch change-feed op's documented refusals: a base
+        // manifest vacuumed out from under a consumer-less feed read,
+        // and a REPLACE landing between the relation's boundary check
+        // and its diff (the refresh recovery re-checks per scan)
+        text.contains("was vacuumed — register a consumer") ||
+        text.contains("crosses a REPLACE TABLE boundary") ||
         // FNF/rename-class failures while a publish is in flight
         // (adoption renames own that window) or after the branch this
         // op started on was consumed/re-forked under it (publish+drop
@@ -210,7 +216,7 @@ object BranchChaosOps {
         val rnd = new scala.util.Random(seed * 100 + t)
         var landed, conflicted = 0
         (1 to opsPer).foreach { i =>
-          val op = rnd.nextInt(17)
+          val op = rnd.nextInt(18)
           val gen0 = generation.get()
           // snapshot the addressing for THIS op: a mid-op re-fork must
           // surface as the documented consumption conflict, not as the
@@ -247,8 +253,27 @@ object BranchChaosOps {
                      WHEN MATCHED THEN UPDATE SET ${cols(1)} = s.mv
                      WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
                        VALUES (s.mk, s.mv)""")
-              case 4 => // branch compact
-                ensureBranch(); SnapshotStore.compact(spark, br): Unit
+              case 4 => // branch compact — all three layouts (r17
+                // verdict item 4): plain / clusterBy / zOrder; the
+                // clustered variants rewrite sorted bucket files with
+                // stats carry-over INSIDE the fork while publish /
+                // re-fork / REPLACE / vacuum race them
+                ensureBranch()
+                rnd.nextInt(3) match {
+                  case 0 => SnapshotStore.compact(spark, br): Unit
+                  case 1 =>
+                    val cols = colsOf(brTable)
+                    // verify only a version THIS call committed (a
+                    // no-op returns a rival's head — see ChaosOps)
+                    val (v, committed) = SnapshotStore.compactWithStatus(
+                      spark, br, clusterBy = Seq(cols.head))
+                    if (committed)
+                      ChaosOps.verifyClusteredCompact(spark, br, v, cols.head)
+                  case _ =>
+                    val cols = colsOf(brTable)
+                    SnapshotStore.compact(spark, br,
+                      zOrderBy = cols.toSeq): Unit
+                }
               case 5 => // branch checkpoint
                 ensureBranch(); SnapshotStore.checkpoint(spark, br): Unit
               case 6 => // branch vacuum — reclaim inside the fork
@@ -320,6 +345,35 @@ object BranchChaosOps {
                     s"held relation on $bn returned ${rows.length} rows " +
                       "with an ALL-NULL key column — a silent " +
                       "cross-instance/epoch mis-bind slipped past the fence")
+              case 17 => // BATCH change-feed door under the chaos (r17
+                // verdict item 5): the STREAMING feed's first r16 sweep
+                // found silent offset aliasing — this is the batch
+                // twin. A held readChangeFeed relation binds
+                // instance+epoch at creation (BatchAliasSpec 8): across
+                // publish / re-fork / branch-REPLACE / vacuum it must
+                // refuse or deliver real rows — never null-filled
+                // garbage under a stale schema.
+                val onBranch = rnd.nextBoolean()
+                if (onBranch) ensureBranch()
+                val feedRoot = if (onBranch) br else root
+                val fkeys = SnapshotStore.readProps(spark, feedRoot)
+                  .getOrElse("keys", "k").split(",").map(_.trim).toSeq
+                val held = spark.read.format("graft")
+                  .option("readChangeFeed", "true")
+                  .option("keys", fkeys.mkString(","))
+                  .option("startingVersion", "-1")
+                  .option("replaceBoundary", "refresh")
+                  .load(feedRoot)
+                Thread.sleep(5 + rnd.nextInt(30).toLong)
+                val keyIdx = held.columns.indexOf(fkeys.head)
+                val rows = held.collect()
+                if (keyIdx >= 0 && rows.nonEmpty &&
+                    rows.forall(_.isNullAt(keyIdx)))
+                  throw new IllegalStateException(
+                    s"batch change feed on $feedRoot returned " +
+                      s"${rows.length} rows with an ALL-NULL key column " +
+                      "— a silent cross-instance/epoch mis-bind slipped " +
+                      "past the CDF relation's binding")
             }
             landed += 1
             opsLog.add(s"t$t#$i op$op landed"): Unit

@@ -125,8 +125,13 @@ object ChaosOps {
     // every UPDATE/DELETE/MERGE in the mix, racing the same vacuum /
     // REPLACE / rebucket / restore vocabulary the CoW path survives.
     val modeProps = if (dmlMode == "delta") ", 'dml.mode'='delta'" else ""
+    // statsCols declared so the clustered-compact ops exercise REAL
+    // stats carry-over (writes census per-bucket/per-file min/max of k
+    // under the whole op mix); the REPLACE op re-declares without it —
+    // both personalities stay covered
     spark.sql(s"""CREATE TABLE $catalog.ns.$tbl (k BIGINT, v BIGINT) USING graft
-                  TBLPROPERTIES ('keys'='k', 'numBuckets'='2'$modeProps)""")
+                  TBLPROPERTIES ('keys'='k', 'numBuckets'='2',
+                                 'statsCols'='k'$modeProps)""")
     spark.sql(s"INSERT INTO $catalog.ns.$tbl VALUES (1, 0)")
     val epochN = new java.util.concurrent.atomic.AtomicInteger(0)
     val gate = new CountDownLatch(1)
@@ -174,7 +179,36 @@ object ChaosOps {
                 val vs = SnapshotStore.versions(spark, root)
                 SnapshotStore.restore(spark, root,
                   vs(rnd.nextInt(vs.length))): Unit
-              case 4 => SnapshotStore.compact(spark, root): Unit
+              case 4 =>
+                // compaction in ALL THREE layouts (r17 verdict item
+                // 4): plain merge, clusterBy (sorted bucket files),
+                // zOrder (Morton codes). The clustered variants rewrite
+                // SORTED bucket files with stats carry-over and had
+                // never been in the chaos vocabulary — verify the
+                // layout invariants on the result version in-op.
+                rnd.nextInt(3) match {
+                  case 0 => SnapshotStore.compact(spark, root): Unit
+                  case 1 =>
+                    val cols = spark.table(s"$catalog.ns.$tbl").columns
+                    if (cols.isEmpty)
+                      throw new java.util.ConcurrentModificationException(
+                        s"$tbl resolved mid-swap with no columns; re-run")
+                    // verify ONLY a version THIS call committed: a
+                    // nothing-fragmented no-op returns a rival's head,
+                    // whose v=<v>- dirs are a rival's layout (found by
+                    // this op's own first sweep, seed 47)
+                    val (v, committed) = SnapshotStore.compactWithStatus(
+                      spark, root, clusterBy = Seq(cols.head))
+                    if (committed)
+                      verifyClusteredCompact(spark, root, v, cols.head)
+                  case _ =>
+                    val cols = spark.table(s"$catalog.ns.$tbl").columns
+                    if (cols.isEmpty)
+                      throw new java.util.ConcurrentModificationException(
+                        s"$tbl resolved mid-swap with no columns; re-run")
+                    SnapshotStore.compact(spark, root,
+                      zOrderBy = cols.toSeq): Unit
+                }
               case 5 =>
                 // tags pin retention (vacuum stretches to the oldest
                 // one), so the mix must also RELEASE them or op 8
@@ -276,8 +310,14 @@ object ChaosOps {
                 // REPLACE/cross-epoch restore loud-or-correct — never
                 // a silent by-name read of the new epoch under the old
                 // schema (which null-fills the vanished key column;
-                // legit hunt data never has null keys)
-                val held = spark.table(s"$catalog.ns.$tbl")
+                // legit hunt data never has null keys). Half the draws
+                // resolve through the PATH door (r18): that resolution
+                // crosses Spark's separate inferSchema->getTable calls,
+                // so it races the resolution-pin handoff that pairs
+                // the bound stamp/instance with the pinned schema.
+                val held =
+                  if (rnd.nextBoolean()) spark.table(s"$catalog.ns.$tbl")
+                  else spark.read.format("graft").load(root)
                 if (held.columns.length != 2)
                   throw new java.util.ConcurrentModificationException(
                     s"$tbl resolved mid-swap; re-run")
@@ -313,6 +353,88 @@ object ChaosOps {
     val (landed, conflicted) = (outcomes.map(_._1).sum, outcomes.map(_._2).sum)
     info(s"hunt $tbl: $landed landed, $conflicted documented conflicts")
     (landed, conflicted)
+  }
+
+  /** Post-`compact(clusterBy)` layout invariants, verified IN the
+    * chaos (r17 verdict item 4), shared with [[BranchChaosOps]]:
+    *
+    *  (a) every data file the compact REWROTE (dirs under `v=<v>-…`)
+    *      is internally SORTED by the cluster column — the whole point
+    *      of the layout (tight row-group min/max);
+    *  (b) when the table declares stats columns, the result version's
+    *      manifest stats still BOUND its data: pruning a point read at
+    *      the version's observed minimum must lose nothing (carried
+    *      stats may stay conservative, never too tight).
+    *
+    * Racing vacuum/restore/publish can legally reclaim version v's
+    * files mid-verify — those READ failures rethrow as the documented
+    * CME; only a readable-but-wrong layout is a breach.
+    */
+  def verifyClusteredCompact(spark: SparkSession, root: String, v: Long,
+                             clusterCol: String): Unit = {
+    def raced(e: Throwable) = new java.util.ConcurrentModificationException(
+      s"clustered-compact verify at $root v$v raced maintenance churn " +
+        s"(${e.getClass.getSimpleName}: ${e.getMessage}); re-run")
+    val m = try SnapshotStore.readManifest(spark, root, v)
+      catch { case e: Throwable => throw raced(e) }
+    // (a) sortedness of the rewritten files only — untouched buckets
+    // legitimately keep their old (unsorted) files
+    m.buckets.foreach { case (b, e) =>
+      if (e.dir.contains(s"v=$v-")) {
+        val dir = SnapshotStore.dataPath(root, e.dir)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val files =
+          try fs.listStatus(dir).filter(st => st.isFile &&
+            !st.getPath.getName.startsWith("_")).map(_.getPath).toSeq
+          catch { case e2: Throwable => throw raced(e2) }
+        files.foreach { f =>
+          val vals =
+            try spark.read.parquet(f.toString)
+              .select(clusterCol).collect().map(_.get(0))
+            catch { case e2: Throwable => throw raced(e2) }
+          val unsorted = vals.iterator.sliding(2).withPartial(false).exists {
+            case Seq(a, bb) => a != null && (bb == null ||
+              a.asInstanceOf[Comparable[Any]].compareTo(bb) > 0)
+            case _ => false
+          }
+          if (unsorted) throw new IllegalStateException(
+            s"clustered compact at $root wrote an UNSORTED file $f " +
+              s"(bucket $b, cluster column $clusterCol) — the sorted " +
+              "layout contract broke under churn")
+        }
+      }
+    }
+    // (b) stats still bound the data: a point read at the version's
+    // observed min, pruned by the manifest stats, must find every row
+    // the unpruned version read finds (tombstone-carrying buckets can
+    // only ADD rows to the raw pruned read — never hide one)
+    if (m.statsCols.exists(_._1 == clusterCol)) {
+      val (truth, loOpt) =
+        try {
+          val df = SnapshotStore.readVersion(spark, root, v)
+          val mm = df.agg(org.apache.spark.sql.functions.min(
+            org.apache.spark.sql.functions.col(clusterCol))).collect().head
+          if (mm.isNullAt(0)) (0L, None)
+          else (df.filter(org.apache.spark.sql.functions.col(clusterCol) ===
+            mm.get(0)).count(), Some(mm.get(0)))
+        } catch { case e2: Throwable => throw raced(e2) }
+      loOpt.foreach { lo =>
+        val kept = SnapshotStore.pruneBuckets(m, clusterCol, lo, lo)
+        val rawKept =
+          try {
+            val dirs = kept.toSeq.sorted.map(b =>
+              SnapshotStore.dataPath(root, m.buckets(b).dir).toString)
+            if (dirs.isEmpty) 0L
+            else spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+              .filter(org.apache.spark.sql.functions.col(clusterCol) === lo)
+              .count()
+          } catch { case e2: Throwable => throw raced(e2) }
+        if (rawKept < truth) throw new IllegalStateException(
+          s"clustered compact at $root v$v: stats pruning at " +
+            s"$clusterCol=$lo keeps $rawKept rows but the version holds " +
+            s"$truth — carried-over stats tightened below reality")
+      }
+    }
   }
 
   /** The post-hunt quiescence invariants, shared with the branch hunt

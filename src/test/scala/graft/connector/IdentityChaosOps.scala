@@ -22,14 +22,22 @@ import graft.store.SnapshotStore
   * ledger mid-mint, re-forks, restores resurrecting old rows while
   * the ledger stays high, vacuum/compact/checkpoint churn, and
   * delete/update rewrites that must CARRY existing ids (under both
-  * dml modes — cow bucket rewrites and delta WriteDelta staging).
+  * dml modes — cow bucket rewrites and delta WriteDelta staging), and
+  * (r17 verdict item 1) REPLACE on main AND on the branch re-declaring
+  * the identity column — the ledger ARCHIVE/INSTALL path
+  * (`_identity_upto_*` / certificate install, the exact shape the
+  * reference uses everywhere: AUTOINCREMENT `09 Order Entity.sql:71`
+  * inside CREATE-OR-REPLACE procs `02 Location Entity.sql:282-343`)
+  * racing the minting fleet for the first time.
   *
   * THE invariant (AUTOINCREMENT's one promise): no committed state —
   * any retained version of main, ever — holds two rows with the same
   * minted id, and the ledger frontier stays strictly above every id
-  * ever observed (no future duplicate). Gaps are legal and expected
-  * (aborted writes, burned publish frontiers); density is explicitly
-  * NOT promised.
+  * observed in its OWN epoch (a REPLACE restarts numbering by design,
+  * like the reference's CREATE-OR-REPLACE; a cross-epoch restore
+  * re-installs that epoch's archived ledger, keeping the pairing).
+  * Gaps are legal and expected (aborted writes, burned publish
+  * frontiers); density is explicitly NOT promised.
   */
 object IdentityChaosOps {
 
@@ -58,6 +66,7 @@ object IdentityChaosOps {
     SnapshotStore.createBranch(spark, root, curBn): Unit
 
     val publishing = new java.util.concurrent.atomic.AtomicInteger(0)
+    val replacing = new java.util.concurrent.atomic.AtomicInteger(0)
     val recreateLock = new java.util.concurrent.locks.ReentrantLock()
     val gate = new CountDownLatch(1)
     val opsLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -92,7 +101,7 @@ object IdentityChaosOps {
           text.contains("No such file") || text.contains("NoSuchFile") ||
           text.contains("Failed to rename") ||
           text.contains("TASK_WRITE_FAILED")) &&
-          (publishing.get() > 0 || branchGone() ||
+          (publishing.get() > 0 || replacing.get() > 0 || branchGone() ||
             generation.get() != genAtStart ||
             fs.exists(new Path(curBr, "_publishing")) ||
             !fs.exists(new Path(curBr, "_clone_source"))))
@@ -121,7 +130,7 @@ object IdentityChaosOps {
         val rnd = new scala.util.Random(seed * 100 + t)
         var landed, conflicted = 0
         (1 to opsPer).foreach { i =>
-          val op = rnd.nextInt(12)
+          val op = rnd.nextInt(14)
           val gen0 = generation.get()
           val bn = curBn
           val brTable = curTable
@@ -173,6 +182,35 @@ object IdentityChaosOps {
                 else
                   spark.sql(s"UPDATE $catalog.ns.$tbl SET v = ${rnd.nextInt(100)} " +
                     s"WHERE k = ${rnd.nextInt(40)}")
+              case 12 => // MAIN REPLACE re-declaring the identity column
+                // (r17 verdict item 1 — the reference's default shape:
+                // AUTOINCREMENT inside CREATE-OR-REPLACE procs). The
+                // swap ARCHIVES the live ledger and installs the new
+                // declaration's, racing the whole minting fleet; the
+                // new epoch restarts numbering at 1, so any old-ledger
+                // mint leaking into the new epoch eventually collides
+                // — the per-version duplicate sweep catches exactly
+                // that, and the frontier check below is epoch-scoped.
+                replacing.incrementAndGet()
+                try
+                  spark.sql(s"""REPLACE TABLE $catalog.ns.$tbl (
+                      sid BIGINT GENERATED ALWAYS AS IDENTITY,
+                      k BIGINT, v BIGINT) USING graft
+                    TBLPROPERTIES ('keys'='k', 'numBuckets'='2'$modeProps)""")
+                finally replacing.decrementAndGet()
+              case 13 => // BRANCH REPLACE re-declaring identity: the
+                // branch-local swap archives/installs the CLONED
+                // ledger, and a later publish must burn the REPLACED
+                // branch's frontier (or refuse on the contract
+                // mismatch) — the pending-ledger install path raced
+                ensureBranch()
+                replacing.incrementAndGet()
+                try
+                  spark.sql(s"""REPLACE TABLE $brTable (
+                      sid BIGINT GENERATED ALWAYS AS IDENTITY,
+                      k BIGINT, v BIGINT) USING graft
+                    TBLPROPERTIES ('keys'='k', 'numBuckets'='2'$modeProps)""")
+                finally replacing.decrementAndGet()
             }
             landed += 1
             opsLog.add(s"t$t#$i op$op landed"): Unit
@@ -218,8 +256,13 @@ object IdentityChaosOps {
         s"attempts (diag: $p)")
     }
     // 2. THE invariant: no retained version of main ever holds a
-    //    duplicate minted id
+    //    duplicate minted id. Valid ACROSS epochs — each version is one
+    //    consistent state, and an old-ledger mint leaking past a
+    //    REPLACE into the new epoch surfaces here once the restarted
+    //    ledger reaches the leaked id.
     var maxSid = Long.MinValue
+    val epoch = SnapshotStore.readProps(spark, root)
+      .get("graft.schema.epoch").map(_.toLong).getOrElse(-1L)
     SnapshotStore.versions(spark, root).foreach { v =>
       val sids =
         try SnapshotStore.readVersion(spark, root, v)
@@ -231,21 +274,28 @@ object IdentityChaosOps {
         assert(false, s"identity hunt $tbl: main v$v holds duplicate " +
           s"minted ids $dups (diag: $p)")
       }
-      if (sids.nonEmpty) maxSid = math.max(maxSid, sids.max)
+      // frontier comparison is EPOCH-scoped: a REPLACE restarts
+      // numbering by design (the reference's CREATE-OR-REPLACE +
+      // AUTOINCREMENT restarts too), so only the CURRENT epoch's
+      // versions bound the live ledger — a cross-epoch restore
+      // re-stamps the epoch AND re-installs that epoch's archived
+      // ledger, so the pairing stays consistent under every op mix
+      if (v >= epoch && sids.nonEmpty) maxSid = math.max(maxSid, sids.max)
     }
-    // 3. the ledger frontier sits strictly ABOVE every observed id:
-    //    the next mint can never duplicate
+    // 3. the ledger frontier sits strictly ABOVE every id observed in
+    //    its OWN epoch: the next mint can never duplicate
     val next = SnapshotStore.reserveIdentity(spark, root, "sid", 1L)
     if (maxSid != Long.MinValue && next <= maxSid) {
       val p = dump("ledger frontier BELOW observed ids",
-        Seq(s"next: $next", s"maxSid: $maxSid"))
+        Seq(s"next: $next", s"maxSid: $maxSid", s"epoch: $epoch"))
       assert(false, s"identity hunt $tbl: ledger would re-mint ids " +
-        s"<= $maxSid (next=$next) (diag: $p)")
+        s"<= $maxSid (next=$next, epoch=$epoch) (diag: $p)")
     }
     // 4. every retained version reads as the identity-shaped frame
     //    through the SQL door (the shared sweep asserts a two-column
     //    hunt table; this hunt's is three-column, so sweep directly —
-    //    no REPLACE in the mix means no epoch-stamp cases to check)
+    //    the REPLACE ops re-declare the SAME shape, so pre-epoch
+    //    versions resolve their archived (identical) schema)
     SnapshotStore.versions(spark, root).foreach { v =>
       val df = spark.sql(s"SELECT * FROM $catalog.ns.$tbl VERSION AS OF $v")
       if (df.columns.toSeq != Seq("sid", "k", "v")) {
