@@ -461,8 +461,20 @@ object GraftChangeFeedSource {
   /** Change rows = table schema + the change-type / commit-version
     * metadata columns (the METADATA$ACTION × ISUPDATE matrix).
     */
+  /** Feed rows span EPOCHS by design (the `replaceBoundary=refresh`
+    * recovery emits the displaced state's retractions under the NEW
+    * epoch's declared columns, null-filled), so every data column is
+    * presented NULLABLE — including delta-mode merge keys, whose
+    * non-null marking is a SNAPSHOT-read truth only. Keeping the
+    * marking made the refresh batch unencodable: the V1 relation's
+    * row encoder asserted non-null on the null-filled key column and
+    * killed the read with EXPRESSION_ENCODING_FAILED (found by the
+    * branch hunt's batch-CDF op on its first blast, seed 4003,
+    * delta personality).
+    */
   private[connector] def feedSchema(spark: SparkSession, root: String): StructType =
-    GraftTable.resolveSchema(spark, rootOf(Map("path" -> root)), None)
+    StructType(GraftTable.resolveSchema(spark, rootOf(Map("path" -> root)), None)
+      .fields.toSeq.map(_.copy(nullable = true)))
       .add(ChangeFeed.ChangeType, StringType)
       .add(ChangeFeed.CommitVersion, LongType)
 

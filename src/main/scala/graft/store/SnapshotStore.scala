@@ -2065,7 +2065,24 @@ object SnapshotStore {
     // survives the readback reports success).
     val qualified = fs.makeQualified(target).toString
     def tryCreate(): Option[org.apache.hadoop.fs.FSDataOutputStream] =
-      arbitratedCreate(fs, target, token)
+      try arbitratedCreate(fs, target, token)
+      catch {
+        // local FileSystems chmod the just-created file as a second
+        // step: a racing manifests-prune (this version slot sits below
+        // the vacuum floor — exactly the condition the stale-claim
+        // fence below refuses) can delete the file between the open
+        // and the chmod, and the raw shell error then leaked past the
+        // fence (found by ChaosBlast 4x8x22 seed 1002 after the r18
+        // ops raised commit pressure). Same refusal, earlier.
+        case e: java.io.IOException
+            if e.getMessage != null && (e.getMessage.contains("No such file")
+              || e.isInstanceOf[java.io.FileNotFoundException]) =>
+          throw new java.util.ConcurrentModificationException(
+            s"commit of version $v at $root raced a vacuum reclaiming " +
+              "its version slot (the manifest vanished mid-create) — " +
+              "the head has advanced past this writer's base snapshot; " +
+              "re-run the statement")
+      }
 
     var out = tryCreate()
     if (out.isDefined) manifestWriteHook(root, v)
@@ -5249,10 +5266,24 @@ object SnapshotStore {
       .map(n => n -> tagVersion(spark, root, n).getOrElse(-1L))
   }
 
-  /** Idempotent: dropping an absent tag is a no-op. */
+  /** Idempotent: dropping an absent tag is a no-op. On plain-PUT
+    * stores the tag's arbiter row is released WITH the file (r18, the
+    * ledger-row lesson): the row's only job is to arbitrate creates of
+    * a LIVE name — left behind, it refuses a drop-then-recreate of the
+    * same tag name for the whole staleness grace with a misleading
+    * "already exists". Safe for the same reason the ledger release is:
+    * the path holds no payload after the delete, and a suspended
+    * creator resuming later fails its post-write owner re-check
+    * (INDETERMINATE — the tag zombie fence), never silently wins.
+    */
   def dropTag(spark: SparkSession, root: String, name: String): Unit = {
     val fs = fileSystem(spark, root)
-    fs.delete(tagPath(root, name), false): Unit
+    val p = tagPath(root, name)
+    fs.delete(p, false): Unit
+    manifestArbiter.foreach { arb =>
+      val key = fs.makeQualified(p).toString
+      arb.owner(key).foreach(t => arb.release(key, t))
+    }
   }
 
   /** Full text of a small metadata file, None when absent. */

@@ -83,6 +83,27 @@ class PlainPutClaimsSpec extends SparkSpec {
     }
   }
 
+  test("dropTag releases the arbiter row: drop-then-recreate of a tag name works immediately") {
+    // r18, the ledger-row lesson applied to tags: the permanent claim
+    // row's only job is arbitrating creates of a LIVE name — left
+    // behind after the drop deleted the file, it refused a
+    // re-creation of the same tag name for the whole staleness grace
+    // with the misleading "already exists" (pre-fix this intercepted
+    // an IllegalStateException here).
+    withPlainPutArbiter(staleMs = 600000L) { // grace far above test time
+      val root = osimRoot("tagdrop")
+      initTable(root)
+      SnapshotStore.commitDelta(spark, root,
+        Seq((1L, "x", 100L)).toDF("k", "v", "ts"), Seq("k"),
+        SnapshotStore.upsertMerge(Seq("k")))
+      assert(SnapshotStore.createTag(spark, root, "rel", Some(0L)) == 0L)
+      SnapshotStore.dropTag(spark, root, "rel")
+      // re-point the name at a different version, inside the grace
+      assert(SnapshotStore.createTag(spark, root, "rel", Some(1L)) == 1L)
+      assert(SnapshotStore.tagVersion(spark, root, "rel").contains(1L))
+    }
+  }
+
   test("tag ZOMBIE FENCE: a superseded creator's late clobber reports INDETERMINATE, never success") {
     withPlainPutArbiter(staleMs = 150L) {
       val root = osimRoot("tagzombie")
