@@ -110,4 +110,10 @@ final class InMemoryClaimArbiter(staleMs: Long = -1L) extends ClaimArbiter {
   override def release(path: String, token: String): Unit =
     rows.computeIfPresent(path,
       (_, cur) => if (cur._1 == token) null else cur): Unit
+
+  /** Live row count — for depth soaks asserting the population stays
+    * the designed shape (≈ one permanent row per committed version
+    * plus transient lock/claim rows the release paths fold back).
+    */
+  def size: Int = rows.size
 }

@@ -30,8 +30,14 @@ import graft.store.SnapshotStore
   *    commits (every writer's last round fully present, row count
   *    exact)?
   *
-  * Usage: runMain graft.tools.SoakLong [workDir] [outJson] [rounds]
-  *   (reads /root/testdata/sf0.01/orders.parquet as the base corpus)
+  * Usage: runMain graft.tools.SoakLong [workDir] [outJson] [rounds] [arbiter]
+  *   (reads /root/testdata/sf0.01/orders.parquet as the base corpus;
+  *   4th arg "arbiter" routes EVERY exclusive-create claim through an
+  *   [[graft.store.InMemoryClaimArbiter]] — the plain-PUT commit-row
+  *   protocol at 300-commit depth, asserting the row population keeps
+  *   the designed shape: permanent commit rows plus released locks,
+  *   never runaway. Added r18, when the ledger/tag release paths
+  *   landed — no prior soak had run the arbiter at depth.)
   */
 object SoakLong {
   def main(args: Array[String]): Unit = {
@@ -39,6 +45,10 @@ object SoakLong {
       java.nio.file.Files.createTempDirectory("graft-soaklong").toString)
     val outJson = if (args.length > 1) args(1) else "SOAK_r17.json"
     val rounds = if (args.length > 2) args(2).toInt else 50
+    val useArbiter = args.length > 3 && args(3) == "arbiter"
+    val arbiter =
+      if (useArbiter) Some(new graft.store.InMemoryClaimArbiter()) else None
+    arbiter.foreach(a => SnapshotStore.manifestArbiter = Some(a))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -325,6 +335,20 @@ object SoakLong {
     require(census("manifests") <= lapVs.length + 2,
       s"manifest files (${census("manifests")}) exceed retained " +
         s"versions (${lapVs.length}) — chain hygiene leak")
+
+    // ---- arbiter row-population shape (plain-PUT personality) ----
+    // commit rows are PERMANENT by design (one per version slot ever
+    // claimed — the zombie fence); lock rows release on exit, and the
+    // r18 ledger/tag releases fold their families too. The population
+    // must therefore track commit-ish event count, never attempts or
+    // laps (a runaway here would be a leaked transient-claim family).
+    arbiter.foreach { a =>
+      out("arbiter_rows") = a.size
+      require(a.size <= nCommits * 12 + 500,
+        s"arbiter row population (${a.size}) far exceeds the commit-ish " +
+          s"event count ($nCommits writer commits) — a transient claim " +
+          "family is leaking rows")
+    }
 
     def render(v: Any): String = v match {
       case m: scala.collection.mutable.LinkedHashMap[_, _] =>

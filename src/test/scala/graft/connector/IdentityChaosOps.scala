@@ -97,6 +97,9 @@ object IdentityChaosOps {
         text.contains("NoSuchTableException") ||
         text.contains("TABLE_OR_VIEW_NOT_FOUND") ||
         text.contains("being re-created") ||
+        // the batch-CDF op's documented refusals (see BranchChaosOps)
+        text.contains("was vacuumed — register a consumer") ||
+        text.contains("crosses a REPLACE TABLE boundary") ||
         ((text.contains("does not exist") || text.contains("FileNotFound") ||
           text.contains("No such file") || text.contains("NoSuchFile") ||
           text.contains("Failed to rename") ||
@@ -130,7 +133,7 @@ object IdentityChaosOps {
         val rnd = new scala.util.Random(seed * 100 + t)
         var landed, conflicted = 0
         (1 to opsPer).foreach { i =>
-          val op = rnd.nextInt(14)
+          val op = rnd.nextInt(15)
           val gen0 = generation.get()
           val bn = curBn
           val brTable = curTable
@@ -211,6 +214,27 @@ object IdentityChaosOps {
                       k BIGINT, v BIGINT) USING graft
                     TBLPROPERTIES ('keys'='k', 'numBuckets'='2'$modeProps)""")
                 finally replacing.decrementAndGet()
+              case 14 => // batch CDF over the MINTED ids across REPLACE
+                // epochs (r18, pulled forward from the R19 list): a
+                // feed consumer observing identity rows while the
+                // ledger is archived/installed and epochs restart —
+                // must refuse with the documented CMEs or deliver rows
+                // whose sid column is real minted data (identity rows
+                // never have null sids in any epoch of this hunt's
+                // shape-keeping REPLACEs)
+                val held = spark.read.format("graft")
+                  .option("readChangeFeed", "true").option("keys", "k")
+                  .option("startingVersion", "-1")
+                  .option("replaceBoundary", "refresh").load(root)
+                Thread.sleep(5 + rnd.nextInt(30).toLong)
+                val sidIdx = held.columns.indexOf("sid")
+                val rows = held.collect()
+                if (sidIdx >= 0 && rows.nonEmpty &&
+                    rows.forall(_.isNullAt(sidIdx)))
+                  throw new IllegalStateException(
+                    s"batch change feed on $root returned ${rows.length} " +
+                      "rows with an ALL-NULL sid column — a silent " +
+                      "cross-epoch mis-bind of minted identity rows")
             }
             landed += 1
             opsLog.add(s"t$t#$i op$op landed"): Unit
