@@ -83,6 +83,34 @@ class PlainPutClaimsSpec extends SparkSpec {
     }
   }
 
+  test("branch-name recycle on plain-PUT: refused inside the grace (anti-zombie fence), succeeds past it") {
+    // Pins the DOCUMENTED posture (cloneTable's CME + the hunts'
+    // uniqueNames recipe): commit-class claim rows are deliberately
+    // permanent — unlike the tag/ledger rows r18 releases, a dropped
+    // branch's v0 row must keep fencing the path while a suspended
+    // committer of the predecessor could still land a late PUT over
+    // the successor's manifest. Inside the grace: documented CME with
+    // the wait-or-fresh-path recipe; past it: the recycle works.
+    // grace must comfortably exceed the clone+drop Spark latency (the
+    // v0 row's age at the re-create is that whole interval), and the
+    // ageing wait must exceed the grace
+    withPlainPutArbiter(staleMs = 10000L) {
+      val root = osimRoot("brrec")
+      initTable(root)
+      SnapshotStore.createBranch(spark, root, "wap"): Unit
+      SnapshotStore.dropBranch(spark, root, "wap")
+      val e = intercept[java.util.ConcurrentModificationException] {
+        SnapshotStore.createBranch(spark, root, "wap")
+      }
+      assert(e.getMessage.contains("fenced"),
+        s"wrong refusal shape: ${e.getMessage}")
+      Thread.sleep(11000) // the predecessor's v0 row ages past the grace
+      SnapshotStore.createBranch(spark, root, "wap"): Unit
+      assert(SnapshotStore.versions(spark,
+        SnapshotStore.branchRoot(root, "wap")).nonEmpty)
+    }
+  }
+
   test("dropTag releases the arbiter row: drop-then-recreate of a tag name works immediately") {
     // r18, the ledger-row lesson applied to tags: the permanent claim
     // row's only job is arbitrating creates of a LIVE name — left

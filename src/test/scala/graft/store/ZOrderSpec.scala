@@ -16,6 +16,34 @@ class ZOrderSpec extends SparkSpec {
     (0 until n * n).map(i => (i.toLong, i % n, i / n))
       .toDF("k", "x", "y").repartition(8)
 
+  test("compactWithStatus reports attribution: (v, true) only when THIS call committed") {
+    // r18 — the contract the chaos layout verifier depends on: a
+    // nothing-fragmented no-op returns the PRE-EXISTING head (which
+    // can be any rival's commit, any layout) with committed = false;
+    // only (v, true) says the returned version's v=<v>- dirs are this
+    // call's own rewrite.
+    val root = tmpDir("cws") + "/t"
+    val merge = SnapshotStore.upsertMerge(Seq("k"))
+    SnapshotStore.init(spark, root,
+      (1L to 8L).map(k => (k, k)).toDF("k", "v"), Seq("k"), numBuckets = 2)
+    SnapshotStore.commitDelta(spark, root,
+      Seq((1L, 10L)).toDF("k", "v"), Seq("k"), merge)
+    // consolidate whatever multi-file buckets the init's parallel
+    // write left, so the next compact is a GENUINE no-op
+    SnapshotStore.compact(spark, root): Unit
+    val head = SnapshotStore.latestVersion(spark, root).get
+    assert(SnapshotStore.compactWithStatus(spark, root) == (head, false),
+      "a no-op compact must return the pre-existing head, not claim it")
+    // fragment a bucket via a merge-on-read tombstone sidecar, then
+    // the compact genuinely rewrites and owns its returned version
+    SnapshotStore.commitDeletes(spark, root,
+      Seq(Tuple1(2L)).toDF("k"), Seq("k"))
+    val (v, committed) = SnapshotStore.compactWithStatus(spark, root)
+    assert(committed, "a rewriting compact must report attribution")
+    assert(v == SnapshotStore.latestVersion(spark, root).get)
+    assert(SnapshotStore.read(spark, root).count() == 7)
+  }
+
   test("z-ordered chunks are local in EVERY dimension; lexicographic chunks are not") {
     val n = 64
     val df = grid(n) // uniform n×n grid
