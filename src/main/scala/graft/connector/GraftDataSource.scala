@@ -552,9 +552,17 @@ object GraftTable {
     val m = manifestAt(spark, root, versionAsOf)
     val dirs = m.buckets.values.map(e =>
       SnapshotStore.dataPath(root, e.dir).toString).toSeq
+    // one driver-side footer per dir (dirs are single-schema by
+    // construction) instead of the distributed mergeSchema inference
+    // job — this resolution runs on EVERY relation load; failures fall
+    // back to the inference path so error behavior is unchanged
     val footerBase =
       if (dirs.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true").parquet(dirs: _*).schema)
+      else SnapshotStore.mergedFooterSchema(spark, dirs).orElse {
+        System.err.println(s"[graft] resolution footer-schema fell back " +
+          s"to mergeSchema inference for $root")
+        Some(spark.read.option("mergeSchema", "true").parquet(dirs: _*).schema)
+      }
     // a table declaring `dml.mode=delta` (TBLPROPERTIES, recorded at
     // creation) carries the not-null-merge-key contract — every write
     // path REJECTS null key values ([[SnapshotStore.writeVersionData]])
@@ -1466,7 +1474,10 @@ class GraftScan(spark: SparkSession, root: String, m: Manifest,
   /** Drop the cached file plan so the next planning pass re-prunes
     * with the runtime narrowing applied.
     */
-  protected def invalidatePlanning(): Unit = plannedFilesCache = null
+  protected def invalidatePlanning(): Unit = {
+    plannedFilesCache = null
+    descriptionCache = null
+  }
 
   private def narrowToBuckets(bs: Set[Int]): Unit =
     runtimeBuckets = Some(runtimeBuckets.fold(bs)(_.intersect(bs)))
@@ -1516,12 +1527,22 @@ class GraftScan(spark: SparkSession, root: String, m: Manifest,
         m.buckets.values.count(_.tombstones.nonEmpty).toLong))
   }
 
-  override def description(): String =
-    s"graft $root v${m.version} buckets=${plannedFiles.map(_._2).distinct.size} " +
-      s"files=${plannedFiles.size} prunedBy=[${filters.mkString(", ")}]" +
-      (if (runtimeFilters.nonEmpty || runtimeBuckets.nonEmpty)
-        s" runtimePrunedBy=[${runtimeFilters.mkString(", ")}]" else "") +
-      limit.fold("")(n => s" limit=$n")
+  /** Cached alongside the file plan: plan-tree copies and UI events
+    * call description() repeatedly (7% of a MERGE statement's driver
+    * samples went to rebuilding this string), and it only changes when
+    * runtime filtering invalidates the planning anyway.
+    */
+  private var descriptionCache: String = null
+  override def description(): String = {
+    if (descriptionCache == null)
+      descriptionCache =
+        s"graft $root v${m.version} buckets=${plannedFiles.map(_._2).distinct.size} " +
+          s"files=${plannedFiles.size} prunedBy=[${filters.mkString(", ")}]" +
+          (if (runtimeFilters.nonEmpty || runtimeBuckets.nonEmpty)
+            s" runtimePrunedBy=[${runtimeFilters.mkString(", ")}]" else "") +
+          limit.fold("")(n => s" limit=$n")
+    descriptionCache
+  }
 
   /** POST-PRUNING size (the files this scan will actually read) and —
     * when exactly known from the manifest (every bucket's `rows:`
@@ -1650,7 +1671,7 @@ class GraftScan(spark: SparkSession, root: String, m: Manifest,
     else {
       val perBucket = withTombs.map { case (b, e) =>
         val dirs = e.tombstones.map(d => SnapshotStore.dataPath(root, d).toString)
-        val df = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+        val df = SnapshotStore.mergedSchemaRead(spark, dirs).parquet(dirs: _*)
         val schema = df.schema
         val keys = df.queryExecution.executedPlan.executeCollect()
           .map(_.toSeq(schema)).map(_.toSeq: Seq[Any]).toSet

@@ -2272,12 +2272,60 @@ object SnapshotStore {
     // only a manifest with NO buckets at all recovers the schema
     if (dirs.isEmpty && m.buckets.isEmpty) emptyWithSchema(spark, root, m)
     else if (dirs.isEmpty) spark.emptyDataFrame
-    // mergeSchema: after additive evolution a snapshot legitimately
-    // spans pre- and post-evolution version dirs until every bucket
-    // has been rewritten once; old rows null-fill the new columns
     else antiJoinTombstones(spark, root, m, which,
-      spark.read.option("mergeSchema", "true").parquet(dirs.toSeq: _*))
+      mergedSchemaRead(spark, dirs.toSeq).parquet(dirs.toSeq: _*))
   }
+
+  /** Reader for a set of bucket dirs whose union schema spans additive
+    * evolution (old rows null-fill new columns). The schema comes from
+    * ONE driver-side footer read per DIR — every dir is written by one
+    * job under one schema, so per-dir representatives merge to exactly
+    * what the distributed `mergeSchema` inference computes, without
+    * its every-footer Spark job per scan (the single largest driver
+    * cost of the table-lifecycle bench keys — 24% of w09's wall time).
+    * Any listing/footer failure falls back to the inference path, so
+    * error behavior is unchanged.
+    */
+  private[graft] def mergedFooterSchema(spark: SparkSession,
+                                        dirs: Seq[String])
+      : Option[org.apache.spark.sql.types.StructType] =
+    try {
+      val hconf = spark.sessionState.newHadoopConf()
+      val schemas = dirs.sorted.map { d =>
+        val p = new Path(d)
+        val fs = p.getFileSystem(hconf)
+        val first = fs.listStatus(p).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .sortBy(_.getPath.getName).headOption
+            .getOrElse(return None) // no data file: let inference decide
+        org.apache.spark.sql.graft.GraftSqlShims
+          .parquetFooterSchema(spark, hconf, first.getPath)
+      }
+      if (schemas.isEmpty) None
+      // asNullable matches inference: Spark writes parquet columns
+      // nullable, and file-source relations present nullable fields
+      else Some(org.apache.spark.sql.graft.GraftSqlShims.asNullable(
+        schemas.reduce(org.apache.spark.sql.graft.GraftSqlShims.mergeStructs)))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // visible because silent fallback = a silent perf regression
+        System.err.println(s"[graft] footer-schema read failed " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}) — falling back to inference")
+        None
+    }
+
+  private[graft] def mergedSchemaRead(spark: SparkSession, dirs: Seq[String])
+      : org.apache.spark.sql.DataFrameReader =
+    mergedFooterSchema(spark, dirs) match {
+      case Some(s) => spark.read.schema(s)
+      case None =>
+        // visible because silent fallback = a silent perf regression
+        // (the inference job re-reads every footer distributed)
+        System.err.println(
+          s"[graft] footer-schema read fell back to mergeSchema inference for ${dirs.take(2).mkString(",")}")
+        spark.read.option("mergeSchema", "true")
+    }
 
   /** An empty snapshot that still ANSWERS for the table's schema — a
     * zero-column `emptyDataFrame` would fail every downstream
@@ -2289,10 +2337,11 @@ object SnapshotStore {
     * anywhere (born empty, path-created) keeps the zero-column frame.
     */
   private def emptyWithSchema(spark: SparkSession, root: String, m: Manifest): DataFrame = {
-    def parquetSchema(mf: Manifest) =
-      spark.read.option("mergeSchema", "true")
-        .parquet(mf.buckets.values.map(e => dataPath(root, e.dir).toString).toSeq: _*)
-        .schema
+    def parquetSchema(mf: Manifest) = {
+      val dirs = mf.buckets.values.map(e => dataPath(root, e.dir).toString).toSeq
+      mergedFooterSchema(spark, dirs).getOrElse(
+        spark.read.option("mergeSchema", "true").parquet(dirs: _*).schema)
+    }
     // A pinned PRE-REPLACE version answers under its OWN epoch's
     // archived schema, never the live `_schema` — that breadcrumb
     // belongs to the replacement epoch (the programmatic-read twin of
@@ -2327,7 +2376,7 @@ object SnapshotStore {
       .flatten.map(d => dataPath(root, d).toString).toSeq
     if (tombDirs.isEmpty) df
     else {
-      val tomb = spark.read.option("mergeSchema", "true").parquet(tombDirs: _*)
+      val tomb = mergedSchemaRead(spark, tombDirs).parquet(tombDirs: _*)
       // null-SAFE equality: a usingColumns anti-join would never match
       // a NULL key component, silently resurrecting deleted null-keyed
       // rows (and diverging from the eager delete path, whose window
@@ -2456,9 +2505,13 @@ object SnapshotStore {
     // an everything-pruned read still returns the TABLE's schema (a
     // 0-row frame), exactly like the equivalent full scan + filter —
     // limit(0) over the manifest's dirs reads footers only
+    // schema from the surviving buckets' DIRS (pruned file paths share
+    // their dir's schema — each dir is written by one job)
+    val survivingDirs = surviving.toSeq.sorted
+      .map(b => dataPath(root, m.buckets(b).dir).toString)
     val df = if (paths.isEmpty) readBuckets(spark, root, m, m.buckets.keySet).limit(0)
       else antiJoinTombstones(spark, root, m, surviving,
-        spark.read.option("mergeSchema", "true").parquet(paths: _*))
+        mergedSchemaRead(spark, survivingDirs).parquet(paths: _*))
     if (df.schema.isEmpty) df
     else {
       val loF = Option(lower).map(l => col(statsCol) >= lit(l))
@@ -2477,14 +2530,16 @@ object SnapshotStore {
     */
   private def collectStats(written: DataFrame, statsCols: Seq[(String, String)])
       : (Map[Int, Seq[Option[(String, String)]]],
-         Map[Int, Map[String, Seq[Option[(String, String)]]]]) = {
-    if (statsCols.isEmpty) return (Map.empty, Map.empty)
+         Map[Int, Map[String, Seq[Option[(String, String)]]]],
+         Map[Int, Long]) = {
+    if (statsCols.isEmpty) return (Map.empty, Map.empty, Map.empty)
     // min/max are computed in the column's NATIVE type (string-cast
     // first would give lexicographic extremes — "9" > "10"), then
-    // string-encoded for the manifest
+    // string-encoded for the manifest. Row counts ride the SAME rollup
+    // (bucket-subtotal rows) — no separate count job per commit.
     val aggs = statsCols.flatMap { case (c, _) =>
       Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"))
-    }
+    } :+ count(lit(1)).as("__graft_rows")
     def encVal(v: Any): String = v match {
       case t: java.sql.Timestamp => (t.getTime * 1000L + (t.getNanos / 1000) % 1000).toString
       case other => other.toString
@@ -2508,7 +2563,10 @@ object SnapshotStore {
     val fileStats = rows.filter(_.getByte(3) == 0).groupBy(_.getInt(0)).map {
       case (b, rs) => b -> rs.map(r => r.getString(1) -> statsOf(r)).toMap
     }
-    (bucketStats, fileStats)
+    val rowCounts = rows.filter(_.getByte(3) == 1).map { r =>
+      r.getInt(0) -> r.getLong(4 + 2 * statsCols.size)
+    }.toMap
+    (bucketStats, fileStats, rowCounts)
   }
 
   // ------------------------------------------------------------------
@@ -2777,14 +2835,31 @@ object SnapshotStore {
     else {
       val bucketNames = fs.listStatus(vdir).toSeq
         .map(_.getPath.getName).filter(_.startsWith(s"$BucketCol="))
-      val (stats, fstats) =
-        if (statsCols.isEmpty || bucketNames.isEmpty)
+      // post-write bookkeeping, minimized per guide §1.2/§2.4:
+      //  - no declared stats: exact per-bucket row counts come from the
+      //    just-written parquet FOOTERS, read on the driver — ZERO Spark
+      //    jobs (the previous count job cost an extra schema-inference
+      //    job too: Spark 4's ParquetUtils.inferSchema launches
+      //    mergeSchemasInParallel even for one footer);
+      //  - declared stats: ONE rollup job computes per-bucket/per-file
+      //    min/max AND the row counts together, over an explicit-schema
+      //    read (was: an inference job + a stats job + a count job with
+      //    its own inference job — 4 jobs to 1 per write).
+      val (stats, fstats, counts) =
+        if (bucketNames.isEmpty)
           (Map.empty[Int, Seq[Option[(String, String)]]],
-           Map.empty[Int, Map[String, Seq[Option[(String, String)]]]])
-        else collectStats(df.sparkSession.read.parquet(vdir.toString), statsCols)
-      val counts =
-        if (bucketNames.isEmpty) Map.empty[Int, Long]
-        else bucketRowCounts(df.sparkSession, vdir.toString)
+           Map.empty[Int, Map[String, Seq[Option[(String, String)]]]],
+           Map.empty[Int, Long])
+        else if (statsCols.isEmpty) {
+          val c = footerBucketRowCounts(df.sparkSession, vdir, bucketNames, fs)
+            .getOrElse(bucketRowCounts(df.sparkSession, vdir.toString))
+          (Map.empty[Int, Seq[Option[(String, String)]]],
+           Map.empty[Int, Map[String, Seq[Option[(String, String)]]]], c)
+        } else {
+          val written = df.sparkSession.read.schema(placed.schema)
+            .parquet(vdir.toString)
+          collectStats(written, statsCols)
+        }
       bucketNames.map { name =>
         val b = name.stripPrefix(s"$BucketCol=").toInt
         b -> BucketEntry(s"$rel/$name", stats.getOrElse(b, statsCols.map(_ => None)),
@@ -2792,6 +2867,38 @@ object SnapshotStore {
       }.toMap
     }
   }
+
+  /** Exact per-bucket row counts from the attempt dir's parquet footers,
+    * read ON THE DRIVER — the row counts in a committed footer are final
+    * and exact, so this replaces a Spark count job (plus the schema-
+    * inference job Spark 4 runs before it) with O(files) local metadata
+    * reads. None on any I/O surprise → caller falls back to the job.
+    */
+  private def footerBucketRowCounts(spark: SparkSession, vdir: Path,
+                                    bucketNames: Seq[String], fs: FileSystem)
+      : Option[Map[Int, Long]] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val hconf = spark.sessionState.newHadoopConf()
+      Some(bucketNames.map { name =>
+        val b = name.stripPrefix(s"$BucketCol=").toInt
+        val files = fs.listStatus(new Path(vdir, name)).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+        val n = files.map { st =>
+          org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+            hconf, st.getPath,
+            org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+            .getBlocks.asScala.map(_.getRowCount).sum
+        }.sum
+        b -> n
+      }.toMap)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] footer row-count read failed " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}) — falling back to a count job")
+        None
+    }
 
   /** Exact per-bucket row counts of a freshly written attempt dir —
     * an empty-projection count over partitioned parquet, which the
@@ -3462,9 +3569,9 @@ object SnapshotStore {
       // knows; unionByName(allowMissing) spans additive schema
       // evolution (old buckets null-fill newer columns)
       val parts = frag.map { b =>
+        val dir = dataPath(root, m.buckets(b).dir).toString
         antiJoinTombstones(spark, root, m, Set(b),
-          spark.read.option("mergeSchema", "true")
-            .parquet(dataPath(root, m.buckets(b).dir).toString))
+          mergedSchemaRead(spark, Seq(dir)).parquet(dir))
           .withColumn(BucketCol, lit(b))
       }
       val df = parts.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -3494,19 +3601,26 @@ object SnapshotStore {
       val anyBucketWritten = fs.exists(new Path(root, rel)) &&
         fs.listStatus(new Path(root, rel))
           .exists(_.getPath.getName.startsWith(s"$BucketCol="))
-      val (freshBucketStats, freshFileStats)
+      val (freshBucketStats, freshFileStats, rollupCounts)
           : (Map[Int, Seq[Option[(String, String)]]],
-             Map[Int, Map[String, Seq[Option[(String, String)]]]]) =
+             Map[Int, Map[String, Seq[Option[(String, String)]]]],
+             Map[Int, Long]) =
         if (anyBucketWritten && m.statsCols.nonEmpty &&
             (maxRecordsPerFile > 0 || foldedAny))
           collectStats(spark.read.parquet(new Path(root, rel).toString), m.statsCols)
-        else (Map.empty, Map.empty)
+        else (Map.empty, Map.empty, Map.empty)
       // fresh physical counts for the rewritten buckets (folding
-      // tombstones changes them) — one footers-only scan of the
-      // attempt dir, same metadata order as the fstats census below
+      // tombstones changes them) — ride the stats rollup when it ran,
+      // else driver-side footer reads (count-job fallback)
       val freshCounts: Map[Int, Long] =
-        if (fs.exists(new Path(root, rel)))
-          bucketRowCounts(spark, new Path(root, rel).toString)
+        if (rollupCounts.nonEmpty) rollupCounts
+        else if (anyBucketWritten) {
+          val vd = new Path(root, rel)
+          val names = fs.listStatus(vd).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith(s"$BucketCol="))
+          footerBucketRowCounts(spark, vd, names, fs)
+            .getOrElse(bucketRowCounts(spark, vd.toString))
+        }
         else Map.empty
       val rewritten = frag.flatMap { b =>
         val dir = s"$rel/$BucketCol=$b"

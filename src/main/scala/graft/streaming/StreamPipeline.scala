@@ -59,6 +59,31 @@ object StreamPipeline {
   private[graft] def writeLayoutMarker(targetDir: String, numBuckets: Int): Unit =
     Files.writeString(Paths.get(targetDir, LayoutMarker), numBuckets.toString)
 
+  /** Reader over a bucket-partitioned merge target whose union schema
+    * (across additive evolution) comes from one driver-side footer per
+    * bucket dir plus the explicit partition column — replacing a
+    * distributed mergeSchema inference job per micro-batch. Falls back
+    * to inference on any surprise.
+    */
+  private def mergedTargetRead(spark: SparkSession, targetDir: String)
+      : org.apache.spark.sql.DataFrameReader = {
+    val dataSchema =
+      try {
+        val dirs = Files.list(Paths.get(targetDir)).toArray.toSeq
+          .map(_.asInstanceOf[Path])
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith(s"$BucketCol="))
+          .map(_.toString)
+        if (dirs.isEmpty) None
+        else graft.store.SnapshotStore.mergedFooterSchema(spark, dirs)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    dataSchema match {
+      case Some(s) => spark.read.schema(s.add(BucketCol,
+        org.apache.spark.sql.types.IntegerType, nullable = true))
+      case None => spark.read.option("mergeSchema", "true")
+    }
+  }
+
   private[graft] def layoutBuckets(targetDir: String, fallback: Int): Int = {
     val f = Paths.get(targetDir, LayoutMarker)
     if (Files.exists(f)) Files.readString(f).trim.toInt else fallback
@@ -134,9 +159,11 @@ object StreamPipeline {
       recoverSwaps(targetDir)
       val b = withBucket(batch.toDF(), keys, layoutBuckets(targetDir, numBuckets))
       val touched = affectedBuckets(b)
-      // mergeSchema: after additive evolution, touched buckets may mix
-      // pre- and post-evolution files until each is next rewritten
-      val pruned = spark.read.option("mergeSchema", "true").parquet(targetDir)
+      // union schema across additive evolution from one driver-side
+      // footer per bucket dir (each dir is one job's write — one
+      // schema), instead of a distributed mergeSchema inference job
+      // per micro-batch
+      val pruned = mergedTargetRead(spark, targetDir).parquet(targetDir)
         .where(col(BucketCol).isin(touched: _*))
       val merged = deleteCol.fold(Scd1.merge(pruned, b, keys, orderBy))(c =>
         Scd1.mergeWithDeletes(pruned, b, keys, orderBy, c))
@@ -280,7 +307,7 @@ object StreamPipeline {
       recoverSwaps(targetDir)
       val b = withBucket(batch, keys, layoutBuckets(targetDir, numBuckets))
       val touched = affectedBuckets(b)
-      val pruned = spark.read.option("mergeSchema", "true").parquet(targetDir)
+      val pruned = mergedTargetRead(spark, targetDir).parquet(targetDir)
         .where(col(BucketCol).isin(touched: _*))
       writeAffected(Scd2.applyDelta(pruned, b, keys, ts, tiebreak, deleteCol), targetDir, touched)
     }

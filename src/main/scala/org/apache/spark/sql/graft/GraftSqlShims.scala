@@ -38,6 +38,38 @@ object GraftSqlShims {
   def toV1Filters(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Array[org.apache.spark.sql.sources.Filter] =
     org.apache.spark.sql.internal.connector.PredicateUtils.toV1(predicates)
+
+  /** One parquet FOOTER's Spark schema, converted with the SAME
+    * session-conf-driven converter Spark's own schema inference uses
+    * (binary-as-string, int96-as-timestamp, timestamp_ntz inference,
+    * nanos-as-long, field ids) — so a driver-side footer read is a
+    * drop-in replacement for the distributed `mergeSchema` inference
+    * job on directories whose files share one schema (guide §1/§6:
+    * every graft bucket dir is written by ONE job under ONE schema, so
+    * one footer per dir IS the dir's schema).
+    */
+  def parquetFooterSchema(spark: SparkSession,
+                          hconf: org.apache.hadoop.conf.Configuration,
+                          file: org.apache.hadoop.fs.Path): StructType = {
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      hconf, file,
+      org.apache.parquet.format.converter.ParquetMetadataConverter.SKIP_ROW_GROUPS)
+    new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetToSparkSchemaConverter(spark.sessionState.conf)
+      .convert(footer.getFileMetaData.getSchema)
+  }
+
+  /** `StructType.merge` (private[sql]) — the exact merge Spark's
+    * mergeSchema inference applies, so driver-side per-dir footer
+    * schemas combine identically to the distributed job's result.
+    */
+  def mergeStructs(a: StructType, b: StructType): StructType = a.merge(b)
+
+  /** `StructType.asNullable` (private[sql]): file-source relations
+    * present nullable fields regardless of footer repetition — applied
+    * so the footer-derived schema matches inference exactly.
+    */
+  def asNullable(s: StructType): StructType = s.asNullable
 }
 
 /** `SupportsStreamingUpdateAsAppend` is `private[sql]` — this public
