@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{DotProductE12, SignBuckets}
+import graft.plans.{ArgmaxDotsE12, DotProductE12, PqAdcE12, PqCodesE12, SignBuckets}
 
 /** Session wiring for graft's native expressions.
   *
@@ -29,7 +29,16 @@ object GraftFunctions {
       (args: Seq[Expression]) => DotProductE12(args(0), args(1))),
     ("graft_sign_buckets",
       new ExpressionInfo(classOf[SignBuckets].getName, "graft_sign_buckets"),
-      (args: Seq[Expression]) => SignBuckets(args(0), args(1)))) ++
+      (args: Seq[Expression]) => SignBuckets(args(0), args(1))),
+    ("graft_argmax_dots",
+      new ExpressionInfo(classOf[ArgmaxDotsE12].getName, "graft_argmax_dots"),
+      (args: Seq[Expression]) => ArgmaxDotsE12(args(0), args(1))),
+    ("graft_pq_codes",
+      new ExpressionInfo(classOf[PqCodesE12].getName, "graft_pq_codes"),
+      (args: Seq[Expression]) => PqCodesE12(args(0), args(1))),
+    ("graft_pq_adc",
+      new ExpressionInfo(classOf[PqAdcE12].getName, "graft_pq_adc"),
+      (args: Seq[Expression]) => PqAdcE12(args(0), args(1), args(2)))) ++
     // the SQL-surface scalar functions: builders that re-emit the
     // library's own Column definitions (functions/SqlFuncs.scala)
     graft.functions.SqlFuncs.injections.map { case (name, builder) =>

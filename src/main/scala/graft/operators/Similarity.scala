@@ -240,13 +240,13 @@ object Similarity {
     require(centroids.nonEmpty, "ivfTrain: empty corpus — no centroids to train")
     val corpusPar = Parallelize.ensure(corpus)
     (1 to trainIters).foreach { _ =>
-      val dots0 = centroidDots(centroids) _
       // assignment in its own select BELOW the posexplode one: a
-      // generator alongside it would hoist the nlist-dot argmax above
-      // the Generate and re-evaluate it per exploded element (dim×/row)
+      // generator alongside it would hoist the argmax above the
+      // Generate and re-evaluate it per exploded element (dim×/row).
+      // The argmax itself is the [[ivfAssignExpr]] kernel — identical
+      // arithmetic to the former 2·nlist-dot array_position tree
       val assigned0 = corpusPar.select(col(vecCol),
-        array_position(dots0(col(vecCol)), array_max(dots0(col(vecCol))))
-          .cast("int").as("__list"))
+        ivfAssignExpr(col(vecCol), centroids).as("__list"))
         .select(col("__list"), posexplode(col(vecCol)).as(Seq("__i", "__x")))
       val updated = assigned0
         .groupBy(col("__list"), col("__i"))
@@ -279,10 +279,11 @@ object Similarity {
     * compute the list inline — no join against a corpus-sized
     * assignment frame.
     */
-  def ivfAssignExpr(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val d = centroidDots(centroids)(vec)
-    array_position(d, array_max(d)).cast("int")
-  }
+  def ivfAssignExpr(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    // one native kernel node replacing the nlist-dot argmax tree —
+    // same e12 dots of the float-cast centroids, same first-max
+    // tie-break, same null algebra ([[graft.plans.ArgmaxDotsE12]])
+    call_function("graft_argmax_dots", vec, typedLit(centroids))
 
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
                 centroids: Seq[Seq[Double]]): DataFrame = {
@@ -393,34 +394,22 @@ object Similarity {
     when(n === 0d, vec).otherwise(transform(vec, x => x / n))
   }
 
-  /** Plain (non-spherical) Lloyd over ONE subspace slice: argmin L2 =
-    * argmax(dot − ‖c‖²/2), centroid update is the e6-integer-exact
-    * mean — bit-deterministic like [[ivfTrain]], but without the
-    * unit-normalization step (PQ centroids must sit at the data mean
-    * to minimize reconstruction error; a unit-norm constraint would
-    * inflate it).
-    */
-  private def subspaceScores(cents: Seq[Seq[Double]])(vec: Column): Column =
-    // direct array of (native dot − literal half-norm) — NOT zip_with
-    // over centroidDots: higher-order functions are CodegenFallback, and
-    // an interpreted root drags the whole m·k-dot subtree out of
-    // whole-stage codegen (the assignment pass ran ~3× slower that way)
-    // half-norms scaled to the dot's e12 units (the earlier zip_with
-    // form subtracted raw-unit half-norms from e12 dots — numerically
-    // a no-op, so assignment degenerated to plain argmax-dot)
-    array(cents.map(c =>
-      VecFuncs.dotE12Native(vec, typedLit(c.map(_.toFloat))).cast("double")
-        - lit(c.map(x => x * x).sum / 2 * 1e12)): _*)
-
   /** The per-subspace code array for one (normalized, float-cast)
     * vector against a full set of codebooks — shared by training,
-    * encode, and any reranker.
+    * encode, and any reranker. Per subspace this is plain
+    * (non-spherical) Lloyd assignment: argmin L2 = argmax(dot − ‖c‖²/2)
+    * with half-norms scaled to the dot's e12 units (PQ centroids must
+    * sit at the data mean to minimize reconstruction error; a
+    * unit-norm constraint would inflate it). ONE native kernel node
+    * ([[graft.plans.PqCodesE12]]): identical arithmetic (e12 dots of
+    * the float-cast codebooks, half-norm-adjusted argmin-L2, first-max
+    * tie-break) to the former m·k-dot
+    * `array(array_position(scores, array_max(scores)) …)` tree, whose
+    * hundreds of literal-array nodes made Catalyst planning HALF of
+    * the PQ keys' wall time.
     */
   private def pqCodes(nv: Column, codebooks: Seq[Seq[Seq[Double]]], w: Int): Column =
-    array(codebooks.zipWithIndex.map { case (cb, sub) =>
-      val scores = subspaceScores(cb)(slice(nv, sub * w + 1, w))
-      array_position(scores, array_max(scores)).cast("int")
-    }: _*)
+    call_function("graft_pq_codes", nv, typedLit(codebooks))
 
   /** Train PQ codebooks: the (normalized) vector splits into `m`
     * contiguous subspaces and each gets its own `k`-centroid plain
@@ -524,14 +513,13 @@ object Similarity {
     val enc = pqEncode(corpus, idCol, vecCol, codebooks, dim)
     val q = queries.select(col(idCol).as("query_id"),
       normalized(col(vecCol)).cast("array<float>").as("__qv"))
-    // reconstruction = concat of the looked-up subspace centroids,
-    // float-typed so the ADC dot runs in the codegen'd e12 kernel (the
-    // HOF zip_with/aggregate form evaluated interpreted per pair)
-    val recon = concat(codebooks.zipWithIndex.map { case (cb, sub) =>
-      element_at(typedLit(cb.map(_.map(_.toFloat))),
-        element_at(col("codes"), sub + 1))
-    }: _*)
-    val adc = VecFuncs.dotE12Native(col("__qv"), recon).cast("double")
+    // ADC dot against the code's reconstruction as ONE kernel node
+    // ([[graft.plans.PqAdcE12]]): identical to the former
+    // concat(element_at(litFloat(cb), code)) → dot_e12 tree (same e6
+    // float rounding, same null algebra), minus the per-row concat
+    // allocation and the m·k literal-array plan nodes
+    val adc = call_function("graft_pq_adc", col("__qv"), col("codes"),
+      typedLit(codebooks)).cast("double")
     val wd = Window.partitionBy(col("query_id"))
       .orderBy(col("__adc").desc, col("neighbor_id").asc)
     val short = enc.select(col(idCol).as("neighbor_id"), col("codes"))
@@ -596,13 +584,12 @@ object Similarity {
       normalized(col(vecCol)).cast("array<float>").as("__qv"))
       .select(col("query_id"), col("__qv"),
         explode(probeListsExpr(col("__qv"), cents, nprobe)).as("__list"))
-    val recon = concat(books.zipWithIndex.map { case (cb, sub) =>
-      element_at(typedLit(cb.map(_.map(_.toFloat))),
-        element_at(col("codes"), sub + 1))
-    }: _*)
+    // residual ADC term as one kernel node (see [[pqTopK]]); the coarse
+    // term stays a single e12 dot against the looked-up list centroid
     val adc = (VecFuncs.dotE12Native(col("__qv"),
         element_at(typedLit(centsF), col("__list"))) +
-      VecFuncs.dotE12Native(col("__qv"), recon)).cast("double")
+      call_function("graft_pq_adc", col("__qv"), col("codes"),
+        typedLit(books))).cast("double")
     val wd = Window.partitionBy(col("query_id"))
       .orderBy(col("__adc").desc, col("neighbor_id").asc)
     // each corpus row lives in exactly ONE list and probed lists are

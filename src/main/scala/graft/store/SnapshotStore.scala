@@ -3165,12 +3165,29 @@ object SnapshotStore {
     val inScanned =
       if (scanned.isEmpty) replacement.limit(0)
       else bucketed.where(col(BucketCol).isInCollection(scanned)).drop(BucketCol)
-    val outsideB =
-      if (scanned.isEmpty) bucketed
-      else bucketed.where(!col(BucketCol).isInCollection(scanned))
-    val outsideTouched = outsideB.select(BucketCol).distinct()
-      .collect().map(_.getInt(0)).toSet // ≤ numBuckets ids — metadata-sized
-    val outside = outsideB.drop(BucketCol)
+    val outside =
+      (if (scanned.isEmpty) bucketed
+       else bucketed.where(!col(BucketCol).isInCollection(scanned)))
+        .drop(BucketCol)
+    // ONE census job answers everything the pre-write logic needs: the
+    // bucket ids the replacement hashes into AND whether any bucket
+    // holds a duplicate merge key (equal key tuples always share a
+    // bucket — the bucket IS a hash of the keys — so a per-bucket dup
+    // is exactly a global dup). This used to be three separate
+    // executions of the full replacement plan (bucket distinct +
+    // per-side hasKeyDup group-counts); each one re-ran the
+    // copy-on-write scan of the affected buckets (guide §1.2: remove
+    // whole passes before tuning anything inside one).
+    // ≤ numBuckets rows reach the driver — metadata-sized.
+    val census = bucketed
+      .groupBy(col(BucketCol) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("__graft_n"))
+      .groupBy(col(BucketCol))
+      .agg(max(col("__graft_n")).as("__graft_max"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1) > 1L)).toMap
+    val outsideTouched = census.keySet -- scanned
+    val dupInScanned = census.exists { case (b, dup) => dup && scanned(b) }
+    val dupOutside = census.exists { case (b, dup) => dup && !scanned(b) }
     val touched = scanned ++ outsideTouched
     def hasKeyDup(df: DataFrame): Boolean =
       df.groupBy(keys.map(col): _*).count()
@@ -3185,10 +3202,9 @@ object SnapshotStore {
     // row of the scanned buckets, a changed one is not. The
     // classification (two delta-sized exceptAlls + a keyed merge) runs
     // ONLY when a duplicate key is actually detected — the common
-    // statement pays one map-combined count aggregate over the
-    // affected buckets and nothing else.
+    // statement pays the single census above and nothing else.
     val mergedIn =
-      if (scanned.isEmpty || !hasKeyDup(inScanned)) inScanned
+      if (scanned.isEmpty || !dupInScanned) inScanned
       else {
         val curS = readBuckets(spark, root, m, scanned)
         val curAligned =
@@ -3206,7 +3222,7 @@ object SnapshotStore {
     val mergedOutside =
       if (outsideTouched.isEmpty) outside
       else {
-        if (hasKeyDup(outside)) throw new IllegalStateException(
+        if (dupOutside) throw new IllegalStateException(
           s"row-level rewrite at $root inserts one merge key twice — a " +
             "keyed graft table holds one row per key; deduplicate the source")
         val current = readBuckets(spark, root, m, outsideTouched)
