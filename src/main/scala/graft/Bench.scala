@@ -100,11 +100,27 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // r19 measurement fix (declared in OPTIMIZATION_r19.md; r18 verdict
+    // item 1): one UNTIMED rep at the MEASURED SF before each key's
+    // timed reps, uniformly for every key. The sf0.001 warm-up loop
+    // compiles each query's codegen, but BENCH_r18's driver run showed
+    // the first ~12 iteration-order keys of a fresh 32-core JVM
+    // inflated 2–6× with ~zero external CPU — a start-of-run JIT/heap
+    // ramp the small-SF pass does not cover (solo TimeOne adjudication:
+    // plans/r19/adjudication_timeone.txt). The timed reps are unchanged
+    // and each still computes from the parquet inputs (cache cleared
+    // per rep). SPARK_GRAFT_MEASURED_WARM=0 restores the old
+    // methodology for A/B comparison.
+    val measuredWarm = sys.env.getOrElse("SPARK_GRAFT_MEASURED_WARM", "1") != "0"
     /** Time one key's reps and the average EXTERNAL cores busy during
       * its window (0 where /proc/stat or the com.sun bean is absent).
       */
     def timeKey(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Seq[Double], Double) = {
+      if (measuredWarm) {
+        spark.catalog.clearCache(); graft.Caching.unpersistAll()
+        try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+      }
       val w0 = System.nanoTime()
       val c0 = cpuTotals()
       val times = (1 to reps).map { _ =>

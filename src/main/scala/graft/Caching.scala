@@ -8,11 +8,13 @@ import org.apache.spark.storage.StorageLevel
 /** Owned lifecycle for the persists graft operators create internally.
   *
   * Several operators ([[operators.Dedup.ngramJaccard]],
-  * [[operators.Similarity.lshTopK]],
-  * [[operators.Dedup.embeddingNearDupsLsh]], q36) materialize a small
-  * intermediate frame that their returned plan references more than
-  * once (AQE's broadcast conversion can break ReuseExchange subtree
-  * identity, re-running the whole signature pipeline per reference).
+  * [[operators.Dedup.semanticDedup]], q36, t12, and the d04/d07
+  * shingle-hash frame) materialize a small intermediate frame that
+  * their returned plan references more than once (AQE's broadcast
+  * conversion can break ReuseExchange subtree identity, re-running the
+  * whole signature pipeline per reference). (lshTopK and
+  * embeddingNearDupsLsh stopped persisting in r19 — their set-based
+  * candidate generation references the fan-out exactly once.)
   * Because the operator returns a LAZY frame, it cannot unpersist
   * before the caller's action — so every internal persist is
   * registered here, and callers release them all with ONE call:

@@ -588,11 +588,24 @@ object Queries {
   // order key — one shuffle, pairs never leave their reducer).
   // =====================================================================
   val q21: Q = (s, d) => {
+    // ONE scan + ONE shuffle on the order key (guide §2.3 "aggregate
+    // before you shuffle", §2.4 remove the self-join): baskets are
+    // collected per order, pairs generated INSIDE the reducer. The
+    // former a⋈b self-join read lineitem twice and broadcast one full
+    // copy (at scale: shuffled+sorted both copies). Pair multiplicity
+    // is exactly the join's: each occurrence of p × each occurrence of
+    // a strictly greater q in the same order yields one pair, and
+    // null keys drop like join keys (l_orderkey/l_partkey carry no
+    // nulls, filters kept for exact plan parity with the join form).
     val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey"))
-    val a = li.toDF("ok", "part_a")
-    val b = li.toDF("ok", "part_b")
-    val pairs = a.join(b, "ok").where(col("part_a") < col("part_b"))
+      .where(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
+    val baskets = li.groupBy(col("ok"))
+      .agg(sort_array(collect_list(col("part"))).as("parts"))
+    val pairs = baskets
+      .select(explode(col("parts")).as("part_a"), col("parts"))
+      .select(col("part_a"),
+        explode(filter(col("parts"), p => p > col("part_a"))).as("part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_orders_together"))
     pairs.orderBy(col("n_orders_together").desc, col("part_a").asc, col("part_b").asc)

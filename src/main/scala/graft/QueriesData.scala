@@ -54,14 +54,13 @@ object QueriesData {
   val d04: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     // ONE shingle expansion serves both the signature pass and the
-    // exact verify pass (min over distinct hashes == min over all);
-    // the banded form is materialized too — tiny, but its LINEAGE is
-    // the signature pipeline, which the candidate self-join references
-    // twice (AQE's broadcast of one side defeats ReuseExchange dedup)
+    // exact verify pass (min over distinct hashes == min over all).
+    // The banded form is NOT persisted since r19: candidatePairs
+    // references it exactly once (set-based pair generation), so the
+    // materialization pass the old self-join forced is gone.
     val hashes = Dedup.shingleHashes(docs, "text", "doc_id")
       .transform(graft.Caching.persistTracked(_))
     val bands = Dedup.minhashBandsFromHashes(hashes, "doc_id")
-      .transform(graft.Caching.persistTracked(_))
     val cands = Dedup.candidatePairs(bands, "doc_id")
     Dedup.ngramJaccardFromHashes(cands, hashes, "doc_id")
       .withColumn("is_near_dup", col("jaccard_e6") >= 500000L)
@@ -82,8 +81,8 @@ object QueriesData {
     val docs = Tables.documents(s, d)
     val hashes = Dedup.shingleHashes(docs, "text", "doc_id")
       .transform(graft.Caching.persistTracked(_))
+    // bands not persisted since r19 — single reference (see d04)
     val bands = Dedup.minhashBandsFromHashes(hashes, "doc_id")
-      .transform(graft.Caching.persistTracked(_))
     val verified = Dedup.ngramJaccardFromHashes(
         Dedup.candidatePairs(bands, "doc_id"), hashes, "doc_id")
       .where(col("jaccard_e6") >= 500000L)
@@ -852,19 +851,21 @@ object QueriesData {
       .where(size(col("__t")) > 0)
     val chunks = toks.select(col("source"),
       explode(TextFuncs.passageChunks(col("__t"), chunkLen)).as("chunk"))
-      .distinct()
-    val rare = chunks.groupBy(col("chunk"))
-      .agg(count(lit(1)).as("__df"))
-      .where(col("__df") <= maxDf)
-      .select("chunk")
-    // narrow (chunk, source) frame, referenced by BOTH self-join sides
-    // — materialize once or AQE's broadcast of one side re-runs the
-    // whole segmentation+census pipeline per side (the d04 lesson)
-    val filtered = graft.Caching.persistTracked(
-      chunks.join(rare, Seq("chunk"), "left_semi"))
-    filtered.select(col("chunk"), col("source").as("source_a"))
-      .join(filtered.select(col("chunk"), col("source").as("source_b")), Seq("chunk"))
-      .where(col("source_a") < col("source_b"))
+    // ONE groupBy on the chunk replaces [distinct → census groupBy →
+    // semi-join → persist → self-join] (guide §2.3 aggregate before you
+    // shuffle, §2.4 remove shuffles outright): collect_set dedupes
+    // (chunk, source) exactly like the old distinct, size(set) IS the
+    // census, and the source pairs are generated INSIDE the reducer —
+    // the set is bounded by the source domain, and the maxDf cap keeps
+    // the fan-out ≤ maxDf² exactly as before. One pass over the corpus,
+    // two exchanges total, nothing persisted.
+    val grouped = chunks.groupBy(col("chunk"))
+      .agg(sort_array(collect_set(col("source"))).as("__ss"))
+      .where(size(col("__ss")) <= maxDf)
+    grouped
+      .select(explode(col("__ss")).as("source_a"), col("__ss"))
+      .select(col("source_a"),
+        explode(filter(col("__ss"), x => x > col("source_a"))).as("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_shared_passages"))
   }

@@ -10,8 +10,35 @@ import org.apache.spark.sql.types.LongType
   * place.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** One driver-side footer read supplies the read schema explicitly:
+    * Spark 4's schema inference launches a distributed job per
+    * `read.parquet` call (ParquetUtils.inferSchema →
+    * mergeSchemasInParallel, even for a single footer), and EVERY
+    * bench/verify key paid that job once per source table per
+    * construction (profiled r19: `mergeSchemasInParallel` showed up in
+    * every key's driver samples, 2–5%). The footer conversion is the
+    * same conf-driven one inference uses (GraftSqlShims — serialized
+    * Spark schema preferred, nanos-as-long honored), `asNullable`
+    * matches how file-source relations present fields. Any surprise
+    * falls back loudly to the inference path (guide §1.2: remove whole
+    * jobs; §5: O(1) metadata work belongs on the driver).
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema =
+      try Some(org.apache.spark.sql.graft.GraftSqlShims.asNullable(
+        org.apache.spark.sql.graft.GraftSqlShims.parquetFooterSchema(
+          spark, spark.sessionState.newHadoopConf(),
+          new org.apache.hadoop.fs.Path(path))))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] table footer-schema read failed for " +
+            s"$path (${e.getClass.getSimpleName}: ${e.getMessage}) — falling " +
+            "back to schema inference")
+          None
+      }
+    schema.fold(spark.read.parquet(path))(s => spark.read.schema(s).parquet(path))
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

@@ -558,11 +558,10 @@ object GraftTable {
     // back to the inference path so error behavior is unchanged
     val footerBase =
       if (dirs.isEmpty) None
-      else SnapshotStore.mergedFooterSchema(spark, dirs).orElse {
-        System.err.println(s"[graft] resolution footer-schema fell back " +
-          s"to mergeSchema inference for $root")
-        Some(spark.read.option("mergeSchema", "true").parquet(dirs: _*).schema)
-      }
+      // mergedFooterSchema logs its own failures — no caller-side
+      // second message (r18 ADVICE: the fallback double-logged)
+      else SnapshotStore.mergedFooterSchema(spark, dirs).orElse(
+        Some(spark.read.option("mergeSchema", "true").parquet(dirs: _*).schema))
     // a table declaring `dml.mode=delta` (TBLPROPERTIES, recorded at
     // creation) carries the not-null-merge-key contract — every write
     // path REJECTS null key values ([[SnapshotStore.writeVersionData]])

@@ -224,8 +224,15 @@ class GraftStagedWrite(root: String, writeSchema: StructType,
       val files = messages.collect { case GraftStagedFile(p, n) if n > 0 => p }
       val staged = GraftStagedIO.stagedDf(spark, files.toSeq, dataSchema)
       val keys = GraftWrite.resolveKeys(spark, root, Nil, exists = true)
+      // a group-based DELETE's replacement rows are exactly the
+      // SURVIVING current rows of the scanned buckets — a subset, so
+      // the commit can skip its dup/outside census job (rows keep
+      // their buckets and key uniqueness carries over); UPDATE/MERGE
+      // can rewrite keys and must keep the census
       SnapshotStore.replaceBuckets(spark, root, op.scannedBuckets, staged,
-        keys, basedOnVersion = op.scanVersion): Unit
+        keys, basedOnVersion = op.scanVersion,
+        replacementIsSubset =
+          op.command() == RowLevelOperation.Command.DELETE): Unit
     } finally cleanupStaging()
   }
 

@@ -119,22 +119,28 @@ object Dedup {
   }
 
   /** Distinct candidate pairs (a < b) from shared band keys — the
-    * linear-ish LSH path: shuffle on band_key, join within buckets
-    * only.
+    * linear-ish LSH path: ONE shuffle on band_key (map-side-partial
+    * collect_set), pairs generated inside the reducer from each band's
+    * sorted member set, then the distinct.
     *
-    * Self-join note: at data scale both sides plan as identical
-    * shuffle subtrees and Spark's ReuseExchange computes the
-    * signatures once; on tiny inputs AQE may broadcast one side
-    * (recomputing it), which is cheap exactly because the input is
-    * tiny. Callers that materialize signatures anyway should persist
-    * `bandsDf` themselves before calling.
+    * r19 (guide §2.3 aggregate before you shuffle, §2.4 remove
+    * shuffles outright): the former self-join shuffled/broadcast the
+    * band frame TWICE and — because `bandsDf` is typically the tail of
+    * the whole signature pipeline — forced callers to persist it so
+    * AQE's broadcast of one side couldn't re-run the pipeline. The set
+    * form references `bandsDf` exactly ONCE, so no persist pass is
+    * needed at all. Pair fan-out per band is quadratic in the band's
+    * member count in BOTH forms (that is LSH's candidate semantics);
+    * the set additionally bounds it by distinct members.
     */
-  def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
-    val l = bandsDf.select(col("band_key"), col(idCol).as("id_a"))
-    val r = bandsDf.select(col("band_key"), col(idCol).as("id_b"))
-    l.join(r, Seq("band_key")).where(col("id_a") < col("id_b"))
+  def candidatePairs(bandsDf: DataFrame, idCol: String): DataFrame =
+    bandsDf.groupBy(col("band_key"))
+      .agg(sort_array(collect_set(col(idCol))).as("__ids"))
+      .where(size(col("__ids")) > 1)
+      .select(explode(col("__ids")).as("id_a"), col("__ids"))
+      .select(col("id_a"),
+        explode(filter(col("__ids"), x => x > col("id_a"))).as("id_b"))
       .select("id_a", "id_b").distinct()
-  }
 
   /** Exact n-gram Jaccard verification for candidate pairs.
     * Jaccard is emitted as floor(1e6 * |∩| / |∪|) — integer-exact.
@@ -178,14 +184,17 @@ object Dedup {
     // fan each pair out by doc A's shingles, then match doc B's
     // shingles on (id_b, hash): matched rows are the shared shingles.
     // Left joins keep zero-shingle / zero-overlap pairs (count of a
-    // null match column = 0).
+    // null match column = 0). |A| rides the SAME aggregation —
+    // count of A's non-null hashes per pair is exactly doc A's set
+    // size, so only |B| needs the sizes join (r19, guide §2.4: one
+    // join against the corpus-sized per-doc size table removed).
     pairs
       .join(exploded.select(col("__id").as("id_a"), col("__h")), Seq("id_a"), "left")
       .join(exploded.select(col("__id").as("id_b"), col("__h"), lit(1).as("__m")),
         Seq("id_b", "__h"), "left")
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(col("__m")).cast("int").as("n_inter"))
-      .join(sizes.select(col("__id").as("id_a"), col("__sz").as("__sz_a")), Seq("id_a"))
+      .agg(count(col("__m")).cast("int").as("n_inter"),
+        count(col("__h")).cast("int").as("__sz_a"))
       .join(sizes.select(col("__id").as("id_b"), col("__sz").as("__sz_b")), Seq("id_b"))
       .withColumn("n_union", col("__sz_a") + col("__sz_b") - col("n_inter"))
       .withColumn("jaccard_e6",
@@ -417,32 +426,27 @@ object Dedup {
                            maxBucketSize: Long = 10000L): DataFrame = {
     graft.GraftFunctions.register(emb.sparkSession)
     val tables = Similarity.planeTables(numTables, planesPerTable, dim)
-    // narrow fan-out, referenced three times below (census + both
-    // self-join sides) — materialize once (harnesses clearCache()
-    // between queries)
-    val fanout = graft.Caching.persistTracked(
-      Parallelize.ensure(emb).select(col(idCol).as("__id"),
+    // ONE shuffle on (table_idx, bucket): map-side-partial collect_set
+    // groups each bucket's member ids, the degenerate-bucket cap is a
+    // size(set) filter (fan-out rows are unique per (id, table), so
+    // the old census COUNT ≡ the set size — a hot bucket, e.g.
+    // zero/padding vectors sharing every table's bucket, is dropped
+    // exactly as before and its members stay reachable through tables
+    // where they spread normally), and candidate pairs are generated
+    // INSIDE the reducer from each bucket's sorted set. r19 (guide
+    // §2.3/§2.4): removes the census job, the broadcast anti-join,
+    // the bucket self-join, and the fan-out persist + materialization
+    // pass (the fan-out is referenced exactly once now).
+    val grouped = Parallelize.ensure(emb).select(col(idCol).as("__id"),
         posexplode(Similarity.tableBuckets(col(vecCol), tables))
-          .as(Seq("table_idx", "bucket"))))
-    // degenerate-bucket cap: a hot bucket — e.g. zero/padding vectors,
-    // which share EVERY table's bucket — would otherwise make the
-    // self-join quadratic in its size. Census via groupBy (map-side
-    // partials, key domain ≤ numTables·2^planesPerTable — metadata),
-    // oversized buckets broadcast-anti-joined away: no single task
-    // ever holds a hot bucket, unlike the previous window-count form.
-    // Capped buckets' members remain reachable through any table
-    // where they spread normally.
-    val oversized = fanout.groupBy(col("table_idx"), col("bucket"))
-      .agg(count(lit(1)).as("__bsz"))
-      .where(col("__bsz") > maxBucketSize)
-      .select("table_idx", "bucket")
-    val buckets = fanout
-      .join(broadcast(oversized), Seq("table_idx", "bucket"), "left_anti")
-      .select("table_idx", "bucket", "__id")
-    val cand = buckets.select(col("table_idx"), col("bucket"), col("__id").as("vec_id_a"))
-      .join(buckets.select(col("table_idx"), col("bucket"), col("__id").as("vec_id_b")),
-        Seq("table_idx", "bucket"))
-      .where(col("vec_id_a") < col("vec_id_b"))
+          .as(Seq("table_idx", "bucket")))
+      .groupBy(col("table_idx"), col("bucket"))
+      .agg(sort_array(collect_set(col("__id"))).as("__ids"))
+      .where(size(col("__ids")) <= maxBucketSize)
+    val cand = grouped
+      .select(explode(col("__ids")).as("vec_id_a"), col("__ids"))
+      .select(col("vec_id_a"),
+        explode(filter(col("__ids"), x => x > col("vec_id_a"))).as("vec_id_b"))
       .select("vec_id_a", "vec_id_b").distinct()
     val side = (suffix: String) => emb.select(
       col(idCol).as(s"vec_id_$suffix"), col(vecCol).as(s"v$suffix"),

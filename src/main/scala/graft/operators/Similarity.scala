@@ -98,13 +98,6 @@ object Similarity {
     graft.GraftFunctions.register(corpus.sparkSession)
     val tables = planeTables(numTables, planesPerTable, dim)
 
-    // the corpus fan-out is NARROW (id, table_idx, bucket) but its
-    // lineage is the whole signature computation; it is referenced
-    // twice below (bucket census + candidate join), so materialize it
-    // once (registered in graft.Caching)
-    val c = graft.Caching.persistTracked(
-      Parallelize.ensure(corpus).select(col(idCol).as("neighbor_id"),
-        posexplode(tableBuckets(col(vecCol), tables)).as(Seq("table_idx", "bucket"))))
     // query probes: the exact bucket plus every 1-bit flip of it
     def probeSet(b: Column): Column =
       if (probeBits < 1) array(b)
@@ -114,19 +107,23 @@ object Similarity {
       .select(col("query_id"), col("table_idx"),
         explode(probeSet(col("bucket0"))).as("bucket"))
 
-    // degenerate-bucket cap: a bucket census via groupBy (map-side
-    // partial counts over a key domain of ≤ numTables·2^planesPerTable
-    // — metadata-sized), keep only the oversized buckets, and
-    // broadcast anti-join them away. The earlier window-count form
-    // shuffled the full fan-out AND funneled the pathological hot
-    // bucket — the very thing the cap defuses — into a single task
-    // before dropping it.
-    val oversized = c.groupBy(col("table_idx"), col("bucket"))
-      .agg(count(lit(1)).as("__bsz"))
-      .where(col("__bsz") > maxBucketSize)
-      .select("table_idx", "bucket")
-    val cand = c.join(broadcast(oversized), Seq("table_idx", "bucket"), "left_anti")
-      .join(broadcast(probes), Seq("table_idx", "bucket"))
+    // ONE shuffle on (table_idx, bucket): map-side-partial collect_set
+    // groups each bucket's member ids; the degenerate-bucket cap is a
+    // size(set) filter (fan-out rows are unique per (id, table), so the
+    // old census COUNT ≡ the set size), and the broadcast probe join
+    // explodes only probe-HIT buckets' member sets. r19 (guide
+    // §2.3/§2.4): this removes the r18 shape's census job, its
+    // broadcast anti-join, AND the fan-out persist + materialization
+    // pass (the fan-out is now referenced exactly once). A capped
+    // bucket's set is ≤ maxBucketSize ids in one aggregation buffer —
+    // bounded by construction.
+    val grouped = Parallelize.ensure(corpus).select(col(idCol).as("neighbor_id"),
+        posexplode(tableBuckets(col(vecCol), tables)).as(Seq("table_idx", "bucket")))
+      .groupBy(col("table_idx"), col("bucket"))
+      .agg(collect_set(col("neighbor_id")).as("__ids"))
+      .where(size(col("__ids")) <= maxBucketSize)
+    val cand = grouped.join(broadcast(probes), Seq("table_idx", "bucket"))
+      .select(col("query_id"), explode(col("__ids")).as("neighbor_id"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id").distinct()
 

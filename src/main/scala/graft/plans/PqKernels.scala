@@ -57,6 +57,27 @@ private object PqKernelMath {
     case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) => true
     case _ => false
   }
+
+  /** A foldable second/third argument that EVALUATES to null would NPE
+    * the lazy kernel at plan/codegen time — reject it in the type
+    * check instead (r18 ADVICE).
+    */
+  def nonNullFoldable(e: Expression, what: String): TypeCheckResult =
+    if (e.eval(null) == null)
+      TypeCheckResult.TypeCheckFailure(s"$what must not be a NULL literal")
+    else TypeCheckResult.TypeCheckSuccess
+
+  /** All codebooks must share ONE subspace width: PqAdcKernel computes
+    * offsets from books(0)(0).length and PqCodesKernel from each
+    * codebook's own width — non-uniform widths would silently score
+    * wrong slices (r18 ADVICE). Callers enforce dim % m == 0, so this
+    * is a loud guard for malformed codebooks, not a behavior change.
+    */
+  def requireUniformWidths(books: Array[Array[Array[Long]]]): Unit = {
+    val widths = books.iterator.flatMap(_.iterator.map(_.length)).toSet
+    require(widths.size <= 1,
+      s"graft pq kernels require one uniform subspace width, got $widths")
+  }
 }
 
 /** `array_position(d, array_max(d)).cast("int")` over
@@ -75,9 +96,15 @@ case class ArgmaxDotsE12(vec: Expression, cents: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_argmax_dots"
 
+  // plan-string redaction of the centroid tensor (see SignBuckets —
+  // the literal stays a child; only printing is trimmed)
+  override def flatArguments: Iterator[Any] = Iterator(vec)
+  override protected def stringArgs: Iterator[Any] = Iterator(vec)
+  override def sql: String = s"$prettyName(${vec.sql}, <cents>)"
+
   override def checkInputDataTypes(): TypeCheckResult = (vec.dataType, cents.dataType) match {
     case (ArrayType(FloatType, _), ArrayType(ArrayType(DoubleType, _), _))
-        if cents.foldable => TypeCheckResult.TypeCheckSuccess
+        if cents.foldable => PqKernelMath.nonNullFoldable(cents, "graft_argmax_dots centroids")
     case _ => TypeCheckResult.TypeCheckFailure(
       "graft_argmax_dots expects (array<float>, foldable array<array<double>>), " +
         s"got (${vec.dataType}, ${cents.dataType}, foldable=${cents.foldable})")
@@ -156,9 +183,14 @@ case class PqCodesE12(vec: Expression, books: Expression)
   override def nullable: Boolean = false // array(...) of per-sub codes is never null
   override def prettyName: String = "graft_pq_codes"
 
+  // plan-string redaction of the codebook tensor (see SignBuckets)
+  override def flatArguments: Iterator[Any] = Iterator(vec)
+  override protected def stringArgs: Iterator[Any] = Iterator(vec)
+  override def sql: String = s"$prettyName(${vec.sql}, <books>)"
+
   override def checkInputDataTypes(): TypeCheckResult = (vec.dataType, books.dataType) match {
     case (ArrayType(FloatType, _), bt) if PqKernelMath.booksTypeOk(bt) && books.foldable =>
-      TypeCheckResult.TypeCheckSuccess
+      PqKernelMath.nonNullFoldable(books, "graft_pq_codes codebooks")
     case _ => TypeCheckResult.TypeCheckFailure(
       "graft_pq_codes expects (array<float>, foldable array<array<array<double>>>), " +
         s"got (${vec.dataType}, ${books.dataType}, foldable=${books.foldable})")
@@ -192,6 +224,7 @@ case class PqCodesE12(vec: Expression, books: Expression)
 
 class PqCodesKernel(books: Array[Array[Array[Long]]],
                     halves: Array[Array[Double]]) extends Serializable {
+  PqKernelMath.requireUniformWidths(books)
   def compute(v: ArrayData): ArrayData = {
     val m = books.length
     val out = new Array[Any](m)
@@ -254,11 +287,16 @@ case class PqAdcE12(qv: Expression, codes: Expression, books: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_pq_adc"
 
+  // plan-string redaction of the codebook tensor (see SignBuckets)
+  override def flatArguments: Iterator[Any] = Iterator(qv, codes)
+  override protected def stringArgs: Iterator[Any] = Iterator(qv, codes)
+  override def sql: String = s"$prettyName(${qv.sql}, ${codes.sql}, <books>)"
+
   override def checkInputDataTypes(): TypeCheckResult =
     (qv.dataType, codes.dataType, books.dataType) match {
       case (ArrayType(FloatType, _), ArrayType(IntegerType, _), bt)
           if PqKernelMath.booksTypeOk(bt) && books.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        PqKernelMath.nonNullFoldable(books, "graft_pq_adc codebooks")
       case _ => TypeCheckResult.TypeCheckFailure(
         "graft_pq_adc expects (array<float>, array<int>, foldable " +
           s"array<array<array<double>>>), got (${qv.dataType}, ${codes.dataType}, " +
@@ -292,6 +330,7 @@ case class PqAdcE12(qv: Expression, codes: Expression, books: Expression)
 }
 
 class PqAdcKernel(books: Array[Array[Array[Long]]]) extends Serializable {
+  PqKernelMath.requireUniformWidths(books)
   private val m = books.length
   private val w = if (m > 0 && books(0).length > 0) books(0)(0).length else 0
 
@@ -303,7 +342,13 @@ class PqAdcKernel(books: Array[Array[Array[Long]]]) extends Serializable {
     while (s < m) {
       if (codes.isNullAt(s)) return null // null code → null recon → null dot
       val code = codes.getInt(s)
-      if (code < 1 || code > books(s).length) return null
+      // codes are internally generated 1-based centroid ids: an
+      // out-of-range value is CORRUPTION — fail loudly instead of
+      // silently dropping the row from ADC ranking (r18 ADVICE; the
+      // former tree under ANSI mode would have thrown here too)
+      if (code < 1 || code > books(s).length) throw new IllegalStateException(
+        s"graft_pq_adc: corrupt PQ code $code in subspace $s " +
+          s"(valid range 1..${books(s).length})")
       val c = books(s)(code - 1)
       val base = s * w
       var i = 0

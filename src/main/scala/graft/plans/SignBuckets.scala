@@ -47,6 +47,16 @@ case class SignBuckets(vec: Expression, planes: Expression)
 
   override def prettyName: String = "graft_sign_buckets"
 
+  // keep the plane tensor OUT of every plan string: the foldable
+  // literal (tables × planes × dim doubles) would otherwise be
+  // stringified into each plan-description event and tree dump —
+  // profiled r19: GenericArrayData.toString was ~7% of s02's driver
+  // samples. The literal stays a CHILD (semantics, canonicalization
+  // and codegen untouched); only printing is redacted.
+  override def flatArguments: Iterator[Any] = Iterator(vec)
+  override protected def stringArgs: Iterator[Any] = Iterator(vec)
+  override def sql: String = s"$prettyName(${vec.sql}, <planes>)"
+
   /** Plane tensor, materialized once from the literal. */
   @transient lazy val kernel: SignBucketsKernel = {
     val top = planes.eval(null).asInstanceOf[ArrayData]

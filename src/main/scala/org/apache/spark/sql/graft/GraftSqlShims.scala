@@ -54,9 +54,22 @@ object GraftSqlShims {
     val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
       hconf, file,
       org.apache.parquet.format.converter.ParquetMetadataConverter.SKIP_ROW_GROUPS)
-    new org.apache.spark.sql.execution.datasources.parquet
-      .ParquetToSparkSchemaConverter(spark.sessionState.conf)
-      .convert(footer.getFileMetaData.getSchema)
+    // prefer the footer's SERIALIZED Spark schema (the key Spark itself
+    // writes and its inference's readSchemaFromFooter prefers) — exact
+    // round-trip of types that don't survive the MessageType conversion
+    // (r18 ADVICE: e.g. TIMESTAMP_NTZ under a different inferTimestampNTZ
+    // conf); fall through to the conf-driven converter otherwise
+    val serialized = Option(footer.getFileMetaData.getKeyValueMetaData
+        .get("org.apache.spark.sql.parquet.row.metadata"))
+      .flatMap { json =>
+        try Some(org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[StructType])
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+    serialized.getOrElse(
+      new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetToSparkSchemaConverter(spark.sessionState.conf)
+        .convert(footer.getFileMetaData.getSchema))
   }
 
   /** `StructType.merge` (private[sql]) — the exact merge Spark's

@@ -102,27 +102,27 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("q21 market basket: distributed top-k via TakeOrderedAndProject, self-join shuffles lineitem once") {
-    // The pair explosion is the quadratic hazard: the plan must (a)
-    // keep the final top-25 a distributed TakeOrderedAndProject — a
-    // global Sort of all pairs is the 100 TB killer; (b) shuffle the
-    // projected lineitem ONCE and reuse that exchange for both sides
-    // of the self-join (the two subtrees are canonically identical);
-    // (c) never degrade the a.ok = b.ok AND part_a < part_b join into
-    // a cartesian/BNLJ.
+  test("q21 market basket: ONE scan, ONE basket shuffle, no join, distributed top-k") {
+    // r19 shape (guide §2.3/§2.4): baskets are collected per order in
+    // ONE shuffle and pairs are generated inside the reducer — the
+    // former self-join (two lineitem subtrees + a join) is gone. The
+    // plan must (a) scan lineitem exactly once; (b) contain NO join of
+    // any kind; (c) keep the final top-25 a distributed
+    // TakeOrderedAndProject — a global Sort of all pairs is the 100 TB
+    // killer.
     withAutoBroadcastOff {
       val plan = finalPlan(SparkEntry.queries("q21_market_basket")(spark, sf))
       assert(plan.contains("TakeOrderedAndProject"),
         s"q21 lost the distributed top-k (global sort over all pairs at " +
           s"100 TB):\n$plan")
-      assert(count(plan, "SortMergeJoin") + count(plan, "ShuffledHashJoin") == 1,
-        s"q21 must have exactly the one self-join:\n$plan")
+      assert(count(plan, "Scan parquet") == 1,
+        s"q21 must scan lineitem exactly once:\n$plan")
+      assert(count(plan, "SortMergeJoin") + count(plan, "ShuffledHashJoin") +
+        count(plan, "BroadcastHashJoin") == 0,
+        s"q21 reintroduced a join (the basket form needs none):\n$plan")
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"),
         s"q21 degraded to a cartesian/BNLJ:\n$plan")
-      assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
-        s"q21 self-join recomputes the lineitem shuffle instead of " +
-          s"reusing one exchange:\n$plan")
     }
   }
 

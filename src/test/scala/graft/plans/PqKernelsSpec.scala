@@ -139,4 +139,54 @@ class PqKernelsSpec extends SparkSpec {
       conf.set("spark.sql.codegen.factoryMode", before._2)
     }
   }
+
+  // ---- r19 hardening (r18 ADVICE items) ---------------------------------
+
+  test("corrupt (out-of-range) PQ codes fail loudly instead of silently dropping rows") {
+    GraftFunctions.register(spark)
+    val books = Seq.fill(2)(Seq.fill(4)(centroid(2)))
+    val df = Seq((1L, Array.fill(4)(0.5f), Array(1, 99))).toDF("id", "v", "codes")
+    val e = intercept[Exception] {
+      df.select(call_function("graft_pq_adc", col("v"), col("codes"),
+        typedLit(books))).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("corrupt PQ code"))),
+      s"expected a 'corrupt PQ code' failure, got $e")
+    // NULL code entries keep the tree form's null algebra (null dot)
+    val ok = Seq((1L, Array.fill(4)(0.5f))).toDF("id", "v")
+      .selectExpr("v", "array(1, cast(null as int)) as codes")
+      .select(call_function("graft_pq_adc", col("v"), col("codes"),
+        typedLit(books))).collect()(0)
+    assert(ok.isNullAt(0))
+  }
+
+  test("a typed NULL literal tensor is rejected at analysis, not an NPE at planning") {
+    GraftFunctions.register(spark)
+    val df = Seq((1L, Array.fill(4)(0.5f))).toDF("id", "v")
+    Seq(
+      "graft_argmax_dots(v, cast(null as array<array<double>>))",
+      "graft_pq_codes(v, cast(null as array<array<array<double>>>))",
+      "graft_pq_adc(v, array(1), cast(null as array<array<array<double>>>))"
+    ).foreach { exprSql =>
+      val e = intercept[Exception] { df.selectExpr(exprSql).collect() }
+      assert(!e.isInstanceOf[NullPointerException],
+        s"$exprSql NPE'd instead of failing analysis")
+    }
+  }
+
+  test("non-uniform codebook widths are rejected loudly") {
+    GraftFunctions.register(spark)
+    val books = Seq(Seq.fill(4)(centroid(2)), Seq.fill(4)(centroid(3)))
+    val df = Seq((1L, Array.fill(5)(0.5f), Array(1, 2))).toDF("id", "v", "codes")
+    val e = intercept[Exception] {
+      df.select(call_function("graft_pq_adc", col("v"), col("codes"),
+        typedLit(books))).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("uniform subspace width"))), s"got $e")
+  }
 }
