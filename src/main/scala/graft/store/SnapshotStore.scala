@@ -2891,9 +2891,17 @@ object SnapshotStore {
           (Map.empty[Int, Seq[Option[(String, String)]]],
            Map.empty[Int, Map[String, Seq[Option[(String, String)]]]], c)
         } else {
-          val written = df.sparkSession.read.schema(placed.schema)
-            .parquet(vdir.toString)
-          collectStats(written, statsCols)
+          // numeric stats columns: min/max AND row counts straight from
+          // the just-written footers — ZERO jobs (r19, guide §1.2/§6:
+          // the rollup job re-read every written byte once per commit);
+          // string/timestamp stats keep the rollup job (their manifest
+          // encodings are the job's)
+          footerBucketStats(df.sparkSession, vdir, bucketNames, fs,
+            statsCols, placed.schema).getOrElse {
+            val written = df.sparkSession.read.schema(placed.schema)
+              .parquet(vdir.toString)
+            collectStats(written, statsCols)
+          }
         }
       bucketNames.map { name =>
         val b = name.stripPrefix(s"$BucketCol=").toInt
@@ -2942,6 +2950,110 @@ object SnapshotStore {
           s"(${e.getClass.getSimpleName}: ${e.getMessage}) — falling back to a count job")
         None
     }
+
+  /** Per-bucket AND per-file min/max stats + row counts for declared
+    * NUMERIC stats columns, from the attempt dir's parquet FOOTERS on
+    * the driver — zero Spark jobs (guide §1.2/§6: the stats rollup job
+    * re-read every byte just written; footer column statistics carry
+    * the same min/max for primitive numerics, exactly — parquet only
+    * truncates binary stats, and omits double stats under NaN, which
+    * the bail-outs below catch). Returns None (→ the rollup job) when
+    * any stats column is non-numeric (string/timestamp encodings are
+    * the job's), decimal-backed, missing from a footer, or carries
+    * absent/ambiguous statistics — so the fallback keeps behavior
+    * bit-identical whenever the footer path cannot PROVE the same
+    * numbers.
+    */
+  private def footerBucketStats(spark: SparkSession, vdir: Path,
+                                bucketNames: Seq[String], fs: FileSystem,
+                                statsCols: Seq[(String, String)],
+                                dataSchema: org.apache.spark.sql.types.StructType)
+      : Option[(Map[Int, Seq[Option[(String, String)]]],
+                Map[Int, Map[String, Seq[Option[(String, String)]]]],
+                Map[Int, Long])] = {
+    import org.apache.spark.sql.types._
+    val supported = statsCols.forall { case (c, tag) =>
+      tag == "num" && (dataSchema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(LongType | IntegerType | ShortType | ByteType |
+                  DoubleType | FloatType) => true
+        case _ => false
+      })
+    }
+    if (!supported) return None
+    try {
+      import scala.jdk.CollectionConverters._
+      val hconf = spark.sessionState.newHadoopConf()
+      val perBucket = parFooterIo(bucketNames) { name =>
+        val b = name.stripPrefix(s"$BucketCol=").toInt
+        b -> fs.listStatus(new Path(vdir, name)).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(_.getPath)
+      }
+      // one footer read per file: (bucket, fileName, rows, per-col min/max)
+      val perFile = parFooterIo(perBucket.flatMap { case (b, ps) => ps.map(b -> _) }) {
+        case (b, path) =>
+          val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+            hconf, path,
+            org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+          val blocks = footer.getBlocks.asScala.toSeq
+          val rows = blocks.map(_.getRowCount).sum
+          val colStats: Seq[Option[(Comparable[Any], Comparable[Any])]] = statsCols.map { case (c, _) =>
+            // merge min/max across this file's row groups; any block
+            // with absent/unusable stats poisons the whole attempt
+            var mn: Comparable[Any] = null
+            var mx: Comparable[Any] = null
+            blocks.foreach { blk =>
+              val col = blk.getColumns.asScala
+                .find(_.getPath.toDotString == c)
+                .getOrElse(throw new IllegalStateException(s"no column chunk for $c"))
+              val st = col.getStatistics
+              if (st == null) throw new IllegalStateException(s"no statistics for $c")
+              if (st.hasNonNullValue) {
+                val bMn = st.genericGetMin.asInstanceOf[Comparable[Any]]
+                val bMx = st.genericGetMax.asInstanceOf[Comparable[Any]]
+                if (mn == null || bMn.compareTo(mn) < 0) mn = bMn
+                if (mx == null || bMx.compareTo(mx) > 0) mx = bMx
+              } else if (!st.isNumNullsSet || st.getNumNulls != blk.getRowCount) {
+                // not provably all-null: stats were omitted (e.g. NaN) —
+                // cannot reproduce the job's numbers from here
+                throw new IllegalStateException(s"unusable statistics for $c")
+              } // else: all-null block, contributes nothing (like the job's min/max)
+            }
+            if (mn == null || mx == null) None
+            else Some((mn, mx))
+          }
+          (b, path.getName, rows, colStats)
+      }
+      val byBucket = perFile.groupBy(_._1)
+      val counts = perBucket.map { case (b, _) =>
+        b -> byBucket.get(b).fold(0L)(_.map(_._3).sum)
+      }.toMap
+      val fileStats = byBucket.map { case (b, fs0) =>
+        b -> fs0.map { case (_, name, _, cs) =>
+          name -> cs.map(_.map { case (mn, mx) => (mn.toString, mx.toString) })
+        }.toMap
+      }
+      // merge per-file extremes under the SAME Comparable ordering the
+      // per-file merge used (all files share one primitive type)
+      implicit val cmpOrd: Ordering[Comparable[Any]] =
+        (a: Comparable[Any], b: Comparable[Any]) => a.compareTo(b)
+      val bucketStats = byBucket.map { case (b, fs0) =>
+        b -> statsCols.indices.map { i =>
+          val present = fs0.flatMap(_._4(i))
+          if (present.isEmpty) None
+          else Some((present.map(_._1).min.toString,
+            present.map(_._2).max.toString))
+        }
+      }
+      Some((bucketStats, fileStats, counts))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] footer stats read failed " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}) — falling back to the stats job")
+        None
+    }
+  }
 
   /** Exact per-bucket row counts of a freshly written attempt dir —
     * an empty-projection count over partitioned parquet, which the

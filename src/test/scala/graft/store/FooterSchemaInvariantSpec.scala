@@ -82,6 +82,35 @@ class FooterSchemaInvariantSpec extends SparkSpec {
       s"footer merge $got != inference $inferred")
   }
 
+  test("numeric manifest stats from footers == the rollup job's numbers (r19 footer-stats path)") {
+    // two tables with IDENTICAL content: one whose numeric statsCols
+    // take the r19 footer path, and a reference whose stats are forced
+    // through the rollup job by adding a string stats column (strings
+    // keep the job). Per-bucket min/max and row counts must agree
+    // exactly — the footer path must be indistinguishable.
+    val rows = spark.range(0, 3000, 1, 6)
+      .select(col("id").as("k"), (col("id") % 1000 - 500).as("ts"),
+        concat(lit("v"), col("id")).as("v"))
+    val footerRoot = tmpDir("fstats")
+    val jobRoot = tmpDir("jstats")
+    SnapshotStore.init(spark, footerRoot, rows, Seq("k"), numBuckets = 4,
+      statsCols = Seq("ts"))
+    SnapshotStore.init(spark, jobRoot, rows, Seq("k"), numBuckets = 4,
+      statsCols = Seq("ts", "v"))
+    val mF = SnapshotStore.readManifest(spark, footerRoot, 0L)
+    val mJ = SnapshotStore.readManifest(spark, jobRoot, 0L)
+    assert(mF.buckets.keySet == mJ.buckets.keySet)
+    mF.buckets.foreach { case (b, eF) =>
+      val eJ = mJ.buckets(b)
+      assert(eF.stats.head == eJ.stats.head,
+        s"bucket $b ts stats diverge: footer=${eF.stats.head} job=${eJ.stats.head}")
+      assert(eF.rows == eJ.rows, s"bucket $b row counts diverge")
+    }
+    // and pruning still behaves on the footer-derived stats
+    val pruned = SnapshotStore.read(spark, footerRoot).where(col("ts") === -500L)
+    assert(pruned.count() == rows.where(col("ts") === -500L).count())
+  }
+
   test("mergedFooterSchema is None (loud inference fallback) when a dir has no data file") {
     val base = tmpDir("empty")
     val d1 = s"$base/only"
