@@ -109,12 +109,27 @@ object GraftMerge {
         s"merge source lacks target columns ${missing.mkString(", ")} — " +
           "updates and inserts are full-row replacements from the source")
 
-      // ANSI multiple-matched-rows guard: one source row per key
-      val dup = src.groupBy(keys.map(col): _*).count()
-        .where(col("count") > 1).limit(1).count()
-      require(dup == 0L,
+      // ONE census job answers both pre-commit needs (r19, guide §1.2
+      // — was two delta-sized jobs): the ANSI multiple-matched-rows
+      // guard (max per-key multiplicity of the source) and the
+      // touched-bucket set commitDelta would otherwise re-derive with
+      // its own job (passed down as deltaBucketsHint). Equal keys hash
+      // to one bucket, so a per-bucket dup is exactly a global dup;
+      // ≤ numBuckets rows reach the driver.
+      val numBuckets = SnapshotStore.readManifest(spark, root,
+        SnapshotStore.latestVersion(spark, root).getOrElse(
+          throw new IllegalStateException(s"no table at $root"))).numBuckets
+      val census = SnapshotStore.withBucket(
+          src.select(keys.map(col): _*), keys, numBuckets)
+        .groupBy((col(SnapshotStore.BucketCol) +: keys.map(col)): _*)
+        .agg(count(lit(1)).as("__graft_n"))
+        .groupBy(col(SnapshotStore.BucketCol))
+        .agg(max(col("__graft_n")).as("__graft_max"))
+        .collect()
+      require(!census.exists(_.getLong(1) > 1L),
         "merge source has multiple rows for one merge key — ANSI MERGE " +
           "rejects ambiguous matches; de-duplicate the source first")
+      val srcBuckets = census.map(_.getInt(0)).toSet
 
       val matchedClauses = clauses.collect {
         case c: Update => c: Clause
@@ -160,7 +175,7 @@ object GraftMerge {
       SnapshotStore.commitDelta(spark, root,
         src.select(targetCols.map(src(_)) ++
           src.columns.filterNot(targetCols.contains).map(src(_)): _*),
-        keys, mergeFn, txn = txn)
+        keys, mergeFn, txn = txn, deltaBucketsHint = Some(srcBuckets))
     }
   }
 }

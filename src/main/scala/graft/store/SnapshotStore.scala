@@ -450,7 +450,7 @@ object SnapshotStore {
 
   private def newToken(): String = UUID.randomUUID().toString.take(8)
 
-  private def withBucket(df: DataFrame, keys: Seq[String], numBuckets: Int): DataFrame =
+  private[store] def withBucket(df: DataFrame, keys: Seq[String], numBuckets: Int): DataFrame =
     df.withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(numBuckets)))
 
   // ------------------------------------------------------------------
@@ -3134,7 +3134,8 @@ object SnapshotStore {
                   failRules: Seq[graft.pipeline.Expectations.Expectation] = Nil,
                   alsoTouch: Manifest => Set[Int] = _ => Set.empty,
                   recomputeOnOverlap: Boolean = true,
-                  plannedVersion: Option[Long] = None): Long = {
+                  plannedVersion: Option[Long] = None,
+                  deltaBucketsHint: Option[Set[Int]] = None): Long = {
     val fs = fileSystem(spark, root)
     var attempt = 0
     var firstBase = -1L
@@ -3180,8 +3181,15 @@ object SnapshotStore {
       // may match the overwrite condition must be rewritten even when
       // no new row lands there) — their current rows flow through the
       // same `merge` and emptied ones drop out of the manifest
-      val touched = bucketed.select(BucketCol).distinct()
-        .collect().map(_.getInt(0)).toSet ++ // ≤ numBuckets ids — metadata-sized
+      // `deltaBucketsHint`: a caller that already ran a delta census
+      // (applyRowDelta fuses dup-check + delete buckets + this set into
+      // ONE job) passes the bucket set instead of paying a second
+      // delta-sized job here. First attempt only — a retry re-censuses
+      // under the freshly-read manifest exactly as before (a layout
+      // change between attempts must not see a stale set).
+      val touched = (if (attempt == 1) deltaBucketsHint else None)
+        .getOrElse(bucketed.select(BucketCol).distinct()
+          .collect().map(_.getInt(0)).toSet) ++ // ≤ numBuckets ids — metadata-sized
         alsoTouch(m)
       val current = readBuckets(spark, root, m, touched)
       val currentAligned =
@@ -3474,30 +3482,37 @@ object SnapshotStore {
     val base = latestVersion(spark, root)
       .getOrElse(throw new IllegalStateException(s"no table at $root — call init first"))
     val m = readManifest(spark, root, base)
-    // the keyed-table contract (one row per key) must hold through the
-    // delta path exactly as the copy-on-write path enforces it: an
-    // UPDATE mapping several keys onto one new key, or a MERGE
-    // inserting one key twice, arrives here as duplicate upsert keys —
-    // refuse loudly instead of landing two rows for one key. One
-    // map-combined aggregate over the DELTA-sized upserts, not the
-    // table.
-    // count under a reserved alias — `.count()`'s literal "count"
-    // column would collide with a merge key of that name
-    if (upserts.groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as("__graft_n"))
-        .where(col("__graft_n") > 1).limit(1).count() > 0)
+    // ONE census job over (upserts ⊎ delete keys) answers EVERYTHING
+    // the pre-commit logic needs (r19, guide §1.2 — this used to be
+    // three separate delta-sized jobs: the upsert dup-check, the
+    // delete-bucket census, and commitDelta's own touched-bucket
+    // census): per-bucket presence of each side gives both bucket
+    // sets, and the max per-key multiplicity of the UPSERT side is the
+    // keyed-table contract check — an UPDATE mapping several keys onto
+    // one new key, or a MERGE inserting one key twice, arrives here as
+    // duplicate upsert keys and must refuse loudly. ≤ 2·numBuckets
+    // rows reach the driver. (deleteKeys needs no distinct: the
+    // anti-join below and the bucket set are duplicate-insensitive.)
+    val delKeyed = deleteKeys.select(keys.map(col): _*)
+    val census = withBucket(upserts.select(keys.map(col): _*), keys, m.numBuckets)
+      .withColumn("__graft_up", lit(1))
+      .unionByName(withBucket(delKeyed, keys, m.numBuckets)
+        .withColumn("__graft_up", lit(0)))
+      .groupBy((col(BucketCol) +: col("__graft_up") +: keys.map(col)): _*)
+      .agg(count(lit(1)).as("__graft_n"))
+      .groupBy(col(BucketCol), col("__graft_up"))
+      .agg(max(col("__graft_n")).as("__graft_max"))
+      .collect()
+    val upsBuckets = census.filter(_.getInt(1) == 1).map(_.getInt(0)).toSet
+    val delBuckets = census.filter(_.getInt(1) == 0).map(_.getInt(0)).toSet
+    if (census.exists(r => r.getInt(1) == 1 && r.getLong(2) > 1L))
       throw new IllegalStateException(
         s"row delta at $root carries two rows for one merge key (e.g. an " +
           "UPDATE mapping several keys onto the same new key, or a MERGE " +
           "inserting one key twice) — a keyed graft table holds one row " +
           "per key; make the statement produce distinct keys")
-    val delKeyed = deleteKeys.select(keys.map(col): _*).distinct()
-    val delBuckets = withBucket(delKeyed, keys, m.numBuckets)
-      .select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
     basedOnVersion.filter(_ != base).foreach { sv =>
       val scanM = readManifest(spark, root, sv)
-      val upsBuckets = withBucket(upserts, keys, m.numBuckets)
-        .select(BucketCol).distinct().collect().map(_.getInt(0)).toSet
       val winnerTouched = (scanM.buckets.keySet ++ m.buckets.keySet)
         .filter(b => scanM.buckets.get(b) != m.buckets.get(b))
       if (scanM.numBuckets != m.numBuckets ||
@@ -3517,7 +3532,8 @@ object SnapshotStore {
       merge = (cur, delta) => upsertMerge(keys)(minusDeleted(cur), delta),
       maxAttempts = maxAttempts,
       alsoTouch = _ => delBuckets,
-      recomputeOnOverlap = false)
+      recomputeOnOverlap = false,
+      deltaBucketsHint = Some(upsBuckets))
   }
 
   /** Merge-on-read DELETE: commit the removal of `deleteKeys` (frame
